@@ -1,13 +1,100 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables._
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 appears as one named entry in
+  * `queries`; entries with a deterministic ANSI-SQL equivalent also appear
+  * in `oracleSql` (run by the driver in DuckDB over the same parquet and
+  * hash-compared). Determinism rules: every query ends in a total-order
+  * sort, float aggregates are rounded, timestamps are UTC.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalOps.pricingSummary(lineitem(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2 flagship + §2.2 projection / filter / predicates
+    "q1_pricing_summary" -> ((s, d) => RelationalOps.pricingSummary(lineitem(s, d))),
+    "project" -> ((s, d) => RelationalOps.project(part(s, d))),
+    "filter_pred" -> ((s, d) => RelationalOps.filterPred(orders(s, d))),
+    "null_clean" -> ((s, d) => RelationalOps.nullClean(customer(s, d))),
+    "cast_types" -> ((s, d) => RelationalOps.castTypes(lineitem(s, d))),
+    "flatten_nested" -> ((s, d) => RelationalOps.flattenNested(orders(s, d))),
+    "distinct" -> ((s, d) => RelationalOps.distinctPairs(lineitem(s, d))),
+    "sample" -> ((s, d) => RelationalOps.sample(lineitem(s, d))),
+    "empty_payload_guard" -> ((s, d) => RelationalOps.emptyPayloadGuard(lineitem(s, d))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+         round(avg(l_quantity), 2) AS avg_qty,
+         round(avg(l_extendedprice), 2) AS avg_price,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "project" ->
+      """SELECT p_partkey,
+         upper(p_brand) AS brand_uc,
+         p_retailprice * p_size AS price_x_size,
+         p_type AS part_type,
+         p_size >= 25 AS is_large
+         FROM part ORDER BY p_partkey""",
+    "filter_pred" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+         FROM orders
+         WHERE o_orderstatus IN ('O','F')
+           AND o_totalprice BETWEEN 1000 AND 300000
+           AND o_orderpriority LIKE '%URGENT%'
+           AND o_orderkey IS NOT NULL
+           AND (o_custkey % 2 = 0 OR o_totalprice > 100000)
+         ORDER BY o_orderkey""",
+    "null_clean" ->
+      """WITH w AS (
+           SELECT c_custkey, c_acctbal,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_or_null,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END AS seg_or_null
+           FROM customer)
+         SELECT c_custkey,
+           round(coalesce(bal_or_null, 0.0), 2) AS bal_filled,
+           coalesce(seg_or_null, 'UNKNOWN') AS segment
+         FROM w
+         WHERE bal_or_null IS NOT NULL OR c_acctbal < 0
+         ORDER BY c_custkey""",
+    "cast_types" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS INT) AS qty_int,
+         CAST(CAST(l_quantity AS DOUBLE) AS VARCHAR) AS qty_str,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec_str,
+         CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day,
+         CAST(epoch(l_shipdate) AS BIGINT) AS ship_epoch
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "flatten_nested" ->
+      """SELECT o_orderkey, o_custkey AS cust, o_totalprice AS total,
+         o_orderstatus AS status
+         FROM orders ORDER BY o_orderkey""",
+    "distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "empty_payload_guard" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem
+         WHERE l_quantity < 0 GROUP BY l_returnflag ORDER BY l_returnflag""",
+  )
 }

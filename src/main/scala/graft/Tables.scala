@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access for the engine.
+  *
+  * The reference's data world is "one raw collection per connector"
+  * (/root/reference/README.md:27, 98); here each collection is a parquet
+  * table under a scale-factor directory. All `SparkEntry.queries` entries
+  * receive the directory and load through this object so that the physical
+  * layout (single parquet file locally; partitioned directories at 100 TB)
+  * is decided in exactly one place.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one table. At scale the same call works on a partitioned
+    * directory (`dir/name.parquet/date=...`) — Spark handles both
+    * layouts; partition pruning applies automatically when the layout
+    * is partitioned.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Core relational transforms — the reference's "Transform: clean or
+  * reformat the data for MongoDB compatibility" stage
+  * (/root/reference/README.md:22) plus the audit aggregate shape
+  * (README.md:28), expressed declaratively so Catalyst keeps pushdown,
+  * pruning and whole-stage codegen.
+  */
+object RelationalOps {
+
+  /** Flagship: TPC-H-Q1-shaped pricing summary. scan → filter → project →
+    * hash aggregate (partial+final map-side combine, no extra shuffle
+    * beyond the single groupBy exchange) → order. The filter and the
+    * 7-column projection both reach the parquet scan (PushedFilters /
+    * ReadSchema) — at 100 TB this reads a fraction of the table.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Projection surface: keep / rename / compute (README.md:22). */
+  def project(part: DataFrame): DataFrame =
+    part
+      .select(
+        col("p_partkey"),
+        col("p_name").as("part_name"),
+        upper(col("p_brand")).as("brand_uc"),
+        (col("p_retailprice") * col("p_size")).as("price_x_size"),
+        col("p_type"),
+        col("p_size"))
+      .withColumn("is_large", col("p_size") >= 25)
+      .drop("p_size")
+      .withColumnRenamed("p_type", "part_type")
+      .drop("part_name")
+      .orderBy("p_partkey")
+
+  /** Predicate surface: AND/OR/NOT, IN, BETWEEN, LIKE, IS NOT NULL —
+    * "Test for invalid responses" (README.md:32) as declarative filters
+    * that push down to the scan.
+    */
+  def filterPred(orders: DataFrame): DataFrame =
+    orders
+      .filter(
+        col("o_orderstatus").isin("O", "F") &&
+        col("o_totalprice").between(1000, 300000) &&
+        col("o_orderpriority").like("%URGENT%") &&
+        !col("o_orderkey").isNull &&
+        (col("o_custkey") % 2 === 0 || col("o_totalprice") > 100000))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  /** Null handling ("clean", README.md:22): nullif-style mapping, coalesce,
+    * na.fill, na.drop. Nulls are manufactured from the data itself (acctbal
+    * below a floor → null) so the operator is exercised on real input.
+    */
+  def nullClean(customer: DataFrame): DataFrame = {
+    val withNulls = customer
+      .withColumn("bal_or_null", when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+      .withColumn("seg_or_null", when(col("c_mktsegment") === "BUILDING", lit(null)).otherwise(col("c_mktsegment")))
+    withNulls
+      .withColumn("bal_filled", coalesce(col("bal_or_null"), lit(0.0)))
+      .na.fill(Map("seg_or_null" -> "UNKNOWN"))
+      .filter(col("bal_or_null").isNotNull || col("c_acctbal") < 0)
+      .select(
+        col("c_custkey"),
+        round(col("bal_filled"), 2).as("bal_filled"),
+        col("seg_or_null").as("segment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Type coercion for "MongoDB compatibility" (README.md:22):
+    * string↔number↔date casts.
+    */
+  def castTypes(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity").cast("int").as("qty_int"),
+        col("l_quantity").cast("string").as("qty_str"),
+        col("l_extendedprice").cast("decimal(12,2)").cast("string").as("price_dec_str"),
+        col("l_shipdate").cast("date").cast("string").as("ship_day"),
+        // parquet TIMESTAMP(isAdjustedToUTC=false) loads as TIMESTAMP_NTZ,
+        // which cannot cast straight to a number; route through TIMESTAMP
+        // (identity under the UTC session timezone).
+        col("l_shipdate").cast("timestamp").cast("long").as("ship_epoch"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Un-nest JSON-object-shaped data into flat columns (README.md:21–22).
+    * The struct is built then flattened — mirroring a nested API document
+    * landing in a flat Mongo-compatible collection.
+    */
+  def flattenNested(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        col("o_orderkey"),
+        struct(
+          col("o_custkey").as("cust"),
+          struct(col("o_totalprice").as("total"), col("o_orderstatus").as("status")).as("amount")
+        ).as("doc"))
+      .select(
+        col("o_orderkey"),
+        col("doc.cust").as("cust"),
+        col("doc.amount.total").as("total"),
+        col("doc.amount.status").as("status"))
+      .orderBy("o_orderkey")
+
+  /** Duplicate elimination (update semantics, README.md:28). */
+  def distinctPairs(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Deterministic sample for iterative testing (README.md:31): seeded —
+    * stable within Spark but not across engines, hence no oracle.
+    */
+  def sample(lineitem: DataFrame): DataFrame =
+    lineitem.sample(withReplacement = false, fraction = 0.1, seed = 42)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Empty/invalid payload guard (README.md:32, 105): a pipeline over an
+    * empty input must produce an empty, correctly-typed result — not a
+    * crash.
+    */
+  def emptyPayloadGuard(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_quantity") < 0) // matches nothing: quantities are positive
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("sum_qty"))
+      .orderBy("l_returnflag")
+}
