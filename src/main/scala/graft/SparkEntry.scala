@@ -30,6 +30,19 @@ object SparkEntry {
     "distinct" -> ((s, d) => RelationalOps.distinctPairs(lineitem(s, d))),
     "sample" -> ((s, d) => RelationalOps.sample(lineitem(s, d))),
     "empty_payload_guard" -> ((s, d) => RelationalOps.emptyPayloadGuard(lineitem(s, d))),
+    // §2.3 joins
+    "join_inner_hash" -> ((s, d) => JoinOps.innerHash(orders(s, d), customer(s, d))),
+    "join_broadcast" -> ((s, d) => JoinOps.broadcastDims(customer(s, d), nation(s, d), region(s, d))),
+    "join_sortmerge" -> ((s, d) => JoinOps.sortMerge(lineitem(s, d), orders(s, d))),
+    "join_left" -> ((s, d) => JoinOps.leftOuter(customer(s, d), orders(s, d))),
+    "join_right" -> ((s, d) => JoinOps.rightOuter(lineitem(s, d), part(s, d))),
+    "join_full" -> ((s, d) => JoinOps.fullOuter(customer(s, d), supplier(s, d))),
+    "join_left_semi" -> ((s, d) => JoinOps.leftSemi(customer(s, d), orders(s, d))),
+    "join_left_anti" -> ((s, d) => JoinOps.leftAnti(customer(s, d), orders(s, d))),
+    "join_cross" -> ((s, d) => JoinOps.crossJoin(region(s, d), nation(s, d))),
+    "join_theta" -> ((s, d) => JoinOps.theta(nation(s, d))),
+    "join_range" -> ((s, d) => JoinOps.rangeBand(part(s, d))),
+    "join_asof" -> ((s, d) => JoinOps.asof(events(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -80,7 +93,7 @@ object SparkEntry {
          ORDER BY c_custkey""",
     "cast_types" ->
       """SELECT l_orderkey, l_linenumber,
-         CAST(l_quantity AS INT) AS qty_int,
+         CAST(trunc(l_quantity) AS INT) AS qty_int,
          CAST(CAST(l_quantity AS DOUBLE) AS VARCHAR) AS qty_str,
          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec_str,
          CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day,
@@ -96,5 +109,75 @@ object SparkEntry {
     "empty_payload_guard" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem
          WHERE l_quantity < 0 GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // §2.3 joins
+    "join_inner_hash" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice, c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "join_broadcast" ->
+      """SELECT r_name,
+         count(*) AS n_customers,
+         round(avg(c_acctbal), 2) AS avg_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "join_sortmerge" ->
+      """SELECT o_orderstatus,
+         count(*) AS n_items,
+         round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_left" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
+    "join_right" ->
+      """SELECT p_partkey, l_orderkey, l_linenumber, l_quantity
+         FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+         ORDER BY p_partkey NULLS FIRST, l_orderkey NULLS FIRST,
+                  l_linenumber NULLS FIRST, l_quantity NULLS FIRST""",
+    "join_full" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+            s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
+         SELECT coalesce(c_nationkey, s_nationkey) AS nationkey, n_cust, n_supp
+         FROM c FULL JOIN s ON c_nationkey = s_nationkey
+         ORDER BY nationkey""",
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+         FROM region CROSS JOIN nation
+         ORDER BY r_regionkey, n_nationkey""",
+    "join_theta" ->
+      """SELECT a.n_nationkey AS a_key, a.n_name AS a_name,
+                b.n_nationkey AS b_key, b.n_name AS b_name
+         FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+         ORDER BY a_key, b_key""",
+    "join_range" ->
+      """SELECT p_partkey, p_retailprice, band
+         FROM part
+         JOIN (VALUES (0.0, 1200.0, 'budget'),
+                      (1200.0, 1600.0, 'mid'),
+                      (1600.0, 1000000000.0, 'premium')) b(lo, hi, band)
+           ON p_retailprice >= lo AND p_retailprice < hi
+         ORDER BY p_partkey""",
+    "join_asof" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+                epoch_us(p.ts) AS purchase_ts_us,
+                (SELECT arg_max(c.event_id, c.ts) FROM events c
+                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                   AND c.ts <= p.ts) AS click_id,
+                (SELECT epoch_us(max(c.ts)) FROM events c
+                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                   AND c.ts <= p.ts) AS click_ts_us
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY purchase_id""",
   )
 }

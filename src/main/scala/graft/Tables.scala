@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Table access for the engine.
   *
@@ -31,7 +32,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) (FIXTURES.md:31), which the
+    * Spark 4 vectorized reader rejects unless read as a raw long. We load
+    * it as nanos-since-epoch and truncate to a microsecond TimestampType
+    * in exactly one place, so every consumer sees a normal `ts` column.
+    * (`div` is integer division — exact, unlike `/1000` through double.)
+    * DuckDB oracles read the same column natively as TIMESTAMP_NS; output
+    * parity is achieved by emitting epoch-micros bigints on both sides.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

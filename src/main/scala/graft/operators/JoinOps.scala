@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join surface — SURVEY.md §2.3. The reference's audit/update queries over
+  * per-connector raw collections (/root/reference/README.md:27–28) correlate
+  * collections with each other and with time; this object covers every join
+  * shape on the testdata star schema (FIXTURES.md key map).
+  *
+  * Scale notes (100 TB): equi joins are declared, not scheduled — Catalyst /
+  * AQE pick broadcast vs shuffled-hash vs sort-merge; we only hint where the
+  * right answer is knowable statically (dims → `broadcast`, large-large →
+  * `merge`). Non-equi joins are kept to broadcast-sized inputs (bands, tiny
+  * self-joins) so the broadcast-nested-loop never sees two large sides. The
+  * as-of join is the union+window form: ONE shuffle on the key, no join
+  * explosion, no per-row subquery — the shape that survives 100 TB.
+  */
+object JoinOps {
+
+  /** Equi inner join orders⋈customer; Catalyst picks the physical strategy
+    * (AQE may demote to broadcast when the dim side is small).
+    */
+  def innerHash(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"), "inner")
+      .select(
+        col("o_orderkey"), col("c_custkey"), col("c_name"),
+        col("o_totalprice"), col("c_mktsegment"))
+      .orderBy("o_orderkey")
+
+  /** Dim-table broadcast: customer⋈nation⋈region with explicit broadcast
+    * hints — zero shuffle for the join itself (only the final groupBy
+    * exchanges), the layout that matters when the fact side is 100 TB.
+    */
+  def broadcastDims(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(avg(col("c_acctbal")), 2).as("avg_bal"))
+      .orderBy("r_name")
+
+  /** Large-large sort-merge join lineitem⋈orders, forced via merge hint —
+    * at scale both sides shuffle-partition on the key and merge without
+    * building a hash table (spill-safe).
+    */
+  def sortMerge(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .hint("merge")
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+
+  /** Left outer: every customer survives, orderless customers with nulls
+    * (the "empty payload" row shape, README.md:32).
+    */
+  def leftOuter(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
+
+  /** Right outer: every part survives even if never shipped. */
+  def rightOuter(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(part, lineitem("l_partkey") === part("p_partkey"), "right")
+      .select(col("p_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(
+        asc_nulls_first("p_partkey"),
+        asc_nulls_first("l_orderkey"),
+        asc_nulls_first("l_linenumber"),
+        // the synthetic lineitem is not (orderkey, linenumber)-unique —
+        // quantity breaks the remaining ties for the hash-compare
+        asc_nulls_first("l_quantity"))
+
+  /** Full outer on pre-aggregated per-nation counts — rows survive from
+    * either side; aggregating first keeps the outer join key-unique (the
+    * scalable shape for reconciliation audits).
+    */
+  def fullOuter(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    val s = supplier.groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, c("c_nationkey") === s("s_nationkey"), "full")
+      .select(
+        coalesce(c("c_nationkey"), s("s_nationkey")).as("nationkey"),
+        col("n_cust"), col("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** Left semi — EXISTS: customers that have at least one order (update
+    * detection, README.md:28). No columns from the right side, no row
+    * multiplication — cheaper than join+distinct at scale.
+    */
+  def leftSemi(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** Left anti — NOT EXISTS: customers with no orders; the core of
+    * idempotent re-ingestion (only NEW records pass, README.md:28).
+    */
+  def leftAnti(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** Cartesian product of two bounded dims (building block for all-pairs
+    * similarity — never used with two large sides).
+    */
+  def crossJoin(region: DataFrame, nation: DataFrame): DataFrame =
+    region
+      .crossJoin(nation)
+      .select(col("r_regionkey"), col("r_name"), col("n_nationkey"), col("n_name"))
+      .orderBy("r_regionkey", "n_nationkey")
+
+  /** Theta (inequality) self-join: unordered nation pairs via key `<` key —
+    * plans as broadcast-nested-loop; inputs deliberately broadcast-sized.
+    */
+  def theta(nation: DataFrame): DataFrame = {
+    val a = nation.select(col("n_nationkey").as("a_key"), col("n_name").as("a_name"))
+    val b = nation.select(col("n_nationkey").as("b_key"), col("n_name").as("b_name"))
+    a.join(b, col("a_key") < col("b_key"))
+      .orderBy("a_key", "b_key")
+  }
+
+  /** Range/band join: price interval lookup against a broadcast band table
+    * — the scalable banding pattern (tiny interval dim broadcast against an
+    * arbitrarily large fact side; half-open intervals so bands partition).
+    */
+  def rangeBand(part: DataFrame): DataFrame = {
+    val spark = part.sparkSession
+    import spark.implicits._
+    val bands = Seq(
+      (0.0, 1200.0, "budget"),
+      (1200.0, 1600.0, "mid"),
+      (1600.0, 1e9, "premium"),
+    ).toDF("lo", "hi", "band")
+    part
+      .join(broadcast(bands),
+        part("p_retailprice") >= col("lo") && part("p_retailprice") < col("hi"))
+      .select(col("p_partkey"), col("p_retailprice"), col("band"))
+      .orderBy("p_partkey")
+  }
+
+  /** As-of join: for each purchase event, the latest click by the same user
+    * at-or-before the purchase timestamp (README.md:28 — "current value as
+    * of t"). No native Spark as-of join; this is the union+window form:
+    * tag both sides, sort within user by (ts, side, id), carry the last
+    * click forward with `last(_, ignoreNulls)`. ONE shuffle on user_id,
+    * zero row multiplication — the 100 TB-safe shape (vs. a per-row
+    * correlated lookup or a range join explosion).
+    */
+  def asof(events: DataFrame): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("user_id"),
+        col("ts"),
+        // clicks sort before purchases at equal ts → a same-instant click
+        // is visible to the purchase (ASOF `>=` semantics).
+        when(col("event_type") === "click", lit(0)).otherwise(lit(1)).as("side"),
+        col("event_id"))
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("ts", "side", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("click_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts_us",
+        last(when(col("side") === 0, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("purchase_ts_us"),
+        col("click_id"),
+        col("click_ts_us"))
+      .orderBy("purchase_id")
+  }
+}

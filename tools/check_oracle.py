@@ -43,7 +43,7 @@ def main():
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        files = glob.glob(f"{d}/*.parquet")
+        files = sorted(glob.glob(f"{d}/*.parquet"))
         spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) \
             if files else pd.DataFrame()
         if name not in oracles:
