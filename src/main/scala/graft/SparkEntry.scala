@@ -43,6 +43,35 @@ object SparkEntry {
     "join_theta" -> ((s, d) => JoinOps.theta(nation(s, d))),
     "join_range" -> ((s, d) => JoinOps.rangeBand(part(s, d))),
     "join_asof" -> ((s, d) => JoinOps.asof(events(s, d))),
+    // §2.4 aggregations
+    "agg_hash" -> ((s, d) => AggOps.aggHash(orders(s, d))),
+    "agg_global" -> ((s, d) => AggOps.aggGlobal(lineitem(s, d))),
+    "agg_count_distinct" -> ((s, d) => AggOps.aggCountDistinct(lineitem(s, d))),
+    "agg_approx_distinct" -> ((s, d) => AggOps.aggApproxDistinct(lineitem(s, d))),
+    "agg_stats" -> ((s, d) => AggOps.aggStats(lineitem(s, d))),
+    "agg_collect" -> ((s, d) => AggOps.aggCollect(nation(s, d))),
+    "agg_first_last" -> ((s, d) => AggOps.aggFirstLast(orders(s, d))),
+    "agg_rollup" -> ((s, d) => AggOps.aggRollup(lineitem(s, d))),
+    "agg_cube" -> ((s, d) => AggOps.aggCube(lineitem(s, d))),
+    "agg_grouping_sets" -> ((s, d) => AggOps.aggGroupingSets(orders(s, d))),
+    "agg_pivot" -> ((s, d) => AggOps.aggPivot(lineitem(s, d))),
+    // §2.5 windows
+    "win_row_number" -> ((s, d) => WindowOps.rowNumberLatest(events(s, d))),
+    "win_rank_dense" -> ((s, d) => WindowOps.rankDense(part(s, d))),
+    "win_lag_lead" -> ((s, d) => WindowOps.lagLead(events(s, d))),
+    "win_running" -> ((s, d) => WindowOps.running(events(s, d))),
+    "win_sliding_frame" -> ((s, d) => WindowOps.slidingFrame(events(s, d))),
+    "win_range_frame" -> ((s, d) => WindowOps.rangeFrame(events(s, d))),
+    "win_topk_per_group" -> ((s, d) => WindowOps.topkPerGroup(orders(s, d))),
+    // §2.6 sorts / limits / top-k
+    "sort" -> ((s, d) => SortSetOps.sortGlobal(orders(s, d))),
+    "limit" -> ((s, d) => SortSetOps.limitPage(orders(s, d))),
+    "topk" -> ((s, d) => SortSetOps.topk(orders(s, d))),
+    "sort_within_partitions" -> ((s, d) => SortSetOps.sortWithinPartitions(lineitem(s, d))),
+    // §2.7 set operations
+    "union" -> ((s, d) => SortSetOps.unionLoads(orders(s, d))),
+    "intersect" -> ((s, d) => SortSetOps.intersectLoads(customer(s, d))),
+    "except" -> ((s, d) => SortSetOps.exceptLoads(orders(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -179,5 +208,153 @@ object SparkEntry {
                    AND c.ts <= p.ts) AS click_ts_us
          FROM events p WHERE p.event_type = 'purchase'
          ORDER BY purchase_id""",
+    // §2.4 aggregations
+    "agg_hash" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS sum_price,
+         round(avg(o_totalprice), 2) AS avg_price,
+         round(min(o_totalprice), 2) AS min_price,
+         round(max(o_totalprice), 2) AS max_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_global" ->
+      """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
+         round(avg(l_extendedprice), 2) AS avg_price,
+         min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+         FROM lineitem""",
+    "agg_count_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_stats" ->
+      """SELECT l_returnflag,
+         round(stddev_samp(l_quantity), 4) AS sd_samp,
+         round(stddev_pop(l_quantity), 4) AS sd_pop,
+         round(var_samp(l_quantity), 4) AS var_samp,
+         round(var_pop(l_quantity), 4) AS var_pop,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_collect" ->
+      """SELECT n_regionkey,
+         list_sort(list(n_name)) AS nations,
+         list_sort(list(DISTINCT n_nationkey)) AS nation_keys
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "agg_first_last" ->
+      """SELECT o_custkey,
+         max_by(o_totalprice, o_orderkey) AS latest_price,
+         min_by(o_totalprice, o_orderkey) AS first_price,
+         max(o_orderkey) AS latest_key,
+         count(*) AS n_orders
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         count(*) AS n_rows,
+         grouping_id(l_returnflag, l_linestatus) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid""",
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         count(*) AS n_rows,
+         grouping_id(l_returnflag, l_linestatus) AS gid
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid""",
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         round(sum(o_totalprice), 2) AS sum_price,
+         count(*) AS n_rows,
+         grouping_id(o_orderstatus, o_orderpriority) AS gid
+         FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, gid""",
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+         count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+         count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // §2.5 windows
+    "win_row_number" ->
+      """SELECT user_id, event_id AS latest_event, epoch_us(ts) AS ts_us, event_type
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "win_rank_dense" ->
+      """SELECT p_partkey, p_brand, p_size,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         round(percent_rank() OVER w, 6) AS prnk,
+         ntile(4) OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS quartile
+         FROM part
+         WINDOW w AS (PARTITION BY p_brand ORDER BY p_size)
+         ORDER BY p_partkey""",
+    "win_lag_lead" ->
+      """SELECT event_id, user_id, round(value, 4) AS value,
+         round(lag(value, 1) OVER w, 4) AS prev_value,
+         round(lead(value, 1) OVER w, 4) AS next_value,
+         round(value - lag(value, 1) OVER w, 4) AS delta
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         ORDER BY event_id""",
+    "win_running" ->
+      """SELECT event_id, user_id,
+         round(sum(value) OVER w, 4) AS running_value,
+         count(*) OVER w AS running_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "win_sliding_frame" ->
+      """SELECT event_id, user_id,
+         round(avg(value) OVER w, 4) AS moving_avg,
+         count(*) OVER w AS frame_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "win_range_frame" ->
+      """SELECT event_id, user_id,
+         round(sum(value) OVER w, 4) AS hour_value,
+         count(*) OVER w AS hour_n
+         FROM (SELECT *, epoch_us(ts) // 1000000 AS epoch_s FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "win_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER
+                 (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    // §2.6 sorts / limits / top-k
+    "sort" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+         FROM orders ORDER BY o_orderdate DESC, o_orderkey ASC""",
+    "limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders ORDER BY o_orderkey LIMIT 100""",
+    "topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    // §2.7 set operations
+    "union" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_totalprice, 1 AS page FROM orders
+           WHERE o_totalprice < 50000
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, 2 AS page FROM orders
+           WHERE o_totalprice >= 150000)
+         ORDER BY o_orderkey, page""",
+    "intersect" ->
+      """SELECT c_nationkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0
+         INTERSECT
+         SELECT c_nationkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 1
+         ORDER BY c_nationkey, c_mktsegment""",
+    "except" ->
+      """SELECT o_custkey FROM orders
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+         ORDER BY o_custkey""",
   )
 }

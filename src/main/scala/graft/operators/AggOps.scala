@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface — SURVEY.md §2.4. Grounded in the reference's audit
+  * queries over raw collections and insert-count validation
+  * (/root/reference/README.md:28, 33, 106).
+  *
+  * Scale notes (100 TB): every groupBy below is a Catalyst HashAggregate
+  * with automatic partial (map-side) + final phases — one shuffle keyed on
+  * the group columns, combiner-reduced before the exchange. Rollup/cube
+  * expand each input row to its grouping-set rows BEFORE the partial
+  * aggregate, so the shuffle still carries only group-key cardinality.
+  * `collect_list` is bounded here (per-group arrays of a dim table); never
+  * use it on unbounded groups at scale.
+  */
+object AggOps {
+
+  /** Dedicated hash aggregate: per-status order stats (count/sum/avg/min/max). */
+  def aggHash(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy("o_orderstatus")
+
+  /** Global (no grouping) aggregate — the insert-count validation shape
+    * (records fetched == records stored, README.md:33, 106).
+    */
+  def aggGlobal(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      count(lit(1)).as("n_rows"),
+      round(sum(col("l_quantity")), 2).as("sum_qty"),
+      round(avg(col("l_extendedprice")), 2).as("avg_price"),
+      min(col("l_orderkey")).as("min_key"),
+      max(col("l_orderkey")).as("max_key"))
+
+  /** Exact distinct counts — Catalyst expands to a two-phase
+    * distinct-then-count plan (expand + two aggregates), still one logical
+    * declaration; at scale prefer `aggApproxDistinct` when exactness is
+    * not mandated.
+    */
+  def aggCountDistinct(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** HLL++ approximate distinct — the 100 TB shape (constant memory per
+    * group vs. the exact expansion). no-oracle: approximate by design;
+    * bounds asserted in the scalatest spec instead.
+    */
+  def aggApproxDistinct(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Statistical aggregates: sample/population stddev + variance. Exact
+    * moments (single-pass, numerically-stable Welford in both engines);
+    * percentiles live in `aggApproxDistinct`'s no-oracle world and the
+    * window surface.
+    */
+  def aggStats(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_samp"),
+        round(stddev_pop(col("l_quantity")), 4).as("sd_pop"),
+        round(var_samp(col("l_quantity")), 4).as("var_samp"),
+        round(var_pop(col("l_quantity")), 4).as("var_pop"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Re-nest rows into arrays (the Mongo-document output shape,
+    * README.md:22). `sort_array` pins element order for the compare —
+    * collect order is nondeterministic across partitionings otherwise.
+    */
+  def aggCollect(nation: DataFrame): DataFrame =
+    nation
+      .groupBy(col("n_regionkey"))
+      .agg(
+        sort_array(collect_list(col("n_name"))).as("nations"),
+        sort_array(collect_set(col("n_nationkey"))).as("nation_keys"))
+      .orderBy("n_regionkey")
+
+  /** First/last by explicit ordering via min_by/max_by — "current value as
+    * of the latest load" (README.md:28). Keyed on the unique o_orderkey so
+    * the argmax is deterministic.
+    */
+  def aggFirstLast(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        max_by(col("o_totalprice"), col("o_orderkey")).as("latest_price"),
+        min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"),
+        max(col("o_orderkey")).as("latest_key"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
+  /** Rollup over the returnflag→linestatus hierarchy with grouping_id —
+    * subtotals + grand total in one pass (README.md:28 audit rollups).
+    */
+  def aggRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+      .orderBy(
+        asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"),
+        asc("gid"))
+
+  /** Cube: all 2^k grouping-set combinations. */
+  def aggCube(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+      .orderBy(
+        asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"),
+        asc("gid"))
+
+  /** Explicit grouping sets — the general form rollup/cube specialize. */
+  def aggGroupingSets(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+      .orderBy(
+        asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"),
+        asc("gid"))
+
+  /** Pivot rows→columns (per-linestatus counts per returnflag,
+    * README.md:22 "reformat"). Pivot values are pinned explicitly — at
+    * scale this avoids the extra distinct-collect job Spark otherwise runs
+    * on the driver to discover them.
+    */
+  def aggPivot(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .withColumnRenamed("F", "n_f")
+      .withColumnRenamed("O", "n_o")
+      .na.fill(0, Seq("n_f", "n_o"))
+      .orderBy("l_returnflag")
+}

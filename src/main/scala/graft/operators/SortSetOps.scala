@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sorts / limits / top-k (SURVEY.md §2.6) and set operations (§2.7).
+  * Grounded in newest-first audit views, result pagination, and
+  * delta-between-loads semantics (/root/reference/README.md:12, 28).
+  *
+  * Scale notes (100 TB): a global `orderBy` is a range-partitioned
+  * total sort — legitimate for bounded audit views, never for a full raw
+  * table (use sortWithinPartitions for layout control instead). `topk` and
+  * `limitPage` compile to TakeOrderedAndProject: per-partition heap of k,
+  * driver merges k·p rows — no full sort, no full shuffle. Set operations
+  * are aggregates/joins underneath: one shuffle on all columns.
+  */
+object SortSetOps {
+
+  /** Global order, newest first, tie-broken unique (README.md:28 audit
+    * views are "latest first").
+    */
+  def sortGlobal(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .orderBy(desc("o_orderdate"), asc("o_orderkey"))
+
+  /** Ordered pagination (mirrors source-side pagination, README.md:12):
+    * deterministic page = total order + limit ⇒ TakeOrderedAndProject.
+    */
+  def limitPage(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+      .limit(100)
+
+  /** Global top-k by value — MUST plan as TakeOrderedAndProject (orderBy
+    * then limit), never a window over the full table.
+    */
+  def topk(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  /** Physical layout control: cluster rows by key inside each partition
+    * without a global shuffle-sort — the 100 TB write-path pattern
+    * (run-length/dictionary-friendly parquet, min-max pruning). no-oracle:
+    * row order is partitioning-dependent by design; the spec asserts the
+    * per-partition sort invariant instead.
+    */
+  def sortWithinPartitions(lineitem: DataFrame): DataFrame =
+    lineitem
+      .repartition(col("l_returnflag"))
+      .sortWithinPartitions("l_returnflag", "l_shipdate")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_shipdate"))
+
+  /** Combine loads/pages — UNION ALL by NAME (JSON column order is
+    * unstable across pages, README.md:12; positional union would silently
+    * mis-zip).
+    */
+  def unionLoads(orders: DataFrame): DataFrame = {
+    val page1 = orders.filter(col("o_totalprice") < 50000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("page", lit(1))
+    // deliberately different column order — unionByName must re-align
+    val page2 = orders.filter(col("o_totalprice") >= 150000)
+      .select(col("o_totalprice"), col("o_orderkey"))
+      .withColumn("page", lit(2))
+    page1.unionByName(page2.select(col("o_orderkey"), col("o_totalprice"), col("page")))
+      .orderBy("o_orderkey", "page")
+  }
+
+  /** Records present in both loads (distinct semantics — Spark INTERSECT
+    * ≡ SQL INTERSECT).
+    */
+  def intersectLoads(customer: DataFrame): DataFrame = {
+    val loadA = customer.filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_nationkey"), col("c_mktsegment"))
+    val loadB = customer.filter(col("c_custkey") % 3 =!= 1)
+      .select(col("c_nationkey"), col("c_mktsegment"))
+    loadA.intersect(loadB).orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  /** New-since-last-load delta — EXCEPT (distinct): keys in the new load
+    * that the previous load lacked (README.md:28 update detection).
+    */
+  def exceptLoads(orders: DataFrame): DataFrame = {
+    val newLoad = orders.select(col("o_custkey"))
+    val oldLoad = orders.filter(col("o_orderkey") % 2 === 0).select(col("o_custkey"))
+    newLoad.except(oldLoad).orderBy("o_custkey")
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface — SURVEY.md §2.5. Grounded in
+  * ingestion-timestamp audits and update resolution
+  * (/root/reference/README.md:28, 99): latest-per-key, drift vs the
+  * previous load, running ingest totals, time-bounded views.
+  *
+  * Scale notes (100 TB): every window below is keyed (`partitionBy`) — one
+  * shuffle on the partition key, per-key local sort, no global sort and no
+  * unbounded state. Ordering columns always end in a unique tie-break
+  * (event_id / orderkey) so frames — and therefore results — are
+  * deterministic under any partitioning. Never use an un-partitioned
+  * window over big data (single-task sort); the global top-k lives in
+  * SortSetOps.topk as TakeOrderedAndProject instead.
+  */
+object WindowOps {
+
+  private def perUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  /** Latest event per user via row_number — THE dedup/upsert resolution
+    * shape (README.md:28): one shuffle, one row per key survives.
+    */
+  def rowNumberLatest(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_id").as("latest_event"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .orderBy("user_id")
+  }
+
+  /** Ranking family: rank (gaps), dense_rank (no gaps), percent_rank on a
+    * non-unique order key (p_size — ties rank identically in any engine);
+    * ntile over a unique ordering (ties would make ntile nondeterministic).
+    */
+  def rankDense(part: DataFrame): DataFrame = {
+    val bySize = Window.partitionBy("p_brand").orderBy("p_size")
+    val unique = Window.partitionBy("p_brand").orderBy("p_size", "p_partkey")
+    part
+      .select(
+        col("p_partkey"), col("p_brand"), col("p_size"),
+        rank().over(bySize).as("rnk"),
+        dense_rank().over(bySize).as("drnk"),
+        round(percent_rank().over(bySize), 6).as("prnk"),
+        ntile(4).over(unique).as("quartile"))
+      .orderBy("p_partkey")
+  }
+
+  /** Delta vs previous/next event of the same user — audit drift between
+    * loads (README.md:28).
+    */
+  def lagLead(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_id"), col("user_id"),
+        round(col("value"), 4).as("value"),
+        round(lag(col("value"), 1).over(perUser), 4).as("prev_value"),
+        round(lead(col("value"), 1).over(perUser), 4).as("next_value"),
+        round(col("value") - lag(col("value"), 1).over(perUser), 4).as("delta"))
+      .orderBy("event_id")
+
+  /** Running (cumulative) total per user in event order — cumulative
+    * ingest counters. Unique ordering ⇒ one canonical summation order ⇒
+    * float-stable across engines.
+    */
+  def running(events: DataFrame): DataFrame = {
+    val w = perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(
+        col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 4).as("running_value"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy("event_id")
+  }
+
+  /** Sliding ROWS frame: moving average over the last 4 events per user. */
+  def slidingFrame(events: DataFrame): DataFrame = {
+    val w = perUser.rowsBetween(-3, Window.currentRow)
+    events
+      .select(
+        col("event_id"), col("user_id"),
+        round(avg(col("value")).over(w), 4).as("moving_avg"),
+        count(lit(1)).over(w).as("frame_n"))
+      .orderBy("event_id")
+  }
+
+  /** Time-RANGE frame: per user, total value over the trailing hour of
+    * events (README.md:99 timestamp audits). Range frames order by the
+    * numeric epoch so the 3600 s bound is engine-independent.
+    */
+  def rangeFrame(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-3600L, Window.currentRow)
+    events
+      .withColumn("epoch_s", unix_micros(col("ts")).divide(lit(1000000L)).cast("long"))
+      .select(
+        col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 4).as("hour_value"),
+        count(lit(1)).over(w).as("hour_n"))
+      .orderBy("event_id")
+  }
+
+  /** Top-k per group: 3 highest-value orders per customer. Keyed window +
+    * rank filter — the per-group analogue of TakeOrderedAndProject (which
+    * only exists for GLOBAL top-k). Tie-broken on the unique orderkey.
+    */
+  def topkPerGroup(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+}
