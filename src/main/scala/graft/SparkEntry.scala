@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables._
 import graft.operators._
+import graft.functions.FuncOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -72,6 +73,15 @@ object SparkEntry {
     "union" -> ((s, d) => SortSetOps.unionLoads(orders(s, d))),
     "intersect" -> ((s, d) => SortSetOps.intersectLoads(customer(s, d))),
     "except" -> ((s, d) => SortSetOps.exceptLoads(orders(s, d))),
+    // §2.8 scalar function families
+    "fn_string" -> ((s, d) => FuncOps.stringFns(documents(s, d))),
+    "fn_datetime" -> ((s, d) => FuncOps.datetimeFns(orders(s, d))),
+    "fn_math" -> ((s, d) => FuncOps.mathFns(lineitem(s, d))),
+    "fn_conditional" -> ((s, d) => FuncOps.conditionalFns(customer(s, d))),
+    "fn_array" -> ((s, d) => FuncOps.arrayFns(documents(s, d))),
+    "fn_map" -> ((s, d) => FuncOps.mapFns(events(s, d))),
+    "fn_json" -> ((s, d) => FuncOps.jsonFns(events(s, d))),
+    "fn_hash" -> ((s, d) => FuncOps.hashFns(documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -356,5 +366,80 @@ object SparkEntry {
          EXCEPT
          SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
          ORDER BY o_custkey""",
+    // §2.8 scalar function families
+    "fn_string" ->
+      """SELECT doc_id,
+         upper(lang) AS lang_uc,
+         length(text) AS text_len,
+         substring(text, 1, 12) AS prefix,
+         split_part(text, ' ', 1) AS first_tok,
+         concat_ws('-', lang, source) AS lang_src,
+         lpad(lang, 5, '*') AS lang_pad,
+         trim('  pad  ') AS trimmed,
+         strpos(text, 'a') AS first_a,
+         regexp_extract(text, '([a-z]+)', 1) AS first_word,
+         regexp_replace(source, '[0-9]+', '#', 'g') AS src_masked
+         FROM documents ORDER BY doc_id""",
+    "fn_datetime" ->
+      """SELECT o_orderkey,
+         year(o_orderdate) AS yr,
+         month(o_orderdate) AS mo,
+         day(o_orderdate) AS dom,
+         dayofweek(o_orderdate) + 1 AS dow,
+         quarter(o_orderdate) AS qtr,
+         CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+         CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
+         date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_99,
+         CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+         FROM orders ORDER BY o_orderkey""",
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+         abs(l_quantity - 25) AS qty_dev,
+         CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+         CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+         round(pow(l_discount + 1, 2), 6) AS disc_sq,
+         round(ln(l_extendedprice), 6) AS price_ln,
+         round(sqrt(l_quantity), 6) AS qty_sqrt,
+         greatest(l_discount, l_tax) AS max_rate,
+         least(l_discount, l_tax) AS min_rate,
+         CAST(l_quantity % 7 AS INT) AS qty_mod
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "fn_conditional" ->
+      """SELECT c_custkey,
+         CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+              WHEN c_acctbal < 5000 THEN 'standard'
+              ELSE 'premium' END AS tier,
+         coalesce(nullif(c_mktsegment, 'BUILDING'), 'RESIDENTIAL') AS segment,
+         coalesce(nullif(c_nationkey, 0), -1) AS nation_or_neg,
+         round(greatest(c_acctbal, 0.0), 2) AS bal_clamped
+         FROM customer ORDER BY c_custkey""",
+    "fn_array" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+         SELECT doc_id,
+         len(toks) AS n_toks,
+         list_sort(toks)[1:3] AS first3_sorted,
+         list_sort(list_distinct(toks)) AS vocab,
+         list_contains(toks, 'data') AS has_data,
+         len(list_filter(toks, t -> length(t) > 4)) AS n_long,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS INT) AS char_sum,
+         list_contains(toks, 'the') AS has_the
+         FROM t ORDER BY doc_id""",
+    "fn_map" ->
+      """SELECT event_id,
+         ['type', 'uid'] AS ks,
+         [event_type, CAST(user_id AS VARCHAR)] AS vs,
+         event_type AS type_via_map,
+         2 AS n_entries
+         FROM events ORDER BY event_id""",
+    "fn_json" ->
+      """SELECT event_id,
+         json_extract_string(props, '$.k') AS k_str,
+         CAST(json_extract(props, '$.k') AS INT) AS k_int,
+         CAST(json_extract(props, '$.k') AS INT) * 2 AS k_doubled,
+         length(props) AS props_len
+         FROM events ORDER BY event_id""",
+    "fn_hash" ->
+      """SELECT doc_id, sha256(text) AS sha, md5(text) AS mdfive
+         FROM documents ORDER BY doc_id""",
   )
 }

@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface — SURVEY.md §2.8, the reference's "Transform:
+  * clean or reformat the data" stage (/root/reference/README.md:22) plus
+  * ingestion-timestamp handling (README.md:28, 99).
+  *
+  * Everything here is a built-in Catalyst expression — codegen'd,
+  * null-safe, pushdown-transparent. No UDFs: a UDF in this layer would
+  * break whole-stage codegen and hide predicates from the parquet scan.
+  * One query per family, each over the designated semi-structured tables
+  * (`events.props` is the JSON-string column; `documents.text` the corpus).
+  */
+object FuncOps {
+
+  /** String family: case, trim, substring, split, concat, pad, regex. */
+  def stringFns(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        upper(col("lang")).as("lang_uc"),
+        length(col("text")).as("text_len"),
+        substring(col("text"), 1, 12).as("prefix"),
+        element_at(split(col("text"), " "), 1).as("first_tok"),
+        concat_ws("-", col("lang"), col("source")).as("lang_src"),
+        lpad(col("lang"), 5, "*").as("lang_pad"),
+        trim(lit("  pad  ")).as("trimmed"),
+        instr(col("text"), "a").as("first_a"),
+        regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("source"), "[0-9]+", "#").as("src_masked"))
+      .orderBy("doc_id")
+
+  /** Date/time family over the order date (stored TIMESTAMP_NTZ — cast to
+    * session-tz timestamp is the identity under forced UTC). Epochs and
+    * ISO strings in the output, never raw tz-sensitive values.
+    */
+  def datetimeFns(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_trunc("month", col("o_orderdate")).cast("date").cast("string").as("month_start"),
+        date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus30"),
+        datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_99"),
+        col("o_orderdate").cast("timestamp").cast("long").as("epoch_s"))
+      .orderBy("o_orderkey")
+
+  /** Math family: rounding, clamping, powers, logs — numeric payload
+    * normalization. Outputs rounded so cross-engine libm noise (≪1e-6)
+    * cannot flip the hash compare.
+    */
+  def mathFns(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("qty_dev"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        round(pow(col("l_discount") + 1, 2), 6).as("disc_sq"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"),
+        round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+        greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+        least(col("l_discount"), col("l_tax")).as("min_rate"),
+        (col("l_quantity") % 7).cast("int").as("qty_mod"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Conditional family: CASE chains, coalesce, nullif, nvl — the
+    * invalid-value mapping stage (README.md:32).
+    */
+  def conditionalFns(customer: DataFrame): DataFrame =
+    customer
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "overdrawn")
+          .when(col("c_acctbal") < 5000, "standard")
+          .otherwise("premium").as("tier"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("RESIDENTIAL")).as("segment"),
+        nvl(nullif(col("c_nationkey"), lit(0)), lit(-1)).as("nation_or_neg"),
+        round(greatest(col("c_acctbal"), lit(0.0)), 2).as("bal_clamped"))
+      .orderBy("c_custkey")
+
+  /** Array family incl. higher-order functions over the token list —
+    * un/re-nesting JSON arrays (README.md:21–22). All lambdas are Catalyst
+    * HigherOrderFunctions (codegen-adjacent, executor-side) — never a
+    * driver loop.
+    */
+  def arrayFns(documents: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    documents
+      .select(
+        col("doc_id"),
+        size(toks).as("n_toks"),
+        slice(sort_array(toks), 1, 3).as("first3_sorted"),
+        sort_array(array_distinct(toks)).as("vocab"),
+        array_contains(toks, "data").as("has_data"),
+        size(filter(toks, t => length(t) > 4)).as("n_long"),
+        aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("char_sum"),
+        exists(toks, t => t === "the").as("has_the"))
+      .orderBy("doc_id")
+  }
+
+  /** Map family: dynamic key→value JSON objects as MapType. Keys/values
+    * extracted to arrays/scalars for the compare (map column layouts are
+    * engine-specific).
+    */
+  def mapFns(events: DataFrame): DataFrame = {
+    val m = map(
+      lit("type"), col("event_type"),
+      lit("uid"), col("user_id").cast("string"))
+    events
+      .select(
+        col("event_id"),
+        map_keys(m).as("ks"),
+        map_values(m).as("vs"),
+        element_at(m, "type").as("type_via_map"),
+        size(m).as("n_entries"))
+      .orderBy("event_id")
+  }
+
+  /** JSON family over `events.props` (the designated JSON-string column,
+    * FIXTURES.md:38): schema-on-read extraction via path and via typed
+    * from_json — the core reference transform (README.md:21–22).
+    */
+  def jsonFns(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k_int"),
+        (from_json(col("props"), lit("k INT")).getField("k") * 2).as("k_doubled"),
+        length(col("props")).as("props_len"))
+      .orderBy("event_id")
+
+  /** Hash/ID family: stable record keys for upsert (README.md:28).
+    * sha2/md5 per row are oracle-exact against DuckDB sha256/md5;
+    * xxhash64 has no DuckDB twin — its injectivity on this corpus is
+    * asserted in the scalatest spec instead (64-bit collisions at this
+    * cardinality ≈ 0).
+    */
+  def hashFns(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        sha2(col("text"), 256).as("sha"),
+        md5(col("text")).as("mdfive"))
+      .orderBy("doc_id")
+}
