@@ -82,6 +82,14 @@ object SparkEntry {
     "fn_map" -> ((s, d) => FuncOps.mapFns(events(s, d))),
     "fn_json" -> ((s, d) => FuncOps.jsonFns(events(s, d))),
     "fn_hash" -> ((s, d) => FuncOps.hashFns(documents(s, d))),
+    // §2.11 [EXT] LLM-data-pipeline operators
+    "dedup_exact" -> ((s, d) => LlmOps.dedupExact(documents(s, d))),
+    "dedup_near" -> ((s, d) => LlmOps.dedupNear(documents(s, d))),
+    "sim_topk" -> ((s, d) => LlmOps.simTopk(embeddings(s, d))),
+    "sim_join" -> ((s, d) => LlmOps.simJoin(embeddings(s, d))),
+    "text_tokens" -> ((s, d) => LlmOps.textTokens(documents(s, d))),
+    "text_stats" -> ((s, d) => LlmOps.textStats(documents(s, d))),
+    "multimodal_cols" -> ((s, d) => LlmOps.multimodalCols(documents(s, d), embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -441,5 +449,67 @@ object SparkEntry {
     "fn_hash" ->
       """SELECT doc_id, sha256(text) AS sha, md5(text) AS mdfive
          FROM documents ORDER BY doc_id""",
+    // §2.11 [EXT] LLM-data-pipeline operators
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "dedup_near" ->
+      """WITH t AS (SELECT doc_id, str_split(text,' ') AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+                for i in range(1, greatest(len(toks)-1, 2))]) AS sh FROM t),
+         m0 AS (SELECT doc_id, sh, [list_transform(sh, x -> md5(p::VARCHAR || '|' || x))
+                 for p in range(0, 16)] AS mhs FROM s),
+         m AS (SELECT doc_id, sh,
+                 flatten([[list_min(list_transform(hs, h -> substring(h, 1, 16))),
+                           list_min(list_transform(hs, h -> substring(h, 17, 16)))]
+                          for hs in mhs]) AS mh FROM m0),
+         b AS (SELECT doc_id, r.b AS band, md5(array_to_string(mh[r.b*4+1 : r.b*4+4], '|')) AS sig
+               FROM m CROSS JOIN (SELECT unnest(range(0,8)) AS b) r),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+                  FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id),
+         j AS (SELECT doc_a, doc_b,
+                 len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                 (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+               FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)
+         SELECT doc_a, doc_b, round(jac, 6) AS jac FROM j
+         WHERE round(jac, 6) >= 0.6 ORDER BY doc_a, doc_b""",
+    "sim_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         SELECT vec_id,
+           round(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+         FROM e, q ORDER BY cos DESC, vec_id LIMIT 10""",
+    "sim_join" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % 25 = 0),
+         c AS (SELECT probe_id, vec_id,
+                 round(list_dot_product(v, pv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))), 6) AS cos
+               FROM e, p WHERE vec_id <> probe_id),
+         f AS (SELECT probe_id, vec_id, cos, row_number() OVER
+                 (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
+               FROM c WHERE cos >= 0.3)
+         SELECT probe_id, rn, vec_id, cos FROM f WHERE rn <= 3
+         ORDER BY probe_id, rn""",
+    "text_tokens" ->
+      """SELECT token, count(*) AS tf
+         FROM (SELECT unnest(str_split(lower(text), ' ')) AS token FROM documents)
+         WHERE token <> '' GROUP BY token ORDER BY token""",
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         round(avg(length(text)), 4) AS avg_chars,
+         round(avg(len(str_split(text, ' '))), 4) AS avg_toks,
+         sum(n_chars) AS total_chars_meta,
+         min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "multimodal_cols" ->
+      """SELECT d.doc_id, d.lang,
+         octet_length(encode(d.text)) AS payload_bytes,
+         encode(d.text) AS payload,
+         round(CAST(e.embedding[1] AS DOUBLE), 6) AS dim0,
+         round(CAST(e.embedding[64] AS DOUBLE), 6) AS dim63
+         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         WHERE len(e.embedding) = 64 ORDER BY d.doc_id""",
   )
 }

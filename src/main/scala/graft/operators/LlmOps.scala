@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] LLM-data-pipeline operators — SURVEY.md §2.11, grounded in
+  * BASELINE.json:6 (dedup, similarity search, multimodal columns, text
+  * analysis at 100 TB).
+  *
+  * Scale design: `dedup_near` is MinHash + LSH banding — signatures are
+  * computed per document (embarrassingly parallel), candidates arise from
+  * an EQUI-join on (band, signature) buckets, and only bucket-mates pay
+  * the exact-Jaccard verification. There is no all-pairs comparison
+  * anywhere: cost is O(n · sig) + O(bucket collisions), the only shape
+  * that survives a 100 TB corpus. `sim_join` broadcasts the (small) probe
+  * set and scans the corpus once — linear, no corpus shuffle; the
+  * threshold prune keeps the per-probe top-k window input small.
+  * Everything is built-in Catalyst expressions (md5/xxhash64/higher-order
+  * lambdas) — no UDFs, executor-side end to end.
+  */
+object LlmOps {
+
+  /** Exact duplicate groups keyed on the text hash: survivor (min doc_id)
+    * + multiplicity per group. sha2 keys keep the shuffle narrow (64-byte
+    * key vs arbitrary document length) — the 100 TB trick: never group by
+    * the raw payload.
+    */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(sha2(col("text"), 256).as("text_key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+
+  /** Distinct 3-word shingles of the token list — the unit of near-dup
+    * similarity. Short docs (<3 tokens) degrade to one whole-text shingle.
+    */
+  private def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+        i => array_join(slice(toks, i, lit(3)), " ")))
+  }
+
+  /** 32 MinHash values from 16 md5 evaluations per shingle: each 32-hex
+    * digest yields TWO independent 64-bit permutations (its halves) —
+    * lexicographic min of a uniform hex string is a valid minhash, and the
+    * digest is computed once per (perm-pair, shingle) because `hs` below is
+    * a materialized lambda variable, not a re-inlined expression. md5 is
+    * engine-portable — the DuckDB oracle reproduces the signatures
+    * byte-for-byte (this is what makes LSH oracle-checkable at all).
+    */
+  private def minhashSig(sh: Column): Column = {
+    // 16 digest arrays, one per seed — computed exactly once ...
+    val digestsPerSeed = transform(
+      sequence(lit(0), lit(15)),
+      p => transform(sh, s => md5(concat(p.cast("string"), lit("|"), s))))
+    // ... then min-reduced per 16-hex half; `hs` is a bound lambda VALUE
+    // (the already-computed digest array), so no re-hashing here.
+    flatten(
+      transform(
+        digestsPerSeed,
+        hs => array(
+          array_min(transform(hs, h => substring(h, 1, 16))),
+          array_min(transform(hs, h => substring(h, 17, 16))))))
+  }
+
+  /** Near-duplicate pairs via MinHash + LSH banding (8 bands × 4 rows over
+    * the 32-value signature), exact-Jaccard-verified at ≥ 0.6.
+    * Candidates come ONLY from the (band, sig) bucket equi-join — never a
+    * cross join. Recall at J=0.8 with these parameters ≈ 1-(1-0.8^4)^8 ≈ 0.99.
+    */
+  def dedupNear(documents: DataFrame): DataFrame = {
+    // Signature computation is CPU-bound (32 md5 minhashes per doc) and the
+    // corpus may arrive in few/large input splits — spread it across the
+    // cluster before hashing. The explicit partition count matters: a
+    // column-only repartition is AQE-coalescible, and this shuffle is tiny
+    // in BYTES (ids + text) while huge in downstream CPU, so AQE would
+    // collapse it to one task and serialize all the hashing.
+    val spread = documents.select(col("doc_id"), col("text"))
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val withSh = spread.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val withSig = withSh.withColumn("mh", minhashSig(col("sh")))
+    val bands = withSig.select(
+      col("doc_id"),
+      explode(
+        transform(
+          sequence(lit(0), lit(7)),
+          b => struct(
+            b.as("band"),
+            md5(array_join(slice(col("mh"), b * 4 + 1, lit(4)), "|")).as("sig")))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // Bucket members via ONE aggregation on (band, sig) — a self-join would
+    // evaluate the (CPU-heavy) signature pipeline once per side; this shape
+    // computes it once and shuffles only (band, sig, doc_id). Buckets are
+    // collision groups — tiny by construction — so the within-bucket pair
+    // expansion is bounded; `distinct` then dedups pairs that collide in
+    // more than one band.
+    val members = bands
+      .groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cand = members
+      .select(explode(
+        flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+            struct(x.as("doc_a"), y.as("doc_b")))))).as("pair"))
+      .select(col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"))
+      .distinct()
+    val sa = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter)
+    cand
+      .join(sa, "doc_a")
+      .join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
+      .filter(col("jac") >= 0.6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def toVec(c: Column): Column = c.cast("array<double>")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Top-10 cosine neighbors of one query vector: broadcast the query,
+    * scan the corpus once, TakeOrderedAndProject the result — the exact
+    * brute-force baseline (and at 100 TB still the right single-query
+    * shape: one linear pass, no shuffle of the corpus).
+    */
+  def simTopk(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** kNN join: top-3 cosine neighbors for every probe (every 25th vector)
+    * against the corpus. The probe side is broadcast (one corpus scan, no
+    * corpus shuffle); the ≥0.3 threshold prunes the window input. Exact —
+    * the scale path to approximate IVF/LSH pruning is dedupNear's bucket
+    * pattern applied to quantized vectors.
+    */
+  def simJoin(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val probes = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), round(cosine(col("v"), col("pv")), 6).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
+      .orderBy("probe_id", "rn")
+  }
+
+  /** Tokenize + global term frequencies — explode is a Generator
+    * (executor-side row multiplication), the count is a partial+final
+    * hash aggregate on the token key.
+    */
+  def textTokens(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy("token")
+
+  /** Per-language corpus stats: doc counts, char/token means, metadata
+    * totals (`n_chars` is carried metadata, NOT derived from text —
+    * FIXTURES.md:48).
+    */
+  def textStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(length(col("text"))), 4).as("avg_chars"),
+        round(avg(size(split(col("text"), " "))), 4).as("avg_toks"),
+        sum(col("n_chars")).as("total_chars_meta"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("lang")
+
+  /** Multimodal columns: an opaque binary payload + typed vector column
+    * flowing through project/filter/join untouched. The payload here is a
+    * deterministic stand-in (UTF-8 bytes of the text — real image/audio
+    * decode is a Pandas-UDF concern, out of scope offline); what is real
+    * and tested is the Spark-side plumbing: BinaryType survives the join,
+    * metadata stays aligned, vector elements stay addressable.
+    */
+  def multimodalCols(documents: DataFrame, embeddings: DataFrame): DataFrame = {
+    val docs = documents.select(
+      col("doc_id"), col("lang"),
+      col("text").cast("binary").as("payload"))
+    val vecs = embeddings.select(
+      col("vec_id"), toVec(col("embedding")).as("v"))
+    docs
+      .join(vecs, docs("doc_id") === vecs("vec_id"))
+      .filter(size(col("v")) === 64)
+      .select(
+        col("doc_id"), col("lang"),
+        octet_length(col("payload")).as("payload_bytes"),
+        col("payload"),
+        round(element_at(col("v"), 1), 6).as("dim0"),
+        round(element_at(col("v"), 64), 6).as("dim63"))
+      .orderBy("doc_id")
+  }
+}
