@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables._
 import graft.operators._
 import graft.functions.FuncOps
+import graft.sources.EtlOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -90,6 +91,12 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => LlmOps.textTokens(documents(s, d))),
     "text_stats" -> ((s, d) => LlmOps.textStats(documents(s, d))),
     "multimodal_cols" -> ((s, d) => LlmOps.multimodalCols(documents(s, d), embeddings(s, d))),
+    // §2.1 sources / sinks (ETL core)
+    "scan_json" -> ((s, d) => EtlOps.scanJson(s, d)),
+    "scan_csv" -> ((s, d) => EtlOps.scanCsv(s, d)),
+    "source_api_paginated" -> ((s, d) => EtlOps.sourceApiPaginated(s, d)),
+    "sink_raw_append" -> ((s, d) => EtlOps.sinkRawAppend(s, d)),
+    "sink_upsert" -> ((s, d) => EtlOps.sinkUpsert(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -511,5 +518,28 @@ object SparkEntry {
          round(CAST(e.embedding[64] AS DOUBLE), 6) AS dim63
          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
          WHERE len(e.embedding) = 64 ORDER BY d.doc_id""",
+    // §2.1 sources / sinks — oracles run on the ORIGINAL parquet: the
+    // format round-trip must be lossless for these to hash-match.
+    "scan_json" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+         CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM nation ORDER BY n_nationkey""",
+    "scan_csv" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+    "source_api_paginated" ->
+      """SELECT event_type, count(*) AS n,
+         min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "sink_upsert" ->
+      """WITH l1 AS (SELECT o_orderkey, o_totalprice, 1 AS load_id
+                     FROM orders WHERE o_orderkey % 2 = 0),
+            l2 AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+                          2 AS load_id
+                     FROM orders WHERE o_orderkey % 3 = 0),
+            u AS (SELECT *, row_number() OVER
+                    (PARTITION BY o_orderkey ORDER BY load_id DESC) AS rn
+                  FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2))
+         SELECT o_orderkey, o_totalprice, load_id FROM u WHERE rn = 1
+         ORDER BY o_orderkey""",
   )
 }

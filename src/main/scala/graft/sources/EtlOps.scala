@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ETL source/sink surface — SURVEY.md §2.1, the reference's own core job:
+  * extract JSON from a paginated API, normalize, append into a raw
+  * collection with an ingestion timestamp, and re-run without duplicating
+  * (/root/reference/README.md:11–12, 21–23, 27–28, 98–99).
+  *
+  * Offline substitutions (the snapshot has no network and no MongoDB):
+  * the paginated API becomes page FILES of JSON records; the Mongo
+  * collection becomes a parquet directory. Both are format details behind
+  * the same dataflow — `format("mongodb")` via the mongo connector would
+  * slot into `Connector.sink` unchanged.
+  *
+  * Scale notes (100 TB): sinks write partitioned parquet via the normal
+  * distributed writer (no driver materialization); upsert is one window
+  * (single shuffle on the natural key) over union-of-loads, never a
+  * row-at-a-time merge; the page loop is per-PAGE driver work (bounded by
+  * page count, the reference's own loop shape) — each page's rows are
+  * parsed executor-side by the JSON reader.
+  */
+object EtlOps {
+
+  /** One source→transform→sink pipeline — the reference's connector unit
+    * (README.md:8, 74). Each stage is independently testable; `run` wires
+    * them in the mandated E→T→L order.
+    */
+  final case class Connector(
+      name: String,
+      source: SparkSession => DataFrame,
+      transform: DataFrame => DataFrame,
+      sink: DataFrame => Unit) {
+    def run(spark: SparkSession): Unit = sink(transform(source(spark)))
+  }
+
+  /** Scratch dir for a given scale factor — recreated per call so query
+    * results are deterministic run-over-run.
+    */
+  private def freshDir(sfDir: String, tag: String): Path = {
+    val p = Paths.get(
+      sys.props("java.io.tmpdir"), "graft_etl",
+      sfDir.replaceAll("[^a-zA-Z0-9]", "_"), tag)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+    Files.createDirectories(p)
+    p
+  }
+
+  /** Schema-on-read JSON scan (README.md:21): round-trip the nation dim
+    * through JSON lines and read it back with inference. JSON numbers
+    * infer as BIGINT — the typed-cast stage after a JSON scan is exactly
+    * the reference's "clean or reformat" step.
+    */
+  def scanJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "json_src").toString
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .write.mode(SaveMode.Overwrite).json(dir)
+    spark.read.json(dir)
+      .select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  /** Header+typed CSV scan (README.md:22 format normalization): region
+    * through csv with explicit schema (inference would re-scan the data —
+    * at 100 TB always pass the schema).
+    */
+  def scanCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "csv_src").toString
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
+    spark.read
+      .option("header", "true")
+      .schema("r_regionkey INT, r_name STRING")
+      .csv(dir)
+      .orderBy("r_regionkey")
+  }
+
+  /** Paginated source, offline file-paged form (README.md:11–12): pages of
+    * JSON records are fetched one per driver-loop iteration (the
+    * reference's pagination loop) and unioned BY NAME into one frame. The
+    * page count is bounded and small; row parsing is executor-side.
+    * Returns per-type counts so the oracle can check against the
+    * un-paginated original — pagination must be lossless.
+    */
+  def sourceApiPaginated(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val pagesDir = freshDir(sfDir, "api_pages")
+    val nPages = 5
+    events
+      .withColumn("page", pmod(col("event_id"), lit(nPages)))
+      .write.mode(SaveMode.Overwrite).partitionBy("page").json(pagesDir.toString)
+    val pages = (0 until nPages).map { p =>
+      spark.read.json(s"$pagesDir/page=$p") // one "request" per page
+    }
+    pages
+      .reduce(_ unionByName _)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
+  /** The load stage (README.md:23, 27–28, 98–99): append records + an
+    * ingestion timestamp into `<name>_raw`, run TWICE to prove appends
+    * accumulate. Output is the read-back audit: rows per load equal, every
+    * row stamped. no-oracle: current_timestamp() is wall-clock by design;
+    * the spec asserts the invariants instead.
+    */
+  def sinkRawAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = freshDir(sfDir, "orders_raw").toString
+    val batch = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val connector = Connector(
+      name = "orders",
+      source = _ => batch,
+      transform = _.withColumn("ingested_at", current_timestamp()),
+      sink = _.write.mode(SaveMode.Append).parquet(raw))
+    connector.run(spark)
+    connector.run(spark)
+    spark.read.parquet(raw)
+      .groupBy(col("o_orderkey"))
+      .agg(
+        count(lit(1)).as("n_loads"),
+        count(col("ingested_at")).as("n_stamped"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Idempotent re-ingestion (README.md:28 "updates"): two loads of
+    * overlapping key ranges, upsert = latest load wins per natural key,
+    * resolved by ONE keyed window — a single shuffle on the key, the only
+    * merge shape that survives 100 TB. Deterministic load ids make this
+    * oracle-checkable; swap in the ingestion timestamp for wall-clock use.
+    */
+  def sinkUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val load1 = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"), lit(1).as("load_id"))
+    val load2 = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        lit(2).as("load_id"))
+    val w = Window.partitionBy("o_orderkey").orderBy(desc("load_id"))
+    val upserted = load1.unionByName(load2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("load_id"))
+    // materialize through the sink and read back — the audit view is of
+    // the STORED table, not the in-flight frame
+    val dir = freshDir(sfDir, "orders_upserted").toString
+    upserted.write.mode(SaveMode.Overwrite).parquet(dir)
+    spark.read.parquet(dir).orderBy("o_orderkey")
+  }
+}
