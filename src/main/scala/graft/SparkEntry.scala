@@ -5,6 +5,7 @@ import graft.Tables._
 import graft.operators._
 import graft.functions.FuncOps
 import graft.sources.EtlOps
+import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -97,6 +98,16 @@ object SparkEntry {
     "source_api_paginated" -> ((s, d) => EtlOps.sourceApiPaginated(s, d)),
     "sink_raw_append" -> ((s, d) => EtlOps.sinkRawAppend(s, d)),
     "sink_upsert" -> ((s, d) => EtlOps.sinkUpsert(s, d)),
+    // §2.9 streaming (Structured Streaming drained through a memory sink;
+    // deterministic results are oracle-paired = batch-equivalence check)
+    "stream_source" -> ((s, d) => StreamOps.streamSource(s, d)),
+    "stream_tumbling" -> ((s, d) => StreamOps.streamTumbling(s, d)),
+    "stream_sliding" -> ((s, d) => StreamOps.streamSliding(s, d)),
+    "stream_session" -> ((s, d) => StreamOps.streamSession(s, d)),
+    "stream_watermark" -> ((s, d) => StreamOps.streamWatermark(s, d)),
+    "stream_dedup" -> ((s, d) => StreamOps.streamDedup(s, d)),
+    "stream_stateful" -> ((s, d) => StreamOps.streamStateful(s, d)),
+    "stream_sink" -> ((s, d) => StreamOps.streamSink(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -541,5 +552,46 @@ object SparkEntry {
                   FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2))
          SELECT o_orderkey, o_totalprice, load_id FROM u WHERE rn = 1
          ORDER BY o_orderkey""",
+    // §2.9 streaming — oracles are the BATCH equivalents over the same
+    // events table; matching them proves stream/batch equivalence.
+    "stream_source" ->
+      """SELECT event_type, count(*) AS n FROM events
+         GROUP BY event_type ORDER BY event_type""",
+    "stream_tumbling" ->
+      """SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS win_start_s,
+                event_type, count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_sliding" ->
+      """SELECT ws AS win_start_s, count(*) AS n
+         FROM (SELECT unnest([(epoch_us(ts) // 1000000 // 3600) * 3600,
+                              (epoch_us(ts) // 1000000 // 3600) * 3600 - 3600]) AS ws
+               FROM events)
+         GROUP BY ws ORDER BY ws""",
+    "stream_session" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS u FROM events),
+         o AS (SELECT user_id, u,
+                 CASE WHEN u - lag(u) OVER (PARTITION BY user_id ORDER BY u)
+                        >= 1800 * 1000000
+                      OR lag(u) OVER (PARTITION BY user_id ORDER BY u) IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+               FROM e),
+         g AS (SELECT user_id, u, sum(new_s) OVER
+                 (PARTITION BY user_id ORDER BY u
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM o)
+         SELECT user_id, min(u) // 1000000 AS session_start_s,
+                count(*) AS n_events
+         FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_s""",
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n, count(*) AS n_ids FROM events
+         GROUP BY event_type ORDER BY event_type""",
+    "stream_stateful" ->
+      """SELECT user_id, count(*) AS n_events,
+         round(max(value), 6) AS max_value,
+         round(min(value), 6) AS min_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "stream_sink" ->
+      """SELECT event_type, count(*) AS n, count(*) AS n_stamped FROM events
+         GROUP BY event_type ORDER BY event_type""",
   )
 }

@@ -1,0 +1,229 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming surface — SURVEY.md §2.9. The reference is
+  * batch-per-run, but its semantics — append-only raw collections,
+  * ingestion timestamps, incremental updates, out-of-order pages
+  * (/root/reference/README.md:12, 27–28, 99) — are exactly the incremental
+  * model; `events` is the designated stream.
+  *
+  * Harness shape: every op here runs a REAL streaming query (file source →
+  * transform → memory sink, drained with processAllAvailable) and returns
+  * the materialized result as a batch frame. Where the final result is
+  * run-deterministic (tumbling/sliding/session windows, dedup, stateful
+  * fold, sink audit) the entry is ORACLE-PAIRED — the DuckDB compare IS
+  * the batch-equivalence check. Watermark-dependent append output depends
+  * on micro-batch boundaries → no-oracle, invariant-tested in the spec.
+  *
+  * Scale notes (100 TB): all state is keyed and bounded — windowed aggs
+  * age out via watermark, dedup state is watermark-scoped
+  * (dropDuplicatesWithinWatermark, not an ever-growing exact-once set),
+  * session/stateful ops hold one small record per active key. The memory
+  * sink is a TEST harness; production is foreachBatch → partitioned
+  * parquet (see `streamSink`).
+  */
+object StreamOps {
+
+  /** events as a streaming source: ns-physical ts read as long, truncated
+    * to a micros TimestampType — same normalization as the batch path
+    * (Tables.events), applied stream-side.
+    */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s"$sfDir/events.parquet"
+    // The file stream source wants a DIRECTORY of arriving files; the
+    // testdata table is a single file — stage a copy into scratch (in
+    // production the raw dir IS the arrival directory).
+    val dir = scratch(sfDir, "events_stream_src")
+    Files.copy(Paths.get(src), dir.resolve("events-0.parquet"))
+    val schema = spark.read.parquet(src).schema
+    spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Drain a streaming frame into a memory table and return it as batch. */
+  private def drain(df: DataFrame, name: String, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    spark.catalog.dropTempView(name)
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Incremental file ingestion (the polled API stand-in): per-type counts
+    * must equal the batch read — a lossless source.
+    */
+  def streamSource(spark: SparkSession, sfDir: String): DataFrame =
+    drain(
+      eventsStream(spark, sfDir).groupBy(col("event_type")).count(),
+      "graft_stream_source", "complete")
+      .select(col("event_type"), col("count").as("n"))
+      .orderBy("event_type")
+
+  /** Tumbling 1-hour windows per event type. */
+  def streamTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    drain(
+      eventsStream(spark, sfDir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .count(),
+      "graft_stream_tumbling", "complete")
+      .select(
+        unix_micros(col("window.start")).divide(lit(1000000L)).cast("long").as("win_start_s"),
+        col("event_type"),
+        col("count").as("n"))
+      .orderBy("win_start_s", "event_type")
+
+  /** Sliding windows: 2-hour span every hour — each event lands in two
+    * overlapping windows.
+    */
+  def streamSliding(spark: SparkSession, sfDir: String): DataFrame =
+    drain(
+      eventsStream(spark, sfDir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n")),
+      "graft_stream_sliding", "complete")
+      .select(
+        unix_micros(col("window.start")).divide(lit(1000000L)).cast("long").as("win_start_s"),
+        col("n"))
+      .orderBy("win_start_s")
+
+  /** Session windows per user with a 30-minute gap (built-in
+    * session_window — dynamic, per-key, state ages out as sessions close).
+    */
+  def streamSession(spark: SparkSession, sfDir: String): DataFrame =
+    drain(
+      eventsStream(spark, sfDir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .count(),
+      "graft_stream_session", "complete")
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).divide(lit(1000000L)).cast("long")
+          .as("session_start_s"),
+        col("count").as("n_events"))
+      .orderBy("user_id", "session_start_s")
+
+  /** Late-data bound: 1-hour watermark, append-mode windowed counts — only
+    * windows sealed by the final watermark are emitted, so the output is a
+    * strict prefix of the tumbling result. Micro-batch boundaries decide
+    * WHICH prefix → no-oracle; the spec asserts prefix-ness and late-drop
+    * behavior on a controlled stream.
+    */
+  def streamWatermark(spark: SparkSession, sfDir: String): DataFrame =
+    drain(
+      eventsStream(spark, sfDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .count(),
+      "graft_stream_watermark", "append")
+      .select(
+        unix_micros(col("window.start")).divide(lit(1000000L)).cast("long").as("win_start_s"),
+        col("event_type"),
+        col("count").as("n"))
+      .orderBy("win_start_s", "event_type")
+
+  /** In-flight exactly-once-ish dedup (README.md:28): the input stream is
+    * the event log DOUBLED (two identical files — a replayed page), state
+    * is scoped by the watermark (dropDuplicatesWithinWatermark — bounded,
+    * unlike a forever-set), and the post-dedup per-type counts must equal
+    * the single-copy batch counts.
+    */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s"$sfDir/events.parquet"
+    val doubled = scratch(sfDir, "stream_dedup_src")
+    val once = spark.read.parquet(src)
+    once.write.mode(SaveMode.Overwrite).parquet(doubled.toString)
+    once.write.mode(SaveMode.Append).parquet(doubled.toString)
+    val schema = once.schema
+    val deduped = spark.readStream.schema(schema).parquet(doubled.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "365 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"))
+    drain(deduped, "graft_stream_dedup", "append")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_ids"))
+      .orderBy("event_type")
+  }
+
+  case class Ev(user_id: Long, value: Double)
+  case class UserAgg(user_id: Long, n_events: Long, max_value: Double, min_value: Double)
+
+  /** Custom per-key running state via mapGroupsWithState (the rate-limit /
+    * counter shape, README.md:12, 32): fold events into one small record
+    * per user. Order-independent aggregates (count/max/min) keep the
+    * result batch-equivalent and oracle-checkable.
+    */
+  def streamStateful(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val evs: Dataset[Ev] = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("value")).as[Ev]
+    val folded = evs
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[Ev], state: GroupState[UserAgg]) => {
+          val init = state.getOption.getOrElse(
+            UserAgg(user, 0L, Double.MinValue, Double.MaxValue))
+          val agg = rows.foldLeft(init) { (a, e) =>
+            UserAgg(user, a.n_events + 1,
+              math.max(a.max_value, e.value), math.min(a.min_value, e.value))
+          }
+          state.update(agg)
+          agg
+        })
+    drain(folded.toDF(), "graft_stream_stateful", "update")
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("n_events")).as("n_events"), // last update per key wins
+        round(max(col("max_value")), 6).as("max_value"),
+        round(min(col("min_value")), 6).as("min_value"))
+      .orderBy("user_id")
+  }
+
+  /** Production sink shape: foreachBatch → append to the raw parquet table
+    * with an ingestion timestamp (README.md:23, 28) — closes the loop back
+    * to sink_raw_append. Output audits the STORED table: every row
+    * stamped, per-type counts lossless.
+    */
+  def streamSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = scratch(sfDir, "stream_raw").toString
+    val q = eventsStream(spark, sfDir)
+      .select(col("event_id"), col("event_type"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.withColumn("ingested_at", current_timestamp())
+          .write.mode(SaveMode.Append).parquet(raw)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(raw)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("ingested_at")).as("n_stamped"))
+      .orderBy("event_type")
+  }
+
+  /** Fresh scratch dir (mirrors EtlOps.freshDir; local to keep packages
+    * independent).
+    */
+  private def scratch(sfDir: String, tag: String): Path = {
+    val p = Paths.get(
+      sys.props("java.io.tmpdir"), "graft_stream",
+      sfDir.replaceAll("[^a-zA-Z0-9]", "_"), tag)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+    Files.createDirectories(p)
+    p
+  }
+}
