@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LlmOps
+
+/** LLM-pipeline operator behavior on seeded fixtures — the verification
+  * path for the approximate/bucketed ops (recall on KNOWN near-dups, pair
+  * hygiene, similarity sanity) alongside their oracle rows.
+  */
+class LlmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while seventeen green turtles " +
+      "watch carefully from a mossy riverbank under pale morning light"
+
+  test("dedup_near finds seeded near-duplicates and skips unrelated docs") {
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("morning", "evening")),            // 1-word edit ~ J>0.85
+      (2L, base),                                          // exact dup of 0
+      (3L, "completely different words about spark catalyst optimizer rules " +
+        "and tungsten codegen stages running shuffles across many executors"),
+      (4L, "another unrelated document mentioning parquet row groups column " +
+        "pruning predicate pushdown and adaptive query execution plans"))
+      .toDF("doc_id", "text")
+    val pairs = LlmOps.dedupNear(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)), "exact dup pair missed")
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)), "near-dup pair missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      s"false positive involving unrelated docs: $pairs")
+  }
+
+  test("dedup_near pairs are ordered (a < b) and unique") {
+    val docs = Seq((10L, base), (20L, base), (30L, base)).toDF("doc_id", "text")
+    val rows = LlmOps.dedupNear(docs).select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(rows.forall { case (a, b) => a < b })
+    assert(rows.length === rows.distinct.length)
+    assert(rows.toSet === Set((10L, 20L), (10L, 30L), (20L, 30L)))
+  }
+
+  test("sim_topk ranks the query vector itself first with cosine 1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = LlmOps.simTopk(vecs).collect()
+    assert(top.head.getLong(0) === 0L && top.head.getDouble(1) === 1.0)
+    // orthogonal + opposite vectors rank below the near-parallel one
+    assert(top.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("sim_join returns at most k neighbors per probe, never the probe itself") {
+    val e = Tables.embeddings(spark, sf0001)
+    val out = LlmOps.simJoin(e)
+    val perProbe = out.groupBy("probe_id").count().select(max("count")).as[Long].head()
+    assert(perProbe <= 3)
+    assert(out.filter(col("probe_id") === col("vec_id")).count() === 0)
+  }
+
+  test("text_tokens frequencies sum to the corpus token count") {
+    val docs = Seq((1L, "a b b"), (2L, "b c")).toDF("doc_id", "text")
+    val tf = LlmOps.textTokens(docs).as[(String, Long)].collect().toMap
+    assert(tf === Map("a" -> 1L, "b" -> 3L, "c" -> 1L))
+  }
+
+  test("multimodal payload survives project/filter/join byte-identically") {
+    val docs = Tables.documents(spark, sf0001)
+    val embs = Tables.embeddings(spark, sf0001)
+    val out = LlmOps.multimodalCols(docs, embs)
+    val row = out.orderBy("doc_id").limit(1).collect()(0)
+    val doc0text = docs.orderBy("doc_id").limit(1).select("text").as[String].head()
+    assert(new String(row.getAs[Array[Byte]]("payload"), "UTF-8") === doc0text)
+    assert(row.getAs[Int]("payload_bytes") === doc0text.getBytes("UTF-8").length)
+  }
+}

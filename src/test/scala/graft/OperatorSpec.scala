@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators._
+
+/** Per-family unit tests on tiny in-memory frames plus the SURVEY §5
+  * scalacheck properties. Fault cases follow the reference's validation
+  * mandate: empty inputs, nulls, duplicate re-ingestion
+  * (/root/reference/README.md:31–33, 105).
+  */
+class OperatorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  // ---- §2.2 projection / predicates ----
+
+  test("empty_payload_guard yields empty but correctly-typed output") {
+    val out = RelationalOps.emptyPayloadGuard(
+      Seq((1L, 5.0, "N")).toDF("l_orderkey", "l_quantity", "l_returnflag"))
+    assert(out.count() === 0)
+    assert(out.schema.fieldNames.toSeq === Seq("l_returnflag", "sum_qty"))
+  }
+
+  test("sample: output is a subset with roughly the requested fraction") {
+    val li = Tables.lineitem(spark, sf0001)
+    val n = li.count()
+    val s = RelationalOps.sample(li)
+    val k = s.count()
+    assert(k > (0.05 * n).toLong && k < (0.15 * n).toLong, s"$k of $n not ~10%")
+    // subset: sampled keys all exist in the source (join back)
+    assert(s.join(li, Seq("l_orderkey", "l_linenumber"), "left_anti").count() === 0)
+  }
+
+  // ---- §2.3 joins ----
+
+  test("asof join picks the latest click at-or-before each purchase") {
+    val ev = Seq(
+      // user 1: click(10), click(20), purchase(20) -> same-instant click wins
+      (1L, 10L, 1L, "click"), (2L, 20L, 1L, "click"), (3L, 20L, 1L, "purchase"),
+      // user 2: purchase(5) with no prior click -> null; then click(7), purchase(9)
+      (4L, 5L, 2L, "purchase"), (5L, 7L, 2L, "click"), (6L, 9L, 2L, "purchase"))
+      .toDF("event_id", "secs", "user_id", "event_type")
+      .select(col("event_id"), timestamp_seconds(col("secs")).as("ts"),
+        col("user_id"), col("event_type"))
+    val out = JoinOps.asof(ev).collect().map(r =>
+      (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq === Seq(
+      (3L, Some(2L)), // same-ts click 2 visible
+      (4L, None),     // no prior click
+      (6L, Some(5L))))
+  }
+
+  test("left_anti keeps only unmatched keys") {
+    val c = Seq((1L, "a", "S1"), (2L, "b", "S2")).toDF("c_custkey", "c_name", "c_mktsegment")
+    val o = Seq((10L, 1L)).toDF("o_orderkey", "o_custkey")
+    val out = JoinOps.leftAnti(c, o).select("c_custkey").as[Long].collect()
+    assert(out.toSeq === Seq(2L))
+  }
+
+  // ---- §2.4 aggregations ----
+
+  test("rollup emits detail, subtotal, and grand-total rows with grouping ids") {
+    val li = Seq(("A", "F", 1.0), ("A", "O", 2.0), ("B", "F", 3.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val out = AggOps.aggRollup(li).collect()
+    // 3 detail + 2 subtotal + 1 grand total
+    assert(out.length === 6)
+    val grand = out.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length === 1 && grand.head.getAs[Double]("sum_qty") === 6.0)
+  }
+
+  test("pivot fills missing cells with zero") {
+    val li = Seq(("A", "F"), ("A", "F"), ("B", "O"))
+      .toDF("l_returnflag", "l_linestatus")
+    val out = AggOps.aggPivot(li).orderBy("l_returnflag").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("A", 2L, 0L), ("B", 0L, 1L)))
+  }
+
+  test("approx_count_distinct is within rsd bounds on real data") {
+    val out = AggOps.aggApproxDistinct(Tables.lineitem(spark, sf0001)).collect()
+    val exact = AggOps.aggCountDistinct(Tables.lineitem(spark, sf0001)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (flag, approx) = (r.getString(0), r.getLong(1))
+      val e = exact(flag).toDouble
+      assert(math.abs(approx - e) / e < 0.1, s"$flag: approx $approx vs exact $e")
+    }
+  }
+
+  // ---- §2.5 windows ----
+
+  test("win_topk_per_group emits at most k rows per group, ranked desc") {
+    val o = Seq((1L, 10L, 5.0), (2L, 10L, 9.0), (3L, 10L, 7.0), (4L, 10L, 1.0),
+      (5L, 20L, 2.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = WindowOps.topkPerGroup(o).collect()
+    val g10 = out.filter(_.getLong(0) == 10L)
+    assert(g10.length === 3)
+    assert(g10.map(_.getDouble(3)).toSeq === Seq(9.0, 7.0, 5.0))
+    assert(out.count(_.getLong(0) == 20L) === 1)
+  }
+
+  // ---- §2.7 set ops + §2.1 sinks: scalacheck properties ----
+
+  test("property: union of disjoint pages preserves total count") {
+    val counts = Gen.chooseNum(0, 50)
+    check(Prop.forAll(counts, counts) { (a: Int, b: Int) =>
+      val page1 = (1 to a).map(i => (i.toLong, 10000.0 + i)).toDF("o_orderkey", "o_totalprice")
+      val page2 = (1 to b).map(i => (1000L + i, 200000.0 + i)).toDF("o_orderkey", "o_totalprice")
+      val merged = page1.withColumn("page", lit(1))
+        .unionByName(page2.withColumn("page", lit(2)))
+      merged.count() == a.toLong + b
+    })
+  }
+
+  test("property: upsert is idempotent — re-ingesting the same load changes nothing") {
+    import org.apache.spark.sql.expressions.Window
+    val keyGen = Gen.nonEmptyListOf(Gen.chooseNum(1L, 30L))
+    check(Prop.forAll(keyGen) { keys: List[Long] =>
+      val load = keys.distinct.map(k => (k, k * 1.5, 1)).toDF("k", "v", "load_id")
+      def upsert(df: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy("k").orderBy(desc("load_id"), desc("v"))
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      }
+      val once = upsert(load)
+      val twice = upsert(load.unionByName(load))
+      once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty
+    })
+  }
+
+  test("property: dedup_exact output keys are unique and cover all texts") {
+    val textGen = Gen.nonEmptyListOf(Gen.oneOf("alpha beta", "gamma delta", "epsilon", "zeta eta"))
+    check(Prop.forAll(textGen) { texts: List[String] =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = operators.LlmOps.dedupExact(docs)
+      out.count() == texts.distinct.size.toLong &&
+        out.agg(sum("n_copies")).as[Long].head() == texts.size.toLong
+    })
+  }
+
+  // ---- §2.8 hash family: xxhash64 behavioral check (no DuckDB twin) ----
+
+  test("xxhash64 is injective on the document corpus (no 64-bit collisions)") {
+    val docs = Tables.documents(spark, sf0001)
+    val n = docs.select(countDistinct(col("text"))).as[Long].head()
+    val nh = docs.select(countDistinct(xxhash64(col("text")))).as[Long].head()
+    assert(n === nh)
+  }
+}

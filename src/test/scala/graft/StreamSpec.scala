@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** Streaming semantics that the oracle cannot pin down: watermark
+  * late-data dropping (micro-batch dependent) and append-prefix behavior.
+  * Batch-equivalence of the deterministic streaming ops is already
+  * enforced by their DuckDB oracles.
+  */
+class StreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("stream_watermark output is a subset of the tumbling (complete) result") {
+    val sealed_ = StreamOps.streamWatermark(spark, sf0001)
+      .as[(Long, String, Long)].collect().toSet
+    val all = StreamOps.streamTumbling(spark, sf0001)
+      .as[(Long, String, Long)].collect().toSet
+    assert(sealed_.nonEmpty, "watermark run emitted nothing at sf0.001")
+    assert(sealed_.subsetOf(all), "sealed windows disagree with tumbling counts")
+  }
+
+  test("watermark drops late rows beyond the bound across micro-batches") {
+    val input = MemoryStream[(java.sql.Timestamp, Long)](spark, 1)
+    val counts = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "10 seconds"))
+      .count()
+    val q = counts.writeStream.format("memory")
+      .queryName("graft_wm_test").outputMode("append").start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    input.addData((t(5), 1L), (t(8), 2L))     // window [0,10)
+    q.processAllAvailable()
+    input.addData((t(100), 3L))               // advances watermark to 90 -> seals [0,10)
+    q.processAllAvailable()
+    input.addData((t(7), 4L))                 // LATE: before watermark, must be dropped
+    q.processAllAvailable()
+    input.addData((t(200), 5L))               // seals [100,110)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("graft_wm_test")
+      .select(unix_micros(col("window.start")).divide(lit(1000000L)).cast("long"), col("count"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(0L) === 2L, s"late row leaked into sealed window: $out")
+    assert(out(100L) === 1L)
+  }
+
+  test("streaming dedup of a doubled log equals single-copy counts") {
+    val out = StreamOps.streamDedup(spark, sf0001)
+      .select(col("event_type"), col("n")).as[(String, Long)].collect().toMap
+    val batch = Tables.events(spark, sf0001)
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(out === batch)
+  }
+}
