@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables._
 import graft.operators._
-import graft.functions.FuncOps
+import graft.functions.{FuncOps, UdfOps}
 import graft.sources.EtlOps
 import graft.streaming.StreamOps
 
@@ -108,6 +108,10 @@ object SparkEntry {
     "stream_dedup" -> ((s, d) => StreamOps.streamDedup(s, d)),
     "stream_stateful" -> ((s, d) => StreamOps.streamStateful(s, d)),
     "stream_sink" -> ((s, d) => StreamOps.streamSink(s, d)),
+    // §2.10 UDF / UDAF / UDTF extension surface
+    "udf_scalar" -> ((s, d) => UdfOps.udfScalar(documents(s, d))),
+    "udaf_aggregator" -> ((s, d) => UdfOps.udafAggregator(orders(s, d))),
+    "udtf_generator" -> ((s, d) => UdfOps.udtfGenerator(documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -593,5 +597,25 @@ object SparkEntry {
     "stream_sink" ->
       """SELECT event_type, count(*) AS n, count(*) AS n_stamped FROM events
          GROUP BY event_type ORDER BY event_type""",
+    // §2.10 UDF / UDAF / UDTF
+    "udf_scalar" ->
+      """SELECT doc_id, source || '/' || lang AS record_key,
+         CAST(list_sum([i * unicode((source || '/' || lang)[i])
+                        for i in range(1, length(source || '/' || lang) + 1)])
+              % 9973 AS BIGINT) AS key_checksum
+         FROM documents ORDER BY doc_id""",
+    "udaf_aggregator" ->
+      """SELECT o_orderstatus,
+         round(exp(avg(ln(o_totalprice))), 4) AS geo_price,
+         count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "udtf_generator" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+         b AS (SELECT doc_id,
+                 unnest([{'pos': i, 'bigram': toks[i] || ' ' || toks[i+1]}
+                         for i in range(1, len(toks))]) AS bg
+               FROM t)
+         SELECT doc_id, CAST(bg.pos AS INT) AS pos, bg.bigram AS bigram
+         FROM b ORDER BY doc_id, pos""",
   )
 }
