@@ -112,6 +112,16 @@ object SparkEntry {
     "udf_scalar" -> ((s, d) => UdfOps.udfScalar(documents(s, d))),
     "udaf_aggregator" -> ((s, d) => UdfOps.udafAggregator(orders(s, d))),
     "udtf_generator" -> ((s, d) => UdfOps.udtfGenerator(documents(s, d))),
+    // [EXT] training-pipeline text analysis
+    "text_langid" -> ((s, d) => TextOps.textLangid(documents(s, d))),
+    "text_quality" -> ((s, d) => TextOps.textQuality(documents(s, d))),
+    "text_tokens_regex" -> ((s, d) => TextOps.textTokensRegex(documents(s, d))),
+    "text_fingerprint" -> ((s, d) => TextOps.textFingerprint(documents(s, d))),
+    // [EXT] dedup & similarity variants
+    "dedup_simhash" -> ((s, d) => SimOps.dedupSimhash(documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => SimOps.dedupNgramJaccard(documents(s, d))),
+    "dedup_embedding" -> ((s, d) => SimOps.dedupEmbedding(embeddings(s, d))),
+    "sim_ivf" -> ((s, d) => SimOps.simIvf(embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -617,5 +627,121 @@ object SparkEntry {
                FROM t)
          SELECT doc_id, CAST(bg.pos AS INT) AS pos, bg.bigram AS bigram
          FROM b ORDER BY doc_id, pos""",
+    // [EXT] training-pipeline text analysis
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS vocab
+                    FROM documents),
+         m AS (SELECT doc_id, lang AS lang_meta, list_max([
+           {'s': len(list_intersect(vocab, ['der','die','und','das','ist','nicht'])), 'l': 'de'},
+           {'s': len(list_intersect(vocab, ['the','and','of','to','in','is'])), 'l': 'en'},
+           {'s': len(list_intersect(vocab, ['el','la','de','que','y','los'])), 'l': 'es'},
+           {'s': len(list_intersect(vocab, ['le','la','les','et','des','une'])), 'l': 'fr'},
+           {'s': len(list_intersect(vocab, ['de','shi','bu','wo','le','ren'])), 'l': 'zh'}]) AS best
+               FROM t)
+         SELECT doc_id, lang_meta, best.s AS best_score, best.l AS lang_pred
+         FROM m ORDER BY doc_id""",
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents),
+         r AS (SELECT doc_id,
+                 length(text) AS n_chars_txt,
+                 len(toks) AS n_toks,
+                 length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text) AS ar,
+                 len(list_intersect(list_distinct(toks),
+                     ['the','and','of','to','in','a','is','it']))::DOUBLE / 8.0 AS sr,
+                 least(len(toks)::DOUBLE / 50.0, 1.0) AS ls
+               FROM t)
+         SELECT doc_id, n_chars_txt, n_toks,
+           round(ar, 6) AS alpha_ratio,
+           round(sr, 6) AS stop_ratio,
+           round(0.5 * ls + 0.3 * ar + 0.2 * sr, 6) AS quality
+         FROM r ORDER BY doc_id""",
+    "text_tokens_regex" ->
+      """SELECT token, count(*) AS tf
+         FROM (SELECT unnest(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token FROM documents)
+         GROUP BY token ORDER BY token""",
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+                 list_transform(str_split(text, ' '),
+                   tk -> ('0x' || substring(md5(tk), 1, 15))::BIGINT % 1000000007) AS hs
+               FROM documents)
+         SELECT doc_id,
+           CAST(list_reduce([0::BIGINT] || hs,
+                (a, b) -> (a * 131 + b) % 1000000007) AS BIGINT) AS fingerprint,
+           len(hs) AS n_toks
+         FROM t ORDER BY doc_id""",
+    // [EXT] dedup & similarity variants
+    "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+         sh0 AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                  for i in range(1, greatest(len(toks)-1, 2))]) AS sh FROM t),
+         h AS (SELECT doc_id, list_transform(sh,
+                 tk -> ('0x' || substring(md5(tk), 1, 15))::BIGINT) AS hs FROM sh0),
+         bt AS (SELECT doc_id, [CAST(list_sum(list_transform(hs,
+                  x -> CASE WHEN (x >> bb) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT)
+                  for bb in range(0, 60)] AS bits FROM h),
+         s AS (SELECT doc_id, CAST(list_sum([CASE WHEN bits[bb+1] > 0
+                  THEN (1::BIGINT << bb) ELSE 0::BIGINT END
+                  for bb in range(0, 60)]) AS BIGINT) AS simhash FROM bt),
+         bd AS (SELECT doc_id, simhash, r.bb AS band,
+                  (simhash >> (r.bb * 15)) & 32767 AS bval
+                FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS bb) r),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+                  FROM bd a JOIN bd b2 ON a.band = b2.band AND a.bval = b2.bval
+                   AND a.doc_id < b2.doc_id),
+         j AS (SELECT doc_a, doc_b,
+                 bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+               FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)
+         SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM j
+         WHERE hamming <= 6 ORDER BY doc_a, doc_b""",
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                for i in range(1, greatest(len(toks)-1, 2))]) AS sh FROM t),
+         post AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         rare AS (SELECT shingle FROM post GROUP BY shingle
+                  HAVING count(*) > 1 AND count(*) <= 10),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM post a JOIN post b ON a.shingle = b.shingle
+                   AND a.doc_id < b.doc_id
+                  WHERE a.shingle IN (SELECT shingle FROM rare)),
+         j AS (SELECT doc_a, doc_b,
+                 len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                 (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+               FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)
+         SELECT doc_a, doc_b, round(jac, 6) AS jac FROM j
+         WHERE round(jac, 6) >= 0.8 ORDER BY doc_a, doc_b""",
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         b AS (SELECT doc_id, v, CAST(list_sum([CASE WHEN v[i] > 0
+                 THEN (1 << (i-1)) ELSE 0 END for i in range(1, 9)]) AS INT) AS block
+               FROM e),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+                  FROM b a JOIN b b2 ON a.block = b2.block AND a.doc_id < b2.doc_id),
+         j AS (SELECT doc_a AS vec_a, doc_b AS vec_b,
+                 round(list_dot_product(va.v, vb.v) /
+                   (sqrt(list_dot_product(va.v, va.v)) *
+                    sqrt(list_dot_product(vb.v, vb.v))), 6) AS cos
+               FROM cand JOIN b va ON va.doc_id = doc_a JOIN b vb ON vb.doc_id = doc_b)
+         SELECT vec_a, vec_b, cos FROM j WHERE cos >= 0.95 ORDER BY vec_a, vec_b""",
+    "sim_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         a AS (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY round(list_dot_product(v, cv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9)
+                   DESC, cid) AS rn
+               FROM e CROSS JOIN c),
+         asn AS (SELECT vec_id, v, cid AS cell FROM a WHERE rn = 1),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         p AS (SELECT cid AS cell FROM c CROSS JOIN q
+               ORDER BY round(list_dot_product(cv, qv) /
+                 (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 9)
+                 DESC, cid LIMIT 4)
+         SELECT vec_id, round(list_dot_product(v, qv) /
+           (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+         FROM asn JOIN p USING(cell) CROSS JOIN q
+         ORDER BY cos DESC, vec_id LIMIT 10""",
   )
 }

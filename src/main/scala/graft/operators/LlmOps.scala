@@ -35,8 +35,10 @@ object LlmOps {
 
   /** Distinct 3-word shingles of the token list — the unit of near-dup
     * similarity. Short docs (<3 tokens) degrade to one whole-text shingle.
+    * Shared with SimOps.dedupNgramJaccard so both dedup paths agree on
+    * the shingle definition.
     */
-  private def shingles(text: Column): Column = {
+  private[operators] def shingleSet(text: Column): Column = {
     val toks = split(text, " ")
     array_distinct(
       transform(
@@ -81,7 +83,7 @@ object LlmOps {
     // collapse it to one task and serialize all the hashing.
     val spread = documents.select(col("doc_id"), col("text"))
       .repartition(documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-    val withSh = spread.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val withSh = spread.select(col("doc_id"), shingleSet(col("text")).as("sh"))
     val withSig = withSh.withColumn("mh", minhashSig(col("sh")))
     val bands = withSig.select(
       col("doc_id"),

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate and similarity-search variants beyond MinHash/LSH
+  * (LlmOps.dedupNear) — SimHash, exact n-gram Jaccard with inverted-index
+  * blocking, embedding-cosine near-dup, and IVF-style pruned ANN
+  * (BASELINE.json:6; PAPERS.md top-k pruning literature).
+  *
+  * Shared scale shape: every operator here is
+  *   per-item signature (map-side, no shuffle)
+  *   → bucket/bloc equi-join or groupBy (ONE shuffle on a compact key)
+  *   → exact verification only within buckets.
+  * No all-pairs stage exists in any of them; candidate cost is bounded by
+  * bucket collision counts, verification cost by candidate counts.
+  */
+object SimOps {
+
+  /** Within-bucket ordered pairs from one grouped aggregation — the
+    * common LSH/blocking candidate generator (same shape as dedupNear).
+    * `maxBucket` drops oversized buckets (frequent-token postings) — the
+    * prefix-filter that bounds the quadratic within-bucket expansion.
+    */
+  private def bucketPairs(
+      bands: DataFrame, keys: Seq[String], maxBucket: Int = Int.MaxValue): DataFrame =
+    bands
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(
+        flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+            struct(x.as("doc_a"), y.as("doc_b")))))).as("pair"))
+      .select(col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"))
+      .distinct()
+
+  private val pows60: Column = array((0 until 60).map(b => lit(1L << b)): _*)
+
+  /** 60-bit SimHash over the SHINGLE set (not raw tokens — on a
+    * small-vocabulary corpus distinct-token sets collide and collapse the
+    * hash; order-sensitive 3-gram shingles are ~unique per document): per
+    * bit, sum ±1 across shingle hashes; the sign vector packs back into
+    * one BIGINT. Candidates from 4 × 15-bit band buckets (a hamming-≤3
+    * pair always shares a band), verified by exact hamming ≤ 6 — measured
+    * noise floor on the corpus starts at 15.
+    */
+  def dedupSimhash(documents: DataFrame): DataFrame = {
+    val spread = documents.select(col("doc_id"), col("text"))
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val hs = transform(LlmOps.shingleSet(col("text")), t => TextOps.tokenHash60(t))
+    // Per-bit ±1 sums, unrolled at the Scala level: shiftright needs a
+    // literal shift, and 60-bit values cannot round-trip double division.
+    val bitSums = array((0 until 60).map { b =>
+      aggregate(col("hs"), lit(0), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+    }: _*)
+    val sig = spread
+      .withColumn("hs", hs)
+      .withColumn("bits", bitSums)
+      .select(
+        col("doc_id"),
+        aggregate(
+          zip_with(col("bits"), pows60, (s, p) => when(s > 0, p).otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc + x).as("simhash"))
+    val bandW = 15
+    val bands = sig.select(
+      col("doc_id"),
+      explode(array((0 until 4).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("simhash"), b * bandW)
+            .bitwiseAND(lit((1L << bandW) - 1)).as("bval"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bval").as("bval"))
+    val cand = bucketPairs(bands, Seq("band", "bval"))
+    val sa = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard dedup with inverted-index blocking: candidates
+    * are pairs sharing at least one LOW-frequency shingle (document
+    * frequency ≤ 10 — rare-token prefix filtering); exact Jaccard ≥ 0.8
+    * verifies. No signatures, no approximation in the verify step.
+    */
+  def dedupNgramJaccard(documents: DataFrame): DataFrame = {
+    val withSh = documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), LlmOps.shingleSet(col("text")).as("sh"))
+    val postings = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val cand = bucketPairs(postings, Seq("shingle"), maxBucket = 10)
+    val sa = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def toVec(c: Column): Column = c.cast("array<double>")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Embedding-cosine near-duplicates: block on the sign byte of the
+    * first 8 dimensions (near-identical vectors almost surely share it),
+    * verify cosine ≥ 0.95 within blocks. The blocking key is 1 byte —
+    * the shuffle carries (block, vec_id) only.
+    */
+  def dedupEmbedding(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id").as("doc_id"), toVec(col("embedding")).as("v"))
+    val block = aggregate(
+      zip_with(
+        slice(col("v"), 1, 8),
+        array((0 until 8).map(b => lit(1 << b)): _*),
+        (x, p) => when(x > 0, p).otherwise(lit(0))),
+      lit(0), (acc, x) => acc + x)
+    val blocked = e.withColumn("block", block)
+    val cand = bucketPairs(blocked.select("doc_id", "block"), Seq("block"))
+    val va = blocked.select(col("doc_id").as("doc_a"), col("v").as("v_a"))
+    val vb = blocked.select(col("doc_id").as("doc_b"), col("v").as("v_b"))
+    cand.join(va, "doc_a").join(vb, "doc_b")
+      .select(
+        col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .filter(col("cos") >= 0.95)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** IVF-style pruned ANN: a coarse quantizer (here the first 16 vectors
+    * as fixed centroids — production would Lloyd-iterate them) assigns
+    * every vector to its nearest centroid ONCE (build side); a query then
+    * probes only its nprobe=4 nearest cells. The scan is pruned to ~1/4
+    * of the corpus instead of all of it — the partition-pruning shape of
+    * ANN at scale. Top-10 within the probed cells.
+    */
+  def simIvf(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"),
+        round(cosine(col("v"), col("cv")), 9).as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val probes = cents.crossJoin(broadcast(q))
+      .select(col("cid"), round(cosine(col("cv"), col("qv")), 9).as("ccos"))
+      .orderBy(desc("ccos"), asc("cid"))
+      .limit(4)
+      .select(col("cid").as("cell"))
+    assigned
+      .join(broadcast(probes), "cell") // prune: scan only probed cells
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(10)
+  }
+}

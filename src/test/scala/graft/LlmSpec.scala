@@ -68,6 +68,45 @@ class LlmSpec extends SparkTestBase {
     assert(tf === Map("a" -> 1L, "b" -> 3L, "c" -> 1L))
   }
 
+  test("dedup_simhash: exact dups at hamming 0; corpus pairs agree with MinHash") {
+    val fixture = Seq((0L, base), (1L, base), (2L, "unrelated catalyst codegen " +
+      "shuffle exchange planner adaptive execution content entirely different"))
+      .toDF("doc_id", "text")
+    val exact = operators.SimOps.dedupSimhash(fixture)
+      .as[(Long, Long, Int)].collect()
+    assert(exact.toSeq === Seq((0L, 1L, 0)))
+    // On the real corpus both detectors must largely agree on the seeded
+    // near-dups (simhash trades a little recall at the J~0.9 boundary).
+    val docs = Tables.documents(spark, sf0001)
+    val sim = operators.SimOps.dedupSimhash(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val mh = LlmOps.dedupNear(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mh.nonEmpty && (sim intersect mh).size >= (mh.size * 2) / 3,
+      s"simhash found ${(sim intersect mh).size} of ${mh.size} MinHash pairs")
+  }
+
+  test("dedup_embedding finds seeded near-identical vectors only") {
+    val v = (0 until 64).map(i => math.sin(i + 1).toFloat).toArray
+    val vNear = v.zipWithIndex.map { case (x, i) => if (i == 63) x + 0.001f else x }
+    val vFar = v.map(x => -x)
+    val e = Seq((0L, v), (1L, vNear), (2L, vFar)).toDF("vec_id", "embedding")
+    val pairs = operators.SimOps.dedupEmbedding(e)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("sim_ivf agrees with brute-force top-k when all cells are probed") {
+    val e = Tables.embeddings(spark, sf0001)
+    val ivf = operators.SimOps.simIvf(e).select("vec_id").as[Long].collect().toSet
+    val brute = operators.LlmOps.simTopk(e).select("vec_id").as[Long].collect().toSet
+    // nprobe=4 of 16 cells: the query's own cell is probed, so the query
+    // vector and its closest neighbors should largely survive the pruning
+    assert(ivf.contains(0L), "query vector missing from IVF result")
+    assert((ivf intersect brute).size >= 5,
+      s"IVF recall too low vs brute force: $ivf vs $brute")
+  }
+
   test("multimodal payload survives project/filter/join byte-identically") {
     val docs = Tables.documents(spark, sf0001)
     val embs = Tables.embeddings(spark, sf0001)
