@@ -32,6 +32,8 @@ object SparkEntry {
     "flatten_nested" -> ((s, d) => RelationalOps.flattenNested(orders(s, d))),
     "distinct" -> ((s, d) => RelationalOps.distinctPairs(lineitem(s, d))),
     "sample" -> ((s, d) => RelationalOps.sample(lineitem(s, d))),
+    "sample_hash" -> ((s, d) => RelationalOps.sampleHash(lineitem(s, d))),
+    "scan_parquet" -> ((s, d) => RelationalOps.scanParquet(supplier(s, d))),
     "empty_payload_guard" -> ((s, d) => RelationalOps.emptyPayloadGuard(lineitem(s, d))),
     // §2.3 joins
     "join_inner_hash" -> ((s, d) => JoinOps.innerHash(orders(s, d), customer(s, d))),
@@ -92,6 +94,7 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => LlmOps.textTokens(documents(s, d))),
     "text_stats" -> ((s, d) => LlmOps.textStats(documents(s, d))),
     "multimodal_cols" -> ((s, d) => LlmOps.multimodalCols(documents(s, d), embeddings(s, d))),
+    "multimodal_decode" -> ((s, d) => LlmOps.multimodalDecode(documents(s, d))),
     // §2.1 sources / sinks (ETL core)
     "scan_json" -> ((s, d) => EtlOps.scanJson(s, d)),
     "scan_csv" -> ((s, d) => EtlOps.scanCsv(s, d)),
@@ -188,6 +191,22 @@ object SparkEntry {
     "empty_payload_guard" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem
          WHERE l_quantity < 0 GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "sample_hash" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE substring(md5(l_orderkey || '|' || l_linenumber), 1, 1) = 'a'
+         ORDER BY l_orderkey, l_linenumber""",
+    "scan_parquet" ->
+      """SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal
+         FROM supplier WHERE s_acctbal > 0 ORDER BY s_suppkey""",
+    "multimodal_decode" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         s AS (SELECT doc_id, n,
+                 CAST(list_sum([unicode(text[i]) for i in range(1, n + 1)]) AS BIGINT) AS bs
+               FROM t)
+         SELECT doc_id, CAST(n AS INT) AS n_bytes, bs AS byte_sum,
+           round(bs::DOUBLE / n, 6) AS mean_byte,
+           CAST(n % 640 AS INT) AS fake_width
+         FROM s ORDER BY doc_id""",
     // §2.3 joins
     "join_inner_hash" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice, c_mktsegment

@@ -194,6 +194,43 @@ object LlmOps {
         max(col("doc_id")).as("max_doc"))
       .orderBy("lang")
 
+  final case class DecodedFeatures(
+      doc_id: Long, n_bytes: Int, byte_sum: Long, mean_byte: Double, fake_width: Int)
+
+  /** Multimodal decode/feature-extract plumbing: binary payloads processed
+    * PER PARTITION through an imperative decoder (the mapPartitions batch
+    * shape a real image/audio decoder needs — amortized codec init per
+    * partition, streaming iterator, typed output schema). The decode body
+    * here is an explicitly deterministic STUB (byte statistics standing in
+    * for pixel decoding — real codecs aren't available offline); the
+    * Spark-side plumbing (BinaryType in, partition-wise batching, case-
+    * class schema out) is real and oracle-checked.
+    */
+  def multimodalDecode(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition "codec init" would go here (once, not per record)
+        rows.map { case (id, payload) =>
+          var sum = 0L
+          var i = 0
+          while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+          val n = payload.length
+          DecodedFeatures(
+            doc_id = id,
+            n_bytes = n,
+            byte_sum = sum,
+            mean_byte = if (n == 0) 0.0 else math.floor(sum.toDouble / n * 1e6 + 0.5) / 1e6,
+            fake_width = n % 640) // stub for a decoded dimension
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Multimodal columns: an opaque binary payload + typed vector column
     * flowing through project/filter/join untouched. The payload here is a
     * deterministic stand-in (UTF-8 bytes of the text — real image/audio

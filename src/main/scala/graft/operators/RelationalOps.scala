@@ -134,6 +134,29 @@ object RelationalOps {
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Content-hash sample: ~1/16 of rows chosen by a digest digit of the
+    * key. Unlike `sample`, this is independent of engine, partitioning,
+    * and scale — the SAME rows are selected everywhere (config-independent
+    * repeatability for iterative testing, and the shape used to carve
+    * stable eval/holdout splits from a training corpus).
+    */
+  def sampleHash(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(substring(md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))), 1, 1) === "a")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Dedicated parquet scan entry: typed columnar read with projection +
+    * predicate reaching the scan (`PushedFilters`/`ReadSchema` — asserted
+    * in PlanSpec). Every other query exercises this implicitly; this row
+    * makes the §2.1 scan itself auditable.
+    */
+  def scanParquet(supplier: DataFrame): DataFrame =
+    supplier
+      .filter(col("s_acctbal") > 0)
+      .select(col("s_suppkey"), col("s_name"), round(col("s_acctbal"), 2).as("bal"))
+      .orderBy("s_suppkey")
+
   /** Empty/invalid payload guard (README.md:32, 105): a pipeline over an
     * empty input must produce an empty, correctly-typed result — not a
     * crash.

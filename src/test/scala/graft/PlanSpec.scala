@@ -1,0 +1,89 @@
+package graft
+
+import graft.Tables._
+import graft.operators._
+
+/** Physical-plan audits — the 100 TB design contract as executable
+  * assertions. Each test pins the plan property that makes the operator
+  * survive a 1000-executor scale-up: pushdown reaching the scan,
+  * broadcast joins staying broadcast, global top-k staying
+  * TakeOrderedAndProject, and no accidental cartesian/nested-loop join in
+  * any bucketed pipeline.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("flagship q1: filter and projection push into the parquet scan") {
+    val p = plan(RelationalOps.pricingSummary(lineitem(spark, sf0001)))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in scan:\n$p")
+    assert(!p.contains("l_comment"), "scan reads columns the query never uses")
+    assert(p.contains("HashAggregate"), "expected partial+final hash aggregate")
+  }
+
+  test("scan_parquet: predicate pushed, schema pruned to 3 columns") {
+    val p = plan(RelationalOps.scanParquet(supplier(spark, sf0001)))
+    assert(p.contains("PushedFilters: [IsNotNull(s_acctbal), GreaterThan(s_acctbal"),
+      s"no pushed filter:\n$p")
+    assert(!p.contains("s_nationkey"), "unused column not pruned from scan")
+  }
+
+  test("join_broadcast plans as BroadcastHashJoin (dims never shuffle the fact side)") {
+    val p = plan(JoinOps.broadcastDims(
+      customer(spark, sf0001), nation(spark, sf0001), region(spark, sf0001)))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to sort-merge")
+  }
+
+  test("join_sortmerge plans as SortMergeJoin (large-large, spill-safe)") {
+    val p = plan(JoinOps.sortMerge(lineitem(spark, sf0001), orders(spark, sf0001)))
+    assert(p.contains("SortMergeJoin"), s"merge hint ignored:\n$p")
+  }
+
+  test("topk plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(SortSetOps.topk(orders(spark, sf0001)))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to full sort:\n$p")
+  }
+
+  test("bucketed dedup pipelines contain no cartesian or nested-loop join") {
+    Seq(
+      "dedup_near" -> plan(LlmOps.dedupNear(documents(spark, sf0001))),
+      "dedup_simhash" -> plan(SimOps.dedupSimhash(documents(spark, sf0001))),
+      "dedup_ngram_jaccard" -> plan(SimOps.dedupNgramJaccard(documents(spark, sf0001))),
+      "dedup_embedding" -> plan(SimOps.dedupEmbedding(embeddings(spark, sf0001)))
+    ).foreach { case (name, p) =>
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
+    }
+  }
+
+  test("sim_topk / sim_join broadcast the probe side, never shuffle the corpus") {
+    val pTopk = plan(LlmOps.simTopk(embeddings(spark, sf0001)))
+    assert(pTopk.contains("TakeOrderedAndProject"), "sim_topk should heap-select top-k")
+    val pJoin = plan(LlmOps.simJoin(embeddings(spark, sf0001)))
+    assert(pJoin.contains("BroadcastNestedLoopJoin") || pJoin.contains("BroadcastExchange"),
+      s"probe side not broadcast:\n$pJoin")
+  }
+
+  test("scalar-function families stay UDF-free (whole-stage codegen preserved)") {
+    Seq(
+      graft.functions.FuncOps.stringFns(documents(spark, sf0001)),
+      graft.functions.FuncOps.mathFns(lineitem(spark, sf0001)),
+      graft.functions.FuncOps.jsonFns(events(spark, sf0001))
+    ).foreach { df =>
+      df.collect() // finalize THIS plan (count() would execute a different one)
+      val p = plan(df)
+      assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+        "built-in function family routed through a UDF")
+      assert(p.contains("*(1)"), s"no whole-stage-codegen span (*(n)) in scalar pipeline:\n$p")
+    }
+  }
+
+  test("left_semi/anti never multiply rows (no project of right-side columns)") {
+    val p = plan(JoinOps.leftSemi(customer(spark, sf0001), orders(spark, sf0001)))
+    assert(p.contains("LeftSemi"), s"semi join lost its type:\n$p")
+    assert(!p.contains("o_totalprice"), "semi join carries right-side payload columns")
+  }
+}
