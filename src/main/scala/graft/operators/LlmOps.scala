@@ -125,10 +125,14 @@ object LlmOps {
 
   private def toVec(c: Column): Column = c.cast("array<double>")
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd native dot product (graft.plans.VectorDot) — index-order
+    * summation, bit-identical to the `aggregate(zip_with(...))` fold it
+    * replaced, so the DuckDB oracles are unaffected.
+    */
+  private[operators] def dot(a: Column, b: Column): Column =
+    graft.plans.VectorFunctions.vectorDot(a, b)
 
-  private def cosine(a: Column, b: Column): Column =
+  private[operators] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Top-10 cosine neighbors of one query vector: broadcast the query,
@@ -137,6 +141,7 @@ object LlmOps {
     * shape: one linear pass, no shuffle of the corpus).
     */
   def simTopk(embeddings: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     e.crossJoin(broadcast(q))
@@ -152,6 +157,7 @@ object LlmOps {
     * pattern applied to quantized vectors.
     */
   def simJoin(embeddings: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
     val probes = e.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))

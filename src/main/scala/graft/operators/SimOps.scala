@@ -107,11 +107,9 @@ object SimOps {
 
   private def toVec(c: Column): Column = c.cast("array<double>")
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  // Native codegen'd dot product — see graft.plans.VectorDot (bit-identical
+  // to the higher-order fold, so oracles are unaffected).
+  private def cosine(a: Column, b: Column): Column = LlmOps.cosine(a, b)
 
   /** Embedding-cosine near-duplicates: block on the sign byte of the
     * first 8 dimensions (near-identical vectors almost surely share it),
@@ -119,6 +117,7 @@ object SimOps {
     * the shuffle carries (block, vec_id) only.
     */
   def dedupEmbedding(embeddings: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id").as("doc_id"), toVec(col("embedding")).as("v"))
     val block = aggregate(
       zip_with(
@@ -146,6 +145,7 @@ object SimOps {
     * ANN at scale. Top-10 within the probed cells.
     */
   def simIvf(embeddings: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"))

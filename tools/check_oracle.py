@@ -8,6 +8,13 @@ matching SQL from oracle_sql.json in DuckDB against the sfDir tables, and
 compares: schema (column names sorted), row count, and a value hash with
 columns sorted by name. Mirrors the driver contract so oracle mismatches are
 caught before a round ends.
+
+Tolerance note: floats compare with atol=1e-9 here, while the driver's check
+is a strict hash of the (already-rounded) values. The engine-side contract
+closes that gap: every float column in an oracle-paired query is round()ed
+in BOTH the Spark query and its SQL, far coarser than 1e-9, so any pair that
+passes here with a sub-1e-9 difference produces identical rounded values for
+the driver's hash. A true mismatch (>= one rounding unit) fails both.
 """
 import sys, os, json, glob
 import duckdb
