@@ -36,6 +36,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -51,6 +52,9 @@ object Bench {
 
     var errors = List.empty[String]
     val results = names.map { name =>
+      // timed numbers should reflect query cost, not garbage left over
+      // from the warmup pass / previous queries
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }

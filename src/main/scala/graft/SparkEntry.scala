@@ -48,6 +48,8 @@ object SparkEntry {
     "join_theta" -> ((s, d) => JoinOps.theta(nation(s, d))),
     "join_range" -> ((s, d) => JoinOps.rangeBand(part(s, d))),
     "join_asof" -> ((s, d) => JoinOps.asof(events(s, d))),
+    "join_bucketed" -> ((s, d) => JoinOps.bucketed(orders(s, d), customer(s, d))),
+    "join_skew_salted" -> ((s, d) => JoinOps.skewSalted(lineitem(s, d), orders(s, d))),
     // §2.4 aggregations
     "agg_hash" -> ((s, d) => AggOps.aggHash(orders(s, d))),
     "agg_global" -> ((s, d) => AggOps.aggGlobal(lineitem(s, d))),
@@ -101,6 +103,7 @@ object SparkEntry {
     "source_api_paginated" -> ((s, d) => EtlOps.sourceApiPaginated(s, d)),
     "sink_raw_append" -> ((s, d) => EtlOps.sinkRawAppend(s, d)),
     "sink_upsert" -> ((s, d) => EtlOps.sinkUpsert(s, d)),
+    "sink_partitioned" -> ((s, d) => EtlOps.sinkPartitioned(s, d)),
     // §2.9 streaming (Structured Streaming drained through a memory sink;
     // deterministic results are oracle-paired = batch-equivalence check)
     "stream_source" -> ((s, d) => StreamOps.streamSource(s, d)),
@@ -277,6 +280,22 @@ object SparkEntry {
                    AND c.ts <= p.ts) AS click_ts_us
          FROM events p WHERE p.event_type = 'purchase'
          ORDER BY purchase_id""",
+    "join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_skew_salted" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+         round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "sink_partitioned" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n,
+         count(DISTINCT user_id) AS n_users
+         FROM events
+         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-03-01' AND DATE '2024-03-31'
+         GROUP BY 1 ORDER BY 1""",
     // §2.4 aggregations
     "agg_hash" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

@@ -151,6 +151,72 @@ object JoinOps {
       .orderBy("p_partkey")
   }
 
+  /** Bucket-co-located join: both sides written `bucketBy` the join key,
+    * so the join consumes bucketed scans with NO shuffle exchange on
+    * either side (asserted in PlanSpec) — the pre-partitioned layout for
+    * joins repeated across many queries at 100 TB, where paying the write-
+    * time clustering once beats re-shuffling both sides every run.
+    */
+  def bucketed(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val nb = 8
+    Seq("graft_bkt_orders", "graft_bkt_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // the in-memory catalog forgets tables between JVMs but their files
+      // remain — clear the physical location too
+      val loc = java.nio.file.Paths.get(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath match {
+          case "" => spark.conf.get("spark.sql.warehouse.dir")
+          case p => p
+        }, t)
+      if (java.nio.file.Files.exists(loc)) {
+        java.nio.file.Files.walk(loc)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+    }
+    orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.bucketBy(nb, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("graft_bkt_orders")
+    customer.select(col("c_custkey"), col("c_mktsegment"))
+      .write.bucketBy(nb, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("graft_bkt_customer")
+    val o = spark.table("graft_bkt_orders")
+    val c = spark.table("graft_bkt_customer")
+    // merge hint: at test scale AQE would pick broadcast (also shuffle-
+    // free); the hint pins the sort-merge path so the plan demonstrates
+    // what bucketing buys when BOTH sides are too big to broadcast —
+    // co-located buckets, zero exchanges on the join keys.
+    o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Skew-salted join: the fact side's hot keys are spread across
+    * `nSalt` sub-keys by a deterministic row hash, and the (small) build
+    * side is replicated once per salt — a skewed key's rows land on
+    * `nSalt` tasks instead of one. Results are identical to the unsalted
+    * join (the oracle proves it); AQE's skew-join split is the runtime
+    * alternative when the skew is discovered late.
+    */
+  def skewSalted(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val nSalt = 8
+    val fact = lineitem
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_extendedprice")), lit(nSalt)))
+    val dim = orders
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .crossJoin((0 until nSalt).toDF("salt")) // replicate build side per salt
+    fact
+      .join(dim, fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** As-of join: for each purchase event, the latest click by the same user
     * at-or-before the purchase timestamp (README.md:28 — "current value as
     * of t"). No native Spark as-of join; this is the union+window form:

@@ -141,6 +141,28 @@ object EtlOps {
       .orderBy("o_orderkey")
   }
 
+  /** Date-partitioned raw layout — the 100 TB organization of an
+    * append-only event table (SURVEY §4: "partition raw tables by date"):
+    * `partitionBy(event_date)` at write time turns time predicates into
+    * partition pruning at read time (the scan's PartitionFilters — see
+    * PlanSpec). Output: per-day counts for one month, read back through
+    * the pruned scan.
+    */
+  def sinkPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = freshDir(sfDir, "events_by_day").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_date", col("ts").cast("date"))
+      .write.mode(SaveMode.Overwrite).partitionBy("event_date").parquet(raw)
+    spark.read.parquet(raw)
+      .filter(col("event_date").between("2024-03-01", "2024-03-31"))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .select(col("event_date").cast("string").as("day"), col("n"), col("n_users"))
+      .orderBy("day")
+  }
+
   /** Idempotent re-ingestion (README.md:28 "updates"): two loads of
     * overlapping key ranges, upsert = latest load wins per natural key,
     * resolved by ONE keyed window — a single shuffle on the key, the only

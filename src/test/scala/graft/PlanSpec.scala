@@ -81,6 +81,42 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("join_bucketed joins co-located buckets with no exchange on the join keys") {
+    val df = JoinOps.bucketed(orders(spark, sf0001), customer(spark, sf0001))
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a shuffle-free merge/hash join over buckets:\n$p")
+    assert(!p.contains("hashpartitioning(o_custkey") && !p.contains("hashpartitioning(c_custkey"),
+      s"bucketed join still exchanges on the join key:\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"scan is not bucket-aware:\n$p")
+  }
+
+  test("sink_partitioned read-back prunes partitions via the date predicate") {
+    val df = graft.sources.EtlOps.sinkPartitioned(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: [") && p.contains("event_date"),
+      s"date filter did not become a partition filter:\n$p")
+  }
+
+  test("join_skew_salted equals the unsalted join result") {
+    import spark.implicits._
+    val salted = JoinOps.skewSalted(lineitem(spark, sf0001), orders(spark, sf0001))
+      .as[(String, Long, Double)].collect().toSeq
+    val plain = lineitem(spark, sf0001)
+      .join(orders(spark, sf0001),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum("l_extendedprice"), 2).as("s"))
+      .orderBy("o_orderstatus")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(salted === plain)
+  }
+
   test("left_semi/anti never multiply rows (no project of right-side columns)") {
     val p = plan(JoinOps.leftSemi(customer(spark, sf0001), orders(spark, sf0001)))
     assert(p.contains("LeftSemi"), s"semi join lost its type:\n$p")
