@@ -113,6 +113,7 @@ object SparkEntry {
     "stream_watermark" -> ((s, d) => StreamOps.streamWatermark(s, d)),
     "stream_dedup" -> ((s, d) => StreamOps.streamDedup(s, d)),
     "stream_stateful" -> ((s, d) => StreamOps.streamStateful(s, d)),
+    "stream_stateful_v2" -> ((s, d) => StreamOps.streamStatefulV2(s, d)),
     "stream_sink" -> ((s, d) => StreamOps.streamSink(s, d)),
     // §2.10 UDF / UDAF / UDTF extension surface
     "udf_scalar" -> ((s, d) => UdfOps.udfScalar(documents(s, d))),
@@ -638,6 +639,11 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, count(*) AS n_ids FROM events
          GROUP BY event_type ORDER BY event_type""",
     "stream_stateful" ->
+      """SELECT user_id, count(*) AS n_events,
+         round(max(value), 6) AS max_value,
+         round(min(value), 6) AS min_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "stream_stateful_v2" ->
       """SELECT user_id, count(*) AS n_events,
          round(max(value), 6) AS max_value,
          round(min(value), 6) AS min_value

@@ -188,6 +188,57 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  /** Spark-4 arbitrary-state processor: the transformWithState successor
+    * to mapGroupsWithState — explicit named state (`ValueState`), timers,
+    * and TTL on the handle. Same per-user fold as `streamStateful`, so the
+    * same batch oracle pins its correctness.
+    */
+  private class UserAggProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserAgg] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[UserAgg] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserAgg](
+        "agg", org.apache.spark.sql.Encoders.product[UserAgg], TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long, rows: Iterator[Ev], timers: TimerValues): Iterator[UserAgg] = {
+      val init0 =
+        if (state.exists()) state.get()
+        else UserAgg(user, 0L, Double.MinValue, Double.MaxValue)
+      val agg = rows.foldLeft(init0) { (a, e) =>
+        UserAgg(user, a.n_events + 1,
+          math.max(a.max_value, e.value), math.min(a.min_value, e.value))
+      }
+      state.update(agg)
+      Iterator.single(agg)
+    }
+  }
+
+  /** `transformWithState` flavor of the per-key fold (requires the RocksDB
+    * state store — set per-session here; the HDFS-backed default store
+    * does not support the new operator).
+    */
+  def streamStatefulV2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evs: Dataset[Ev] = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("value")).as[Ev]
+    val folded = evs
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new UserAggProcessor, TimeMode.None(), OutputMode.Update())
+    drain(folded.toDF(), "graft_stream_stateful_v2", "update")
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("n_events")).as("n_events"),
+        round(max(col("max_value")), 6).as("max_value"),
+        round(min(col("min_value")), 6).as("min_value"))
+      .orderBy("user_id")
+  }
+
   /** Production sink shape: foreachBatch → append to the raw parquet table
     * with an ingestion timestamp (README.md:23, 28) — closes the loop back
     * to sink_raw_append. Output audits the STORED table: every row
