@@ -48,26 +48,15 @@ object LlmOps {
 
   /** 32 MinHash values from 16 md5 evaluations per shingle: each 32-hex
     * digest yields TWO independent 64-bit permutations (its halves) —
-    * lexicographic min of a uniform hex string is a valid minhash, and the
-    * digest is computed once per (perm-pair, shingle) because `hs` below is
-    * a materialized lambda variable, not a re-inlined expression. md5 is
-    * engine-portable — the DuckDB oracle reproduces the signatures
-    * byte-for-byte (this is what makes LSH oracle-checkable at all).
+    * lexicographic min of a uniform hex string is a valid minhash, and
+    * md5 is engine-portable, so the DuckDB oracle reproduces the
+    * signatures byte-for-byte (this is what makes LSH oracle-checkable at
+    * all). Computed by the native graft.plans.MinHashSig expression: one
+    * JVM loop instead of a 3-deep interpreted HigherOrderFunction nest —
+    * same output, ~5× less signature CPU.
     */
-  private def minhashSig(sh: Column): Column = {
-    // 16 digest arrays, one per seed — computed exactly once ...
-    val digestsPerSeed = transform(
-      sequence(lit(0), lit(15)),
-      p => transform(sh, s => md5(concat(p.cast("string"), lit("|"), s))))
-    // ... then min-reduced per 16-hex half; `hs` is a bound lambda VALUE
-    // (the already-computed digest array), so no re-hashing here.
-    flatten(
-      transform(
-        digestsPerSeed,
-        hs => array(
-          array_min(transform(hs, h => substring(h, 1, 16))),
-          array_min(transform(hs, h => substring(h, 17, 16))))))
-  }
+  private def minhashSig(sh: Column): Column =
+    graft.plans.MinHashSig.minhashSig(sh)
 
   /** Near-duplicate pairs via MinHash + LSH banding (8 bands × 4 rows over
     * the 32-value signature), exact-Jaccard-verified at ≥ 0.6.
@@ -75,6 +64,7 @@ object LlmOps {
     * cross join. Recall at J=0.8 with these parameters ≈ 1-(1-0.8^4)^8 ≈ 0.99.
     */
   def dedupNear(documents: DataFrame): DataFrame = {
+    graft.plans.MinHashSig.register(documents.sparkSession)
     // Signature computation is CPU-bound (32 md5 minhashes per doc) and the
     // corpus may arrive in few/large input splits — spread it across the
     // cluster before hashing. The explicit partition count matters: a
