@@ -79,6 +79,8 @@ object SparkEntry {
     "union" -> ((s, d) => SortSetOps.unionLoads(orders(s, d))),
     "intersect" -> ((s, d) => SortSetOps.intersectLoads(customer(s, d))),
     "except" -> ((s, d) => SortSetOps.exceptLoads(orders(s, d))),
+    "except_all" -> ((s, d) => SortSetOps.exceptAllLoads(orders(s, d))),
+    "intersect_all" -> ((s, d) => SortSetOps.intersectAllLoads(orders(s, d))),
     // §2.8 scalar function families
     "fn_string" -> ((s, d) => FuncOps.stringFns(documents(s, d))),
     "fn_datetime" -> ((s, d) => FuncOps.datetimeFns(orders(s, d))),
@@ -445,6 +447,18 @@ object SparkEntry {
          EXCEPT
          SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
          ORDER BY o_custkey""",
+    "except_all" ->
+      """SELECT o_custkey, count(*) AS surplus FROM (
+           SELECT o_custkey FROM orders
+           EXCEPT ALL
+           SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0)
+         GROUP BY o_custkey ORDER BY o_custkey""",
+    "intersect_all" ->
+      """SELECT o_custkey, count(*) AS n_common FROM (
+           SELECT o_custkey FROM orders WHERE o_orderkey % 3 <> 0
+           INTERSECT ALL
+           SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0)
+         GROUP BY o_custkey ORDER BY o_custkey""",
     // §2.8 scalar function families
     "fn_string" ->
       """SELECT doc_id,

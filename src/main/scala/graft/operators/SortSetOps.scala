@@ -91,4 +91,25 @@ object SortSetOps {
     val oldLoad = orders.filter(col("o_orderkey") % 2 === 0).select(col("o_custkey"))
     newLoad.except(oldLoad).orderBy("o_custkey")
   }
+
+  /** Bag-semantics EXCEPT ALL: each occurrence in the old load cancels
+    * exactly one occurrence in the new — the multiset delta (how many MORE
+    * times a key appears since the last load).
+    */
+  def exceptAllLoads(orders: DataFrame): DataFrame = {
+    val newLoad = orders.select(col("o_custkey"))
+    val oldLoad = orders.filter(col("o_orderkey") % 2 === 0).select(col("o_custkey"))
+    newLoad.exceptAll(oldLoad)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("surplus"))
+      .orderBy("o_custkey")
+  }
+
+  /** Bag-semantics INTERSECT ALL: per-key min multiplicity across loads. */
+  def intersectAllLoads(orders: DataFrame): DataFrame = {
+    val loadA = orders.filter(col("o_orderkey") % 3 =!= 0).select(col("o_custkey"))
+    val loadB = orders.filter(col("o_orderkey") % 2 === 0).select(col("o_custkey"))
+    loadA.intersectAll(loadB)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_common"))
+      .orderBy("o_custkey")
+  }
 }
