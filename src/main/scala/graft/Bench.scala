@@ -16,6 +16,8 @@ object Bench {
     */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary",   // scan→filter→hash agg
+    "q3_shipping_priority", // 3-way join + agg + top-k
+    "q5_local_supplier",    // 6-way join, broadcast dims
     "join_sortmerge",       // large-large shuffle join
     "join_broadcast",       // dim broadcast join
     "agg_rollup",           // multi-grouping aggregate

@@ -50,6 +50,14 @@ object SparkEntry {
     "join_asof" -> ((s, d) => JoinOps.asof(events(s, d))),
     "join_bucketed" -> ((s, d) => JoinOps.bucketed(orders(s, d), customer(s, d))),
     "join_skew_salted" -> ((s, d) => JoinOps.skewSalted(lineitem(s, d), orders(s, d))),
+    // composite audit pipelines (TPC-H Q3/Q5/Q10 shapes)
+    "q3_shipping_priority" -> ((s, d) =>
+      AuditQueries.q3ShippingPriority(customer(s, d), orders(s, d), lineitem(s, d))),
+    "q5_local_supplier" -> ((s, d) =>
+      AuditQueries.q5LocalSupplier(customer(s, d), orders(s, d), lineitem(s, d),
+        supplier(s, d), nation(s, d), region(s, d))),
+    "q10_returned_items" -> ((s, d) =>
+      AuditQueries.q10ReturnedItems(customer(s, d), orders(s, d), lineitem(s, d), nation(s, d))),
     // §2.4 aggregations
     "agg_hash" -> ((s, d) => AggOps.aggHash(orders(s, d))),
     "agg_global" -> ((s, d) => AggOps.aggGlobal(lineitem(s, d))),
@@ -283,6 +291,44 @@ object SparkEntry {
                    AND c.ts <= p.ts) AS click_ts_us
          FROM events p WHERE p.event_type = 'purchase'
          ORDER BY purchase_id""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_day
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-06-01'
+           AND l_shipdate > TIMESTAMP '1997-06-01'
+         GROUP BY l_orderkey, order_day
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_local_supplier" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-10-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "join_bucketed" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
          round(sum(o_totalprice), 2) AS sum_price

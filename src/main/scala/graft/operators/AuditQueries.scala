@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composite audit queries — multi-operator pipelines in the TPC-H Q3/Q5/
+  * Q10 shapes, the reference's cross-collection audit workload
+  * (/root/reference/README.md:27–28) at realistic complexity. These are
+  * the composition proof: scans with pushed filters → selective joins
+  * (dims broadcast, facts shuffled once) → partial+final aggregation →
+  * TakeOrderedAndProject. Dates shifted to the testdata's 1995–2001 span.
+  */
+object AuditQueries {
+
+  /** Q3 shape — top unshipped-revenue orders for one market segment:
+    * filter both fact sides BEFORE the join (pushdown), aggregate on the
+    * join key, global top-10 via orderBy+limit.
+    */
+  def q3ShippingPriority(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cutoff = lit("1997-06-01").cast("timestamp")
+    customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(orders.filter(col("o_orderdate") < cutoff),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > cutoff),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").cast("string").as("order_day"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("order_day"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5 shape — per-nation revenue where customer and supplier share the
+    * nation, one region, one year: a 6-table join with both dims
+    * broadcast and the fact chain shuffled on its natural keys only.
+    */
+  def q5LocalSupplier(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(supplier,
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+
+  /** Q10 shape — top customers by returned-item revenue in one quarter:
+    * returned-flag fact filter, three joins, top-20.
+    */
+  def q10ReturnedItems(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      nation: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(
+        col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+}

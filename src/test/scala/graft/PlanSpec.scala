@@ -117,6 +117,17 @@ class PlanSpec extends SparkTestBase {
     assert(salted === plain)
   }
 
+  test("q5 six-way join broadcasts dims and never plans a cartesian product") {
+    val p = plan(AuditQueries.q5LocalSupplier(
+      customer(spark, sf0001), orders(spark, sf0001), lineitem(spark, sf0001),
+      supplier(spark, sf0001), nation(spark, sf0001), region(spark, sf0001)))
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "six-way join degraded to a cartesian product")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date filter did not push to the orders scan:\n$p")
+  }
+
   test("left_semi/anti never multiply rows (no project of right-side columns)") {
     val p = plan(JoinOps.leftSemi(customer(spark, sf0001), orders(spark, sf0001)))
     assert(p.contains("LeftSemi"), s"semi join lost its type:\n$p")
