@@ -64,6 +64,7 @@ object SparkEntry {
     "agg_count_distinct" -> ((s, d) => AggOps.aggCountDistinct(lineitem(s, d))),
     "agg_approx_distinct" -> ((s, d) => AggOps.aggApproxDistinct(lineitem(s, d))),
     "agg_stats" -> ((s, d) => AggOps.aggStats(lineitem(s, d))),
+    "agg_median" -> ((s, d) => AggOps.aggMedian(lineitem(s, d))),
     "agg_collect" -> ((s, d) => AggOps.aggCollect(nation(s, d))),
     "agg_first_last" -> ((s, d) => AggOps.aggFirstLast(orders(s, d))),
     "agg_rollup" -> ((s, d) => AggOps.aggRollup(lineitem(s, d))),
@@ -78,6 +79,7 @@ object SparkEntry {
     "win_sliding_frame" -> ((s, d) => WindowOps.slidingFrame(events(s, d))),
     "win_range_frame" -> ((s, d) => WindowOps.rangeFrame(events(s, d))),
     "win_topk_per_group" -> ((s, d) => WindowOps.topkPerGroup(orders(s, d))),
+    "win_value_fns" -> ((s, d) => WindowOps.valueFns(part(s, d))),
     // §2.6 sorts / limits / top-k
     "sort" -> ((s, d) => SortSetOps.sortGlobal(orders(s, d))),
     "limit" -> ((s, d) => SortSetOps.limitPage(orders(s, d))),
@@ -110,6 +112,7 @@ object SparkEntry {
     // §2.1 sources / sinks (ETL core)
     "scan_json" -> ((s, d) => EtlOps.scanJson(s, d)),
     "scan_csv" -> ((s, d) => EtlOps.scanCsv(s, d)),
+    "scan_orc" -> ((s, d) => EtlOps.scanOrc(s, d)),
     "source_api_paginated" -> ((s, d) => EtlOps.sourceApiPaginated(s, d)),
     "sink_raw_append" -> ((s, d) => EtlOps.sinkRawAppend(s, d)),
     "sink_upsert" -> ((s, d) => EtlOps.sinkUpsert(s, d)),
@@ -650,6 +653,27 @@ object SparkEntry {
          FROM nation ORDER BY n_nationkey""",
     "scan_csv" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+    "scan_orc" ->
+      """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS bal
+         FROM supplier WHERE s_acctbal > 1000 ORDER BY s_suppkey""",
+    "win_value_fns" ->
+      """SELECT p_partkey, p_brand, p_size,
+         first_value(p_partkey) OVER wf AS smallest_part,
+         last_value(p_partkey) OVER wf AS largest_part,
+         nth_value(p_partkey, 2) OVER wf AS second_part,
+         round(cume_dist() OVER w, 6) AS cdist
+         FROM part
+         WINDOW w AS (PARTITION BY p_brand ORDER BY p_size, p_partkey),
+                wf AS (PARTITION BY p_brand ORDER BY p_size, p_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY p_partkey""",
+    "agg_median" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+         round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty,
+         round(quantile_cont(l_quantity, 0.75), 4) AS q3_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "source_api_paginated" ->
       """SELECT event_type, count(*) AS n,
          min(event_id) AS min_id, max(event_id) AS max_id

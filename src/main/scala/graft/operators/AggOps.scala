@@ -82,6 +82,21 @@ object AggOps {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Exact percentiles (interpolating): median + quartiles of a discrete-
+    * valued measure — exact (sort-based) rather than the sketch-based
+    * approx_percentile, so it IS oracle-comparable (DuckDB quantile_cont
+    * uses the same interpolation).
+    */
+  def aggMedian(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(median(col("l_quantity")), 4).as("med_qty"),
+        round(percentile(col("l_quantity"), lit(0.25)), 4).as("q1_qty"),
+        round(percentile(col("l_quantity"), lit(0.75)), 4).as("q3_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Re-nest rows into arrays (the Mongo-document output shape,
     * README.md:22). `sort_array` pins element order for the compare —
     * collect order is nondeterministic across partitionings otherwise.

@@ -52,6 +52,24 @@ object WindowOps {
       .orderBy("p_partkey")
   }
 
+  /** Value window functions: first/last/nth over the WHOLE partition
+    * (frame pinned to unbounded-both-ways — the default frame stops at the
+    * current row, a classic silent-wrong-answer trap in every engine) plus
+    * cume_dist on the ordering key.
+    */
+  def valueFns(part: DataFrame): DataFrame = {
+    val order = Window.partitionBy("p_brand").orderBy("p_size", "p_partkey")
+    val whole = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    part
+      .select(
+        col("p_partkey"), col("p_brand"), col("p_size"),
+        first(col("p_partkey")).over(whole).as("smallest_part"),
+        last(col("p_partkey")).over(whole).as("largest_part"),
+        nth_value(col("p_partkey"), 2).over(whole).as("second_part"),
+        round(cume_dist().over(order), 6).as("cdist"))
+      .orderBy("p_partkey")
+  }
+
   /** Delta vs previous/next event of the same user — audit drift between
     * loads (README.md:28).
     */

@@ -86,6 +86,22 @@ object EtlOps {
       .orderBy("r_regionkey")
   }
 
+  /** Columnar ORC round-trip — the third file format (after parquet and
+    * the JSON/CSV text formats): same reader/writer API surface, same
+    * pushdown behavior, different encoder. Oracle compares against the
+    * original parquet, so the round-trip must be lossless.
+    */
+  def scanOrc(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "orc_src").toString
+    spark.read.parquet(s"$sfDir/supplier.parquet")
+      .write.mode(SaveMode.Overwrite).orc(dir)
+    spark.read.orc(dir)
+      .filter(col("s_acctbal") > 1000)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        round(col("s_acctbal"), 2).as("bal"))
+      .orderBy("s_suppkey")
+  }
+
   /** Paginated source, offline file-paged form (README.md:11–12): pages of
     * JSON records are fetched one per driver-loop iteration (the
     * reference's pagination loop) and unioned BY NAME into one frame. The
