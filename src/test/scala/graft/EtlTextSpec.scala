@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+import graft.sources.EtlOps
+
+/** ETL pipeline semantics and text-analysis invariants not covered by the
+  * oracle rows: connector stage ordering, append accumulation, fingerprint
+  * order-sensitivity, quality bounds, langid tie determinism.
+  */
+class EtlTextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("Connector runs extract -> transform -> load in order") {
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val c = EtlOps.Connector(
+      name = "probe",
+      source = s => { order += "E"; Seq((1L, "x")).toDF("id", "v") },
+      transform = df => { order += "T"; df.withColumn("t", lit(true)) },
+      sink = df => { order += "L"; assert(df.columns.contains("t")); df.count() })
+    c.run(spark)
+    assert(order.toSeq === Seq("E", "T", "L"))
+  }
+
+  test("sink_raw_append accumulates: every key loaded exactly twice, all stamped") {
+    val out = EtlOps.sinkRawAppend(spark, sf0001)
+    val bad = out.filter(col("n_loads") =!= 2 || col("n_stamped") =!= 2).count()
+    assert(bad === 0)
+    assert(out.count() > 0)
+  }
+
+  test("sink_upsert: load-2 rows win on overlapping keys, others retain load 1") {
+    val up = EtlOps.sinkUpsert(spark, sf0001).cache()
+    // keys divisible by 6 are in both loads -> load_id 2 must win
+    assert(up.filter(col("o_orderkey") % 6 === 0 && col("load_id") =!= 2).count() === 0)
+    // keys divisible by 2 but not 3 exist only in load 1
+    assert(up.filter(col("o_orderkey") % 2 === 0 && col("o_orderkey") % 3 =!= 0 &&
+      col("load_id") =!= 1).count() === 0)
+    // one row per key
+    assert(up.groupBy("o_orderkey").count().filter(col("count") > 1).count() === 0)
+    up.unpersist()
+  }
+
+  test("text_fingerprint is order-sensitive: same bag, different order, different hash") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"), // same tokens, reversed
+      (3L, "alpha beta gamma delta")) // identical to 1
+      .toDF("doc_id", "text")
+    val fp = TextOps.textFingerprint(docs)
+      .select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(3L), "identical docs must fingerprint equal")
+    assert(fp(1L) !== fp(2L), "reordered doc must fingerprint differently")
+  }
+
+  test("text_quality score stays within [0, 1] on the corpus") {
+    val q = TextOps.textQuality(Tables.documents(spark, sf0001))
+    assert(q.filter(col("quality") < 0 || col("quality") > 1).count() === 0)
+    assert(q.filter(col("alpha_ratio") < 0 || col("alpha_ratio") > 1).count() === 0)
+  }
+
+  test("text_langid breaks score ties deterministically (larger code wins)") {
+    // 'de' appears in both the es ('de' is an es marker too) and zh marker
+    // sets; a doc of only 'de' ties es/zh/de-marker scores — struct max
+    // must resolve to the lexicographically largest code among the tied
+    val docs = Seq((1L, "de de de", "xx")).toDF("doc_id", "text", "lang")
+    val pred = TextOps.textLangid(docs).select("lang_pred").as[String].head()
+    assert(pred === "zh") // es, fr(no), zh all score 1 via 'de'; zh sorts last
+  }
+
+  test("fn_json yields nulls (not errors) for missing keys and malformed JSON") {
+    val ev = Seq(
+      (1L, """{"k": 5}"""),
+      (2L, """{"other": 1}"""),
+      (3L, "not json at all"))
+      .toDF("event_id", "props")
+    val out = graft.functions.FuncOps.jsonFns(ev).orderBy("event_id").collect()
+    assert(out(0).getAs[Int]("k_int") === 5)
+    assert(out(1).isNullAt(out(1).fieldIndex("k_int")))
+    assert(out(2).isNullAt(out(2).fieldIndex("k_int")))
+  }
+
+  test("scan_json re-types inferred columns losslessly") {
+    val out = EtlOps.scanJson(spark, sf0001)
+    val orig = Tables.nation(spark, sf0001)
+      .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+    assert(out.count() === orig.count())
+    assert(out.exceptAll(orig).isEmpty && orig.exceptAll(out).isEmpty)
+  }
+}
