@@ -145,6 +145,33 @@ class OperatorSpec extends SparkTestBase {
     })
   }
 
+  // ---- §2.6 sort_within_partitions invariant (no-oracle op) ----
+
+  test("sort_within_partitions: every partition is internally sorted and row-complete") {
+    val li = Tables.lineitem(spark, sf0001)
+    val out = SortSetOps.sortWithinPartitions(li)
+    // per-partition sortedness by (l_returnflag, l_shipdate)
+    val violations = out
+      .select("l_returnflag", "l_shipdate")
+      .as[(String, java.time.LocalDateTime)]
+      .mapPartitions { rows =>
+        var bad = 0L
+        var prev: (String, java.time.LocalDateTime) = null
+        rows.foreach { r =>
+          if (prev != null) {
+            val cmp = prev._1.compareTo(r._1)
+            if (cmp > 0 || (cmp == 0 && prev._2.isAfter(r._2))) bad += 1
+          }
+          prev = r
+        }
+        Iterator.single(bad)
+      }
+      .reduce(_ + _)
+    assert(violations === 0L, s"$violations out-of-order rows inside partitions")
+    // layout control must not drop or duplicate rows
+    assert(out.count() === li.count())
+  }
+
   // ---- §2.8 hash family: xxhash64 behavioral check (no DuckDB twin) ----
 
   test("xxhash64 is injective on the document corpus (no 64-bit collisions)") {
