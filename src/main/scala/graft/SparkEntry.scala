@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{array_join, col, hex}
 import graft.Tables._
 import graft.operators._
 import graft.functions.{FuncOps, UdfOps}
@@ -65,7 +66,12 @@ object SparkEntry {
     "agg_approx_distinct" -> ((s, d) => AggOps.aggApproxDistinct(lineitem(s, d))),
     "agg_stats" -> ((s, d) => AggOps.aggStats(lineitem(s, d))),
     "agg_median" -> ((s, d) => AggOps.aggMedian(lineitem(s, d))),
-    "agg_collect" -> ((s, d) => AggOps.aggCollect(nation(s, d))),
+    // Array columns stringified at the query boundary: the driver's pandas
+    // compare can't hash ndarray cells. AggOps.aggCollect keeps true arrays.
+    "agg_collect" -> ((s, d) =>
+      AggOps.aggCollect(nation(s, d))
+        .withColumn("nations", array_join(col("nations"), ","))
+        .withColumn("nation_keys", array_join(col("nation_keys"), ","))),
     "agg_first_last" -> ((s, d) => AggOps.aggFirstLast(orders(s, d))),
     "agg_rollup" -> ((s, d) => AggOps.aggRollup(lineitem(s, d))),
     "agg_cube" -> ((s, d) => AggOps.aggCube(lineitem(s, d))),
@@ -96,8 +102,15 @@ object SparkEntry {
     "fn_datetime" -> ((s, d) => FuncOps.datetimeFns(orders(s, d))),
     "fn_math" -> ((s, d) => FuncOps.mathFns(lineitem(s, d))),
     "fn_conditional" -> ((s, d) => FuncOps.conditionalFns(customer(s, d))),
-    "fn_array" -> ((s, d) => FuncOps.arrayFns(documents(s, d))),
-    "fn_map" -> ((s, d) => FuncOps.mapFns(events(s, d))),
+    // Same stringification rule as agg_collect (driver-stable scalars only).
+    "fn_array" -> ((s, d) =>
+      FuncOps.arrayFns(documents(s, d))
+        .withColumn("first3_sorted", array_join(col("first3_sorted"), ","))
+        .withColumn("vocab", array_join(col("vocab"), ","))),
+    "fn_map" -> ((s, d) =>
+      FuncOps.mapFns(events(s, d))
+        .withColumn("ks", array_join(col("ks"), ","))
+        .withColumn("vs", array_join(col("vs"), ","))),
     "fn_json" -> ((s, d) => FuncOps.jsonFns(events(s, d))),
     "fn_hash" -> ((s, d) => FuncOps.hashFns(documents(s, d))),
     // §2.11 [EXT] LLM-data-pipeline operators
@@ -107,7 +120,11 @@ object SparkEntry {
     "sim_join" -> ((s, d) => LlmOps.simJoin(embeddings(s, d))),
     "text_tokens" -> ((s, d) => LlmOps.textTokens(documents(s, d))),
     "text_stats" -> ((s, d) => LlmOps.textStats(documents(s, d))),
-    "multimodal_cols" -> ((s, d) => LlmOps.multimodalCols(documents(s, d), embeddings(s, d))),
+    // Binary payload hex-encoded at the boundary (bytearray is unhashable
+    // in the driver's compare); LlmOps.multimodalCols keeps true BinaryType.
+    "multimodal_cols" -> ((s, d) =>
+      LlmOps.multimodalCols(documents(s, d), embeddings(s, d))
+        .withColumn("payload", hex(col("payload")))),
     "multimodal_decode" -> ((s, d) => LlmOps.multimodalDecode(documents(s, d))),
     // §2.1 sources / sinks (ETL core)
     "scan_json" -> ((s, d) => EtlOps.scanJson(s, d)),
@@ -216,9 +233,11 @@ object SparkEntry {
       """SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal
          FROM supplier WHERE s_acctbal > 0 ORDER BY s_suppkey""",
     "multimodal_decode" ->
-      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      """WITH t AS (SELECT doc_id, hex(encode(text)) AS h,
+                 octet_length(encode(text)) AS n FROM documents),
          s AS (SELECT doc_id, n,
-                 CAST(list_sum([unicode(text[i]) for i in range(1, n + 1)]) AS BIGINT) AS bs
+                 CAST(list_sum([('0x' || substr(h, 2 * i - 1, 2))::INT
+                                for i in range(1, n + 1)]) AS BIGINT) AS bs
                FROM t)
          SELECT doc_id, CAST(n AS INT) AS n_bytes, bs AS byte_sum,
            round(bs::DOUBLE / n, 6) AS mean_byte,
@@ -377,8 +396,8 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_collect" ->
       """SELECT n_regionkey,
-         list_sort(list(n_name)) AS nations,
-         list_sort(list(DISTINCT n_nationkey)) AS nation_keys
+         array_to_string(list_sort(list(n_name)), ',') AS nations,
+         array_to_string(list_sort(list(DISTINCT n_nationkey)), ',') AS nation_keys
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "agg_first_last" ->
       """SELECT o_custkey,
@@ -422,10 +441,10 @@ object SparkEntry {
          WHERE rn = 1 ORDER BY user_id""",
     "win_rank_dense" ->
       """SELECT p_partkey, p_brand, p_size,
-         rank() OVER w AS rnk,
-         dense_rank() OVER w AS drnk,
+         CAST(rank() OVER w AS INTEGER) AS rnk,
+         CAST(dense_rank() OVER w AS INTEGER) AS drnk,
          round(percent_rank() OVER w, 6) AS prnk,
-         ntile(4) OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS quartile
+         CAST(ntile(4) OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS INTEGER) AS quartile
          FROM part
          WINDOW w AS (PARTITION BY p_brand ORDER BY p_size)
          ORDER BY p_partkey""",
@@ -462,7 +481,7 @@ object SparkEntry {
                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
     "win_topk_per_group" ->
-      """SELECT o_custkey, rn, o_orderkey, o_totalprice
+      """SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice
          FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER
                  (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
                FROM orders)
@@ -512,26 +531,26 @@ object SparkEntry {
     "fn_string" ->
       """SELECT doc_id,
          upper(lang) AS lang_uc,
-         length(text) AS text_len,
+         CAST(length(text) AS INTEGER) AS text_len,
          substring(text, 1, 12) AS prefix,
          split_part(text, ' ', 1) AS first_tok,
          concat_ws('-', lang, source) AS lang_src,
          lpad(lang, 5, '*') AS lang_pad,
          trim('  pad  ') AS trimmed,
-         strpos(text, 'a') AS first_a,
+         CAST(strpos(text, 'a') AS INTEGER) AS first_a,
          regexp_extract(text, '([a-z]+)', 1) AS first_word,
          regexp_replace(source, '[0-9]+', '#', 'g') AS src_masked
          FROM documents ORDER BY doc_id""",
     "fn_datetime" ->
       """SELECT o_orderkey,
-         year(o_orderdate) AS yr,
-         month(o_orderdate) AS mo,
-         day(o_orderdate) AS dom,
-         dayofweek(o_orderdate) + 1 AS dow,
-         quarter(o_orderdate) AS qtr,
+         CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(month(o_orderdate) AS INTEGER) AS mo,
+         CAST(day(o_orderdate) AS INTEGER) AS dom,
+         CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+         CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
          CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
          CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
-         date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_99,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER) AS days_to_99,
          CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
          FROM orders ORDER BY o_orderkey""",
     "fn_math" ->
@@ -558,18 +577,18 @@ object SparkEntry {
     "fn_array" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
          SELECT doc_id,
-         len(toks) AS n_toks,
-         list_sort(toks)[1:3] AS first3_sorted,
-         list_sort(list_distinct(toks)) AS vocab,
+         CAST(len(toks) AS INTEGER) AS n_toks,
+         array_to_string(list_sort(toks)[1:3], ',') AS first3_sorted,
+         array_to_string(list_sort(list_distinct(toks)), ',') AS vocab,
          list_contains(toks, 'data') AS has_data,
-         len(list_filter(toks, t -> length(t) > 4)) AS n_long,
+         CAST(len(list_filter(toks, t -> length(t) > 4)) AS INTEGER) AS n_long,
          CAST(list_sum(list_transform(toks, t -> length(t))) AS INT) AS char_sum,
          list_contains(toks, 'the') AS has_the
          FROM t ORDER BY doc_id""",
     "fn_map" ->
       """SELECT event_id,
-         ['type', 'uid'] AS ks,
-         [event_type, CAST(user_id AS VARCHAR)] AS vs,
+         'type,uid' AS ks,
+         concat_ws(',', event_type, CAST(user_id AS VARCHAR)) AS vs,
          event_type AS type_via_map,
          2 AS n_entries
          FROM events ORDER BY event_id""",
@@ -578,7 +597,7 @@ object SparkEntry {
          json_extract_string(props, '$.k') AS k_str,
          CAST(json_extract(props, '$.k') AS INT) AS k_int,
          CAST(json_extract(props, '$.k') AS INT) * 2 AS k_doubled,
-         length(props) AS props_len
+         CAST(length(props) AS INTEGER) AS props_len
          FROM events ORDER BY event_id""",
     "fn_hash" ->
       """SELECT doc_id, sha256(text) AS sha, md5(text) AS mdfive
@@ -624,7 +643,8 @@ object SparkEntry {
          f AS (SELECT probe_id, vec_id, cos, row_number() OVER
                  (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
                FROM c WHERE cos >= 0.3)
-         SELECT probe_id, rn, vec_id, cos FROM f WHERE rn <= 3
+         SELECT probe_id, CAST(rn AS INTEGER) AS rn, vec_id, cos
+         FROM f WHERE rn <= 3
          ORDER BY probe_id, rn""",
     "text_tokens" ->
       """SELECT token, count(*) AS tf
@@ -634,13 +654,13 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
          round(avg(length(text)), 4) AS avg_chars,
          round(avg(len(str_split(text, ' '))), 4) AS avg_toks,
-         sum(n_chars) AS total_chars_meta,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars_meta,
          min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM documents GROUP BY lang ORDER BY lang""",
     "multimodal_cols" ->
       """SELECT d.doc_id, d.lang,
-         octet_length(encode(d.text)) AS payload_bytes,
-         encode(d.text) AS payload,
+         CAST(octet_length(encode(d.text)) AS INTEGER) AS payload_bytes,
+         hex(encode(d.text)) AS payload,
          round(CAST(e.embedding[1] AS DOUBLE), 6) AS dim0,
          round(CAST(e.embedding[64] AS DOUBLE), 6) AS dim63
          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
@@ -766,7 +786,7 @@ object SparkEntry {
            {'s': len(list_intersect(vocab, ['le','la','les','et','des','une'])), 'l': 'fr'},
            {'s': len(list_intersect(vocab, ['de','shi','bu','wo','le','ren'])), 'l': 'zh'}]) AS best
                FROM t)
-         SELECT doc_id, lang_meta, best.s AS best_score, best.l AS lang_pred
+         SELECT doc_id, lang_meta, CAST(best.s AS INTEGER) AS best_score, best.l AS lang_pred
          FROM m ORDER BY doc_id""",
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents),
@@ -778,7 +798,8 @@ object SparkEntry {
                      ['the','and','of','to','in','a','is','it']))::DOUBLE / 8.0 AS sr,
                  least(len(toks)::DOUBLE / 50.0, 1.0) AS ls
                FROM t)
-         SELECT doc_id, n_chars_txt, n_toks,
+         SELECT doc_id, CAST(n_chars_txt AS INTEGER) AS n_chars_txt,
+           CAST(n_toks AS INTEGER) AS n_toks,
            round(ar, 6) AS alpha_ratio,
            round(sr, 6) AS stop_ratio,
            round(0.5 * ls + 0.3 * ar + 0.2 * sr, 6) AS quality
@@ -796,7 +817,7 @@ object SparkEntry {
          SELECT doc_id,
            CAST(list_reduce([0::BIGINT] || hs,
                 (a, b) -> (a * 131 + b) % 1000000007) AS BIGINT) AS fingerprint,
-           len(hs) AS n_toks
+           CAST(len(hs) AS INTEGER) AS n_toks
          FROM t ORDER BY doc_id""",
     // [EXT] dedup & similarity variants
     "dedup_simhash" ->

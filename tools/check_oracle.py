@@ -1,20 +1,21 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's DuckDB-oracle compare.
+"""Local replica of the driver's DuckDB-oracle compare — DRIVER-STRICT.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB against the sfDir tables, and
-compares: schema (column names sorted), row count, and a value hash with
-columns sorted by name. Mirrors the driver contract so oracle mismatches are
-caught before a round ends.
+compares the way the driver does:
 
-Tolerance note: floats compare with atol=1e-9 here, while the driver's check
-is a strict hash of the (already-rounded) values. The engine-side contract
-closes that gap: every float column in an oracle-paired query is round()ed
-in BOTH the Spark query and its SQL, far coarser than 1e-9, so any pair that
-passes here with a sub-1e-9 difference produces identical rounded values for
-the driver's hash. A true mismatch (>= one rounding unit) fails both.
+- columns sorted by name, rows sorted by all columns (pandas sort_values);
+- dtype-SENSITIVE: int64 vs HUGEINT(object) is a failure, exactly as the
+  driver's hash sees it (round 2 shipped a red row because the old replica
+  tolerated this);
+- floats compare EXACTLY (the engine contract round()s every float on both
+  sides, so any bit difference is a real contract violation);
+- array/binary cells (ndarray / bytes / bytearray / list) are flagged as
+  DRIVER-UNHASHABLE before the sort — the driver's pandas compare crashes
+  on them, so a query emitting them is red no matter how correct it is.
 """
 import sys, os, json, glob
 import duckdb
@@ -24,18 +25,60 @@ import numpy as np
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
+
+def unhashable_cols(df: pd.DataFrame):
+    """Columns whose cells would crash the driver's sort_values/hash."""
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            for v in df[c]:
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue
+                if isinstance(v, (np.ndarray, list, bytes, bytearray, dict)):
+                    bad.append(c)
+                break
+    return bad
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonicalization: sort columns by name, rows by all
+    columns. Timestamps normalized to int64 micros on both sides (the one
+    place the driver's pyarrow/duckdb paths agree to differ in repr only).
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = s.astype("datetime64[us]").astype("int64")
-        elif s.dtype == object:
-            df[c] = s.map(lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
-                          else (tuple(v) if isinstance(v, list) else v))
-        elif pd.api.types.is_float_dtype(s):
-            df[c] = s.round(9)
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype("int64")
+    if len(df) and len(df.columns):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
+
+
+def col_equal(a: pd.Series, b: pd.Series):
+    """Exact, dtype-sensitive equality. Returns (ok, reason)."""
+    if str(a.dtype) != str(b.dtype):
+        return False, f"DTYPE spark={a.dtype} duck={b.dtype}"
+    av, bv = a.to_numpy(), b.to_numpy()
+    if pd.api.types.is_float_dtype(a):
+        same = np.array_equal(av, bv, equal_nan=True)
+    else:
+        same = (pd.Series(av).fillna("\0NULL") ==
+                pd.Series(bv).fillna("\0NULL")).all()
+    if not same:
+        diff = [(i, av[i], bv[i]) for i in range(len(av))
+                if not _eq(av[i], bv[i])][:3]
+        return False, f"VALUES first={diff}"
+    return True, None
+
+
+def _eq(x, y):
+    if pd.isna(x) and pd.isna(y):
+        return True
+    try:
+        return x == y
+    except Exception:
+        return False
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -53,6 +96,10 @@ def main():
         files = sorted(glob.glob(f"{d}/*.parquet"))
         spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) \
             if files else pd.DataFrame()
+        bad_cols = unhashable_cols(spark_df)
+        if bad_cols:
+            results[name] = f"DRIVER-UNHASHABLE cols={bad_cols}"
+            continue
         if name not in oracles:
             results[name] = f"NO-ORACLE rows={len(spark_df)}"
             continue
@@ -67,26 +114,13 @@ def main():
         elif len(a) != len(b):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(a)} duck={len(b)}"
         else:
-            ok = True
+            fails = []
             for c in a.columns:
-                av, bv = a[c].to_numpy(), b[c].to_numpy()
-                try:
-                    if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
-                        same = np.allclose(av.astype(float), bv.astype(float),
-                                           rtol=0, atol=1e-9, equal_nan=True)
-                    else:
-                        same = (pd.Series(av).fillna("\0NULL") ==
-                                pd.Series(bv).fillna("\0NULL")).all()
-                except Exception:
-                    same = list(av) == list(bv)
+                same, why = col_equal(a[c], b[c])
                 if not same:
-                    diff = [(i, av[i], bv[i]) for i in range(len(av))
-                            if not _eq(av[i], bv[i])][:3]
-                    results[name] = f"VALUE-MISMATCH col={c} first={diff}"
-                    ok = False
-                    break
-            if ok:
-                results[name] = f"OK rows={len(a)}"
+                    fails.append(f"col={c} {why}")
+            results[name] = f"OK rows={len(a)}" if not fails \
+                else "MISMATCH " + "; ".join(fails)
     bad = 0
     for k in sorted(results):
         flag = "  " if results[k].startswith(("OK", "NO-ORACLE")) else "!!"
@@ -96,17 +130,6 @@ def main():
     print(f"\n{len(results)} queries, {bad} mismatches")
     sys.exit(1 if bad else 0)
 
-def _eq(x, y):
-    try:
-        if isinstance(x, float) or isinstance(y, float):
-            if pd.isna(x) and pd.isna(y):
-                return True
-            return abs(float(x) - float(y)) <= 1e-9
-    except Exception:
-        pass
-    if pd.isna(x) and pd.isna(y):
-        return True
-    return x == y
 
 if __name__ == "__main__":
     main()
