@@ -131,6 +131,9 @@ object SparkEntry {
     "scan_csv" -> ((s, d) => EtlOps.scanCsv(s, d)),
     "scan_orc" -> ((s, d) => EtlOps.scanOrc(s, d)),
     "source_api_paginated" -> ((s, d) => EtlOps.sourceApiPaginated(s, d)),
+    "source_api_retry" -> ((s, d) => EtlOps.sourceApiRetry(s, d)),
+    "source_api_v2" -> ((s, d) => EtlOps.sourceApiV2(s, d)),
+    "scan_json_corrupt" -> ((s, d) => EtlOps.scanJsonCorrupt(s, d)),
     "sink_raw_append" -> ((s, d) => EtlOps.sinkRawAppend(s, d)),
     "sink_upsert" -> ((s, d) => EtlOps.sinkUpsert(s, d)),
     "sink_partitioned" -> ((s, d) => EtlOps.sinkPartitioned(s, d)),
@@ -698,6 +701,27 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
          min(event_id) AS min_id, max(event_id) AS max_id
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // identical to source_api_paginated on purpose: a V2 scan or a retried
+    // transient failure must be invisible in the data (no dropped or
+    // duplicated page either way)
+    "source_api_v2" ->
+      """SELECT event_type, count(*) AS n,
+         min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "source_api_retry" ->
+      """SELECT event_type, count(*) AS n,
+         min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "scan_json_corrupt" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           false AS quarantined, CAST(NULL AS VARCHAR) AS raw
+         FROM nation WHERE n_nationkey % 5 <> 0
+         UNION ALL
+         SELECT NULL, NULL, NULL, true,
+           '<html>503 Service Unavailable ' || CAST(n_nationkey AS VARCHAR)
+         FROM nation WHERE n_nationkey % 5 = 0
+         ORDER BY quarantined, n_nationkey NULLS FIRST, raw NULLS FIRST""",
     "sink_upsert" ->
       """WITH l1 AS (SELECT o_orderkey, o_totalprice, 1 AS load_id
                      FROM orders WHERE o_orderkey % 2 = 0),

@@ -102,6 +102,91 @@ object EtlOps {
       .orderBy("s_suppkey")
   }
 
+  /** Invalid-response handling at the SOURCE level (README.md:32, 105
+    * "Test for invalid responses"): a JSON stream where some pages came
+    * back as non-JSON error bodies (the 503-HTML-in-a-JSON-feed failure
+    * mode). PERMISSIVE mode routes every unparseable line into
+    * `_corrupt_record`: good rows arrive typed, bad rows arrive
+    * quarantined with the raw payload preserved for triage — no row is
+    * silently dropped and no job is killed by one bad page. At 100 TB this
+    * is the only viable contract: FAILFAST loses the batch, DROPMALFORMED
+    * loses the evidence.
+    */
+  def scanJsonCorrupt(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "json_corrupt").toString
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    // every 5th record is an error body, not JSON (deterministic, so the
+    // quarantine split is oracle-checkable)
+    nation.select(
+      when(col("n_nationkey") % 5 === 0,
+        concat(lit("<html>503 Service Unavailable "), col("n_nationkey").cast("string")))
+        .otherwise(to_json(struct(col("n_nationkey"), col("n_name"), col("n_regionkey"))))
+        .as("value"))
+      .write.mode(SaveMode.Overwrite).text(dir)
+    spark.read
+      .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .select(
+        col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col("_corrupt_record").isNotNull.as("quarantined"),
+        col("_corrupt_record").as("raw"))
+      .orderBy(col("quarantined"), col("n_nationkey"), col("raw"))
+  }
+
+  /** Bounded retry for a driver-side page fetch (README.md:12, 32: rate
+    * limits / connectivity errors). Retries are the DRIVER's job in the
+    * file-paged form — each attempt re-issues one page "request"; executor
+    * tasks already have Spark's own task retry underneath them.
+    */
+  def withRetry[T](maxAttempts: Int, backoffMs: Long = 0L)(f: Int => T): T = {
+    var attempt = 1
+    while (true) {
+      try return f(attempt)
+      catch {
+        case _: Exception if attempt < maxAttempts =>
+          if (backoffMs > 0) Thread.sleep(backoffMs << (attempt - 1))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Paginated source with transient-failure semantics: one designated
+    * page fails on its first fetch (a simulated 503) and succeeds on
+    * retry. The result must be byte-identical to the clean paginated read
+    * — a retried page is not a dropped or duplicated page. A page that
+    * NEVER succeeds must fail the job after `maxAttempts` (poisoned-page
+    * spec in EtlTextSpec), because silently skipping a page is data loss.
+    */
+  def sourceApiRetry(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val pagesDir = freshDir(sfDir, "api_pages_retry")
+    val nPages = 5
+    val flakyPage = 2
+    events
+      .withColumn("page", pmod(col("event_id"), lit(nPages)))
+      .write.mode(SaveMode.Overwrite).partitionBy("page").json(pagesDir.toString)
+    val pages = (0 until nPages).map { p =>
+      withRetry(maxAttempts = 3) { attempt =>
+        if (p == flakyPage && attempt == 1)
+          throw new RuntimeException(s"simulated 503 on page $p attempt $attempt")
+        spark.read.json(s"$pagesDir/page=$p")
+      }
+    }
+    pages
+      .reduce(_ unionByName _)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
   /** Paginated source, offline file-paged form (README.md:11–12): pages of
     * JSON records are fetched one per driver-loop iteration (the
     * reference's pagination loop) and unioned BY NAME into one frame. The
@@ -123,6 +208,31 @@ object EtlOps {
     }
     pages
       .reduce(_ unionByName _)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
+  /** Paginated source, DataSource V2 form: the same page layout read
+    * through `graft.sources.PagedJsonSource` — one InputPartition per
+    * page, JSON parsed executor-side, zero driver-loop reads. Same oracle
+    * as the file-paged form: the two implementations must agree exactly.
+    */
+  def sourceApiV2(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val pagesDir = freshDir(sfDir, "api_pages_v2")
+    val nPages = 5
+    events
+      .withColumn("page", pmod(col("event_id"), lit(nPages)))
+      .write.mode(SaveMode.Overwrite).partitionBy("page").json(pagesDir.toString)
+    spark.read.format("graft.sources.PagedJsonSource")
+      .option("pages", nPages.toString)
+      .load(pagesDir.toString)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),

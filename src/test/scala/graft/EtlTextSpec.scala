@@ -23,6 +23,49 @@ class EtlTextSpec extends SparkTestBase {
     assert(order.toSeq === Seq("E", "T", "L"))
   }
 
+  test("withRetry: transient failure retried to success, attempts bounded") {
+    var calls = 0
+    val got = EtlOps.withRetry(maxAttempts = 3) { attempt =>
+      calls += 1
+      if (attempt < 2) throw new RuntimeException("simulated 503")
+      attempt
+    }
+    assert(got === 2)
+    assert(calls === 2)
+  }
+
+  test("withRetry: poisoned page fails the job after maxAttempts, never skips") {
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      EtlOps.withRetry(maxAttempts = 3) { _ =>
+        calls += 1
+        throw new RuntimeException("permanent 503")
+      }
+    }
+    assert(e.getMessage === "permanent 503")
+    assert(calls === 3) // all attempts spent, then the failure PROPAGATES
+  }
+
+  test("source_api_retry equals the clean paginated read (no loss, no dupes)") {
+    val clean = EtlOps.sourceApiPaginated(spark, sf0001).collect().toSeq
+    val retried = EtlOps.sourceApiRetry(spark, sf0001).collect().toSeq
+    assert(retried === clean)
+  }
+
+  test("scan_json_corrupt: bad rows quarantined with payload, good rows typed") {
+    val out = EtlOps.scanJsonCorrupt(spark, sf0001).cache()
+    val quarantined = out.filter(col("quarantined"))
+    val good = out.filter(!col("quarantined"))
+    // every quarantined row keeps its raw payload and has no typed fields
+    assert(quarantined.filter(col("raw").isNull || col("n_nationkey").isNotNull).count() === 0)
+    // every good row is fully typed with no raw payload
+    assert(good.filter(col("n_nationkey").isNull || col("raw").isNotNull).count() === 0)
+    // nothing silently dropped: 25 nations -> 5 corrupt + 20 good
+    assert(quarantined.count() === 5)
+    assert(good.count() === 20)
+    out.unpersist()
+  }
+
   test("sink_raw_append accumulates: every key loaded exactly twice, all stamped") {
     val out = EtlOps.sinkRawAppend(spark, sf0001)
     val bad = out.filter(col("n_loads") =!= 2 || col("n_stamped") =!= 2).count()

@@ -47,6 +47,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to full sort:\n$p")
   }
 
+  test("source_api_v2 scans through the custom DSv2 source (BatchScan, one partition per page)") {
+    val df = graft.sources.EtlOps.sourceApiV2(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("BatchScan"), s"V2 source not planned as BatchScan:\n$p")
+    assert(p.contains("paged_json"), s"scan is not the PagedJsonSource table:\n$p")
+  }
+
   test("bucketed dedup pipelines contain no cartesian or nested-loop join") {
     Seq(
       "dedup_near" -> plan(LlmOps.dedupNear(documents(spark, sf0001))),
