@@ -162,6 +162,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => SimOps.dedupNgramJaccard(documents(s, d))),
     "dedup_embedding" -> ((s, d) => SimOps.dedupEmbedding(embeddings(s, d))),
     "sim_ivf" -> ((s, d) => SimOps.simIvf(embeddings(s, d))),
+    "sim_join_bucketed" -> ((s, d) => SimOps.simJoinBucketed(embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -916,5 +917,28 @@ object SparkEntry {
            (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
          FROM asn JOIN p USING(cell) CROSS JOIN q
          ORDER BY cos DESC, vec_id LIMIT 10""",
+    "sim_join_bucketed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cells AS (SELECT vec_id, v,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END
+              + CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) AS cell
+           FROM e),
+         probes AS (SELECT vec_id AS probe_id, v AS pv, xor(cell, flip) AS cell
+           FROM cells,
+             (SELECT unnest([0,1,2,4,8,16,3,5,9,17,6,10,18,12,20,24]) AS flip)
+           WHERE vec_id % 25 = 0),
+         cand AS (SELECT p.probe_id, c.vec_id,
+             round(list_dot_product(c.v, p.pv) /
+               (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(p.pv, p.pv))), 6) AS cos
+           FROM cells c JOIN probes p USING (cell)
+           WHERE c.vec_id <> p.probe_id),
+         f AS (SELECT probe_id, vec_id, cos, row_number() OVER
+             (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
+           FROM cand WHERE cos >= 0.3)
+         SELECT probe_id, CAST(rn AS INTEGER) AS rn, vec_id, cos
+         FROM f WHERE rn <= 3 ORDER BY probe_id, rn""",
   )
 }

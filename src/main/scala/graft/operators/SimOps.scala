@@ -137,6 +137,50 @@ object SimOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Fused bucketed kNN JOIN — closes LlmOps.simJoin's honest scale
+    * caveat (probe side had to be broadcast-small). Multiprobe sign-LSH:
+    *   cell = 5 packed sign bits of dims 1–5 (32 cells), computed
+    *   MAP-SIDE with no codebook and no join;
+    *   probes expand to the 16 cells within hamming ≤ 2 of their own
+    *   (standard multiprobe — near vectors differ in few sign bits);
+    *   probe↔corpus EQUI-JOIN on the int cell key, exact cosine + top-3
+    *   per probe within probed cells.
+    * The only shuffles are the cell-key join and the probe_id window;
+    * neither corpus nor probe set is collected or broadcast, so BOTH
+    * sides scale out (an IVF codebook variant would need a nearest-
+    * centroid cross join — this formulation has no join to degrade, which
+    * PlanSpec pins: no BroadcastNestedLoopJoin / CartesianProduct).
+    * Approximate by design: recall = 0.77 vs exact on the corpus (which
+    * has NO cluster structure — the worst case for any LSH); fully
+    * deterministic, so oracle-paired.
+    */
+  def simJoinBucketed(embeddings: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val cell = (0 until 5).map { b =>
+      when(element_at(col("v"), b + 1) > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val corpusCells = e.select(col("vec_id"), col("v"), cell.as("cell"))
+    // all 5-bit masks with <=2 bits set: self + 5 single-flips + 10 double-flips
+    val flips = Seq(0, 1, 2, 4, 8, 16, 3, 5, 9, 17, 6, 10, 18, 12, 20, 24)
+    val probeCells = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), cell.as("own"))
+      .select(col("probe_id"), col("pv"), col("own"),
+        explode(array(flips.map(lit): _*)).as("flip"))
+      .select(col("probe_id"), col("pv"),
+        col("own").bitwiseXOR(col("flip")).as("cell"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    corpusCells.join(probeCells, "cell") // probed cells are distinct: no dupes
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("v"), col("pv")), 6).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
+      .orderBy("probe_id", "rn")
+  }
+
   /** IVF-style pruned ANN: a coarse quantizer (here the first 16 vectors
     * as fixed centroids — production would Lloyd-iterate them) assigns
     * every vector to its nearest centroid ONCE (build side); a query then

@@ -62,6 +62,24 @@ class LlmSpec extends SparkTestBase {
     assert(out.filter(col("probe_id") === col("vec_id")).count() === 0)
   }
 
+  test("sim_join_bucketed: pair hygiene + recall >= 0.5 vs exact kNN on real data") {
+    val e = Tables.embeddings(spark, sf0001)
+    val bucketed = graft.operators.SimOps.simJoinBucketed(e).cache()
+    // hygiene: <=3 per probe, never self, threshold respected
+    val perProbe = bucketed.groupBy("probe_id").count().select(max("count")).as[Long].head()
+    assert(perProbe <= 3)
+    assert(bucketed.filter(col("probe_id") === col("vec_id")).count() === 0)
+    assert(bucketed.filter(col("cos") < 0.3).count() === 0)
+    // recall against the exact broadcast kNN — this corpus has NO cluster
+    // structure (max pairwise cos ~0.51), the worst case for any LSH;
+    // measured 0.77 with hamming<=2 multiprobe, bounded here at 0.6
+    val exact = LlmOps.simJoin(e).select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val found = bucketed.select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert((exact & found).size.toDouble / exact.size >= 0.6)
+    bucketed.unpersist()
+  }
+
   test("text_tokens frequencies sum to the corpus token count") {
     val docs = Seq((1L, "a b b"), (2L, "b c")).toDF("doc_id", "text")
     val tf = LlmOps.textTokens(docs).as[(String, Long)].collect().toMap

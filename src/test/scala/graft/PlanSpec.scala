@@ -54,6 +54,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("paged_json"), s"scan is not the PagedJsonSource table:\n$p")
   }
 
+  test("sim_join_bucketed: probe-corpus join is an equi-join on the cell key") {
+    val p = plan(SimOps.simJoinBucketed(embeddings(spark, sf0001)))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"probe side fell back to nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan contains a cartesian product:\n$p")
+  }
+
   test("bucketed dedup pipelines contain no cartesian or nested-loop join") {
     Seq(
       "dedup_near" -> plan(LlmOps.dedupNear(documents(spark, sf0001))),
