@@ -64,6 +64,8 @@ object SparkEntry {
     "agg_global" -> ((s, d) => AggOps.aggGlobal(lineitem(s, d))),
     "agg_count_distinct" -> ((s, d) => AggOps.aggCountDistinct(lineitem(s, d))),
     "agg_approx_distinct" -> ((s, d) => AggOps.aggApproxDistinct(lineitem(s, d))),
+    "agg_approx_distinct_checked" -> ((s, d) => AggOps.aggApproxDistinctChecked(lineitem(s, d))),
+    "agg_percentile_approx" -> ((s, d) => AggOps.aggPercentileApprox(lineitem(s, d))),
     "agg_stats" -> ((s, d) => AggOps.aggStats(lineitem(s, d))),
     "agg_median" -> ((s, d) => AggOps.aggMedian(lineitem(s, d))),
     // Array columns stringified at the query boundary: the driver's pandas
@@ -691,6 +693,14 @@ object SparkEntry {
                 wf AS (PARTITION BY p_brand ORDER BY p_size, p_partkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY p_partkey""",
+    // the oracle PREDICTS the HLL sketch lands within 5% of exact: a
+    // broken sketch implementation fails this row rather than hiding
+    // behind a no-oracle marker
+    "agg_approx_distinct_checked" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS n_exact,
+         true AS approx_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_median" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,

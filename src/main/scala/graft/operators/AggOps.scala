@@ -66,6 +66,38 @@ object AggOps {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** The oracle-CHECKED form of the HLL++ sketch: computes approx and
+    * exact side by side and exports the exact count plus a within-5%
+    * verdict. The sketch itself stays approximate (merge-order-invariant,
+    * so the verdict is deterministic); the oracle predicts `true` — a
+    * drifting HLL implementation turns this row red instead of invisible.
+    */
+  def aggApproxDistinctChecked(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+        countDistinct(col("l_partkey")).as("n_exact"))
+      .select(
+        col("l_returnflag"), col("n_exact"),
+        (abs(col("approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
+          .as("approx_ok"))
+      .orderBy("l_returnflag")
+
+  /** Sketch-based percentiles — the 100 TB companion to the exact
+    * `aggMedian` (GK summaries: bounded memory per group, one pass).
+    * no-oracle: the sketch's merge is order-sensitive in general; the
+    * bounds spec asserts agreement with the exact percentiles instead.
+    */
+  def aggPercentileApprox(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("l_quantity"), lit(0.95), lit(10000)).as("p95_approx"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Statistical aggregates: sample/population stddev + variance. Exact
     * moments (single-pass, numerically-stable Welford in both engines);
     * percentiles live in `aggApproxDistinct`'s no-oracle world and the

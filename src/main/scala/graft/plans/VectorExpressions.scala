@@ -22,11 +22,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * hash-matches.
   *
   * Null semantics: null array → null result (BinaryExpression nullSafe);
+  * LENGTH-MISMATCHED arrays → null (a partial dot product over the common
+  * prefix would silently mask an upstream embedding-length bug — surface
+  * it as null instead, and let the caller decide to filter or fail);
   * null ELEMENTS are not supported (embedding vectors are dense) — keep
   * the input arrays element-non-null, as the testdata schema guarantees.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // null is also produced for length-mismatched (non-null) inputs
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
@@ -41,11 +47,14 @@ case class VectorDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    s
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -54,12 +63,16 @@ case class VectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

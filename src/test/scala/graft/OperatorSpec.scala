@@ -95,6 +95,21 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("percentile_approx brackets the exact percentiles on real data") {
+    val approx = AggOps.aggPercentileApprox(Tables.lineitem(spark, sf0001)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = AggOps.aggMedian(Tables.lineitem(spark, sf0001)).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    exact.foreach { case (flag, med, q1, q3) =>
+      val p50 = approx(flag)
+      // GK sketch at accuracy 10000 on a small discrete domain: the approx
+      // median must land inside the exact interquartile range, and within
+      // one quantity unit of the exact median
+      assert(p50 >= q1 && p50 <= q3, s"$flag: p50 $p50 outside [$q1, $q3]")
+      assert(math.abs(p50 - med) <= 1.0, s"$flag: p50 $p50 vs exact median $med")
+    }
+  }
+
   // ---- §2.5 windows ----
 
   test("win_topk_per_group emits at most k rows per group, ranked desc") {

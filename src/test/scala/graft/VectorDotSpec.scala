@@ -37,6 +37,19 @@ class VectorDotSpec extends SparkTestBase {
     assert(df(1).isNullAt(1))
   }
 
+  test("vector_dot on length-mismatched arrays is null, never a prefix sum") {
+    VectorFunctions.register(spark)
+    val rows = Seq(
+      (1L, Array(1.0, 2.0), Array(3.0, 4.0)),       // aligned
+      (2L, Array(1.0, 2.0, 9.0), Array(3.0, 4.0)))  // upstream length bug
+      .toDF("id", "a", "b")
+      .select(col("id"), VectorFunctions.vectorDot(col("a"), col("b")).as("d"))
+      .orderBy("id")
+      .collect()
+    assert(rows(0).getDouble(1) === 11.0)
+    assert(rows(1).isNullAt(1), "mismatched lengths must surface as null")
+  }
+
   test("GraftExtensions injects vector_dot for SQL use") {
     // the shared session lacks the extensions config; exercise the
     // injection path via a temp-registered function + spark.sql
