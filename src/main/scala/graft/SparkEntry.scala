@@ -34,6 +34,7 @@ object SparkEntry {
     "distinct" -> ((s, d) => RelationalOps.distinctPairs(lineitem(s, d))),
     "sample" -> ((s, d) => RelationalOps.sample(lineitem(s, d))),
     "sample_hash" -> ((s, d) => RelationalOps.sampleHash(lineitem(s, d))),
+    "sample_stratified" -> ((s, d) => RelationalOps.sampleStratified(lineitem(s, d))),
     "scan_parquet" -> ((s, d) => RelationalOps.scanParquet(supplier(s, d))),
     "empty_payload_guard" -> ((s, d) => RelationalOps.emptyPayloadGuard(lineitem(s, d))),
     // §2.3 joins
@@ -88,6 +89,7 @@ object SparkEntry {
     "win_range_frame" -> ((s, d) => WindowOps.rangeFrame(events(s, d))),
     "win_topk_per_group" -> ((s, d) => WindowOps.topkPerGroup(orders(s, d))),
     "win_value_fns" -> ((s, d) => WindowOps.valueFns(part(s, d))),
+    "win_sessionize" -> ((s, d) => WindowOps.sessionize(events(s, d))),
     // §2.6 sorts / limits / top-k
     "sort" -> ((s, d) => SortSetOps.sortGlobal(orders(s, d))),
     "limit" -> ((s, d) => SortSetOps.limitPage(orders(s, d))),
@@ -138,6 +140,7 @@ object SparkEntry {
     "scan_json_corrupt" -> ((s, d) => EtlOps.scanJsonCorrupt(s, d)),
     "sink_raw_append" -> ((s, d) => EtlOps.sinkRawAppend(s, d)),
     "sink_upsert" -> ((s, d) => EtlOps.sinkUpsert(s, d)),
+    "sink_scd2" -> ((s, d) => EtlOps.sinkScd2(s, d)),
     "sink_partitioned" -> ((s, d) => EtlOps.sinkPartitioned(s, d)),
     // §2.9 streaming (Structured Streaming drained through a memory sink;
     // deterministic results are oracle-paired = batch-equivalence check)
@@ -150,6 +153,7 @@ object SparkEntry {
     "stream_stateful" -> ((s, d) => StreamOps.streamStateful(s, d)),
     "stream_stateful_v2" -> ((s, d) => StreamOps.streamStatefulV2(s, d)),
     "stream_sink" -> ((s, d) => StreamOps.streamSink(s, d)),
+    "stream_join" -> ((s, d) => StreamOps.streamJoin(s, d)),
     // §2.10 UDF / UDAF / UDTF extension surface
     "udf_scalar" -> ((s, d) => UdfOps.udfScalar(documents(s, d))),
     "udaf_aggregator" -> ((s, d) => UdfOps.udafAggregator(orders(s, d))),
@@ -158,6 +162,7 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextOps.textLangid(documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(documents(s, d))),
     "text_tokens_regex" -> ((s, d) => TextOps.textTokensRegex(documents(s, d))),
+    "text_tfidf" -> ((s, d) => TextOps.textTfidf(documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.textFingerprint(documents(s, d))),
     // [EXT] dedup & similarity variants
     "dedup_simhash" -> ((s, d) => SimOps.dedupSimhash(documents(s, d))),
@@ -235,6 +240,11 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE substring(md5(l_orderkey || '|' || l_linenumber), 1, 1) = 'a'
          ORDER BY l_orderkey, l_linenumber""",
+    "sample_stratified" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+         WHERE ('0x' || substring(md5(l_orderkey || '|' || l_linenumber), 1, 15))::BIGINT % 100
+               < CASE l_returnflag WHEN 'A' THEN 10 WHEN 'N' THEN 5 ELSE 20 END
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
     "scan_parquet" ->
       """SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal
          FROM supplier WHERE s_acctbal > 0 ORDER BY s_suppkey""",
@@ -693,6 +703,19 @@ object SparkEntry {
                 wf AS (PARTITION BY p_brand ORDER BY p_size, p_partkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY p_partkey""",
+    "win_sessionize" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         g AS (SELECT user_id, event_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (SELECT user_id, event_id, ts_us,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM g)
+         SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts_us) AS start_us, max(ts_us) AS end_us, min(event_id) AS first_event
+         FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
     // the oracle PREDICTS the HLL sketch lands within 5% of exact: a
     // broken sketch implementation fails this row rather than hiding
     // behind a no-oracle marker
@@ -744,6 +767,18 @@ object SparkEntry {
                   FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2))
          SELECT o_orderkey, o_totalprice, load_id FROM u WHERE rn = 1
          ORDER BY o_orderkey""",
+    "sink_scd2" ->
+      """WITH l1 AS (SELECT o_orderkey, o_totalprice, 1 AS valid_from
+                     FROM orders WHERE o_orderkey % 2 = 0),
+            l2 AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+                          2 AS valid_from
+                     FROM orders WHERE o_orderkey % 3 = 0),
+            h AS (SELECT *, lead(valid_from) OVER
+                    (PARTITION BY o_orderkey ORDER BY valid_from) AS valid_to
+                  FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2))
+         SELECT o_orderkey, round(o_totalprice, 2) AS price,
+           valid_from, valid_to, valid_to IS NULL AS is_current
+         FROM h ORDER BY o_orderkey, valid_from""",
     // §2.9 streaming — oracles are the BATCH equivalents over the same
     // events table; matching them proves stream/batch equivalence.
     "stream_source" ->
@@ -790,6 +825,11 @@ object SparkEntry {
     "stream_sink" ->
       """SELECT event_type, count(*) AS n, count(*) AS n_stamped FROM events
          GROUP BY event_type ORDER BY event_type""",
+    // stream-static join vs the equivalent batch join (the dim covers
+    // every user, so the join is lossless)
+    "stream_join" ->
+      """SELECT user_id % 7 AS cohort, count(*) AS n
+         FROM events GROUP BY user_id % 7 ORDER BY cohort""",
     // §2.10 UDF / UDAF / UDTF
     "udf_scalar" ->
       """SELECT doc_id, source || '/' || lang AS record_key,
@@ -844,6 +884,18 @@ object SparkEntry {
          FROM (SELECT unnest(regexp_extract_all(lower(text),
                  '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token FROM documents)
          GROUP BY token ORDER BY token""",
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token
+                      FROM documents),
+         t AS (SELECT doc_id, token, count(*) AS tf FROM toks
+               WHERE token <> '' GROUP BY doc_id, token),
+         d AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+               WHERE token <> '' GROUP BY token),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+         SELECT t.doc_id, t.token, t.tf, d.df,
+           round(t.tf * ln((n.n_docs + 1)::DOUBLE / (d.df + 1)), 6) AS tfidf
+         FROM t JOIN d USING (token) CROSS JOIN n
+         ORDER BY doc_id, token""",
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id,
                  list_transform(str_split(text, ' '),

@@ -146,6 +146,25 @@ object RelationalOps {
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Stratified content-hash sample: per-stratum sampling RATES (10% of
+    * returns, 5% of 'N', 20% otherwise) over the same engine-portable md5
+    * basis as `sampleHash` — the downsample-the-majority-class shape of
+    * training-data curation, deterministic at any scale and partitioning.
+    * Map-side only: no shuffle, the filter streams through the scan.
+    */
+  def sampleStratified(lineitem: DataFrame): DataFrame = {
+    val bucket = conv(
+      substring(md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))), 1, 15),
+      16, 10).cast("long") % 100
+    val rate = when(col("l_returnflag") === "A", 10)
+      .when(col("l_returnflag") === "N", 5)
+      .otherwise(20)
+    lineitem
+      .filter(bucket < rate)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
   /** Dedicated parquet scan entry: typed columnar read with projection +
     * predicate reaching the scan (`PushedFilters`/`ReadSchema` — asserted
     * in PlanSpec). Every other query exercises this implicitly; this row

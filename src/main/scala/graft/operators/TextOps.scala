@@ -82,6 +82,30 @@ object TextOps {
       .agg(count(lit(1)).as("tf"))
       .orderBy("token")
 
+  /** TF-IDF weights per (document, term): term frequency and document
+    * frequency from two aggregations over one exploded token stream, the
+    * corpus size via a broadcast 1-row aggregate (a scalar subquery — no
+    * driver-side count), idf = ln((N+1)/(df+1)). The feature-weighting
+    * step of classic retrieval / quality pipelines; every stage is a
+    * partial+final hash aggregate on a compact key.
+    */
+  def textTfidf(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val ndocs = documents.agg(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(ndocs))
+      .select(
+        col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6)
+          .as("tfidf"))
+      .orderBy("doc_id", "token")
+  }
+
   /** 60-bit portable token hash: md5 is identical across engines, and 15
     * hex chars fit a signed 64-bit int exactly.
     */

@@ -125,6 +125,32 @@ object WindowOps {
       .orderBy("event_id")
   }
 
+  /** Batch sessionization: gap-based sessions (30 min) per user from two
+    * keyed windows — lag to flag session starts, running sum to number
+    * them — then one aggregation per (user, session). The batch twin of
+    * streaming session_window (StreamOps.streamSession): same semantics,
+    * same single shuffle on user_id, no state store. Timestamps surface as
+    * epoch-micros bigints (the engine-portable form for the compare).
+    */
+  def sessionize(events: DataFrame): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        min(col("event_id")).as("first_event"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** Top-k per group: 3 highest-value orders per customer. Keyed window +
     * rank filter — the per-group analogue of TakeOrderedAndProject (which
     * only exists for GLOBAL top-k). Tie-broken on the unique orderkey.

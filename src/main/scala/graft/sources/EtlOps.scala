@@ -289,6 +289,31 @@ object EtlOps {
       .orderBy("day")
   }
 
+  /** SCD2 history sink: instead of latest-wins (sinkUpsert), KEEP every
+    * version — each (key, load) becomes a row with `valid_from` = its
+    * load, `valid_to` = the next load that changed it (null while
+    * current). One `lead` window per key = one shuffle; the history table
+    * appends, never rewrites old versions — the audit-trail ingestion
+    * shape (README.md:28 updates + :27 timestamped raw history).
+    */
+  def sinkScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val load1 = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"), lit(1).as("valid_from"))
+    val load2 = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        lit(2).as("valid_from"))
+    val w = Window.partitionBy("o_orderkey").orderBy("valid_from")
+    val hist = load1.unionByName(load2)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+    val dir = freshDir(sfDir, "orders_scd2").toString
+    hist.write.mode(SaveMode.Overwrite).parquet(dir)
+    spark.read.parquet(dir).orderBy("o_orderkey", "valid_from")
+  }
+
   /** Idempotent re-ingestion (README.md:28 "updates"): two loads of
     * overlapping key ranges, upsert = latest load wins per natural key,
     * resolved by ONE keyed window — a single shuffle on the key, the only

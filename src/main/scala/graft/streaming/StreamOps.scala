@@ -239,6 +239,29 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  /** Stream-static join: the arriving event stream enriched against a
+    * BATCH dimension (user → cohort), then aggregated per cohort. The
+    * static side is broadcast per micro-batch — no stream-side shuffle for
+    * the join, no watermark needed (static dims are always "current").
+    * Oracle = the equivalent batch join: stream/batch equivalence is the
+    * correctness contract, as for every other streaming entry.
+    */
+  def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dim = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id")).distinct()
+      .withColumn("cohort", pmod(col("user_id"), lit(7)))
+    drain(
+      eventsStream(spark, sfDir)
+        .select(col("event_id"), col("user_id"))
+        .join(broadcast(dim), "user_id")
+        .groupBy(col("cohort"))
+        .count(),
+      "graft_stream_join", "complete")
+      .select(col("cohort"), col("count").as("n"))
+      .orderBy("cohort")
+  }
+
   /** Production sink shape: foreachBatch → append to the raw parquet table
     * with an ingestion timestamp (README.md:23, 28) — closes the loop back
     * to sink_raw_append. Output audits the STORED table: every row

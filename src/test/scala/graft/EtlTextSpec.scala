@@ -66,6 +66,23 @@ class EtlTextSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("sink_scd2: overlapping keys keep both versions, exactly one current per key") {
+    val hist = EtlOps.sinkScd2(spark, sf0001).cache()
+    // keys divisible by 6 are in both loads -> exactly 2 versions, the
+    // load-1 row closed by load 2, the load-2 row current
+    val overlap = hist.filter(col("o_orderkey") % 6 === 0)
+    assert(overlap.filter(col("valid_from") === 1 &&
+      (col("valid_to") =!= 2 || col("is_current"))).count() === 0)
+    assert(overlap.filter(col("valid_from") === 2 &&
+      (col("valid_to").isNotNull || !col("is_current"))).count() === 0)
+    // every key has exactly one current version
+    val badKeys = hist.groupBy("o_orderkey")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_cur"))
+      .filter(col("n_cur") =!= 1).count()
+    assert(badKeys === 0)
+    hist.unpersist()
+  }
+
   test("sink_raw_append accumulates: every key loaded exactly twice, all stamped") {
     val out = EtlOps.sinkRawAppend(spark, sf0001)
     val bad = out.filter(col("n_loads") =!= 2 || col("n_stamped") =!= 2).count()

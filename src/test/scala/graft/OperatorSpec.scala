@@ -110,6 +110,20 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("sessionize splits on >30min gaps and nowhere else") {
+    val us = 1000000L
+    val events = Seq(
+      // user 1: two events 10 min apart (one session), then a 31-min gap
+      (1L, 10L, 0L * us), (1L, 11L, 600L * us), (1L, 12L, (600L + 1860L) * us),
+      // user 2: single event
+      (2L, 20L, 0L * us))
+      .toDF("user_id", "event_id", "us")
+      .select(col("user_id"), col("event_id"), timestamp_micros(col("us")).as("ts"))
+    val out = WindowOps.sessionize(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
   // ---- §2.5 windows ----
 
   test("win_topk_per_group emits at most k rows per group, ranked desc") {
