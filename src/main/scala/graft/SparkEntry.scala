@@ -30,6 +30,7 @@ object SparkEntry {
     "filter_pred" -> ((s, d) => RelationalOps.filterPred(orders(s, d))),
     "null_clean" -> ((s, d) => RelationalOps.nullClean(customer(s, d))),
     "cast_types" -> ((s, d) => RelationalOps.castTypes(lineitem(s, d))),
+    "cast_safe" -> ((s, d) => RelationalOps.castSafe(orders(s, d))),
     "flatten_nested" -> ((s, d) => RelationalOps.flattenNested(orders(s, d))),
     "distinct" -> ((s, d) => RelationalOps.distinctPairs(lineitem(s, d))),
     "sample" -> ((s, d) => RelationalOps.sample(lineitem(s, d))),
@@ -154,6 +155,7 @@ object SparkEntry {
     "stream_stateful_v2" -> ((s, d) => StreamOps.streamStatefulV2(s, d)),
     "stream_sink" -> ((s, d) => StreamOps.streamSink(s, d)),
     "stream_join" -> ((s, d) => StreamOps.streamJoin(s, d)),
+    "stream_stream_join" -> ((s, d) => StreamOps.streamStreamJoin(s, d)),
     // §2.10 UDF / UDAF / UDTF extension surface
     "udf_scalar" -> ((s, d) => UdfOps.udfScalar(documents(s, d))),
     "udaf_aggregator" -> ((s, d) => UdfOps.udafAggregator(orders(s, d))),
@@ -226,6 +228,15 @@ object SparkEntry {
          CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day,
          CAST(epoch(l_shipdate) AS BIGINT) AS ship_epoch
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "cast_safe" ->
+      """WITH r AS (SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'N/A'
+                  ELSE CAST(o_custkey AS VARCHAR) END AS custkey_raw
+           FROM orders)
+         SELECT o_orderkey,
+           TRY_CAST(custkey_raw AS BIGINT) AS custkey_typed,
+           TRY_CAST(custkey_raw AS BIGINT) IS NOT NULL AS valid
+         FROM r ORDER BY o_orderkey""",
     "flatten_nested" ->
       """SELECT o_orderkey, o_custkey AS cust, o_totalprice AS total,
          o_orderstatus AS status
@@ -830,6 +841,16 @@ object SparkEntry {
     "stream_join" ->
       """SELECT user_id % 7 AS cohort, count(*) AS n
          FROM events GROUP BY user_id % 7 ORDER BY cohort""",
+    // stream-stream interval join vs the equivalent batch join; epoch_us
+    // floors DuckDB's native nanos to Spark's microsecond truncation
+    "stream_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+          AND epoch_us(c.ts) <= epoch_us(p.ts)
+         ORDER BY p.user_id, purchase_id, click_id""",
     // §2.10 UDF / UDAF / UDTF
     "udf_scalar" ->
       """SELECT doc_id, source || '/' || lang AS record_key,

@@ -146,6 +146,24 @@ object RelationalOps {
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Validation casts (README.md:32 "clean or reformat" under dirty
+    * input): `try_cast` turns unparseable strings into null instead of a
+    * job-killing ANSI error — the row-level quarantine for TYPE errors,
+    * as scan_json_corrupt is for PARSE errors. Corruption is deterministic
+    * (every 7th key) so the null routing is oracle-checkable.
+    */
+  def castSafe(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit("N/A"))
+          .otherwise(col("o_custkey").cast("string")).as("custkey_raw"))
+      .select(
+        col("o_orderkey"),
+        expr("try_cast(custkey_raw AS BIGINT)").as("custkey_typed"),
+        expr("try_cast(custkey_raw AS BIGINT)").isNotNull.as("valid"))
+      .orderBy("o_orderkey")
+
   /** Stratified content-hash sample: per-stratum sampling RATES (10% of
     * returns, 5% of 'N', 20% otherwise) over the same engine-portable md5
     * basis as `sampleHash` — the downsample-the-majority-class shape of

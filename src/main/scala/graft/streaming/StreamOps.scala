@@ -262,6 +262,35 @@ object StreamOps {
       .orderBy("cohort")
   }
 
+  /** Stream-STREAM interval join (attribution shape): purchases joined to
+    * the same user's clicks from the preceding 30 minutes. Both sides are
+    * independent streams with watermarks; the time-range condition is what
+    * lets Spark bound the join state (clicks older than the watermark +
+    * range are evicted — without it, state grows forever). Inner join in
+    * append mode: once both streams drain, the result equals the batch
+    * join, which is the oracle.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val purchases = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    drain(
+      purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts")),
+      "graft_stream_stream_join", "append")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
   /** Production sink shape: foreachBatch → append to the raw parquet table
     * with an ingestion timestamp (README.md:23, 28) — closes the loop back
     * to sink_raw_append. Output audits the STORED table: every row
