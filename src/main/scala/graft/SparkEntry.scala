@@ -70,6 +70,7 @@ object SparkEntry {
     "agg_percentile_approx" -> ((s, d) => AggOps.aggPercentileApprox(lineitem(s, d))),
     "agg_stats" -> ((s, d) => AggOps.aggStats(lineitem(s, d))),
     "agg_median" -> ((s, d) => AggOps.aggMedian(lineitem(s, d))),
+    "agg_mode" -> ((s, d) => AggOps.aggMode(lineitem(s, d))),
     // Array columns stringified at the query boundary: the driver's pandas
     // compare can't hash ndarray cells. AggOps.aggCollect keeps true arrays.
     "agg_collect" -> ((s, d) =>
@@ -121,6 +122,7 @@ object SparkEntry {
     // §2.11 [EXT] LLM-data-pipeline operators
     "dedup_exact" -> ((s, d) => LlmOps.dedupExact(documents(s, d))),
     "dedup_near" -> ((s, d) => LlmOps.dedupNear(documents(s, d))),
+    "dedup_clusters" -> ((s, d) => LlmOps.dedupClusters(documents(s, d))),
     "sim_topk" -> ((s, d) => LlmOps.simTopk(embeddings(s, d))),
     "sim_join" -> ((s, d) => LlmOps.simJoin(embeddings(s, d))),
     "text_tokens" -> ((s, d) => LlmOps.textTokens(documents(s, d))),
@@ -177,6 +179,29 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Shared CTE chain reproducing the MinHash/LSH candidate+verify
+    * pipeline in DuckDB — used by both dedup_near (the pair list) and
+    * dedup_clusters (label propagation over those pairs).
+    */
+  private val nearDupCte: String =
+    """WITH t AS (SELECT doc_id, str_split(text,' ') AS toks FROM documents),
+       s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+              for i in range(1, greatest(len(toks)-1, 2))]) AS sh FROM t),
+       m0 AS (SELECT doc_id, sh, [list_transform(sh, x -> md5(p::VARCHAR || '|' || x))
+               for p in range(0, 16)] AS mhs FROM s),
+       m AS (SELECT doc_id, sh,
+               flatten([[list_min(list_transform(hs, h -> substring(h, 1, 16))),
+                         list_min(list_transform(hs, h -> substring(h, 17, 16)))]
+                        for hs in mhs]) AS mh FROM m0),
+       b AS (SELECT doc_id, r.b AS band, md5(array_to_string(mh[r.b*4+1 : r.b*4+4], '|')) AS sig
+             FROM m CROSS JOIN (SELECT unnest(range(0,8)) AS b) r),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+                FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id),
+       j AS (SELECT doc_a, doc_b,
+               len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+             FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)"""
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -634,25 +659,30 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
     "dedup_near" ->
-      """WITH t AS (SELECT doc_id, str_split(text,' ') AS toks FROM documents),
-         s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
-                for i in range(1, greatest(len(toks)-1, 2))]) AS sh FROM t),
-         m0 AS (SELECT doc_id, sh, [list_transform(sh, x -> md5(p::VARCHAR || '|' || x))
-                 for p in range(0, 16)] AS mhs FROM s),
-         m AS (SELECT doc_id, sh,
-                 flatten([[list_min(list_transform(hs, h -> substring(h, 1, 16))),
-                           list_min(list_transform(hs, h -> substring(h, 17, 16)))]
-                          for hs in mhs]) AS mh FROM m0),
-         b AS (SELECT doc_id, r.b AS band, md5(array_to_string(mh[r.b*4+1 : r.b*4+4], '|')) AS sig
-               FROM m CROSS JOIN (SELECT unnest(range(0,8)) AS b) r),
-         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-                  FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id),
-         j AS (SELECT doc_a, doc_b,
-                 len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-                 (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
-               FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)
+      s"""$nearDupCte
          SELECT doc_a, doc_b, round(jac, 6) AS jac FROM j
          WHERE round(jac, 6) >= 0.6 ORDER BY doc_a, doc_b""",
+    // same pipeline, then 3 unrolled min-label propagation rounds — the
+    // exact mirror of LlmOps.dedupClusters' iteration
+    "dedup_clusters" ->
+      s"""$nearDupCte,
+         pairs AS (SELECT doc_a, doc_b FROM j WHERE round(jac, 6) >= 0.6),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+         l1 AS (SELECT id, min(label) AS label FROM (
+                  SELECT id, label FROM l0 UNION ALL
+                  SELECT e.dst AS id, l.label AS label
+                  FROM edges e JOIN l0 l ON l.id = e.src) GROUP BY id),
+         l2 AS (SELECT id, min(label) AS label FROM (
+                  SELECT id, label FROM l1 UNION ALL
+                  SELECT e.dst AS id, l.label AS label
+                  FROM edges e JOIN l1 l ON l.id = e.src) GROUP BY id),
+         l3 AS (SELECT id, min(label) AS label FROM (
+                  SELECT id, label FROM l2 UNION ALL
+                  SELECT e.dst AS id, l.label AS label
+                  FROM edges e JOIN l2 l ON l.id = e.src) GROUP BY id)
+         SELECT id AS doc_id, label AS cluster_rep FROM l3 ORDER BY doc_id""",
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
@@ -735,6 +765,14 @@ object SparkEntry {
          count(DISTINCT l_partkey) AS n_exact,
          true AS approx_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS mode_n
+                    FROM lineitem GROUP BY l_returnflag, l_quantity),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY l_returnflag ORDER BY mode_n DESC, l_quantity) AS rn
+               FROM c)
+         SELECT l_returnflag, l_quantity AS mode_qty, mode_n
+         FROM r WHERE rn = 1 ORDER BY l_returnflag""",
     "agg_median" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation surface — SURVEY.md §2.4. Grounded in the reference's audit
@@ -65,6 +66,24 @@ object AggOps {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
+
+  /** Mode (most frequent value) per group: count per (group, value), then
+    * rank-1 by (count desc, value asc) — the deterministic argmax shape
+    * (a bare `mode()` has engine-defined tie behavior; the explicit
+    * tie-break makes it portable). Two shuffles: the count and the keyed
+    * window.
+    */
+  def aggMode(lineitem: DataFrame): DataFrame = {
+    val counts = lineitem
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("mode_n"))
+    val w = Window.partitionBy("l_returnflag").orderBy(desc("mode_n"), asc("l_quantity"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("mode_n"))
+      .orderBy("l_returnflag")
+  }
 
   /** The oracle-CHECKED form of the HLL++ sketch: computes approx and
     * exact side by side and exports the exact count plus a within-5%

@@ -113,6 +113,36 @@ object LlmOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup CLUSTER resolution: the LSH pairs from `dedupNear` turned
+    * into canonical groups by 3 rounds of min-label propagation over the
+    * pair graph (each round: every node adopts the smallest label among
+    * itself and its neighbors — one equi-join + one min-aggregate, both
+    * shuffling on compact int keys). Three rounds resolve components of
+    * diameter ≤ 3; near-dup clusters are overwhelmingly cliques or short
+    * chains (a 25-pair corpus resolves fully), and the iteration count is
+    * the documented knob for deeper graphs. The pair list is cached — the
+    * one legitimate cache in the engine: iterative graph algorithms reuse
+    * their edge list by definition (GraphX does the same), and NOT caching
+    * would re-run the whole MinHash pipeline once per round.
+    */
+  def dedupClusters(documents: DataFrame): DataFrame = {
+    val pairs = dedupNear(documents).select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    for (_ <- 1 to 3) {
+      val nbr = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      labels = labels.unionByName(nbr)
+        .groupBy("id").agg(min(col("label")).as("label"))
+    }
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
   private def toVec(c: Column): Column = c.cast("array<double>")
 
   /** Codegen'd native dot product (graft.plans.VectorDot) — index-order

@@ -62,6 +62,22 @@ class LlmSpec extends SparkTestBase {
     assert(out.filter(col("probe_id") === col("vec_id")).count() === 0)
   }
 
+  test("dedup_clusters: every pair shares a rep, reps are fixpoints") {
+    val docs = Tables.documents(spark, sf0001)
+    val labels = LlmOps.dedupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    // rep is the component minimum: never above the member id
+    labels.foreach { case (id, rep) => assert(rep <= id, s"$id -> $rep") }
+    // reps are fixpoints: a rep's own rep is itself
+    labels.values.foreach { rep => assert(labels(rep) === rep) }
+    // both endpoints of every near-dup pair resolve to the same rep
+    LlmOps.dedupNear(docs).select("doc_a", "doc_b").collect().foreach { r =>
+      assert(labels(r.getLong(0)) === labels(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) split across clusters")
+    }
+  }
+
   test("sim_join_bucketed: pair hygiene + recall >= 0.5 vs exact kNN on real data") {
     val e = Tables.embeddings(spark, sf0001)
     val bucketed = graft.operators.SimOps.simJoinBucketed(e).cache()
