@@ -110,6 +110,31 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("sessionize property: intra-session gaps <= 30min, inter-session gaps > 30min, no event lost") {
+    val us = 1000000L
+    // random per-user gap sequences straddling the 30-min boundary
+    val gapsGen = Gen.nonEmptyListOf(Gen.oneOf(60L, 900L, 1799L, 1801L, 3600L))
+    check(Prop.forAll(gapsGen) { gaps: List[Long] =>
+      val times = gaps.scanLeft(0L)((acc, g) => acc + g * us)
+      val events = times.zipWithIndex
+        .map { case (t, i) => (1L, (i + 1).toLong, t) }
+        .toDF("user_id", "event_id", "t")
+        .select(col("user_id"), col("event_id"), timestamp_micros(col("t")).as("ts"))
+      // columns: user_id, session_seq, n_events, start_us, end_us, first_event
+      val sessions = WindowOps.sessionize(events).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1) // (seq, n, start, end)
+      val expectedSessions = 1 + gaps.count(_ > 1800L)
+      val allEvents = sessions.map(_._2).sum
+      // sessions tile the timeline: next start > previous end by > 30 min
+      val gapsOk = sessions.sliding(2).forall {
+        case Array((_, _, _, e1), (_, _, s2, _)) => s2 - e1 > 1800L * us
+        case _ => true
+      }
+      sessions.length == expectedSessions && allEvents == times.length && gapsOk
+    })
+  }
+
   test("sessionize splits on >30min gaps and nowhere else") {
     val us = 1000000L
     val events = Seq(

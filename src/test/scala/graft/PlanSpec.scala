@@ -47,6 +47,20 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to full sort:\n$p")
   }
 
+  test("sample_stratified: the md5-bucket filter reaches the scan (map-side, no shuffle before sort)") {
+    val p = plan(RelationalOps.sampleStratified(lineitem(spark, sf0001)))
+    assert(p.contains("DataFilters: [("), s"stratified filter not pushed to the scan node:\n$p")
+    // the only exchange is the final presentation sort
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"stratified sampling should not shuffle data:\n$p")
+  }
+
+  test("sessionize: both keyed windows share ONE user_id exchange") {
+    val p = plan(WindowOps.sessionize(events(spark, sf0001)))
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(hashEx === 1, s"lag + running-sum windows must reuse one shuffle:\n$p")
+  }
+
   test("source_api_v2 scans through the custom DSv2 source (BatchScan, one partition per page)") {
     val df = graft.sources.EtlOps.sourceApiV2(spark, sf0001)
     val p = plan(df)
