@@ -92,6 +92,7 @@ object SparkEntry {
     "win_topk_per_group" -> ((s, d) => WindowOps.topkPerGroup(orders(s, d))),
     "win_value_fns" -> ((s, d) => WindowOps.valueFns(part(s, d))),
     "win_sessionize" -> ((s, d) => WindowOps.sessionize(events(s, d))),
+    "win_gap_fill" -> ((s, d) => WindowOps.gapFill(events(s, d))),
     // §2.6 sorts / limits / top-k
     "sort" -> ((s, d) => SortSetOps.sortGlobal(orders(s, d))),
     "limit" -> ((s, d) => SortSetOps.limitPage(orders(s, d))),
@@ -144,6 +145,7 @@ object SparkEntry {
     "sink_raw_append" -> ((s, d) => EtlOps.sinkRawAppend(s, d)),
     "sink_upsert" -> ((s, d) => EtlOps.sinkUpsert(s, d)),
     "sink_scd2" -> ((s, d) => EtlOps.sinkScd2(s, d)),
+    "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
     "sink_partitioned" -> ((s, d) => EtlOps.sinkPartitioned(s, d)),
     // §2.9 streaming (Structured Streaming drained through a memory sink;
     // deterministic results are oracle-paired = batch-equivalence check)
@@ -757,6 +759,15 @@ object SparkEntry {
          SELECT user_id, session_seq, count(*) AS n_events,
            min(ts_us) AS start_us, max(ts_us) AS end_us, min(event_id) AS first_event
          FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+    "win_gap_fill" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_id % 3 = 0 THEN round(value, 4) END AS v_sparse
+           FROM events)
+         SELECT user_id, event_id, v_sparse,
+           last_value(v_sparse IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS UNBOUNDED PRECEDING) AS v_filled
+         FROM b ORDER BY user_id, event_id""",
     // the oracle PREDICTS the HLL sketch lands within 5% of exact: a
     // broken sketch implementation fails this row rather than hiding
     // behind a no-oracle marker
@@ -828,6 +839,14 @@ object SparkEntry {
          SELECT o_orderkey, round(o_totalprice, 2) AS price,
            valid_from, valid_to, valid_to IS NULL AS is_current
          FROM h ORDER BY o_orderkey, valid_from""",
+    // compaction must be data-invisible; integer-cents sum keeps the
+    // audit associative (double sums depend on partition order)
+    "sink_compact" ->
+      """SELECT count(*) AS n_rows,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+         true AS compacted
+         FROM orders""",
     // §2.9 streaming — oracles are the BATCH equivalents over the same
     // events table; matching them proves stream/batch equivalence.
     "stream_source" ->

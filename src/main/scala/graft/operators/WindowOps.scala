@@ -151,6 +151,24 @@ object WindowOps {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Forward-fill over a sparse time series (`last` with ignoreNulls in a
+    * running frame): every 3rd event carries a reading, the rest inherit
+    * the most recent one per user — the gap-fill step of sensor/metric
+    * pipelines. Leading nulls (before a user's first reading) stay null.
+    * Values are rounded BEFORE filling so fills propagate exact values.
+    */
+  def gapFill(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(
+        col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        when(col("event_id") % 3 === 0, round(col("value"), 4)).as("v_sparse"))
+      .withColumn("v_filled", last(col("v_sparse"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"), col("v_sparse"), col("v_filled"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Top-k per group: 3 highest-value orders per customer. Keyed window +
     * rank filter — the per-group analogue of TakeOrderedAndProject (which
     * only exists for GLOBAL top-k). Tie-broken on the unique orderkey.

@@ -289,6 +289,36 @@ object EtlOps {
       .orderBy("day")
   }
 
+  /** Small-files compaction — the standing maintenance job of any
+    * append-heavy raw table (thousands of per-micro-batch files destroy
+    * scan parallelism bookkeeping and NameNode/listing budgets at 100 TB).
+    * Simulates a fragmented table (64 tiny files), rewrites it at a target
+    * partition count, and audits that the data survived bit-exactly
+    * (integer-cents sum — double summation order is engine- and
+    * partitioning-dependent, so the audit uses an associative integer
+    * sum). File-count invariants live in the spec; the oracle checks the
+    * data.
+    */
+  def sinkCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val frag = freshDir(sfDir, "orders_frag").toString
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartition(64)
+      .write.mode(SaveMode.Overwrite).parquet(frag)
+    val compact = freshDir(sfDir, "orders_compact").toString
+    spark.read.parquet(frag)
+      .repartition(4)
+      .write.mode(SaveMode.Overwrite).parquet(compact)
+    val files = Option(new java.io.File(compact).listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet"))
+    spark.read.parquet(compact)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))
+      .withColumn("compacted", lit(files <= 4))
+  }
+
   /** SCD2 history sink: instead of latest-wins (sinkUpsert), KEEP every
     * version — each (key, load) becomes a row with `valid_from` = its
     * load, `valid_to` = the next load that changed it (null while

@@ -66,6 +66,20 @@ class EtlTextSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("sink_compact: fragments collapse to <= 4 files, data intact") {
+    val row = EtlOps.sinkCompact(spark, sf0001).collect()(0)
+    assert(row.getBoolean(3), "compacted flag false: output file count above target")
+    val expected = spark.read.parquet(s"$sf0001/orders.parquet").count()
+    assert(row.getLong(0) === expected, "compaction lost or duplicated rows")
+    def parquetFiles(tag: String): Int = {
+      val key = sf0001.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_etl/$key/$tag")
+      Option(dir.listFiles()).getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    }
+    assert(parquetFiles("orders_frag") > 16, "fragmented input not actually fragmented")
+    assert(parquetFiles("orders_compact") <= 4)
+  }
+
   test("sink_scd2: overlapping keys keep both versions, exactly one current per key") {
     val hist = EtlOps.sinkScd2(spark, sf0001).cache()
     // keys divisible by 6 are in both loads -> exactly 2 versions, the
