@@ -71,6 +71,7 @@ object SparkEntry {
     "agg_stats" -> ((s, d) => AggOps.aggStats(lineitem(s, d))),
     "agg_median" -> ((s, d) => AggOps.aggMedian(lineitem(s, d))),
     "agg_mode" -> ((s, d) => AggOps.aggMode(lineitem(s, d))),
+    "agg_corr" -> ((s, d) => AggOps.aggCorr(lineitem(s, d))),
     // Array columns stringified at the query boundary: the driver's pandas
     // compare can't hash ndarray cells. AggOps.aggCollect keeps true arrays.
     "agg_collect" -> ((s, d) =>
@@ -120,6 +121,7 @@ object SparkEntry {
         .withColumn("vs", array_join(col("vs"), ","))),
     "fn_json" -> ((s, d) => FuncOps.jsonFns(events(s, d))),
     "fn_hash" -> ((s, d) => FuncOps.hashFns(documents(s, d))),
+    "fn_fuzzy" -> ((s, d) => FuncOps.fuzzyFns(documents(s, d))),
     // §2.11 [EXT] LLM-data-pipeline operators
     "dedup_exact" -> ((s, d) => LlmOps.dedupExact(documents(s, d))),
     "dedup_near" -> ((s, d) => LlmOps.dedupNear(documents(s, d))),
@@ -146,6 +148,7 @@ object SparkEntry {
     "sink_upsert" -> ((s, d) => EtlOps.sinkUpsert(s, d)),
     "sink_scd2" -> ((s, d) => EtlOps.sinkScd2(s, d)),
     "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
+    "sink_incremental" -> ((s, d) => EtlOps.sinkIncremental(s, d)),
     "sink_partitioned" -> ((s, d) => EtlOps.sinkPartitioned(s, d)),
     // §2.9 streaming (Structured Streaming drained through a memory sink;
     // deterministic results are oracle-paired = batch-equivalence check)
@@ -656,6 +659,13 @@ object SparkEntry {
     "fn_hash" ->
       """SELECT doc_id, sha256(text) AS sha, md5(text) AS mdfive
          FROM documents ORDER BY doc_id""",
+    "fn_fuzzy" ->
+      """WITH p AS (SELECT doc_id, substring(text, 1, 15) AS prefix FROM documents)
+         SELECT doc_id, prefix,
+           CAST(levenshtein(prefix, 'the quick brown') AS INTEGER) AS edit_dist,
+           round(1.0 - levenshtein(prefix, 'the quick brown')::DOUBLE /
+                 greatest(length(prefix), 15), 6) AS similarity
+         FROM p ORDER BY doc_id""",
     // §2.11 [EXT] LLM-data-pipeline operators
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -776,6 +786,13 @@ object SparkEntry {
          count(DISTINCT l_partkey) AS n_exact,
          true AS approx_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_corr" ->
+      """SELECT l_returnflag,
+         round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+         round(covar_samp(l_quantity, l_extendedprice), 4) AS qp_covar,
+         round(covar_pop(l_quantity, l_extendedprice), 4) AS qp_covar_pop,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_mode" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS mode_n
                     FROM lineitem GROUP BY l_returnflag, l_quantity),
@@ -847,6 +864,13 @@ object SparkEntry {
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
          true AS compacted
          FROM orders""",
+    // idempotent incremental ingest: every key lands exactly once with
+    // its first-load price
+    "sink_incremental" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price,
+         CAST(1 AS BIGINT) AS n_copies
+         FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+         ORDER BY o_orderkey""",
     // §2.9 streaming — oracles are the BATCH equivalents over the same
     // events table; matching them proves stream/batch equivalence.
     "stream_source" ->

@@ -105,6 +105,24 @@ object FuncOps {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy string matching: Levenshtein edit distance of each document's
+    * prefix against a probe phrase, plus a normalized similarity — the
+    * approximate-match step of entity resolution / dirty-key joins.
+    */
+  def fuzzyFns(documents: DataFrame): DataFrame = {
+    val probe = "the quick brown"
+    val prefix = substring(col("text"), 1, 15)
+    val dist = levenshtein(prefix, lit(probe))
+    documents
+      .select(
+        col("doc_id"),
+        prefix.as("prefix"),
+        dist.as("edit_dist"),
+        round(lit(1.0) - dist.cast("double") / greatest(length(prefix), lit(probe.length)), 6)
+          .as("similarity"))
+      .orderBy("doc_id")
+  }
+
   /** Map family: dynamic key→value JSON objects as MapType. Keys/values
     * extracted to arrays/scalars for the compare (map column layouts are
     * engine-specific).

@@ -67,6 +67,20 @@ object AggOps {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Bivariate statistics per group: correlation + sample/population
+    * covariance of quantity vs price — single-pass co-moment aggregates
+    * (the same merge-formula family as stddev/variance).
+    */
+  def aggCorr(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qp_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qp_covar"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("qp_covar_pop"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Mode (most frequent value) per group: count per (group, value), then
     * rank-1 by (count desc, value asc) — the deterministic argmax shape
     * (a bare `mode()` has engine-defined tie behavior; the explicit

@@ -289,6 +289,30 @@ object EtlOps {
       .orderBy("day")
   }
 
+  /** Incremental (idempotent) ingestion via anti-join: a re-run ingests
+    * ONLY keys the sink has never seen (left_anti against the sink's key
+    * set) — the reference's "re-run without duplicating" mandate
+    * (README.md:28, 98–99) done the way that scales: one shuffle on the
+    * natural key, no per-row lookups. Overlapping second load (keys %2 ∩
+    * %3) must land exactly once; the audit projects per-key copy counts.
+    */
+  def sinkIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val sink = freshDir(sfDir, "orders_incr").toString
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode(SaveMode.Append).parquet(sink)
+    val load2 = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val seen = spark.read.parquet(sink).select("o_orderkey")
+    load2.join(seen, Seq("o_orderkey"), "left_anti")
+      .write.mode(SaveMode.Append).parquet(sink)
+    spark.read.parquet(sink)
+      .groupBy(col("o_orderkey"))
+      .agg(round(min(col("o_totalprice")), 2).as("price"), count(lit(1)).as("n_copies"))
+      .orderBy("o_orderkey")
+  }
+
   /** Small-files compaction — the standing maintenance job of any
     * append-heavy raw table (thousands of per-micro-batch files destroy
     * scan parallelism bookkeeping and NameNode/listing budgets at 100 TB).
