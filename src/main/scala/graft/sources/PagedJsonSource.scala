@@ -93,10 +93,13 @@ private[sources] class PageReader(pageDir: String) extends PartitionReader[Inter
     if (!lines.hasNext) false
     else {
       val node = mapper.readTree(lines.next())
+      // missing fields surface as null, matching the built-in JSON reader
+      def longOrNull(f: String): Any =
+        Option(node.get(f)).map(_.asLong(): Any).orNull
+      def strOrNull(f: String): Any =
+        Option(node.get(f)).map(n => UTF8String.fromString(n.asText()): Any).orNull
       current = InternalRow(
-        node.get("event_id").asLong(),
-        UTF8String.fromString(node.get("event_type").asText()),
-        node.get("user_id").asLong())
+        longOrNull("event_id"), strOrNull("event_type"), longOrNull("user_id"))
       true
     }
 
