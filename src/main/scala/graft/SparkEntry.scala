@@ -61,6 +61,7 @@ object SparkEntry {
         supplier(s, d), nation(s, d), region(s, d))),
     "q10_returned_items" -> ((s, d) =>
       AuditQueries.q10ReturnedItems(customer(s, d), orders(s, d), lineitem(s, d), nation(s, d))),
+    "q6_sql_revenue" -> ((s, d) => AuditQueries.q6SqlRevenue(s, lineitem(s, d))),
     // §2.4 aggregations
     "agg_hash" -> ((s, d) => AggOps.aggHash(orders(s, d))),
     "agg_global" -> ((s, d) => AggOps.aggGlobal(lineitem(s, d))),
@@ -408,6 +409,14 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY c_custkey, c_name, n_name
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q6_sql_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+         count(*) AS n_rows
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
     "join_bucketed" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
          round(sum(o_totalprice), 2) AS sum_price

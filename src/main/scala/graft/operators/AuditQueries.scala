@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Composite audit queries — multi-operator pipelines in the TPC-H Q3/Q5/
@@ -74,4 +74,22 @@ object AuditQueries {
         count(lit(1)).as("n_items"))
       .orderBy(desc("revenue"), asc("c_custkey"))
       .limit(20)
+
+  /** Q6 shape through the SQL ENTRY POINT: registered temp view +
+    * `spark.sql(...)` — proving the textual surface compiles to the same
+    * Catalyst plans as the DataFrame API (same pushdown, same partial
+    * aggregation). The only `spark.sql` query entry; everything else
+    * declares plans via the typed API.
+    */
+  def q6SqlRevenue(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                count(*) AS n_rows
+         FROM lineitem_v
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""")
+  }
 }
