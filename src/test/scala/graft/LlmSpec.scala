@@ -62,6 +62,18 @@ class LlmSpec extends SparkTestBase {
     assert(out.filter(col("probe_id") === col("vec_id")).count() === 0)
   }
 
+  test("dedup/similarity pipelines survive an empty corpus (no crash, empty typed output)") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(LlmOps.dedupNear(emptyDocs).count() === 0)
+    assert(LlmOps.dedupClusters(emptyDocs).count() === 0)
+    assert(graft.operators.SimOps.dedupSimhash(emptyDocs).count() === 0)
+    assert(graft.operators.SimOps.dedupNgramJaccard(emptyDocs).count() === 0)
+    assert(graft.operators.SimOps.dedupEmbedding(emptyVecs).count() === 0)
+    assert(graft.operators.SimOps.simJoinBucketed(emptyVecs).count() === 0)
+    assert(LlmOps.textTokens(emptyDocs).count() === 0)
+  }
+
   test("dedup_clusters: every pair shares a rep, reps are fixpoints") {
     val docs = Tables.documents(spark, sf0001)
     val labels = LlmOps.dedupClusters(docs).collect()
