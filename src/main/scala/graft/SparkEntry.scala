@@ -62,6 +62,7 @@ object SparkEntry {
     "q10_returned_items" -> ((s, d) =>
       AuditQueries.q10ReturnedItems(customer(s, d), orders(s, d), lineitem(s, d), nation(s, d))),
     "q6_sql_revenue" -> ((s, d) => AuditQueries.q6SqlRevenue(s, lineitem(s, d))),
+    "q_funnel" -> ((s, d) => AuditQueries.qFunnel(events(s, d))),
     // §2.4 aggregations
     "agg_hash" -> ((s, d) => AggOps.aggHash(orders(s, d))),
     "agg_global" -> ((s, d) => AggOps.aggGlobal(lineitem(s, d))),
@@ -73,6 +74,7 @@ object SparkEntry {
     "agg_median" -> ((s, d) => AggOps.aggMedian(lineitem(s, d))),
     "agg_mode" -> ((s, d) => AggOps.aggMode(lineitem(s, d))),
     "agg_corr" -> ((s, d) => AggOps.aggCorr(lineitem(s, d))),
+    "agg_histogram" -> ((s, d) => AggOps.aggHistogram(lineitem(s, d))),
     // Array columns stringified at the query boundary: the driver's pandas
     // compare can't hash ndarray cells. AggOps.aggCollect keeps true arrays.
     "agg_collect" -> ((s, d) =>
@@ -95,6 +97,7 @@ object SparkEntry {
     "win_value_fns" -> ((s, d) => WindowOps.valueFns(part(s, d))),
     "win_sessionize" -> ((s, d) => WindowOps.sessionize(events(s, d))),
     "win_gap_fill" -> ((s, d) => WindowOps.gapFill(events(s, d))),
+    "win_pct_change" -> ((s, d) => WindowOps.pctChange(events(s, d))),
     // §2.6 sorts / limits / top-k
     "sort" -> ((s, d) => SortSetOps.sortGlobal(orders(s, d))),
     "limit" -> ((s, d) => SortSetOps.limitPage(orders(s, d))),
@@ -145,6 +148,7 @@ object SparkEntry {
     "source_api_retry" -> ((s, d) => EtlOps.sourceApiRetry(s, d)),
     "source_api_v2" -> ((s, d) => EtlOps.sourceApiV2(s, d)),
     "scan_json_corrupt" -> ((s, d) => EtlOps.scanJsonCorrupt(s, d)),
+    "scan_merge_schema" -> ((s, d) => EtlOps.scanMergeSchema(s, d)),
     "sink_raw_append" -> ((s, d) => EtlOps.sinkRawAppend(s, d)),
     "sink_upsert" -> ((s, d) => EtlOps.sinkUpsert(s, d)),
     "sink_scd2" -> ((s, d) => EtlOps.sinkScd2(s, d)),
@@ -409,6 +413,16 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY c_custkey, c_name, n_name
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_funnel" ->
+      """WITH f AS (SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+             min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+           FROM events GROUP BY user_id)
+         SELECT user_id, t_signup, t_click, t_purchase,
+           (t_signup IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+            AND t_signup < t_click AND t_click < t_purchase) AS completed_funnel
+         FROM f ORDER BY user_id""",
     "q6_sql_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
          count(*) AS n_rows
@@ -778,6 +792,16 @@ object SparkEntry {
          SELECT user_id, session_seq, count(*) AS n_events,
            min(ts_us) AS start_us, max(ts_us) AS end_us, min(event_id) AS first_event
          FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+    "win_pct_change" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             round(value, 4) AS v FROM events),
+         l AS (SELECT user_id, event_id, v, lag(v) OVER
+             (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_v
+           FROM b)
+         SELECT user_id, event_id, v,
+           round(v - prev_v, 4) AS delta,
+           round((v - prev_v) / abs(prev_v) * 100, 4) AS pct_change
+         FROM l ORDER BY user_id, event_id""",
     "win_gap_fill" ->
       """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
              CASE WHEN event_id % 3 = 0 THEN round(value, 4) END AS v_sparse
@@ -795,6 +819,13 @@ object SparkEntry {
          count(DISTINCT l_partkey) AS n_exact,
          true AS approx_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_histogram" ->
+      """SELECT l_returnflag,
+         CAST(floor(l_quantity / 10) AS INTEGER) AS bucket,
+         CAST(floor(l_quantity / 10) * 10 AS INTEGER) AS lo,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, bucket, lo
+         ORDER BY l_returnflag, bucket""",
     "agg_corr" ->
       """SELECT l_returnflag,
          round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
@@ -873,6 +904,11 @@ object SparkEntry {
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
          true AS compacted
          FROM orders""",
+    "scan_merge_schema" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price,
+         CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus,
+         o_orderkey % 2 = 0 AS pre_evolution
+         FROM orders ORDER BY o_orderkey""",
     // idempotent incremental ingest: every key lands exactly once with
     // its first-load price
     "sink_incremental" ->

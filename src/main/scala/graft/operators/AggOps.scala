@@ -67,6 +67,20 @@ object AggOps {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Histogram: fixed-width value buckets per group — the distribution-
+    * shape aggregate (bucket arithmetic is map-side; one partial+final
+    * count per (group, bucket)).
+    */
+  def aggHistogram(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(
+        col("l_returnflag"),
+        floor(col("l_quantity") / 10).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", (col("bucket") * 10).cast("int"))
+      .select(col("l_returnflag"), col("bucket"), col("lo"), col("n"))
+      .orderBy("l_returnflag", "bucket")
+
   /** Bivariate statistics per group: correlation + sample/population
     * covariance of quantity vs price — single-pass co-moment aggregates
     * (the same merge-formula family as stddev/variance).

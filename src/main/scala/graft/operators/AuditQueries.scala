@@ -75,6 +75,27 @@ object AuditQueries {
       .orderBy(desc("revenue"), asc("c_custkey"))
       .limit(20)
 
+  /** Funnel analysis over the event stream: users who signed up, then
+    * clicked, then purchased IN THAT ORDER — first-occurrence timestamps
+    * per (user, stage) from one conditional aggregation (no joins, no
+    * explode), then ordering checks. The standard product-analytics shape:
+    * one shuffle on user_id, constant state per user.
+    */
+  def qFunnel(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("t_signup"),
+        min(when(col("event_type") === "click", unix_micros(col("ts")))).as("t_click"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("t_purchase"))
+      .select(
+        col("user_id"), col("t_signup"), col("t_click"), col("t_purchase"),
+        (col("t_signup").isNotNull && col("t_click").isNotNull &&
+          col("t_purchase").isNotNull &&
+          col("t_signup") < col("t_click") && col("t_click") < col("t_purchase"))
+          .as("completed_funnel"))
+      .orderBy("user_id")
+
   /** Q6 shape through the SQL ENTRY POINT: registered temp view +
     * `spark.sql(...)` — proving the textual surface compiles to the same
     * Catalyst plans as the DataFrame API (same pushdown, same partial

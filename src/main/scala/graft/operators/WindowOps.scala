@@ -151,6 +151,25 @@ object WindowOps {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Period-over-period change per user: value deltas and percent change
+    * vs the previous event (lag + arithmetic in one keyed window) — the
+    * derived-metric shape of monitoring/trend pipelines. First event per
+    * user has null change (no prior period).
+    */
+  def pctChange(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events
+      .select(
+        col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        round(col("value"), 4).as("v"))
+      .withColumn("prev_v", lag(col("v"), 1).over(w))
+      .select(
+        col("user_id"), col("event_id"), col("v"),
+        round(col("v") - col("prev_v"), 4).as("delta"),
+        round((col("v") - col("prev_v")) / abs(col("prev_v")) * 100, 4).as("pct_change"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Forward-fill over a sparse time series (`last` with ignoreNulls in a
     * running frame): every 3rd event carries a reading, the rest inherit
     * the most recent one per user — the gap-fill step of sensor/metric

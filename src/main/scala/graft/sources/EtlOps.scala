@@ -289,6 +289,29 @@ object EtlOps {
       .orderBy("day")
   }
 
+  /** Schema evolution across loads (README.md:21 "fields vary between
+    * documents"): an early load without a column and a later load with it
+    * live in one raw directory; `mergeSchema` unifies them at read time,
+    * filling the missing column with null — no rewrite of old files. The
+    * 100 TB contract: schema drift is absorbed by the READER; historical
+    * data is immutable.
+    */
+  def scanMergeSchema(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "orders_evolving").toString
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode(SaveMode.Append).parquet(dir)
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode(SaveMode.Append).parquet(dir)
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .select(
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        col("o_orderstatus"), col("o_orderstatus").isNull.as("pre_evolution"))
+      .orderBy("o_orderkey")
+  }
+
   /** Incremental (idempotent) ingestion via anti-join: a re-run ingests
     * ONLY keys the sink has never seen (left_anti against the sink's key
     * set) — the reference's "re-run without duplicating" mandate
