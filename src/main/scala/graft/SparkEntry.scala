@@ -51,6 +51,7 @@ object SparkEntry {
     "join_theta" -> ((s, d) => JoinOps.theta(nation(s, d))),
     "join_range" -> ((s, d) => JoinOps.rangeBand(part(s, d))),
     "join_asof" -> ((s, d) => JoinOps.asof(events(s, d))),
+    "join_asof_forward" -> ((s, d) => JoinOps.asofForward(events(s, d))),
     "join_bucketed" -> ((s, d) => JoinOps.bucketed(orders(s, d), customer(s, d))),
     "join_skew_salted" -> ((s, d) => JoinOps.skewSalted(lineitem(s, d), orders(s, d))),
     // composite audit pipelines (TPC-H Q3/Q5/Q10 shapes)
@@ -130,6 +131,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => LlmOps.dedupExact(documents(s, d))),
     "dedup_near" -> ((s, d) => LlmOps.dedupNear(documents(s, d))),
     "dedup_clusters" -> ((s, d) => LlmOps.dedupClusters(documents(s, d))),
+    "dedup_normalized" -> ((s, d) => LlmOps.dedupNormalized(documents(s, d))),
     "sim_topk" -> ((s, d) => LlmOps.simTopk(embeddings(s, d))),
     "sim_join" -> ((s, d) => LlmOps.simJoin(embeddings(s, d))),
     "text_tokens" -> ((s, d) => LlmOps.textTokens(documents(s, d))),
@@ -177,6 +179,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.textQuality(documents(s, d))),
     "text_tokens_regex" -> ((s, d) => TextOps.textTokensRegex(documents(s, d))),
     "text_tfidf" -> ((s, d) => TextOps.textTfidf(documents(s, d))),
+    "text_pii_mask" -> ((s, d) => TextOps.textPiiMask(documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.textFingerprint(documents(s, d))),
     // [EXT] dedup & similarity variants
     "dedup_simhash" -> ((s, d) => SimOps.dedupSimhash(documents(s, d))),
@@ -373,6 +376,20 @@ object SparkEntry {
                 (SELECT epoch_us(max(c.ts)) FROM events c
                  WHERE c.event_type = 'click' AND c.user_id = p.user_id
                    AND c.ts <= p.ts) AS click_ts_us
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY purchase_id""",
+    // forward direction compares at MICROSECOND precision (epoch_us) to
+    // match Spark's truncated timestamps exactly
+    "join_asof_forward" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+                epoch_us(p.ts) AS purchase_ts_us,
+                (SELECT c.event_id FROM events c
+                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                   AND epoch_us(c.ts) >= epoch_us(p.ts)
+                 ORDER BY epoch_us(c.ts), c.event_id LIMIT 1) AS next_click_id,
+                (SELECT min(epoch_us(c.ts)) FROM events c
+                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                   AND epoch_us(c.ts) >= epoch_us(p.ts)) AS next_click_ts_us
          FROM events p WHERE p.event_type = 'purchase'
          ORDER BY purchase_id""",
     "q3_shipping_priority" ->
@@ -1043,6 +1060,31 @@ object SparkEntry {
            round(t.tf * ln((n.n_docs + 1)::DOUBLE / (d.df + 1)), 6) AS tfidf
          FROM t JOIN d USING (token) CROSS JOIN n
          ORDER BY doc_id, token""",
+    "text_pii_mask" ->
+      """WITH d AS (SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(dirty,
+             '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+             '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS masked,
+           CAST(len(regexp_extract_all(dirty, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+                AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(dirty, '\+1-555-[0-9]{4}'))
+                AS INTEGER) AS n_phones
+         FROM d ORDER BY doc_id""",
+    "dedup_normalized" ->
+      """WITH v AS (SELECT doc_id + 100000 AS doc_id,
+             '  ' || upper(substring(text, 1, 1)) || substring(text, 2) || '  ' AS text
+           FROM documents WHERE doc_id % 4 = 0),
+         c AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM v),
+         n AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_hash
+           FROM c)
+         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM n GROUP BY norm_hash HAVING count(*) > 1 ORDER BY keep_id""",
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id,
                  list_transform(str_split(text, ' '),

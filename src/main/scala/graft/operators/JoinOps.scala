@@ -225,6 +225,42 @@ object JoinOps {
     * zero row multiplication — the 100 TB-safe shape (vs. a per-row
     * correlated lookup or a range join explosion).
     */
+  /** FORWARD as-of join: for each purchase, the EARLIEST click by the
+    * same user at-or-after the purchase (the "next maintenance event"
+    * lookup direction). Mirror of `asof`: same union+window form with the
+    * frame reversed to [current row, unbounded following] and `first`
+    * instead of `last`. Same scale contract: one shuffle on user_id, no
+    * row multiplication.
+    */
+  def asofForward(events: DataFrame): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("user_id"),
+        col("ts"),
+        // purchases sort before clicks at equal ts → a same-instant click
+        // is inside the forward frame (ASOF `>=` semantics).
+        when(col("event_type") === "purchase", lit(0)).otherwise(lit(1)).as("side"),
+        col("event_id"))
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("ts", "side", "event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged
+      .withColumn("next_click_id",
+        first(when(col("side") === 1, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("next_click_ts_us",
+        first(when(col("side") === 1, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("purchase_ts_us"),
+        col("next_click_id"),
+        col("next_click_ts_us"))
+      .orderBy("purchase_id")
+  }
+
   def asof(events: DataFrame): DataFrame = {
     val tagged = events
       .filter(col("event_type").isin("click", "purchase"))

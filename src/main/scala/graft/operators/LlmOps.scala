@@ -113,6 +113,30 @@ object LlmOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Normalization-aware exact dedup: lowercase + trim + whitespace
+    * collapse BEFORE hashing, so trivially-reformatted copies (case
+    * drift, padding, double spaces) collapse into one group where byte-
+    * exact dedup sees distinct texts. Deterministic dirty variants are
+    * injected (every 4th doc re-cased and padded) to exercise the
+    * normalizer; same narrow-shuffle shape as dedupExact (hash key only).
+    */
+  def dedupNormalized(documents: DataFrame): DataFrame = {
+    val variants = documents.filter(col("doc_id") % 4 === 0)
+      .select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(lit("  "), upper(substring(col("text"), 1, 1)),
+          expr("substring(text, 2)"), lit("  ")).as("text"))
+    val corpus = documents.select(col("doc_id"), col("text")).unionByName(variants)
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    corpus
+      .select(col("doc_id"), md5(norm).as("norm_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+  }
+
   /** Near-dup CLUSTER resolution: the LSH pairs from `dedupNear` turned
     * into canonical groups by 3 rounds of min-label propagation over the
     * pair graph (each round: every node adopts the smallest label among

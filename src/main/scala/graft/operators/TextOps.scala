@@ -82,6 +82,31 @@ object TextOps {
       .agg(count(lit(1)).as("tf"))
       .orderBy("token")
 
+  /** PII scrubbing — a non-negotiable training-data step: emails and
+    * phone numbers replaced by typed placeholders, with per-document hit
+    * counts for the scrub audit. The corpus carries no PII, so
+    * deterministic synthetic contact lines are appended first (the test
+    * harness for the masking regexes); masking is pure map-side regex.
+    */
+  def textPiiMask(documents: DataFrame): DataFrame = {
+    val dirty = concat(
+      col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val masked = regexp_replace(
+      regexp_replace(dirty, "[a-z0-9]+@[a-z]+\\.[a-z]+", "<EMAIL>"),
+      "\\+1-555-[0-9]{4}", "<PHONE>")
+    documents
+      .select(
+        col("doc_id"),
+        masked.as("masked"),
+        size(regexp_extract_all(dirty, lit("[a-z0-9]+@[a-z]+\\.[a-z]+"), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(dirty, lit("\\+1-555-[0-9]{4}"), lit(0)))
+          .as("n_phones"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF weights per (document, term): term frequency and document
     * frequency from two aggregations over one exploded token stream, the
     * corpus size via a broadcast 1-row aggregate (a scalar subquery — no

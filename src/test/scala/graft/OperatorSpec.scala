@@ -57,6 +57,22 @@ class OperatorSpec extends SparkTestBase {
       (6L, Some(5L))))
   }
 
+  test("forward asof join picks the earliest click at-or-after each purchase") {
+    val ev = Seq(
+      // user 1: purchase(20), click(20), click(30) -> same-instant click wins
+      (1L, 20L, 1L, "purchase"), (2L, 20L, 1L, "click"), (3L, 30L, 1L, "click"),
+      // user 2: click(5), purchase(9) with no later click -> null
+      (4L, 5L, 2L, "click"), (5L, 9L, 2L, "purchase"))
+      .toDF("event_id", "secs", "user_id", "event_type")
+      .select(col("event_id"), timestamp_seconds(col("secs")).as("ts"),
+        col("user_id"), col("event_type"))
+    val out = JoinOps.asofForward(ev).collect().map(r =>
+      (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq === Seq(
+      (1L, Some(2L)), // same-ts click 2 visible, not the later click 3
+      (5L, None)))    // no click at-or-after
+  }
+
   test("left_anti keeps only unmatched keys") {
     val c = Seq((1L, "a", "S1"), (2L, "b", "S2")).toDF("c_custkey", "c_name", "c_mktsegment")
     val o = Seq((10L, 1L)).toDF("o_orderkey", "o_custkey")
