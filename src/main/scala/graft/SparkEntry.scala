@@ -817,7 +817,8 @@ object SparkEntry {
            FROM b)
          SELECT user_id, event_id, v,
            round(v - prev_v, 4) AS delta,
-           round((v - prev_v) / abs(prev_v) * 100, 4) AS pct_change
+           round(CASE WHEN prev_v <> 0
+                 THEN (v - prev_v) / abs(prev_v) * 100 END, 4) AS pct_change
          FROM l ORDER BY user_id, event_id""",
     "win_gap_fill" ->
       """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,

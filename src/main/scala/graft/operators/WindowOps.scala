@@ -166,7 +166,9 @@ object WindowOps {
       .select(
         col("user_id"), col("event_id"), col("v"),
         round(col("v") - col("prev_v"), 4).as("delta"),
-        round((col("v") - col("prev_v")) / abs(col("prev_v")) * 100, 4).as("pct_change"))
+        // null when the base is 0 (ANSI division) or absent (first event)
+        round(when(col("prev_v") =!= 0,
+          (col("v") - col("prev_v")) / abs(col("prev_v")) * 100), 4).as("pct_change"))
       .orderBy("user_id", "event_id")
   }
 
