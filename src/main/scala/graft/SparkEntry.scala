@@ -32,6 +32,7 @@ object SparkEntry {
     "cast_types" -> ((s, d) => RelationalOps.castTypes(lineitem(s, d))),
     "cast_safe" -> ((s, d) => RelationalOps.castSafe(orders(s, d))),
     "flatten_nested" -> ((s, d) => RelationalOps.flattenNested(orders(s, d))),
+    "flatten_posexplode" -> ((s, d) => RelationalOps.flattenPosexplode(documents(s, d))),
     "distinct" -> ((s, d) => RelationalOps.distinctPairs(lineitem(s, d))),
     "sample" -> ((s, d) => RelationalOps.sample(lineitem(s, d))),
     "sample_hash" -> ((s, d) => RelationalOps.sampleHash(lineitem(s, d))),
@@ -170,6 +171,7 @@ object SparkEntry {
     "stream_sink" -> ((s, d) => StreamOps.streamSink(s, d)),
     "stream_join" -> ((s, d) => StreamOps.streamJoin(s, d)),
     "stream_stream_join" -> ((s, d) => StreamOps.streamStreamJoin(s, d)),
+    "stream_throttled" -> ((s, d) => StreamOps.streamThrottled(s, d)),
     // §2.10 UDF / UDAF / UDTF extension surface
     "udf_scalar" -> ((s, d) => UdfOps.udfScalar(documents(s, d))),
     "udaf_aggregator" -> ((s, d) => UdfOps.udafAggregator(orders(s, d))),
@@ -279,6 +281,13 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey AS cust, o_totalprice AS total,
          o_orderstatus AS status
          FROM orders ORDER BY o_orderkey""",
+    // posexplode's pos is 0-based; DuckDB list indexing is 1-based
+    "flatten_posexplode" ->
+      """SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
+         FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+              (SELECT unnest(range(1, 6)) AS i)
+         WHERE i <= len(toks)
+         ORDER BY doc_id, pos""",
     "distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
          ORDER BY l_returnflag, l_linestatus""",
@@ -995,6 +1004,10 @@ object SparkEntry {
           AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
           AND epoch_us(c.ts) <= epoch_us(p.ts)
          ORDER BY p.user_id, purchase_id, click_id""",
+    // throttling changes batching, never data
+    "stream_throttled" ->
+      """SELECT event_type, count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // §2.10 UDF / UDAF / UDTF
     "udf_scalar" ->
       """SELECT doc_id, source || '/' || lang AS record_key,

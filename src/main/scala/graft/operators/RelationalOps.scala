@@ -146,6 +146,18 @@ object RelationalOps {
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Positional un-nesting: `posexplode` keeps each element's ordinal —
+    * required whenever array ORDER carries meaning (token positions,
+    * page sequences). A Generator like explode: executor-side row
+    * multiplication, no driver involvement.
+    */
+  def flattenPosexplode(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("int").as("pos"), col("col").as("token"))
+      .filter(col("pos") < 5) // first 5 positions: bounded, position-sensitive
+      .orderBy("doc_id", "pos")
+
   /** Validation casts (README.md:32 "clean or reformat" under dirty
     * input): `try_cast` turns unparseable strings into null instead of a
     * job-killing ANSI error — the row-level quarantine for TYPE errors,

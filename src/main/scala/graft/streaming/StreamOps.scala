@@ -262,6 +262,34 @@ object StreamOps {
       .orderBy("cohort")
   }
 
+  /** Throttled ingestion — the streaming form of the reference's
+    * rate-limit mandate (README.md:12): `maxFilesPerTrigger=1` caps each
+    * micro-batch at one arriving file, so a backlog drains at a bounded
+    * rate instead of one giant catch-up batch. The audit proves
+    * throttling changed BATCHING, not DATA: per-type counts equal the
+    * batch read (oracle), and the spec asserts the file count lower-bounds
+    * the number of micro-batches.
+    */
+  def streamThrottled(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s"$sfDir/events.parquet"
+    val dir = scratch(sfDir, "events_throttle_src")
+    // stage the backlog as 4 files (4 "polls" worth of arrivals)
+    spark.read.parquet(src)
+      .withColumn("part", pmod(col("event_id"), lit(4)))
+      .repartition(4, col("part")).drop("part")
+      .write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val schema = spark.read.parquet(src).schema
+    drain(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .groupBy(col("event_type")).count(),
+      "graft_stream_throttled", "complete")
+      .select(col("event_type"), col("count").as("n"))
+      .orderBy("event_type")
+  }
+
   /** Stream-STREAM interval join (attribution shape): purchases joined to
     * the same user's clicks from the preceding 30 minutes. Both sides are
     * independent streams with watermarks; the time-range condition is what

@@ -13,6 +13,25 @@ import graft.streaming.StreamOps
 class StreamSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("maxFilesPerTrigger throttles a backlog into one-file micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_throttle_spec").toString
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"t$i")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val q = spark.readStream
+      .schema("id BIGINT, v STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream.format("memory").queryName("graft_throttle")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(spark.table("graft_throttle").count() === 3, "throttling lost rows")
+    assert(dataBatches >= 3, s"3-file backlog drained in $dataBatches batches, expected one per file")
+  }
+
   test("stream_watermark output is a subset of the tumbling (complete) result") {
     val sealed_ = StreamOps.streamWatermark(spark, sf0001)
       .as[(Long, String, Long)].collect().toSet
