@@ -28,6 +28,15 @@ object Bench {
     "dedup_near",           // LLM: MinHash/LSH banding
     "sim_topk",             // LLM: vector top-k
     "text_tokens",          // LLM: tokenize + TF
+    // Round-4 additions: the heavy operators round 3 built, so the perf
+    // gate guards them too (round-3 verdict, next-round item 2).
+    "sim_join_bucketed",    // LLM: multiprobe LSH kNN join
+    "dedup_simhash",        // LLM: SimHash banding + hamming verify
+    "dedup_ngram_jaccard",  // LLM: inverted-index shingle blocking
+    "text_tfidf",           // LLM: two hash aggs over exploded tokens
+    "join_asof",            // union+window as-of join
+    "win_sessionize",       // gap-based sessionization window
+    "stream_tumbling",      // Structured Streaming windowed agg drain
   )
 
   def main(args: Array[String]): Unit = {

@@ -64,6 +64,10 @@ object SparkEntry {
     "q10_returned_items" -> ((s, d) =>
       AuditQueries.q10ReturnedItems(customer(s, d), orders(s, d), lineitem(s, d), nation(s, d))),
     "q6_sql_revenue" -> ((s, d) => AuditQueries.q6SqlRevenue(s, lineitem(s, d))),
+    "q_subquery_scalar" -> ((s, d) => AuditQueries.qSubqueryScalar(s, orders(s, d))),
+    "q_subquery_exists" -> ((s, d) =>
+      AuditQueries.qSubqueryExists(s, customer(s, d), orders(s, d))),
+    "q_subquery_in" -> ((s, d) => AuditQueries.qSubqueryIn(s, orders(s, d), customer(s, d))),
     "q_funnel" -> ((s, d) => AuditQueries.qFunnel(events(s, d))),
     // §2.4 aggregations
     "agg_hash" -> ((s, d) => AggOps.aggHash(orders(s, d))),
@@ -457,6 +461,29 @@ object SparkEntry {
            AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
            AND l_discount BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o
+         WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                               FROM orders o2
+                               WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+    "q_subquery_exists" ->
+      """SELECT c_custkey, c_name
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 150000)
+           AND NOT EXISTS (SELECT 1 FROM orders o2
+                           WHERE o2.o_custkey = c.c_custkey
+                             AND o2.o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "q_subquery_in" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING')
+         ORDER BY o_orderkey""",
     "join_bucketed" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
          round(sum(o_totalprice), 2) AS sum_price
@@ -841,6 +868,12 @@ object SparkEntry {
     // the oracle PREDICTS the HLL sketch lands within 5% of exact: a
     // broken sketch implementation fails this row rather than hiding
     // behind a no-oracle marker
+    // `true AS approx_ok` is a DATASET-PINNED fact: HLL++ at rsd=0.02
+    // landing within the 5% band holds for the current testdata (the
+    // sketch is deterministic per dataset, so the row is stable at any
+    // fixed sf) — but a new scale factor or a changed Spark HLL seed
+    // could flip it without a real regression. If that happens, widen
+    // the band toward ~3×rsd rather than suspecting the engine.
     "agg_approx_distinct_checked" ->
       """SELECT l_returnflag,
          count(DISTINCT l_partkey) AS n_exact,
@@ -1140,10 +1173,11 @@ object SparkEntry {
          post AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
          rare AS (SELECT shingle FROM post GROUP BY shingle
                   HAVING count(*) > 1 AND count(*) <= 10),
-         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM post a JOIN post b ON a.shingle = b.shingle
                    AND a.doc_id < b.doc_id
-                  WHERE a.shingle IN (SELECT shingle FROM rare)),
+                  WHERE a.shingle IN (SELECT shingle FROM rare)
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
          j AS (SELECT doc_a, doc_b,
                  len(list_intersect(sa.sh, sb.sh))::DOUBLE /
                  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac

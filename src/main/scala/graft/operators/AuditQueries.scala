@@ -113,4 +113,59 @@ object AuditQueries {
            AND l_discount BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""")
   }
+
+  /** Correlated SCALAR subquery through the SQL surface — every order
+    * priced at its own customer's maximum. The audit idiom a raw-
+    * collection user writes daily (`WHERE x = (SELECT max(x) …)`);
+    * Catalyst's RewriteCorrelatedScalarSubquery decorrelates the per-row
+    * subplan into one aggregate joined back on the correlation key —
+    * PlanSpec pins that no per-row subquery survives optimization. No
+    * arithmetic on the compared doubles, so the DuckDB oracle hash-matches
+    * the stored values exactly.
+    */
+  def qSubqueryScalar(spark: SparkSession, orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders_v o
+         WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                               FROM orders_v o2
+                               WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""")
+  }
+
+  /** EXISTS / NOT EXISTS through the SQL surface — customers with at
+    * least one large order and no 'F'-status order. Both predicates
+    * decorrelate to semi/anti joins (never a per-row probe).
+    */
+  def qSubqueryExists(
+      spark: SparkSession, customer: DataFrame, orders: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("customer_v")
+    orders.createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c_custkey, c_name
+         FROM customer_v c
+         WHERE EXISTS (SELECT 1 FROM orders_v o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 150000)
+           AND NOT EXISTS (SELECT 1 FROM orders_v o2
+                           WHERE o2.o_custkey = c.c_custkey
+                             AND o2.o_orderstatus = 'F')
+         ORDER BY c_custkey""")
+  }
+
+  /** IN-subquery through the SQL surface — orders from one market
+    * segment's customers; rewrites to a left-semi join on the key.
+    */
+  def qSubqueryIn(
+      spark: SparkSession, orders: DataFrame, customer: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_v")
+    customer.createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders_v
+         WHERE o_custkey IN (SELECT c_custkey FROM customer_v
+                             WHERE c_mktsegment = 'BUILDING')
+         ORDER BY o_orderkey""")
+  }
 }

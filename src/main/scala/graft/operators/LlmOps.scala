@@ -38,13 +38,13 @@ object LlmOps {
     * Shared with SimOps.dedupNgramJaccard so both dedup paths agree on
     * the shingle definition.
     */
-  private[operators] def shingleSet(text: Column): Column = {
-    val toks = split(text, " ")
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-        i => array_join(slice(toks, i, lit(3)), " ")))
-  }
+  /** Distinct 3-word shingles via the native graft.plans.ShingleSet
+    * kernel (callers register the session — idempotent): one JVM pass
+    * replaces an interpreted per-shingle HigherOrderFunction lambda that
+    * the self-join-shaped dedup pipelines re-evaluated once per side.
+    */
+  private[operators] def shingleSet(text: Column): Column =
+    graft.plans.TextKernels.shingleSet(text)
 
   /** 32 MinHash values from 16 md5 evaluations per shingle: each 32-hex
     * digest yields TWO independent 64-bit permutations (its halves) —
@@ -65,6 +65,7 @@ object LlmOps {
     */
   def dedupNear(documents: DataFrame): DataFrame = {
     graft.plans.MinHashSig.register(documents.sparkSession)
+    graft.plans.TextKernels.register(documents.sparkSession)
     // Signature computation is CPU-bound (32 md5 minhashes per doc) and the
     // corpus may arrive in few/large input splits — spread it across the
     // cluster before hashing. The explicit partition count matters: a

@@ -50,11 +50,23 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 
 object MinHashSig {
   private val seeds = 16
-  private val hexDigits = "0123456789abcdef".toCharArray
+  private val hexDigits: Array[Byte] =
+    "0123456789abcdef".getBytes(StandardCharsets.US_ASCII)
+  private val prefixes: Array[Array[Byte]] =
+    Array.tabulate(seeds)(p => (p.toString + "|").getBytes(StandardCharsets.UTF_8))
 
   /** Shared interpreted/codegen kernel: one pass per seed over the
     * shingle bytes, thread-local MessageDigest, no Catalyst per-element
     * dispatch.
+    *
+    * The inner loop is allocation-free: the lexicographic order of a
+    * 16-hex-char digest half equals the unsigned numeric order of its 8
+    * raw bytes read big-endian, so each per-permutation minimum is kept
+    * as a primitive long and rendered to hex only once per seed after
+    * the loop. (The earlier form allocated a digest array, a 32-char
+    * hex buffer and two Strings per shingle×seed — millions of
+    * short-lived objects per partition, whose GC cost was acutely
+    * sensitive to heap geometry.)
     */
   def compute(shingles: ArrayData): GenericArrayData = {
     val n = shingles.numElements()
@@ -66,35 +78,53 @@ object MinHashSig {
       shingleBytes(i) = shingles.getUTF8String(i).getBytes
       i += 1
     }
+    val digest = new Array[Byte](16)
     var p = 0
     while (p < seeds) {
-      val prefix = (p.toString + "|").getBytes(StandardCharsets.UTF_8)
-      var minLo: String = null
-      var minHi: String = null
+      val prefix = prefixes(p)
+      var minLo = 0L
+      var minHi = 0L
+      var any = false
       i = 0
       while (i < n) {
         md.reset()
         md.update(prefix)
         md.update(shingleBytes(i))
-        val d = md.digest()
-        val hex = new Array[Char](32)
+        md.digest(digest, 0, 16)
+        var lo = 0L
+        var hi = 0L
         var j = 0
-        while (j < 16) {
-          hex(j * 2) = hexDigits((d(j) >> 4) & 0xf)
-          hex(j * 2 + 1) = hexDigits(d(j) & 0xf)
+        while (j < 8) {
+          lo = (lo << 8) | (digest(j) & 0xffL)
+          hi = (hi << 8) | (digest(j + 8) & 0xffL)
           j += 1
         }
-        val lo = new String(hex, 0, 16)
-        val hi = new String(hex, 16, 16)
-        if (minLo == null || lo.compareTo(minLo) < 0) minLo = lo
-        if (minHi == null || hi.compareTo(minHi) < 0) minHi = hi
+        if (!any) { minLo = lo; minHi = hi; any = true }
+        else {
+          if (java.lang.Long.compareUnsigned(lo, minLo) < 0) minLo = lo
+          if (java.lang.Long.compareUnsigned(hi, minHi) < 0) minHi = hi
+        }
         i += 1
       }
-      out(p * 2) = UTF8String.fromString(minLo)
-      out(p * 2 + 1) = UTF8String.fromString(minHi)
+      out(p * 2) = if (any) hexOf(minLo) else null
+      out(p * 2 + 1) = if (any) hexOf(minHi) else null
       p += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Lowercase 16-hex-char rendering of a long, nibbles most significant
+    * first — byte-identical to the substring of Spark/DuckDB `md5` hex it
+    * stands in for.
+    */
+  private def hexOf(v: Long): UTF8String = {
+    val hex = new Array[Byte](16)
+    var j = 0
+    while (j < 16) {
+      hex(j) = hexDigits(((v >>> ((15 - j) * 4)) & 0xfL).toInt)
+      j += 1
+    }
+    UTF8String.fromBytes(hex)
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

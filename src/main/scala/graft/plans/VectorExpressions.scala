@@ -104,9 +104,22 @@ object VectorFunctions {
   * path for a library shipping Catalyst extensions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       exprs => VectorDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      exprs => MinHashSig(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+      exprs => ShingleSet(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      exprs => SimHash60(exprs.head)))
+  }
 }

@@ -155,6 +155,27 @@ class PlanSpec extends SparkTestBase {
       s"date filter did not push to the orders scan:\n$p")
   }
 
+  test("correlated subqueries decorrelate to joins (no per-row subplan)") {
+    // scalar: WHERE x = (SELECT max(x) … correlated) must become one
+    // aggregate joined back on the correlation key
+    val scalar = AuditQueries.qSubqueryScalar(spark, orders(spark, sf0001))
+    val ps = scalar.queryExecution.optimizedPlan.toString
+    assert(!ps.contains("scalar-subquery"), s"scalar subquery survived optimization:\n$ps")
+    assert(ps.contains("Join"), s"decorrelation produced no join:\n$ps")
+    val pPhys = plan(scalar)
+    assert(!pPhys.contains("Subquery"), s"physical plan re-runs a subquery per row:\n$pPhys")
+    // EXISTS / NOT EXISTS must become semi/anti joins
+    val exists = AuditQueries.qSubqueryExists(
+      spark, customer(spark, sf0001), orders(spark, sf0001))
+    val pe = plan(exists)
+    assert(pe.contains("LeftSemi"), s"EXISTS did not plan as a semi join:\n$pe")
+    assert(pe.contains("LeftAnti"), s"NOT EXISTS did not plan as an anti join:\n$pe")
+    // IN must become a semi join too
+    val in = AuditQueries.qSubqueryIn(spark, orders(spark, sf0001), customer(spark, sf0001))
+    val pi = plan(in)
+    assert(pi.contains("LeftSemi"), s"IN subquery did not plan as a semi join:\n$pi")
+  }
+
   test("left_semi/anti never multiply rows (no project of right-side columns)") {
     val p = plan(JoinOps.leftSemi(customer(spark, sf0001), orders(spark, sf0001)))
     assert(p.contains("LeftSemi"), s"semi join lost its type:\n$p")

@@ -27,16 +27,18 @@ TABLES = ["region","nation","customer","supplier","part","orders",
 
 
 def unhashable_cols(df: pd.DataFrame):
-    """Columns whose cells would crash the driver's sort_values/hash."""
+    """Columns whose cells would crash the driver's sort_values/hash.
+
+    Scans EVERY cell of each object column: a mixed column whose first
+    non-null value is a scalar can still hold ndarray/bytes later, and
+    the driver would crash on those rows just the same.
+    """
     bad = []
     for c in df.columns:
         if df[c].dtype == object:
-            for v in df[c]:
-                if v is None or (isinstance(v, float) and pd.isna(v)):
-                    continue
-                if isinstance(v, (np.ndarray, list, bytes, bytearray, dict)):
-                    bad.append(c)
-                break
+            if any(isinstance(v, (np.ndarray, list, bytes, bytearray, dict))
+                   for v in df[c]):
+                bad.append(c)
     return bad
 
 
