@@ -154,6 +154,7 @@ object SparkEntry {
     "source_api_paginated" -> ((s, d) => EtlOps.sourceApiPaginated(s, d)),
     "source_api_retry" -> ((s, d) => EtlOps.sourceApiRetry(s, d)),
     "source_api_v2" -> ((s, d) => EtlOps.sourceApiV2(s, d)),
+    "source_env_config" -> ((s, d) => EtlOps.sourceConfigured(s, d)),
     "scan_json_corrupt" -> ((s, d) => EtlOps.scanJsonCorrupt(s, d)),
     "scan_merge_schema" -> ((s, d) => EtlOps.scanMergeSchema(s, d)),
     "sink_raw_append" -> ((s, d) => EtlOps.sinkRawAppend(s, d)),
@@ -752,25 +753,20 @@ object SparkEntry {
          WHERE round(jac, 6) >= 0.6 ORDER BY doc_a, doc_b""",
     // same pipeline, then 3 unrolled min-label propagation rounds — the
     // exact mirror of LlmOps.dedupClusters' iteration
+    // Exact fixpoint oracle: the Spark side iterates min-label
+    // propagation to convergence, so the oracle computes the true
+    // per-component minimum via recursive transitive closure (UNION
+    // dedups, so the recursion terminates; components are tiny).
     "dedup_clusters" ->
-      s"""$nearDupCte,
+      s"""${nearDupCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          pairs AS (SELECT doc_a, doc_b FROM j WHERE round(jac, 6) >= 0.6),
          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                    UNION ALL SELECT doc_b, doc_a FROM pairs),
-         l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
-         l1 AS (SELECT id, min(label) AS label FROM (
-                  SELECT id, label FROM l0 UNION ALL
-                  SELECT e.dst AS id, l.label AS label
-                  FROM edges e JOIN l0 l ON l.id = e.src) GROUP BY id),
-         l2 AS (SELECT id, min(label) AS label FROM (
-                  SELECT id, label FROM l1 UNION ALL
-                  SELECT e.dst AS id, l.label AS label
-                  FROM edges e JOIN l1 l ON l.id = e.src) GROUP BY id),
-         l3 AS (SELECT id, min(label) AS label FROM (
-                  SELECT id, label FROM l2 UNION ALL
-                  SELECT e.dst AS id, l.label AS label
-                  FROM edges e JOIN l2 l ON l.id = e.src) GROUP BY id)
-         SELECT id AS doc_id, label AS cluster_rep FROM l3 ORDER BY doc_id""",
+         reach AS (SELECT src AS id, src AS via FROM edges
+                   UNION
+                   SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.via)
+         SELECT id AS doc_id, min(via) AS cluster_rep FROM reach
+         GROUP BY id ORDER BY doc_id""",
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
@@ -916,6 +912,11 @@ object SparkEntry {
     // transient failure must be invisible in the data (no dropped or
     // duplicated page either way)
     "source_api_v2" ->
+      """SELECT event_type, count(*) AS n,
+         min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // same shape again: env/conf-driven pagination must also be invisible
+    "source_env_config" ->
       """SELECT event_type, count(*) AS n,
          min(event_id) AS min_id, max(event_id) AS max_id
          FROM events GROUP BY event_type ORDER BY event_type""",

@@ -139,16 +139,23 @@ object LlmOps {
   }
 
   /** Near-dup CLUSTER resolution: the LSH pairs from `dedupNear` turned
-    * into canonical groups by 3 rounds of min-label propagation over the
-    * pair graph (each round: every node adopts the smallest label among
+    * into canonical groups by min-label propagation over the pair graph
+    * TO FIXPOINT (each round: every node adopts the smallest label among
     * itself and its neighbors — one equi-join + one min-aggregate, both
-    * shuffling on compact int keys). Three rounds resolve components of
-    * diameter ≤ 3; near-dup clusters are overwhelmingly cliques or short
-    * chains (a 25-pair corpus resolves fully), and the iteration count is
-    * the documented knob for deeper graphs. The pair list is cached — the
-    * one legitimate cache in the engine: iterative graph algorithms reuse
-    * their edge list by definition (GraphX does the same), and NOT caching
-    * would re-run the whole MinHash pipeline once per round.
+    * shuffling on compact int keys; iterate until no label changes,
+    * bounded at 20 rounds). A fixed round count silently under-merges
+    * components deeper than it — chains happen in dedup graphs (A~B~C
+    * where A≁C) — so convergence is detected, not assumed: labels only
+    * ever DECREASE under min-propagation, so the label sum is strictly
+    * monotone and "sum unchanged" ⇔ "no label changed". Each round's
+    * labels are localCheckpoint'ed — without it the plan for round k
+    * re-evaluates rounds 1..k-1 (and the MinHash pipeline) from scratch,
+    * which is quadratic in rounds at any scale. The pair list is cached
+    * while iterating (the one legitimate cache in the engine: iterative
+    * graph algorithms reuse their edge list by definition) and
+    * unpersisted before returning — the final labels are already
+    * materialized by the checkpoint, and a leaked cache would accumulate
+    * across a 130-query sweep.
     */
   def dedupClusters(documents: DataFrame): DataFrame = {
     val pairs = dedupNear(documents).select(col("doc_a"), col("doc_b")).cache()
@@ -157,12 +164,26 @@ object LlmOps {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-    for (_ <- 1 to 3) {
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long = {
+      val row = df.agg(sum(col("label"))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    var prevSum = labelSum(labels)
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 20) {
       val nbr = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("label"))
       labels = labels.unionByName(nbr)
         .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val s = labelSum(labels)
+      changed = s != prevSum
+      prevSum = s
+      rounds += 1
     }
+    pairs.unpersist()
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy("doc_id")

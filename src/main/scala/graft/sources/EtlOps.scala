@@ -135,18 +135,23 @@ object EtlOps {
       .orderBy(col("quarantined"), col("n_nationkey"), col("raw"))
   }
 
-  /** Bounded retry for a driver-side page fetch (README.md:12, 32: rate
-    * limits / connectivity errors). Retries are the DRIVER's job in the
-    * file-paged form — each attempt re-issues one page "request"; executor
-    * tasks already have Spark's own task retry underneath them.
+  /** Bounded retry with exponential backoff for a driver-side page fetch
+    * (README.md:12, 32: rate limits / connectivity errors). Retries are
+    * the DRIVER's job in the file-paged form — each attempt re-issues one
+    * page "request"; executor tasks already have Spark's own task retry
+    * underneath them. Backoff doubles per failed attempt
+    * (backoffMs, 2×backoffMs, 4×…) and sleeps only BETWEEN attempts —
+    * never before the first or after the last. The sleeper is injectable
+    * so specs assert the exact pacing without wall-clock sleeps.
     */
-  def withRetry[T](maxAttempts: Int, backoffMs: Long = 0L)(f: Int => T): T = {
+  def withRetry[T](maxAttempts: Int, backoffMs: Long = 0L,
+      sleeper: Long => Unit = Thread.sleep)(f: Int => T): T = {
     var attempt = 1
     while (true) {
       try return f(attempt)
       catch {
         case _: Exception if attempt < maxAttempts =>
-          if (backoffMs > 0) Thread.sleep(backoffMs << (attempt - 1))
+          if (backoffMs > 0) sleeper(backoffMs << (attempt - 1))
           attempt += 1
       }
     }
@@ -155,10 +160,13 @@ object EtlOps {
 
   /** Paginated source with transient-failure semantics: one designated
     * page fails on its first fetch (a simulated 503) and succeeds on
-    * retry. The result must be byte-identical to the clean paginated read
-    * — a retried page is not a dropped or duplicated page. A page that
-    * NEVER succeeds must fail the job after `maxAttempts` (poisoned-page
-    * spec in EtlTextSpec), because silently skipping a page is data loss.
+    * retry; another is RATE-LIMITED (a simulated 429) for two attempts
+    * and clears on the third, with exponential backoff pacing the
+    * re-requests (README.md:12 "rate limits"). The result must be
+    * byte-identical to the clean paginated read — a retried page is not
+    * a dropped or duplicated page. A page that NEVER succeeds must fail
+    * the job after `maxAttempts` (poisoned-page spec in EtlTextSpec),
+    * because silently skipping a page is data loss.
     */
   def sourceApiRetry(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -166,14 +174,17 @@ object EtlOps {
       .select(col("event_id"), col("event_type"), col("user_id"))
     val pagesDir = freshDir(sfDir, "api_pages_retry")
     val nPages = 5
-    val flakyPage = 2
+    val flakyPage = 2      // one-shot 503: succeeds on attempt 2
+    val throttledPage = 4  // 429 rate limit: clears on attempt 3
     events
       .withColumn("page", pmod(col("event_id"), lit(nPages)))
       .write.mode(SaveMode.Overwrite).partitionBy("page").json(pagesDir.toString)
     val pages = (0 until nPages).map { p =>
-      withRetry(maxAttempts = 3) { attempt =>
+      withRetry(maxAttempts = 3, backoffMs = 25L) { attempt =>
         if (p == flakyPage && attempt == 1)
           throw new RuntimeException(s"simulated 503 on page $p attempt $attempt")
+        if (p == throttledPage && attempt < 3)
+          throw new RuntimeException(s"simulated 429 Too Many Requests on page $p attempt $attempt")
         spark.read.json(s"$pagesDir/page=$p")
       }
     }
@@ -233,6 +244,50 @@ object EtlOps {
     spark.read.format("graft.sources.PagedJsonSource")
       .option("pages", nPages.toString)
       .load(pagesDir.toString)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
+  /** `.env`-style configuration resolution (README.md:16–17, 88–92): the
+    * reference mandates connector settings (endpoint, page count, target
+    * collection) come from environment configuration, never from code.
+    * The Spark-native layering of the same contract, in precedence order:
+    * `spark.graft.<key>` runtime conf (set via `--conf` / the session
+    * builder — the cluster-deploy path) → `GRAFT_<KEY>` environment
+    * variable (the literal .env path) → caller default. `env` is
+    * injectable so specs pin the precedence without mutating the process
+    * environment.
+    */
+  def configValue(spark: SparkSession, key: String, default: => String,
+      env: Map[String, String] = sys.env): String =
+    spark.conf.getOption(s"spark.graft.$key")
+      .orElse(env.get("GRAFT_" + key.toUpperCase.replace('.', '_')))
+      .getOrElse(default)
+
+  /** The fully config-wired connector (README.md:88–92): page count and
+    * page directory come from `spark.graft.*` / `GRAFT_*`, so one
+    * pipeline re-points across environments with zero code change. Same
+    * audit output (and oracle) as the other paginated forms —
+    * configuration must be invisible in the data.
+    */
+  def sourceConfigured(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nPages = configValue(spark, "pages.count", "5").toInt
+    require(nPages > 0, s"configured page count must be positive, got $nPages")
+    val pagesDir = configValue(spark, "pages.dir",
+      freshDir(sfDir, "api_pages_env").toString)
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    events
+      .withColumn("page", pmod(col("event_id"), lit(nPages)))
+      .write.mode(SaveMode.Overwrite).partitionBy("page").json(pagesDir)
+    val pages = (0 until nPages).map(p => spark.read.json(s"$pagesDir/page=$p"))
+    pages
+      .reduce(_ unionByName _)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),

@@ -93,11 +93,14 @@ private[sources] class PageReader(pageDir: String) extends PartitionReader[Inter
     if (!lines.hasNext) false
     else {
       val node = mapper.readTree(lines.next())
-      // missing fields surface as null, matching the built-in JSON reader
+      // missing fields AND explicit JSON nulls surface as SQL NULL,
+      // matching the built-in JSON reader (an unfiltered NullNode would
+      // decode to 0 / "null" instead)
       def longOrNull(f: String): Any =
-        Option(node.get(f)).map(_.asLong(): Any).orNull
+        Option(node.get(f)).filterNot(_.isNull).map(_.asLong(): Any).orNull
       def strOrNull(f: String): Any =
-        Option(node.get(f)).map(n => UTF8String.fromString(n.asText()): Any).orNull
+        Option(node.get(f)).filterNot(_.isNull)
+          .map(n => UTF8String.fromString(n.asText()): Any).orNull
       current = InternalRow(
         longOrNull("event_id"), strOrNull("event_type"), longOrNull("user_id"))
       true

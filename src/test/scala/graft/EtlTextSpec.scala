@@ -34,6 +34,52 @@ class EtlTextSpec extends SparkTestBase {
     assert(calls === 2)
   }
 
+  test("configValue precedence: SparkConf beats env beats default") {
+    val env = Map("GRAFT_TEST_KNOB" -> "from-env")
+    spark.conf.set("spark.graft.test.knob", "from-conf")
+    try
+      assert(EtlOps.configValue(spark, "test.knob", "dflt", env) === "from-conf")
+    finally spark.conf.unset("spark.graft.test.knob")
+    assert(EtlOps.configValue(spark, "test.knob", "dflt", env) === "from-env")
+    assert(EtlOps.configValue(spark, "test.knob", "dflt", Map.empty) === "dflt")
+  }
+
+  test("source_env_config: conf-driven page count re-shards without changing the data") {
+    val clean = EtlOps.sourceApiPaginated(spark, sf0001).collect().toSeq
+    spark.conf.set("spark.graft.pages.count", "3")
+    try {
+      val got = EtlOps.sourceConfigured(spark, sf0001).collect().toSeq
+      assert(got === clean, "page-count config changed the aggregated data")
+    } finally spark.conf.unset("spark.graft.pages.count")
+    // and the default path (no conf set) agrees too
+    assert(EtlOps.sourceConfigured(spark, sf0001).collect().toSeq === clean)
+  }
+
+  test("withRetry: backoff is exponential and sleeps only between failed attempts") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val got = EtlOps.withRetry(maxAttempts = 4, backoffMs = 100L,
+        sleeper = sleeps += _) { attempt =>
+      calls += 1
+      if (attempt < 4) throw new RuntimeException(s"simulated 429 attempt $attempt")
+      "ok"
+    }
+    assert(got === "ok")
+    assert(calls === 4)
+    // doubling per failed attempt; no sleep before attempt 1 or after success
+    assert(sleeps.toSeq === Seq(100L, 200L, 400L))
+    sleeps.clear()
+    EtlOps.withRetry(maxAttempts = 3, backoffMs = 100L, sleeper = sleeps += _)(_ => "ok")
+    assert(sleeps.isEmpty, "first-attempt success must not sleep")
+    // a poisoned fetch spends maxAttempts-1 backoffs, then propagates
+    intercept[RuntimeException] {
+      EtlOps.withRetry(maxAttempts = 3, backoffMs = 50L, sleeper = sleeps += _) { _ =>
+        throw new RuntimeException("permanent 429")
+      }
+    }
+    assert(sleeps.toSeq === Seq(50L, 100L))
+  }
+
   test("withRetry: poisoned page fails the job after maxAttempts, never skips") {
     var calls = 0
     val e = intercept[RuntimeException] {

@@ -90,6 +90,29 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_clusters converges on a chain deeper than any fixed round count") {
+    // Six docs in a sliding-window chain over distinct words: adjacent
+    // windows share ~73% of shingles (a near-dup edge at J≈0.73), windows
+    // two apart only ~53% (below the 0.6 verify threshold) — so the pair
+    // graph is a 5-edge path, and the minimum label needs 5 propagation
+    // hops to reach the far end. A fixed-3 propagation loop under-merges
+    // exactly this shape; the fixpoint loop must fully resolve it.
+    val words = (0 until 175).map(i => s"w$i")
+    val docs = (0 until 6).map { i =>
+      (i.toLong, words.slice(15 * i, 15 * i + 100).mkString(" "))
+    }.toDF("doc_id", "text")
+    val pairs = LlmOps.dedupNear(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val chain = (0 until 5).map(i => (i.toLong, i + 1L)).toSet
+    assert(chain.subsetOf(pairs), s"chain edge missing: got $pairs")
+    assert(pairs.forall { case (a, b) => b - a == 1 },
+      s"unexpected long-range edge (fixture too similar): $pairs")
+    val labels = LlmOps.dedupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet === (0L to 5L).toSet)
+    assert(labels.values.toSet === Set(0L), s"chain under-merged: $labels")
+  }
+
   test("sim_join_bucketed: pair hygiene + recall >= 0.5 vs exact kNN on real data") {
     val e = Tables.embeddings(spark, sf0001)
     val bucketed = graft.operators.SimOps.simJoinBucketed(e).cache()
