@@ -54,6 +54,7 @@ object SparkEntry {
     "join_asof" -> ((s, d) => JoinOps.asof(events(s, d))),
     "join_asof_forward" -> ((s, d) => JoinOps.asofForward(events(s, d))),
     "join_bucketed" -> ((s, d) => JoinOps.bucketed(orders(s, d), customer(s, d))),
+    "join_bloom_pruned" -> ((s, d) => JoinOps.joinBloomPruned(orders(s, d), lineitem(s, d))),
     "join_skew_salted" -> ((s, d) => JoinOps.skewSalted(lineitem(s, d), orders(s, d))),
     // composite audit pipelines (TPC-H Q3/Q5/Q10 shapes)
     "q3_shipping_priority" -> ((s, d) =>
@@ -76,6 +77,7 @@ object SparkEntry {
     "agg_approx_distinct" -> ((s, d) => AggOps.aggApproxDistinct(lineitem(s, d))),
     "agg_approx_distinct_checked" -> ((s, d) => AggOps.aggApproxDistinctChecked(lineitem(s, d))),
     "agg_percentile_approx" -> ((s, d) => AggOps.aggPercentileApprox(lineitem(s, d))),
+    "agg_sketch_rollup" -> ((s, d) => AggOps.aggSketchRollup(events(s, d))),
     "agg_stats" -> ((s, d) => AggOps.aggStats(lineitem(s, d))),
     "agg_median" -> ((s, d) => AggOps.aggMedian(lineitem(s, d))),
     "agg_mode" -> ((s, d) => AggOps.aggMode(lineitem(s, d))),
@@ -188,12 +190,15 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextOps.textTfidf(documents(s, d))),
     "text_pii_mask" -> ((s, d) => TextOps.textPiiMask(documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.textFingerprint(documents(s, d))),
+    "text_boilerplate" -> ((s, d) => TextOps.textBoilerplate(documents(s, d))),
+    "text_bigram_lm" -> ((s, d) => TextOps.textBigramLm(documents(s, d))),
     // [EXT] dedup & similarity variants
     "dedup_simhash" -> ((s, d) => SimOps.dedupSimhash(documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => SimOps.dedupNgramJaccard(documents(s, d))),
     "dedup_embedding" -> ((s, d) => SimOps.dedupEmbedding(embeddings(s, d))),
     "sim_ivf" -> ((s, d) => SimOps.simIvf(embeddings(s, d))),
     "sim_join_bucketed" -> ((s, d) => SimOps.simJoinBucketed(embeddings(s, d))),
+    "sim_quantized" -> ((s, d) => SimOps.simQuantized(embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -875,6 +880,21 @@ object SparkEntry {
          count(DISTINCT l_partkey) AS n_exact,
          true AS approx_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // same dataset-pinned-verdict contract as agg_approx_distinct_checked:
+    // the oracle predicts the merged daily sketches land within 5% of exact
+    "agg_sketch_rollup" ->
+      """SELECT event_type,
+         count(DISTINCT user_id) AS exact_users,
+         true AS approx_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // the bitmap semi-join is semantically invisible: oracle is the plain join
+    "join_bloom_pruned" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+         count(DISTINCT o_orderkey) AS n_orders,
+         round(sum(l_extendedprice), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 495000
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "agg_histogram" ->
       """SELECT l_returnflag,
          CAST(floor(l_quantity / 10) AS INTEGER) AS bucket,
@@ -1143,6 +1163,42 @@ object SparkEntry {
                 (a, b) -> (a * 131 + b) % 1000000007) AS BIGINT) AS fingerprint,
            CAST(len(hs) AS INTEGER) AS n_toks
          FROM t ORDER BY doc_id""",
+    "text_boilerplate" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+         g0 AS (SELECT doc_id, unnest([{'pos': i, 'gram': array_to_string(toks[i:i+7], ' ')}
+                  for i in range(1, len(toks) - 6)]) AS gg FROM t),
+         g AS (SELECT doc_id, gg.pos AS pos, gg.gram AS gram FROM g0),
+         freq AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+                  GROUP BY gram HAVING count(*) >= 2),
+         cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS tpos
+                 FROM g WHERE gram IN (SELECT gram FROM freq)),
+         tk0 AS (SELECT doc_id, unnest([{'tpos': i, 'token': toks[i]}
+                  for i in range(1, len(toks) + 1)]) AS tt FROM t),
+         tk AS (SELECT doc_id, tt.tpos AS tpos, tt.token AS token FROM tk0),
+         kept AS (SELECT * FROM tk WHERE NOT EXISTS
+                  (SELECT 1 FROM cov WHERE cov.doc_id = tk.doc_id
+                   AND cov.tpos = tk.tpos)),
+         ka AS (SELECT doc_id, count(*) AS n_kept,
+                  array_to_string(list(token ORDER BY tpos), ' ') AS cleaned
+                FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(toks) AS INTEGER) AS n_toks,
+           CAST(len(toks) - coalesce(ka.n_kept, 0) AS INTEGER) AS n_removed,
+           coalesce(ka.cleaned, '') AS cleaned
+         FROM t LEFT JOIN ka USING (doc_id) ORDER BY doc_id""",
+    "text_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+         b0 AS (SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                  for i in range(1, len(toks))]) AS bg FROM t),
+         db AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b0),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM db GROUP BY w1, w2),
+         c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+         v AS (SELECT count(DISTINCT w) AS v FROM
+               (SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents)
+               WHERE w <> '')
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v))), 6) AS avg_logp
+         FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+         GROUP BY doc_id ORDER BY doc_id""",
     // [EXT] dedup & similarity variants
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
@@ -1240,5 +1296,20 @@ object SparkEntry {
            FROM cand WHERE cos >= 0.3)
          SELECT probe_id, CAST(rn AS INTEGER) AS rn, vec_id, cos
          FROM f WHERE rn <= 3 ORDER BY probe_id, rn""",
+    // the quantized dot is exact integer arithmetic in both engines, so
+    // even the RANKING is oracle-checkable (unlike float-scored ANN)
+    "sim_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sc AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s FROM e),
+         q AS (SELECT vec_id, v, list_transform(v, x -> round(x * 127.0 / s)) AS qd
+               FROM e CROSS JOIN sc),
+         p AS (SELECT qd AS pq, v AS pv FROM q WHERE vec_id = 0)
+         SELECT q.vec_id,
+           CAST(list_dot_product(q.qd, p.pq) AS BIGINT) AS qdot,
+           round(list_dot_product(q.v, p.pv) /
+             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(p.pv, p.pv))), 6)
+             AS cos_exact
+         FROM q CROSS JOIN p
+         ORDER BY qdot DESC, vec_id LIMIT 10""",
   )
 }

@@ -259,4 +259,35 @@ object AggOps {
       .withColumnRenamed("O", "n_o")
       .na.fill(0, Seq("n_f", "n_o"))
       .orderBy("l_returnflag")
+
+  /** MERGEABLE-sketch rollup — the pattern that makes distinct counts
+    * tractable at 100 TB: build one Datasketches HLL sketch of
+    * `user_id` per (event_type, day) partition (the shape of an
+    * incremental daily job), then answer the per-type question by
+    * MERGING the daily sketches with `hll_union_agg` — no re-scan of the
+    * raw events, which is the whole point: the daily sketches are a few
+    * KB each and the rollup is a tiny second-stage aggregate. Exported
+    * like `aggApproxDistinctChecked`: exact count + a within-5 % verdict
+    * (dataset-pinned for the current SFs — the oracle predicts `true`;
+    * a drifting sketch or a broken merge turns the row red). The
+    * mergeability law itself (union of daily sketches ≡ one whole-corpus
+    * sketch) is asserted in AggSpec.
+    */
+  def aggSketchRollup(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val merged = daily
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+    val exact = events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(merged, "event_type")
+      .select(
+        col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double") / col("exact_users")
+          <= 0.05).as("approx_ok"))
+      .orderBy("event_type")
+  }
 }

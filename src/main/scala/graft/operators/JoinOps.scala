@@ -289,4 +289,38 @@ object JoinOps {
         col("click_ts_us"))
       .orderBy("purchase_id")
   }
+
+  /** Bloom-style runtime pruning of a large fact join — the semi-join
+    * reduction that matters most at 100 TB: when the dim side of a
+    * shuffle join is SELECTIVELY filtered, most fact rows shuffle only to
+    * find no partner. Spark's own runtime bloom filter does this behind
+    * conf thresholds; here the same move is made explicit and declarative
+    * so it is plan-auditable and threshold-free: the filtered dim's join
+    * keys hash into a 2¹⁶-bucket bitmap (a DISTINCT over a 1-int column —
+    * at most 65 536 rows no matter how large the dim is), the bitmap
+    * broadcasts, and a broadcast LEFT SEMI join drops non-matching fact
+    * rows MAP-SIDE, before the fact shuffle. False positives (bucket
+    * collisions) just ride through to the exact join; false negatives
+    * cannot happen. With a ~1 % selective dim filter the fact shuffle
+    * carries ~2 % of its rows. The pruning is semantically invisible —
+    * the oracle is the plain join.
+    */
+  def joinBloomPruned(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val nBuckets = 1 << 16
+    val sel = orders.filter(col("o_totalprice") > 495000.0)
+    val bitmap = sel
+      .select(pmod(xxhash64(col("o_orderkey")), lit(nBuckets)).as("kb"))
+      .distinct()
+    val pruned = lineitem.join(
+      broadcast(bitmap),
+      pmod(xxhash64(col("l_orderkey")), lit(nBuckets)) === col("kb"),
+      "left_semi")
+    pruned.join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -131,6 +131,103 @@ object TextOps {
       .orderBy("doc_id", "token")
   }
 
+  /** Cross-document boilerplate removal — the line-/paragraph-level dedup
+    * stage of an LLM corpus pipeline (headers, footers, templates repeat
+    * VERBATIM across documents even when whole-document dedup keeps both).
+    * The corpus has no line structure, so the repeated unit is an exact
+    * word 8-gram: any 8-gram appearing in ≥ 2 DISTINCT documents is
+    * boilerplate, and every token covered by such a span is removed from
+    * every document carrying it (exact duplicates therefore clean to
+    * empty — correct: their whole text is shared).
+    *
+    * Scale shape: one linear explode per doc (n-7 grams), a hash agg on
+    * the gram string for document frequency, a semi-join back to mark
+    * covered spans, an anti-join to keep surviving tokens, and one
+    * ordered re-assembly agg per doc — every shuffle is on a compact key
+    * (gram hash / doc_id), nothing is quadratic, no driver state. At
+    * 100 TB the frequent-gram table is the only wide-ish intermediate and
+    * it is bounded by corpus redundancy, not corpus size.
+    */
+  def textBoilerplate(documents: DataFrame): DataFrame = {
+    val n = 8
+    val toks = split(col("text"), " ")
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => struct(i.as("pos"), array_join(slice(toks, i, lit(n)), " ").as("gram"))))
+      .otherwise(array().cast("array<struct<pos:int,gram:string>>"))
+    val docGrams = documents
+      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val frequent = docGrams.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("gram")
+    val covered = docGrams.join(frequent, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tpos"))
+      .distinct()
+    val tokens = documents
+      .select(col("doc_id"), posexplode(toks))
+      .select(col("doc_id"), (col("pos") + 1).as("tpos"), col("col").as("token"))
+    val keptAgg = tokens.join(covered, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("tpos"), col("token")))),
+            s => s.getField("token")),
+          " ").as("cleaned"),
+        count(lit(1)).as("n_kept"))
+    documents.select(col("doc_id"), size(toks).as("n_toks"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_toks"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).cast("int")
+          .as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-trained bigram language-model scoring — the perplexity-style
+    * quality filter of LLM data pipelines (docs whose word transitions
+    * are improbable under the corpus's own statistics are noise). Model:
+    * add-one-smoothed conditional P(w2|w1) = (c(w1 w2)+1)/(c(w1·)+V),
+    * trained on the corpus itself; a document's score is its mean bigram
+    * log-probability (ppl = e^-score, monotone — the score is the filter
+    * key either way).
+    *
+    * Scale shape: the bigram/unigram count tables are bounded by VOCAB²,
+    * not corpus size, so they broadcast; scoring is then a map-side
+    * broadcast-join per bigram plus one per-doc average — the corpus is
+    * scanned twice (train, score) and never shuffled on anything wider
+    * than a bigram key.
+    */
+  def textBigramLm(documents: DataFrame): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val bigrams = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val db = documents.select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = db.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val vocab = documents
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .agg(countDistinct(col("w")).as("v"))
+    db.join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c2") + 1).cast("double") / (col("c1") + col("v")))), 6)
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** 60-bit portable token hash: md5 is identical across engines, and 15
     * hex chars fit a signed 64-bit int exactly.
     */

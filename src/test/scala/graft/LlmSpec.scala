@@ -113,6 +113,66 @@ class LlmSpec extends SparkTestBase {
     assert(labels.values.toSet === Set(0L), s"chain under-merged: $labels")
   }
 
+  test("text_boilerplate strips cross-doc repeated 8-gram spans, keeps unique text") {
+    val shared = (0 until 12).map(i => s"s$i").mkString(" ")
+    val dupText = "this exact document text appears twice in the corpus today"
+    val docs = Seq(
+      (0L, s"alpha beta gamma $shared delta epsilon"),
+      (1L, s"zeta eta theta iota $shared kappa"),
+      (2L, "wholly unique tokens one two three four five six seven eight nine"),
+      (3L, dupText),
+      (4L, dupText))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.textBoilerplate(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // the 12-token shared span is removed from both carriers; the 8-grams
+    // STRADDLING the span boundary are unique per doc and must not fire
+    assert(out(0L) === ((17, 12, "alpha beta gamma delta epsilon")))
+    assert(out(1L) === ((17, 12, "zeta eta theta iota kappa")))
+    // a doc with no repeated grams is untouched
+    assert(out(2L)._2 === 0 && out(2L)._3.startsWith("wholly unique"))
+    // exact duplicates share ALL their grams and clean to empty
+    assert(out(3L) === ((10, 10, "")) && out(4L) === ((10, 10, "")))
+  }
+
+  test("text_bigram_lm: hand-computed score on a one-doc corpus; templates beat noise") {
+    // corpus = one doc "x y x y": c2(x,y)=2, c2(y,x)=1, c1(x)=2, c1(y)=1, V=2
+    val one = Seq((0L, "x y x y")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.textBigramLm(one).collect()
+    assert(got.length === 1)
+    val expected = BigDecimal(
+      (math.log(3.0 / 4) + math.log(2.0 / 3) + math.log(3.0 / 4)) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getLong(1) === 3L)
+    assert(got(0).getDouble(2) === expected)
+    // a doc made of the corpus's dominant transitions outscores one made
+    // of transitions seen nowhere else
+    val corpus = (Seq((0L, Seq.fill(20)("a b").mkString(" ")),
+      (1L, "c d e f g h i j k l")) ++
+      (2 to 9).map(i => (i.toLong, Seq.fill(10)("a b").mkString(" "))))
+      .toDF("doc_id", "text")
+    val scores = graft.operators.TextOps.textBigramLm(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(0L) > scores(1L),
+      s"templated doc must outscore unique-transition doc: $scores")
+  }
+
+  test("sim_quantized: self-match first, int8 range respected, high overlap with exact top-k") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = graft.operators.SimOps.simQuantized(e).collect()
+    assert(q.length === 10)
+    // the query vector matches itself first, with exact cosine 1.0
+    assert(q.head.getLong(0) === 0L && q.head.getDouble(2) === 1.0)
+    // quantized dots are bounded by the int8 envelope: 127^2 * dim
+    val dim = e.selectExpr("size(embedding)").as[Int].head()
+    assert(q.forall(r => math.abs(r.getLong(1)) <= 127L * 127L * dim))
+    // int8 quantization of 64-dim vectors barely perturbs the ranking
+    val exact = LlmOps.simTopk(e).select("vec_id").as[Long].collect().toSet
+    val quant = q.map(_.getLong(0)).toSet
+    assert((exact intersect quant).size >= 7,
+      s"quantized top-10 diverged from exact: ${exact diff quant}")
+  }
+
   test("sim_join_bucketed: pair hygiene + recall >= 0.5 vs exact kNN on real data") {
     val e = Tables.embeddings(spark, sf0001)
     val bucketed = graft.operators.SimOps.simJoinBucketed(e).cache()

@@ -250,4 +250,23 @@ class OperatorSpec extends SparkTestBase {
     val nh = docs.select(countDistinct(xxhash64(col("text")))).as[Long].head()
     assert(n === nh)
   }
+
+  test("agg_sketch_rollup: union of daily sketches equals the single-pass sketch") {
+    val ev = Tables.events(spark, sf0001)
+    // the mergeability law HLL sketches exist for: merging per-partition
+    // sketches must lose nothing vs sketching the whole stream at once
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_merged"))
+    val single = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14))).as("est_single"))
+    val rows = merged.join(single, "event_type").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"sketch union diverged from single-pass sketch: $r"))
+    // and every checked verdict the oracle predicts is actually true
+    val out = AggOps.aggSketchRollup(ev).collect()
+    assert(out.nonEmpty && out.forall(_.getBoolean(2)))
+  }
 }

@@ -181,4 +181,31 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"), s"semi join lost its type:\n$p")
     assert(!p.contains("o_totalprice"), "semi join carries right-side payload columns")
   }
+
+  test("join_bloom_pruned: broadcast bitmap semi-join prunes the fact side, result unchanged") {
+    import org.apache.spark.sql.functions._
+    val o = orders(spark, sf0001)
+    val l = lineitem(spark, sf0001)
+    val df = JoinOps.joinBloomPruned(o, l)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"bitmap pruning did not plan as a broadcast semi-join:\n$p")
+    // semantically invisible: identical to the unpruned join
+    val plain = l.join(o.filter(col("o_totalprice") > 495000.0),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+    assert(df.collect().toSeq === plain.collect().toSeq)
+    // and it actually prunes: the bitmap admits only a small slice of the fact
+    val nBuckets = 1 << 16
+    val bitmap = o.filter(col("o_totalprice") > 495000.0)
+      .select(pmod(xxhash64(col("o_orderkey")), lit(nBuckets)).as("kb")).distinct()
+    val surviving = l.join(broadcast(bitmap),
+      pmod(xxhash64(col("l_orderkey")), lit(nBuckets)) === col("kb"), "left_semi").count()
+    assert(surviving.toDouble / l.count() < 0.1,
+      s"bitmap pruned almost nothing: $surviving rows survive")
+  }
 }
