@@ -37,6 +37,12 @@ object Bench {
     "join_asof",            // union+window as-of join
     "win_sessionize",       // gap-based sessionization window
     "stream_tumbling",      // Structured Streaming windowed agg drain
+    // Round-4 operators: keep the gate covering every new heavy family.
+    "join_bloom_pruned",    // runtime Bloom semi-join pruning
+    "agg_sketch_rollup",    // mergeable CMS/HLL sketch rollup
+    "text_boilerplate",     // cross-doc repeated-span removal
+    "text_bigram_lm",       // corpus bigram LM perplexity scoring
+    "sim_quantized",        // int8-quantized ANN top-k
   )
 
   def main(args: Array[String]): Unit = {

@@ -165,6 +165,7 @@ object SparkEntry {
     "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
     "sink_incremental" -> ((s, d) => EtlOps.sinkIncremental(s, d)),
     "sink_partitioned" -> ((s, d) => EtlOps.sinkPartitioned(s, d)),
+    "sink_zorder" -> ((s, d) => EtlOps.sinkZorder(s, d)),
     // §2.9 streaming (Structured Streaming drained through a memory sink;
     // deterministic results are oracle-paired = batch-equivalence check)
     "stream_source" -> ((s, d) => StreamOps.streamSource(s, d)),
@@ -179,6 +180,7 @@ object SparkEntry {
     "stream_join" -> ((s, d) => StreamOps.streamJoin(s, d)),
     "stream_stream_join" -> ((s, d) => StreamOps.streamStreamJoin(s, d)),
     "stream_throttled" -> ((s, d) => StreamOps.streamThrottled(s, d)),
+    "stream_recovery" -> ((s, d) => StreamOps.streamRecovery(s, d)),
     // §2.10 UDF / UDAF / UDTF extension surface
     "udf_scalar" -> ((s, d) => UdfOps.udfScalar(documents(s, d))),
     "udaf_aggregator" -> ((s, d) => UdfOps.udafAggregator(orders(s, d))),
@@ -506,6 +508,15 @@ object SparkEntry {
          FROM events
          WHERE CAST(ts AS DATE) BETWEEN DATE '2024-03-01' AND DATE '2024-03-31'
          GROUP BY 1 ORDER BY 1""",
+    // z-order is a LAYOUT move — the 2-D box query must return exactly
+    // what the unsorted table returns
+    "sink_zorder" ->
+      """SELECT event_type, count(*) AS n,
+         count(DISTINCT user_id) AS n_users,
+         round(sum(value), 2) AS sum_value
+         FROM events
+         WHERE user_id BETWEEN 4 AND 11 AND value >= 100.0 AND value < 150.0
+         GROUP BY event_type ORDER BY event_type""",
     // §2.4 aggregations
     "agg_hash" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
@@ -1061,6 +1072,13 @@ object SparkEntry {
     // throttling changes batching, never data
     "stream_throttled" ->
       """SELECT event_type, count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // checkpoint recovery: resumed query neither re-emits the committed
+    // half (n_ids = n would break) nor skips the new half (n would break)
+    "stream_recovery" ->
+      """SELECT event_type, count(*) AS n,
+         count(DISTINCT event_id) AS n_ids,
+         min(event_id) AS min_id, max(event_id) AS max_id
          FROM events GROUP BY event_type ORDER BY event_type""",
     // §2.10 UDF / UDAF / UDTF
     "udf_scalar" ->

@@ -343,6 +343,65 @@ object StreamOps {
       .orderBy("event_type")
   }
 
+  /** Checkpoint recovery — the exactly-once contract that makes streaming
+    * ingestion trustworthy at scale: a query writing through the native
+    * parquet FILE sink (offset log + `_spark_metadata` commit log, both
+    * under the checkpoint) is stopped after consuming the first backlog
+    * file — the simulated crash — and a NEW query with the SAME
+    * checkpoint and sink resumes after more data arrives. Recovery must
+    * (a) not re-emit the already-committed half and (b) not skip the new
+    * half; the audit proves both: per-type `n` equals the batch count
+    * (no loss) and `n_ids` (distinct event_ids) equals `n` (no
+    * duplicates). Deterministic end state → oracle-paired; the
+    * restart-is-a-no-op property (third run with no new data) is pinned
+    * in StreamSpec.
+    */
+  def streamRecovery(spark: SparkSession, sfDir: String,
+      extraRuns: Int = 0): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s"$sfDir/events.parquet"
+    val srcDir = scratch(sfDir, "events_recovery_src")
+    val outDir = scratch(sfDir, "events_recovery_out").toString
+    val ckpt = scratch(sfDir, "events_recovery_ckpt").toString
+    val events = spark.read.parquet(src)
+    val schema = events.schema
+    // stage each half as ONE arriving file in the monitored directory
+    def arrive(half: Int): Unit = {
+      val tmp = scratch(sfDir, s"events_recovery_stage$half")
+      events.filter(pmod(col("event_id"), lit(2)) === half)
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, srcDir.resolve(s"load-$half.parquet"))
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    arrive(0)
+    run() // first incarnation commits half 0, then "crashes"
+    arrive(1)
+    run() // recovery: resumes from the offset log, emits ONLY half 1
+    // idle restarts (spec knob): no new data → recovery must be a no-op
+    (1 to extraRuns).foreach(_ => run())
+    spark.read.parquet(outDir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("n_ids"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
   /** Fresh scratch dir (mirrors EtlOps.freshDir; local to keep packages
     * independent).
     */

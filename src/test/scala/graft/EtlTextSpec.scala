@@ -55,6 +55,65 @@ class EtlTextSpec extends SparkTestBase {
     assert(EtlOps.sourceConfigured(spark, sf0001).collect().toSeq === clean)
   }
 
+  test("zorder16 is the Morton interleave of the binned dimensions") {
+    def morton(u: Long, v: Double): Int = {
+      val ub = math.min((u / 8).toInt, 255)
+      val vb = math.min((v / 4).toInt, 255)
+      (0 until 8).map { b =>
+        (((ub >> b) & 1) << (2 * b + 1)) | (((vb >> b) & 1) << (2 * b))
+      }.sum
+    }
+    val rows = Seq((0L, 0.0), (7L, 3.9), (8L, 4.0), (123L, 250.5),
+      (2047L, 1020.0), (99999L, 99999.0))
+    val got = rows.toDF("u", "v")
+      .select(EtlOps.zorder16(col("u"), col("v")).cast("int")).as[Int]
+      .collect().toSeq
+    assert(got === rows.map { case (u, v) => morton(u, v) })
+    // both dims clamp to 8 bits: the key never exceeds 16 bits
+    assert(got.last === 0xFFFF)
+  }
+
+  test("sink_zorder layout: a 2-D box touches fewer files than a hash layout") {
+    // uniform spread over both dims so every hash-laid file spans the
+    // full range of each
+    val df = spark.range(1 << 14).select(
+      (col("id") % 2048).as("user_id"),
+      (col("id") * 997 % 1021).cast("double").as("value"))
+    val zdir = java.nio.file.Files.createTempDirectory("graft_zspec").toString
+    val hdir = java.nio.file.Files.createTempDirectory("graft_hspec").toString
+    df.withColumn("z", EtlOps.zorder16(col("user_id"), col("value")))
+      .repartitionByRange(16, col("z")).sortWithinPartitions("z")
+      .drop("z").write.mode("overwrite").parquet(zdir)
+    df.repartition(16, col("user_id")).write.mode("overwrite").parquet(hdir)
+    // per-file min/max boxes (the information parquet footer stats carry)
+    // that intersect the query box user_id [256,320] x value [100,200)
+    def filesTouched(dir: String): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("user_id").as("umin"), max("user_id").as("umax"),
+          min("value").as("vmin"), max("value").as("vmax"))
+        .filter(col("umin") <= 320 && col("umax") >= 256 &&
+          col("vmin") < 200.0 && col("vmax") >= 100.0)
+        .count()
+    val (z, h) = (filesTouched(zdir), filesTouched(hdir))
+    assert(h === 16, s"hash layout should leave every file un-prunable, got $h")
+    assert(z <= h / 4, s"z-order pruned to $z of $h files — expected <= ${h / 4}")
+  }
+
+  test("sink_zorder audit equals the same box aggregate on the raw table") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val expected = spark.read.parquet(s"$sf0001/events.parquet")
+      .filter(col("user_id").between(4, 11) &&
+        col("value") >= 100.0 && col("value") < 150.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("event_type").collect().toSeq
+    val got = EtlOps.sinkZorder(spark, sf0001).collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "box query must select rows at sf0.001")
+  }
+
   test("withRetry: backoff is exponential and sleeps only between failed attempts") {
     val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
     var calls = 0

@@ -73,4 +73,18 @@ class StreamSpec extends SparkTestBase {
       .groupBy("event_type").count().as[(String, Long)].collect().toMap
     assert(out === batch)
   }
+
+  test("stream_recovery: resume neither loses nor re-emits; idle restart is a no-op") {
+    val base = StreamOps.streamRecovery(spark, sf0001).collect().toSeq
+    // no duplicates: distinct ids == rows in every group
+    base.foreach(r => assert(r.getLong(2) === r.getLong(1),
+      s"recovery re-emitted committed rows: $r"))
+    // no loss: per-type totals equal the batch table's
+    val batch = Tables.events(spark, sf0001)
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(base.map(r => r.getString(0) -> r.getLong(1)).toMap === batch)
+    // two more restarts with no new data must not change the sink
+    val redo = StreamOps.streamRecovery(spark, sf0001, extraRuns = 2).collect().toSeq
+    assert(redo === base)
+  }
 }
