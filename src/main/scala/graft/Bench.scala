@@ -43,6 +43,7 @@ object Bench {
     "text_boilerplate",     // cross-doc repeated-span removal
     "text_bigram_lm",       // corpus bigram LM perplexity scoring
     "sim_quantized",        // int8-quantized ANN top-k
+    "graph_pagerank",       // 10-superstep iterative join+agg
   )
 
   def main(args: Array[String]): Unit = {

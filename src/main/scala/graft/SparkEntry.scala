@@ -55,6 +55,7 @@ object SparkEntry {
     "join_asof_forward" -> ((s, d) => JoinOps.asofForward(events(s, d))),
     "join_bucketed" -> ((s, d) => JoinOps.bucketed(orders(s, d), customer(s, d))),
     "join_bloom_pruned" -> ((s, d) => JoinOps.joinBloomPruned(orders(s, d), lineitem(s, d))),
+    "graph_pagerank" -> ((s, d) => GraphOps.graphPagerank(orders(s, d), lineitem(s, d))),
     "join_skew_salted" -> ((s, d) => JoinOps.skewSalted(lineitem(s, d), orders(s, d))),
     // composite audit pipelines (TPC-H Q3/Q5/Q10 shapes)
     "q3_shipping_priority" -> ((s, d) =>
@@ -906,6 +907,8 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_totalprice > 495000
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // the engine's 10 Pregel supersteps, unrolled as 10 chained CTEs
+    "graph_pagerank" -> pagerankOracleSql(10),
     "agg_histogram" ->
       """SELECT l_returnflag,
          CAST(floor(l_quantity / 10) AS INTEGER) AS bucket,
@@ -1330,4 +1333,34 @@ object SparkEntry {
          FROM q CROSS JOIN p
          ORDER BY qdot DESC, vec_id LIMIT 10""",
   )
+
+  /** The PageRank oracle, generated: r0 is the uniform vector, each CTE
+    * r{i} is one superstep (contributions summed on dst, damped update),
+    * mirroring GraphOps.graphPagerank's loop exactly. Unrolled CTEs
+    * rather than a recursive CTE because recursion + aggregation over the
+    * recursive table is non-portable SQL; the round count is small and
+    * fixed by contract.
+    */
+  private def pagerankOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s""",
+         r$i AS (SELECT nodes.id,
+                 0.15 / nn.n + 0.85 * coalesce(s.c, 0) AS rank
+                 FROM nodes CROSS JOIN nn
+                 LEFT JOIN (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS c
+                            FROM edges e JOIN r${i - 1} r ON r.id = e.src
+                            JOIN deg d ON d.src = e.src
+                            GROUP BY e.dst) s ON s.id = nodes.id)"""
+    }.mkString
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
+                   UNION ALL SELECT supp * 2 + 1, cust * 2 FROM pairs),
+         deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)$steps
+         SELECT id AS node_id, round(rank, 6) AS pr FROM r$rounds
+         ORDER BY pr DESC, node_id LIMIT 100"""
+  }
 }

@@ -269,4 +269,25 @@ class OperatorSpec extends SparkTestBase {
     val out = AggOps.aggSketchRollup(ev).collect()
     assert(out.nonEmpty && out.forall(_.getBoolean(2)))
   }
+
+  test("graph_pagerank: star graph — hub dominates, symmetric leaves tie, mass conserved") {
+    // customer 1 orders one part from each of suppliers 1..4: the trade
+    // graph is a 4-leaf star with the customer (node 2) as hub. Leaves
+    // (nodes 3,5,7,9) are interchangeable, so their ranks must be equal;
+    // bidirectional edges conserve rank mass, so ranks sum to 1. The hub
+    // recurrence is r_h(t+2) = 0.132 + 0.7225 r_h(t) (fixpoint 0.47568),
+    // so round 10 lands analytically at
+    // 0.47568 + (0.2 - 0.47568) * 0.7225^5 = 0.421403.
+    val orders = (1L to 4L).map(k => (k, 1L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = (1L to 4L).map(k => (k, k)).toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.graphPagerank(orders, lineitem).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.map(_._1).toSet === Set(2L, 3L, 5L, 7L, 9L))
+    assert(out.head._1 === 2L, s"hub must rank first: ${out.toSeq}")
+    val leaves = out.filter(_._1 != 2L).map(_._2)
+    assert(leaves.distinct.length === 1, s"symmetric leaves diverged: ${out.toSeq}")
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-5, "rank mass not conserved")
+    assert(math.abs(out.head._2 - 0.421403) < 1e-5,
+      s"hub rank ${out.head._2} != analytic round-10 value 0.421403")
+  }
 }
