@@ -150,6 +150,8 @@ object SparkEntry {
       LlmOps.multimodalCols(documents(s, d), embeddings(s, d))
         .withColumn("payload", hex(col("payload")))),
     "multimodal_decode" -> ((s, d) => LlmOps.multimodalDecode(documents(s, d))),
+    "multimodal_framesample" -> ((s, d) => LlmOps.multimodalFramesample(documents(s, d))),
+    "text_containment" -> ((s, d) => SimOps.textContainment(documents(s, d))),
     // §2.1 sources / sinks (ETL core)
     "scan_json" -> ((s, d) => EtlOps.scanJson(s, d)),
     "scan_csv" -> ((s, d) => EtlOps.scanCsv(s, d)),
@@ -330,6 +332,21 @@ object SparkEntry {
            round(bs::DOUBLE / n, 6) AS mean_byte,
            CAST(n % 640 AS INT) AS fake_width
          FROM s ORDER BY doc_id""",
+    // pure frame-index arithmetic — integer-exact in both engines
+    "multimodal_framesample" ->
+      """WITH d AS (SELECT doc_id,
+                 octet_length(encode(text)) AS n_bytes,
+                 octet_length(encode(text)) % 240 + 16 AS n_frames
+               FROM documents),
+         f AS (SELECT doc_id, n_bytes, n_frames,
+                 unnest(range(0, n_frames,
+                   CAST(ceil(n_frames / 8.0) AS BIGINT))) AS frame_idx
+               FROM d)
+         SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * 40 AS INT) AS frame_ts_ms,
+           CAST(frame_idx * 1009 % n_bytes AS INT) AS frame_offset
+         FROM f ORDER BY doc_id, frame_idx""",
     // §2.3 joins
     "join_inner_hash" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice, c_mktsegment
@@ -1262,6 +1279,29 @@ object SparkEntry {
                FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)
          SELECT doc_a, doc_b, round(jac, 6) AS jac FROM j
          WHERE round(jac, 6) >= 0.8 ORDER BY doc_a, doc_b""",
+    // same blocking chain; asymmetric containment replaces Jaccard
+    "text_containment" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                for i in range(1, greatest(len(toks)-1, 2))]) AS sh FROM t),
+         post AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         rare AS (SELECT shingle FROM post GROUP BY shingle
+                  HAVING count(*) > 1 AND count(*) <= 10),
+         cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM post a JOIN post b ON a.shingle = b.shingle
+                   AND a.doc_id < b.doc_id
+                  WHERE a.shingle IN (SELECT shingle FROM rare)
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+         c AS (SELECT doc_a, doc_b,
+                 round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sa.sh), 6)
+                   AS cont_a_in_b,
+                 round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sb.sh), 6)
+                   AS cont_b_in_a
+               FROM cand JOIN s sa ON sa.doc_id = doc_a
+                         JOIN s sb ON sb.doc_id = doc_b)
+         SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM c
+         WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.7
+         ORDER BY doc_a, doc_b""",
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings),

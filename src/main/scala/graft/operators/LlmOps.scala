@@ -303,6 +303,34 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Multimodal FRAME SAMPLING plumbing: the video path of a training
+    * pipeline — pick a bounded set of frames per clip BEFORE any decode
+    * touches the bytes, so the expensive stage runs on k frames, not
+    * duration × fps. Metadata (frame count at a nominal 25 fps) is a
+    * deterministic stand-in derived from payload size (real containers
+    * carry it in a header; codecs aren't available offline); everything
+    * Spark-side is the real shape: `sequence` + `explode` fan out frame
+    * indices map-side (no UDF, no shuffle — output partitioning follows
+    * the input), an even stride caps the sample at ≤ 8 frames per clip,
+    * and each sampled frame carries its timestamp and a stub byte offset
+    * a decoder would seek to. At 100 TB the explode is the point: row
+    * fan-out is bounded (≤ 8×) and purely map-side.
+    */
+  def multimodalFramesample(documents: DataFrame): DataFrame = {
+    val nBytes = octet_length(col("text").cast("binary"))
+    documents
+      .select(col("doc_id"), nBytes.as("n_bytes"),
+        (nBytes % 240 + 16).as("n_frames"))
+      .withColumn("stride", ceil(col("n_frames") / lit(8.0)).cast("int"))
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, col("stride")))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        (col("frame_idx") * 40).as("frame_ts_ms"),
+        pmod(col("frame_idx") * 1009, col("n_bytes")).as("frame_offset"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Multimodal columns: an opaque binary payload + typed vector column
     * flowing through project/filter/join untouched. The payload here is a
     * deterministic stand-in (UTF-8 bytes of the text — real image/audio

@@ -145,6 +145,37 @@ object SimOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Asymmetric shingle CONTAINMENT (|A∩B| / |A|) — doc-in-doc
+    * detection, the dedup case symmetric Jaccard is blind to: a short
+    * document quoted inside a long one scores ~1 on the contained side
+    * while Jaccard (÷ union) collapses toward the length ratio, so
+    * excerpts, quote-wrapped copies and template-embedded documents
+    * survive a Jaccard-only pipeline (the seeded spec fixture is exactly
+    * that miss). Same rare-shingle inverted-index blocking + exact
+    * verify shape as `dedupNgramJaccard` — blocking is symmetric, only
+    * the verify statistic changes, so the scale story is unchanged:
+    * candidates from a compact shingle-key shuffle, no all-pairs stage.
+    * Both directions are emitted per (a < b) pair; the pair survives if
+    * EITHER direction is ≥ 0.7.
+    */
+  def textContainment(documents: DataFrame): DataFrame = {
+    graft.plans.TextKernels.register(documents.sparkSession)
+    val withSh = documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), LlmOps.shingleSet(col("text")).as("sh"))
+    val postings = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val cand = bucketPairs(postings, Seq("shingle"), maxBucket = 10, minShared = 2)
+    val sa = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(inter / size(col("sh_a")), 6).as("cont_a_in_b"),
+        round(inter / size(col("sh_b")), 6).as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.7)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Fused bucketed kNN JOIN — closes LlmOps.simJoin's honest scale
     * caveat (probe side had to be broadcast-small). Multiprobe sign-LSH:
     *   cell = 5 packed sign bits of dims 1–5 (32 cells), computed

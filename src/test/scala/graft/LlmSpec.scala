@@ -135,6 +135,48 @@ class LlmSpec extends SparkTestBase {
     assert(out(3L) === ((10, 10, "")) && out(4L) === ((10, 10, "")))
   }
 
+  test("text_containment catches a doc-in-doc pair that Jaccard dedup misses") {
+    // doc 0 (30 words) is quoted verbatim inside doc 1 (90 words): every
+    // shingle of 0 appears in 1, so containment(0 in 1) = 1.0, while
+    // Jaccard ~ 28/88 = 0.32 — far below the 0.8 dedup threshold.
+    val words = (0 until 90).map(i => s"w$i")
+    val short = words.take(30).mkString(" ")
+    val long = words.mkString(" ")
+    val docs = Seq((0L, short), (1L, long),
+      (2L, (100 until 130).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val jac = graft.operators.SimOps.dedupNgramJaccard(docs).collect()
+    assert(jac.isEmpty, s"fixture leaked past Jaccard: ${jac.toSeq}")
+    val cont = graft.operators.SimOps.textContainment(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(cont.keySet === Set((0L, 1L)), s"wrong pairs: $cont")
+    val (aInB, bInA) = cont((0L, 1L))
+    assert(aInB === 1.0, s"contained side must score 1.0, got $aInB")
+    assert(bInA < 0.4, s"containing side must stay low, got $bInA")
+  }
+
+  test("multimodal_framesample: bounded even-stride sample with exact offsets") {
+    val docs = Seq((0L, "a" * 100), (1L, "b" * 300), (2L, "c")).toDF("doc_id", "text")
+    val out = LlmOps.multimodalFramesample(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val byDoc = out.groupBy(_._1)
+    byDoc.foreach { case (id, rows) =>
+      val nFrames = rows.head._2
+      assert(rows.length <= 8, s"doc $id sampled ${rows.length} frames")
+      assert(rows.forall(_._3 < nFrames), s"index past clip end: $rows")
+      val idxs = rows.map(_._3).sorted.toSeq
+      val stride = math.ceil(nFrames / 8.0).toInt
+      assert(idxs === (0 until nFrames by stride).toSeq,
+        s"doc $id not an even-stride sample: $idxs")
+      rows.foreach { case (_, _, idx, ts, off) =>
+        assert(ts === idx * 40)
+        assert(off === (idx * 1009) % (if (id == 0) 100 else if (id == 1) 300 else 1))
+      }
+    }
+    // n_frames = n_bytes % 240 + 16
+    assert(byDoc(0L).head._2 === 116 && byDoc(1L).head._2 === 76 &&
+      byDoc(2L).head._2 === 17)
+  }
+
   test("text_bigram_lm: hand-computed score on a one-doc corpus; templates beat noise") {
     // corpus = one doc "x y x y": c2(x,y)=2, c2(y,x)=1, c1(x)=2, c1(y)=1, V=2
     val one = Seq((0L, "x y x y")).toDF("doc_id", "text")
