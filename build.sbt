@@ -46,4 +46,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Commit + zero the whole heap at JVM start (seconds, once, before any
   // timing) instead of paying page faults inside measured queries.
   "-XX:+AlwaysPreTouch",
+  // Pin the Tungsten page size. Spark sizes task memory pages as
+  // maxTungstenMemory / cores / 16 (clamped to [1 MB, 64 MB]), so a big
+  // driver heap silently switches every sorter/aggregate from 8 MB to
+  // 64 MB pages — each lazily allocated AND zeroed inside the task,
+  // which made array/sort-heavy queries (ngram blocking, tfidf,
+  // sessionize) 4-8x slower at SPARK_DRIVER_MEM=80g with near-zero GC
+  // time. Fixing the page size makes allocation cost independent of
+  // heap geometry; 8 MB pages amply fit the row batches these plans
+  // produce.
+  "-Dspark.buffer.pageSize=8m",
 ) ++ sys.env.get("GRAFT_GC_LOG").map(_ => "-Xlog:gc").toSeq
