@@ -79,11 +79,21 @@ class PlanSpec extends SparkTestBase {
       "dedup_near" -> plan(LlmOps.dedupNear(documents(spark, sf0001))),
       "dedup_simhash" -> plan(SimOps.dedupSimhash(documents(spark, sf0001))),
       "dedup_ngram_jaccard" -> plan(SimOps.dedupNgramJaccard(documents(spark, sf0001))),
-      "dedup_embedding" -> plan(SimOps.dedupEmbedding(embeddings(spark, sf0001)))
+      "dedup_embedding" -> plan(SimOps.dedupEmbedding(embeddings(spark, sf0001))),
+      "text_containment" -> plan(SimOps.textContainment(documents(spark, sf0001)))
     ).foreach { case (name, p) =>
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
     }
+  }
+
+  test("multimodal_framesample fans out map-side: no exchange before the final sort") {
+    val p = plan(LlmOps.multimodalFramesample(documents(spark, sf0001)))
+    // the only exchange allowed is the rangepartitioning of the final
+    // ORDER BY; the sequence+explode fan-out itself must not shuffle
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"frame fan-out introduced a shuffle:\n$p")
+    assert(p.contains("Generate"), "explode missing from the plan")
   }
 
   test("sim_topk / sim_join broadcast the probe side, never shuffle the corpus") {
