@@ -151,6 +151,7 @@ object SparkEntry {
         .withColumn("payload", hex(col("payload")))),
     "multimodal_decode" -> ((s, d) => LlmOps.multimodalDecode(documents(s, d))),
     "multimodal_framesample" -> ((s, d) => LlmOps.multimodalFramesample(documents(s, d))),
+    "multimodal_resize" -> ((s, d) => LlmOps.multimodalResize(documents(s, d))),
     "text_containment" -> ((s, d) => SimOps.textContainment(documents(s, d))),
     // §2.1 sources / sinks (ETL core)
     "scan_json" -> ((s, d) => EtlOps.scanJson(s, d)),
@@ -347,6 +348,21 @@ object SparkEntry {
            CAST(frame_idx * 40 AS INT) AS frame_ts_ms,
            CAST(frame_idx * 1009 % n_bytes AS INT) AS frame_offset
          FROM f ORDER BY doc_id, frame_idx""",
+    // half-pixel-center NN index map; operands < 2^21 so the double
+    // division floors identically in both engines
+    "multimodal_resize" ->
+      """WITH d AS (SELECT doc_id,
+                 octet_length(encode(text)) % 640 + 32 AS src_w,
+                 octet_length(encode(text)) % 480 + 24 AS src_h
+               FROM documents),
+         g AS (SELECT doc_id, src_w, src_h, xs.gx, ys.gy
+               FROM d CROSS JOIN (SELECT unnest(range(0, 8)) AS gx) xs
+                      CROSS JOIN (SELECT unnest(range(0, 8)) AS gy) ys)
+         SELECT doc_id, CAST(gx AS INT) AS gx, CAST(gy AS INT) AS gy,
+           CAST(src_w AS INT) AS src_w, CAST(src_h AS INT) AS src_h,
+           CAST(floor(((gx * 28 + 14) * 2 + 1) * src_w / 448.0) AS INT) AS nn_x,
+           CAST(floor(((gy * 28 + 14) * 2 + 1) * src_h / 448.0) AS INT) AS nn_y
+         FROM g ORDER BY doc_id, gx, gy""",
     // §2.3 joins
     "join_inner_hash" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice, c_mktsegment

@@ -331,6 +331,37 @@ object LlmOps {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Multimodal RESIZE plumbing — the index-mapping arithmetic of a
+    * nearest-neighbor image resize, which is the part of a resize kernel
+    * that belongs to the query engine (the pixel gather belongs to the
+    * decode stub). Source dimensions are the deterministic payload-size
+    * stand-in; each clip fans out to an 8×8 probe grid over a 224×224
+    * target, and every probe row carries the source coordinate a real
+    * kernel would gather: src = floor((2·dst_center+1) · src_dim / (2·224))
+    * — the standard half-pixel-center NN map, computed in exact integer
+    * range (operands < 2^21, so the double division floors exactly).
+    * Same scale shape as `multimodalFramesample`: bounded map-side
+    * fan-out (64×), no UDF, no shuffle before the ordering.
+    */
+  def multimodalResize(documents: DataFrame): DataFrame = {
+    val nBytes = octet_length(col("text").cast("binary"))
+    val grid = sequence(lit(0), lit(7))
+    def nn(px: Column, srcDim: Column): Column =
+      floor((px * 2 + 1) * srcDim / lit(448.0)).cast("int")
+    documents
+      .select(col("doc_id"),
+        (nBytes % 640 + 32).as("src_w"), (nBytes % 480 + 24).as("src_h"))
+      .select(col("doc_id"), col("src_w"), col("src_h"),
+        explode(grid).as("gx"))
+      .select(col("doc_id"), col("src_w"), col("src_h"), col("gx"),
+        explode(grid).as("gy"))
+      .select(col("doc_id"), col("gx"), col("gy"),
+        col("src_w"), col("src_h"),
+        nn(col("gx") * 28 + 14, col("src_w")).as("nn_x"),
+        nn(col("gy") * 28 + 14, col("src_h")).as("nn_y"))
+      .orderBy("doc_id", "gx", "gy")
+  }
+
   /** Multimodal columns: an opaque binary payload + typed vector column
     * flowing through project/filter/join untouched. The payload here is a
     * deterministic stand-in (UTF-8 bytes of the text — real image/audio

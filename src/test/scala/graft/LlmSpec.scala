@@ -177,6 +177,20 @@ class LlmSpec extends SparkTestBase {
       byDoc(2L).head._2 === 17)
   }
 
+  test("multimodal_resize: half-pixel NN map hits hand-computed source coords") {
+    // 100-byte payload: src_w = 100 % 640 + 32 = 132, src_h = 100 % 480 + 24 = 124
+    val docs = Seq((0L, "a" * 100)).toDF("doc_id", "text")
+    val out = LlmOps.multimodalResize(docs).collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> ((r.getInt(5), r.getInt(6)))).toMap
+    assert(out.size === 64)
+    def nn(px: Int, src: Int): Int = ((2 * px + 1) * src) / 448
+    for (gx <- 0 until 8; gy <- 0 until 8)
+      assert(out((gx, gy)) === ((nn(gx * 28 + 14, 132), nn(gy * 28 + 14, 124))))
+    // corners: first probe maps near origin, last stays inside the source
+    assert(out((0, 0)) === ((8, 8)))
+    assert(out((7, 7))._1 < 132 && out((7, 7))._2 < 124)
+  }
+
   test("text_bigram_lm: hand-computed score on a one-doc corpus; templates beat noise") {
     // corpus = one doc "x y x y": c2(x,y)=2, c2(y,x)=1, c1(x)=2, c1(y)=1, V=2
     val one = Seq((0L, "x y x y")).toDF("doc_id", "text")
