@@ -72,6 +72,13 @@ class LlmSpec extends SparkTestBase {
     assert(graft.operators.SimOps.dedupEmbedding(emptyVecs).count() === 0)
     assert(graft.operators.SimOps.simJoinBucketed(emptyVecs).count() === 0)
     assert(LlmOps.textTokens(emptyDocs).count() === 0)
+    assert(graft.operators.SimOps.textContainment(emptyDocs).count() === 0)
+    assert(LlmOps.multimodalFramesample(emptyDocs).count() === 0)
+    assert(LlmOps.multimodalResize(emptyDocs).count() === 0)
+    // empty trade graph: zero nodes, zero ranks, no division blow-up
+    val emptyOrders = Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+    val emptyLines = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey")
+    assert(graft.operators.GraphOps.graphPagerank(emptyOrders, emptyLines).count() === 0)
   }
 
   test("dedup_clusters: every pair shares a rep, reps are fixpoints") {
