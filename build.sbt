@@ -23,16 +23,25 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap size in MiB from SPARK_DRIVER_MEM ("8g" / "512m" / plain bytes).
+val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+val driverMemMb: Long = {
+  val s = driverMem.trim.toLowerCase
+  if (s.endsWith("g")) s.dropRight(1).toLong * 1024
+  else if (s.endsWith("m")) s.dropRight(1).toLong
+  else if (s.endsWith("k")) s.dropRight(1).toLong / 1024
+  else s.toLong / (1024 * 1024)
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$driverMem",
   // Pre-commit the whole heap: with Xms << Xmx the collector's adaptive
   // sizing grows the heap under load via STW "Pause Full (Ergonomics)"
   // collections (measured at up to 2.7 s inside timed queries at
   // -Xmx80g) — the root cause of the round-2/3 driver-environment bench
   // outliers. A fixed-size heap never resizes, so no ergonomic full GCs.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms$driverMem",
   // Pin the collector too, so behavior doesn't shift with heap size:
   // ParallelGC is the stable throughput choice for a batch JVM.
   "-XX:+UseParallelGC",
@@ -41,8 +50,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // commit + zeroing across that whole span every GC cycle — measured
   // as a 6× slowdown of allocation-heavy queries at large SPARK_DRIVER_MEM
   // with near-zero GC pause time. A 2 GiB young gen stays page-hot and
-  // makes allocation cost independent of heap size.
-  "-Xmn2g",
+  // makes allocation cost independent of heap size — but it must be
+  // CAPPED at a quarter of the heap: a hard -Xmn2g at SPARK_DRIVER_MEM
+  // <= 2g would leave the old generation ~0 bytes (the JVM clamps
+  // MaxNewSize to nearly the whole heap) and the driver full-GCs itself
+  // to death at startup.
+  s"-Xmn${math.max(64L, math.min(2048L, driverMemMb / 4))}m",
   // Commit + zero the whole heap at JVM start (seconds, once, before any
   // timing) instead of paying page faults inside measured queries.
   "-XX:+AlwaysPreTouch",

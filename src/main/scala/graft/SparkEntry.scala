@@ -346,7 +346,7 @@ object SparkEntry {
          SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
            CAST(frame_idx AS INT) AS frame_idx,
            CAST(frame_idx * 40 AS INT) AS frame_ts_ms,
-           CAST(frame_idx * 1009 % n_bytes AS INT) AS frame_offset
+           CAST(frame_idx * 1009 % greatest(n_bytes, 1) AS INT) AS frame_offset
          FROM f ORDER BY doc_id, frame_idx""",
     // half-pixel-center NN index map; operands < 2^21 so the double
     // division floors identically in both engines

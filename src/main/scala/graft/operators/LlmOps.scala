@@ -143,7 +143,8 @@ object LlmOps {
     * TO FIXPOINT (each round: every node adopts the smallest label among
     * itself and its neighbors — one equi-join + one min-aggregate, both
     * shuffling on compact int keys; iterate until no label changes,
-    * bounded at 20 rounds). A fixed round count silently under-merges
+    * backstopped at 100 rounds, which FAILS rather than returning a
+    * partial merge). A fixed round count silently under-merges
     * components deeper than it — chains happen in dedup graphs (A~B~C
     * where A≁C) — so convergence is detected, not assumed: labels only
     * ever DECREASE under min-propagation, so the label sum is strictly
@@ -172,7 +173,13 @@ object LlmOps {
     var prevSum = labelSum(labels)
     var changed = true
     var rounds = 0
-    while (changed && rounds < 20) {
+    // labels only ever decrease, so convergence needs at most one round
+    // per hop of the longest chain; the bound is a runaway backstop, and
+    // tripping it must FAIL, not silently return under-merged clusters
+    // (the oracle computes the true fixpoint, so a silent cap would also
+    // be a wrong answer, not just a degraded one).
+    val maxRounds = 100
+    while (changed && rounds < maxRounds) {
       val nbr = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("label"))
       labels = labels.unionByName(nbr)
@@ -184,6 +191,9 @@ object LlmOps {
       rounds += 1
     }
     pairs.unpersist()
+    require(!changed,
+      s"dedupClusters did not converge within $maxRounds rounds — " +
+        "pair graph has a chain deeper than the backstop; raise maxRounds")
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy("doc_id")
@@ -327,7 +337,11 @@ object LlmOps {
           .as("frame_idx"))
       .select(col("doc_id"), col("n_frames"), col("frame_idx"),
         (col("frame_idx") * 40).as("frame_ts_ms"),
-        pmod(col("frame_idx") * 1009, col("n_bytes")).as("frame_offset"))
+        // greatest(.,1): an empty payload still yields frame rows
+        // (n_frames floors at 16) and a 0 divisor would be an ANSI
+        // DIVIDE_BY_ZERO abort, not a row
+        pmod(col("frame_idx") * 1009, greatest(col("n_bytes"), lit(1)))
+          .as("frame_offset"))
       .orderBy("doc_id", "frame_idx")
   }
 

@@ -96,18 +96,29 @@ object SimOps {
     * approximate by construction (a pair sharing only frequent shingles
     * was never a candidate); the verify step is exact.
     */
-  def dedupNgramJaccard(documents: DataFrame): DataFrame = {
+  /** Shared rare-shingle blocking + shingle-set join: candidate pairs
+    * sharing ≥ 2 shingles of document frequency ≤ 10, each pair carrying
+    * both shingle sets (`sh_a`, `sh_b`) for an exact verify. One home
+    * for the blocking parameters — `dedupNgramJaccard` and
+    * `textContainment` differ ONLY in the verify statistic computed on
+    * top of this stream, and a tuning applied here reaches both.
+    */
+  private def shingleCandidates(documents: DataFrame): DataFrame = {
     graft.plans.TextKernels.register(documents.sparkSession)
     val withSh = documents
       .repartition(documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), LlmOps.shingleSet(col("text")).as("sh"))
     val postings = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val cand = bucketPairs(postings, Seq("shingle"), maxBucket = 10, minShared = 2)
-    val sa = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val sb = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+  }
+
+  def dedupNgramJaccard(documents: DataFrame): DataFrame = {
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val jac = inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter)
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    shingleCandidates(documents)
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
       .filter(col("jac") >= 0.8)
       .orderBy("doc_a", "doc_b")
@@ -159,16 +170,8 @@ object SimOps {
     * EITHER direction is ≥ 0.7.
     */
   def textContainment(documents: DataFrame): DataFrame = {
-    graft.plans.TextKernels.register(documents.sparkSession)
-    val withSh = documents
-      .repartition(documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), LlmOps.shingleSet(col("text")).as("sh"))
-    val postings = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val cand = bucketPairs(postings, Seq("shingle"), maxBucket = 10, minShared = 2)
-    val sa = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val sb = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    shingleCandidates(documents)
       .select(col("doc_a"), col("doc_b"),
         round(inter / size(col("sh_a")), 6).as("cont_a_in_b"),
         round(inter / size(col("sh_b")), 6).as("cont_b_in_a"))

@@ -265,7 +265,10 @@ object EtlOps {
   def configValue(spark: SparkSession, key: String, default: => String,
       env: Map[String, String] = sys.env): String =
     spark.conf.getOption(s"spark.graft.$key")
-      .orElse(env.get("GRAFT_" + key.toUpperCase.replace('.', '_')))
+      // Locale.ROOT: default-locale toUpperCase turns "dir" into "DİR"
+      // on a Turkish-locale JVM and the env lookup silently misses
+      .orElse(env.get("GRAFT_" +
+        key.toUpperCase(java.util.Locale.ROOT).replace('.', '_')))
       .getOrElse(default)
 
   /** The fully config-wired connector (README.md:88–92): page count and

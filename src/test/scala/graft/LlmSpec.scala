@@ -162,7 +162,10 @@ class LlmSpec extends SparkTestBase {
   }
 
   test("multimodal_framesample: bounded even-stride sample with exact offsets") {
-    val docs = Seq((0L, "a" * 100), (1L, "b" * 300), (2L, "c")).toDF("doc_id", "text")
+    // doc 3 is EMPTY: n_frames still floors at 16 and the offset modulus
+    // must not divide by zero
+    val docs = Seq((0L, "a" * 100), (1L, "b" * 300), (2L, "c"), (3L, ""))
+      .toDF("doc_id", "text")
     val out = LlmOps.multimodalFramesample(docs).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
     val byDoc = out.groupBy(_._1)
@@ -176,12 +179,13 @@ class LlmSpec extends SparkTestBase {
         s"doc $id not an even-stride sample: $idxs")
       rows.foreach { case (_, _, idx, ts, off) =>
         assert(ts === idx * 40)
-        assert(off === (idx * 1009) % (if (id == 0) 100 else if (id == 1) 300 else 1))
+        val nBytes = Seq(100, 300, 1, 1)(id.toInt) // empty doc: modulus floors at 1
+        assert(off === (idx * 1009) % nBytes)
       }
     }
     // n_frames = n_bytes % 240 + 16
     assert(byDoc(0L).head._2 === 116 && byDoc(1L).head._2 === 76 &&
-      byDoc(2L).head._2 === 17)
+      byDoc(2L).head._2 === 17 && byDoc(3L).head._2 === 16)
   }
 
   test("multimodal_resize: half-pixel NN map hits hand-computed source coords") {
