@@ -87,6 +87,19 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("sink_zorder read-back pushes the 2-D box predicate into the parquet scan") {
+    // the layout only pays off if the engine actually consults file/row-
+    // group stats — i.e. the box filter must reach the scan as
+    // PushedFilters, not evaluate post-scan
+    // (explain truncates the PushedFilters list, so assert the leading
+    // user_id bounds — the value bounds are in the same pushed set)
+    val p = plan(graft.sources.EtlOps.sinkZorder(spark, sf0001))
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("GreaterThanOrEqual(user_id,4)") &&
+      p.contains("LessThanOrEqual(user_id,11)"),
+      s"box predicate did not reach the parquet scan:\n$p")
+  }
+
   test("multimodal_framesample fans out map-side: no exchange before the final sort") {
     val p = plan(LlmOps.multimodalFramesample(documents(spark, sf0001)))
     // the only exchange allowed is the rangepartitioning of the final
