@@ -50,6 +50,7 @@ object SparkEntry {
     "join_left_anti" -> ((s, d) => JoinOps.leftAnti(customer(s, d), orders(s, d))),
     "join_cross" -> ((s, d) => JoinOps.crossJoin(region(s, d), nation(s, d))),
     "join_theta" -> ((s, d) => JoinOps.theta(nation(s, d))),
+    "join_null_safe" -> ((s, d) => JoinOps.nullSafe(orders(s, d))),
     "join_range" -> ((s, d) => JoinOps.rangeBand(part(s, d))),
     "join_asof" -> ((s, d) => JoinOps.asof(events(s, d))),
     "join_asof_forward" -> ((s, d) => JoinOps.asofForward(events(s, d))),
@@ -70,6 +71,10 @@ object SparkEntry {
     "q_subquery_exists" -> ((s, d) =>
       AuditQueries.qSubqueryExists(s, customer(s, d), orders(s, d))),
     "q_subquery_in" -> ((s, d) => AuditQueries.qSubqueryIn(s, orders(s, d), customer(s, d))),
+    "q_cte" -> ((s, d) => AuditQueries.qCte(s, orders(s, d), customer(s, d))),
+    "q_recursive_cte" -> ((s, d) => AuditQueries.qRecursiveCte(s, orders(s, d))),
+    "q_window_sql" -> ((s, d) => AuditQueries.qWindowSql(s, customer(s, d))),
+    "q_lateral_view" -> ((s, d) => AuditQueries.qLateralView(s, documents(s, d))),
     "q_funnel" -> ((s, d) => AuditQueries.qFunnel(events(s, d))),
     // §2.4 aggregations
     "agg_hash" -> ((s, d) => AggOps.aggHash(orders(s, d))),
@@ -198,6 +203,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.textFingerprint(documents(s, d))),
     "text_boilerplate" -> ((s, d) => TextOps.textBoilerplate(documents(s, d))),
     "text_bigram_lm" -> ((s, d) => TextOps.textBigramLm(documents(s, d))),
+    "text_repetition" -> ((s, d) => TextOps.textRepetition(documents(s, d))),
     // [EXT] dedup & similarity variants
     "dedup_simhash" -> ((s, d) => SimOps.dedupSimhash(documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => SimOps.dedupNgramJaccard(documents(s, d))),
@@ -422,6 +428,15 @@ object SparkEntry {
                       (1600.0, 1000000000.0, 'premium')) b(lo, hi, band)
            ON p_retailprice >= lo AND p_retailprice < hi
          ORDER BY p_partkey""",
+    "join_null_safe" ->
+      """SELECT a.k, a.bucket, count(*) AS n_orders
+         FROM (SELECT nullif(o_orderstatus, 'F') AS k,
+                      coalesce(nullif(o_orderstatus, 'F'), 'quarantine') AS bucket
+               FROM orders) a
+         JOIN (SELECT DISTINCT nullif(o_orderstatus, 'F') AS dim_k FROM orders) b
+           ON a.k IS NOT DISTINCT FROM b.dim_k
+         GROUP BY a.k, a.bucket
+         ORDER BY a.k NULLS FIRST""",
     "join_asof" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
                 epoch_us(p.ts) AS purchase_ts_us,
@@ -526,6 +541,54 @@ object SparkEntry {
          WHERE o_custkey IN (SELECT c_custkey FROM customer
                              WHERE c_mktsegment = 'BUILDING')
          ORDER BY o_orderkey""",
+    // sum(bigint) is HUGEINT in DuckDB — cast back so dtypes match Spark
+    "q_cte" ->
+      """WITH big_orders AS (
+           SELECT o_custkey, count(*) AS n_big,
+                  round(sum(o_totalprice), 2) AS big_total
+           FROM orders WHERE o_totalprice > 100000
+           GROUP BY o_custkey
+         ),
+         segment_stats AS (
+           SELECT c.c_mktsegment, count(*) AS n_customers,
+                  CAST(sum(b.n_big) AS BIGINT) AS n_big_orders,
+                  round(sum(b.big_total), 2) AS segment_total
+           FROM big_orders b JOIN customer c ON b.o_custkey = c.c_custkey
+           GROUP BY c.c_mktsegment
+         )
+         SELECT c_mktsegment, n_customers, n_big_orders, segment_total
+         FROM segment_stats ORDER BY c_mktsegment""",
+    "q_recursive_cte" ->
+      """WITH RECURSIVE months (m) AS (
+           SELECT 1 AS m
+           UNION ALL
+           SELECT m + 1 FROM months WHERE m < 12
+         )
+         SELECT m.m AS month,
+                count(o.o_orderkey) AS n_orders,
+                round(coalesce(sum(o.o_totalprice), 0), 2) AS revenue
+         FROM months m
+         LEFT JOIN orders o
+           ON year(o.o_orderdate) = 1996 AND month(o.o_orderdate) = m.m
+         GROUP BY m.m ORDER BY m.m""",
+    // DuckDB's ranking fns return BIGINT where Spark's are INT — cast
+    "q_window_sql" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+                CAST(row_number() OVER w AS INTEGER) AS rn,
+                CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                round(sum(c_acctbal) OVER (
+                  PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS running_bal
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_custkey""",
+    "q_lateral_view" ->
+      """SELECT doc_id, count(*) AS n_long
+         FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+               FROM documents)
+         WHERE length(tok) >= 8
+         GROUP BY doc_id ORDER BY doc_id""",
     "join_bucketed" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
          round(sum(o_totalprice), 2) AS sum_price
@@ -1217,6 +1280,31 @@ object SparkEntry {
                 (a, b) -> (a * 131 + b) % 1000000007) AS BIGINT) AS fingerprint,
            CAST(len(hs) AS INTEGER) AS n_toks
          FROM t ORDER BY doc_id""",
+    // size() is INT in Spark vs len() BIGINT in DuckDB — cast; the dup
+    // fractions divide identical integers through IEEE doubles on both
+    // sides, so round(,4) hash-matches exactly
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         g AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) > 1 THEN
+                   [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+                 ELSE [] END AS bi,
+                 CASE WHEN len(toks) > 2 THEN
+                   [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    FOR i IN range(1, len(toks) - 1)]
+                 ELSE [] END AS tri
+               FROM t)
+         SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_words,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE, 4)
+           END AS dup_word_frac,
+           CASE WHEN len(bi) = 0 THEN 0.0 ELSE
+             round(1.0 - len(list_distinct(bi))::DOUBLE / len(bi)::DOUBLE, 4)
+           END AS dup_bigram_frac,
+           CASE WHEN len(tri) = 0 THEN 0.0 ELSE
+             round(1.0 - len(list_distinct(tri))::DOUBLE / len(tri)::DOUBLE, 4)
+           END AS dup_trigram_frac
+         FROM g ORDER BY doc_id""",
     "text_boilerplate" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
          g0 AS (SELECT doc_id, unnest([{'pos': i, 'gram': array_to_string(toks[i:i+7], ' ')}

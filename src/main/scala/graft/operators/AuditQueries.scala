@@ -168,4 +168,96 @@ object AuditQueries {
                              WHERE c_mktsegment = 'BUILDING')
          ORDER BY o_orderkey""")
   }
+
+  /** Chained CTEs through the SQL surface — the second named subquery
+    * consumes the first. Catalyst either inlines the CTE or materializes
+    * it behind `WithCTE`/`CTERelationRef` per its cost rule; both resolve
+    * to a plain agg→join→agg plan with the o_totalprice filter pushed to
+    * the scan, never a re-executed text block per reference.
+    */
+  def qCte(spark: SparkSession, orders: DataFrame, customer: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_v")
+    customer.createOrReplaceTempView("customer_v")
+    spark.sql(
+      """WITH big_orders AS (
+           SELECT o_custkey, count(*) AS n_big,
+                  round(sum(o_totalprice), 2) AS big_total
+           FROM orders_v
+           WHERE o_totalprice > 100000
+           GROUP BY o_custkey
+         ),
+         segment_stats AS (
+           SELECT c.c_mktsegment, count(*) AS n_customers,
+                  sum(b.n_big) AS n_big_orders,
+                  round(sum(b.big_total), 2) AS segment_total
+           FROM big_orders b JOIN customer_v c ON b.o_custkey = c.c_custkey
+           GROUP BY c.c_mktsegment
+         )
+         SELECT c_mktsegment, n_customers, n_big_orders, segment_total
+         FROM segment_stats
+         ORDER BY c_mktsegment""")
+  }
+
+  /** RECURSIVE CTE through the SQL surface (Spark 4's `WITH RECURSIVE`,
+    * resolved by `ResolveWithCTE` into a `UnionLoop` fixpoint) — a
+    * 12-row month spine generated by the recursion, left-joined against
+    * 1996 order revenue so empty months still report zeros. The spine is
+    * tiny by construction (recursion generates the DIMENSION, never the
+    * fact side), so the loop cost is constant regardless of corpus size
+    * and the join broadcasts the spine.
+    */
+  def qRecursiveCte(spark: SparkSession, orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_v")
+    spark.sql(
+      """WITH RECURSIVE months (m) AS (
+           SELECT 1 AS m
+           UNION ALL
+           SELECT m + 1 FROM months WHERE m < 12
+         )
+         SELECT m.m AS month,
+                count(o.o_orderkey) AS n_orders,
+                round(coalesce(sum(o.o_totalprice), 0), 2) AS revenue
+         FROM months m
+         LEFT JOIN orders_v o
+           ON year(o.o_orderdate) = 1996 AND month(o.o_orderdate) = m.m
+         GROUP BY m.m
+         ORDER BY m.m""")
+  }
+
+  /** Window functions through the SQL surface with a named WINDOW clause
+    * — row_number, ntile, and a running sum share one window definition,
+    * so Catalyst plans ONE shuffle+sort for all three (same `Window`
+    * operator), not one per function. The ordering ends in the unique
+    * c_custkey so frames are deterministic.
+    */
+  def qWindowSql(spark: SparkSession, customer: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+                row_number() OVER w AS rn,
+                ntile(4) OVER w AS quartile,
+                round(sum(c_acctbal) OVER (
+                  PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS running_bal
+         FROM customer_v
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_custkey""")
+  }
+
+  /** LATERAL VIEW through the SQL surface — the textual form of the
+    * Generate operator (explode stays map-side, fan-out then partial
+    * aggregation; the shuffle carries (doc_id, count) partials, never the
+    * exploded token stream).
+    */
+  def qLateralView(spark: SparkSession, documents: DataFrame): DataFrame = {
+    documents.createOrReplaceTempView("documents_v")
+    spark.sql(
+      """SELECT doc_id, count(*) AS n_long
+         FROM documents_v
+         LATERAL VIEW explode(split(lower(text), ' ')) t AS tok
+         WHERE length(tok) >= 8
+         GROUP BY doc_id
+         ORDER BY doc_id""")
+  }
 }

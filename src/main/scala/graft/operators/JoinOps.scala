@@ -132,6 +132,32 @@ object JoinOps {
       .orderBy("a_key", "b_key")
   }
 
+  /** Null-safe equi join (`<=>` / SQL `IS NOT DISTINCT FROM`): NULL keys
+    * pair with NULL keys instead of silently dropping — the semantics a
+    * raw-collection audit needs when the join key itself is the thing
+    * being cleaned. Nullable keys are derived deterministically (status
+    * 'F' → NULL on BOTH sides) so the null bucket is non-empty and its
+    * match is observable; a plain `===` join would lose those rows.
+    * Catalyst plans `<=>` as a hash-join key (EqualNullSafe is still an
+    * equi-predicate), so this scales exactly like `join_inner_hash` — no
+    * nested-loop fallback.
+    */
+  def nullSafe(orders: DataFrame): DataFrame = {
+    val facts = orders.select(
+      col("o_orderkey"),
+      nullif(col("o_orderstatus"), lit("F")).as("k"))
+    val dim = orders
+      .select(nullif(col("o_orderstatus"), lit("F")).as("k"))
+      .distinct()
+      .select(col("k").as("dim_k"), coalesce(col("k"), lit("quarantine")).as("bucket"))
+    facts
+      .join(dim, col("k") <=> col("dim_k"))
+      .groupBy(col("k"), col("bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(col("k"), col("bucket"), col("n_orders"))
+      .orderBy(asc_nulls_first("k"))
+  }
+
   /** Range/band join: price interval lookup against a broadcast band table
     * — the scalable banding pattern (tiny interval dim broadcast against an
     * arbitrarily large fact side; half-open intervals so bands partition).

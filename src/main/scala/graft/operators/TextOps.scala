@@ -228,6 +228,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition signals — the classic LLM-corpus quality
+    * filter family (duplicate word / bigram / trigram fractions): machine-
+    * generated and boilerplate-heavy documents repeat their own n-grams
+    * far more than natural prose, so these fractions gate documents BEFORE
+    * the expensive cross-doc stages (dedup, embedding). Everything here is
+    * per-document higher-order-function arithmetic — zero shuffles until
+    * the final sort, the only shape that survives a 100 TB corpus scan.
+    * (Cross-doc repetition is the separate `text_boilerplate` operator.)
+    */
+  def textRepetition(documents: DataFrame): DataFrame = {
+    // duplicate fraction of a gram array: 1 - distinct/total (0 when the
+    // doc is too short to have any gram of that width)
+    def dupFrac(grams: Column): Column = {
+      val n = size(grams)
+      when(n <= 0, lit(0.0))
+        .otherwise(round(
+          lit(1.0) - size(array_distinct(grams)).cast("double") / n.cast("double"), 4))
+    }
+    // contiguous word k-grams via an index map (element_at is 1-based);
+    // short docs yield an empty gram array, not a negative sequence
+    def grams(toks: Column, k: Int): Column =
+      when(size(toks) < k, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", (1 to k).map(j => element_at(toks, i + j)): _*)))
+    documents
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_words"),
+        dupFrac(col("t")).as("dup_word_frac"),
+        dupFrac(grams(col("t"), 2)).as("dup_bigram_frac"),
+        dupFrac(grams(col("t"), 3)).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** 60-bit portable token hash: md5 is identical across engines, and 15
     * hex chars fit a signed 64-bit int exactly.
     */

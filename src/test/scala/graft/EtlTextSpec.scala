@@ -239,6 +239,28 @@ class EtlTextSpec extends SparkTestBase {
     assert(q.filter(col("alpha_ratio") < 0 || col("alpha_ratio") > 1).count() === 0)
   }
 
+  test("text_repetition: hand-computed dup fractions, short docs never divide by zero") {
+    val docs = Seq(
+      (1L, "a a a a"),             // 4 words/1 distinct; bigrams 3/1; trigrams 2/1
+      (2L, "w x y z"),             // no repetition at any width
+      (3L, "solo"),                // too short for any gram
+      (4L, "to be or not to be"))  // 6/4 words; bigrams 5/4; trigrams 4/4
+      .toDF("doc_id", "text")
+    val got = TextOps.textRepetition(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) === ((4, 0.75, 0.6667, 0.5)))
+    assert(got(2L) === ((4, 0.0, 0.0, 0.0)))
+    assert(got(3L) === ((1, 0.0, 0.0, 0.0)))
+    assert(got(4L) === ((6, 0.3333, 0.2, 0.0)))
+  }
+
+  test("text_repetition fractions stay within [0, 1] on the corpus") {
+    val r = TextOps.textRepetition(Tables.documents(spark, sf0001))
+    for (c <- Seq("dup_word_frac", "dup_bigram_frac", "dup_trigram_frac"))
+      assert(r.filter(col(c) < 0 || col(c) > 1).count() === 0, s"$c out of range")
+  }
+
   test("text_langid breaks score ties deterministically (larger code wins)") {
     // 'de' appears in both the es ('de' is an es marker too) and zh marker
     // sets; a doc of only 'de' ties es/zh/de-marker scores — struct max

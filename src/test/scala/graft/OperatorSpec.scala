@@ -290,4 +290,24 @@ class OperatorSpec extends SparkTestBase {
     assert(math.abs(out.head._2 - 0.421403) < 1e-5,
       s"hub rank ${out.head._2} != analytic round-10 value 0.421403")
   }
+
+  test("join_null_safe: NULL keys match NULL keys — no row lost, unlike ===") {
+    val orders = Tables.orders(spark, sf0001)
+    val nF = orders.filter(col("o_orderstatus") === "F").count()
+    val res = JoinOps.nullSafe(orders).collect()
+    val nullRow = res.find(_.isNullAt(0)).getOrElse(fail("null bucket missing"))
+    assert(nullRow.getString(1) === "quarantine")
+    assert(nullRow.getLong(2) === nF, "null<=>null must match every F order")
+    assert(res.map(_.getLong(2)).sum === orders.count(),
+      "null-safe join lost rows — that is the === behavior it exists to fix")
+  }
+
+  test("q_recursive_cte: 12-month spine, empty months report zero, totals conserved") {
+    val orders = Tables.orders(spark, sf0001)
+    val out = AuditQueries.qRecursiveCte(spark, orders).collect()
+    assert(out.map(_.getInt(0)).toSeq === (1 to 12), "spine must be months 1..12 in order")
+    val in1996 = orders.filter(expr("year(o_orderdate) = 1996")).count()
+    assert(out.map(_.getLong(1)).sum === in1996,
+      "per-month order counts must partition the 1996 orders exactly")
+  }
 }

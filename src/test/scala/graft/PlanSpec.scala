@@ -199,6 +199,43 @@ class PlanSpec extends SparkTestBase {
     assert(pi.contains("LeftSemi"), s"IN subquery did not plan as a semi join:\n$pi")
   }
 
+  test("q_window_sql: three window functions share ONE Window operator (one shuffle+sort)") {
+    val p = plan(AuditQueries.qWindowSql(spark, customer(spark, sf0001)))
+    val windows = p.linesIterator.count(_.matches(""".*[+*]- Window \[.*"""))
+    assert(windows == 1, s"shared WINDOW clause split into $windows Window operators:\n$p")
+    assert(p.contains("row_number()") && p.contains("ntile(4)"),
+      s"window functions missing from the plan:\n$p")
+  }
+
+  test("q_recursive_cte: recursion plans as a UnionLoop, fact side joined once outside it") {
+    val df = AuditQueries.qRecursiveCte(spark, orders(spark, sf0001))
+    val p = plan(df)
+    assert(p.contains("UnionLoop"), s"WITH RECURSIVE did not plan as a UnionLoop:\n$p")
+    // the recursion generates the 12-row spine only — the orders scan must
+    // appear outside the loop, exactly once (never re-scanned per step)
+    assert(p.linesIterator.count(_.contains("orders.parquet")) == 1,
+      s"orders scanned more than once (fact side inside the recursion?):\n$p")
+  }
+
+  test("join_null_safe: <=> stays an equi hash/merge join, never a nested loop") {
+    val p = plan(JoinOps.nullSafe(orders(spark, sf0001)))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"null-safe join lost its equi-join strategy:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"null-safe join degraded to a nested loop:\n$p")
+  }
+
+  test("q_lateral_view: SQL LATERAL VIEW plans a Generate with partial agg before the exchange") {
+    val p = plan(AuditQueries.qLateralView(spark, documents(spark, sf0001)))
+    assert(p.contains("Generate"), s"LATERAL VIEW produced no Generate:\n$p")
+    // tree strings print root-first: a partial aggregate BELOW the shuffle
+    // means a HashAggregate appears after (deeper than) the Exchange
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(lastAgg >= 0 && exchange >= 0 && lastAgg > exchange,
+      s"no map-side partial aggregate below the shuffle (exploded tokens would cross the wire):\n$p")
+  }
+
   test("left_semi/anti never multiply rows (no project of right-side columns)") {
     val p = plan(JoinOps.leftSemi(customer(spark, sf0001), orders(spark, sf0001)))
     assert(p.contains("LeftSemi"), s"semi join lost its type:\n$p")
