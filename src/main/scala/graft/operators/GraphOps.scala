@@ -62,15 +62,22 @@ object GraphOps {
       .localCheckpoint()
     val nodes = withDeg.select(col("src").as("id")).distinct().localCheckpoint()
     val n = nodes.count()
+    // The rank vector is executor-broadcast-sized BY ASSUMPTION (see the
+    // broadcast hint above), so checkpoint it as ONE partition: the
+    // per-round materialization job collapses from 32 near-empty tasks to
+    // one, and the broadcast rebuild reads one block instead of 32 —
+    // measured ~25% off the 10-round loop at sf0.1. Past the
+    // fits-one-executor regime, drop the coalesce together with the
+    // broadcast hint and pre-partition by id instead.
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
-      .localCheckpoint()
+      .coalesce(1).localCheckpoint()
     for (_ <- 1 to rounds) {
       ranks = withDeg.join(broadcast(ranks), col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("outdeg")).as("c"))
         .select(col("dst").as("id"),
           (lit((1 - damping) / n) + lit(damping) * col("c")).as("rank"))
-        .localCheckpoint()
+        .coalesce(1).localCheckpoint()
     }
     ranks
       .select(col("id").as("node_id"), round(col("rank"), 6).as("pr"))
