@@ -84,6 +84,7 @@ object SparkEntry {
     "agg_approx_distinct_checked" -> ((s, d) => AggOps.aggApproxDistinctChecked(lineitem(s, d))),
     "agg_percentile_approx" -> ((s, d) => AggOps.aggPercentileApprox(lineitem(s, d))),
     "agg_sketch_rollup" -> ((s, d) => AggOps.aggSketchRollup(events(s, d))),
+    "agg_bitmap_distinct" -> ((s, d) => AggOps.aggBitmapDistinct(lineitem(s, d))),
     "agg_stats" -> ((s, d) => AggOps.aggStats(lineitem(s, d))),
     "agg_median" -> ((s, d) => AggOps.aggMedian(lineitem(s, d))),
     "agg_mode" -> ((s, d) => AggOps.aggMode(lineitem(s, d))),
@@ -139,6 +140,7 @@ object SparkEntry {
         .withColumn("vs", array_join(col("vs"), ","))),
     "fn_json" -> ((s, d) => FuncOps.jsonFns(events(s, d))),
     "fn_hash" -> ((s, d) => FuncOps.hashFns(documents(s, d))),
+    "fn_bitwise" -> ((s, d) => FuncOps.bitwiseFns(lineitem(s, d))),
     "fn_fuzzy" -> ((s, d) => FuncOps.fuzzyFns(documents(s, d))),
     // §2.11 [EXT] LLM-data-pipeline operators
     "dedup_exact" -> ((s, d) => LlmOps.dedupExact(documents(s, d))),
@@ -211,6 +213,7 @@ object SparkEntry {
     "sim_ivf" -> ((s, d) => SimOps.simIvf(embeddings(s, d))),
     "sim_join_bucketed" -> ((s, d) => SimOps.simJoinBucketed(embeddings(s, d))),
     "sim_quantized" -> ((s, d) => SimOps.simQuantized(embeddings(s, d))),
+    "sim_rerank" -> ((s, d) => SimOps.simRerank(embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -849,6 +852,16 @@ object SparkEntry {
     "fn_hash" ->
       """SELECT doc_id, sha256(text) AS sha, md5(text) AS mdfive
          FROM documents ORDER BY doc_id""",
+    // DuckDB ^ is POWER (xor() is the operator) and bit_count is TINYINT
+    "fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+         (l_orderkey & 255) AS and_low,
+         (l_orderkey | 16) AS or_flag,
+         xor(l_orderkey, l_partkey) AS xor_mix,
+         (l_linenumber << 3) AS shl,
+         (l_orderkey >> 4) AS shr,
+         CAST(bit_count(l_orderkey) AS INTEGER) AS popcount
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "fn_fuzzy" ->
       """WITH p AS (SELECT doc_id, substring(text, 1, 15) AS prefix FROM documents)
          SELECT doc_id, prefix,
@@ -995,6 +1008,13 @@ object SparkEntry {
          count(DISTINCT user_id) AS exact_users,
          true AS approx_ok
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // bitmaps are EXACT — both the direct and the re-merged count must
+    // equal count(DISTINCT) itself
+    "agg_bitmap_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_partkey) AS n_parts_merged
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // the bitmap semi-join is semantically invisible: oracle is the plain join
     "join_bloom_pruned" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
@@ -1476,6 +1496,21 @@ object SparkEntry {
              AS cos_exact
          FROM q CROSS JOIN p
          ORDER BY qdot DESC, vec_id LIMIT 10""",
+    "sim_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sc AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s FROM e),
+         q AS (SELECT vec_id, v, list_transform(v, x -> round(x * 127.0 / s)) AS qd
+               FROM e CROSS JOIN sc),
+         p AS (SELECT qd AS pq, v AS pv FROM q WHERE vec_id = 0),
+         s1 AS (SELECT q.vec_id, q.v, p.pv,
+                  CAST(list_dot_product(q.qd, p.pq) AS BIGINT) AS qdot
+                FROM q CROSS JOIN p
+                ORDER BY qdot DESC, vec_id LIMIT 50)
+         SELECT vec_id, qdot,
+           round(list_dot_product(v, pv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))), 6)
+             AS cos_exact
+         FROM s1 ORDER BY cos_exact DESC, vec_id LIMIT 10""",
   )
 
   /** The PageRank oracle, generated: r0 is the uniform vector, each CTE

@@ -155,6 +155,25 @@ object FuncOps {
         length(col("props")).as("props_len"))
       .orderBy("event_id")
 
+  /** Bitwise family — the key-packing / partition-salt arithmetic behind
+    * composite ids, Morton interleaves (sink_zorder) and salt buckets:
+    * and/or/xor, shifts, popcount — all codegen'd integer ops, pure
+    * map-side. Oracle notes: DuckDB's `^` is POWER, so its SQL spells
+    * `xor()`; its `bit_count` returns TINYINT where Spark's is INT, so
+    * the oracle casts.
+    */
+  def bitwiseFns(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(lit(255L)).as("and_low"),
+        col("l_orderkey").bitwiseOR(lit(16L)).as("or_flag"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("xor_mix"),
+        shiftleft(col("l_linenumber"), 3).as("shl"),
+        shiftright(col("l_orderkey"), 4).as("shr"),
+        bit_count(col("l_orderkey")).as("popcount"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** Hash/ID family: stable record keys for upsert (README.md:28).
     * sha2/md5 per row are oracle-exact against DuckDB sha256/md5;
     * xxhash64 has no DuckDB twin — its injectivity on this corpus is

@@ -260,6 +260,40 @@ object AggOps {
       .na.fill(0, Seq("n_f", "n_o"))
       .orderBy("l_returnflag")
 
+  /** EXACT mergeable distinct counting via Spark-4 bitmap aggregates —
+    * the zero-error companion to the HLL rollup below, for when the key
+    * domain is dense enough that bits beat sketches: values map to a
+    * (bucket, bit position) pair, per-group-per-bucket bitmaps build
+    * map-side, and `bitmap_or_agg` merges them EXACTLY (OR is
+    * associative+commutative — the same partial-aggregation law the
+    * sketch rollup spec pins, with zero error this time). Buckets
+    * partition the key space, so summing per-bucket popcounts is the
+    * exact distinct count. `n_parts_merged` recomputes the answer
+    * through an extra merge level (per-linestatus bitmaps OR-merged
+    * before counting); its equality with the direct `n_parts` IS the
+    * mergeability proof, and the oracle pins both to DuckDB's exact
+    * `count(DISTINCT …)`.
+    */
+  def aggBitmapDistinct(lineitem: DataFrame): DataFrame = {
+    val direct = lineitem
+      .groupBy(col("l_returnflag"), expr("bitmap_bucket_number(l_partkey)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").as("bm"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_parts"))
+    val merged = lineitem
+      .groupBy(
+        col("l_returnflag"), col("l_linestatus"),
+        expr("bitmap_bucket_number(l_partkey)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").as("bm"))
+      .groupBy(col("l_returnflag"), col("bkt"))
+      .agg(expr("bitmap_or_agg(bm)").as("obm"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(expr("bitmap_count(obm)")).as("n_parts_merged"))
+    direct.join(merged, "l_returnflag")
+      .select(col("l_returnflag"), col("n_parts"), col("n_parts_merged"))
+      .orderBy("l_returnflag")
+  }
+
   /** MERGEABLE-sketch rollup — the pattern that makes distinct counts
     * tractable at 100 TB: build one Datasketches HLL sketch of
     * `user_id` per (event_type, day) partition (the shape of an

@@ -259,6 +259,41 @@ object SimOps {
       .limit(10)
   }
 
+  /** Two-stage ANN — prefilter-then-rerank, the production serving shape
+    * that composes the int8 move above with exact scoring: stage 1 scans
+    * the corpus on the cheap integer dot and keeps the global top-M
+    * candidates (TakeOrderedAndProject — per-partition heaps, the corpus
+    * itself never shuffles); stage 2 reranks ONLY those M rows by exact
+    * float cosine and emits the top-k. At 100 TB the full-precision
+    * vectors are touched for a constant M rows regardless of corpus
+    * size, and stage-1 bandwidth is 4× under the float scan. Recall@k is
+    * bounded by the quantization error only at the top-M boundary — the
+    * spec pins it against exact brute force.
+    */
+  def simRerank(embeddings: DataFrame, m: Int = 50, k: Int = 10): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val scale = e.agg(max(array_max(transform(col("v"), x => abs(x)))).as("s"))
+    val q8 = transform(col("v"), x => round(x * lit(127.0) / col("s")).cast("int"))
+    val quant = e.crossJoin(broadcast(scale))
+      .select(col("vec_id"), col("v"), q8.as("q"))
+    val probe = quant.filter(col("vec_id") === 0)
+      .select(col("q").as("pq"), col("v").as("pv"))
+    val dot = graft.plans.VectorFunctions.vectorDot _
+    val candidates = quant.crossJoin(broadcast(probe))
+      .select(
+        col("vec_id"), col("v"), col("pv"),
+        dot(col("q").cast("array<double>"), col("pq").cast("array<double>"))
+          .cast("long").as("qdot"))
+      .orderBy(desc("qdot"), asc("vec_id"))
+      .limit(m)
+    candidates
+      .select(col("vec_id"), col("qdot"),
+        round(cosine(col("v"), col("pv")), 6).as("cos_exact"))
+      .orderBy(desc("cos_exact"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** IVF-style pruned ANN: a coarse quantizer (here the first 16 vectors
     * as fixed centroids — production would Lloyd-iterate them) assigns
     * every vector to its nearest centroid ONCE (build side); a query then

@@ -240,6 +240,30 @@ class LlmSpec extends SparkTestBase {
       s"quantized top-10 diverged from exact: ${exact diff quant}")
   }
 
+  test("sim_rerank: exact-cosine order, near-total recall vs brute force, top-M plan shape") {
+    val e = Tables.embeddings(spark, sf0001)
+    val df = graft.operators.SimOps.simRerank(e)
+    val r = df.collect()
+    assert(r.length === 10)
+    // rerank scores are EXACT cosines, so the self-match is first at 1.0
+    // and the output is cosine-sorted
+    assert(r.head.getLong(0) === 0L && r.head.getDouble(2) === 1.0)
+    val cos = r.map(_.getDouble(2))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, "not cosine-sorted")
+    // a 50-candidate int8 prefilter loses at most the boundary: the exact
+    // top-10 should survive in full (recall 1.0 on this corpus; >= 9
+    // allows one boundary tie to move)
+    val exact = LlmOps.simTopk(e).select("vec_id").as[Long].collect().toSet
+    val got = r.map(_.getLong(0)).toSet
+    assert((exact intersect got).size >= 9,
+      s"rerank lost exact neighbors: ${exact diff got}")
+    // both stages are global top-k: TakeOrderedAndProject, corpus never shuffles
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-M/top-k not heap-based:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"rerank pipeline shuffles the corpus:\n$p")
+  }
+
   test("sim_join_bucketed: pair hygiene + recall >= 0.5 vs exact kNN on real data") {
     val e = Tables.embeddings(spark, sf0001)
     val bucketed = graft.operators.SimOps.simJoinBucketed(e).cache()

@@ -291,6 +291,32 @@ class OperatorSpec extends SparkTestBase {
       s"hub rank ${out.head._2} != analytic round-10 value 0.421403")
   }
 
+  test("agg_bitmap_distinct: bitmap counts are EXACT and survive re-merging") {
+    val li = Tables.lineitem(spark, sf0001)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = AggOps.aggBitmapDistinct(li).collect()
+    got.foreach { r =>
+      assert(r.getLong(1) === exact(r.getString(0)), s"direct bitmap count drifted: $r")
+      assert(r.getLong(2) === exact(r.getString(0)), s"re-merged bitmap count drifted: $r")
+    }
+  }
+
+  test("fn_bitwise: hand-computed masks, shifts, and popcounts") {
+    val df = Seq((255L, 2L, 3L), (1024L, 7L, 1L))
+      .toDF("l_orderkey", "l_partkey", "l_linenumber")
+    val r = graft.functions.FuncOps.bitwiseFns(df).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val a = r(255L)
+    assert(a.getLong(2) === 255L && a.getLong(3) === 255L)   // and_low, or_flag
+    assert(a.getLong(4) === (255L ^ 2L) && a.getLong(5) === 24L) // xor_mix, shl
+    assert(a.getLong(6) === 15L && a.getInt(7) === 8)        // shr, popcount
+    val b = r(1024L)
+    assert(b.getLong(2) === 0L && b.getLong(3) === 1040L)
+    assert(b.getLong(6) === 64L && b.getInt(7) === 1)
+  }
+
   test("join_null_safe: NULL keys match NULL keys — no row lost, unlike ===") {
     val orders = Tables.orders(spark, sf0001)
     val nF = orders.filter(col("o_orderstatus") === "F").count()
