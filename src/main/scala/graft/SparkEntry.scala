@@ -85,6 +85,7 @@ object SparkEntry {
     "agg_percentile_approx" -> ((s, d) => AggOps.aggPercentileApprox(lineitem(s, d))),
     "agg_sketch_rollup" -> ((s, d) => AggOps.aggSketchRollup(events(s, d))),
     "agg_bitmap_distinct" -> ((s, d) => AggOps.aggBitmapDistinct(lineitem(s, d))),
+    "agg_count_if" -> ((s, d) => AggOps.aggCountIf(lineitem(s, d))),
     "agg_stats" -> ((s, d) => AggOps.aggStats(lineitem(s, d))),
     "agg_median" -> ((s, d) => AggOps.aggMedian(lineitem(s, d))),
     "agg_mode" -> ((s, d) => AggOps.aggMode(lineitem(s, d))),
@@ -144,6 +145,7 @@ object SparkEntry {
     "fn_fuzzy" -> ((s, d) => FuncOps.fuzzyFns(documents(s, d))),
     // §2.11 [EXT] LLM-data-pipeline operators
     "dedup_exact" -> ((s, d) => LlmOps.dedupExact(documents(s, d))),
+    "dedup_paragraph" -> ((s, d) => LlmOps.dedupParagraph(documents(s, d))),
     "dedup_near" -> ((s, d) => LlmOps.dedupNear(documents(s, d))),
     "dedup_clusters" -> ((s, d) => LlmOps.dedupClusters(documents(s, d))),
     "dedup_normalized" -> ((s, d) => LlmOps.dedupNormalized(documents(s, d))),
@@ -1015,6 +1017,33 @@ object SparkEntry {
          count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_partkey) AS n_parts_merged
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_count_if" ->
+      """SELECT l_returnflag,
+         count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+         bool_and(l_quantity > 0) AS all_positive,
+         bool_or(l_tax > 0.07) AS any_high_tax,
+         round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice
+                        ELSE 0.0 END), 2) AS discounted_revenue
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "dedup_paragraph" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         base AS (SELECT doc_id, toks,
+                   CAST(floor((len(toks) - 1) / 16) + 1 AS INTEGER) AS n_passages FROM t),
+         seg0 AS (SELECT doc_id,
+                   unnest([{'pos': i, 'passage': array_to_string(toks[i*16+1 : i*16+16], ' ')}
+                           FOR i IN range(0, CAST(floor((len(toks) - 1) / 16) + 1 AS INTEGER))]) AS s
+                  FROM t),
+         seg AS (SELECT doc_id, s.pos AS pos, s.passage AS passage FROM seg0),
+         kept AS (SELECT doc_id, pos, passage,
+                   row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn
+                  FROM seg),
+         ka AS (SELECT doc_id, count(*) AS n_kept,
+                 array_to_string(list(passage ORDER BY pos), ' ') AS cleaned
+                FROM kept WHERE rn = 1 GROUP BY doc_id)
+         SELECT b.doc_id, b.n_passages,
+           CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(ka.cleaned, '') AS cleaned
+         FROM base b LEFT JOIN ka USING (doc_id) ORDER BY doc_id""",
     // the bitmap semi-join is semantically invisible: oracle is the plain join
     "join_bloom_pruned" ->
       """SELECT o_orderpriority, count(*) AS n_lines,

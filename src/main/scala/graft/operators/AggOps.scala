@@ -260,6 +260,23 @@ object AggOps {
       .na.fill(0, Seq("n_f", "n_o"))
       .orderBy("l_returnflag")
 
+  /** Boolean/conditional aggregate family — count_if, bool_and/bool_or
+    * and a predicated sum: the SQL-standard FILTER-clause surface that
+    * replaces the count(CASE WHEN …) idiom. All are plain partial+final
+    * hash aggregates (booleans fold with AND/OR — associative, so
+    * map-side combine holds); one shuffle on the group key.
+    */
+  def aggCountIf(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count_if(col("l_discount") > 0.05).as("n_discounted"),
+        bool_and(col("l_quantity") > 0).as("all_positive"),
+        bool_or(col("l_tax") > 0.07).as("any_high_tax"),
+        round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))
+          .otherwise(lit(0.0))), 2).as("discounted_revenue"))
+      .orderBy("l_returnflag")
+
   /** EXACT mergeable distinct counting via Spark-4 bitmap aggregates —
     * the zero-error companion to the HLL rollup below, for when the key
     * domain is dense enough that bits beat sketches: values map to a

@@ -138,6 +138,48 @@ object LlmOps {
       .orderBy("keep_id")
   }
 
+  /** Passage-level exact dedup — the sub-document granularity the
+    * line/paragraph dedup stage of a web-corpus pipeline runs at
+    * (whole-doc dedup misses a boilerplate paragraph shared by distinct
+    * pages): documents segment into fixed-width token passages map-side,
+    * ONE window shuffle keyed on the passage text keeps the globally
+    * first occurrence (by doc_id, then position — deterministic), and
+    * docs reassemble from their surviving passages in position order.
+    * Two shuffles total (first-occurrence window + per-doc reassembly),
+    * both on compact keys; passage totals are computed map-side from the
+    * token count, so fully-deduped docs still report with empty text.
+    */
+  def dedupParagraph(documents: DataFrame, width: Int = 16): DataFrame = {
+    val toks = split(col("text"), " ")
+    val base = documents.select(
+      col("doc_id"), toks.as("t"),
+      (floor((size(toks) - 1) / lit(width)) + 1).cast("int").as("n_passages"))
+    val seg = base.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), col("n_passages") - 1),
+        i => array_join(slice(col("t"), i * width + 1, lit(width)), " "))))
+      .toDF("doc_id", "pos", "passage")
+    val firstSeen = Window.partitionBy("passage").orderBy("doc_id", "pos")
+    val kept = seg
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+    val reassembled = kept
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("passage")))),
+            s => s.getField("passage")), " ").as("cleaned"))
+    base.select(col("doc_id"), col("n_passages"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup CLUSTER resolution: the LSH pairs from `dedupNear` turned
     * into canonical groups by min-label propagation over the pair graph
     * TO FIXPOINT (each round: every node adopts the smallest label among

@@ -240,6 +240,32 @@ class LlmSpec extends SparkTestBase {
       s"quantized top-10 diverged from exact: ${exact diff quant}")
   }
 
+  test("dedup_paragraph: first occurrence wins by (doc, pos), reassembly keeps order") {
+    val p1 = (1 to 16).map(i => s"w$i").mkString(" ") // a full-width shared passage
+    val tailA = (1 to 16).map(i => s"a$i").mkString(" ")
+    val tailB = (1 to 16).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$p1 $tailA"), // first occurrence of p1
+      (2L, s"$p1 $tailB"), // repeats p1 at pos 0 — dropped, tailB kept
+      (3L, tailB))         // repeats doc 2's pos-1 passage — fully deduped
+      .toDF("doc_id", "text")
+    val r = LlmOps.dedupParagraph(docs).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(1) === 2 && r(1L).getLong(2) === 2)
+    assert(r(1L).getString(3) === s"$p1 $tailA")
+    assert(r(2L).getLong(2) === 1 && r(2L).getString(3) === tailB)
+    assert(r(3L).getLong(2) === 0 && r(3L).getString(3) === "",
+      "doc 3's only passage first appeared in doc 2 — must dedup to empty")
+    // conservation on the real corpus: kept passages = distinct passages
+    val corpus = Tables.documents(spark, sf0001)
+    val out = LlmOps.dedupParagraph(corpus)
+    val keptTotal = out.agg(sum(col("n_kept"))).as[Long].head()
+    val seg = corpus.selectExpr(
+      "explode(transform(sequence(0, cast(floor((size(split(text,' '))-1)/16) as int)), " +
+        "i -> array_join(slice(split(text,' '), i*16+1, 16), ' '))) AS p")
+    assert(keptTotal === seg.select("p").distinct().count(),
+      "every distinct passage must survive exactly once")
+  }
+
   test("sim_rerank: exact-cosine order, near-total recall vs brute force, top-M plan shape") {
     val e = Tables.embeddings(spark, sf0001)
     val df = graft.operators.SimOps.simRerank(e)

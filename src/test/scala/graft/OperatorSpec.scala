@@ -291,6 +291,19 @@ class OperatorSpec extends SparkTestBase {
       s"hub rank ${out.head._2} != analytic round-10 value 0.421403")
   }
 
+  test("agg_count_if: filtered counts and boolean folds on a hand-checked frame") {
+    val df = Seq(
+      ("A", 0.10, 1.0, 0.08, 100.0),
+      ("A", 0.01, 2.0, 0.01, 50.0),
+      ("B", 0.06, 0.0, 0.02, 10.0))
+      .toDF("l_returnflag", "l_discount", "l_quantity", "l_tax", "l_extendedprice")
+    val r = AggOps.aggCountIf(df).collect().map(x => x.getString(0) -> x).toMap
+    assert(r("A").getLong(1) === 1 && r("A").getBoolean(2) && r("A").getBoolean(3))
+    assert(r("A").getDouble(4) === 100.0)
+    assert(r("B").getLong(1) === 1 && !r("B").getBoolean(2) && !r("B").getBoolean(3))
+    assert(r("B").getDouble(4) === 10.0)
+  }
+
   test("agg_bitmap_distinct: bitmap counts are EXACT and survive re-merging") {
     val li = Tables.lineitem(spark, sf0001)
     val exact = li.groupBy("l_returnflag")
