@@ -86,6 +86,8 @@ object SparkEntry {
     "agg_sketch_rollup" -> ((s, d) => AggOps.aggSketchRollup(events(s, d))),
     "agg_bitmap_distinct" -> ((s, d) => AggOps.aggBitmapDistinct(lineitem(s, d))),
     "agg_count_if" -> ((s, d) => AggOps.aggCountIf(lineitem(s, d))),
+    "agg_unpivot" -> ((s, d) => AggOps.aggUnpivot(lineitem(s, d))),
+    "q_pivot_sql" -> ((s, d) => AuditQueries.qPivotSql(s, lineitem(s, d))),
     "agg_stats" -> ((s, d) => AggOps.aggStats(lineitem(s, d))),
     "agg_median" -> ((s, d) => AggOps.aggMedian(lineitem(s, d))),
     "agg_mode" -> ((s, d) => AggOps.aggMode(lineitem(s, d))),
@@ -216,6 +218,7 @@ object SparkEntry {
     "sim_join_bucketed" -> ((s, d) => SimOps.simJoinBucketed(embeddings(s, d))),
     "sim_quantized" -> ((s, d) => SimOps.simQuantized(embeddings(s, d))),
     "sim_rerank" -> ((s, d) => SimOps.simRerank(embeddings(s, d))),
+    "sim_pq" -> ((s, d) => SimOps.simPq(embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1025,6 +1028,24 @@ object SparkEntry {
          round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice
                         ELSE 0.0 END), 2) AS discounted_revenue
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // manual UNION ALL melt — portable across DuckDB versions
+    "agg_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_price,
+                round(sum(l_discount), 2) AS sum_disc
+              FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+         UNION ALL
+         SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
+         UNION ALL
+         SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value FROM a
+         ORDER BY l_returnflag, metric""",
+    "q_pivot_sql" ->
+      """SELECT l_returnflag,
+         round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS f,
+         round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "dedup_paragraph" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          base AS (SELECT doc_id, toks,
@@ -1540,6 +1561,28 @@ object SparkEntry {
              (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))), 6)
              AS cos_exact
          FROM s1 ORDER BY cos_exact DESC, vec_id LIMIT 10""",
+    // exact replication of the PQ encode + ADC scan: same codebook (first
+    // 16 vectors, ordered), same first-index argmin tie-break, same
+    // sequential fold order for every double sum
+    "sim_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (SELECT list(v ORDER BY vec_id) AS cents FROM e WHERE vec_id < 16),
+         scored AS (SELECT vec_id, v,
+           [[ list_sum([ (v[s*8+i] - c[s*8+i]) * (v[s*8+i] - c[s*8+i])
+                         FOR i IN range(1, 9) ])
+              FOR c IN cents ] FOR s IN range(0, 8)] AS st
+           FROM e CROSS JOIN cb),
+         enc AS (SELECT vec_id, v,
+                   [ list_position(sc, list_min(sc)) FOR sc IN st ] AS codes
+                 FROM scored),
+         qt AS (SELECT st AS dt, v AS qv FROM scored WHERE vec_id = 0)
+         SELECT enc.vec_id,
+           round(list_sum([ dt[s][codes[s]] FOR s IN range(1, 9) ]), 6) AS adc_dist,
+           round(list_dot_product(enc.v, qv) /
+             (sqrt(list_dot_product(enc.v, enc.v)) * sqrt(list_dot_product(qv, qv))), 6)
+             AS cos_exact
+         FROM enc CROSS JOIN qt
+         ORDER BY adc_dist ASC, vec_id LIMIT 10""",
   )
 
   /** The PageRank oracle, generated: r0 is the uniform vector, each CTE

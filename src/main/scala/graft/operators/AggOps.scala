@@ -260,6 +260,27 @@ object AggOps {
       .na.fill(0, Seq("n_f", "n_o"))
       .orderBy("l_returnflag")
 
+  /** Wide→long reshape via native `unpivot` (the inverse of `agg_pivot`):
+    * three metric columns melt into (group, metric, value) rows — the
+    * Expand operator, a map-side row generator (3 rows out per row in,
+    * no shuffle beyond the feeding aggregate). The long form is what a
+    * generic metrics sink or a per-metric window consumes downstream.
+    */
+  def aggUnpivot(lineitem: DataFrame): DataFrame = {
+    val wide = lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_discount")), 2).as("sum_disc"))
+    wide.unpivot(
+      ids = Array(col("l_returnflag")),
+      values = Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+      variableColumnName = "metric",
+      valueColumnName = "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
   /** Boolean/conditional aggregate family — count_if, bool_and/bool_or
     * and a predicated sum: the SQL-standard FILTER-clause surface that
     * replaces the count(CASE WHEN …) idiom. All are plain partial+final

@@ -245,6 +245,21 @@ object AuditQueries {
          ORDER BY c_custkey""")
   }
 
+  /** PIVOT through the SQL surface — the textual form of `agg_pivot`
+    * (values pinned in the IN list, so no driver-side discovery job;
+    * compiles to the same Aggregate-with-pivot plan family as the
+    * DataFrame form).
+    */
+  def qPivotSql(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT * FROM (
+           SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem_v)
+         PIVOT (round(sum(l_quantity), 2)
+                FOR l_linestatus IN ('F' AS f, 'O' AS o))
+         ORDER BY l_returnflag""")
+  }
+
   /** LATERAL VIEW through the SQL surface — the textual form of the
     * Generate operator (explode stays map-side, fan-out then partial
     * aggregation; the shuffle carries (doc_id, count) partials, never the

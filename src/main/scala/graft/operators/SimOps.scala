@@ -294,6 +294,60 @@ object SimOps {
       .limit(k)
   }
 
+  /** Product-quantized ANN (PQ + asymmetric-distance scan) — the memory
+    * endgame of the quantization family: vectors split into 8 subspaces
+    * of 8 dims; each subvector is encoded as the index of its nearest
+    * codebook centroid (16 per subspace, taken from the first 16 vectors
+    * — production would Lloyd-iterate them, same stance as `simIvf`).
+    * A vector is then 8 code bytes instead of 256 float bytes (32×), and
+    * a query scans CODES ONLY: it precomputes its distance table (8×16
+    * doubles, broadcast), and each candidate's approximate L2² is 8 table
+    * lookups — no float vector is touched during the scan, which is what
+    * makes a 100 TB corpus ADC-scannable from memory. Encode is
+    * embarrassingly parallel map-side work against the broadcast
+    * codebook; the only top-k is a TakeOrderedAndProject. Everything is
+    * deterministic (fixed codebook, first-index argmin tie-break,
+    * sequential fold order), so DuckDB replicates it bit-for-bit.
+    */
+  def simPq(embeddings: DataFrame): DataFrame = {
+    val S = 8  // subspaces
+    val D = 8  // dims per subspace
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val cb = e.filter(col("vec_id") < 16)
+      .agg(transform(
+        array_sort(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv")))),
+        s => s.getField("cv")).as("cents"))
+    // per (row, subspace, centroid) L2² scores — sequential fold, so the
+    // oracle's list_sum reproduces the exact doubles
+    val scoreTables = transform(sequence(lit(0), lit(S - 1)), s =>
+      transform(col("cents"), c =>
+        aggregate(
+          zip_with(
+            slice(col("v"), s * D + 1, lit(D)), slice(c, s * D + 1, lit(D)),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, z) => acc + z)))
+    val scored = e.crossJoin(broadcast(cb)).select(
+      col("vec_id"), col("v"), scoreTables.as("st"))
+    val enc = scored.select(
+      col("vec_id"), col("v"),
+      // array_position = FIRST index of the min → deterministic tie-break
+      transform(col("st"), sc => array_position(sc, array_min(sc))).as("codes"))
+    val qt = scored.filter(col("vec_id") === 0)
+      .select(col("st").as("dt"), col("v").as("qv"))
+    val lookup = aggregate(
+      sequence(lit(0), lit(S - 1)), lit(0.0),
+      (acc, s) => acc + element_at(
+        element_at(col("dt"), (s + 1).cast("int")),
+        element_at(col("codes"), (s + 1).cast("int")).cast("int")))
+    enc.crossJoin(broadcast(qt))
+      .select(
+        col("vec_id"),
+        round(lookup, 6).as("adc_dist"),
+        round(cosine(col("v"), col("qv")), 6).as("cos_exact"))
+      .orderBy(asc("adc_dist"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** IVF-style pruned ANN: a coarse quantizer (here the first 16 vectors
     * as fixed centroids — production would Lloyd-iterate them) assigns
     * every vector to its nearest centroid ONCE (build side); a query then

@@ -290,6 +290,19 @@ class LlmSpec extends SparkTestBase {
       s"rerank pipeline shuffles the corpus:\n$p")
   }
 
+  test("sim_pq: self-match at ADC distance 0, codes bounded, distances monotone") {
+    val e = Tables.embeddings(spark, sf0001)
+    val r = graft.operators.SimOps.simPq(e).collect()
+    assert(r.length === 10)
+    // the query vector is itself a codebook centroid, so every subspace
+    // encodes it at distance 0 — ADC distance exactly 0, exact cosine 1
+    assert(r.head.getLong(0) === 0L)
+    assert(r.head.getDouble(1) === 0.0 && r.head.getDouble(2) === 1.0)
+    val d = r.map(_.getDouble(1))
+    assert(d.zip(d.tail).forall { case (a, b) => a <= b }, "ADC distances not sorted")
+    assert(d.forall(_ >= 0.0), "squared distance went negative")
+  }
+
   test("sim_join_bucketed: pair hygiene + recall >= 0.5 vs exact kNN on real data") {
     val e = Tables.embeddings(spark, sf0001)
     val bucketed = graft.operators.SimOps.simJoinBucketed(e).cache()
