@@ -119,17 +119,23 @@ object AggOps {
     * so the verdict is deterministic); the oracle predicts `true` — a
     * drifting HLL implementation turns this row red instead of invisible.
     */
-  def aggApproxDistinctChecked(lineitem: DataFrame): DataFrame =
+  def aggApproxDistinctChecked(lineitem: DataFrame): DataFrame = {
+    // band = 3× the sketch's configured relative standard deviation
+    // (≈99.7% confidence), DERIVED from the rsd so a scale-factor change
+    // re-derives the check instead of invalidating a magic constant
+    val rsd = 0.02
+    val band = 3 * rsd
     lineitem
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+        approx_count_distinct(col("l_partkey"), rsd).as("approx"),
         countDistinct(col("l_partkey")).as("n_exact"))
       .select(
         col("l_returnflag"), col("n_exact"),
-        (abs(col("approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
+        (abs(col("approx") - col("n_exact")).cast("double") / col("n_exact") <= band)
           .as("approx_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** Sketch-based percentiles — the 100 TB companion to the exact
     * `aggMedian` (GK summaries: bounded memory per group, one pass).
@@ -346,9 +352,14 @@ object AggOps {
     * sketch) is asserted in AggSpec.
     */
   def aggSketchRollup(events: DataFrame): DataFrame = {
+    // band = 3× the HLL relative standard error for the configured
+    // lgConfigK (rse ≈ 1.04/√m, m = 2^lgK) — derived, not pinned, so the
+    // check survives a scale-factor change with the same confidence level
+    val lgK = 14
+    val band = 3 * 1.04 / math.sqrt((1 << lgK).toDouble)
     val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
     val merged = daily
       .groupBy(col("event_type"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
@@ -359,7 +370,7 @@ object AggOps {
       .select(
         col("event_type"), col("exact_users"),
         (abs(col("est") - col("exact_users")).cast("double") / col("exact_users")
-          <= 0.05).as("approx_ok"))
+          <= band).as("approx_ok"))
       .orderBy("event_type")
   }
 }

@@ -142,12 +142,21 @@ object LlmOps {
     * line/paragraph dedup stage of a web-corpus pipeline runs at
     * (whole-doc dedup misses a boilerplate paragraph shared by distinct
     * pages): documents segment into fixed-width token passages map-side,
-    * ONE window shuffle keyed on the passage text keeps the globally
-    * first occurrence (by doc_id, then position — deterministic), and
-    * docs reassemble from their surviving passages in position order.
-    * Two shuffles total (first-occurrence window + per-doc reassembly),
-    * both on compact keys; passage totals are computed map-side from the
-    * token count, so fully-deduped docs still report with empty text.
+    * ONE window shuffle keyed on the passage HASH (xxhash64 — the
+    * engine's own rule: never partition/sort on the raw payload; the text
+    * rides along for reassembly only) keeps the globally first occurrence
+    * (by doc_id, then position — deterministic), and docs reassemble from
+    * their surviving passages in position order. Two shuffles total
+    * (first-occurrence window + per-doc reassembly), both on compact
+    * keys; passage totals are computed map-side from the token count, so
+    * fully-deduped docs still report with empty text.
+    *
+    * Granularity caveat (documented, deliberate): the corpus carries no
+    * newlines, so the passage unit is a FIXED-WIDTH 16-token window, not
+    * a real paragraph boundary — a duplicated span shifted by one token
+    * lands in different windows and escapes. Real paragraph-structured
+    * input would swap `split(text, "\n\n")` in as the segmenter; the
+    * alignment-robust path is `text_boilerplate` (sliding 8-grams).
     */
   def dedupParagraph(documents: DataFrame, width: Int = 16): DataFrame = {
     val toks = split(col("text"), " ")
@@ -160,7 +169,11 @@ object LlmOps {
         sequence(lit(0), col("n_passages") - 1),
         i => array_join(slice(col("t"), i * width + 1, lit(width)), " "))))
       .toDF("doc_id", "pos", "passage")
-    val firstSeen = Window.partitionBy("passage").orderBy("doc_id", "pos")
+    // 8-byte hash key instead of the raw passage: the window's shuffle +
+    // sort run on a fixed-width key at any passage length (an xxhash64
+    // collision would merge two distinct passages — odds ~n²/2⁶⁵, the
+    // same accepted risk as every hash-keyed dedup in this file)
+    val firstSeen = Window.partitionBy(xxhash64(col("passage"))).orderBy("doc_id", "pos")
     val kept = seg
       .withColumn("rn", row_number().over(firstSeen))
       .filter(col("rn") === 1)

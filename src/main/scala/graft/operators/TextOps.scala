@@ -196,11 +196,14 @@ object TextOps {
     * log-probability (ppl = e^-score, monotone — the score is the filter
     * key either way).
     *
-    * Scale shape: the bigram/unigram count tables are bounded by VOCAB²,
-    * not corpus size, so they broadcast; scoring is then a map-side
-    * broadcast-join per bigram plus one per-doc average — the corpus is
-    * scanned twice (train, score) and never shuffled on anything wider
-    * than a bigram key.
+    * Scale shape: the count-table joins run on compact (w1,w2)/(w1) keys
+    * with NO broadcast hint — on a real web corpus the distinct-bigram
+    * table is billions of rows (it grows with corpus size, not VOCAB²,
+    * until saturation), so forcing a broadcast would OOM the executors.
+    * AQE picks the strategy from runtime sizes: broadcast when the table
+    * is small (as at test scale), shuffle join when it is not. The corpus
+    * is scanned twice (train, score) and never shuffled on anything wider
+    * than a bigram key; only the 1-row vocab scalar keeps its hint.
     */
   def textBigramLm(documents: DataFrame): DataFrame = {
     val toks = split(lower(col("text")), " ")
@@ -217,8 +220,8 @@ object TextOps {
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
       .agg(countDistinct(col("w")).as("v"))
-    db.join(broadcast(c2), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+    db.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
       .agg(
@@ -253,8 +256,12 @@ object TextOps {
         .otherwise(transform(
           sequence(lit(0), size(toks) - k),
           i => concat_ws(" ", (1 to k).map(j => element_at(toks, i + j)): _*)))
+    // empty strings from consecutive spaces are not words — unfiltered
+    // they count as repeats of each other and inflate every dup fraction
+    // on messy text (the oracle applies the same list_filter)
     documents
-      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), x => x =!= "").as("t"))
       .select(
         col("doc_id"),
         size(col("t")).as("n_words"),

@@ -71,6 +71,8 @@ class LlmSpec extends SparkTestBase {
     assert(graft.operators.SimOps.dedupNgramJaccard(emptyDocs).count() === 0)
     assert(graft.operators.SimOps.dedupEmbedding(emptyVecs).count() === 0)
     assert(graft.operators.SimOps.simJoinBucketed(emptyVecs).count() === 0)
+    assert(graft.operators.SimOps.simKmeans(emptyVecs).count() === 0)
+    assert(graft.operators.SimOps.simIvfKmeans(emptyVecs).count() === 0)
     assert(LlmOps.textTokens(emptyDocs).count() === 0)
     assert(graft.operators.SimOps.textContainment(emptyDocs).count() === 0)
     assert(LlmOps.multimodalFramesample(emptyDocs).count() === 0)

@@ -229,11 +229,55 @@ class PlanSpec extends SparkTestBase {
     val p = plan(AuditQueries.qLateralView(spark, documents(spark, sf0001)))
     assert(p.contains("Generate"), s"LATERAL VIEW produced no Generate:\n$p")
     // tree strings print root-first: a partial aggregate BELOW the shuffle
-    // means a HashAggregate appears after (deeper than) the Exchange
+    // means a HashAggregate appears after (deeper than) the Exchange.
+    // Anchor on the HASH-partitioning Exchange specifically — the ORDER BY
+    // adds a rangepartitioning Exchange above the final agg, which would
+    // satisfy `lastAgg > exchange` even with no partial agg at all.
     val lastAgg = p.lastIndexOf("HashAggregate")
-    val exchange = p.indexOf("Exchange")
+    val exchange = p.indexOf("Exchange hashpartitioning")
     assert(lastAgg >= 0 && exchange >= 0 && lastAgg > exchange,
       s"no map-side partial aggregate below the shuffle (exploded tokens would cross the wire):\n$p")
+  }
+
+  test("graph_pagerank_partitioned: superstep co-locates — no broadcast, edges never re-shuffle") {
+    import org.apache.spark.sql.functions._
+    // at 100 TB the rank vector exceeds any broadcast threshold — emulate
+    // that regime (threshold off) and pin that the superstep still joins
+    // exchange-free on the preserved cache partitioning
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (withDeg, nodes, n) =
+        GraphOps.buildGraph(orders(spark, sf0001), lineitem(spark, sf0001))
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+        .repartition(parts, col("id")).persist()
+      ranks.count()
+      val step = GraphOps.superstepPartitioned(withDeg, ranks, n, 0.85)
+      // traverse the tree rather than the string: InMemoryTableScan PRINTS
+      // its cached build plan (exchanges included) but does not expose it
+      // as children, so collect() sees only the superstep's own operators
+      val root = step.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      val p = root.toString
+      ranks.unpersist()
+      withDeg.unpersist()
+      val bhj = root.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.isEmpty, s"partitioned superstep must not broadcast the rank vector:\n$p")
+      // both join inputs arrive hash-partitioned on the join key (edges from
+      // the cached build shuffle, ranks from the previous round's aggregate),
+      // so the ONLY exchange in a superstep is the dst aggregate's
+      val exchanges = root.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.length == 1,
+        s"superstep should shuffle exactly once (dst agg), saw ${exchanges.length}:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("left_semi/anti never multiply rows (no project of right-side columns)") {
