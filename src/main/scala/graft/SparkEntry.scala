@@ -78,6 +78,7 @@ object SparkEntry {
     "q_window_sql" -> ((s, d) => AuditQueries.qWindowSql(s, customer(s, d))),
     "q_lateral_view" -> ((s, d) => AuditQueries.qLateralView(s, documents(s, d))),
     "q_funnel" -> ((s, d) => AuditQueries.qFunnel(events(s, d))),
+    "q_cbo_stats" -> ((s, d) => AuditQueries.qCboStats(s, d)),
     // §2.4 aggregations
     "agg_hash" -> ((s, d) => AggOps.aggHash(orders(s, d))),
     "agg_global" -> ((s, d) => AggOps.aggGlobal(lineitem(s, d))),
@@ -522,6 +523,15 @@ object SparkEntry {
            (t_signup IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
             AND t_signup < t_click AND t_click < t_purchase) AS completed_funnel
          FROM f ORDER BY user_id""",
+    // CBO reordering is semantically invisible — the oracle is the plain
+    // join over the same parquet
+    "q_cbo_stats" ->
+      """SELECT n_name, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         WHERE n_name = 'NATION_7'
+         GROUP BY n_name ORDER BY n_name""",
     "q6_sql_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
          count(*) AS n_rows
@@ -1482,14 +1492,17 @@ object SparkEntry {
          SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM c
          WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.7
          ORDER BY doc_a, doc_b""",
+    // multiprobe: every vector posts to its block + the 8 single-bit flips
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings),
          b AS (SELECT doc_id, v, CAST(list_sum([CASE WHEN v[i] > 0
                  THEN (1 << (i-1)) ELSE 0 END for i in range(1, 9)]) AS INT) AS block
                FROM e),
+         post AS (SELECT doc_id, xor(block, f.flip) AS block FROM b,
+                  (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS flip) f),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-                  FROM b a JOIN b b2 ON a.block = b2.block AND a.doc_id < b2.doc_id),
+                  FROM post a JOIN post b2 ON a.block = b2.block AND a.doc_id < b2.doc_id),
          j AS (SELECT doc_a AS vec_a, doc_b AS vec_b,
                  round(list_dot_product(va.v, vb.v) /
                    (sqrt(list_dot_product(va.v, va.v)) *

@@ -275,4 +275,61 @@ object AuditQueries {
          GROUP BY doc_id
          ORDER BY doc_id""")
   }
+
+  /** Stats-driven planning (CBO) — the piece of a 100 TB engine AQE alone
+    * does not cover: AQE re-plans from RUNTIME shuffle sizes, but the
+    * initial join ORDER of a multi-join chain is fixed before anything
+    * runs, so a real deployment runs `ANALYZE TABLE … COMPUTE STATISTICS`
+    * and lets the cost-based reorderer pick the order from rowCount +
+    * column stats. This entry is that workflow end-to-end: parquet →
+    * managed tables → ANALYZE (table + join-key columns) → a join chain
+    * deliberately WRITTEN in the worst order (fact ⋈ dim before the
+    * selective tiny dim) → CBO reorders it (PlanSpec pins that the
+    * optimized join tree differs from the statless one, and that results
+    * are identical). Registered tables land in the session warehouse;
+    * re-runs overwrite idempotently.
+    */
+  private[graft] def cboPrepare(spark: SparkSession, dir: String): Unit =
+    Seq("orders", "customer", "nation").foreach { t =>
+      graft.Tables.t(spark, dir, t).write.mode("overwrite")
+        .saveAsTable(s"graft_cbo_$t")
+      spark.sql(s"ANALYZE TABLE graft_cbo_$t COMPUTE STATISTICS")
+      val cols = t match {
+        case "orders"   => "o_custkey, o_totalprice"
+        case "customer" => "c_custkey, c_nationkey"
+        case "nation"   => "n_nationkey, n_name"
+      }
+      spark.sql(s"ANALYZE TABLE graft_cbo_$t COMPUTE STATISTICS FOR COLUMNS $cols")
+    }
+
+  /** The chain query under a pinned CBO setting. Planning is FORCED while
+    * the configs are set (executedPlan memoizes), then the session confs
+    * are restored — the returned frame keeps its CBO-shaped plan.
+    */
+  private[graft] def cboQuery(spark: SparkSession, cbo: Boolean): DataFrame = {
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevReorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", cbo.toString)
+    try {
+      val df = spark.sql(
+        """SELECT n_name, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+           FROM graft_cbo_orders
+           JOIN graft_cbo_customer ON o_custkey = c_custkey
+           JOIN graft_cbo_nation ON c_nationkey = n_nationkey
+           WHERE n_name = 'NATION_7'
+           GROUP BY n_name ORDER BY n_name""")
+      df.queryExecution.executedPlan
+      df
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+    }
+  }
+
+  def qCboStats(spark: SparkSession, dir: String): DataFrame = {
+    cboPrepare(spark, dir)
+    cboQuery(spark, cbo = true)
+  }
 }

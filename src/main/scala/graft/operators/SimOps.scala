@@ -131,9 +131,15 @@ object SimOps {
   private def cosine(a: Column, b: Column): Column = LlmOps.cosine(a, b)
 
   /** Embedding-cosine near-duplicates: block on the sign byte of the
-    * first 8 dimensions (near-identical vectors almost surely share it),
-    * verify cosine ≥ 0.95 within blocks. The blocking key is 1 byte —
-    * the shuffle carries (block, vec_id) only.
+    * first 8 dimensions, verify cosine ≥ 0.95 within blocks. MULTIPROBE
+    * blocking (the same hamming-flip expansion `simJoinBucketed` uses):
+    * each vector posts to its own block plus the 8 single-bit flips, so a
+    * near-identical pair whose sign byte differs in up to TWO near-zero
+    * components still collides in some bucket — single-probe sign
+    * blocking silently missed any pair straddling one sign boundary (the
+    * seeded spec pins that case). The blocking key stays 1 byte and the
+    * posting fan-out is a constant 9×, map-side; `bucketPairs` dedups
+    * pairs that collide in several probe buckets.
     */
   def dedupEmbedding(embeddings: DataFrame): DataFrame = {
     graft.plans.VectorFunctions.register(embeddings.sparkSession)
@@ -145,7 +151,12 @@ object SimOps {
         (x, p) => when(x > 0, p).otherwise(lit(0))),
       lit(0), (acc, x) => acc + x)
     val blocked = e.withColumn("block", block)
-    val cand = bucketPairs(blocked.select("doc_id", "block"), Seq("block"))
+    val flips = 0 +: (0 until 8).map(1 << _) // self + 8 single-bit probes
+    val postings = blocked
+      .select(col("doc_id"), explode(array(flips.map(lit): _*)).as("flip"),
+        col("block"))
+      .select(col("doc_id"), col("block").bitwiseXOR(col("flip")).as("block"))
+    val cand = bucketPairs(postings, Seq("block"))
     val va = blocked.select(col("doc_id").as("doc_a"), col("v").as("v_a"))
     val vb = blocked.select(col("doc_id").as("doc_b"), col("v").as("v_b"))
     cand.join(va, "doc_a").join(vb, "doc_b")

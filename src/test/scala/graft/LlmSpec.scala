@@ -357,6 +357,22 @@ class LlmSpec extends SparkTestBase {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("dedup_embedding multiprobe catches a near-dup pair straddling one sign boundary") {
+    // identical vectors except component 3 sits just above vs just below
+    // zero: the sign bytes differ in exactly bit 2, so the pair lands in
+    // DIFFERENT raw blocks (single-probe sign blocking missed it — this
+    // is the documented recall hole) while cosine stays ≈ 1
+    val v = (0 until 64).map(i => math.sin(i + 1).toFloat).toArray
+    val vPlus = v.updated(2, 1e-4f)
+    val vMinus = v.updated(2, -1e-4f)
+    val far = v.map(x => -x)
+    val e = Seq((0L, vPlus), (1L, vMinus), (2L, far)).toDF("vec_id", "embedding")
+    val pairs = operators.SimOps.dedupEmbedding(e)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)),
+      s"sign-straddling near-dup not recovered by multiprobe: $pairs")
+  }
+
   test("sim_ivf agrees with brute-force top-k when all cells are probed") {
     val e = Tables.embeddings(spark, sf0001)
     val ivf = operators.SimOps.simIvf(e).select("vec_id").as[Long].collect().toSet
@@ -366,6 +382,49 @@ class LlmSpec extends SparkTestBase {
     assert(ivf.contains(0L), "query vector missing from IVF result")
     assert((ivf intersect brute).size >= 5,
       s"IVF recall too low vs brute force: $ivf vs $brute")
+  }
+
+  test("sim_kmeans: Lloyd rounds rebalance a degenerate first-k codebook") {
+    // 4 well-separated clusters of 16 vectors (spike dim = 2*cluster),
+    // deterministic per-vector jitter in dim 8. The first k=4 vectors ALL
+    // sit in cluster 0 — the worst case for the naive first-k codebook.
+    val vecs = (0L until 64L).map { id =>
+      val cluster = (id / 16).toInt
+      val v = Array.fill(8)(0.0f)
+      v(cluster * 2) = 100.0f
+      v(7) = (id % 16).toFloat * 0.01f
+      (id, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = operators.SimOps.simKmeans(df, k = 4, rounds = 5).collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
+    assert(out.map(_.getLong(1)).sum === 64L, "assignment lost vectors")
+    val learnedMax = out.map(_.getLong(1)).max
+    // naive first-k codebook balance, brute-forced in the same integer
+    // domain: every far-cluster vector collapses onto the handful of
+    // near-identical cluster-0 centroids
+    val q = vecs.map { case (_, v) => v.map(x => math.round(x * 1000.0).toLong) }
+    val naiveCents = q.take(4)
+    val naiveMax = q
+      .map(x => naiveCents.zipWithIndex.minBy { case (c, i) =>
+        (x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }._2)
+      .groupBy(identity).values.map(_.size).max
+    assert(learnedMax < naiveMax,
+      s"Lloyd iteration did not improve cell balance: learned max $learnedMax vs naive $naiveMax")
+    assert(learnedMax <= 32, s"learned codebook still badly skewed: ${out.toSeq}")
+    // deterministic: a second run is bit-identical
+    val again = operators.SimOps.simKmeans(df, k = 4, rounds = 5).collect()
+    assert(out.toSeq === again.toSeq)
+  }
+
+  test("sim_ivf_kmeans: learned-codebook IVF keeps the query vector and brute-force overlap") {
+    val e = Tables.embeddings(spark, sf0001)
+    val ivf = operators.SimOps.simIvfKmeans(e).select("vec_id").as[Long].collect().toSet
+    val brute = operators.LlmOps.simTopk(e).select("vec_id").as[Long].collect().toSet
+    assert(ivf.contains(0L), "query vector missing from learned-IVF result")
+    assert((ivf intersect brute).size >= 5,
+      s"learned-IVF recall too low vs brute force: $ivf vs $brute")
   }
 
   test("multimodal payload survives project/filter/join byte-identically") {

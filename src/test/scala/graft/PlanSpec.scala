@@ -280,6 +280,25 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_cbo_stats: table statistics flip the join order (CBO reorder), results identical") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    AuditQueries.cboPrepare(spark, sf0001)
+    def innermost(df: org.apache.spark.sql.DataFrame): String = {
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.nonEmpty, "no joins in optimized plan")
+      joins.last.collectLeaves().map(_.toString).mkString("|") // preorder: last = deepest
+    }
+    val off = AuditQueries.cboQuery(spark, cbo = false)
+    val on = AuditQueries.cboQuery(spark, cbo = true)
+    // written order joins the two big tables first; the reorderer must
+    // pull the filtered 25-row nation dim into the innermost join
+    assert(!innermost(off).contains("graft_cbo_nation"),
+      s"statless plan unexpectedly starts from nation:\n${innermost(off)}")
+    assert(innermost(on).contains("graft_cbo_nation"),
+      s"CBO did not reorder the selective dim inward:\n${on.queryExecution.optimizedPlan}")
+    assert(off.collect().toSeq === on.collect().toSeq, "reorder changed the result")
+  }
+
   test("left_semi/anti never multiply rows (no project of right-side columns)") {
     val p = plan(JoinOps.leftSemi(customer(spark, sf0001), orders(spark, sf0001)))
     assert(p.contains("LeftSemi"), s"semi join lost its type:\n$p")
