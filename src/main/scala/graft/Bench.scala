@@ -44,6 +44,14 @@ object Bench {
     "text_bigram_lm",       // corpus bigram LM perplexity scoring
     "sim_quantized",        // int8-quantized ANN top-k
     "graph_pagerank",       // 10-superstep iterative join+agg
+    // Round-5: remaining round-4 heavies + the new round-5 operators, so
+    // every operator family stays under the 2x perf gate.
+    "dedup_paragraph",      // passage-window dedup + reassembly
+    "sim_rerank",           // int8 prefilter -> exact rerank
+    "sim_pq",               // PQ encode + ADC scan
+    "stream_recovery",      // checkpointed streaming crash-recovery
+    "graph_pagerank_partitioned", // hint-free co-located supersteps
+    "sim_kmeans",           // 3-round Lloyd codebook training
   )
 
   def main(args: Array[String]): Unit = {

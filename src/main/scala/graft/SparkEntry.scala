@@ -59,6 +59,7 @@ object SparkEntry {
     "graph_pagerank" -> ((s, d) => GraphOps.graphPagerank(orders(s, d), lineitem(s, d))),
     "graph_pagerank_partitioned" -> ((s, d) =>
       GraphOps.graphPagerankPartitioned(orders(s, d), lineitem(s, d))),
+    "graph_triangles" -> ((s, d) => GraphOps.graphTriangles(orders(s, d), lineitem(s, d))),
     "join_skew_salted" -> ((s, d) => JoinOps.skewSalted(lineitem(s, d), orders(s, d))),
     // composite audit pipelines (TPC-H Q3/Q5/Q10 shapes)
     "q3_shipping_priority" -> ((s, d) =>
@@ -89,6 +90,7 @@ object SparkEntry {
     "agg_sketch_rollup" -> ((s, d) => AggOps.aggSketchRollup(events(s, d))),
     "agg_bitmap_distinct" -> ((s, d) => AggOps.aggBitmapDistinct(lineitem(s, d))),
     "agg_count_if" -> ((s, d) => AggOps.aggCountIf(lineitem(s, d))),
+    "agg_argmax" -> ((s, d) => AggOps.aggArgmax(lineitem(s, d))),
     "agg_unpivot" -> ((s, d) => AggOps.aggUnpivot(lineitem(s, d))),
     "q_pivot_sql" -> ((s, d) => AuditQueries.qPivotSql(s, lineitem(s, d))),
     "agg_stats" -> ((s, d) => AggOps.aggStats(lineitem(s, d))),
@@ -199,6 +201,7 @@ object SparkEntry {
     "stream_stream_join" -> ((s, d) => StreamOps.streamStreamJoin(s, d)),
     "stream_throttled" -> ((s, d) => StreamOps.streamThrottled(s, d)),
     "stream_recovery" -> ((s, d) => StreamOps.streamRecovery(s, d)),
+    "stream_upsert" -> ((s, d) => StreamOps.streamUpsert(s, d)),
     // §2.10 UDF / UDAF / UDTF extension surface
     "udf_scalar" -> ((s, d) => UdfOps.udfScalar(documents(s, d))),
     "udaf_aggregator" -> ((s, d) => UdfOps.udafAggregator(orders(s, d))),
@@ -1032,6 +1035,21 @@ object SparkEntry {
          count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_partkey) AS n_parts_merged
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // max_by/min_by replicated as ranked windows with the same struct
+    // tie-break (price, then orderkey)
+    "agg_argmax" ->
+      """WITH r AS (SELECT l_returnflag, l_orderkey, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey DESC) AS rmax,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice ASC, l_orderkey ASC) AS rmin
+           FROM lineitem)
+         SELECT l_returnflag,
+           max(CASE WHEN rmax = 1 THEN l_orderkey END) AS top_price_order,
+           max(CASE WHEN rmin = 1 THEN l_orderkey END) AS bottom_price_order,
+           max(l_extendedprice) AS max_price,
+           min(l_extendedprice) AS min_price
+         FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_count_if" ->
       """SELECT l_returnflag,
          count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
@@ -1089,6 +1107,26 @@ object SparkEntry {
     // the partitioned regime computes identical ranks → same oracle
     "graph_pagerank" -> pagerankOracleSql(10),
     "graph_pagerank_partitioned" -> pagerankOracleSql(10),
+    // same cap + same exact-percentile edge rule; each triangle counted
+    // once via the a<b<c orientation
+    "graph_triangles" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         sc AS (SELECT cust FROM pairs GROUP BY cust HAVING count(*) <= 256),
+         kept AS (SELECT p.cust, p.supp FROM pairs p JOIN sc USING (cust)),
+         co AS (SELECT a.supp AS s1, b.supp AS s2, count(*) AS shared
+                FROM kept a JOIN kept b ON a.cust = b.cust AND a.supp < b.supp
+                GROUP BY a.supp, b.supp),
+         thr AS (SELECT quantile_cont(shared, 0.99) AS t FROM co),
+         edges AS (SELECT s1, s2 FROM co CROSS JOIN thr WHERE shared >= t),
+         wedges AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+                    FROM edges e1 JOIN edges e2 ON e1.s2 = e2.s1),
+         tri AS (SELECT a, b, c FROM wedges w
+                 WHERE EXISTS (SELECT 1 FROM edges e WHERE e.s1 = w.a AND e.s2 = w.c)),
+         nodes AS (SELECT unnest([a, b, c]) AS supp_id FROM tri)
+         SELECT supp_id, count(*) AS n_triangles
+         FROM nodes GROUP BY supp_id
+         ORDER BY n_triangles DESC, supp_id LIMIT 10""",
     "agg_histogram" ->
       """SELECT l_returnflag,
          CAST(floor(l_quantity / 10) AS INTEGER) AS bucket,
@@ -1263,6 +1301,16 @@ object SparkEntry {
          count(DISTINCT event_id) AS n_ids,
          min(event_id) AS min_id, max(event_id) AS max_id
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // latest-wins merge over a total order is batch-boundary-independent:
+    // the oracle computes the same per-user argmax in one pass
+    "stream_upsert" ->
+      """WITH r AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us,
+           event_type AS last_type
+         FROM r WHERE rn = 1 ORDER BY user_id""",
     // §2.10 UDF / UDAF / UDTF
     "udf_scalar" ->
       """SELECT doc_id, source || '/' || lang AS record_key,

@@ -95,6 +95,27 @@ object AggOps {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Deterministic argmax/argmin aggregates — `max_by`/`min_by` with a
+    * STRUCT ordering key: a bare `max_by(x, price)` has engine-defined
+    * behavior on price ties, so the tie-break (orderkey) rides inside the
+    * comparison struct and the answer is total-ordered. One partial+final
+    * hash aggregate (max_by is associative — each partial keeps its
+    * winner), vs the two-shuffle window formulation `aggMode` needs when
+    * the ranking statistic is itself an aggregate. The DuckDB oracle
+    * replicates via ranked windows with the identical tie-break.
+    */
+  def aggArgmax(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max_by(col("l_orderkey"),
+          struct(col("l_extendedprice"), col("l_orderkey"))).as("top_price_order"),
+        min_by(col("l_orderkey"),
+          struct(col("l_extendedprice"), col("l_orderkey"))).as("bottom_price_order"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_extendedprice")).as("min_price"))
+      .orderBy("l_returnflag")
+
   /** Mode (most frequent value) per group: count per (group, value), then
     * rank-1 by (count desc, value asc) — the deterministic argmax shape
     * (a bare `mode()` has engine-defined tie behavior; the explicit

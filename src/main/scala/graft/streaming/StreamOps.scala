@@ -343,6 +343,76 @@ object StreamOps {
       .orderBy("event_type")
   }
 
+  /** Streaming UPSERT through foreachBatch — the other half of the
+    * production sink story: `streamSink` appends, this one MERGES each
+    * micro-batch into a keyed store (latest event per user, total-ordered
+    * by (ts, event_id) so ties cannot flip the answer). The backlog is
+    * staged as two files with `maxFilesPerTrigger=1`, so the merge
+    * provably runs across MULTIPLE batches and the final state must be
+    * batch-boundary-independent — latest-wins over a total order is
+    * associative, which is exactly why the entry is oracle-pairable (the
+    * DuckDB oracle computes the same per-user argmax over the whole
+    * table at once). The store swap is write-new → atomic move, never an
+    * in-place overwrite of files a lazy reader may still hold. At scale
+    * the same shape lands on a transactional table format; per-batch
+    * work stays one window over the incoming keys + one keyed merge.
+    */
+  def streamUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s"$sfDir/events.parquet"
+    val srcDir = scratch(sfDir, "events_upsert_src")
+    val store = scratch(sfDir, "events_upsert_store")
+    val curDir = store.resolve("cur")
+    val events = spark.read.parquet(src)
+    val schema = events.schema
+    def stage(half: Int): Unit = {
+      val tmp = scratch(sfDir, s"events_upsert_stage$half")
+      events.filter(pmod(col("event_id"), lit(2)) === half)
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, srcDir.resolve(s"load-$half.parquet"))
+    }
+    stage(0); stage(1)
+    val latest = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val incoming = batch.withColumn("rn", row_number().over(latest))
+          .filter(col("rn") === 1).drop("rn")
+        val merged =
+          if (Files.exists(curDir))
+            sp.read.parquet(curDir.toString).unionByName(incoming)
+              .withColumn("rn", row_number().over(latest))
+              .filter(col("rn") === 1).drop("rn")
+          else incoming
+        val nextDir = store.resolve("next")
+        merged.write.mode(SaveMode.Overwrite).parquet(nextDir.toString)
+        if (Files.exists(curDir)) {
+          Files.walk(curDir).sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => Files.delete(f))
+        }
+        Files.move(nextDir, curDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(curDir.toString)
+      .select(
+        col("user_id"),
+        col("event_id").as("last_event_id"),
+        unix_micros(col("ts")).as("last_ts_us"),
+        col("event_type").as("last_type"))
+      .orderBy("user_id")
+  }
+
   /** Checkpoint recovery — the exactly-once contract that makes streaming
     * ingestion trustworthy at scale: a query writing through the native
     * parquet FILE sink (offset log + `_spark_metadata` commit log, both

@@ -304,6 +304,33 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("graph_triangles: one seeded triangle found, counted once per corner, isolated pair excluded") {
+    // customers 1,2 both buy from suppliers 1,2,3 → co-purchase edges
+    // (1,2),(1,3),(2,3) with shared=2; customer 3 buys from 4,5 once →
+    // (4,5) shared=1 falls under the p99 threshold (=2). Exactly one
+    // triangle {1,2,3}, one count per corner.
+    val orders = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 4L), (3L, 5L)).toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.graphTriangles(orders, lineitem).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got ${out.toSeq}")
+  }
+
+  test("agg_argmax: struct tie-break makes max_by/min_by deterministic on value ties") {
+    val df = Seq(
+      ("A", 100.0, 5L), ("A", 100.0, 9L), ("A", 50.0, 1L),
+      ("B", 7.0, 3L), ("B", 7.0, 2L))
+      .toDF("l_returnflag", "l_extendedprice", "l_orderkey")
+    val r = AggOps.aggArgmax(df).collect().map(x => x.getString(0) -> x).toMap
+    // max price ties broken toward the LARGER orderkey, min toward the smaller
+    assert(r("A").getLong(1) === 9L && r("A").getLong(2) === 1L)
+    assert(r("A").getDouble(3) === 100.0 && r("A").getDouble(4) === 50.0)
+    assert(r("B").getLong(1) === 3L && r("B").getLong(2) === 2L)
+  }
+
   test("agg_count_if: filtered counts and boolean folds on a hand-checked frame") {
     val df = Seq(
       ("A", 0.10, 1.0, 0.08, 100.0),

@@ -87,4 +87,21 @@ class StreamSpec extends SparkTestBase {
     val redo = StreamOps.streamRecovery(spark, sf0001, extraRuns = 2).collect().toSeq
     assert(redo === base)
   }
+
+  test("stream_upsert: multi-batch foreachBatch merge equals the one-pass batch argmax") {
+    val out = StreamOps.streamUpsert(spark, sf0001).collect().toSeq
+    // latest-wins over the (ts, event_id) total order, computed in one
+    // batch pass — the stream merged it across >= 2 micro-batches
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    val batch = Tables.events(spark, sf0001)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        unix_micros(col("ts")).as("last_ts_us"), col("event_type").as("last_type"))
+      .orderBy("user_id").collect().toSeq
+    assert(out === batch)
+    // one row per user, total users preserved
+    val nUsers = Tables.events(spark, sf0001).select("user_id").distinct().count()
+    assert(out.size.toLong === nUsers)
+  }
 }
