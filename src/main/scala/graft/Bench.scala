@@ -50,7 +50,7 @@ object Bench {
     "sim_rerank",           // int8 prefilter -> exact rerank
     "sim_pq",               // PQ encode + ADC scan
     "stream_recovery",      // checkpointed streaming crash-recovery
-    "graph_pagerank_partitioned", // hint-free co-located supersteps
+    "graph_triangles",      // wedge-join triangle counting
     "sim_kmeans",           // 3-round Lloyd codebook training
   )
 

@@ -57,8 +57,6 @@ object SparkEntry {
     "join_bucketed" -> ((s, d) => JoinOps.bucketed(orders(s, d), customer(s, d))),
     "join_bloom_pruned" -> ((s, d) => JoinOps.joinBloomPruned(orders(s, d), lineitem(s, d))),
     "graph_pagerank" -> ((s, d) => GraphOps.graphPagerank(orders(s, d), lineitem(s, d))),
-    "graph_pagerank_partitioned" -> ((s, d) =>
-      GraphOps.graphPagerankPartitioned(orders(s, d), lineitem(s, d))),
     "graph_triangles" -> ((s, d) => GraphOps.graphTriangles(orders(s, d), lineitem(s, d))),
     "join_skew_salted" -> ((s, d) => JoinOps.skewSalted(lineitem(s, d), orders(s, d))),
     // composite audit pipelines (TPC-H Q3/Q5/Q10 shapes)
@@ -1103,10 +1101,8 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_totalprice > 495000
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-    // the engine's 10 Pregel supersteps, unrolled as 10 chained CTEs;
-    // the partitioned regime computes identical ranks → same oracle
+    // the engine's 10 Pregel supersteps, unrolled as 10 chained CTEs
     "graph_pagerank" -> pagerankOracleSql(10),
-    "graph_pagerank_partitioned" -> pagerankOracleSql(10),
     // same cap + same exact-percentile edge rule; each triangle counted
     // once via the a<b<c orientation
     "graph_triangles" ->

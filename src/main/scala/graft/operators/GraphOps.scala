@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the relational tables — the §2.11 extension
@@ -14,51 +13,49 @@ import org.apache.spark.sql.functions._
   * aggregate, both shuffling on compact long keys — no driver-side graph,
   * no per-vertex RDD closures, scales with the shuffle layer.
   *
-  * TWO superstep regimes, gated on node count (not assumed):
-  *  - broadcast (n ≤ [[GraphOps.BroadcastNodeLimit]]): the rank vector is
-  *    checkpointed as one partition and broadcast into the join — zero
-  *    join shuffle, ONE shuffle per round (the dst aggregate). Right
-  *    while the rank vector fits an executor, a scale cliff past it.
-  *  - partitioned (n above the limit, or the explicit entry): edges are
-  *    hash-partitioned by src ONCE at build; each round's rank vector
-  *    leaves the dst aggregate already hash-partitioned on id, so the
-  *    superstep join co-locates with NO broadcast and no extra exchange —
-  *    the edge side never re-shuffles, the rank side moves only through
-  *    the aggregate. No per-round single-task serialization point, no
-  *    O(nodes) broadcast: the regime that survives billions of nodes.
-  * Both regimes compute identical ranks (same oracle).
+  * ONE superstep regime — hint-free and partitioned: the adjacency table
+  * is hash-partitioned by src ONCE at build and never re-shuffles; per
+  * round only the O(V) rank vector moves (one compact-key alignment
+  * exchange + the dst aggregate). No broadcast of the rank vector, no
+  * single-partition collapse, so there is no scale cliff to gate: the
+  * same plan serves 16 k nodes and billions. (A broadcast regime —
+  * rank vector coalesced to one partition and broadcast into the join —
+  * existed through round 4 as a small-graph optimization; after the
+  * adjacency fold the hint-free loop measured FASTER even at sf0.1
+  * (4.4 s vs 6.7 s for the 10-round query), so the scale-unsafe path
+  * no longer paid for itself anywhere and was removed rather than
+  * gated.)
   */
 object GraphOps {
 
-  /** Above this node count the rank vector stops being treated as
-    * executor-broadcast-sized and the partitioned regime takes over.
-    * ~50 M ids+doubles ≈ 800 MB raw — conservatively inside a typical
-    * executor, far outside nothing.
-    */
-  val BroadcastNodeLimit: Long = 50L * 1000 * 1000
-
-  /** Build the undirected trade graph once: edge list with out-degrees,
-    * CACHED for superstep reuse (GraphX keeps its edge RDD resident the
-    * same way; cache rather than checkpoint because InMemoryTableScan
-    * preserves the src HashPartitioning the partitioned regime's join
-    * co-locates on, while a checkpoint scan reports unknown partitioning
-    * — measured, see loopPartitioned). Callers unpersist via the handle
-    * after their final ranks are checkpoint-materialized.
-    * An undirected edge (both directions materialized)
-    * links a customer to every supplier whose parts they ordered; node
-    * ids are disjoint by parity (customers even, suppliers odd) so one
-    * long column carries both sides. Bidirectional edges mean every node
-    * has out-degree ≥ 1 (no dangling-mass correction, rank mass conserved
-    * — the spec pins sum(rank) = 1) and in-degree ≥ 1 (the contribution
-    * aggregate covers every node — no per-round left join).
+  /** Build the undirected trade graph once, as a per-src ADJACENCY table
+    * — (src, outdeg, dsts: array<long>) — CACHED for superstep reuse
+    * (the GraphX layout: edge partitions stored as per-vertex adjacency).
+    * Cache rather than checkpoint because InMemoryTableScan preserves
+    * the HashPartitioning the partitioned regime's join co-locates on,
+    * while a checkpoint scan reports unknown partitioning (measured).
+    * The adjacency fold matters for the loop: per round the engine scans
+    * |V| adjacency rows instead of |E| edge rows (73× fewer here) and
+    * fans back out to edges MAP-SIDE via explode — measured ~3× off the
+    * whole 10-round loop at sf0.1 vs the flat cached edge list. The
+    * groupBy(src)'s own shuffle IS the src pre-partitioning (keys are
+    * unique after it, so `nodes` needs no distinct) — one shuffle builds
+    * layout, degrees, and adjacency together. Callers unpersist via the
+    * handle after their final ranks are checkpoint-materialized.
     *
-    * Out-degree via an unordered window over src: ONE shuffle of the edge
-    * list, vs two (aggregate + re-join) for the groupBy form — measured
-    * ~25% off the one-time graph build at sf0.1. The explicit
-    * `repartition(parts, src)` pins that shuffle's layout (src-only key,
-    * fixed partition count AQE can't coalesce) — the SAME shuffle the
-    * window needs anyway, now also exactly the layout the partitioned
-    * superstep join wants to find. Both regimes share this build.
+    * An undirected edge (both directions materialized) links a customer
+    * to every supplier whose parts they ordered; node ids are disjoint by
+    * parity (customers even, suppliers odd) so one long column carries
+    * both sides. Bidirectional edges mean every node has out-degree ≥ 1
+    * (no dangling-mass correction, rank mass conserved — the spec pins
+    * sum(rank) = 1) and in-degree ≥ 1 (the contribution aggregate covers
+    * every node — no per-round left join).
+    *
+    * Skew note for 100 TB: a celebrity node's adjacency row is O(its
+    * degree); past ~10⁶ out-edges per node, segment the key to
+    * (src, hash(dst) % k) chunk rows — same math, bounded rows. The
+    * trade graph's degrees are bounded by the partner-cardinality, so
+    * the plain layout is used here.
     */
   private[graft] def buildGraph(
       orders: DataFrame, lineitem: DataFrame): (DataFrame, DataFrame, Long) = {
@@ -70,14 +67,13 @@ object GraphOps {
       .select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
       .unionByName(pairs
         .select((col("supp") * 2 + 1).as("src"), (col("cust") * 2).as("dst")))
-    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val withDeg = edges
-      .repartition(parts, col("src"))
-      .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src")))
+    val adj = edges
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"), collect_list(col("dst")).as("dsts"))
       .persist()
-    val nodes = withDeg.select(col("src").as("id")).distinct()
-    val n = nodes.count() // also materializes the edge cache
-    (withDeg, nodes, n)
+    val nodes = adj.select(col("src").as("id"))
+    val n = adj.count() // also materializes the adjacency cache
+    (adj, nodes, n)
   }
 
   private def finish(ranks: DataFrame): DataFrame =
@@ -86,106 +82,71 @@ object GraphOps {
       .orderBy(col("pr").desc, col("node_id"))
       .limit(100)
 
-  /** Broadcast-regime superstep loop. The rank vector is explicitly
-    * `broadcast` into the join — a checkpointed frame carries no size
-    * stats, so Catalyst would otherwise plan a full edge shuffle EVERY
-    * round (measured ~2× slower at sf0.1) — and checkpointed as ONE
-    * partition: the per-round materialization job collapses from 32
-    * near-empty tasks to one and the broadcast rebuild reads one block
-    * instead of 32 (measured ~25% off the 10-round loop at sf0.1). Valid
-    * ONLY while n ≤ BroadcastNodeLimit — callers gate, this assumes.
+  /** The superstep loop — hint-free. Two reuse mechanisms,
+    * chosen per role by MEASUREMENT:
+    *  - the adjacency table (O(E), the side that must never move) is
+    *    CACHED: an InMemoryTableScan preserves the build aggregate's src
+    *    HashPartitioning (and AQE is barred from changing it —
+    *    `canChangeCachedPlanOutputPartitioning` defaults false), so no
+    *    round ever re-shuffles the graph. A checkpoint would lose the
+    *    partitioning (a bare ExistingRDD scan reports unknown — measured).
+    *  - the rank vector (O(V), the side DESIGNED to move) is
+    *    localCheckpoint-chained: each round's checkpoint truncates the
+    *    lineage, so round k plans against a flat scan. The alternative —
+    *    persist-chaining ranks to keep their aggregate partitioning and
+    *    co-locate the join exchange-free — was measured 5× SLOWER over
+    *    10 rounds (0.5 s/round growing to ~2 s: the un-truncated logical
+    *    plan nests every previous round's cache, and per-round planning/
+    *    cache-lookup cost compounds), while the exchange it saves is one
+    *    O(V) compact-key shuffle of the small side.
+    * Per round, then: one small exchange aligning the rank vector to the
+    * cached adjacency + the dst aggregate shuffle — no broadcast, no
+    * coalesce(1), nothing O(E) in motion. (PlanSpec separately pins that
+    * a superstep over partitioned inputs co-locates with a SINGLE
+    * exchange and no broadcast — the at-scale join shape itself.) The
+    * final ranks are already checkpoint-materialized, so the adjacency
+    * cache is released before returning.
     */
-  private def loopBroadcast(withDeg: DataFrame, nodes: DataFrame, n: Long,
+  private def loopPartitioned(adj: DataFrame, nodes: DataFrame, n: Long,
       rounds: Int, damping: Double): DataFrame = {
-    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
-      .coalesce(1).localCheckpoint()
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      ranks = withDeg.join(broadcast(ranks), col("src") === col("id"))
-        .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("outdeg")).as("c"))
-        .select(col("dst").as("id"),
-          (lit((1 - damping) / n) + lit(damping) * col("c")).as("rank"))
-        .coalesce(1).localCheckpoint()
+      ranks = superstepPartitioned(adj, ranks, n, damping).localCheckpoint()
     }
-    withDeg.unpersist() // final ranks are checkpoint-materialized above
+    adj.unpersist()
     finish(ranks)
   }
 
-  /** Partitioned-regime superstep loop — hint-free. Frame reuse is CACHE-
-    * based, not checkpoint-based, because that is what preserves the
-    * partitioning contract: a localCheckpoint comes back as a bare
-    * ExistingRDD scan with UNKNOWN partitioning (measured — both join
-    * sides then re-exchange every round), while an InMemoryTableScan
-    * reports the cached plan's HashPartitioning (and AQE is barred from
-    * changing it — `canChangeCachedPlanOutputPartitioning` defaults
-    * false). So: edges stay cached src-partitioned for the whole loop;
-    * each round's rank vector leaves the dst aggregate hash-partitioned
-    * on id (alias-preserved through the rename), is cached + materialized,
-    * and the previous round's cache is dropped. The next round's src=id
-    * join then co-locates — no forced broadcast, no coalesce(1), no
-    * exchange on either join input (PlanSpec pins it at the at-scale
-    * broadcast threshold): ONE shuffle per round (the dst aggregate),
-    * O(nodes/partitions) rows per task. Catalyst MAY still auto-broadcast
-    * the rank side while its measured size is under the threshold — that
-    * is stats-driven and stops on its own at scale, exactly the
-    * hint-free behavior this regime exists for. The final ranks are
-    * localCheckpoint'ed (lineage truncation — partitioning no longer
-    * matters) so every cache can be released before returning.
+  /** One superstep over the adjacency table, exposed for the PlanSpec
+    * pin: join the rank vector on src (co-located against the cached
+    * adjacency partitioning when the rank side arrives aligned), fan
+    * contributions out to dst MAP-SIDE via explode, partial+final sum on
+    * the dst key — the only O(E) work of a round, none of it shuffled.
     */
-  private def loopPartitioned(withDeg: DataFrame, nodes: DataFrame, n: Long,
-      rounds: Int, damping: Double): DataFrame = {
-    val parts = withDeg.sparkSession.sessionState.conf.numShufflePartitions
-    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
-      .repartition(parts, col("id")).persist()
-    ranks.count()
-    for (_ <- 1 to rounds) {
-      val next = superstepPartitioned(withDeg, ranks, n, damping).persist()
-      next.count()
-      ranks.unpersist()
-      ranks = next
-    }
-    val result = ranks.localCheckpoint()
-    ranks.unpersist()
-    withDeg.unpersist()
-    finish(result)
-  }
-
-  /** One partitioned superstep, exposed for the PlanSpec pin. */
   private[graft] def superstepPartitioned(
-      withDeg: DataFrame, ranks: DataFrame, n: Long, damping: Double): DataFrame =
-    withDeg.join(ranks, col("src") === col("id"))
+      adj: DataFrame, ranks: DataFrame, n: Long, damping: Double): DataFrame =
+    adj.join(ranks, col("src") === col("id"))
+      .select(explode(col("dsts")).as("dst"),
+        (col("rank") / col("outdeg")).as("contrib"))
       .groupBy(col("dst"))
-      .agg(sum(col("rank") / col("outdeg")).as("c"))
+      .agg(sum(col("contrib")).as("c"))
       .select(col("dst").as("id"),
         (lit((1 - damping) / n) + lit(damping) * col("c")).as("rank"))
 
   /** PageRank with a FIXED round count (default 10) — deterministic and
     * oracle-pairable (the DuckDB oracle unrolls the same rounds as
-    * chained CTEs). The regime switch is ENFORCED here on the measured
-    * node count, not documented-and-hoped: the sf-scale graph exercises
-    * the broadcast arm; the partitioned arm has its own entry + plan pin.
+    * chained CTEs).
     *
-    * Shared scale note: each round's ranks are checkpointed so round k's
-    * plan does not re-evaluate rounds 1..k-1. (The all-lazy alternative —
-    * one 10-deep plan, no per-round action — was measured SLOWER: the
-    * stages still execute serially and the deep plan adds analysis/AQE
-    * overhead per stage.)
+    * Scale note: each round's ranks are checkpointed so round k's plan
+    * does not re-evaluate rounds 1..k-1. (The all-lazy alternative — one
+    * 10-deep plan, no per-round action — was measured SLOWER: the stages
+    * still execute serially and the deep plan adds analysis/AQE overhead
+    * per stage.)
     */
   def graphPagerank(orders: DataFrame, lineitem: DataFrame,
       rounds: Int = 10, damping: Double = 0.85): DataFrame = {
-    val (withDeg, nodes, n) = buildGraph(orders, lineitem)
-    if (n <= BroadcastNodeLimit) loopBroadcast(withDeg, nodes, n, rounds, damping)
-    else loopPartitioned(withDeg, nodes, n, rounds, damping)
-  }
-
-  /** The partitioned regime as its own entry, so the 100 TB path is
-    * executable and correctness-checked at every scale — not a comment.
-    * Identical ranks to `graphPagerank` (same oracle SQL).
-    */
-  def graphPagerankPartitioned(orders: DataFrame, lineitem: DataFrame,
-      rounds: Int = 10, damping: Double = 0.85): DataFrame = {
-    val (withDeg, nodes, n) = buildGraph(orders, lineitem)
-    loopPartitioned(withDeg, nodes, n, rounds, damping)
+    val (adj, nodes, n) = buildGraph(orders, lineitem)
+    loopPartitioned(adj, nodes, n, rounds, damping)
   }
 
   /** Triangle counting over the supplier co-purchase graph — the second

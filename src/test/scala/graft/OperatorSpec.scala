@@ -291,19 +291,6 @@ class OperatorSpec extends SparkTestBase {
       s"hub rank ${out.head._2} != analytic round-10 value 0.421403")
   }
 
-  test("graph_pagerank_partitioned: identical ranks to the broadcast regime") {
-    val o = Tables.orders(spark, sf0001)
-    val l = Tables.lineitem(spark, sf0001)
-    val bc = GraphOps.graphPagerank(o, l).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val pt = GraphOps.graphPagerankPartitioned(o, l).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(bc.keySet === pt.keySet, "regimes disagree on the top-100 node set")
-    bc.foreach { case (id, pr) =>
-      assert(math.abs(pr - pt(id)) <= 2e-6, s"node $id: broadcast=$pr partitioned=${pt(id)}")
-    }
-  }
-
   test("graph_triangles: one seeded triangle found, counted once per corner, isolated pair excluded") {
     // customers 1,2 both buy from suppliers 1,2,3 → co-purchase edges
     // (1,2),(1,3),(2,3) with shared=2; customer 3 buys from 4,5 once →

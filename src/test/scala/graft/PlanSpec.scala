@@ -239,11 +239,12 @@ class PlanSpec extends SparkTestBase {
       s"no map-side partial aggregate below the shuffle (exploded tokens would cross the wire):\n$p")
   }
 
-  test("graph_pagerank_partitioned: superstep co-locates — no broadcast, edges never re-shuffle") {
+  test("graph_pagerank: superstep co-locates — no broadcast, adjacency never re-shuffles") {
     import org.apache.spark.sql.functions._
     // at 100 TB the rank vector exceeds any broadcast threshold — emulate
     // that regime (threshold off) and pin that the superstep still joins
-    // exchange-free on the preserved cache partitioning
+    // exchange-free on the preserved cache partitioning when the rank
+    // side arrives aligned
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
