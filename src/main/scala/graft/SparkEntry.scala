@@ -58,6 +58,7 @@ object SparkEntry {
     "join_bloom_pruned" -> ((s, d) => JoinOps.joinBloomPruned(orders(s, d), lineitem(s, d))),
     "graph_pagerank" -> ((s, d) => GraphOps.graphPagerank(orders(s, d), lineitem(s, d))),
     "graph_triangles" -> ((s, d) => GraphOps.graphTriangles(orders(s, d), lineitem(s, d))),
+    "graph_components" -> ((s, d) => GraphOps.graphComponents(orders(s, d), lineitem(s, d))),
     "join_skew_salted" -> ((s, d) => JoinOps.skewSalted(lineitem(s, d), orders(s, d))),
     // composite audit pipelines (TPC-H Q3/Q5/Q10 shapes)
     "q3_shipping_priority" -> ((s, d) =>
@@ -171,6 +172,7 @@ object SparkEntry {
     "scan_json" -> ((s, d) => EtlOps.scanJson(s, d)),
     "scan_csv" -> ((s, d) => EtlOps.scanCsv(s, d)),
     "scan_orc" -> ((s, d) => EtlOps.scanOrc(s, d)),
+    "scan_text" -> ((s, d) => EtlOps.scanText(s, d)),
     "source_api_paginated" -> ((s, d) => EtlOps.sourceApiPaginated(s, d)),
     "source_api_retry" -> ((s, d) => EtlOps.sourceApiRetry(s, d)),
     "source_api_v2" -> ((s, d) => EtlOps.sourceApiV2(s, d)),
@@ -963,6 +965,11 @@ object SparkEntry {
     "scan_orc" ->
       """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS bal
          FROM supplier WHERE s_acctbal > 1000 ORDER BY s_suppkey""",
+    // text-source round-trip must be lossless vs the original table; the
+    // n_fields=2 prediction doubles as the no-tabs-in-payload audit
+    "scan_text" ->
+      """SELECT doc_id, text AS text_rt, 2 AS n_fields
+         FROM documents ORDER BY doc_id""",
     "win_value_fns" ->
       """SELECT p_partkey, p_brand, p_size,
          first_value(p_partkey) OVER wf AS smallest_part,
@@ -1103,6 +1110,7 @@ object SparkEntry {
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // the engine's 10 Pregel supersteps, unrolled as 10 chained CTEs
     "graph_pagerank" -> pagerankOracleSql(10),
+    "graph_components" -> componentsOracleSql(8),
     // same cap + same exact-percentile edge rule; each triangle counted
     // once via the a<b<c orientation
     "graph_triangles" ->
@@ -1713,6 +1721,29 @@ object SparkEntry {
            (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
          FROM asn JOIN p USING(cell) CROSS JOIN q
          ORDER BY cos DESC, vec_id LIMIT 10"""
+
+  /** The components oracle, generated like the pagerank one: l0 is the
+    * identity labeling, each CTE is one synchronous min-propagation hop
+    * (min over in-neighbor labels, floored by the node's own).
+    */
+  private def componentsOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s""",
+         l$i AS (SELECT l.id, least(l.label, nb.nbr) AS label
+                 FROM l${i - 1} l JOIN
+                   (SELECT e.dst AS id, min(lp.label) AS nbr
+                    FROM edges e JOIN l${i - 1} lp ON lp.id = e.src
+                    GROUP BY e.dst) nb USING (id))"""
+    }.mkString
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
+                   UNION ALL SELECT supp * 2 + 1, cust * 2 FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         l0 AS (SELECT id, id AS label FROM nodes)$steps
+         SELECT label AS component, count(*) AS n_nodes, min(id) AS min_node
+         FROM l$rounds GROUP BY label ORDER BY component"""
+  }
 
   /** The PageRank oracle, generated: r0 is the uniform vector, each CTE
     * r{i} is one superstep (contributions summed on dst, damped update),

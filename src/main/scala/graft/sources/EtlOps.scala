@@ -86,6 +86,31 @@ object EtlOps {
       .orderBy("r_regionkey")
   }
 
+  /** Raw TEXT-source scan — the format a web-corpus pipeline actually
+    * starts from (one record per line, no schema at all): the documents
+    * table round-trips through `.text` files (tab-joined — the corpus
+    * carries no tabs/newlines, asserted by the n_fields audit column) and
+    * is re-parsed line-side with split-limit 2, so payload tabs would
+    * stay in the text rather than corrupt the id. The schema boundary is
+    * THE point: everything after the split is the engine's usual typed
+    * world, and the oracle proves the round-trip lossless against the
+    * original table. At 100 TB this is a plain linear scan; text files
+    * split by line, so parallelism follows file/block layout.
+    */
+  def scanText(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "text_src").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")))
+      .write.mode(SaveMode.Overwrite).text(dir)
+    val parts = split(col("value"), "\t", 2)
+    spark.read.text(dir)
+      .select(
+        element_at(parts, 1).cast("long").as("doc_id"),
+        element_at(parts, 2).as("text_rt"),
+        size(split(col("value"), "\t", -1)).as("n_fields"))
+      .orderBy("doc_id")
+  }
+
   /** Columnar ORC round-trip — the third file format (after parquet and
     * the JSON/CSV text formats): same reader/writer API surface, same
     * pushdown behavior, different encoder. Oracle compares against the

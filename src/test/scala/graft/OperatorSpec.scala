@@ -291,6 +291,18 @@ class OperatorSpec extends SparkTestBase {
       s"hub rank ${out.head._2} != analytic round-10 value 0.421403")
   }
 
+  test("graph_components: two seeded components converge separately, never merge") {
+    // component A: customer 1 (node 2) trades with suppliers 1,2 (nodes
+    // 3,5); component B: customer 2 (node 4) with supplier 10 (node 21).
+    // 8 rounds >> both diameters, so each component collapses to its min
+    // node id — and the two must never share a label.
+    val orders = Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((1L, 1L), (1L, 2L), (2L, 10L)).toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.graphComponents(orders, lineitem).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((2L, 3L, 2L), (4L, 2L, 4L)), s"got ${out.toSeq}")
+  }
+
   test("graph_triangles: one seeded triangle found, counted once per corner, isolated pair excluded") {
     // customers 1,2 both buy from suppliers 1,2,3 → co-purchase edges
     // (1,2),(1,3),(2,3) with shared=2; customer 3 buys from 4,5 once →
