@@ -79,6 +79,8 @@ object SparkEntry {
     "q_lateral_view" -> ((s, d) => AuditQueries.qLateralView(s, documents(s, d))),
     "q_funnel" -> ((s, d) => AuditQueries.qFunnel(events(s, d))),
     "q_cbo_stats" -> ((s, d) => AuditQueries.qCboStats(s, d)),
+    "q_group_by_all" -> ((s, d) => AuditQueries.qGroupByAll(s, lineitem(s, d))),
+    "fn_variant" -> ((s, d) => FuncOps.variantFns(events(s, d))),
     // §2.4 aggregations
     "agg_hash" -> ((s, d) => AggOps.aggHash(orders(s, d))),
     "agg_global" -> ((s, d) => AggOps.aggGlobal(lineitem(s, d))),
@@ -526,6 +528,23 @@ object SparkEntry {
            (t_signup IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
             AND t_signup < t_click AND t_click < t_purchase) AS completed_funnel
          FROM f ORDER BY user_id""",
+    // DuckDB is the origin of GROUP BY ALL / ORDER BY ALL — same text
+    // runs on both engines
+    "q_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY ALL ORDER BY ALL""",
+    // variant extractions replicated via DuckDB's JSON path functions;
+    // v_schema is the per-row shape of {"k": <int>} — constant across
+    // this corpus, derived per row by schema_of_variant on the Spark side
+    "fn_variant" ->
+      """SELECT event_id,
+         CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+         json_extract_string(props, '$.k') AS k_str,
+         CAST(json_extract(props, '$.missing') AS INTEGER) AS missing_int,
+         (json_type(props, '$.k') = 'NULL') AS k_is_null,
+         'OBJECT<k: BIGINT>' AS v_schema
+         FROM events ORDER BY event_id""",
     // CBO reordering is semantically invisible — the oracle is the plain
     // join over the same parquet
     "q_cbo_stats" ->

@@ -155,6 +155,26 @@ object FuncOps {
         length(col("props")).as("props_len"))
       .orderBy("event_id")
 
+  /** Spark-4 VARIANT ingestion — the semi-structured path that replaces
+    * schema-on-write JSON wrangling at scale: `parse_json` turns the raw
+    * string into a binary VARIANT once (columnar, no per-query re-parse),
+    * `variant_get` extracts typed paths lazily, `is_variant_null` and
+    * `schema_of_variant` expose the dynamic shape. The variant itself
+    * never leaves the query (binary — driver-unhashable); everything
+    * exported is a typed scalar, so the DuckDB oracle replicates with its
+    * own JSON path functions.
+    */
+  def variantFns(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k_int"),
+        expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"),
+        expr("variant_get(parse_json(props), '$.missing', 'int')").as("missing_int"),
+        expr("is_variant_null(variant_get(parse_json(props), '$.k'))").as("k_is_null"),
+        expr("schema_of_variant(parse_json(props))").as("v_schema"))
+      .orderBy("event_id")
+
   /** Bitwise family — the key-packing / partition-salt arithmetic behind
     * composite ids, Morton interleaves (sink_zorder) and salt buckets:
     * and/or/xor, shifts, popcount — all codegen'd integer ops, pure

@@ -276,6 +276,20 @@ object AuditQueries {
          ORDER BY doc_id""")
   }
 
+  /** `GROUP BY ALL` / `ORDER BY ALL` — the analyst-SQL surface (DuckDB
+    * popularized it, Spark adopted it): every non-aggregate select item
+    * becomes a grouping key, the full select list the sort key. Compiles
+    * to the identical Aggregate plan as the explicit form — a resolver
+    * feature, not an engine one, which is why it is free to support.
+    */
+  def qGroupByAll(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS qty
+         FROM lineitem_v GROUP BY ALL ORDER BY ALL""")
+  }
+
   /** Stats-driven planning (CBO) — the piece of a 100 TB engine AQE alone
     * does not cover: AQE re-plans from RUNTIME shuffle sizes, but the
     * initial join ORDER of a multi-join chain is fixed before anything
