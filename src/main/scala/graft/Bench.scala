@@ -52,6 +52,7 @@ object Bench {
     "stream_recovery",      // checkpointed streaming crash-recovery
     "graph_triangles",      // wedge-join triangle counting
     "sim_kmeans",           // 3-round Lloyd codebook training
+    "pipeline_pretrain",    // composed quality->dedup->near-dup funnel
   )
 
   def main(args: Array[String]): Unit = {

@@ -225,6 +225,8 @@ object SparkEntry {
     "sim_ivf" -> ((s, d) => SimOps.simIvf(embeddings(s, d))),
     "sim_ivf_kmeans" -> ((s, d) => SimOps.simIvfKmeans(embeddings(s, d))),
     "sim_kmeans" -> ((s, d) => SimOps.simKmeans(embeddings(s, d))),
+    "dedup_semantic" -> ((s, d) => SimOps.dedupSemantic(embeddings(s, d))),
+    "pipeline_pretrain" -> ((s, d) => LlmOps.pipelinePretrain(documents(s, d))),
     "sim_join_bucketed" -> ((s, d) => SimOps.simJoinBucketed(embeddings(s, d))),
     "sim_quantized" -> ((s, d) => SimOps.simQuantized(embeddings(s, d))),
     "sim_rerank" -> ((s, d) => SimOps.simRerank(embeddings(s, d))),
@@ -238,8 +240,8 @@ object SparkEntry {
     * pipeline in DuckDB — used by both dedup_near (the pair list) and
     * dedup_clusters (label propagation over those pairs).
     */
-  private val nearDupCte: String =
-    """WITH t AS (SELECT doc_id, str_split(text,' ') AS toks FROM documents),
+  private def nearDupCtes(src: String): String =
+    s"""t AS (SELECT doc_id, str_split(text,' ') AS toks FROM $src),
        s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
               for i in range(1, greatest(len(toks)-1, 2))]) AS sh FROM t),
        m0 AS (SELECT doc_id, sh, [list_transform(sh, x -> md5(p::VARCHAR || '|' || x))
@@ -256,6 +258,8 @@ object SparkEntry {
                len(list_intersect(sa.sh, sb.sh))::DOUBLE /
                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
              FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)"""
+
+  private val nearDupCte: String = "WITH " + nearDupCtes("documents")
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1583,6 +1587,55 @@ object SparkEntry {
     // Lloyd rounds unrolled like the pagerank oracle; everything integer-
     // exact, so even the learned centroids hash-match
     "sim_kmeans" -> kmeansOracleSql(16, 3, 64),
+    // the whole funnel replicated stage by stage: quality gate (same
+    // rounded arithmetic as text_quality), first-per-text exact dedup,
+    // MinHash/LSH near-dup chain over the SURVIVORS, keep-first removal
+    "pipeline_pretrain" ->
+      s"""WITH q AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents) dq
+           WHERE round(0.5 * least(len(toks)::DOUBLE / 50.0, 1.0)
+               + 0.3 * (length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+                        / length(text))
+               + 0.2 * (len(list_intersect(list_distinct(toks),
+                     ['the','and','of','to','in','a','is','it']))::DOUBLE / 8.0),
+               6) >= 0.5),
+         e AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             FROM q) re WHERE rn = 1),
+         ${nearDupCtes("e")},
+         removed AS (SELECT DISTINCT doc_b AS doc_id FROM j
+                     WHERE round(jac, 6) >= 0.6),
+         kept AS (SELECT doc_id, text FROM e
+                  WHERE doc_id NOT IN (SELECT doc_id FROM removed)),
+         st AS (
+           SELECT 0 AS stage, count(*) AS n_docs,
+             coalesce(sum(len(str_split(text, ' '))), 0) AS n_tokens FROM documents
+           UNION ALL SELECT 1, count(*),
+             coalesce(sum(len(str_split(text, ' '))), 0) FROM q
+           UNION ALL SELECT 2, count(*),
+             coalesce(sum(len(str_split(text, ' '))), 0) FROM e
+           UNION ALL SELECT 3, count(*),
+             coalesce(sum(len(str_split(text, ' '))), 0) FROM kept)
+         SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+         FROM st ORDER BY stage""",
+    // the full SemDeDup pipeline replicated: kmeans chain → within-cell
+    // pairs → exact cosine verify
+    "dedup_semantic" ->
+      s"""WITH ${kmeansCte(16, 3, 64)},
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                  FROM kaf a JOIN kaf b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         j AS (SELECT doc_a AS vec_a, doc_b AS vec_b,
+                 round(list_dot_product(va.v, vb.v) /
+                   (sqrt(list_dot_product(va.v, va.v)) *
+                    sqrt(list_dot_product(vb.v, vb.v))), 6) AS cos
+               FROM cand JOIN e va ON va.vec_id = doc_a
+                         JOIN e vb ON vb.vec_id = doc_b)
+         SELECT vec_a, vec_b, cos FROM j WHERE cos >= 0.95
+         ORDER BY vec_a, vec_b""",
     "sim_ivf_kmeans" -> ivfKmeansOracleSql(16, 3, 64),
     "sim_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -228,9 +228,15 @@ object GraphOps {
       .groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("shared"))
     val thr = co.agg(percentile(col("shared"), lit(0.99)).as("t"))
+    // localCheckpoint: the edge list feeds THREE consumers (both wedge
+    // sides + the closing semi-join); without materialization each one
+    // re-runs the whole co-purchase projection — measured 3× the
+    // operator's cost at sf0.1. The edge list itself is tiny (top-1% of
+    // supplier pairs), so the checkpoint is cheap at any scale.
     val edges = co.crossJoin(broadcast(thr))
       .filter(col("shared") >= col("t"))
       .select("s1", "s2")
+      .localCheckpoint()
     val wedges = edges.select(col("s1").as("a"), col("s2").as("b"))
       .join(edges.select(col("s1").as("b"), col("s2").as("c")), Seq("b"))
     val tri = wedges.join(

@@ -254,6 +254,43 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** The end-to-end pretraining corpus funnel — the COMPOSITION proof for
+    * the §2.11 family: quality gate → exact dedup → near-dup removal,
+    * chained the way a real pipeline runs them, reporting the per-stage
+    * survivor census (docs + tokens) a data team actually tracks.
+    * Each stage reuses the engine's own operators verbatim: the quality
+    * gate is `TextOps.qualityScore` (byte-identical arithmetic to
+    * `text_quality`), exact dedup keeps the first occurrence per
+    * sha2(text) key, and near-dup removal drops the larger id of every
+    * `dedupNear` pair found among the remaining docs (the deterministic
+    * keep-first rule; transitive-closure canonicalization is the
+    * separate `dedup_clusters`). The whole funnel is oracle-replicated
+    * stage by stage, so the pipeline's SEQUENCING — not just each
+    * operator alone — is correctness-checked. Scale shape inherits from
+    * the parts: map-side scoring, hash-keyed dedup shuffles, LSH-bounded
+    * near-dup candidates; the censuses are partial+final aggregates.
+    */
+  def pipelinePretrain(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), col("text"))
+    val q = base.filter(TextOps.qualityScore(col("text")) >= 0.5)
+    val firstSeen = Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
+    val e = q.withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1).drop("rn")
+    val removed = dedupNear(e).select(col("doc_b").as("doc_id")).distinct()
+    val kept = e.join(removed, Seq("doc_id"), "left_anti")
+    def census(stage: Int, df: DataFrame): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+          .as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    census(0, base)
+      .unionByName(census(1, q))
+      .unionByName(census(2, e))
+      .unionByName(census(3, kept))
+      .orderBy("stage")
+  }
+
   private def toVec(c: Column): Column = c.cast("array<double>")
 
   /** Codegen'd native dot product (graft.plans.VectorDot) — index-order

@@ -484,6 +484,35 @@ object SimOps {
         (array_position(dists, array_min(dists)) - 1).cast("int").as("cell"))
   }
 
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023, public): cluster
+    * the embedding space with the learned k-means codebook, then compare
+    * pairs ONLY within a cluster — the cluster assignment replaces LSH
+    * blocking, so near-duplicates BY MEANING collide even when no
+    * lexical blocking would pair them. Within-cluster work is quadratic
+    * in cluster size BY DESIGN (that is the published algorithm); the
+    * scale lever is k itself — production picks k ≈ n / target-cluster-
+    * size so each cluster stays a bounded candidate set, exactly like
+    * `maxBucket` bounds the LSH buckets. Fully deterministic end to end
+    * (integer k-means + first-index argmin + rounded cosine), so the
+    * oracle replicates the entire pipeline.
+    */
+  def dedupSemantic(embeddings: DataFrame, k: Int = 16, rounds: Int = 3,
+      minCos: Double = 0.95): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val eq = embeddings.select(col("vec_id"), quantize1000(toVec(col("embedding"))).as("xq"))
+    val cells = assignCells(eq, kmeansCentroids(eq, k, rounds))
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val cand = bucketPairs(cells, Seq("cell"))
+    val va = e.select(col("vec_id").as("doc_a"), col("v").as("v_a"))
+    val vb = e.select(col("vec_id").as("doc_b"), col("v").as("v_b"))
+    cand.join(va, "doc_a").join(vb, "doc_b")
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** The query entry: k-means codebook + final cell census — per centroid
     * its population and two identifying components, all exact integers
     * (hence hash-oracle-able; the DuckDB oracle unrolls the same rounds).

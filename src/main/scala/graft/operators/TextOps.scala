@@ -42,6 +42,22 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The composite quality score as a reusable column expression, so the
+    * scoring query (`textQuality`) and the corpus funnel
+    * (`LlmOps.pipelinePretrain`) filter on byte-identical arithmetic.
+    */
+  private[operators] def qualityScore(text: Column): Column = {
+    val toks = split(text, " ")
+    val stop = array(Seq("the", "and", "of", "to", "in", "a", "is", "it")
+      .map(lit): _*)
+    val alphaRatio = length(regexp_replace(text, "[^a-z]", ""))
+      .cast("double") / length(text)
+    val stopRatio = size(array_intersect(array_distinct(toks), stop))
+      .cast("double") / lit(8.0)
+    val lenScore = least(size(toks).cast("double") / lit(50.0), lit(1.0))
+    round(lit(0.5) * lenScore + lit(0.3) * alphaRatio + lit(0.2) * stopRatio, 6)
+  }
+
   /** Quality scoring: length/token/alpha/stopword signals folded into one
     * bounded score — the cheap pre-filter stage before expensive pipeline
     * steps (dedup, embedding).
@@ -56,7 +72,6 @@ object TextOps {
       .cast("double") / nChars
     val stopRatio = size(array_intersect(array_distinct(toks), stop))
       .cast("double") / lit(8.0)
-    val lenScore = least(nToks.cast("double") / lit(50.0), lit(1.0))
     documents
       .select(
         col("doc_id"),
@@ -64,8 +79,7 @@ object TextOps {
         nToks.as("n_toks"),
         round(alphaRatio, 6).as("alpha_ratio"),
         round(stopRatio, 6).as("stop_ratio"),
-        round(lit(0.5) * lenScore + lit(0.3) * alphaRatio + lit(0.2) * stopRatio, 6)
-          .as("quality"))
+        qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
   }
 

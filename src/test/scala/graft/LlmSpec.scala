@@ -77,9 +77,12 @@ class LlmSpec extends SparkTestBase {
     assert(graft.operators.SimOps.textContainment(emptyDocs).count() === 0)
     assert(LlmOps.multimodalFramesample(emptyDocs).count() === 0)
     assert(LlmOps.multimodalResize(emptyDocs).count() === 0)
-    // empty trade graph: zero nodes, zero ranks, no division blow-up
+    // empty trade graph: zero nodes, zero ranks, no division blow-up —
+    // and the percentile-threshold/propagation variants survive too
     val emptyOrders = Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
     val emptyLines = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey")
+    assert(graft.operators.GraphOps.graphTriangles(emptyOrders, emptyLines).count() === 0)
+    assert(graft.operators.GraphOps.graphComponents(emptyOrders, emptyLines).count() === 0)
     assert(graft.operators.GraphOps.graphPagerank(emptyOrders, emptyLines).count() === 0)
   }
 
@@ -416,6 +419,38 @@ class LlmSpec extends SparkTestBase {
     // deterministic: a second run is bit-identical
     val again = operators.SimOps.simKmeans(df, k = 4, rounds = 5).collect()
     assert(out.toSeq === again.toSeq)
+  }
+
+  test("pipeline_pretrain: every funnel stage removes exactly its seeded casualty") {
+    // 50+ words with stopwords → quality ≥ 0.5 (lenScore saturates)
+    val good = (1 to 50).map(i => if (i % 5 == 0) "the" else s"word$i").mkString(" ")
+    val near = good.replace("word7", "swapped")
+    val docs = Seq(
+      (0L, good),          // survives everything
+      (1L, good),          // exact dup → dropped at stage 2
+      (2L, near),          // near dup of 0 → dropped at stage 3
+      (3L, "x9 !!"))       // junk → dropped at the quality gate
+      .toDF("doc_id", "text")
+    val stages = LlmOps.pipelinePretrain(docs).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stages(0)._1 === 4L && stages(1)._1 === 3L &&
+      stages(2)._1 === 2L && stages(3)._1 === 1L, s"funnel counts: $stages")
+    // token census shrinks with the docs and never goes negative
+    assert(Seq(0, 1, 2, 3).map(stages(_)._2).sliding(2).forall(p => p(0) >= p(1)))
+    assert(stages(3)._2 === 50L)
+  }
+
+  test("dedup_semantic: near-identical pair found inside a learned cluster, far vectors excluded") {
+    val v = (0 until 64).map(i => math.sin(i + 1).toFloat).toArray
+    val w = (0 until 64).map(i => math.cos(i + 1).toFloat).toArray
+    val vNear = v.updated(63, v(63) + 0.001f)
+    // first k=2 ids are deliberately DIVERSE (v, w) so the codebook
+    // starts separated; the near-dup (id 2) must land in id 0's cluster
+    val e = Seq((0L, v), (1L, w), (2L, vNear), (3L, v.map(x => -x)))
+      .toDF("vec_id", "embedding")
+    val pairs = operators.SimOps.dedupSemantic(e, k = 2, rounds = 2)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 2L)), s"semantic dedup pairs: $pairs")
   }
 
   test("sim_ivf_kmeans: learned-codebook IVF keeps the query vector and brute-force overlap") {

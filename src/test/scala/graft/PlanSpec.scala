@@ -300,6 +300,25 @@ class PlanSpec extends SparkTestBase {
     assert(off.collect().toSeq === on.collect().toSeq, "reorder changed the result")
   }
 
+  test("graph_triangles / sim_kmeans: no cartesian, no non-scalar nested-loop stage") {
+    // the two round-5 heavies: the co-purchase projection and the wedge
+    // close must stay equi-joins on int keys, and the k-means assign a
+    // constant-size broadcast. A BroadcastNestedLoopJoin is tolerated
+    // ONLY in the engine's 1-row-scalar idiom (`crossJoin(broadcast(agg))`
+    // — prints as "BuildRight, Cross"); anything else is an all-pairs
+    // stage and fails.
+    def audit(name: String, p: String): Unit = {
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
+      p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+        assert(l.contains("BuildRight, Cross"),
+          s"$name has a non-scalar nested-loop join: $l\n$p")
+      }
+    }
+    audit("graph_triangles", plan(GraphOps.graphTriangles(
+      orders(spark, sf0001), lineitem(spark, sf0001))))
+    audit("sim_kmeans", plan(SimOps.simKmeans(embeddings(spark, sf0001))))
+  }
+
   test("left_semi/anti never multiply rows (no project of right-side columns)") {
     val p = plan(JoinOps.leftSemi(customer(spark, sf0001), orders(spark, sf0001)))
     assert(p.contains("LeftSemi"), s"semi join lost its type:\n$p")
