@@ -218,6 +218,8 @@ object SparkEntry {
     "text_boilerplate" -> ((s, d) => TextOps.textBoilerplate(documents(s, d))),
     "text_bigram_lm" -> ((s, d) => TextOps.textBigramLm(documents(s, d))),
     "text_repetition" -> ((s, d) => TextOps.textRepetition(documents(s, d))),
+    "text_entropy" -> ((s, d) => TextOps.textEntropy(documents(s, d))),
+    "q_sql_hints" -> ((s, d) => AuditQueries.qSqlHints(s, orders(s, d), customer(s, d))),
     // [EXT] dedup & similarity variants
     "dedup_simhash" -> ((s, d) => SimOps.dedupSimhash(documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => SimOps.dedupNgramJaccard(documents(s, d))),
@@ -1439,6 +1441,27 @@ object SparkEntry {
                 (a, b) -> (a * 131 + b) % 1000000007) AS BIGINT) AS fingerprint,
            CAST(len(hs) AS INTEGER) AS n_toks
          FROM t ORDER BY doc_id""",
+    // hints are result-invisible: the oracle is the plain join
+    "q_sql_hints" ->
+      """SELECT c_mktsegment, count(*) AS n,
+         round(sum(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // entropy folds over the sorted distinct chars in both engines, so
+    // the summation order matches; round(6) absorbs libm log2 ulps
+    "text_entropy" ->
+      """WITH t AS (SELECT doc_id, string_split(text, '') AS chars FROM documents),
+         u AS (SELECT doc_id, chars, list_sort(list_distinct(chars)) AS uniq FROM t)
+         SELECT doc_id,
+           CAST(len(chars) AS INTEGER) AS n_chars_split,
+           CAST(len(uniq) AS INTEGER) AS n_uniq,
+           CASE WHEN len(chars) > 0 THEN
+             round(list_sum([
+               -(len(list_filter(chars, x -> x = c))::DOUBLE / len(chars))
+                 * log2(len(list_filter(chars, x -> x = c))::DOUBLE / len(chars))
+               FOR c IN uniq]), 6)
+           ELSE 0.0 END AS entropy
+         FROM u ORDER BY doc_id""",
     // size() is INT in Spark vs len() BIGINT in DuckDB — cast; the dup
     // fractions divide identical integers through IEEE doubles on both
     // sides, so round(,4) hash-matches exactly

@@ -290,6 +290,24 @@ object AuditQueries {
          FROM lineitem_v GROUP BY ALL ORDER BY ALL""")
   }
 
+  /** SQL-text hint surface — `/*+ MERGE(t) */` et al., the escape hatch
+    * operators use when they know better than the stats. The hint here
+    * deliberately forces a sort-merge join on a dim SMALL enough that the
+    * planner would broadcast it — proving the hint OVERRIDES the choice,
+    * not merely agrees with it (PlanSpec pins SortMergeJoin present /
+    * BroadcastHashJoin absent). Results are hint-invisible; the oracle
+    * is the plain join.
+    */
+  def qSqlHints(spark: SparkSession, orders: DataFrame, customer: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_v")
+    customer.createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT /*+ MERGE(customer_v) */
+           c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+         FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
   /** Stats-driven planning (CBO) — the piece of a 100 TB engine AQE alone
     * does not cover: AQE re-plans from RUNTIME shuffle sizes, but the
     * initial join ORDER of a multi-join chain is fixed before anything

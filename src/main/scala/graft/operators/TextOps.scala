@@ -285,6 +285,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Character-entropy quality signal — the Shannon entropy of the
+    * per-document character distribution: gibberish and repeated-pattern
+    * spam sit at the distribution's extremes, so the score gates docs
+    * alongside the repetition fractions. Pure map-side HOF arithmetic:
+    * entropy folds over the SORTED distinct character set sequentially,
+    * so the float summation order is fixed and identical in DuckDB's
+    * comprehension (both engines also agree on binary string sort), and
+    * round(6) absorbs libm log2 ulp differences. Cost per doc is
+    * O(distinct-chars × len) — distinct chars are alphabet-bounded.
+    */
+  def textEntropy(documents: DataFrame): DataFrame = {
+    val chars = split(col("text"), "")
+    val n = size(chars).cast("double")
+    val uniq = array_sort(array_distinct(chars))
+    val ent = aggregate(uniq, lit(0.0), (acc, c) => {
+      val p = size(filter(chars, x => x === c)).cast("double") / n
+      acc - p * log2(p)
+    })
+    documents
+      .select(
+        col("doc_id"),
+        size(chars).as("n_chars_split"),
+        size(uniq).as("n_uniq"),
+        when(size(chars) > 0, round(ent, 6)).otherwise(lit(0.0)).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** 60-bit portable token hash: md5 is identical across engines, and 15
     * hex chars fit a signed 64-bit int exactly.
     */

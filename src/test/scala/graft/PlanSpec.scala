@@ -319,6 +319,14 @@ class PlanSpec extends SparkTestBase {
     audit("sim_kmeans", plan(SimOps.simKmeans(embeddings(spark, sf0001))))
   }
 
+  test("q_sql_hints: the MERGE hint overrides the broadcast the planner would pick") {
+    val p = plan(AuditQueries.qSqlHints(
+      spark, orders(spark, sf0001), customer(spark, sf0001)))
+    assert(p.contains("SortMergeJoin"), s"MERGE hint ignored:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"planner broadcast the hinted-away dim anyway:\n$p")
+  }
+
   test("left_semi/anti never multiply rows (no project of right-side columns)") {
     val p = plan(JoinOps.leftSemi(customer(spark, sf0001), orders(spark, sf0001)))
     assert(p.contains("LeftSemi"), s"semi join lost its type:\n$p")
