@@ -81,6 +81,7 @@ object SparkEntry {
     "q_cbo_stats" -> ((s, d) => AuditQueries.qCboStats(s, d)),
     "q_group_by_all" -> ((s, d) => AuditQueries.qGroupByAll(s, lineitem(s, d))),
     "fn_variant" -> ((s, d) => FuncOps.variantFns(events(s, d))),
+    "fn_url" -> ((s, d) => FuncOps.urlFns(documents(s, d))),
     // §2.4 aggregations
     "agg_hash" -> ((s, d) => AggOps.aggHash(orders(s, d))),
     "agg_global" -> ((s, d) => AggOps.aggGlobal(lineitem(s, d))),
@@ -540,6 +541,16 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          round(sum(l_quantity), 2) AS qty
          FROM lineitem GROUP BY ALL ORDER BY ALL""",
+    // the synthetic URL structure lets the oracle REBUILD each expected
+    // component from the source fields — exact without a SQL URL parser
+    "fn_url" ->
+      """SELECT doc_id,
+         'https' AS proto,
+         'host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+         '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+         'lang=' || lang || '&p=1' AS query,
+         lang AS q_lang
+         FROM documents ORDER BY doc_id""",
     // variant extractions replicated via DuckDB's JSON path functions;
     // v_schema is the per-row shape of {"k": <int>} — constant across
     // this corpus, derived per row by schema_of_variant on the Spark side

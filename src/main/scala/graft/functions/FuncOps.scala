@@ -155,6 +155,29 @@ object FuncOps {
         length(col("props")).as("props_len"))
       .orderBy("event_id")
 
+  /** URL parsing family — the log/clickstream-ETL staple. The corpus
+    * carries no URLs, so deterministic synthetic ones are derived from
+    * (doc_id, lang) — which also makes the oracle exact BY CONSTRUCTION:
+    * DuckDB rebuilds each expected component from the same fields instead
+    * of re-implementing a parser. `parse_url` is codegen'd map-side
+    * string work; no shuffle before the presentation sort.
+    */
+  def urlFns(documents: DataFrame): DataFrame = {
+    val url = concat(
+      lit("https://host"), (col("doc_id") % 20).cast("string"),
+      lit(".example.com/docs/"), col("doc_id").cast("string"),
+      lit("?lang="), col("lang"), lit("&p=1"))
+    documents
+      .select(
+        col("doc_id"),
+        parse_url(url, lit("PROTOCOL")).as("proto"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"),
+        parse_url(url, lit("QUERY"), lit("lang")).as("q_lang"))
+      .orderBy("doc_id")
+  }
+
   /** Spark-4 VARIANT ingestion — the semi-structured path that replaces
     * schema-on-write JSON wrangling at scale: `parse_json` turns the raw
     * string into a binary VARIANT once (columnar, no per-query re-parse),
