@@ -470,18 +470,20 @@ object SimOps {
 
   /** Map-side nearest-centroid assignment: cells are 0..k-1 and equal the
     * codebook cid (the cid-sorted fold keeps index i ↔ cid i). First-index
-    * argmin of exact integer distances — deterministic ties.
+    * argmin of exact integer distances — deterministic ties. The argmin
+    * itself is the native graft.plans.ArgMinL2 kernel: one fused JVM loop
+    * per row instead of k interpreted `aggregate(zip_with(...))` lambdas
+    * (the MinHashSig remedy applied to the k-means hot path) —
+    * bit-identical output, so the kmeans-family oracles are unaffected.
     */
   private def assignCells(eq: DataFrame, cents: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(eq.sparkSession)
     val cb = cents.groupBy()
       .agg(transform(array_sort(collect_list(struct(col("cid"), col("cvec")))),
         s => s.getField("cvec")).as("cents"))
-    val dists = transform(col("cents"), c =>
-      aggregate(zip_with(col("xq"), c, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, z) => acc + z))
     eq.crossJoin(broadcast(cb))
       .select(col("vec_id"), col("xq"),
-        (array_position(dists, array_min(dists)) - 1).cast("int").as("cell"))
+        graft.plans.VectorFunctions.argminL2(col("xq"), col("cents")).as("cell"))
   }
 
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023, public): cluster

@@ -50,6 +50,35 @@ class VectorDotSpec extends SparkTestBase {
     assert(rows(1).isNullAt(1), "mismatched lengths must surface as null")
   }
 
+  test("argmin_l2 equals the HOF argmin it replaced, first index on ties") {
+    VectorFunctions.register(spark)
+    val eq = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1000).cast("long")).as("xq"))
+    val cb = eq.filter(col("vec_id") < 16)
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("vec_id").cast("int").as("cid"),
+        col("xq").as("cvec")))), s => s.getField("cvec")).as("cents"))
+    val dists = transform(col("cents"), c =>
+      aggregate(zip_with(col("xq"), c, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, z) => acc + z))
+    val both = eq.crossJoin(broadcast(cb)).select(
+      VectorFunctions.argminL2(col("xq"), col("cents")).as("native"),
+      (array_position(dists, array_min(dists)) - 1).cast("int").as("ho"))
+    assert(both.filter(col("native") =!= col("ho")).count() === 0)
+    // first-index tie-break on an explicit tie
+    val tie = spark.sql(
+      """SELECT argmin_l2(array(0L), array(array(5L), array(5L), array(0L), array(0L))) AS c""")
+      .collect()(0).getInt(0)
+    assert(tie === 2, "ties must resolve to the FIRST minimal index")
+    // empty codebook and dimensionality mismatch surface as null
+    val edge = spark.sql(
+      """SELECT argmin_l2(array(1L, 2L), CAST(array() AS array<array<bigint>>)) AS a,
+                argmin_l2(array(1L, 2L), array(array(1L))) AS b""").collect()(0)
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+  }
+
   test("GraftExtensions injects vector_dot for SQL use") {
     // the shared session lacks the extensions config; exercise the
     // injection path via a temp-registered function + spark.sql
