@@ -82,6 +82,8 @@ object SparkEntry {
     "q_group_by_all" -> ((s, d) => AuditQueries.qGroupByAll(s, lineitem(s, d))),
     "fn_variant" -> ((s, d) => FuncOps.variantFns(events(s, d))),
     "fn_url" -> ((s, d) => FuncOps.urlFns(documents(s, d))),
+    "fn_collation" -> ((s, d) => FuncOps.collationFns(customer(s, d))),
+    "scan_glob" -> ((s, d) => EtlOps.scanGlob(s, d)),
     // §2.4 aggregations
     "agg_hash" -> ((s, d) => AggOps.aggHash(orders(s, d))),
     "agg_global" -> ((s, d) => AggOps.aggGlobal(lineitem(s, d))),
@@ -541,6 +543,18 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          round(sum(l_quantity), 2) AS qty
          FROM lineitem GROUP BY ALL ORDER BY ALL""",
+    // collated grouping partitions rows exactly like lower() on this data
+    "fn_collation" ->
+      """WITH s AS (SELECT c_custkey,
+             CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                  ELSE c_mktsegment END AS seg
+           FROM customer)
+         SELECT lower(seg) AS segment, count(*) AS n,
+           count(DISTINCT seg) AS n_case_variants
+         FROM s GROUP BY lower(seg) ORDER BY segment""",
+    // recursive+glob discovery must reassemble the ORIGINAL table exactly
+    "scan_glob" ->
+      """SELECT * FROM region ORDER BY r_regionkey""",
     // the synthetic URL structure lets the oracle REBUILD each expected
     // component from the source fields — exact without a SQL URL parser
     "fn_url" ->

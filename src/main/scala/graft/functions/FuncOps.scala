@@ -155,6 +155,27 @@ object FuncOps {
         length(col("props")).as("props_len"))
       .orderBy("event_id")
 
+  /** Spark-4 COLLATION surface — comparison semantics as a TYPE property
+    * instead of scattered lower() calls: mixed-case segment labels
+    * (deterministically injected; the base data is single-case) group
+    * under the UTF8_LCASE collation, and `n_case_variants = 2` PROVES
+    * the merge happened at comparison level. The exported key is
+    * lower()-normalized — collated grouping keeps an arbitrary
+    * representative, and the export must not depend on which. The DuckDB
+    * oracle replicates with lower() grouping (same partition of rows by
+    * construction on this data).
+    */
+  def collationFns(customer: DataFrame): DataFrame = {
+    val seg = when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+      .otherwise(col("c_mktsegment"))
+    customer
+      .select(col("c_custkey"), seg.as("seg"))
+      .groupBy(expr("collate(seg, 'UTF8_LCASE')").as("seg_ci"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("seg")).as("n_case_variants"))
+      .select(lower(col("seg_ci")).as("segment"), col("n"), col("n_case_variants"))
+      .orderBy("segment")
+  }
+
   /** URL parsing family — the log/clickstream-ETL staple. The corpus
     * carries no URLs, so deterministic synthetic ones are derived from
     * (doc_id, lang) — which also makes the oracle exact BY CONSTRUCTION:

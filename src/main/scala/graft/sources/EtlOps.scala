@@ -86,6 +86,29 @@ object EtlOps {
       .orderBy("r_regionkey")
   }
 
+  /** Recursive + glob file discovery — the layout-tolerant scan a raw
+    * data lake needs: loads arrive in NESTED directories of varying
+    * depth (not hive-partitioned), with stray non-data files alongside.
+    * `recursiveFileLookup` walks the tree, `pathGlobFilter` admits only
+    * the data files — the junk sentinel staged next to them must be
+    * invisible (the read would otherwise fail on it). Oracle = the
+    * original table: discovery must be complete AND exact.
+    */
+  def scanGlob(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "glob_src")
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    region.filter(col("r_regionkey") % 2 === 0)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/even/load")
+    region.filter(col("r_regionkey") % 2 =!= 0)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/odd/deeper/load")
+    Files.writeString(dir.resolve("junk.txt"), "not parquet at all")
+    spark.read
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir.toString)
+      .orderBy("r_regionkey")
+  }
+
   /** Raw TEXT-source scan — the format a web-corpus pipeline actually
     * starts from (one record per line, no schema at all): the documents
     * table round-trips through `.text` files (tab-joined — the corpus
