@@ -222,6 +222,7 @@ object SparkEntry {
     "text_bigram_lm" -> ((s, d) => TextOps.textBigramLm(documents(s, d))),
     "text_repetition" -> ((s, d) => TextOps.textRepetition(documents(s, d))),
     "text_entropy" -> ((s, d) => TextOps.textEntropy(documents(s, d))),
+    "text_decontaminate" -> ((s, d) => TextOps.textDecontaminate(documents(s, d))),
     "q_sql_hints" -> ((s, d) => AuditQueries.qSqlHints(s, orders(s, d), customer(s, d))),
     // [EXT] dedup & similarity variants
     "dedup_simhash" -> ((s, d) => SimOps.dedupSimhash(documents(s, d))),
@@ -1472,6 +1473,19 @@ object SparkEntry {
          round(sum(o_totalprice), 2) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // same md5-derived 60-bit gram hash on both sides; docs shorter than
+    // the gram width contribute nothing in either engine
+    "text_decontaminate" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+         g0 AS (SELECT doc_id, list_distinct([
+                  ('0x' || substring(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT
+                  FOR i IN range(1, len(toks) - 6)]) AS gs
+                FROM t WHERE len(toks) >= 8),
+         g AS (SELECT doc_id, unnest(gs) AS h FROM g0),
+         bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 50 = 0)
+         SELECT doc_id, count(DISTINCT h) AS n_hits
+         FROM g WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM bench)
+         GROUP BY doc_id ORDER BY doc_id""",
     // entropy folds over the sorted distinct chars in both engines, so
     // the summation order matches; round(6) absorbs libm log2 ulps
     "text_entropy" ->

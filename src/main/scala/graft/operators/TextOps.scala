@@ -285,6 +285,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark DECONTAMINATION — the eval-integrity step of an LLM data
+    * pipeline (the GPT-3-style n-gram overlap check, public): any
+    * training document sharing an exact word n-gram with the held-out
+    * benchmark set is flagged, because overlap inflates eval scores. The
+    * benchmark here is a deterministic corpus slice (doc_id % 50 = 0 —
+    * a stand-in for the real eval files); the industry uses 13-grams,
+    * this corpus's short docs use 8 (same machinery, one constant).
+    *
+    * Scale shape: per-doc distinct gram HASHES map-side (the portable
+    * md5-derived 60-bit hash — never the raw gram text on the wire),
+    * benchmark grams distinct-reduced (small by definition — eval sets
+    * are tiny next to the corpus), then ONE equi-join on the 8-byte hash
+    * + a per-doc count. At 100 TB the benchmark side broadcasts
+    * naturally via AQE; no hint needed.
+    */
+  def textDecontaminate(documents: DataFrame, n: Int = 8): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => tokenHash60(array_join(slice(toks, i, lit(n)), " ")))))
+      .otherwise(array().cast("array<bigint>"))
+    val withG = documents.select(col("doc_id"), explode(grams).as("g"))
+    val bench = withG.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
+    withG.filter(col("doc_id") % 50 =!= 0)
+      .join(bench, "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** Character-entropy quality signal — the Shannon entropy of the
     * per-document character distribution: gibberish and repeated-pattern
     * spam sit at the distribution's extremes, so the score gates docs

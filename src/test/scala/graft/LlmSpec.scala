@@ -421,6 +421,19 @@ class LlmSpec extends SparkTestBase {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("text_decontaminate: flags exactly the doc sharing an 8-gram with the benchmark slice") {
+    val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val contaminated =
+      "intro words alpha beta gamma delta epsilon zeta eta theta trailing"
+    val clean = "one two three four five six seven eight nine ten eleven"
+    val docs = Seq((0L, bench), (1L, contaminated), (2L, clean))
+      .toDF("doc_id", "text") // id 0 → benchmark slice (doc_id % 50 == 0)
+    val out = graft.operators.TextOps.textDecontaminate(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.toSeq === Seq(1L -> 1L),
+      s"expected only doc 1 flagged with one shared gram, got ${out.toSeq}")
+  }
+
   test("pipeline_pretrain: every funnel stage removes exactly its seeded casualty") {
     // 50+ words with stopwords → quality ≥ 0.5 (lenScore saturates)
     val good = (1 to 50).map(i => if (i % 5 == 0) "the" else s"word$i").mkString(" ")
