@@ -53,6 +53,8 @@ object Bench {
     "graph_triangles",      // wedge-join triangle counting
     "sim_kmeans",           // 3-round Lloyd codebook training
     "pipeline_pretrain",    // composed quality->dedup->near-dup funnel
+    "dedup_semantic",       // kmeans-clustered SemDeDup-shape dedup
+    "text_decontaminate",   // n-gram benchmark-overlap flagging
   )
 
   def main(args: Array[String]): Unit = {

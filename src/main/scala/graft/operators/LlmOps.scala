@@ -269,6 +269,11 @@ object LlmOps {
     * operator alone — is correctness-checked. Scale shape inherits from
     * the parts: map-side scoring, hash-keyed dedup shuffles, LSH-bounded
     * near-dup candidates; the censuses are partial+final aggregates.
+    * The four census branches each re-derive their stage from the scan
+    * (identical subtrees, so physical exchange reuse recovers most of
+    * it); a 100 TB run caches/checkpoints each stage's survivors instead
+    * — stage outputs are the pipeline's deliverables there, not just
+    * counts.
     */
   def pipelinePretrain(documents: DataFrame): DataFrame = {
     val base = documents.select(col("doc_id"), col("text"))
