@@ -80,6 +80,8 @@ object SparkEntry {
     "q_funnel" -> ((s, d) => AuditQueries.qFunnel(events(s, d))),
     "q_cbo_stats" -> ((s, d) => AuditQueries.qCboStats(s, d)),
     "q_group_by_all" -> ((s, d) => AuditQueries.qGroupByAll(s, lineitem(s, d))),
+    "q_lateral_join" -> ((s, d) =>
+      AuditQueries.qLateralJoin(s, customer(s, d), orders(s, d))),
     "fn_variant" -> ((s, d) => FuncOps.variantFns(events(s, d))),
     "fn_url" -> ((s, d) => FuncOps.urlFns(documents(s, d))),
     "fn_collation" -> ((s, d) => FuncOps.collationFns(customer(s, d))),
@@ -538,6 +540,15 @@ object SparkEntry {
            (t_signup IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
             AND t_signup < t_click AND t_click < t_purchase) AS completed_funnel
          FROM f ORDER BY user_id""",
+    // DuckDB runs the same correlated-LATERAL text natively
+    "q_lateral_join" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_custkey = c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) top_orders
+         WHERE c_custkey <= 300
+         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
     // DuckDB is the origin of GROUP BY ALL / ORDER BY ALL — same text
     // runs on both engines
     "q_group_by_all" ->

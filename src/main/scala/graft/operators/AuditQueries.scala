@@ -276,6 +276,27 @@ object AuditQueries {
          ORDER BY doc_id""")
   }
 
+  /** Correlated LATERAL subquery join — the OTHER lateral (distinct from
+    * LATERAL VIEW explode): a per-outer-row subquery with its own ORDER
+    * BY + LIMIT, the SQL spelling of "top-k related rows per entity".
+    * Catalyst decorrelates the limit into a ranked window join — no
+    * per-row re-execution survives into the physical plan, which is what
+    * makes the construct usable at 100 TB (the naive interpretation is a
+    * nested loop over the corpus).
+    */
+  def qLateralJoin(spark: SparkSession, customer: DataFrame, orders: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("customer_v")
+    orders.createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer_v,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v
+                  WHERE o_custkey = c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) top_orders
+         WHERE c_custkey <= 300
+         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+  }
+
   /** `GROUP BY ALL` / `ORDER BY ALL` — the analyst-SQL surface (DuckDB
     * popularized it, Spark adopted it): every non-aggregate select item
     * becomes a grouping key, the full select list the sort key. Compiles

@@ -319,6 +319,15 @@ class PlanSpec extends SparkTestBase {
     audit("sim_kmeans", plan(SimOps.simKmeans(embeddings(spark, sf0001))))
   }
 
+  test("q_lateral_join: per-row LIMIT decorrelates to a ranked window join, no nested loop") {
+    val p = plan(AuditQueries.qLateralJoin(
+      spark, customer(spark, sf0001), orders(spark, sf0001)))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"correlated LATERAL stayed a per-row nested loop:\n$p")
+    assert(p.contains("Window") || p.contains("row_number"),
+      s"expected the decorrelated ranked-window rewrite:\n$p")
+  }
+
   test("q_sql_hints: the MERGE hint overrides the broadcast the planner would pick") {
     val p = plan(AuditQueries.qSqlHints(
       spark, orders(spark, sf0001), customer(spark, sf0001)))
