@@ -55,6 +55,7 @@ object Bench {
     "pipeline_pretrain",    // composed quality->dedup->near-dup funnel
     "dedup_semantic",       // kmeans-clustered SemDeDup-shape dedup
     "text_decontaminate",   // n-gram benchmark-overlap flagging
+    "pipeline_pack",        // per-source prefix-sum packing window
   )
 
   def main(args: Array[String]): Unit = {

@@ -59,6 +59,7 @@ object SparkEntry {
     "graph_pagerank" -> ((s, d) => GraphOps.graphPagerank(orders(s, d), lineitem(s, d))),
     "graph_triangles" -> ((s, d) => GraphOps.graphTriangles(orders(s, d), lineitem(s, d))),
     "graph_components" -> ((s, d) => GraphOps.graphComponents(orders(s, d), lineitem(s, d))),
+    "graph_bfs" -> ((s, d) => GraphOps.graphBfs(orders(s, d), lineitem(s, d))),
     "join_skew_salted" -> ((s, d) => JoinOps.skewSalted(lineitem(s, d), orders(s, d))),
     // composite audit pipelines (TPC-H Q3/Q5/Q10 shapes)
     "q3_shipping_priority" -> ((s, d) =>
@@ -235,6 +236,11 @@ object SparkEntry {
     "sim_kmeans" -> ((s, d) => SimOps.simKmeans(embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => SimOps.dedupSemantic(embeddings(s, d))),
     "pipeline_pretrain" -> ((s, d) => LlmOps.pipelinePretrain(documents(s, d))),
+    "pipeline_pack" -> ((s, d) => PipelineOps.pipelinePack(documents(s, d))),
+    "pipeline_mix" -> ((s, d) => PipelineOps.pipelineMix(documents(s, d))),
+    "text_chunk" -> ((s, d) => PipelineOps.textChunk(documents(s, d))),
+    "dedup_url" -> ((s, d) => PipelineOps.dedupUrl(documents(s, d))),
+    "sim_mips" -> ((s, d) => SimOps.simMips(embeddings(s, d))),
     "sim_join_bucketed" -> ((s, d) => SimOps.simJoinBucketed(embeddings(s, d))),
     "sim_quantized" -> ((s, d) => SimOps.simQuantized(embeddings(s, d))),
     "sim_rerank" -> ((s, d) => SimOps.simRerank(embeddings(s, d))),
@@ -1173,6 +1179,8 @@ object SparkEntry {
     // the engine's 10 Pregel supersteps, unrolled as 10 chained CTEs
     "graph_pagerank" -> pagerankOracleSql(10),
     "graph_components" -> componentsOracleSql(8),
+    // min-plus distance propagation, unrolled like the other two
+    "graph_bfs" -> bfsOracleSql(6),
     // same cap + same exact-percentile edge rule; each triangle counted
     // once via the a<b<c orientation
     "graph_triangles" ->
@@ -1693,6 +1701,74 @@ object SparkEntry {
          SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
            CAST(n_tokens AS BIGINT) AS n_tokens
          FROM st ORDER BY stage""",
+    // per-source prefix sum over doc_id order; sequence ids are pure
+    // arithmetic on the running offset
+    "pipeline_pack" ->
+      """WITH t AS (SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),
+         w AS (SELECT source, doc_id, n_toks,
+             CAST(coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_tok FROM t)
+         SELECT source, doc_id, n_toks, start_tok,
+           CAST(floor(start_tok / 64.0) AS BIGINT) AS seq_first,
+           CAST(floor((start_tok + n_toks - 1) / 64.0) AS BIGINT) AS seq_last,
+           CAST(floor((start_tok + n_toks - 1) / 64.0)
+                - floor(start_tok / 64.0) + 1 AS BIGINT) AS n_seqs
+         FROM w ORDER BY source, doc_id""",
+    // rate/threshold derived from the source index exactly as the
+    // engine's mixture table builds them; same md5 first-digit rule
+    "pipeline_mix" ->
+      """WITH mix AS (SELECT source,
+             CAST(CASE (CAST(substr(source, 4) AS INTEGER) % 4)
+               WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25
+               ELSE 0.125 END AS DOUBLE) AS rate,
+             CASE (CAST(substr(source, 4) AS INTEGER) % 4)
+               WHEN 0 THEN 'g' WHEN 1 THEN '8' WHEN 2 THEN '4'
+               ELSE '2' END AS thr
+           FROM (SELECT DISTINCT source FROM documents)),
+         d AS (SELECT doc.source, mix.rate,
+             substr(md5(CAST(doc.doc_id AS VARCHAR)), 1, 1) < mix.thr AS kept,
+             CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS n_toks
+           FROM documents doc JOIN mix USING (source)),
+         a AS (SELECT source, rate,
+             CAST(count(*) AS BIGINT) AS n_docs_in,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+             CAST(sum(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT)
+               AS n_tokens_kept
+           FROM d GROUP BY source, rate)
+         SELECT source, rate, n_docs_in, n_docs_kept, n_tokens_kept,
+           round(n_tokens_kept / sum(n_tokens_kept) OVER (), 6) AS token_share
+         FROM a ORDER BY source""",
+    // chunk starts at 0, 24, 48, …: ceil((n-8)/24) chunks, at least one;
+    // list slicing clamps the final short chunk on both engines
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+         c AS (SELECT doc_id, toks, n,
+             unnest(range(0, greatest(1,
+               CAST(floor((n + 15) / 24.0) AS BIGINT)))) AS i FROM t)
+         SELECT doc_id, i AS chunk_idx, i * 24 AS start_tok,
+           least(32, n - i * 24) AS n_chunk_toks,
+           array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_idx""",
+    // the canonical form rebuilt BY CONSTRUCTION from the id fields the
+    // synthetic URL derives from (the fn_url precedent): noise — case,
+    // utm params, param order, fragment — never reaches the key
+    "dedup_url" ->
+      """SELECT 'https://host' || CAST(doc_id % 20 AS VARCHAR) ||
+             '.example.com/docs/' || CAST(doc_id % 200 AS VARCHAR) ||
+             '?id=' || CAST(doc_id % 200 AS VARCHAR) ||
+             '&ref=r' || CAST((doc_id % 200) % 7 AS VARCHAR) AS canonical_url,
+           CAST(count(*) AS BIGINT) AS n_copies, min(doc_id) AS first_doc
+         FROM documents GROUP BY 1 ORDER BY canonical_url""",
+    // the norm-bound prune is EXACT (Cauchy–Schwarz), so the oracle is
+    // plain brute-force max-inner-product top-k
+    "sim_mips" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+         SELECT vec_id, round(list_dot_product(v, qv), 6) AS ip
+         FROM e, q WHERE vec_id <> 7 ORDER BY ip DESC, vec_id LIMIT 10""",
     // the full SemDeDup pipeline replicated: kmeans chain → within-cell
     // pairs → exact cosine verify
     "dedup_semantic" ->
@@ -1888,6 +1964,34 @@ object SparkEntry {
          l0 AS (SELECT id, id AS label FROM nodes)$steps
          SELECT label AS component, count(*) AS n_nodes, min(id) AS min_node
          FROM l$rounds GROUP BY label ORDER BY component"""
+  }
+
+  /** The BFS oracle: d0 seeds the id%64 sources at distance 0 and every
+    * other node at the 999999 sentinel; each CTE is one min-plus round
+    * (min in-neighbor distance + 1, `least` against the node's own),
+    * mirroring GraphOps.graphBfs exactly — the components generator with
+    * distance arithmetic in place of plain min.
+    */
+  private def bfsOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s""",
+         d$i AS (SELECT d.id, least(d.dist, nb.nbr) AS dist
+                 FROM d${i - 1} d JOIN
+                   (SELECT e.dst AS id, min(dp.dist) + 1 AS nbr
+                    FROM edges e JOIN d${i - 1} dp ON dp.id = e.src
+                    GROUP BY e.dst) nb USING (id))"""
+    }.mkString
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
+                   UNION ALL SELECT supp * 2 + 1, cust * 2 FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         d0 AS (SELECT id, CAST(CASE WHEN id % 64 = 0 THEN 0 ELSE 999999 END
+                AS BIGINT) AS dist FROM nodes)$steps
+         SELECT CAST(CASE WHEN dist >= 999999 THEN -1 ELSE dist END AS BIGINT)
+             AS hops,
+           count(*) AS n_nodes, min(id) AS min_node
+         FROM d$rounds GROUP BY 1 ORDER BY hops"""
   }
 
   /** The PageRank oracle, generated: r0 is the uniform vector, each CTE

@@ -187,6 +187,48 @@ object GraphOps {
       .orderBy("component")
   }
 
+  /** Multi-source BFS — shortest hop distance from a seed set (every
+    * node with id % 64 == 0, a stand-in for "flagged accounts" /
+    * "trusted roots"), bounded to `rounds` hops: the third member of the
+    * iterative family on the SAME cached adjacency, with min-PLUS
+    * semantics (dist+1 per hop) where components uses plain min. One
+    * explode fan-out + one min-aggregate + one alignment join per round,
+    * all compact long keys — identical per-round cost profile to the
+    * other two, so the shared-adjacency design carries a third workload
+    * for free.
+    *
+    * Unreached nodes carry a 999999 sentinel instead of NULL — `least`
+    * over the sentinel is the same arithmetic everywhere, where
+    * NULL-skipping `least` semantics differ between engines; the sentinel
+    * is a fixpoint under +1/min (min over in-neighbors of 999999 exceeds
+    * it, so `least` keeps 999999 exactly). Fixed rounds ⇒ deterministic
+    * "distance within N hops" semantics, oracle-paired via unrolled CTEs
+    * (the components/pagerank precedent). Output: census per distance
+    * ring, sentinel presented as -1.
+    */
+  def graphBfs(orders: DataFrame, lineitem: DataFrame,
+      rounds: Int = 6): DataFrame = {
+    val INF = 999999L
+    val (adj, nodes, _) = buildGraph(orders, lineitem)
+    var dist = nodes.select(col("id"),
+      when(col("id") % 64 === 0, lit(0L)).otherwise(lit(INF)).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val nbr = adj.join(dist, col("src") === col("id"))
+        .select(explode(col("dsts")).as("nid"), (col("dist") + 1).as("nd"))
+        .groupBy(col("nid"))
+        .agg(min(col("nd")).as("nbr"))
+      dist = dist.join(nbr, col("id") === col("nid"))
+        .select(col("id"), least(col("dist"), col("nbr")).as("dist"))
+        .localCheckpoint()
+    }
+    adj.unpersist()
+    dist
+      .groupBy(when(col("dist") >= INF, lit(-1L)).otherwise(col("dist")).as("hops"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_node"))
+      .orderBy("hops")
+  }
+
   /** Triangle counting over the supplier co-purchase graph — the second
     * classic iterative-analytics kernel (community density, spam/fraud
     * motifs) and a deliberately DIFFERENT join shape from PageRank: not a

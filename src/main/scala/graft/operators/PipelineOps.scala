@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators — the stage of an LLM data pipeline that
+  * sits BETWEEN cleaning/dedup (LlmOps, TextOps, SimOps) and the trainer:
+  * deciding what mixture of sources to keep, how to cut documents into
+  * retrieval chunks, how the surviving token stream packs into fixed-width
+  * training sequences, and which URL-keyed records are the same page.
+  * (Reference mandate: README.md:22 "Transform: clean or reformat the
+  * data" + the builder prompt's training-data-pipeline extension list.)
+  *
+  * Everything here is deterministic by construction (content-hash
+  * sampling, arithmetic chunk boundaries, rule-based canonicalization),
+  * so every operator is oracle-paired — no seeded randomness anywhere.
+  */
+object PipelineOps {
+
+  /** GPT-style sequence PACKING — documents are concatenated per source
+    * shard in a deterministic order and the stream is cut every `budget`
+    * tokens into training sequences (a document may straddle a cut; the
+    * trainer masks attention across the boundary). The operator computes
+    * each document's placement: its start offset in the shard's token
+    * stream and the first/last sequence it lands in.
+    *
+    * Shape: token counts are map-side; the ONLY shuffle is the per-source
+    * window that forms the running offset (a prefix sum — Spark sorts
+    * within each source partition once). Offsets never leave their shard,
+    * so shards pack independently and in parallel — exactly how a 100 TB
+    * corpus packs: there is no global token stream, only per-shard
+    * streams, so the window key IS the scale unit. A source bigger than
+    * one task's comfortable sort is sub-sharded first (salt the source
+    * key; offsets are per-shard by definition, so salting changes nothing
+    * semantically) — the same escape hatch as every keyed window here.
+    */
+  def pipelinePack(documents: DataFrame, budget: Int = 64): DataFrame = {
+    val prior = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("start_tok", coalesce(sum(col("n_toks")).over(prior), lit(0L)))
+      .select(
+        col("source"), col("doc_id"), col("n_toks"), col("start_tok"),
+        floor(col("start_tok") / budget).as("seq_first"),
+        floor((col("start_tok") + col("n_toks") - 1) / budget).as("seq_last"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .orderBy("source", "doc_id")
+  }
+
+  /** Domain-mixture SAMPLING — downsample each source to a target rate so
+    * the corpus matches a designed mixture (the "data recipe" step every
+    * published pretraining pipeline runs; rates here derive from the
+    * source index, standing in for the real hand-tuned recipe table).
+    * Selection is CONTENT-HASH based (the `sample_hash` rule): a document
+    * is kept iff its first md5 hex digit falls under the rate threshold —
+    * deterministic at any scale, partitioning, and re-run, and the
+    * hex-digit thresholds (16ths) make the rate exact in expectation with
+    * no RNG state. The mixture spec is DATA (a 20-row table broadcast
+    * onto the corpus), not code — swapping recipes touches no operator.
+    *
+    * Output is the per-source census a recipe audit reads: docs in/kept,
+    * tokens kept, and each source's share of the kept token budget. The
+    * share window runs over the 20-row aggregate, not the corpus.
+    */
+  def pipelineMix(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val mixture = Seq.tabulate(20) { i =>
+      val (rate, thr) = (i % 4) match {
+        case 0 => (1.0, "g") // every hex digit sorts below 'g'
+        case 1 => (0.5, "8")
+        case 2 => (0.25, "4")
+        case _ => (0.125, "2")
+      }
+      (s"src$i", rate, thr)
+    }.toDF("source", "rate", "thr")
+    val kept = substring(md5(concat_ws("|", col("doc_id"))), 1, 1) < col("thr")
+    documents
+      .join(broadcast(mixture), "source")
+      .select(col("source"), col("rate"), kept.as("kept"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy(col("source"), col("rate"))
+      .agg(
+        count(lit(1)).as("n_docs_in"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("kept"), col("n_toks")).otherwise(0L)).as("n_tokens_kept"))
+      .withColumn("token_share",
+        round(col("n_tokens_kept") /
+          sum(col("n_tokens_kept")).over(Window.partitionBy()), 6))
+      .orderBy("source")
+  }
+
+  /** Retrieval CHUNKING — cut each document into overlapping fixed-width
+    * token windows (width 32, stride 24 → 8-token overlap), the unit a
+    * RAG index embeds and retrieves. Boundaries are pure arithmetic on
+    * the token count: starts at 0, stride, 2·stride, …; every token is
+    * covered; the final chunk may run short; an empty-ish document still
+    * yields exactly one chunk (chunk_idx 0), so no document silently
+    * vanishes from the index.
+    *
+    * Entirely map-side: the chunk fan-out is sequence+explode inside the
+    * projection (a Generator — executor-side row multiplication, like
+    * `dedup_paragraph`'s segmenter), and there is NO shuffle before the
+    * presentation sort. Fan-out is bounded by n_toks/stride per document.
+    */
+  def textChunk(documents: DataFrame, width: Int = 32, stride: Int = 24): DataFrame = {
+    val toks = split(col("text"), " ")
+    // ceil((n - overlap) / stride), at least 1 — overlap = width - stride
+    val nChunks = greatest(lit(1L),
+      floor((size(toks) - (width - stride) + stride - 1) / lit(stride.toDouble))
+        .cast("long"))
+    documents
+      .select(col("doc_id"), toks.as("t"), size(toks).cast("long").as("n"),
+        explode(sequence(lit(0L), nChunks - 1)).as("i"))
+      .select(
+        col("doc_id"),
+        col("i").as("chunk_idx"),
+        (col("i") * stride).as("start_tok"),
+        least(lit(width.toLong), col("n") - col("i") * stride).as("n_chunk_toks"),
+        array_join(
+          slice(col("t"), (col("i") * stride + 1).cast("int"), lit(width)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** URL-canonicalization dedup — the web-crawl page-identity rule: two
+    * fetches are the same page when their URLs agree after canonical
+    * form. The corpus carries no URLs, so deterministic noisy ones are
+    * derived from doc_id (the `fn_url` convention — which also makes the
+    * oracle exact BY CONSTRUCTION): mixed-case scheme/host, tracking
+    * `utm_*` params, shuffled param order, and a fragment, varying by
+    * doc_id parity rules; the PAGE identity (host, path, id/ref params)
+    * repeats every 200 ids, so true duplicates exist across the noise
+    * at every scale factor (the corpus floor is 500 docs).
+    *
+    * Canonicalizer (all map-side `parse_url` + array ops, codegen'd):
+    * lowercase scheme and host, drop the fragment (parse_url QUERY
+    * excludes it), drop `utm_*` tracking params, SORT the surviving
+    * params (param order never carries page identity). Dedup is then
+    * `dedup_exact`'s shape — one hash aggregate on the canonical string.
+    * At 100 TB the groupBy key would be sha2(canonical) per the engine's
+    * never-group-on-raw-payload rule; the canonical URL is short and
+    * bounded here, and the output must present it anyway.
+    */
+  def dedupUrl(documents: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val idp = concat(lit("id="), (d % 200).cast("string"))
+    val refp = concat(lit("ref=r"), ((d % 200) % 7).cast("string"))
+    val utm = lit("utm_source=feed")
+    val query = when(d % 3 === 0,
+      when(d % 2 === 0, concat_ws("&", idp, utm, refp))
+        .otherwise(concat_ws("&", utm, refp, idp)))
+      .otherwise(
+        when(d % 2 === 0, concat_ws("&", idp, refp))
+          .otherwise(concat_ws("&", refp, idp)))
+    val url = concat(
+      when(d % 2 === 0, lit("https")).otherwise(lit("HTTPS")), lit("://"),
+      lit("Host"), (d % 20).cast("string"), lit(".Example.COM"),
+      lit("/docs/"), (d % 200).cast("string"),
+      lit("?"), query,
+      when(d % 5 === 0, lit("#top")).otherwise(lit("")))
+    val canonical = documents
+      .select(url.as("url"), col("doc_id"))
+      .select(
+        concat(
+          lower(parse_url(col("url"), lit("PROTOCOL"))), lit("://"),
+          lower(parse_url(col("url"), lit("HOST"))),
+          parse_url(col("url"), lit("PATH")),
+          lit("?"),
+          array_join(
+            array_sort(filter(
+              split(parse_url(col("url"), lit("QUERY")), "&"),
+              p => substring(p, 1, 4) =!= "utm_")), "&")).as("canonical_url"),
+        col("doc_id"))
+    canonical
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("first_doc"))
+      .orderBy("canonical_url")
+  }
+}

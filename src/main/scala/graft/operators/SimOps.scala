@@ -529,4 +529,51 @@ object SimOps {
         element_at(col("cvec"), 1).as("c0"), element_at(col("cvec"), 2).as("c1"))
       .orderBy("cid")
   }
+
+  /** Maximum-inner-product search (MIPS) with Cauchy–Schwarz norm-bound
+    * pruning — the LEMP/FEXIPRO-family pruning rule from the top-k
+    * literature (PAPERS.md): dot(q,x) ≤ ‖q‖·‖x‖, so once any k
+    * candidates establish a threshold t, every vector with
+    * ‖q‖·‖x‖ < t is provably outside the top-k and is skipped before
+    * its dot product is ever computed. Unlike the LSH/IVF entries this
+    * pruning is EXACT — the result equals brute force bit-for-bit (the
+    * oracle IS brute force), which is why MIPS engines run it as the
+    * default: recall 1.0, cost bounded by the norm distribution.
+    *
+    * Two phases, both corpus-shuffle-free:
+    *   1. seed: the m highest-norm vectors (TakeOrderedAndProject — the
+    *      vectors that CAN have large inner products) score against the
+    *      broadcast query; their k-th best dot becomes the threshold t
+    *      (a 1-row broadcast scalar, the `text_tfidf` corpus-N shape).
+    *      Seeding by norm order is what makes t tight: on real
+    *      embeddings with heavy-tailed norms the bound then prunes most
+    *      of the corpus; on this synthetic corpus (norms concentrated)
+    *      it prunes little — the guarantee, not the ratio, is the point.
+    *   2. scan: one linear pass keeps vectors with ‖x‖·‖q‖ ≥ t (the
+    *      norm is a map-side scalar), exact dot + top-k on survivors.
+    * The query vector is excluded from BOTH phases: t must lower-bound
+    * the k-th best of the final candidate set, and the self-match would
+    * inflate it past that.
+    */
+  def simMips(embeddings: DataFrame, k: Int = 10, m: Int = 50): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val dot = LlmOps.dot _
+    val e = embeddings
+      .filter(col("vec_id") =!= 7)
+      .select(col("vec_id"), toVec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = embeddings.filter(col("vec_id") === 7)
+      .select(toVec(col("embedding")).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val t = e.orderBy(desc("nrm"), asc("vec_id")).limit(m)
+      .crossJoin(broadcast(q))
+      .select(dot(col("v"), col("qv")).as("ip"))
+      .orderBy(desc("ip")).limit(k)
+      .agg(min(col("ip")).as("t"))
+    e.crossJoin(broadcast(q)).crossJoin(broadcast(t))
+      .filter(col("nrm") * col("qn") >= col("t")) // Cauchy–Schwarz prune
+      .select(col("vec_id"), round(dot(col("v"), col("qv")), 6).as("ip"))
+      .orderBy(desc("ip"), asc("vec_id"))
+      .limit(k)
+  }
 }

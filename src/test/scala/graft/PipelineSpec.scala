@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.Tables._
+
+/** Corpus-assembly operators (PipelineOps) + the round-5 additions that
+  * ride with them (sim_mips exactness, graph_bfs fixture): invariants the
+  * DuckDB oracle can't express — packing contiguity, chunk coverage,
+  * canonical-form laws, prune exactness, and the unreached-sentinel path.
+  */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pipeline_pack: offsets are gapless per source and sequence spans are arithmetic") {
+    val out = PipelineOps.pipelinePack(documents(spark, sf0001)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (src, docs) =>
+      val sorted = docs.sortBy(_._2)
+      // the token stream is gapless: each doc starts where the previous ended
+      sorted.sliding(2).foreach {
+        case Array((_, _, n0, s0, _, _, _), (_, id1, _, s1, _, _, _)) =>
+          assert(s1 === s0 + n0, s"$src doc $id1 starts at $s1, expected ${s0 + n0}")
+        case _ =>
+      }
+      assert(sorted.head._4 === 0L, s"$src first doc does not start at offset 0")
+      sorted.foreach { case (_, id, n, start, sf, sl, ns) =>
+        assert(sf === start / 64, s"$src doc $id seq_first")
+        assert(sl === (start + n - 1) / 64, s"$src doc $id seq_last")
+        assert(ns === sl - sf + 1 && ns >= 1, s"$src doc $id n_seqs")
+      }
+    }
+  }
+
+  test("pipeline_mix: full-rate sources keep everything, shares sum to 1, rerun is identical") {
+    val docs = documents(spark, sf0001)
+    val out = PipelineOps.pipelineMix(docs).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.length === 20)
+    out.foreach { case (src, rate, nIn, nKept, _, _) =>
+      if (rate == 1.0) assert(nKept === nIn, s"$src rate-1.0 dropped docs")
+      else {
+        assert(nKept <= nIn, src)
+        // hex-digit thresholds are exact 16ths; binomial 3σ band on n=25
+        val expect = nIn * rate
+        assert(math.abs(nKept - expect) <= 3 * math.sqrt(expect * (1 - rate)) + 1,
+          s"$src kept $nKept of $nIn at rate $rate — hash selection skewed")
+      }
+    }
+    assert(math.abs(out.map(_._6).sum - 1.0) < 1e-4, "token shares do not sum to 1")
+    // content-hash selection: a rerun is bit-identical (no RNG state)
+    val again = PipelineOps.pipelineMix(docs).collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    assert(again.toSeq === out.map(r => (r._1, r._4)).toSeq)
+  }
+
+  test("text_chunk: chunks cover every token, stride is constant, text round-trips") {
+    val docs = documents(spark, sf0001)
+    val nToks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = PipelineOps.textChunk(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === sorted.indices.map(_.toLong),
+        s"doc $doc chunk_idx not contiguous")
+      sorted.foreach { case (_, i, start, len, text) =>
+        assert(start === i * 24, s"doc $doc chunk $i start")
+        assert(len === math.min(32L, nToks(doc) - start), s"doc $doc chunk $i len")
+        assert(text.split(" ", -1).length.toLong === len, s"doc $doc chunk $i text width")
+      }
+      val last = sorted.last
+      assert(last._3 + last._4 === nToks(doc), s"doc $doc tail tokens uncovered")
+    }
+  }
+
+  test("dedup_url: canonical form is lowercase, tracking-free, param-sorted; collision census exact") {
+    val out = PipelineOps.dedupUrl(documents(spark, sf0001)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 200) // 500 docs, page identity repeats every 200
+    out.foreach { case (url, n, first) =>
+      assert(url === url.toLowerCase, s"case survived canonicalization: $url")
+      assert(!url.contains("utm_"), s"tracking param survived: $url")
+      assert(!url.contains("#"), s"fragment survived: $url")
+      val params = url.substring(url.indexOf('?') + 1).split("&").toSeq
+      assert(params === params.sorted, s"params not canonical-ordered: $url")
+      assert(first === (first % 200), s"first_doc $first is not the smallest copy")
+    }
+    // ids 0..499 mod 200: residues 0..99 have 3 copies, 100..199 have 2
+    assert(out.count(_._2 == 3) === 100 && out.count(_._2 == 2) === 100,
+      "collision census does not match the id construction")
+  }
+
+  test("sim_mips: norm-bound pruning is exact — equals unpruned brute force") {
+    val e = embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val q = e(7L)
+    val brute = e.toSeq.filter(_._1 != 7L)
+      .map { case (id, v) =>
+        val ip = v.zip(q).map { case (a, b) => a * b }.sum
+        (id, math.rint(ip * 1e6) / 1e6)
+      }
+      .sortBy { case (id, ip) => (-ip, id) }
+      .take(10)
+    val got = SimOps.simMips(embeddings(spark, sf0001)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === brute, s"pruned top-k diverges from brute force:\n$got\nvs\n$brute")
+  }
+
+  test("graph_bfs: fixture distances exact; unreached component reports the -1 sentinel") {
+    // seed = node 64 (customer 32): cust32—supp1 and cust1—supp1 give
+    // hops 64:0, 3:1, 2:2; cust5—supp9 (nodes 10,19) is disconnected.
+    val orders = Seq((1L, 32L), (2L, 1L), (3L, 5L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((1L, 1L), (2L, 1L), (3L, 9L)).toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.graphBfs(orders, lineitem).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((-1L, 2L, 10L), (0L, 1L, 64L), (1L, 1L, 3L), (2L, 1L, 2L)),
+      s"got ${out.toSeq}")
+  }
+}

@@ -368,4 +368,24 @@ class PlanSpec extends SparkTestBase {
     assert(surviving.toDouble / l.count() < 0.1,
       s"bitmap pruned almost nothing: $surviving rows survive")
   }
+
+  test("pipeline_pack: the prefix-sum window is keyed on source — no global single-partition window") {
+    val p = plan(PipelineOps.pipelinePack(documents(spark, sf0001)))
+    assert(p.contains("Exchange hashpartitioning(source"),
+      s"pack window not partitioned by source:\n$p")
+    // exactly one hash exchange: the window's. A second would mean the
+    // offsets shuffle twice; a SinglePartition exchange would mean the
+    // whole corpus serializes through one task — the packing scale cliff.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 1, s"expected exactly 1 hash exchange, got $hashEx:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global window detected — packing collapsed to one task:\n$p")
+  }
+
+  test("text_chunk: fan-out is map-side Generate with no shuffle before the presentation sort") {
+    val p = plan(PipelineOps.textChunk(documents(spark, sf0001)))
+    assert(p.contains("Generate"), s"chunking produced no Generate:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking shuffled — the fan-out must stay map-side:\n$p")
+  }
 }
