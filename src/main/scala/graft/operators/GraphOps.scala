@@ -264,11 +264,19 @@ object GraphOps {
       .filter(col("cdeg") <= maxCustDeg)
       .select("cust")
     val kept = pairs.join(smallCust, "cust")
+    // localCheckpoint: the co-purchase aggregate feeds TWO consumers
+    // (the percentile threshold and the edge filter); without
+    // materialization the deg²-cost projection runs twice — measured
+    // ~40% of the operator at sf0.1. The materialized side is the
+    // AGGREGATED pair table (one row per supplier pair, already deg²-
+    // collapsed), not the wedge stream; at 100 TB the same point in the
+    // plan persists with disk spill instead.
     val co = kept.select(col("cust"), col("supp").as("s1"))
       .join(kept.select(col("cust"), col("supp").as("s2")), Seq("cust"))
       .filter(col("s1") < col("s2"))
       .groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("shared"))
+      .localCheckpoint()
     val thr = co.agg(percentile(col("shared"), lit(0.99)).as("t"))
     // localCheckpoint: the edge list feeds THREE consumers (both wedge
     // sides + the closing semi-join); without materialization each one
