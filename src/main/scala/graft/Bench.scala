@@ -53,6 +53,7 @@ object Bench {
     "graph_triangles",      // wedge-join triangle counting
     "sim_kmeans",           // 3-round Lloyd codebook training
     "pipeline_pretrain",    // composed quality->dedup->near-dup funnel
+    "pipeline_pretrain_v2", // + repetition gate + benchmark decontamination
     "dedup_semantic",       // kmeans-clustered SemDeDup-shape dedup
     "text_decontaminate",   // n-gram benchmark-overlap flagging
     "pipeline_pack",        // per-source prefix-sum packing window

@@ -236,6 +236,7 @@ object SparkEntry {
     "sim_kmeans" -> ((s, d) => SimOps.simKmeans(embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => SimOps.dedupSemantic(embeddings(s, d))),
     "pipeline_pretrain" -> ((s, d) => LlmOps.pipelinePretrain(documents(s, d))),
+    "pipeline_pretrain_v2" -> ((s, d) => PipelineOps.pipelinePretrainV2(documents(s, d))),
     "pipeline_pack" -> ((s, d) => PipelineOps.pipelinePack(documents(s, d))),
     "pipeline_mix" -> ((s, d) => PipelineOps.pipelineMix(documents(s, d))),
     "text_chunk" -> ((s, d) => PipelineOps.textChunk(documents(s, d))),
@@ -1698,6 +1699,71 @@ object SparkEntry {
              coalesce(sum(len(str_split(text, ' '))), 0) FROM e
            UNION ALL SELECT 3, count(*),
              coalesce(sum(len(str_split(text, ' '))), 0) FROM kept)
+         SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+         FROM st ORDER BY stage""",
+    // the v2 funnel adds the repetition gate (text_repetition's rounded
+    // dup-trigram fraction as a filter) between quality and exact dedup,
+    // and the decontamination stage (text_decontaminate's 8-gram hashes;
+    // bench grams from the ORIGINAL corpus slice) after near-dup removal
+    "pipeline_pretrain_v2" ->
+      s"""WITH q AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents) dq
+           WHERE round(0.5 * least(len(toks)::DOUBLE / 50.0, 1.0)
+               + 0.3 * (length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+                        / length(text))
+               + 0.2 * (len(list_intersect(list_distinct(toks),
+                     ['the','and','of','to','in','a','is','it']))::DOUBLE / 8.0),
+               6) >= 0.5),
+         rq AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS ft
+             FROM q) rt
+           WHERE (CASE WHEN len(ft) < 3 THEN 0.0 ELSE
+               round(1.0 - len(list_distinct(
+                   [ft[i] || ' ' || ft[i+1] || ' ' || ft[i+2]
+                    FOR i IN range(1, len(ft) - 1)]))::DOUBLE
+                 / (len(ft) - 2)::DOUBLE, 4) END) <= 0.05),
+         e AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             FROM rq) re WHERE rn = 1),
+         ${nearDupCtes("e")},
+         removed AS (SELECT DISTINCT doc_b AS doc_id FROM j
+                     WHERE round(jac, 6) >= 0.6),
+         kept AS (SELECT doc_id, text FROM e
+                  WHERE doc_id NOT IN (SELECT doc_id FROM removed)),
+         gd AS (SELECT doc_id, str_split(text, ' ') AS gtoks FROM documents
+                WHERE doc_id % 50 = 0),
+         bench AS (SELECT DISTINCT unnest(gs) AS g FROM (
+             SELECT list_distinct([
+                 ('0x' || substring(md5(array_to_string(gtoks[i:i+7], ' ')), 1, 15))::BIGINT
+                 FOR i IN range(1, len(gtoks) - 6)]) AS gs
+             FROM gd WHERE len(gtoks) >= 8) bg),
+         train AS (SELECT doc_id, text FROM kept WHERE doc_id % 50 <> 0),
+         hit AS (SELECT DISTINCT doc_id FROM (
+             SELECT doc_id, unnest(gs) AS g FROM (
+               SELECT doc_id, list_distinct([
+                   ('0x' || substring(md5(array_to_string(ttoks[i:i+7], ' ')), 1, 15))::BIGINT
+                   FOR i IN range(1, len(ttoks) - 6)]) AS gs
+               FROM (SELECT doc_id, str_split(text, ' ') AS ttoks FROM train) tt
+               WHERE len(ttoks) >= 8) tg) tx
+           WHERE g IN (SELECT g FROM bench)),
+         fin AS (SELECT doc_id, text FROM train
+                 WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+         st AS (
+           SELECT 0 AS stage, count(*) AS n_docs,
+             coalesce(sum(len(str_split(text, ' '))), 0) AS n_tokens FROM documents
+           UNION ALL SELECT 1, count(*),
+             coalesce(sum(len(str_split(text, ' '))), 0) FROM q
+           UNION ALL SELECT 2, count(*),
+             coalesce(sum(len(str_split(text, ' '))), 0) FROM rq
+           UNION ALL SELECT 3, count(*),
+             coalesce(sum(len(str_split(text, ' '))), 0) FROM e
+           UNION ALL SELECT 4, count(*),
+             coalesce(sum(len(str_split(text, ' '))), 0) FROM kept
+           UNION ALL SELECT 5, count(*),
+             coalesce(sum(len(str_split(text, ' '))), 0) FROM fin)
          SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
            CAST(n_tokens AS BIGINT) AS n_tokens
          FROM st ORDER BY stage""",

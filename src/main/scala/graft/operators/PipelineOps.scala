@@ -3,6 +3,9 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+// TextOps.qualityScore / tokenHash60 and LlmOps.dedupNear are reused by
+// pipelinePretrainV2 so every funnel gate is the SAME expression its
+// standalone operator ships (one definition, one oracle convention).
 
 /** Corpus-assembly operators — the stage of an LLM data pipeline that
   * sits BETWEEN cleaning/dedup (LlmOps, TextOps, SimOps) and the trainer:
@@ -179,5 +182,87 @@ object PipelineOps {
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("first_doc"))
       .orderBy("canonical_url")
+  }
+
+  /** The COMPLETE pretraining funnel — `pipeline_pretrain` (quality →
+    * exact dedup → near-dup) extended with the two gates a production
+    * corpus run adds: the Gopher-style repetition gate (drop documents
+    * whose duplicate-trigram fraction exceeds 5% — `text_repetition`'s
+    * statistic as a filter) and GPT-3-style benchmark DECONTAMINATION
+    * (`text_decontaminate`'s 8-gram overlap as a removal stage: the
+    * benchmark slice itself leaves the training set, and any training
+    * document sharing a gram with it is dropped). Six census stages:
+    *   0 base → 1 quality → 2 repetition → 3 exact → 4 near-dup → 5 decon.
+    *
+    * Scale shape is inherited piecewise from the parts, all previously
+    * plan-audited: gates 1–2 are map-side expression filters; stage 3 is
+    * one hash-keyed window; stage 4 is the LSH-bounded candidate chain;
+    * stage 5 is per-doc gram hashes (map-side) → one equi-join against
+    * the distinct benchmark grams (tiny by definition — broadcasts at
+    * any corpus size). The sequencing matters and is what the oracle
+    * checks: each stage filters the SURVIVORS of the previous one, while
+    * benchmark grams come from the ORIGINAL corpus slice (eval identity
+    * must not depend on what cleaning kept).
+    */
+  def pipelinePretrainV2(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), col("text"))
+    val q = base.filter(TextOps.qualityScore(col("text")) >= 0.5)
+    // duplicate-trigram fraction, the text_repetition construction —
+    // but built from SLICES zipped together, not element_at(ft, i) in a
+    // transform lambda. The distinction is load-bearing: filter pushdown
+    // substitutes the ft alias into this predicate, and HOF lambdas are
+    // interpreted (no codegen CSE), so an outer-reference element_at
+    // re-evaluates filter(split(lower(text))) PER ELEMENT — O(tokens^2)
+    // per document, measured 10.9 s of a 14.8 s funnel at sf0.1. As
+    // zip_with ARGUMENTS the slices are evaluated once per row: linear.
+    val ft = col("ft")
+    val tg = when(size(ft) < 3, array().cast("array<string>"))
+      .otherwise(zip_with(
+        zip_with(slice(ft, lit(1), size(ft) - 2), slice(ft, lit(2), size(ft) - 2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(ft, lit(3), size(ft) - 2),
+        (ab, c) => concat(ab, lit(" "), c)))
+    val dupFrac = when(size(tg) <= 0, lit(0.0))
+      .otherwise(round(lit(1.0) -
+        size(array_distinct(tg)).cast("double") / size(tg).cast("double"), 4))
+    val rq = q
+      .select(col("doc_id"), col("text"),
+        filter(split(lower(col("text")), " "), x => x =!= "").as("ft"))
+      .filter(dupFrac <= 0.05)
+      .select("doc_id", "text")
+    val firstSeen = Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
+    val e = rq.withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1).drop("rn")
+    val removed = LlmOps.dedupNear(e).select(col("doc_b").as("doc_id")).distinct()
+    val kept = e.join(removed, Seq("doc_id"), "left_anti")
+    // decontamination: 8-gram hashes (text_decontaminate's construction;
+    // same materialize-before-lambda rule for the token array)
+    val tk = col("tk")
+    val gramsH = when(size(tk) >= 8,
+      array_distinct(transform(sequence(lit(1), size(tk) - 7),
+        i => TextOps.tokenHash60(array_join(slice(tk, i, lit(8)), " ")))))
+      .otherwise(array().cast("array<bigint>"))
+    def tokenized(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val bench = tokenized(base.filter(col("doc_id") % 50 === 0))
+      .select(explode(gramsH).as("g")).distinct()
+    val train = kept.filter(col("doc_id") % 50 =!= 0)
+    val hit = tokenized(train)
+      .select(col("doc_id"), explode(gramsH).as("g"))
+      .join(bench, "g").select("doc_id").distinct()
+    val fin = train.join(hit, Seq("doc_id"), "left_anti")
+    def census(stage: Int, df: DataFrame): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+          .as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    census(0, base)
+      .unionByName(census(1, q))
+      .unionByName(census(2, rq))
+      .unionByName(census(3, e))
+      .unionByName(census(4, kept))
+      .unionByName(census(5, fin))
+      .orderBy("stage")
   }
 }

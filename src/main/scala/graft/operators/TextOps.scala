@@ -301,12 +301,17 @@ object TextOps {
     * naturally via AQE; no hint needed.
     */
   def textDecontaminate(documents: DataFrame, n: Int = 8): DataFrame = {
-    val toks = split(col("text"), " ")
+    // materialize the token array BEFORE the gram lambda: an inline
+    // split() reference inside the lambda is re-evaluated per slice —
+    // O(tokens^2) per document (measured ~2x this operator's cost)
+    val toks = col("tk")
     val grams = when(size(toks) >= n,
       array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => tokenHash60(array_join(slice(toks, i, lit(n)), " ")))))
       .otherwise(array().cast("array<bigint>"))
-    val withG = documents.select(col("doc_id"), explode(grams).as("g"))
+    val withG = documents
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(grams).as("g"))
     val bench = withG.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
     withG.filter(col("doc_id") % 50 =!= 0)
       .join(bench, "g")

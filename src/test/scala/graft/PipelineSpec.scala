@@ -122,4 +122,34 @@ class PipelineSpec extends SparkTestBase {
     assert(out.toSeq === Seq((-1L, 2L, 10L), (0L, 1L, 64L), (1L, 1L, 3L), (2L, 1L, 2L)),
       s"got ${out.toSeq}")
   }
+
+  test("pipeline_pretrain_v2: each of the six funnel stages removes exactly its seeded casualty") {
+    // 50 words + stopwords → quality ≥ 0.5; all trigrams distinct → repetition 0
+    val benchDoc = (1 to 50).map(i => if (i % 5 == 0) "and" else s"bench$i").mkString(" ")
+    val good = (1 to 50).map(i => if (i % 5 == 0) "the" else s"word$i").mkString(" ")
+    val near = good.replace("word7", "swapped")
+    // passes quality (length + letters + "the") but trigram dup frac ≈ 0.94
+    val repetitive = Seq.fill(17)("the cat sat").mkString(" ")
+    // embeds benchDoc's first 8 tokens verbatim → one shared 8-gram with the
+    // benchmark slice; everything else distinct so no dedup stage claims it
+    val contaminated = ("bench1 bench2 bench3 bench4 and bench6 bench7 bench8 " +
+      (9 to 50).map(i => if (i % 5 == 0) "the" else s"fill$i").mkString(" "))
+    val docs = Seq(
+      (0L, benchDoc),      // doc_id % 50 == 0 → benchmark slice, leaves at stage 5
+      (1L, good),          // the sole survivor
+      (2L, good),          // exact dup of 1 → dropped at stage 3
+      (3L, near),          // near dup of 1 → dropped at stage 4
+      (4L, "x9 !!"),       // junk → dropped at the quality gate (stage 1)
+      (5L, repetitive),    // dup-trigram fraction > 5% → dropped at stage 2
+      (6L, contaminated))  // shares an 8-gram with doc 0 → dropped at stage 5
+      .toDF("doc_id", "text")
+    val stages = PipelineOps.pipelinePretrainV2(docs).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stages(0)._1 === 7L && stages(1)._1 === 6L && stages(2)._1 === 5L &&
+      stages(3)._1 === 4L && stages(4)._1 === 3L && stages(5)._1 === 1L,
+      s"funnel counts: $stages")
+    // census is monotone non-increasing; the survivor carries its 50 tokens
+    assert((0 to 5).map(stages(_)._2).sliding(2).forall(p => p(0) >= p(1)))
+    assert(stages(5)._2 === 50L, s"survivor token census: ${stages(5)._2}")
+  }
 }
