@@ -165,11 +165,17 @@ object TextOps {
   def textBoilerplate(documents: DataFrame): DataFrame = {
     val n = 8
     val toks = split(col("text"), " ")
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => struct(i.as("pos"), array_join(slice(toks, i, lit(n)), " ").as("gram"))))
+    // gram slices read a MATERIALIZED token column: an inline split()
+    // inside the lambda is re-evaluated per element (HOF lambdas are
+    // interpreted, no codegen CSE) — O(tokens^2) per doc, measured ~1.8x
+    // on this operator's gram stage at sf0.1
+    val tk = col("tk")
+    val grams = when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => struct(i.as("pos"), array_join(slice(tk, i, lit(n)), " ").as("gram"))))
       .otherwise(array().cast("array<struct<pos:int,gram:string>>"))
     val docGrams = documents
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), explode(grams).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
     val frequent = docGrams.select("doc_id", "gram").distinct()
