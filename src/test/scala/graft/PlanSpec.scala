@@ -87,6 +87,19 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("pipeline_pretrain_v2: no quadratic join anywhere; the gate predicate stays linear") {
+    val p = plan(operators.PipelineOps.pipelinePretrainV2(documents(spark, sf0001)))
+    assert(!p.contains("CartesianProduct"), s"funnel plans a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"funnel plans a nested-loop join:\n$p")
+    // the repetition gate's trigram build must remain the zipped-slice
+    // form: filter pushdown inlines the token-array alias into the
+    // predicate, and an element_at(ft, i) transform there re-tokenizes
+    // the document per element (interpreted lambdas, no codegen CSE) —
+    // O(tokens^2), measured 10.9 s of a 14.8 s funnel at sf0.1
+    assert(!p.contains("element_at"),
+      s"gate predicate uses element_at over the token array — quadratic when inlined:\n$p")
+  }
+
   test("sink_zorder read-back pushes the 2-D box predicate into the parquet scan") {
     // the layout only pays off if the engine actually consults file/row-
     // group stats — i.e. the box filter must reach the scan as
