@@ -269,11 +269,14 @@ object LlmOps {
     * operator alone — is correctness-checked. Scale shape inherits from
     * the parts: map-side scoring, hash-keyed dedup shuffles, LSH-bounded
     * near-dup candidates; the censuses are partial+final aggregates.
-    * The four census branches each re-derive their stage from the scan
-    * (identical subtrees, so physical exchange reuse recovers most of
-    * it); a 100 TB run caches/checkpoints each stage's survivors instead
-    * — stage outputs are the pipeline's deliverables there, not just
-    * counts.
+    * The four census branches each re-derive their stage from the scan.
+    * Measured (in-JVM A/B on the v2 funnel at sf0.1): lazily
+    * checkpointing the fan-out stages (`e`, `kept`) lands within noise
+    * of the recompute form — materialization cost cancels the reuse —
+    * so the census ships checkpoint-free. A 100 TB run is different in
+    * kind, not degree: stage survivors are the pipeline's DELIVERABLES
+    * there, written to storage anyway, and each census reads its stage's
+    * output instead of re-deriving it.
     */
   def pipelinePretrain(documents: DataFrame): DataFrame = {
     val base = documents.select(col("doc_id"), col("text"))
