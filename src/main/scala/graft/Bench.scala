@@ -57,6 +57,7 @@ object Bench {
     "dedup_semantic",       // kmeans-clustered SemDeDup-shape dedup
     "text_decontaminate",   // n-gram benchmark-overlap flagging
     "pipeline_pack",        // per-source prefix-sum packing window
+    "sink_ann_index",       // persisted IVF layout + DPP-pruned serving
   )
 
   def main(args: Array[String]): Unit = {

@@ -233,6 +233,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => SimOps.dedupEmbedding(embeddings(s, d))),
     "sim_ivf" -> ((s, d) => SimOps.simIvf(embeddings(s, d))),
     "sim_ivf_kmeans" -> ((s, d) => SimOps.simIvfKmeans(embeddings(s, d))),
+    "sink_ann_index" -> ((s, d) => SimOps.sinkAnnIndex(s, d)),
     "sim_kmeans" -> ((s, d) => SimOps.simKmeans(embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => SimOps.dedupSemantic(embeddings(s, d))),
     "pipeline_pretrain" -> ((s, d) => LlmOps.pipelinePretrain(documents(s, d))),
@@ -1852,6 +1853,11 @@ object SparkEntry {
          SELECT vec_a, vec_b, cos FROM j WHERE cos >= 0.95
          ORDER BY vec_a, vec_b""",
     "sim_ivf_kmeans" -> ivfKmeansOracleSql(16, 3, 64),
+    // the cell-partitioned parquet round-trip is data-invisible (long /
+    // array<double> round-trip exactly; the partition value re-reads as
+    // the same integer), so the persisted-index serving path answers
+    // with the same rows as the in-query learned IVF
+    "sink_ann_index" -> ivfKmeansOracleSql(16, 3, 64),
     "sim_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

@@ -395,6 +395,54 @@ object SimOps {
     ivfScan(e, cents)
   }
 
+  /** PERSISTED ANN index + partition-pruned serving — the shape an
+    * embedding corpus actually takes at 100 TB: the IVF index is not an
+    * in-memory structure but a STORAGE LAYOUT. Build = learn the
+    * `sim_kmeans` codebook, assign every vector to its cell, write the
+    * corpus `partitionBy(cell)`; the directory structure IS the inverted
+    * file. Serve = pick the query's nprobe nearest cells from the
+    * (tiny, broadcast) codebook and join the index on the partition
+    * column — Spark's dynamic partition pruning turns that join into a
+    * file-level prune, so a query READS only nprobe/k of the corpus
+    * files (plan-pinned: the scan carries a dynamicpruning partition
+    * filter). Build cost is once, amortized over every query; serving
+    * never touches unprobed cells' bytes — the property that makes ANN
+    * on object storage viable. Same constants as `sim_ivf_kmeans`
+    * (k=16, rounds=3, nprobe=4) and the round-trip is data-invisible,
+    * so the oracle is the same learned-IVF SQL.
+    */
+  def sinkAnnIndex(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    graft.plans.VectorFunctions.register(spark)
+    val embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val eq = embeddings.select(col("vec_id"), quantize1000(toVec(col("embedding"))).as("xq"))
+    val cents = kmeansCentroids(eq, k = 16, rounds = 3)
+      .select(col("cid").cast("long").as("cid"),
+        transform(col("cvec"), x => x / lit(1000.0)).as("cv"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"),
+        round(cosine(col("v"), col("cv")), 9).as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+    val dir = graft.sources.EtlOps.freshDir(sfDir, "ann_index").toString
+    assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val probes = cents.crossJoin(broadcast(q))
+      .select(col("cid"), round(cosine(col("cv"), col("qv")), 9).as("ccos"))
+      .orderBy(desc("ccos"), asc("cid"))
+      .limit(4)
+      .select(col("cid").as("cell"))
+    index.join(broadcast(probes), "cell")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** The shared IVF scan: assign (broadcast codebook, one corpus pass),
     * probe selection (nprobe=4), pruned exact top-10.
     */

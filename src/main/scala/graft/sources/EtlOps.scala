@@ -42,7 +42,7 @@ object EtlOps {
   /** Scratch dir for a given scale factor — recreated per call so query
     * results are deterministic run-over-run.
     */
-  private def freshDir(sfDir: String, tag: String): Path = {
+  private[graft] def freshDir(sfDir: String, tag: String): Path = {
     val p = Paths.get(
       sys.props("java.io.tmpdir"), "graft_etl",
       sfDir.replaceAll("[^a-zA-Z0-9]", "_"), tag)

@@ -87,6 +87,19 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("sink_ann_index: serving scan is partition-pruned to the probed cells") {
+    val p = plan(operators.SimOps.sinkAnnIndex(spark, sf0001))
+    // the join on the partition column must become a file-level prune —
+    // the scan carries a dynamic partition filter, so unprobed cells'
+    // files are never read (nprobe/k of the index, the at-scale payoff)
+    assert(p.contains("dynamicpruning"),
+      s"index scan is not dynamically partition-pruned:\n$p")
+    // (the 1-row query-vector broadcast legitimately plans as a nested-
+    // loop join — bounded; only an unbounded cartesian would be a defect)
+    assert(!p.contains("CartesianProduct"),
+      s"serving path plans a cartesian product:\n$p")
+  }
+
   test("pipeline_pretrain_v2: no quadratic join anywhere; the gate predicate stays linear") {
     val p = plan(operators.PipelineOps.pipelinePretrainV2(documents(spark, sf0001)))
     assert(!p.contains("CartesianProduct"), s"funnel plans a cartesian product:\n$p")
