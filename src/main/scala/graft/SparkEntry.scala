@@ -100,6 +100,7 @@ object SparkEntry {
     "agg_argmax" -> ((s, d) => AggOps.aggArgmax(lineitem(s, d))),
     "agg_unpivot" -> ((s, d) => AggOps.aggUnpivot(lineitem(s, d))),
     "q_pivot_sql" -> ((s, d) => AuditQueries.qPivotSql(s, lineitem(s, d))),
+    "q_unpivot_sql" -> ((s, d) => AuditQueries.qUnpivotSql(s, lineitem(s, d))),
     "agg_stats" -> ((s, d) => AggOps.aggStats(lineitem(s, d))),
     "agg_median" -> ((s, d) => AggOps.aggMedian(lineitem(s, d))),
     "agg_mode" -> ((s, d) => AggOps.aggMode(lineitem(s, d))),
@@ -1151,6 +1152,12 @@ object SparkEntry {
          round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS f,
          round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS o
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the UNPIVOT clause is standard across both engines — same text
+    "q_unpivot_sql" ->
+      """SELECT metric, round(sum(val), 2) AS total, count(*) AS n
+         FROM (SELECT l_quantity, l_discount, l_tax FROM lineitem)
+         UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
+         GROUP BY metric ORDER BY metric""",
     "dedup_paragraph" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          base AS (SELECT doc_id, toks,

@@ -260,6 +260,21 @@ object AuditQueries {
          ORDER BY l_returnflag""")
   }
 
+  /** SQL UNPIVOT — the textual melt (dual of `q_pivot_sql`; the
+    * DataFrame form is `agg_unpivot`). The clause is standard enough
+    * that the SAME text is the DuckDB oracle; the plan is the Expand
+    * operator (map-side row fan-out ×3) under one hash aggregate —
+    * no shuffle carries the melted stream, only (metric, partial).
+    */
+  def qUnpivotSql(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT metric, round(sum(val), 2) AS total, count(*) AS n
+         FROM (SELECT l_quantity, l_discount, l_tax FROM lineitem_v)
+         UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
+         GROUP BY metric ORDER BY metric""")
+  }
+
   /** LATERAL VIEW through the SQL surface — the textual form of the
     * Generate operator (explode stays map-side, fan-out then partial
     * aggregation; the shuffle carries (doc_id, count) partials, never the
