@@ -173,6 +173,8 @@ object SparkEntry {
     "multimodal_cols" -> ((s, d) =>
       LlmOps.multimodalCols(documents(s, d), embeddings(s, d))
         .withColumn("payload", hex(col("payload")))),
+    "dedup_binary" -> ((s, d) =>
+      LlmOps.dedupBinary(documents(s, d), embeddings(s, d))),
     "multimodal_decode" -> ((s, d) => LlmOps.multimodalDecode(documents(s, d))),
     "multimodal_framesample" -> ((s, d) => LlmOps.multimodalFramesample(documents(s, d))),
     "multimodal_resize" -> ((s, d) => LlmOps.multimodalResize(documents(s, d))),
@@ -1025,6 +1027,19 @@ object SparkEntry {
          round(CAST(e.embedding[64] AS DOUBLE), 6) AS dim63
          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
          WHERE len(e.embedding) = 64 ORDER BY d.doc_id""",
+    // same sha256 hex over the same UTF-8 bytes on both sides; the
+    // conflict audit counts distinct rounded first components per digest
+    "dedup_binary" ->
+      """WITH j AS (SELECT d.doc_id, sha256(d.text) AS digest,
+             octet_length(encode(d.text)) AS pb,
+             round(CAST(e.embedding[1] AS DOUBLE), 6) AS dim0
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         g AS (SELECT digest, pb, min(doc_id) AS keep_id,
+             count(*) AS n_copies, count(DISTINCT dim0) AS n_distinct_emb
+           FROM j GROUP BY digest, pb)
+         SELECT digest, CAST(pb AS INTEGER) AS payload_bytes, keep_id,
+           n_copies, n_distinct_emb, n_distinct_emb > 1 AS embeddings_conflict
+         FROM g ORDER BY keep_id""",
     // §2.1 sources / sinks — oracles run on the ORIGINAL parquet: the
     // format round-trip must be lossless for these to hash-match.
     "scan_json" ->

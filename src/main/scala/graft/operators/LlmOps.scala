@@ -476,6 +476,43 @@ object LlmOps {
       .orderBy("doc_id", "gx", "gy")
   }
 
+  /** Exact BINARY-payload dedup + embedding-consistency audit — the
+    * multimodal analogue of `dedup_exact` (dedup images/audio by content
+    * hash) plus the hygiene check a re-embedding pipeline needs: payload
+    * duplicates whose attached embeddings DISAGREE are stale-embedding
+    * candidates (same bytes should embed identically). The digest is
+    * computed MAP-SIDE and the payload projected away before the
+    * aggregate, so the blobs never cross the wire — at 100 TB the
+    * shuffle carries 32-byte digests where payloads are megabytes (the
+    * `dedup_exact` never-group-on-raw-payload rule, applied to binary).
+    * Payload = UTF-8 text bytes (the `multimodal_cols` stand-in), so the
+    * oracle recomputes the same sha256 hex over the same bytes.
+    */
+  def dedupBinary(documents: DataFrame, embeddings: DataFrame): DataFrame = {
+    val payload = col("text").cast("binary")
+    val joined = documents
+      .select(col("doc_id"),
+        sha2(payload, 256).as("digest"),
+        octet_length(payload).as("payload_bytes"))
+      .join(embeddings.select(col("vec_id"),
+        round(element_at(toVec(col("embedding")), 1), 6).as("dim0")),
+        col("doc_id") === col("vec_id"))
+    // every digest group reports (the dedup_exact convention — the
+    // corpus floor has no exact dups, so a >1 filter would gate the
+    // whole check on the scale factor); duplicates surface as
+    // n_copies > 1, conflicts as embeddings_conflict
+    joined
+      .groupBy(col("digest"), col("payload_bytes"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("dim0")).as("n_distinct_emb"))
+      .select(col("digest"), col("payload_bytes"), col("keep_id"),
+        col("n_copies"), col("n_distinct_emb"),
+        (col("n_distinct_emb") > 1).as("embeddings_conflict"))
+      .orderBy("keep_id")
+  }
+
   /** Multimodal columns: an opaque binary payload + typed vector column
     * flowing through project/filter/join untouched. The payload here is a
     * deterministic stand-in (UTF-8 bytes of the text — real image/audio

@@ -475,6 +475,24 @@ class LlmSpec extends SparkTestBase {
       s"learned-IVF recall too low vs brute force: $ivf vs $brute")
   }
 
+  test("dedup_binary: duplicated payload found; conflicting embeddings flagged") {
+    val docs = Seq(
+      (0L, "same payload bytes"), (1L, "same payload bytes"), // dup, conflicting embs
+      (2L, "other payload"), (3L, "other payload"),           // dup, agreeing embs
+      (4L, "unique payload"))
+      .toDF("doc_id", "text")
+    val v = Array.fill(64)(0.5f)
+    val embs = Seq(
+      (0L, v), (1L, v.updated(0, 0.9f)),  // first components differ → conflict
+      (2L, v), (3L, v), (4L, v))
+      .toDF("vec_id", "embedding")
+    val out = LlmOps.dedupBinary(docs, embs).collect()
+      .map(r => r.getLong(2) -> (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(out(0L) === ((2L, 2L, true)), s"conflicting dup group: ${out.get(0L)}")
+    assert(out(2L) === ((2L, 1L, false)), s"agreeing dup group: ${out.get(2L)}")
+    assert(out(4L) === ((1L, 1L, false)), s"singleton group: ${out.get(4L)}")
+  }
+
   test("multimodal payload survives project/filter/join byte-identically") {
     val docs = Tables.documents(spark, sf0001)
     val embs = Tables.embeddings(spark, sf0001)
