@@ -183,6 +183,7 @@ object SparkEntry {
     "scan_json" -> ((s, d) => EtlOps.scanJson(s, d)),
     "scan_csv" -> ((s, d) => EtlOps.scanCsv(s, d)),
     "scan_orc" -> ((s, d) => EtlOps.scanOrc(s, d)),
+    "scan_observed" -> ((s, d) => EtlOps.scanObserved(s, d)),
     "scan_text" -> ((s, d) => EtlOps.scanText(s, d)),
     "source_api_paginated" -> ((s, d) => EtlOps.sourceApiPaginated(s, d)),
     "source_api_retry" -> ((s, d) => EtlOps.sourceApiRetry(s, d)),
@@ -1046,6 +1047,11 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
          CAST(n_regionkey AS BIGINT) AS n_regionkey
          FROM nation ORDER BY n_nationkey""",
+    // observe() metrics are out-of-band — the data result is the plain
+    // cleaned load (the spec asserts the observed metrics themselves)
+    "scan_observed" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+         FROM orders WHERE o_totalprice > 0 ORDER BY o_orderkey""",
     "scan_csv" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
     "scan_orc" ->

@@ -134,6 +134,34 @@ object EtlOps {
       .orderBy("doc_id")
   }
 
+  /** In-flight pipeline VALIDATION metrics (README.md:31–32, 63 "Test
+    * and validate your pipeline"): the load's row count, value total,
+    * and null-key count are OBSERVED during the query itself via
+    * `observe()` (accumulator-backed — collected as the rows stream
+    * past, no second job). At 100 TB this is the only affordable
+    * validation: a separate metrics re-scan doubles the bill, while
+    * observed metrics are free and arrive with the load. Metrics attach
+    * BEFORE the cleaning filter, so they describe the raw feed (what an
+    * ingest audit wants); the data result is metric-invisible (oracle =
+    * the plain load) and the spec asserts the observed values equal an
+    * independent recomputation.
+    */
+  def scanObserved(spark: SparkSession, sfDir: String): DataFrame =
+    scanObservedWith(spark, sfDir, org.apache.spark.sql.Observation("load_audit"))
+
+  private[graft] def scanObservedWith(
+      spark: SparkSession, sfDir: String,
+      obs: org.apache.spark.sql.Observation): DataFrame =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .observe(obs,
+        count(lit(1)).as("rows_loaded"),
+        round(sum(col("o_totalprice")), 2).as("value_loaded"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_keys"))
+      .filter(col("o_totalprice") > 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_orderkey")
+
   /** Columnar ORC round-trip — the third file format (after parquet and
     * the JSON/CSV text formats): same reader/writer API surface, same
     * pushdown behavior, different encoder. Oracle compares against the

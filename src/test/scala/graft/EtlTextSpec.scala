@@ -289,4 +289,19 @@ class EtlTextSpec extends SparkTestBase {
     assert(out.count() === orig.count())
     assert(out.exceptAll(orig).isEmpty && orig.exceptAll(out).isEmpty)
   }
+
+  test("scan_observed: in-flight metrics equal an independent recomputation of the raw feed") {
+    val obs = org.apache.spark.sql.Observation("load_audit_spec")
+    EtlOps.scanObservedWith(spark, sf0001, obs).count() // any action completes the observation
+    val raw = spark.read.parquet(s"$sf0001/orders.parquet")
+    val expect = raw.agg(
+      count(lit(1)), round(sum(col("o_totalprice")), 2),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L))).head()
+    assert(obs.get("rows_loaded") === expect.getLong(0), s"rows: ${obs.get}")
+    assert(obs.get("value_loaded") === expect.getDouble(1), s"value: ${obs.get}")
+    assert(obs.get("null_keys") === expect.getLong(2), s"nulls: ${obs.get}")
+    // metrics describe the feed BEFORE cleaning: the observed row count
+    // must cover rows the price filter then drops (raw >= cleaned)
+    assert(expect.getLong(0) >= EtlOps.scanObserved(spark, sf0001).count())
+  }
 }
