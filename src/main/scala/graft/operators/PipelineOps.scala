@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 // TextOps.qualityScore / tokenHash60 and LlmOps.dedupNear are reused by
@@ -206,7 +206,6 @@ object PipelineOps {
     */
   def pipelinePretrainV2(documents: DataFrame): DataFrame = {
     val base = documents.select(col("doc_id"), col("text"))
-    val q = base.filter(TextOps.qualityScore(col("text")) >= 0.5)
     // duplicate-trigram fraction, the text_repetition construction —
     // but built from SLICES zipped together, not element_at(ft, i) in a
     // transform lambda. The distinction is load-bearing: filter pushdown
@@ -225,16 +224,33 @@ object PipelineOps {
     val dupFrac = when(size(tg) <= 0, lit(0.0))
       .otherwise(round(lit(1.0) -
         size(array_distinct(tg)).cast("double") / size(tg).cast("double"), 4))
-    val rq = q
+    // ONE labeling pass instead of one filter chain per census branch:
+    // each document carries its survival flag per stage (g1..g5), the
+    // expensive sub-pipelines (near-dup, decontamination) run ONCE over
+    // exactly the survivor sets the staged form fed them, and all six
+    // censuses fall out of a single aggregate over the labeled corpus
+    // (stage s counts docs with g_s). Cuts the funnel's corpus scans
+    // from ~10 (per-branch recompute) to ~4 — the difference between a
+    // reporting query and re-running the pipeline per report row.
+    val staged2 = base
       .select(col("doc_id"), col("text"),
+        (TextOps.qualityScore(col("text")) >= 0.5).as("g1"))
+      .select(col("doc_id"), col("text"), col("g1"),
         filter(split(lower(col("text")), " "), x => x =!= "").as("ft"))
-      .filter(dupFrac <= 0.05)
-      .select("doc_id", "text")
-    val firstSeen = Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
-    val e = rq.withColumn("rn", row_number().over(firstSeen))
-      .filter(col("rn") === 1).drop("rn")
-    val removed = LlmOps.dedupNear(e).select(col("doc_b").as("doc_id")).distinct()
-    val kept = e.join(removed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), col("g1"),
+        (col("g1") && dupFrac <= 0.05).as("g2"))
+    // first occurrence among stage-2 survivors of each exact-text group
+    val wTxt = Window.partitionBy(sha2(col("text"), 256))
+    val staged3 = staged2
+      .withColumn("firstSurv", min(when(col("g2"), col("doc_id"))).over(wTxt))
+      .withColumn("g3", col("g2") && col("doc_id") === col("firstSurv"))
+      .drop("firstSurv")
+    val e = staged3.filter(col("g3")).select("doc_id", "text")
+    val removed = LlmOps.dedupNear(e).select(col("doc_b").as("doc_id"))
+      .distinct().withColumn("nd", lit(true))
+    val staged4 = staged3.join(removed, Seq("doc_id"), "left")
+      .withColumn("g4", col("g3") && !coalesce(col("nd"), lit(false)))
+      .drop("nd")
     // decontamination: 8-gram hashes (text_decontaminate's construction;
     // same materialize-before-lambda rule for the token array)
     val tk = col("tk")
@@ -246,23 +262,33 @@ object PipelineOps {
       df.select(col("doc_id"), split(col("text"), " ").as("tk"))
     val bench = tokenized(base.filter(col("doc_id") % 50 === 0))
       .select(explode(gramsH).as("g")).distinct()
-    val train = kept.filter(col("doc_id") % 50 =!= 0)
+    val train = staged4.filter(col("g4") && col("doc_id") % 50 =!= 0)
+      .select("doc_id", "text")
     val hit = tokenized(train)
       .select(col("doc_id"), explode(gramsH).as("g"))
       .join(bench, "g").select("doc_id").distinct()
-    val fin = train.join(hit, Seq("doc_id"), "left_anti")
-    def census(stage: Int, df: DataFrame): DataFrame =
-      df.agg(
-        count(lit(1)).as("n_docs"),
-        coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
-          .as("n_tokens"))
-        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
-    census(0, base)
-      .unionByName(census(1, q))
-      .unionByName(census(2, rq))
-      .unionByName(census(3, e))
-      .unionByName(census(4, kept))
-      .unionByName(census(5, fin))
+      .withColumn("ht", lit(true))
+    val labeled = staged4.join(hit, Seq("doc_id"), "left")
+      .withColumn("g5", col("g4") && col("doc_id") % 50 =!= 0 &&
+        !coalesce(col("ht"), lit(false)))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        col("g1"), col("g2"), col("g3"), col("g4"), col("g5"))
+    def cDocs(g: Column) = coalesce(sum(when(g, 1L).otherwise(0L)), lit(0L))
+    def cToks(g: Column) = coalesce(sum(when(g, col("n_toks")).otherwise(0L)), lit(0L))
+    val one = labeled.agg(
+      coalesce(count(lit(1)), lit(0L)).as("c0"),
+      coalesce(sum(col("n_toks")), lit(0L)).as("t0"),
+      cDocs(col("g1")).as("c1"), cToks(col("g1")).as("t1"),
+      cDocs(col("g2")).as("c2"), cToks(col("g2")).as("t2"),
+      cDocs(col("g3")).as("c3"), cToks(col("g3")).as("t3"),
+      cDocs(col("g4")).as("c4"), cToks(col("g4")).as("t4"),
+      cDocs(col("g5")).as("c5"), cToks(col("g5")).as("t5"))
+    one.select(explode(array((0 to 5).map(s =>
+        struct(lit(s).as("stage"), col(s"c$s").as("n_docs"),
+          col(s"t$s").as("n_tokens"))): _*)).as("st"))
+      .select(col("st.stage").as("stage"), col("st.n_docs").as("n_docs"),
+        col("st.n_tokens").as("n_tokens"))
       .orderBy("stage")
   }
 }
