@@ -269,33 +269,45 @@ object LlmOps {
     * operator alone — is correctness-checked. Scale shape inherits from
     * the parts: map-side scoring, hash-keyed dedup shuffles, LSH-bounded
     * near-dup candidates; the censuses are partial+final aggregates.
-    * The four census branches each re-derive their stage from the scan.
-    * Measured (in-JVM A/B on the v2 funnel at sf0.1): lazily
-    * checkpointing the fan-out stages (`e`, `kept`) lands within noise
-    * of the recompute form — materialization cost cancels the reuse —
-    * so the census ships checkpoint-free. A 100 TB run is different in
-    * kind, not degree: stage survivors are the pipeline's DELIVERABLES
-    * there, written to storage anyway, and each census reads its stage's
-    * output instead of re-deriving it.
+    * Like the v2 funnel (PipelineOps.pipelinePretrainV2), the census is
+    * ONE labeling pass: each document carries a per-stage survival flag
+    * (g1..g3), `dedupNear` runs once over exactly the stage-2 survivor
+    * set the staged form fed it, and all four censuses fall out of a
+    * single aggregate — no per-branch recompute of the gate chain. At
+    * 100 TB the stage survivors are the pipeline's DELIVERABLES, written
+    * to storage anyway; each census then reads its stage's output.
     */
   def pipelinePretrain(documents: DataFrame): DataFrame = {
     val base = documents.select(col("doc_id"), col("text"))
-    val q = base.filter(TextOps.qualityScore(col("text")) >= 0.5)
-    val firstSeen = Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
-    val e = q.withColumn("rn", row_number().over(firstSeen))
-      .filter(col("rn") === 1).drop("rn")
-    val removed = dedupNear(e).select(col("doc_b").as("doc_id")).distinct()
-    val kept = e.join(removed, Seq("doc_id"), "left_anti")
-    def census(stage: Int, df: DataFrame): DataFrame =
-      df.agg(
-        count(lit(1)).as("n_docs"),
-        coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
-          .as("n_tokens"))
-        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
-    census(0, base)
-      .unionByName(census(1, q))
-      .unionByName(census(2, e))
-      .unionByName(census(3, kept))
+    val staged1 = base.select(col("doc_id"), col("text"),
+      (TextOps.qualityScore(col("text")) >= 0.5).as("g1"))
+    // first occurrence among quality survivors of each exact-text group
+    val wTxt = Window.partitionBy(sha2(col("text"), 256))
+    val staged2 = staged1
+      .withColumn("firstSurv", min(when(col("g1"), col("doc_id"))).over(wTxt))
+      .withColumn("g2", col("g1") && col("doc_id") === col("firstSurv"))
+      .drop("firstSurv")
+    val e = staged2.filter(col("g2")).select("doc_id", "text")
+    val removed = dedupNear(e).select(col("doc_b").as("doc_id"))
+      .distinct().withColumn("nd", lit(true))
+    val labeled = staged2.join(removed, Seq("doc_id"), "left")
+      .withColumn("g3", col("g2") && !coalesce(col("nd"), lit(false)))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        col("g1"), col("g2"), col("g3"))
+    def cDocs(g: Column) = coalesce(sum(when(g, 1L).otherwise(0L)), lit(0L))
+    def cToks(g: Column) = coalesce(sum(when(g, col("n_toks")).otherwise(0L)), lit(0L))
+    val one = labeled.agg(
+      coalesce(count(lit(1)), lit(0L)).as("c0"),
+      coalesce(sum(col("n_toks")), lit(0L)).as("t0"),
+      cDocs(col("g1")).as("c1"), cToks(col("g1")).as("t1"),
+      cDocs(col("g2")).as("c2"), cToks(col("g2")).as("t2"),
+      cDocs(col("g3")).as("c3"), cToks(col("g3")).as("t3"))
+    one.select(explode(array((0 to 3).map(s =>
+        struct(lit(s).as("stage"), col(s"c$s").as("n_docs"),
+          col(s"t$s").as("n_tokens"))): _*)).as("st"))
+      .select(col("st.stage").as("stage"), col("st.n_docs").as("n_docs"),
+        col("st.n_tokens").as("n_tokens"))
       .orderBy("stage")
   }
 
