@@ -75,7 +75,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional first arg: comma-separated headline subset, for fast local
+    // A/B timing of one query (the driver always runs the full headline)
+    val only: Option[Set[String]] =
+      if (args.length > 0) Some(args(0).split(",").toSet) else None
     val names = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
     // Warmup: every headline query once, untimed — JIT, codegen cache, FS
     // metadata. Steady-state numbers are the ones that are comparable
     // across rounds (and the ones that model a long-running cluster job);
