@@ -125,6 +125,17 @@ object SimOps {
     * for the blocking parameters — `dedupNgramJaccard` and
     * `textContainment` differ ONLY in the verify statistic computed on
     * top of this stream, and a tuning applied here reaches both.
+    *
+    * The shingle-set kernel runs once per DAG branch (postings + both
+    * verify-join sides). Unlike dedupSimhash's one-bigint signature it
+    * cannot ride the posting shuffle (the sets are document-sized), and
+    * the two alternatives were MEASURED SLOWER at sf0.1: recomputing the
+    * kernel only over blocking survivors (semi-join prune) 1.9 s, with a
+    * localCheckpoint'd candidate list 2.0 s, vs 1.4 s for this recompute
+    * form — the extra exchanges cost more than the kernel. At 100 TB the
+    * balance flips (kernel-over-corpus dominates): there the candidate
+    * list is a persisted intermediate and the verify sides compute
+    * shingles for survivor docs only, exactly the pruned shape.
     */
   private def shingleCandidates(documents: DataFrame): DataFrame = {
     graft.plans.TextKernels.register(documents.sparkSession)
