@@ -263,7 +263,11 @@ object GraphOps {
       .agg(count(lit(1)).as("cdeg"))
       .filter(col("cdeg") <= maxCustDeg)
       .select("cust")
-    val kept = pairs.join(smallCust, "cust")
+    // localCheckpoint: the degree-filtered pair table feeds both sides
+    // of the deg² self-join below; left lazy, the orders⋈lineitem
+    // distinct (the operator's widest shuffle) runs twice. One row per
+    // (cust, supp) — compact at any scale.
+    val kept = pairs.join(smallCust, "cust").localCheckpoint()
     // localCheckpoint: the co-purchase aggregate feeds TWO consumers
     // (the percentile threshold and the edge filter); without
     // materialization the deg²-cost projection runs twice — measured
