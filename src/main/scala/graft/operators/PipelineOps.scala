@@ -262,9 +262,14 @@ object PipelineOps {
       df.select(col("doc_id"), split(col("text"), " ").as("tk"))
     val bench = tokenized(base.filter(col("doc_id") % 50 === 0))
       .select(explode(gramsH).as("g")).distinct()
-    val train = staged4.filter(col("g4") && col("doc_id") % 50 =!= 0)
-      .select("doc_id", "text")
-    val hit = tokenized(train)
+    // Hits are computed over the full non-benchmark corpus, NOT the g4
+    // survivors: `ht` only matters where g4 is true (g5 = g4 && !ht), so
+    // the result is identical — but deriving this branch from `base`
+    // instead of `staged4` keeps the near-dup subtree out of it, which
+    // would otherwise run twice (once here, once in the final label
+    // join). The extra gram hashing on non-survivors is bounded by the
+    // survivor ratio; re-running MinHash+LSH is not.
+    val hit = tokenized(base.filter(col("doc_id") % 50 =!= 0))
       .select(col("doc_id"), explode(gramsH).as("g"))
       .join(bench, "g").select("doc_id").distinct()
       .withColumn("ht", lit(true))

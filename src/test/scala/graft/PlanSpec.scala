@@ -87,6 +87,30 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_simhash: signature kernel evaluated ONCE, and the fused pipeline is join-free") {
+    val p = plan(SimOps.dedupSimhash(documents(spark, sf0001)))
+    // the one-bigint signature rides the band shuffle and the pair stream
+    // carries both sides' values — re-joining a signature table onto each
+    // pair side re-ran the md5+SimHash60 kernel over the corpus 3x
+    // (measured 5.0 s vs 0.8 s at sf0.1)
+    val kernels = "simhash60\\(".r.findAllIn(p).length
+    assert(kernels == 1, s"SimHash kernel evaluated $kernels times (expected 1):\n$p")
+    assert(!p.contains("Join"), s"fused simhash pipeline should need no join:\n$p")
+  }
+
+  test("pretraining funnels run their MinHash stage exactly once (single labeling pass)") {
+    // the per-branch census form re-derived survivor stages per census row,
+    // re-running dedupNear's signature pipeline once per downstream stage
+    Seq(
+      "pipeline_pretrain" -> plan(LlmOps.pipelinePretrain(documents(spark, sf0001))),
+      "pipeline_pretrain_v2" -> plan(operators.PipelineOps.pipelinePretrainV2(documents(spark, sf0001)))
+    ).foreach { case (name, p) =>
+      val kernels = "minhash_sig\\(".r.findAllIn(p).length
+      assert(kernels == 1,
+        s"$name evaluates the MinHash kernel $kernels times (expected 1):\n$p")
+    }
+  }
+
   test("sink_ann_index: serving scan is partition-pruned to the probed cells") {
     val p = plan(operators.SimOps.sinkAnnIndex(spark, sf0001))
     // the join on the partition column must become a file-level prune —
