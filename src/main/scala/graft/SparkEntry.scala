@@ -61,6 +61,7 @@ object SparkEntry {
     "graph_components" -> ((s, d) => GraphOps.graphComponents(orders(s, d), lineitem(s, d))),
     "graph_bfs" -> ((s, d) => GraphOps.graphBfs(orders(s, d), lineitem(s, d))),
     "join_skew_salted" -> ((s, d) => JoinOps.skewSalted(lineitem(s, d), orders(s, d))),
+    "join_skew_aqe" -> ((s, d) => JoinOps.skewAqe(lineitem(s, d), orders(s, d))),
     // composite audit pipelines (TPC-H Q3/Q5/Q10 shapes)
     "q3_shipping_priority" -> ((s, d) =>
       AuditQueries.q3ShippingPriority(customer(s, d), orders(s, d), lineitem(s, d))),
@@ -697,6 +698,15 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_items,
          round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_skew_aqe" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+         round(sum(l_extendedprice), 2) AS sum_price
+         FROM (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1
+                      ELSE l_orderkey END AS jk, l_extendedprice
+               FROM lineitem) f
+         JOIN (SELECT o_orderkey AS jk, o_orderstatus FROM orders) d
+           USING (jk)
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "sink_partitioned" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n,

@@ -243,6 +243,46 @@ object JoinOps {
       .orderBy("o_orderstatus")
   }
 
+  /** AQE runtime skew-join split — the complement of `skewSalted`: when
+    * skew is discovered at RUNTIME rather than known in advance, no
+    * manual salt is possible; Adaptive Query Execution measures the
+    * shuffle map output at the stage boundary and splits any oversized
+    * partition into sub-ranges, replicating the matching build-side
+    * partition per split (OptimizeSkewedJoin) — the same rows-to-many-
+    * tasks effect as salting, decided from observed sizes.
+    *
+    * The skew here is CONSTRUCTED deterministically (a third of the fact
+    * rows fold onto one hot key) so the result is oracle-checkable: the
+    * rewrite is result-invisible by design, and the oracle proves it.
+    * The merge hint keeps the join a sort-merge at test scale (AQE would
+    * otherwise broadcast the dim and no skew handling would be needed —
+    * at 100 TB both sides of a fact-fact join exceed broadcast range,
+    * which is exactly the regime where the skew split matters). PlanSpec
+    * runs this under low AQE skew thresholds and pins `skew=true` in the
+    * final adaptive plan; the entry itself runs under whatever session
+    * confs the driver uses, producing identical rows either way.
+    */
+  def skewAqe(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    // Round-robin spread BEFORE the join (the dedupNear spread rule):
+    // AQE's skew split works at map-block granularity — a hot reduce
+    // partition can only split into as many pieces as there are map
+    // tasks feeding it. At 100 TB the fact side arrives from thousands
+    // of mappers naturally; the single-file test table arrives from ONE
+    // (one parquet row group), which would make the hot partition
+    // unsplittable and the demo vacuous.
+    val fact = lineitem.select(
+      when(col("l_orderkey") % 3 === 0, lit(1L))
+        .otherwise(col("l_orderkey")).as("jk"),
+      col("l_extendedprice"))
+      .repartition(lineitem.sparkSession.sparkContext.defaultParallelism)
+    val dim = orders.select(col("o_orderkey").as("jk"), col("o_orderstatus"))
+    fact.hint("merge").join(dim, "jk")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** As-of join: for each purchase event, the latest click by the same user
     * at-or-before the purchase timestamp (README.md:28 — "current value as
     * of t"). No native Spark as-of join; this is the union+window form:

@@ -111,6 +111,35 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("join_skew_aqe: AQE splits the constructed hot partition (skew=true in the final plan)") {
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    // a defaulted conf reads back as null — treat that as "unset on restore"
+    val saved = keys.map(k =>
+      k -> scala.util.Try(conf.get(k)).toOption.flatMap(Option(_)))
+    try {
+      // test-scale thresholds: the hot partition is tens of KB, not the
+      // production 256 MB default — the MECHANISM under test is the same
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      // no broadcast escape hatch: at 100 TB neither side broadcasts,
+      // which is the regime where the skew split is the only remedy
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = JoinOps.skewAqe(lineitem(spark, sf0001), orders(spark, sf0001))
+      df.collect() // AQE finalizes the plan only on execution
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the hot partition's join as skew-handled:\n$p")
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("sink_ann_index: serving scan is partition-pruned to the probed cells") {
     val p = plan(operators.SimOps.sinkAnnIndex(spark, sf0001))
     // the join on the partition column must become a file-level prune —
