@@ -59,10 +59,14 @@ object GraphOps {
     */
   private[graft] def buildGraph(
       orders: DataFrame, lineitem: DataFrame): (DataFrame, DataFrame, Long) = {
+    // localCheckpoint: the distinct pair table feeds BOTH direction
+    // branches of the undirected union; left lazy, the orders⋈lineitem
+    // join + distinct (the build's widest shuffles) run once per branch.
     val pairs = orders
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
       .distinct()
+      .localCheckpoint()
     val edges = pairs
       .select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
       .unionByName(pairs
