@@ -58,6 +58,7 @@ object Bench {
     "text_decontaminate",   // n-gram benchmark-overlap flagging
     "pipeline_pack",        // per-source prefix-sum packing window
     "sink_ann_index",       // persisted IVF layout + DPP-pruned serving
+    "join_skew_aqe",        // AQE runtime skew-join split
   )
 
   def main(args: Array[String]): Unit = {
