@@ -62,6 +62,7 @@ object SparkEntry {
     "graph_bfs" -> ((s, d) => GraphOps.graphBfs(orders(s, d), lineitem(s, d))),
     "join_skew_salted" -> ((s, d) => JoinOps.skewSalted(lineitem(s, d), orders(s, d))),
     "join_skew_aqe" -> ((s, d) => JoinOps.skewAqe(lineitem(s, d), orders(s, d))),
+    "join_geo" -> ((s, d) => JoinOps.joinGeo(customer(s, d), supplier(s, d))),
     // composite audit pipelines (TPC-H Q3/Q5/Q10 shapes)
     "q3_shipping_priority" -> ((s, d) =>
       AuditQueries.q3ShippingPriority(customer(s, d), orders(s, d), lineitem(s, d))),
@@ -708,6 +709,18 @@ object SparkEntry {
          JOIN (SELECT o_orderkey AS jk, o_orderstatus FROM orders) d
            USING (jk)
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // oracle = the naive cross join + distance predicate; the grid
+    // decomposition must be semantically invisible
+    "join_geo" ->
+      """WITH c AS (SELECT c_custkey, (c_custkey * 7919) % 10000 AS cx,
+                           (c_custkey * 104729) % 10000 AS cy FROM customer),
+              s AS (SELECT s_suppkey, (s_suppkey * 7919) % 10000 AS sx,
+                           (s_suppkey * 104729) % 10000 AS sy FROM supplier)
+         SELECT c_custkey, s_suppkey,
+                (cx-sx)*(cx-sx) + (cy-sy)*(cy-sy) AS dist2
+         FROM c CROSS JOIN s
+         WHERE (cx-sx)*(cx-sx) + (cy-sy)*(cy-sy) <= 250000
+         ORDER BY c_custkey, s_suppkey""",
     "sink_partitioned" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n,
          count(DISTINCT user_id) AS n_users

@@ -389,4 +389,60 @@ object JoinOps {
         round(sum(col("l_extendedprice")), 2).as("revenue"))
       .orderBy("o_orderpriority")
   }
+
+  /** Grid-bucketed spatial proximity join — the 2-D member of the engine's
+    * bucket-join family (1-D keys: `join_range`/`asof`; bit-space:
+    * `simJoinBucketed`'s LSH cells). Both relations map to points in an
+    * integer coordinate plane (coordinates derived deterministically from
+    * the keys, standing in for geocoded lat/lon scaled to integer
+    * micro-degrees) and the query is "all (customer, supplier) pairs
+    * within L2 distance r".
+    *
+    * The naive form is a cross join with a distance predicate — a
+    * BroadcastNestedLoopJoin that dies at scale. The scalable shape is
+    * the standard grid decomposition: cell width = r, the supplier side
+    * posts each point to ITS OWN cell only, the customer side probes its
+    * 3×3 cell neighborhood (any pair within r differs by at most one
+    * cell per axis), and the cell id is a compact equi-join key. Each
+    * qualifying pair meets in EXACTLY one cell (the supplier's), so no
+    * post-join dedup is needed; the 9× probe fan-out is on the side that
+    * is NOT replicated per cell. Distances stay in the integer domain
+    * (dist² vs r²) — bit-exact, no floating-point oracle drift.
+    *
+    * At 100 TB: replaces an unbounded cross product with one shuffle on a
+    * bounded-cardinality cell key; skewed cells (urban density) are
+    * ordinary AQE skew-split work since the key is an equi-join key.
+    */
+  def joinGeo(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val r = 500L // cell width == search radius, in grid units
+    val cust = customer.select(
+      col("c_custkey"),
+      (col("c_custkey") * 7919L % 10000L).as("cx"),
+      (col("c_custkey") * 104729L % 10000L).as("cy"))
+    val supp = supplier
+      .select(
+        col("s_suppkey"),
+        (col("s_suppkey") * 7919L % 10000L).as("sx"),
+        (col("s_suppkey") * 104729L % 10000L).as("sy"))
+      .withColumn("cell", floor(col("sx") / r) * 32 + floor(col("sy") / r))
+    // 9 neighbor offsets as one generator; the (cellx, celly) → 32·x + y
+    // packing is injective over the probed range, so distinct offsets
+    // can never alias to the same cell id
+    val offsets = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val probes = cust
+      .select(col("c_custkey"), col("cx"), col("cy"), explode(offsets).as("o"))
+      .select(
+        col("c_custkey"), col("cx"), col("cy"),
+        ((floor(col("cx") / r) + col("o.dx")) * 32
+          + floor(col("cy") / r) + col("o.dy")).as("cell"))
+    probes
+      .join(supp, "cell")
+      .withColumn("dist2",
+        (col("cx") - col("sx")) * (col("cx") - col("sx"))
+          + (col("cy") - col("sy")) * (col("cy") - col("sy")))
+      .filter(col("dist2") <= r * r)
+      .select(col("c_custkey"), col("s_suppkey"), col("dist2"))
+      .orderBy("c_custkey", "s_suppkey")
+  }
 }

@@ -380,6 +380,28 @@ class OperatorSpec extends SparkTestBase {
       "null-safe join lost rows — that is the === behavior it exists to fix")
   }
 
+  test("join_geo: grid decomposition equals brute force, and cross-cell pairs survive") {
+    // 400×60 keys — small enough to brute-force in the test, large enough
+    // that 147 of the 232 qualifying pairs straddle a cell boundary (the
+    // case the 3×3 neighbor probe exists for)
+    val cust = (1L to 400L).toDF("c_custkey")
+    val supp = (1L to 60L).toDF("s_suppkey")
+    val got = JoinOps.joinGeo(cust, supp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = (for {
+      c <- 1L to 400L; s <- 1L to 60L
+      dx = c * 7919 % 10000 - s * 7919 % 10000
+      dy = c * 104729 % 10000 - s * 104729 % 10000
+      if dx * dx + dy * dy <= 250000L
+    } yield (c, s, dx * dx + dy * dy)).toArray
+    assert(got.toSet === expected.toSet, "grid join must equal the naive cross join")
+    assert(got.length === expected.length, "each pair must be emitted exactly once")
+    val crossCell = expected.count { case (c, s, _) =>
+      (c * 7919 % 10000) / 500 != (s * 7919 % 10000) / 500 ||
+        (c * 104729 % 10000) / 500 != (s * 104729 % 10000) / 500 }
+    assert(crossCell > 0, "fixture must exercise the neighbor probe")
+  }
+
   test("q_recursive_cte: 12-month spine, empty months report zero, totals conserved") {
     val orders = Tables.orders(spark, sf0001)
     val out = AuditQueries.qRecursiveCte(spark, orders).collect()

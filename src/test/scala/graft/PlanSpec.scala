@@ -74,6 +74,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"plan contains a cartesian product:\n$p")
   }
 
+  test("join_geo: proximity join is an equi-join on the cell key, never a cross product") {
+    val p = plan(JoinOps.joinGeo(
+      Tables.customer(spark, sf0001), Tables.supplier(spark, sf0001)))
+    assert(!p.contains("CartesianProduct"), s"geo join plans a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"geo join fell back to nested-loop:\n$p")
+  }
+
   test("bucketed dedup pipelines contain no cartesian or nested-loop join") {
     Seq(
       "dedup_near" -> plan(LlmOps.dedupNear(documents(spark, sf0001))),
