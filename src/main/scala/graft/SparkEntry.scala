@@ -181,6 +181,7 @@ object SparkEntry {
     "multimodal_framesample" -> ((s, d) => LlmOps.multimodalFramesample(documents(s, d))),
     "multimodal_resize" -> ((s, d) => LlmOps.multimodalResize(documents(s, d))),
     "text_containment" -> ((s, d) => SimOps.textContainment(documents(s, d))),
+    "join_fuzzy" -> ((s, d) => SimOps.joinFuzzy(documents(s, d))),
     // §2.1 sources / sinks (ETL core)
     "scan_json" -> ((s, d) => EtlOps.scanJson(s, d)),
     "scan_csv" -> ((s, d) => EtlOps.scanCsv(s, d)),
@@ -1701,6 +1702,18 @@ object SparkEntry {
          SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM c
          WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.7
          ORDER BY doc_a, doc_b""",
+    // oracle = the naive probes × vocab distance join the deletion-
+    // variant blocking must be invisible against
+    "join_fuzzy" ->
+      """WITH tok AS (SELECT DISTINCT lower(unnest(string_split(text, ' '))) AS w
+                      FROM documents WHERE text IS NOT NULL),
+         vocab AS (SELECT w FROM tok WHERE w <> ''),
+         probes AS (SELECT DISTINCT substr(w, 2) AS probe FROM vocab
+                    WHERE length(w) >= 4)
+         SELECT probe, w, CAST(levenshtein(probe, w) AS INTEGER) AS dist
+         FROM probes CROSS JOIN vocab
+         WHERE levenshtein(probe, w) <= 1
+         ORDER BY probe, w""",
     // multiprobe: every vector posts to its block + the 8 single-bit flips
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v

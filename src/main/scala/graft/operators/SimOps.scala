@@ -658,4 +658,49 @@ object SimOps {
       .orderBy(desc("ip"), asc("vec_id"))
       .limit(k)
   }
+
+  /** Fuzzy string join (edit distance ≤ 1) via DELETION-NEIGHBORHOOD
+    * blocking — typo-tolerant vocabulary matching, the entity-resolution/
+    * spell-normalization join of a text-cleaning pipeline. Probe side:
+    * each corpus token of length ≥ 4 with its first character dropped (a
+    * deterministic stand-in for the noisy-token feed). Naive form:
+    * probes × vocab with a levenshtein predicate — a nested-loop join
+    * with a non-codegen distance in the inner loop.
+    *
+    * The scalable shape is the classic deletion-variant index: every
+    * string posts itself plus its |s| single-character deletions, and two
+    * strings within edit distance 1 ALWAYS share a variant —
+    * substitution at i: both sides' delete-at-i agree; insertion /
+    * deletion: the longer side's deletion IS the shorter string (recall
+    * 1.0 by construction, proven over random corpora in the scalacheck
+    * spec). Variants are a compact equi-join key; the exact levenshtein
+    * runs only inside shared-variant buckets. Fan-out is |s|+1 postings
+    * per DISTINCT token — the vocab table, which grows sublinearly in
+    * corpus size, never the corpus itself.
+    */
+  def joinFuzzy(documents: DataFrame): DataFrame = {
+    val vocab = documents
+      .filter(col("text").isNotNull)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+    val probes = vocab
+      .filter(length(col("w")) >= 4)
+      .select(substring(col("w"), 2, 1 << 20).as("probe"))
+      .distinct()
+    // s itself + delete-at-i for every 1-based i (Column.substr takes
+    // dynamic positions; the static-arg `substring` does not)
+    def variants(c: Column): Column = array_union(
+      array(c),
+      transform(sequence(lit(1), length(c)), i =>
+        concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c) - i))))
+    val pPost = probes.select(col("probe"), explode(variants(col("probe"))).as("k"))
+    val vPost = vocab.select(col("w"), explode(variants(col("w"))).as("k"))
+    pPost.join(vPost, "k")
+      .select(col("probe"), col("w"))
+      .distinct() // a pair can share several variants
+      .filter(levenshtein(col("probe"), col("w")) <= 1)
+      .withColumn("dist", levenshtein(col("probe"), col("w")))
+      .orderBy("probe", "w")
+  }
 }

@@ -380,6 +380,33 @@ class OperatorSpec extends SparkTestBase {
       "null-safe join lost rows — that is the === behavior it exists to fix")
   }
 
+  test("join_fuzzy: deletion-variant blocking has recall 1.0 vs brute-force edit distance") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // 2-letter alphabet, short words → dense ed≤1 collisions, including
+    // insert/delete pairs (not just substitutions)
+    val word = for {
+      n <- Gen.choose(1, 5)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    check(Prop.forAll(Gen.listOfN(12, word)) { words =>
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val vocab = words.toSet.filter(_.nonEmpty)
+      val probes = vocab.filter(_.length >= 4).map(_.substring(1))
+      val expected = for {
+        p <- probes; w <- vocab; if lev(p, w) <= 1
+      } yield (p, w, lev(p, w))
+      val got = SimOps.joinFuzzy(docs).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      got == expected
+    })
+  }
+
   test("join_geo: grid decomposition equals brute force, and cross-cell pairs survive") {
     // 400×60 keys — small enough to brute-force in the test, large enough
     // that 147 of the 232 qualifying pairs straddle a cell boundary (the
