@@ -97,6 +97,7 @@ object SparkEntry {
     "agg_approx_distinct_checked" -> ((s, d) => AggOps.aggApproxDistinctChecked(lineitem(s, d))),
     "agg_percentile_approx" -> ((s, d) => AggOps.aggPercentileApprox(lineitem(s, d))),
     "agg_sketch_rollup" -> ((s, d) => AggOps.aggSketchRollup(events(s, d))),
+    "agg_retention" -> ((s, d) => AggOps.aggRetention(events(s, d))),
     "agg_bitmap_distinct" -> ((s, d) => AggOps.aggBitmapDistinct(lineitem(s, d))),
     "agg_count_if" -> ((s, d) => AggOps.aggCountIf(lineitem(s, d))),
     "agg_argmax" -> ((s, d) => AggOps.aggArgmax(lineitem(s, d))),
@@ -1149,6 +1150,15 @@ object SparkEntry {
          count(DISTINCT user_id) AS exact_users,
          true AS approx_ok
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // distinct (user, day) first, so n_users = count(*) per cell
+    "agg_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+         SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+           count(*) AS n_users
+         FROM d JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // bitmaps are EXACT — both the direct and the re-merged count must
     // equal count(DISTINCT) itself
     "agg_bitmap_distinct" ->

@@ -359,6 +359,34 @@ object AggOps {
       .orderBy("l_returnflag")
   }
 
+  /** Cohort retention matrix — the classic event-analytics aggregate:
+    * users grouped by FIRST-SEEN day (their cohort), activity counted
+    * per (cohort, days-since-first-seen). ONE shuffle on user_id does
+    * all the per-user work: the explicit repartition(user_id) SATISFIES
+    * the (user, day) distinct's clustering requirement (grouping-key
+    * superset), so the distinct aggregates in place without its own
+    * exchange, and the cohort (per-user min day) is a window over the
+    * same partitioning — no self-join, no second user shuffle. Only the
+    * final rollup exchanges again, on the tiny (cohort_day, day_offset)
+    * key with map-side partial counts. The distinct-first shape is what
+    * survives 100 TB: past the first aggregate every row is a distinct
+    * (user, day) — bounded by users × active-days, not event volume.
+    */
+  def aggRetention(events: DataFrame): DataFrame = {
+    val d = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .repartition(col("user_id"))
+      .distinct()
+    d.withColumn("cohort_day", min(col("day")).over(Window.partitionBy("user_id")))
+      .groupBy(
+        // string day for the dump — parquet date32 vs the oracle's
+        // engine-dependent date repr would trip the dtype compare
+        col("cohort_day").cast("string").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** MERGEABLE-sketch rollup — the pattern that makes distinct counts
     * tractable at 100 TB: build one Datasketches HLL sketch of
     * `user_id` per (event_type, day) partition (the shape of an

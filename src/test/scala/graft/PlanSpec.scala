@@ -74,6 +74,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"plan contains a cartesian product:\n$p")
   }
 
+  test("agg_retention: one user_id exchange serves distinct, cohort window, and no self-join") {
+    val p = plan(AggOps.aggRetention(Tables.events(spark, sf0001)))
+    val userEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userEx === 1, s"distinct + cohort window must share ONE user shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"cohort must come from a window, not a self-join:\n$p")
+  }
+
   test("join_geo: proximity join is an equi-join on the cell key, never a cross product") {
     val p = plan(JoinOps.joinGeo(
       Tables.customer(spark, sf0001), Tables.supplier(spark, sf0001)))
