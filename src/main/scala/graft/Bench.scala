@@ -59,6 +59,7 @@ object Bench {
     "pipeline_pack",        // per-source prefix-sum packing window
     "sink_ann_index",       // persisted IVF layout + DPP-pruned serving
     "join_skew_aqe",        // AQE runtime skew-join split
+    "sim_pq_kmeans",        // per-subspace Lloyd PQ training + ADC scan
   )
 
   def main(args: Array[String]): Unit = {

@@ -255,6 +255,7 @@ object SparkEntry {
     "sim_quantized" -> ((s, d) => SimOps.simQuantized(embeddings(s, d))),
     "sim_rerank" -> ((s, d) => SimOps.simRerank(embeddings(s, d))),
     "sim_pq" -> ((s, d) => SimOps.simPq(embeddings(s, d))),
+    "sim_pq_kmeans" -> ((s, d) => SimOps.simPqKmeans(embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2025,6 +2026,7 @@ object SparkEntry {
              AS cos_exact
          FROM enc CROSS JOIN qt
          ORDER BY adc_dist ASC, vec_id LIMIT 10""",
+    "sim_pq_kmeans" -> pqKmeansOracleSql(8, 8, 16, 3),
   )
 
   /** The k-means oracle CTE chain, generated: k0 is the first-k codebook
@@ -2067,6 +2069,63 @@ object SparkEntry {
          FROM k$rounds c LEFT JOIN (SELECT cell AS cid, count(*) AS n_assigned
                                     FROM kaf GROUP BY cell) n USING (cid)
          ORDER BY cid"""
+
+  /** Per-subspace Lloyd chain for PQ: one subvector table, one assign +
+    * one update CTE per round over the compact (s, cell) keys — the exact
+    * integer replica of `SimOps.pqCodebooks`.
+    */
+  private def pqKmeansCte(s: Int, d: Int, k: Int, rounds: Int): String = {
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, s, sub, cid AS cell FROM (
+           SELECT subs.vec_id, subs.s, subs.sub, c.cid,
+             row_number() OVER (PARTITION BY subs.vec_id, subs.s
+               ORDER BY list_sum([(subs.sub[i] - c.cvec[i]) * (subs.sub[i] - c.cvec[i])
+                                  FOR i IN range(1, ${d + 1})]), c.cid) AS rn
+           FROM subs JOIN $cents c ON subs.s = c.s) WHERE rn = 1)"""
+    val steps = (1 to rounds).map { r =>
+      s""",
+         ${assign(s"pa$r", s"p${r - 1}")},
+         pu$r AS (SELECT s, cell, t.i AS i,
+                  CAST(floor(sum(sub[t.i])::DOUBLE / count(*)) AS BIGINT) AS cq
+                FROM pa$r CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS i) t
+                GROUP BY s, cell, t.i),
+         p$r AS (SELECT p.s, p.cid, coalesce(u.cvec, p.cvec) AS cvec FROM p${r - 1} p
+                 LEFT JOIN (SELECT s, cell AS cid, list(cq ORDER BY i) AS cvec
+                            FROM pu$r GROUP BY s, cell) u
+                   ON p.s = u.s AND p.cid = u.cid)"""
+    }.mkString
+    s"""eq AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(round(x * 1000) AS BIGINT)) AS xq FROM embeddings),
+         subs AS (SELECT vec_id, t.s AS s, xq[t.s*$d+1 : t.s*$d+$d] AS sub
+                  FROM eq CROSS JOIN (SELECT unnest(range(0, $s)) AS s) t),
+         p0 AS (SELECT s, CAST(vec_id AS INTEGER) AS cid, sub AS cvec
+                FROM subs WHERE vec_id < $k)$steps"""
+  }
+
+  private def pqKmeansOracleSql(s: Int, d: Int, k: Int, rounds: Int): String =
+    s"""WITH ${pqKmeansCte(s, d, k, rounds)},
+         cbs AS (SELECT s, list(list_transform(cvec, x -> x / 1000.0) ORDER BY cid)
+                   AS cents
+                 FROM p$rounds GROUP BY s),
+         cb AS (SELECT list(cents ORDER BY s) AS cbs FROM cbs),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         scored AS (SELECT vec_id, v,
+           [[ list_sum([ (v[sp*$d+i] - c[i]) * (v[sp*$d+i] - c[i])
+                         FOR i IN range(1, ${d + 1}) ])
+              FOR c IN cbs[sp+1] ] FOR sp IN range(0, $s)] AS st
+           FROM e CROSS JOIN cb),
+         enc AS (SELECT vec_id, v,
+                   [ list_position(sc, list_min(sc)) FOR sc IN st ] AS codes
+                 FROM scored),
+         qt AS (SELECT st AS dt, v AS qv FROM scored WHERE vec_id = 0)
+         SELECT enc.vec_id,
+           round(list_sum([ dt[sp][codes[sp]] FOR sp IN range(1, ${s + 1}) ]), 6)
+             AS adc_dist,
+           round(list_dot_product(enc.v, qv) /
+             (sqrt(list_dot_product(enc.v, enc.v)) * sqrt(list_dot_product(qv, qv))), 6)
+             AS cos_exact
+         FROM enc CROSS JOIN qt
+         ORDER BY adc_dist ASC, vec_id LIMIT 10"""
 
   private def ivfKmeansOracleSql(k: Int, rounds: Int, dim: Int): String =
     s"""WITH ${kmeansCte(k, rounds, dim)},

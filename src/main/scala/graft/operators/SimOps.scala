@@ -343,7 +343,8 @@ object SimOps {
     * endgame of the quantization family: vectors split into 8 subspaces
     * of 8 dims; each subvector is encoded as the index of its nearest
     * codebook centroid (16 per subspace, taken from the first 16 vectors
-    * — production would Lloyd-iterate them, same stance as `simIvf`).
+    * — the naive-codebook baseline; `simPqKmeans` is the Lloyd-trained
+    * production build, same split as `simIvf`/`simIvfKmeans`).
     * A vector is then 8 code bytes instead of 256 float bytes (32×), and
     * a query scans CODES ONLY: it precomputes its distance table (8×16
     * doubles, broadcast), and each candidate's approximate L2² is 8 table
@@ -371,8 +372,18 @@ object SimOps {
             slice(col("v"), s * D + 1, lit(D)), slice(c, s * D + 1, lit(D)),
             (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, z) => acc + z)))
-    val scored = e.crossJoin(broadcast(cb)).select(
-      col("vec_id"), col("v"), scoreTables.as("st"))
+    adcScan(e, cb, scoreTables, S)
+  }
+
+  /** The shared ADC tail: encode every vector against its per-subspace
+    * score tables, build the query's distance table, rank by the 8-lookup
+    * approximate L2². Bit-identical whether the codebook is the fixed
+    * first-16 (`simPq`) or Lloyd-learned (`simPqKmeans`) — only `st`
+    * changes.
+    */
+  private def adcScan(e: DataFrame, cbRow: DataFrame, st: Column, S: Int): DataFrame = {
+    val scored = e.crossJoin(broadcast(cbRow)).select(
+      col("vec_id"), col("v"), st.as("st"))
     val enc = scored.select(
       col("vec_id"), col("v"),
       // array_position = FIRST index of the min → deterministic tie-break
@@ -391,6 +402,81 @@ object SimOps {
         round(cosine(col("v"), col("qv")), 6).as("cos_exact"))
       .orderBy(asc("adc_dist"), asc("vec_id"))
       .limit(10)
+  }
+
+  /** Per-subspace Lloyd training for PQ — closes the `simPq` "production
+    * would Lloyd-iterate them" caveat with code, the same stance as
+    * `simIvfKmeans`. All S codebooks train in ONE loop: the corpus
+    * explodes once to (vec, subspace, subvector) rows, each round is one
+    * map-side assign (argmin vs the constant-size broadcast of ALL S
+    * codebooks, keyed by the row's subspace) and ONE partial-aggregating
+    * shuffle on the compact (s, cell, dim) key — S× the rows of the
+    * full-dim k-means update but 1/S the vector width, so the wire cost
+    * is identical and the loop does NOT multiply scans per subspace
+    * (training S codebooks costs the same passes as training one).
+    * Same exact-integer domain as `kmeansCentroids`: every distance,
+    * sum, and floor-divided centroid is order-invariant, so the DuckDB
+    * oracle unrolls the rounds bit-for-bit. Returns (s, cid, cvec[D]).
+    */
+  private[graft] def pqCodebooks(
+      eq: DataFrame, S: Int, D: Int, k: Int, rounds: Int): DataFrame = {
+    graft.plans.VectorFunctions.register(eq.sparkSession)
+    val subs = eq
+      .select(col("vec_id"), explode(sequence(lit(0), lit(S - 1))).as("s"), col("xq"))
+      .select(col("vec_id"), col("s"), slice(col("xq"), col("s") * D + 1, lit(D)).as("sub"))
+    var cents = subs.filter(col("vec_id") < k)
+      .select(col("s"), col("vec_id").cast("int").as("cid"), col("sub").as("cvec"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cb = cents.groupBy(col("s"))
+        .agg(transform(array_sort(collect_list(struct(col("cid"), col("cvec")))),
+          t => t.getField("cvec")).as("cents"))
+      val upd = subs.join(broadcast(cb), "s")
+        .select(col("s"),
+          graft.plans.VectorFunctions.argminL2(col("sub"), col("cents")).as("cell"),
+          posexplode(col("sub")))
+        .groupBy(col("s"), col("cell"), col("pos"))
+        .agg(sum(col("col")).as("sm"), count(lit(1)).as("n"))
+        .select(col("s"), col("cell"), col("pos"),
+          floor(col("sm").cast("double") / col("n")).cast("long").as("cq"))
+        .groupBy(col("s"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cq")))),
+          t => t.getField("cq")).as("newvec"))
+      cents = cents.alias("c")
+        .join(upd.alias("u"),
+          col("c.s") === col("u.s") && col("c.cid") === col("u.cell"), "left")
+        .select(col("c.s").as("s"), col("c.cid").as("cid"),
+          coalesce(col("u.newvec"), col("c.cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** PQ + ADC over LEARNED per-subspace codebooks — `simPq`'s scan with
+    * `pqCodebooks`' training (k0 = the same first-16 subvectors, so Lloyd
+    * can only lower the distortion — the spec asserts it does not raise
+    * it). Centroids widen at the scan boundary (÷1000, one IEEE division,
+    * identical in DuckDB); everything downstream is the shared `adcScan`.
+    */
+  def simPqKmeans(embeddings: DataFrame): DataFrame = {
+    val S = 8
+    val D = 8
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val eq = embeddings.select(col("vec_id"), quantize1000(toVec(col("embedding"))).as("xq"))
+    val cb = pqCodebooks(eq, S, D, k = 16, rounds = 3)
+      .groupBy(col("s"))
+      .agg(transform(array_sort(collect_list(struct(col("cid"), col("cvec")))),
+        t => transform(t.getField("cvec"), x => x / lit(1000.0))).as("cents"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("cents")))),
+        t => t.getField("cents")).as("cbs"))
+    val scoreTables = transform(sequence(lit(0), lit(S - 1)), s =>
+      transform(element_at(col("cbs"), (s + 1).cast("int")), c =>
+        aggregate(
+          zip_with(slice(col("v"), s * D + 1, lit(D)), c,
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, z) => acc + z)))
+    adcScan(e, cb, scoreTables, S)
   }
 
   /** IVF-style pruned ANN: a coarse quantizer assigns every vector to its

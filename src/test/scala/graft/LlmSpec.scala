@@ -421,6 +421,34 @@ class LlmSpec extends SparkTestBase {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("sim_pq_kmeans: per-subspace Lloyd lowers quantization distortion from the first-16 init") {
+    val eq = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1000).cast("long")).as("xq"))
+    val subs = eq
+      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"), col("xq"))
+      .select(col("s"), slice(col("xq"), col("s") * 8 + 1, lit(8)).as("sub"))
+    // total integer ADC distortion: Σ over (vector, subspace) of the min
+    // L2² to that subspace's codebook
+    def distortion(cents: org.apache.spark.sql.DataFrame): Long = {
+      val cb = cents.groupBy(col("s"))
+        .agg(transform(array_sort(collect_list(struct(col("cid"), col("cvec")))),
+          t => t.getField("cvec")).as("cents"))
+      subs.join(cb, "s")
+        .select(aggregate(
+          transform(col("cents"), c =>
+            aggregate(zip_with(col("sub"), c, (x, y) => (x - y) * (x - y)),
+              lit(0L), (a, z) => a + z)),
+          lit(Long.MaxValue), (m, d) => least(m, d)).as("d"))
+        .agg(sum(col("d"))).head.getLong(0)
+    }
+    val naive = distortion(operators.SimOps.pqCodebooks(eq, 8, 8, 16, rounds = 0))
+    val learned = distortion(operators.SimOps.pqCodebooks(eq, 8, 8, 16, rounds = 3))
+    assert(learned < naive,
+      s"Lloyd training did not lower PQ distortion: $learned vs naive $naive")
+  }
+
   test("text_decontaminate: flags exactly the doc sharing an 8-gram with the benchmark slice") {
     val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val contaminated =
