@@ -98,6 +98,7 @@ object SparkEntry {
     "agg_percentile_approx" -> ((s, d) => AggOps.aggPercentileApprox(lineitem(s, d))),
     "agg_sketch_rollup" -> ((s, d) => AggOps.aggSketchRollup(events(s, d))),
     "agg_retention" -> ((s, d) => AggOps.aggRetention(events(s, d))),
+    "agg_rolling_distinct" -> ((s, d) => AggOps.aggRollingDistinct(events(s, d))),
     "agg_bitmap_distinct" -> ((s, d) => AggOps.aggBitmapDistinct(lineitem(s, d))),
     "agg_count_if" -> ((s, d) => AggOps.aggCountIf(lineitem(s, d))),
     "agg_argmax" -> ((s, d) => AggOps.aggArgmax(lineitem(s, d))),
@@ -1160,6 +1161,14 @@ object SparkEntry {
            count(*) AS n_users
          FROM d JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // oracle = the naive BETWEEN range join the bounded explode replaces
+    "agg_rolling_distinct" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+                    WHERE event_type = 'purchase'),
+         days AS (SELECT DISTINCT day FROM d)
+         SELECT CAST(w.day AS VARCHAR) AS day, count(DISTINCT d.user_id) AS wau
+         FROM days w JOIN d ON d.day BETWEEN w.day - 6 AND w.day
+         GROUP BY 1 ORDER BY 1""",
     // bitmaps are EXACT — both the direct and the re-merged count must
     // equal count(DISTINCT) itself
     "agg_bitmap_distinct" ->

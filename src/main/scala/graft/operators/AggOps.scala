@@ -387,6 +387,31 @@ object AggOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Trailing-window rolling distinct (7-day rolling active purchasers
+    * per day) — the sliding-window distinct count no window function can
+    * express (count(DISTINCT) over a moving frame is unsupported, and at
+    * scale a per-day re-scan or a BETWEEN range join degenerates to a
+    * nested loop over the corpus). The scalable shape: distinct
+    * (user, day) first (row count bounded by users × active-days), then
+    * each active day POSTS to the ≤ W windows it contributes to — a
+    * bounded W× explode onto a compact equi-key — and the rollup is an
+    * ordinary two-phase distinct count per window day. A left-semi join
+    * against observed days keeps the report calendar data-driven.
+    */
+  def aggRollingDistinct(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val d = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val posts = d.select(col("user_id"),
+      explode(sequence(col("day"), date_add(col("day"), windowDays - 1))).as("wday"))
+    val days = d.select(col("day").as("wday")).distinct()
+    posts.join(days, Seq("wday"), "left_semi")
+      .groupBy(col("wday").cast("string").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy("day")
+  }
+
   /** MERGEABLE-sketch rollup — the pattern that makes distinct counts
     * tractable at 100 TB: build one Datasketches HLL sketch of
     * `user_id` per (event_type, day) partition (the shape of an

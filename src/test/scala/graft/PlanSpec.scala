@@ -82,6 +82,13 @@ class PlanSpec extends SparkTestBase {
       s"cohort must come from a window, not a self-join:\n$p")
   }
 
+  test("agg_rolling_distinct: bounded explode replaces the range join — no nested loop") {
+    val p = plan(AggOps.aggRollingDistinct(Tables.events(spark, sf0001)))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"rolling distinct fell back to the BETWEEN range join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"rolling distinct plans a cross product:\n$p")
+  }
+
   test("join_geo: proximity join is an equi-join on the cell key, never a cross product") {
     val p = plan(JoinOps.joinGeo(
       Tables.customer(spark, sf0001), Tables.supplier(spark, sf0001)))
