@@ -201,6 +201,7 @@ object SparkEntry {
     "sink_scd2" -> ((s, d) => EtlOps.sinkScd2(s, d)),
     "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
     "sink_incremental" -> ((s, d) => EtlOps.sinkIncremental(s, d)),
+    "sink_agg_refresh" -> ((s, d) => EtlOps.sinkAggRefresh(s, d)),
     "sink_partitioned" -> ((s, d) => EtlOps.sinkPartitioned(s, d)),
     "sink_zorder" -> ((s, d) => EtlOps.sinkZorder(s, d)),
     // §2.9 streaming (Structured Streaming drained through a memory sink;
@@ -1377,6 +1378,14 @@ object SparkEntry {
          CAST(1 AS BIGINT) AS n_copies
          FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
          ORDER BY o_orderkey""",
+    // oracle = the full recompute the state merge must be
+    // indistinguishable from (integer-cents sums: order-invariant)
+    "sink_agg_refresh" ->
+      """SELECT event_type, count(*) AS n,
+         round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value,
+         round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*), 6)
+           AS avg_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // §2.9 streaming — oracles are the BATCH equivalents over the same
     // events table; matching them proves stream/batch equivalence.
     "stream_source" ->

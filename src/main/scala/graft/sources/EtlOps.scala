@@ -517,6 +517,42 @@ object EtlOps {
       .orderBy("o_orderkey")
   }
 
+  /** Incremental MATERIALIZED-AGGREGATE maintenance (merge-on-refresh) —
+    * the pattern that keeps a 100 TB rollup affordable: the historical
+    * aggregate is persisted as PARTIAL STATE (group key + algebraic
+    * accumulators), and a refresh aggregates ONLY the delta batch and
+    * merges the two state tables — cost proportional to the delta, never
+    * a rescan of history. Works exactly when the aggregate decomposes
+    * algebraically: count and sum merge by addition, avg derives from
+    * merged (sum, count) — which is why the state carries (n, sum_cents)
+    * and never a pre-divided average. Sums are kept in integer cents so
+    * the two-stage summation is EXACTLY the one-pass sum regardless of
+    * order (the `sinkCompact` rule: double accumulation is partitioning-
+    * dependent); the oracle is the full recompute the merge must be
+    * indistinguishable from.
+    */
+  def sinkAggRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = graft.Tables.events(spark, sfDir) // nanos-ts normalization
+
+    val cents = round(col("value") * 100).cast("long")
+    val cutoff = lit("2024-01-21")
+    val state = freshDir(sfDir, "agg_state").toString
+    events.filter(to_date(col("ts")) < cutoff)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"))
+      .write.mode(SaveMode.Overwrite).parquet(state)
+    val delta = events.filter(to_date(col("ts")) >= cutoff)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"))
+    spark.read.parquet(state).unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sc"))
+      .select(col("event_type"), col("n"),
+        round(col("sc") / 100.0, 2).as("sum_value"),
+        round(col("sc") / 100.0 / col("n"), 6).as("avg_value"))
+      .orderBy("event_type")
+  }
+
   /** Small-files compaction — the standing maintenance job of any
     * append-heavy raw table (thousands of per-micro-batch files destroy
     * scan parallelism bookkeeping and NameNode/listing budgets at 100 TB).
