@@ -202,6 +202,7 @@ object SparkEntry {
     "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
     "sink_incremental" -> ((s, d) => EtlOps.sinkIncremental(s, d)),
     "sink_agg_refresh" -> ((s, d) => EtlOps.sinkAggRefresh(s, d)),
+    "scan_constraints" -> ((s, d) => EtlOps.scanConstraints(s, d)),
     "sink_partitioned" -> ((s, d) => EtlOps.sinkPartitioned(s, d)),
     "sink_zorder" -> ((s, d) => EtlOps.sinkZorder(s, d)),
     // §2.9 streaming (Structured Streaming drained through a memory sink;
@@ -1378,6 +1379,31 @@ object SparkEntry {
          CAST(1 AS BIGINT) AS n_copies
          FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
          ORDER BY o_orderkey""",
+    // each metric recomputed independently; ok encodes the gate rule
+    "scan_constraints" ->
+      """SELECT * FROM (
+         SELECT 'row_count' AS check_name, count(*) AS observed,
+                count(*) > 0 AS ok FROM lineitem
+         UNION ALL
+         SELECT 'null_orderkey', count(*) FILTER (l_orderkey IS NULL),
+                count(*) FILTER (l_orderkey IS NULL) = 0 FROM lineitem
+         UNION ALL
+         SELECT 'quantity_range',
+                count(*) FILTER (l_quantity < 1 OR l_quantity > 50),
+                count(*) FILTER (l_quantity < 1 OR l_quantity > 50) = 0
+         FROM lineitem
+         UNION ALL
+         SELECT 'price_positive', count(*) FILTER (l_extendedprice <= 0),
+                count(*) FILTER (l_extendedprice <= 0) = 0 FROM lineitem
+         UNION ALL
+         SELECT 'key_duplicates',
+                count(*) - count(DISTINCT (l_orderkey, l_linenumber)),
+                count(*) - count(DISTINCT (l_orderkey, l_linenumber)) = 0
+         FROM lineitem
+         UNION ALL
+         SELECT 'fk_orphans', count(*), count(*) = 0 FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+         ) ORDER BY check_name""",
     // oracle = the full recompute the state merge must be
     // indistinguishable from (integer-cents sums: order-invariant)
     "sink_agg_refresh" ->

@@ -162,6 +162,50 @@ object EtlOps {
         round(col("o_totalprice"), 2).as("price"))
       .orderBy("o_orderkey")
 
+  /** Declarative data-quality constraint suite (README.md:31–33's
+    * validation mandate, the Deequ/dbt-test shape): a SET of table
+    * constraints evaluated together and reported as one pass/fail table.
+    * The scale contract: every row-level constraint — row count, null
+    * fraction, range violations, composite-key uniqueness — folds into
+    * ONE scan-aggregate over the fact table (uniqueness rides the same
+    * pass as count(*) − count(DISTINCT struct)), so adding a constraint
+    * costs zero extra scans; only referential integrity genuinely needs
+    * a second relation, and it joins anti on the compact key. The report
+    * is the (check, observed, ok) tall table a pipeline gate consumes.
+    */
+  def scanConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val rowChecks = li.agg(
+      count(lit(1)).as("row_count"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("quantity_range"),
+      sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("price_positive"),
+      (count(lit(1)) -
+        countDistinct(struct(col("l_orderkey"), col("l_linenumber"))))
+        .as("key_duplicates"))
+    val orphans = li.join(orders,
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("fk_orphans"))
+    val tall = rowChecks.select(
+      explode(map(
+        lit("row_count"), col("row_count"),
+        lit("null_orderkey"), col("null_orderkey"),
+        lit("quantity_range"), col("quantity_range"),
+        lit("price_positive"), col("price_positive"),
+        lit("key_duplicates"), col("key_duplicates"))).as(Seq("check_name", "observed")))
+      .unionByName(orphans.select(
+        lit("fk_orphans").as("check_name"), col("fk_orphans").as("observed")))
+    tall
+      .select(col("check_name"), col("observed"),
+        // row_count is a min-threshold check; every other metric counts
+        // VIOLATIONS and must be zero
+        when(col("check_name") === "row_count", col("observed") > 0)
+          .otherwise(col("observed") === 0).as("ok"))
+      .orderBy("check_name")
+  }
+
   /** Columnar ORC round-trip — the third file format (after parquet and
     * the JSON/CSV text formats): same reader/writer API surface, same
     * pushdown behavior, different encoder. Oracle compares against the
