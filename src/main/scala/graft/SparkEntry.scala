@@ -99,6 +99,7 @@ object SparkEntry {
     "agg_sketch_rollup" -> ((s, d) => AggOps.aggSketchRollup(events(s, d))),
     "agg_retention" -> ((s, d) => AggOps.aggRetention(events(s, d))),
     "agg_rolling_distinct" -> ((s, d) => AggOps.aggRollingDistinct(events(s, d))),
+    "agg_ewma" -> ((s, d) => AggOps.aggEwma(events(s, d))),
     "agg_bitmap_distinct" -> ((s, d) => AggOps.aggBitmapDistinct(lineitem(s, d))),
     "agg_count_if" -> ((s, d) => AggOps.aggCountIf(lineitem(s, d))),
     "agg_argmax" -> ((s, d) => AggOps.aggArgmax(lineitem(s, d))),
@@ -1163,6 +1164,13 @@ object SparkEntry {
            count(*) AS n_users
          FROM d JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // same sequential IEEE fold (seeded 0.0) — doubles match bit-for-bit
+    "agg_ewma" ->
+      """SELECT user_id, count(*) AS n_events,
+         round(list_reduce(
+           list_prepend(0.0::DOUBLE, list(value ORDER BY epoch_us(ts), event_id)),
+           (acc, x) -> acc * 0.8 + 0.2 * x), 6) AS ewma
+         FROM events GROUP BY user_id ORDER BY user_id""",
     // oracle = the naive BETWEEN range join the bounded explode replaces
     "agg_rolling_distinct" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

@@ -387,6 +387,34 @@ object AggOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Per-key EWMA (exponentially weighted moving average) — the
+    * RECURSIVE ordered aggregate no window function expresses (each
+    * value depends on the full prefix, not a frame). The batch shape:
+    * one shuffle on the key, each key's series materialized ONCE in
+    * event order (array_sort on the (ts, id) struct — deterministic
+    * total order) and folded sequentially — exact same IEEE operation
+    * order as the DuckDB oracle's list_reduce, so doubles match
+    * bit-for-bit. Scale contract: per-key state is the series length —
+    * bounded here (per-user event history); for unbounded series the
+    * engine's streaming shape (`stream_stateful`'s running state) is
+    * the continuous form of the same fold.
+    */
+  def aggEwma(events: DataFrame, alpha: Double = 0.2): DataFrame = {
+    val series = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), col("value"))
+      .groupBy("user_id")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("tsu"), col("event_id"), col("value")))),
+          t => t.getField("value")).as("vals"),
+        count(lit(1)).as("n_events"))
+    series.select(col("user_id"), col("n_events"),
+      round(aggregate(col("vals"), lit(0.0),
+        (acc, x) => acc * lit(1 - alpha) + lit(alpha) * x), 6).as("ewma"))
+      .orderBy("user_id")
+  }
+
   /** Trailing-window rolling distinct (7-day rolling active purchasers
     * per day) — the sliding-window distinct count no window function can
     * express (count(DISTINCT) over a moving frame is unsupported, and at
