@@ -203,7 +203,7 @@ object SparkEntry {
     "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
     "sink_incremental" -> ((s, d) => EtlOps.sinkIncremental(s, d)),
     "sink_agg_refresh" -> ((s, d) => EtlOps.sinkAggRefresh(s, d)),
-    "scan_constraints" -> ((s, d) => EtlOps.scanConstraints(s, d)),
+    "scan_constraints" -> ((s, d) => EtlOps.scanConstraints(lineitem(s, d), orders(s, d))),
     "sink_partitioned" -> ((s, d) => EtlOps.sinkPartitioned(s, d)),
     "sink_zorder" -> ((s, d) => EtlOps.sinkZorder(s, d)),
     // §2.9 streaming (Structured Streaming drained through a memory sink;

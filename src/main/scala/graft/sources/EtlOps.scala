@@ -173,9 +173,7 @@ object EtlOps {
     * a second relation, and it joins anti on the compact key. The report
     * is the (check, observed, ok) tall table a pipeline gate consumes.
     */
-  def scanConstraints(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+  def scanConstraints(li: DataFrame, orders: DataFrame): DataFrame = {
     val rowChecks = li.agg(
       count(lit(1)).as("row_count"),
       sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"),

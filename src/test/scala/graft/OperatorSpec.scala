@@ -380,6 +380,41 @@ class OperatorSpec extends SparkTestBase {
       "null-safe join lost rows — that is the === behavior it exists to fix")
   }
 
+  test("scan_constraints: injected violations flip exactly their own checks") {
+    // clean base: unique (okey, line), quantity in range, price > 0, FK ok
+    val clean = Seq((1L, 1, 5.0, 10.0), (1L, 2, 7.0, 20.0), (2L, 1, 3.0, 30.0))
+    val orders = Seq(1L, 2L).toDF("o_orderkey")
+    def report(rows: Seq[(java.lang.Long, Int, Double, Double)]) =
+      graft.sources.EtlOps.scanConstraints(
+        rows.toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        orders)
+        .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    val ok = report(clean.map { case (k, l, q, p) => (java.lang.Long.valueOf(k), l, q, p) })
+    assert(ok.values.forall(identity), s"clean table must pass every check: $ok")
+    val bad = report(Seq(
+      (java.lang.Long.valueOf(1L), 1, 5.0, 10.0),
+      (java.lang.Long.valueOf(1L), 1, 99.0, -1.0), // dup key + range + price
+      (null.asInstanceOf[java.lang.Long], 2, 3.0, 5.0), // null key
+      (java.lang.Long.valueOf(7L), 1, 3.0, 5.0))) // orphan FK
+    assert(!bad("key_duplicates") && !bad("quantity_range") &&
+      !bad("price_positive") && !bad("null_orderkey") && !bad("fk_orphans"),
+      s"each injected violation must flip its check: $bad")
+    assert(bad("row_count"), "row_count stays green — rows exist")
+  }
+
+  test("agg_ewma: fold matches the hand-computed recurrence and respects event order") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(ts.getTime + s * 1000L)
+    // out-of-order insertion; sorted by ts the series is 10, 20, 40
+    val ev = Seq((3L, at(2), 40.0, 5L), (3L, at(0), 10.0, 1L), (3L, at(1), 20.0, 2L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val out = AggOps.aggEwma(ev).collect()
+    // seed 0: 0*.8+.2*10 = 2; 2*.8+.2*20 = 5.6; 5.6*.8+.2*40 = 12.48
+    assert(out.length === 1 && out(0).getLong(1) === 3L)
+    assert(math.abs(out(0).getDouble(2) - 12.48) < 1e-9,
+      s"EWMA fold wrong or order ignored: ${out(0).getDouble(2)}")
+  }
+
   test("join_fuzzy: deletion-variant blocking has recall 1.0 vs brute-force edit distance") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
