@@ -281,8 +281,11 @@ object SparkEntry {
                         for hs in mhs]) AS mh FROM m0),
        b AS (SELECT doc_id, r.b AS band, md5(array_to_string(mh[r.b*4+1 : r.b*4+4], '|')) AS sig
              FROM m CROSS JOIN (SELECT unnest(range(0,8)) AS b) r),
+       bsz AS (SELECT band, sig FROM b GROUP BY band, sig
+               HAVING count(*) BETWEEN 2 AND 64),
        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-                FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id),
+                FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+                JOIN bsz ON bsz.band = a.band AND bsz.sig = a.sig),
        j AS (SELECT doc_a, doc_b,
                len(list_intersect(sa.sh, sb.sh))::DOUBLE /
                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
@@ -1716,9 +1719,12 @@ object SparkEntry {
          bd AS (SELECT doc_id, simhash, r.bb AS band,
                   (simhash >> (r.bb * 15)) & 32767 AS bval
                 FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS bb) r),
+         bdsz AS (SELECT band, bval FROM bd GROUP BY band, bval
+                  HAVING count(*) BETWEEN 2 AND 64),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
                   FROM bd a JOIN bd b2 ON a.band = b2.band AND a.bval = b2.bval
-                   AND a.doc_id < b2.doc_id),
+                   AND a.doc_id < b2.doc_id
+                  JOIN bdsz ON bdsz.band = a.band AND bdsz.bval = a.bval),
          j AS (SELECT doc_a, doc_b,
                  bit_count(xor(sa.simhash, sb.simhash)) AS hamming
                FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)

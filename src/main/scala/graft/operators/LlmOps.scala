@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -58,12 +58,36 @@ object LlmOps {
   private def minhashSig(sh: Column): Column =
     graft.plans.MinHashSig.minhashSig(sh)
 
+  /** Upper bound on LSH bucket membership before a bucket is dropped
+    * from candidate generation. A bucket of m docs expands to m²/2
+    * pairs and an m-element collect_list in ONE row — on a duplicate-
+    * heavy corpus (boilerplate, mirrored pages: the normal case at
+    * 100 TB) a degenerate bucket is the classic LSH skew cliff. Mass
+    * duplicates are exact or trivially-normalized copies, which the
+    * dedupExact / dedupNormalized pre-passes absorb; what LSH must find
+    * is the long tail of SMALL near-dup groups, and those buckets are
+    * collision-sized. 64 keeps per-bucket expansion ≤ ~2k pairs while
+    * being far above any collision group the fixtures produce.
+    */
+  private[graft] val LshMaxBucket = 64
+
   /** Near-duplicate pairs via MinHash + LSH banding (8 bands × 4 rows over
     * the 32-value signature), exact-Jaccard-verified at ≥ 0.6.
     * Candidates come ONLY from the (band, sig) bucket equi-join — never a
     * cross join. Recall at J=0.8 with these parameters ≈ 1-(1-0.8^4)^8 ≈ 0.99.
+    * Buckets larger than [[LshMaxBucket]] are dropped (see there); pass an
+    * [[Observation]] to count dropped buckets — the metric rides the query
+    * itself, so visibility costs no extra pass over the data. (Caveat: if
+    * the ENTIRE result is empty, AQE's runtime empty-relation propagation
+    * replaces the join subtree — CollectMetrics included — and the metric
+    * never fires; on any non-degenerate corpus some pair survives.)
     */
-  def dedupNear(documents: DataFrame): DataFrame = {
+  def dedupNear(documents: DataFrame): DataFrame =
+    dedupNearCapped(documents, LshMaxBucket, None)
+
+  private[graft] def dedupNearCapped(
+      documents: DataFrame, maxBucket: Int,
+      overflow: Option[Observation]): DataFrame = {
     graft.plans.MinHashSig.register(documents.sparkSession)
     graft.plans.TextKernels.register(documents.sparkSession)
     // Signature computation is CPU-bound (32 md5 minhashes per doc) and the
@@ -91,10 +115,17 @@ object LlmOps {
     // collision groups — tiny by construction — so the within-bucket pair
     // expansion is bounded; `distinct` then dedups pairs that collide in
     // more than one band.
-    val members = bands
+    val grouped = bands
       .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    // Observe BEFORE the cap filter: CollectMetrics is a pushdown
+    // barrier, so the overflow count always sees every collision bucket.
+    val audited = overflow.fold(grouped)(o => grouped.observe(o,
+      sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+        .as("overflowed_buckets"),
+      max(size(col("ids"))).as("max_bucket_size")))
+    val members = audited.filter(size(col("ids")) <= maxBucket)
     val cand = members
       .select(explode(
         flatten(transform(col("ids"), (x, i) =>

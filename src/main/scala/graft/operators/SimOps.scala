@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -60,7 +60,16 @@ object SimOps {
     * one fused JVM loop with identical output brings the signature cost
     * down to one md5 + 60 counter updates per shingle.
     */
-  def dedupSimhash(documents: DataFrame): DataFrame = {
+  def dedupSimhash(documents: DataFrame): DataFrame =
+    dedupSimhashCapped(documents, LlmOps.LshMaxBucket, None)
+
+  /** Band buckets above `maxBucket` are dropped before pair expansion —
+    * same skew-cliff guard (and same bound) as LlmOps.dedupNearCapped;
+    * an optional [[Observation]] counts the drops in-query.
+    */
+  private[graft] def dedupSimhashCapped(
+      documents: DataFrame, maxBucket: Int,
+      overflow: Option[Observation]): DataFrame = {
     graft.plans.TextKernels.register(documents.sparkSession)
     val spread = documents.select(col("doc_id"), col("text"))
       .repartition(documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
@@ -88,11 +97,17 @@ object SimOps {
         col("bs.band").as("band"), col("bs.bval").as("bval"))
     // sort_array orders the (doc_id, simhash) structs by doc_id (unique),
     // so pair orientation doc_a < doc_b matches the id-only form.
-    bands
+    val grouped = bands
       .groupBy("band", "bval")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
         .as("ids"))
       .filter(size(col("ids")) > 1)
+    val audited = overflow.fold(grouped)(o => grouped.observe(o,
+      sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+        .as("overflowed_buckets"),
+      max(size(col("ids"))).as("max_bucket_size")))
+    audited
+      .filter(size(col("ids")) <= maxBucket)
       .select(explode(
         flatten(transform(col("ids"), (x, i) =>
           transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
