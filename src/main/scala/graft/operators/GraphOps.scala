@@ -52,13 +52,20 @@ object GraphOps {
     * every node — no per-round left join).
     *
     * Skew note for 100 TB: a celebrity node's adjacency row is O(its
-    * degree); past ~10⁶ out-edges per node, segment the key to
-    * (src, hash(dst) % k) chunk rows — same math, bounded rows. The
-    * trade graph's degrees are bounded by the partner-cardinality, so
-    * the plain layout is used here.
+    * degree), so rows are SEGMENTED — `dsts` is sliced into chunks of
+    * `chunkSize` map-side after the aggregate (explode of slices: a
+    * Generate, no new exchange, src partitioning preserved). A 10⁷-degree
+    * hub becomes ~deg/chunkSize bounded rows instead of one ~100 MB row
+    * flowing through every superstep join; each chunk row carries the
+    * TOTAL `outdeg`, so rank contributions divide by the true degree and
+    * the per-dst re-aggregation the supersteps already do restores the
+    * exact same sums. Nodes below `chunkSize` (all of them on this data)
+    * keep exactly one row — the |V|-rows-per-round scan economy is
+    * untouched.
     */
   private[graft] def buildGraph(
-      orders: DataFrame, lineitem: DataFrame): (DataFrame, DataFrame, Long) = {
+      orders: DataFrame, lineitem: DataFrame,
+      chunkSize: Int = 65536): (DataFrame, DataFrame, Long) = {
     // localCheckpoint: the distinct pair table feeds BOTH direction
     // branches of the undirected union; left lazy, the orders⋈lineitem
     // join + distinct (the build's widest shuffles) run once per branch.
@@ -73,10 +80,16 @@ object GraphOps {
         .select((col("supp") * 2 + 1).as("src"), (col("cust") * 2).as("dst")))
     val adj = edges
       .groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg"), collect_list(col("dst")).as("dsts"))
+      .agg(count(lit(1)).as("outdeg"), collect_list(col("dst")).as("all_dsts"))
+      .select(col("src"), col("outdeg"),
+        explode(transform(
+          sequence(lit(0L), floor((size(col("all_dsts")) - 1) / lit(chunkSize))),
+          i => slice(col("all_dsts"), (i * chunkSize + 1).cast("int"), lit(chunkSize)))).as("dsts"))
       .persist()
-    val nodes = adj.select(col("src").as("id"))
-    val n = adj.count() // also materializes the adjacency cache
+    // distinct because a hub spanning several chunk rows repeats its src;
+    // the cache's src HashPartitioning makes this exchange-free
+    val nodes = adj.select(col("src").as("id")).distinct()
+    val n = nodes.count() // also materializes the adjacency cache
     (adj, nodes, n)
   }
 

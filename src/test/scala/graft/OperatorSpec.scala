@@ -291,6 +291,41 @@ class OperatorSpec extends SparkTestBase {
       s"hub rank ${out.head._2} != analytic round-10 value 0.421403")
   }
 
+  test("graph adjacency: hub rows segment at chunkSize, superstep sums unchanged") {
+    // customer 1 orders from 50 suppliers: hub node 2 has degree 50.
+    // chunkSize=16 must segment it into ceil(50/16)=4 bounded rows that
+    // all carry the TOTAL outdeg; the per-dst re-aggregation then yields
+    // exactly the unsegmented superstep's ranks.
+    val orders = (1L to 50L).map(k => (k, 1L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = (1L to 50L).map(k => (k, k)).toDF("l_orderkey", "l_suppkey")
+    val (adjC, nodesC, nC) = GraphOps.buildGraph(orders, lineitem, chunkSize = 16)
+    val (adjP, _, nP) = GraphOps.buildGraph(orders, lineitem)
+    assert(nC === 51L && nP === 51L, "node count must ignore chunk duplication")
+    val hubRows = adjC.filter(col("src") === 2L)
+      .select(col("outdeg"), size(col("dsts")).as("sz"),
+        col("dsts")).collect()
+    assert(hubRows.length === 4, s"expected 4 chunk rows, got ${hubRows.length}")
+    assert(hubRows.forall(_.getLong(0) === 50L), "every chunk must carry total degree")
+    assert(hubRows.forall(_.getInt(1) <= 16), "chunk rows must stay bounded")
+    val coverage = hubRows.flatMap(_.getSeq[Long](2)).sorted.toSeq
+    assert(coverage === (1L to 50L).map(_ * 2 + 1).sorted,
+      "chunks must cover every neighbor exactly once")
+    // leaves keep one row each
+    assert(adjC.filter(col("src") =!= 2L).groupBy("src").count()
+      .filter(col("count") > 1).count() === 0)
+    def step(adj: org.apache.spark.sql.DataFrame, n: Long): Map[Long, Double] = {
+      val ranks = nodesC.select(col("id"), lit(1.0 / n).as("rank"))
+      GraphOps.superstepPartitioned(adj, ranks, n, 0.85).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val (sc, sp) = (step(adjC, nC), step(adjP, nP))
+    adjC.unpersist(); adjP.unpersist()
+    assert(sc.keySet === sp.keySet)
+    sc.foreach { case (id, r) =>
+      assert(math.abs(r - sp(id)) < 1e-12, s"node $id: $r vs ${sp(id)}") }
+    assert(math.abs(sc.values.sum - 1.0) < 1e-9, "rank mass not conserved")
+  }
+
   test("graph_components: two seeded components converge separately, never merge") {
     // component A: customer 1 (node 2) trades with suppliers 1,2 (nodes
     // 3,5); component B: customer 2 (node 4) with supplier 10 (node 21).
