@@ -372,22 +372,73 @@ object EtlOps {
 
   /** `.env`-style configuration resolution (README.md:16–17, 88–92): the
     * reference mandates connector settings (endpoint, page count, target
-    * collection) come from environment configuration, never from code.
+    * collection) come from environment configuration, never from code —
+    * including a literal `.env` file created locally (README.md:88–92).
     * The Spark-native layering of the same contract, in precedence order:
     * `spark.graft.<key>` runtime conf (set via `--conf` / the session
     * builder — the cluster-deploy path) → `GRAFT_<KEY>` environment
-    * variable (the literal .env path) → caller default. `env` is
-    * injectable so specs pin the precedence without mutating the process
-    * environment.
+    * variable → the same `GRAFT_<KEY>` name in a dotenv file (path from
+    * `spark.graft.env.file` conf / `GRAFT_ENV_FILE` env, default `.env`
+    * in the working directory) → caller default. `env` is injectable so
+    * specs pin the precedence without mutating the process environment.
     */
   def configValue(spark: SparkSession, key: String, default: => String,
-      env: Map[String, String] = sys.env): String =
+      env: Map[String, String] = sys.env): String = {
+    // Locale.ROOT: default-locale toUpperCase turns "dir" into "DİR"
+    // on a Turkish-locale JVM and the env lookup silently misses
+    val envKey = "GRAFT_" +
+      key.toUpperCase(java.util.Locale.ROOT).replace('.', '_')
     spark.conf.getOption(s"spark.graft.$key")
-      // Locale.ROOT: default-locale toUpperCase turns "dir" into "DİR"
-      // on a Turkish-locale JVM and the env lookup silently misses
-      .orElse(env.get("GRAFT_" +
-        key.toUpperCase(java.util.Locale.ROOT).replace('.', '_')))
+      .orElse(env.get(envKey))
+      .orElse(dotenvFile(spark, env).get(envKey))
       .getOrElse(default)
+  }
+
+  /** The resolved dotenv file as a key→value map — empty when the file is
+    * absent, which keeps the layer a no-op on clusters that configure via
+    * conf/env only. Driver-side IO: config resolution happens once at
+    * plan-build time, never per row, so re-reading the (tiny) file per
+    * lookup is simpler than a cache that could go stale mid-session.
+    */
+  private[graft] def dotenvFile(
+      spark: SparkSession, env: Map[String, String]): Map[String, String] = {
+    val path = spark.conf.getOption("spark.graft.env.file")
+      .orElse(env.get("GRAFT_ENV_FILE"))
+      .getOrElse(".env")
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isReadable(p)) Map.empty
+    else {
+      val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+      try parseDotenv(src.getLines()) finally src.close()
+    }
+  }
+
+  /** dotenv grammar, the subset every implementation agrees on: KEY=VALUE
+    * per line; blank lines and `#` comments skipped; whitespace around
+    * key and value trimmed; matching single or double quotes around the
+    * value stripped (preserving inner whitespace); malformed lines (no
+    * `=`, empty key) ignored rather than fatal — a hand-edited file must
+    * not take the pipeline down. Later duplicates win, like a shell
+    * re-export.
+    */
+  private[graft] def parseDotenv(lines: Iterator[String]): Map[String, String] =
+    lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap { l =>
+        val eq = l.indexOf('=')
+        if (eq <= 0) None
+        else {
+          val k = l.substring(0, eq).trim
+          val raw = l.substring(eq + 1).trim
+          val v =
+            if (raw.length >= 2 &&
+              ((raw.head == '"' && raw.last == '"') ||
+                (raw.head == '\'' && raw.last == '\'')))
+              raw.substring(1, raw.length - 1)
+            else raw
+          if (k.isEmpty) None else Some(k -> v)
+        }
+      }.toMap
 
   /** The fully config-wired connector (README.md:88–92): page count and
     * page directory come from `spark.graft.*` / `GRAFT_*`, so one

@@ -44,6 +44,45 @@ class EtlTextSpec extends SparkTestBase {
     assert(EtlOps.configValue(spark, "test.knob", "dflt", Map.empty) === "dflt")
   }
 
+  test("configValue reads a .env file; env var and conf still win over it") {
+    val f = java.nio.file.Files.createTempFile("graft_dotenv", ".env")
+    java.nio.file.Files.writeString(f,
+      """# connector settings
+        |GRAFT_TEST_KNOB = from-file
+        |GRAFT_QUOTED="  padded value  "
+        |GRAFT_SINGLE='single'
+        |malformed line without equals
+        |=no-key
+        |GRAFT_DUP=first
+        |GRAFT_DUP=second
+        |""".stripMargin)
+    val fileEnv = Map("GRAFT_ENV_FILE" -> f.toString)
+    try {
+      // .env layer resolves when conf and env lack the key
+      assert(EtlOps.configValue(spark, "test.knob", "dflt", fileEnv) === "from-file")
+      // quotes stripped, inner whitespace kept; later duplicate wins
+      assert(EtlOps.configValue(spark, "quoted", "d", fileEnv) === "  padded value  ")
+      assert(EtlOps.configValue(spark, "single", "d", fileEnv) === "single")
+      assert(EtlOps.configValue(spark, "dup", "d", fileEnv) === "second")
+      // malformed lines are skipped, not fatal; absent keys fall through
+      assert(EtlOps.configValue(spark, "missing.key", "d", fileEnv) === "d")
+      // a real env var beats the file
+      assert(EtlOps.configValue(spark, "test.knob", "dflt",
+        fileEnv + ("GRAFT_TEST_KNOB" -> "from-env")) === "from-env")
+      // conf beats everything
+      spark.conf.set("spark.graft.test.knob", "from-conf")
+      try assert(EtlOps.configValue(spark, "test.knob", "dflt", fileEnv) === "from-conf")
+      finally spark.conf.unset("spark.graft.test.knob")
+      // conf can also point at the file (no env var involved)
+      spark.conf.set("spark.graft.env.file", f.toString)
+      try assert(EtlOps.configValue(spark, "test.knob", "dflt", Map.empty) === "from-file")
+      finally spark.conf.unset("spark.graft.env.file")
+      // unreadable path degrades to empty layer
+      assert(EtlOps.configValue(spark, "test.knob", "dflt",
+        Map("GRAFT_ENV_FILE" -> "/nonexistent/.env")) === "dflt")
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
   test("source_env_config: conf-driven page count re-shards without changing the data") {
     val clean = EtlOps.sourceApiPaginated(spark, sf0001).collect().toSeq
     spark.conf.set("spark.graft.pages.count", "3")
