@@ -127,7 +127,29 @@ object Bench {
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map { case (_, r) => if (r.exists(_ < 0)) -1.0 else r.min }.sum
     val heapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"heap_mb":$heapMb}""")
+    // graph_pagerank is the largest headline entry and ~half its time is
+    // the one-time graph build (amortized across the iterative family in
+    // production); publish the build/loop split so round-over-round drift
+    // can be attributed to the right phase instead of re-litigating the
+    // entry's rep variance each round.
+    val breakdownJson =
+      if (!names.contains("graph_pagerank")) "{}"
+      else try {
+        System.gc()
+        val t0 = System.nanoTime()
+        val (adj, nodes, n) = operators.GraphOps.buildGraph(
+          Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        operators.GraphOps.loopPartitioned(adj, nodes, n, 10, 0.85).count()
+        val loopSec = (System.nanoTime() - t1) / 1e9
+        System.err.println(f"[bench] graph_pagerank split: build $buildSec%.3f s, loop $loopSec%.3f s")
+        s"""{"graph_pagerank":{"build":$buildSec,"loop":$loopSec}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] graph_pagerank split FAILED: ${e.getMessage}")
+        "{}"
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errJson,"breakdowns":$breakdownJson,"sf":"$sfDir","cpus":$cpus,"heap_mb":$heapMb}""")
     spark.stop()
   }
 }

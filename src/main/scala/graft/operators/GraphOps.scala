@@ -38,10 +38,10 @@ object GraphOps {
     * |V| adjacency rows instead of |E| edge rows (73× fewer here) and
     * fans back out to edges MAP-SIDE via explode — measured ~3× off the
     * whole 10-round loop at sf0.1 vs the flat cached edge list. The
-    * groupBy(src)'s own shuffle IS the src pre-partitioning (keys are
-    * unique after it, so `nodes` needs no distinct) — one shuffle builds
-    * layout, degrees, and adjacency together. Callers unpersist via the
-    * handle after their final ranks are checkpoint-materialized.
+    * groupBy(src)'s own shuffle IS the src pre-partitioning — one
+    * shuffle builds layout, degrees, and adjacency together. Callers
+    * unpersist via the handle after their final ranks are
+    * checkpoint-materialized.
     *
     * An undirected edge (both directions materialized) links a customer
     * to every supplier whose parts they ordered; node ids are disjoint by
@@ -124,7 +124,7 @@ object GraphOps {
     * final ranks are already checkpoint-materialized, so the adjacency
     * cache is released before returning.
     */
-  private def loopPartitioned(adj: DataFrame, nodes: DataFrame, n: Long,
+  private[graft] def loopPartitioned(adj: DataFrame, nodes: DataFrame, n: Long,
       rounds: Int, damping: Double): DataFrame = {
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint()
     for (_ <- 1 to rounds) {
