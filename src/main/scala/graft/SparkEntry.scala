@@ -370,6 +370,12 @@ object SparkEntry {
     "empty_payload_guard" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem
          WHERE l_quantity < 0 GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the seeded Bernoulli coin is the same md5 integer draw in both
+    // engines, so the oracle selects the identical rows
+    "sample" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE ('0x' || substring(md5('42|' || l_orderkey || '|' || l_linenumber), 1, 6))::BIGINT < 1677721
+         ORDER BY l_orderkey, l_linenumber""",
     "sample_hash" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE substring(md5(l_orderkey || '|' || l_linenumber), 1, 1) = 'a'
@@ -1316,6 +1322,19 @@ object SparkEntry {
          round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty,
          round(quantile_cont(l_quantity, 0.75), 4) AS q3_qty,
          count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the agg_approx_distinct_checked contract applied to GK percentile
+    // sketches: exact percentiles exported, the sketch's values reduced
+    // to bracket verdicts the oracle predicts true (bounds derived from
+    // the sketch's configured accuracy, so they transfer across scale)
+    "agg_percentile_approx" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+         round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty,
+         round(quantile_cont(l_quantity, 0.75), 4) AS q3_qty,
+         round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+         count(*) AS n,
+         true AS p50_ok, true AS p95_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "source_api_paginated" ->
       """SELECT event_type, count(*) AS n,

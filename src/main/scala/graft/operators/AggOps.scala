@@ -159,9 +159,17 @@ object AggOps {
   }
 
   /** Sketch-based percentiles — the 100 TB companion to the exact
-    * `aggMedian` (GK summaries: bounded memory per group, one pass).
-    * no-oracle: the sketch's merge is order-sensitive in general; the
-    * bounds spec asserts agreement with the exact percentiles instead.
+    * `aggMedian` (GK summaries: bounded memory per group, one pass) —
+    * oracle-CHECKED the same way as aggApproxDistinctChecked: the raw
+    * sketch values are engine-internal (their exact output depends on
+    * merge order), so the EXPORTED columns are the exact percentiles plus
+    * bracket verdicts the oracle predicts `true`: the approx p50 must
+    * land inside the exact IQR and within one quantity unit of the exact
+    * median; the approx p95 within one unit of the exact p95. The bounds
+    * derive from the sketch contract (accuracy 10000 ⇒ rank error
+    * ≤ 0.01% of rows, far below one value step of this discrete domain),
+    * so a drifting GK implementation turns these rows red instead of
+    * hiding behind a no-oracle marker.
     */
   def aggPercentileApprox(lineitem: DataFrame): DataFrame =
     lineitem
@@ -169,7 +177,17 @@ object AggOps {
       .agg(
         percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"),
         percentile_approx(col("l_quantity"), lit(0.95), lit(10000)).as("p95_approx"),
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("med_qty"),
+        round(percentile(col("l_quantity"), lit(0.25)), 4).as("q1_qty"),
+        round(percentile(col("l_quantity"), lit(0.75)), 4).as("q3_qty"),
+        round(percentile(col("l_quantity"), lit(0.95)), 4).as("p95_qty"),
         count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"), col("med_qty"), col("q1_qty"), col("q3_qty"),
+        col("p95_qty"), col("n"),
+        (col("p50_approx") >= col("q1_qty") && col("p50_approx") <= col("q3_qty") &&
+          abs(col("p50_approx") - col("med_qty")) <= 1.0).as("p50_ok"),
+        (abs(col("p95_approx") - col("p95_qty")) <= 1.0).as("p95_ok"))
       .orderBy("l_returnflag")
 
   /** Statistical aggregates: sample/population stddev + variance. Exact

@@ -126,13 +126,27 @@ object RelationalOps {
       .distinct()
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** Deterministic sample for iterative testing (README.md:31): seeded —
-    * stable within Spark but not across engines, hence no oracle.
+  /** Seeded ~10% Bernoulli sample for iterative testing (README.md:31)
+    * with PORTABLE determinism: the per-row coin is an md5 over
+    * (seed, key), so every engine, partitioning, and scale factor selects
+    * the SAME rows — which is what makes the entry oracle-checkable.
+    * Changing the seed re-draws the sample. (The built-in
+    * `df.sample(fraction, seed)` is stable within Spark only — its random
+    * stream is partition-dependent — so it stayed no-oracle; this form
+    * replaces it with the same semantics and a cross-engine contract.)
+    * The coin compares the first 6 md5 hex digits (a uniform integer in
+    * [0, 16^6)) against fraction × 16^6.
     */
-  def sample(lineitem: DataFrame): DataFrame =
-    lineitem.sample(withReplacement = false, fraction = 0.1, seed = 42)
+  def sample(lineitem: DataFrame, fraction: Double = 0.1, seed: Int = 42): DataFrame = {
+    val threshold = (fraction * (1L << 24)).toLong
+    val coin = conv(
+      substring(md5(concat_ws("|", lit(seed), col("l_orderkey"), col("l_linenumber"))), 1, 6),
+      16, 10).cast("long")
+    lineitem
+      .filter(coin < threshold)
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .orderBy("l_orderkey", "l_linenumber")
+  }
 
   /** Content-hash sample: ~1/16 of rows chosen by a digest digit of the
     * key. Unlike `sample`, this is independent of engine, partitioning,
