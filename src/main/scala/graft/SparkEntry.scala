@@ -716,9 +716,11 @@ object SparkEntry {
          round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // integer-cents sum: order-invariant under the engine's round-robin
+    // spread (same convention as sink_incremental)
     "join_skew_aqe" ->
       """SELECT o_orderstatus, count(*) AS n_items,
-         round(sum(l_extendedprice), 2) AS sum_price
+         round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_price
          FROM (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1
                       ELSE l_orderkey END AS jk, l_extendedprice
                FROM lineitem) f

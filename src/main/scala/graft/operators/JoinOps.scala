@@ -278,8 +278,14 @@ object JoinOps {
     val dim = orders.select(col("o_orderkey").as("jk"), col("o_orderstatus"))
     fact.hint("merge").join(dim, "jk")
       .groupBy(col("o_orderstatus"))
+      // integer-cents sum (the sink_incremental convention): the round-
+      // robin spread makes double accumulation order vary with
+      // parallelism, and a 2-decimal round of a float sum can flip
+      // against the oracle at larger scale; summing in the integer
+      // domain is order-invariant
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        round(sum(round(col("l_extendedprice") * 100).cast("bigint")) / 100.0, 2)
+          .as("sum_price"))
       .orderBy("o_orderstatus")
   }
 

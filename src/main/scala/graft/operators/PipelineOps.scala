@@ -61,25 +61,27 @@ object PipelineOps {
     * is kept iff its first md5 hex digit falls under the rate threshold —
     * deterministic at any scale, partitioning, and re-run, and the
     * hex-digit thresholds (16ths) make the rate exact in expectation with
-    * no RNG state. The mixture spec is DATA (a 20-row table broadcast
-    * onto the corpus), not code — swapping recipes touches no operator.
+    * no RNG state. The mixture spec is DATA (a tiny table broadcast onto
+    * the corpus), not code — swapping recipes touches no operator; it is
+    * DERIVED from the OBSERVED distinct sources (rate by source index
+    * mod 4, the stand-in recipe rule) rather than hard-coding a source
+    * list, so a source outside a fixed list can never be silently
+    * dropped by the join — the same derivation the oracle runs.
     *
     * Output is the per-source census a recipe audit reads: docs in/kept,
     * tokens kept, and each source's share of the kept token budget. The
-    * share window runs over the 20-row aggregate, not the corpus.
+    * share window runs over the per-source aggregate, not the corpus.
     */
   def pipelineMix(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    val mixture = Seq.tabulate(20) { i =>
-      val (rate, thr) = (i % 4) match {
-        case 0 => (1.0, "g") // every hex digit sorts below 'g'
-        case 1 => (0.5, "8")
-        case 2 => (0.25, "4")
-        case _ => (0.125, "2")
-      }
-      (s"src$i", rate, thr)
-    }.toDF("source", "rate", "thr")
+    // source names are "src<N>"; the recipe keys on N % 4
+    val idx = substring(col("source"), 4, 10).cast("int") % 4
+    val mixture = documents.select(col("source")).distinct()
+      .select(col("source"),
+        when(idx === 0, 1.0).when(idx === 1, 0.5)
+          .when(idx === 2, 0.25).otherwise(0.125).as("rate"),
+        // 'g': every hex digit sorts below it
+        when(idx === 0, "g").when(idx === 1, "8")
+          .when(idx === 2, "4").otherwise("2").as("thr"))
     val kept = substring(md5(concat_ws("|", col("doc_id"))), 1, 1) < col("thr")
     documents
       .join(broadcast(mixture), "source")
@@ -110,6 +112,11 @@ object PipelineOps {
     * presentation sort. Fan-out is bounded by n_toks/stride per document.
     */
   def textChunk(documents: DataFrame, width: Int = 32, stride: Int = 24): DataFrame = {
+    // stride > width leaves uncovered gaps between chunks and stride <= 0
+    // breaks the boundary arithmetic — both violate the coverage
+    // invariant silently, so they are rejected loudly instead
+    require(stride > 0 && stride <= width,
+      s"textChunk requires 0 < stride <= width, got stride=$stride width=$width")
     val toks = split(col("text"), " ")
     // ceil((n - overlap) / stride), at least 1 — overlap = width - stride
     val nChunks = greatest(lit(1L),

@@ -754,7 +754,13 @@ object SimOps {
       .orderBy(desc("ip")).limit(k)
       .agg(min(col("ip")).as("t"))
     e.crossJoin(broadcast(q)).crossJoin(broadcast(t))
-      .filter(col("nrm") * col("qn") >= col("t")) // Cauchy–Schwarz prune
+      // Cauchy–Schwarz prune, with a hair of relative slack: all three
+      // quantities are floating-point, and for a candidate whose true dot
+      // EQUALS the threshold, sqrt/dot rounding can place fl(nrm·qn) one
+      // ulp below t and drop a genuine top-k member. The slack only
+      // admits borderline candidates; the exact dot + top-k downstream
+      // keeps the result bit-identical to brute force.
+      .filter(col("nrm") * col("qn") >= col("t") * (1 - 1e-12))
       .select(col("vec_id"), round(dot(col("v"), col("qv")), 6).as("ip"))
       .orderBy(desc("ip"), asc("vec_id"))
       .limit(k)

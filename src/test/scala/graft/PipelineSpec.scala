@@ -57,6 +57,15 @@ class PipelineSpec extends SparkTestBase {
     assert(again.toSeq === out.map(r => (r._1, r._4)).toSeq)
   }
 
+  test("text_chunk rejects stride outside (0, width] before any coverage is lost") {
+    val docs = documents(spark, sf0001)
+    intercept[IllegalArgumentException](PipelineOps.textChunk(docs, width = 32, stride = 33))
+    intercept[IllegalArgumentException](PipelineOps.textChunk(docs, width = 32, stride = 0))
+    intercept[IllegalArgumentException](PipelineOps.textChunk(docs, width = 32, stride = -1))
+    // boundary: stride == width (no overlap) is a legal tiling
+    assert(PipelineOps.textChunk(docs, width = 32, stride = 32).count() > 0)
+  }
+
   test("text_chunk: chunks cover every token, stride is constant, text round-trips") {
     val docs = documents(spark, sf0001)
     val nToks = docs.select(col("doc_id"),
