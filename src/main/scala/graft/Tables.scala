@@ -32,17 +32,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) (FIXTURES.md:31), which the
-    * Spark 4 vectorized reader rejects unless read as a raw long. We load
-    * it as nanos-since-epoch and truncate to a microsecond TimestampType
-    * in exactly one place, so every consumer sees a normal `ts` column.
-    * (`div` is integer division — exact, unlike `/1000` through double.)
-    * DuckDB oracles read the same column natively as TIMESTAMP_NS; output
-    * parity is achieved by emitting epoch-micros bigints on both sides.
+  /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) (which the
+    * Spark 4 vectorized reader rejects unless read as a raw long via
+    * `nanosAsLong`) and plain TIMESTAMP(MICROS) (which reads as
+    * TIMESTAMP_NTZ) across fixture generations. Dispatch on the OBSERVED
+    * type rather than assuming one: nanos-as-long truncates to micros
+    * (`div` is integer division — exact, unlike `/1000` through double),
+    * NTZ casts to session-TZ TimestampType (identity on the instant —
+    * every session here pins UTC). Every consumer sees one normal `ts`
+    * column; DuckDB oracles read the same column natively and parity is
+    * achieved by emitting epoch-micros bigints on both sides.
     */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast("timestamp"))
+    case _ => df
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(t(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -505,7 +505,7 @@ object EtlOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = freshDir(sfDir, "events_by_day").toString
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
       .withColumn("event_date", col("ts").cast("date"))
       .write.mode(SaveMode.Overwrite).partitionBy("event_date").parquet(raw)
     spark.read.parquet(raw)

@@ -44,7 +44,7 @@ object StreamOps {
     Files.copy(Paths.get(src), dir.resolve("events-0.parquet"))
     val schema = spark.read.parquet(src).schema
     spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
   }
 
   /** Drain a streaming frame into a memory table and return it as batch. */
@@ -144,7 +144,7 @@ object StreamOps {
     once.write.mode(SaveMode.Append).parquet(doubled.toString)
     val schema = once.schema
     val deduped = spark.readStream.schema(schema).parquet(doubled.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
       .withWatermark("ts", "365 days")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"))
@@ -378,7 +378,7 @@ object StreamOps {
     val latest = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .writeStream
       .outputMode("append")
