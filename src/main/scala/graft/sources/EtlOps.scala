@@ -297,8 +297,12 @@ object EtlOps {
     events
       .withColumn("page", pmod(col("event_id"), lit(nPages)))
       .write.mode(SaveMode.Overwrite).partitionBy("page").json(pagesDir.toString)
+    // pacing + retry compose: the pacer spaces the page REQUESTS (429
+    // prevention), withRetry's backoff spaces the RE-attempts of one page
+    val pacer = new RatePacer(minIntervalMs = 5L)
     val pages = (0 until nPages).map { p =>
       withRetry(maxAttempts = 3, backoffMs = 25L) { attempt =>
+        pacer.acquire()
         if (p == flakyPage && attempt == 1)
           throw new RuntimeException(s"simulated 503 on page $p attempt $attempt")
         if (p == throttledPage && attempt < 3)
@@ -332,7 +336,11 @@ object EtlOps {
     events
       .withColumn("page", pmod(col("event_id"), lit(nPages)))
       .write.mode(SaveMode.Overwrite).partitionBy("page").json(pagesDir.toString)
+    // min-interval pacing between page requests (README.md:12 rate
+    // limits): stay under the provider budget instead of bouncing off it
+    val pacer = new RatePacer(minIntervalMs = 5L)
     val pages = (0 until nPages).map { p =>
+      pacer.acquire()
       spark.read.json(s"$pagesDir/page=$p") // one "request" per page
     }
     pages
@@ -361,6 +369,7 @@ object EtlOps {
       .write.mode(SaveMode.Overwrite).partitionBy("page").json(pagesDir.toString)
     spark.read.format("graft.sources.PagedJsonSource")
       .option("pages", nPages.toString)
+      .option("paceMs", "5") // executor-side request pacing (README.md:12)
       .load(pagesDir.toString)
       .groupBy(col("event_type"))
       .agg(

@@ -38,7 +38,8 @@ class PagedJsonSource extends TableProvider {
       properties: JMap[String, String]): Table =
     new PagedJsonTable(
       path = properties.get("path"),
-      pages = Option(properties.get("pages")).map(_.toInt).getOrElse(1))
+      pages = Option(properties.get("pages")).map(_.toInt).getOrElse(1),
+      paceMs = Option(properties.get("paceMs")).map(_.toLong).getOrElse(0L))
 }
 
 object PagedJsonSource {
@@ -48,17 +49,17 @@ object PagedJsonSource {
     StructField("user_id", LongType)))
 }
 
-private[sources] class PagedJsonTable(path: String, pages: Int)
+private[sources] class PagedJsonTable(path: String, pages: Int, paceMs: Long)
     extends Table with SupportsRead {
   override def name(): String = s"paged_json($path)"
   override def schema(): StructType = PagedJsonSource.pageSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new PagedJsonScan(path, pages)
+    () => new PagedJsonScan(path, pages, paceMs)
 }
 
-private[sources] class PagedJsonScan(path: String, pages: Int)
+private[sources] class PagedJsonScan(path: String, pages: Int, paceMs: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = PagedJsonSource.pageSchema
   override def toBatch: Batch = this
@@ -66,14 +67,20 @@ private[sources] class PagedJsonScan(path: String, pages: Int)
   // executors, and adding pages adds tasks, not driver work
   override def planInputPartitions(): Array[InputPartition] =
     (0 until pages).map(p => PageInputPartition(s"$path/page=$p"): InputPartition).toArray
-  override def createReaderFactory(): PartitionReaderFactory = new PageReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = new PageReaderFactory(paceMs)
 }
 
 private[sources] case class PageInputPartition(pageDir: String) extends InputPartition
 
-private[sources] class PageReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+private[sources] class PageReaderFactory(paceMs: Long) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    // pace the page REQUEST (reader open), not the row iteration: all
+    // concurrent page tasks in this executor JVM share one bucket, so a
+    // 32-task wave still hits the provider at 1/paceMs req/s (see
+    // RatePacer's scale note on the per-executor budget)
+    if (paceMs > 0) RatePacer.forInterval(paceMs).acquire()
     new PageReader(partition.asInstanceOf[PageInputPartition].pageDir)
+  }
 }
 
 /** Executor-side page reader: parses one page's JSON lines record-at-a-

@@ -34,6 +34,50 @@ class EtlTextSpec extends SparkTestBase {
     assert(calls === 2)
   }
 
+  test("RatePacer: burst requests are spaced at exactly the min interval") {
+    // virtual clock: advances ONLY via recorded sleeps, so the asserted
+    // spacing is the pacer's arithmetic, not wall-clock noise
+    var now = 1000L
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val pacer = new graft.sources.RatePacer(
+      minIntervalMs = 100L,
+      clock = () => now,
+      sleeper = ms => { sleeps += ms; now += ms })
+    val issuedAt = (1 to 5).map { _ => pacer.acquire(); now }
+    // first request immediate, no sleep before it
+    assert(issuedAt.head === 1000L)
+    // every successive request exactly 100 ms after the previous one —
+    // a burst drains at the contracted rate with zero drift
+    assert(issuedAt.sliding(2).forall { case Seq(a, b) => b - a == 100L })
+    assert(sleeps.toSeq === Seq(100L, 100L, 100L, 100L))
+  }
+
+  test("RatePacer: a slow consumer never sleeps; partial gaps pay the remainder") {
+    var now = 0L
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val pacer = new graft.sources.RatePacer(100L, () => now, ms => { sleeps += ms; now += ms })
+    pacer.acquire()                 // t=0, schedule next at 100
+    now += 250                      // consumer took longer than the interval
+    pacer.acquire()                 // t=250: slot free, no sleep
+    assert(sleeps.isEmpty)
+    now += 60                       // only 60 of the 100 ms elapsed
+    pacer.acquire()                 // t=310 -> must wait the 40 ms remainder
+    assert(sleeps.toSeq === Seq(40L))
+    assert(now === 350L)            // issued exactly 100 ms after the t=250 request
+  }
+
+  test("sourceApiV2 pacing: page reader opens are spaced by paceMs") {
+    // the executor-side pacer is JVM-global per interval; use a distinct
+    // interval so other suites can't share (and pre-warm) this bucket
+    val pacer = graft.sources.RatePacer.forInterval(7L)
+    assert(pacer eq graft.sources.RatePacer.forInterval(7L), "registry must share one bucket per interval")
+    val t0 = System.nanoTime()
+    (1 to 3).foreach(_ => pacer.acquire())
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    // 3 acquires = 2 paced gaps >= 14 ms (first is free)
+    assert(elapsedMs >= 14L, s"expected >=14ms of pacing, got ${elapsedMs}ms")
+  }
+
   test("configValue precedence: SparkConf beats env beats default") {
     val env = Map("GRAFT_TEST_KNOB" -> "from-env")
     spark.conf.set("spark.graft.test.knob", "from-conf")
