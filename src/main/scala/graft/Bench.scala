@@ -60,6 +60,8 @@ object Bench {
     "sink_ann_index",       // persisted IVF layout + DPP-pruned serving
     "join_skew_aqe",        // AQE runtime skew-join split
     "sim_pq_kmeans",        // per-subspace Lloyd PQ training + ADC scan
+    "dedup_substring",      // sliding-window cross-doc duplication profile
+    "join_interval",        // grid-bucketed interval overlap join
   )
 
   def main(args: Array[String]): Unit = {

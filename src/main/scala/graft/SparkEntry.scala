@@ -63,6 +63,7 @@ object SparkEntry {
     "join_skew_salted" -> ((s, d) => JoinOps.skewSalted(lineitem(s, d), orders(s, d))),
     "join_skew_aqe" -> ((s, d) => JoinOps.skewAqe(lineitem(s, d), orders(s, d))),
     "join_geo" -> ((s, d) => JoinOps.joinGeo(customer(s, d), supplier(s, d))),
+    "join_interval" -> ((s, d) => JoinOps.intervalOverlap(orders(s, d))),
     // composite audit pipelines (TPC-H Q3/Q5/Q10 shapes)
     "q3_shipping_priority" -> ((s, d) =>
       AuditQueries.q3ShippingPriority(customer(s, d), orders(s, d), lineitem(s, d))),
@@ -260,6 +261,8 @@ object SparkEntry {
     "sim_rerank" -> ((s, d) => SimOps.simRerank(embeddings(s, d))),
     "sim_pq" -> ((s, d) => SimOps.simPq(embeddings(s, d))),
     "sim_pq_kmeans" -> ((s, d) => SimOps.simPqKmeans(embeddings(s, d))),
+    "sim_radius" -> ((s, d) => SimOps.simRadius(embeddings(s, d))),
+    "dedup_substring" -> ((s, d) => LlmOps.dedupSubstring(documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -739,6 +742,20 @@ object SparkEntry {
          FROM c CROSS JOIN s
          WHERE (cx-sx)*(cx-sx) + (cy-sy)*(cy-sy) <= 250000
          ORDER BY c_custkey, s_suppkey""",
+    // oracle = the naive theta join; the time-cell decomposition and the
+    // overlap-start-cell dedup rule must be semantically invisible
+    "join_interval" ->
+      """WITH iv AS (SELECT o_orderkey AS id, o_custkey % 100 AS tenant,
+             datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS s,
+             datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               + 1 + o_orderkey % 14 AS e
+           FROM orders)
+         SELECT a.id AS a_id, b.id AS b_id,
+                CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_days
+         FROM iv a JOIN iv b
+           ON a.tenant = b.tenant AND a.s < b.e AND b.s < a.e
+         WHERE a.id % 2 = 0 AND b.id % 2 = 1
+         ORDER BY a_id, b_id""",
     "sink_partitioned" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n,
          count(DISTINCT user_id) AS n_users
@@ -1646,6 +1663,24 @@ object SparkEntry {
          SELECT doc_id, count(DISTINCT h) AS n_hits
          FROM g WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM bench)
          GROUP BY doc_id ORDER BY doc_id""",
+    // same 60-bit window-hash vocabulary as text_decontaminate; df counts
+    // per-doc DISTINCT windows, and sub-n-token docs vanish on both sides
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+         w0 AS (SELECT doc_id, list_distinct([
+                  ('0x' || substring(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT
+                  FOR i IN range(1, len(toks) - 6)]) AS ws
+                FROM t WHERE len(toks) >= 8),
+         p AS (SELECT doc_id, unnest(ws) AS w FROM w0),
+         d AS (SELECT w FROM p GROUP BY w HAVING count(*) >= 2)
+         SELECT p.doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN d.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           round(sum(CASE WHEN d.w IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS dup_frac
+         FROM p LEFT JOIN d ON p.w = d.w
+         GROUP BY p.doc_id ORDER BY doc_id""",
     // entropy folds over the sorted distinct chars in both engines, so
     // the summation order matches; round(6) absorbs libm log2 ulps
     "text_entropy" ->
@@ -1990,6 +2025,16 @@ object SparkEntry {
          q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
          SELECT vec_id, round(list_dot_product(v, qv), 6) AS ip
          FROM e, q WHERE vec_id <> 7 ORDER BY ip DESC, vec_id LIMIT 10""",
+    // oracle = brute-force radius scan; the norm prune must be invisible.
+    // The filter runs on the UNROUNDED dot in both engines (both sum the
+    // 64 dims left-to-right in double, and the fixture's nearest dot sits
+    // ≥1e-4 from τ at every sf — probed before τ was frozen)
+    "sim_radius" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+         SELECT vec_id, round(list_dot_product(v, qv), 6) AS ip
+         FROM e, q WHERE vec_id <> 7 AND list_dot_product(v, qv) >= 0.15
+         ORDER BY ip DESC, vec_id""",
     // the full SemDeDup pipeline replicated: kmeans chain → within-cell
     // pairs → exact cosine verify
     "dedup_semantic" ->

@@ -451,4 +451,43 @@ object JoinOps {
       .select(col("c_custkey"), col("s_suppkey"), col("dist2"))
       .orderBy("c_custkey", "s_suppkey")
   }
+
+  /** Interval OVERLAP join — `[a_s,a_e) ∩ [b_s,b_e) ≠ ∅` between two
+    * interval sets (order-activity windows per tenant here; sessions ×
+    * incident windows in production). The naive form is a theta join —
+    * a nested loop over every tenant's row pair. The scalable shape is
+    * the 1-D version of `joinGeo`'s grid: each interval posts to the
+    * fixed-width time CELLS it spans (fan-out ≤ ceil(maxLen/width)+1,
+    * a plan-time constant — intervals here are ≤ 14 days on 16-day
+    * cells, so ≤ 2 posts), the join becomes an equi-join on
+    * (tenant, cell), and the exact overlap predicate runs only inside
+    * a cell. A pair meeting in two cells is counted ONCE by assigning
+    * it to the cell containing the overlap's first day — both intervals
+    * provably post that cell, so no distinct pass is needed. At 100 TB
+    * the shuffle key is (tenant, cell): time-skew is bounded by the
+    * cell width and the per-tenant slice, and the plan stays
+    * hash-exchange + sort-merge — no nested loop anywhere.
+    */
+  def intervalOverlap(orders: DataFrame): DataFrame = {
+    val w = 16L // cell width (days) ≥ max interval length + 1
+    val iv = orders.select(
+      col("o_orderkey").as("id"),
+      (col("o_custkey") % 100L).as("tenant"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+        .cast("long").as("s"))
+      .withColumn("e", col("s") + 1L + (col("id") % 14L)) // end exclusive
+    def cells(df: DataFrame, p: String): DataFrame = df.select(
+      col("id").as(s"${p}_id"), col("tenant"),
+      col("s").as(s"${p}_s"), col("e").as(s"${p}_e"),
+      explode(sequence(floor(col("s") / w), floor((col("e") - 1L) / w))).as("cell"))
+    val a = cells(iv.filter(col("id") % 2 === 0), "a")
+    val b = cells(iv.filter(col("id") % 2 =!= 0), "b")
+    a.join(b, Seq("tenant", "cell"))
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .filter(col("cell") === floor(greatest(col("a_s"), col("b_s")) / lit(w)))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .as("overlap_days"))
+      .orderBy("a_id", "b_id")
+  }
 }

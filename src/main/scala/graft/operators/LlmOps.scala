@@ -224,6 +224,47 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level duplicated-SUBSTRING profile — the ExactSubstr-style
+    * signal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", public): for every document, what fraction of its
+    * sliding n-token windows also occurs in ANOTHER document. Unlike
+    * `dedupParagraph` (fixed segments, alignment-sensitive) or
+    * `text_boilerplate` (per-line), the sliding window catches duplicated
+    * spans at ANY offset; the per-doc fraction is the usual removal gate.
+    *
+    * Scale shape: per-doc DISTINCT window hashes map-side (the portable
+    * md5-derived 60-bit key — never window text on the wire), document
+    * frequency by one two-phase count on the 8-byte hash (a corpus-wide
+    * boilerplate window concentrates on one key, absorbed by the partial
+    * aggregate exactly as SkewSpec pins for dedup_exact), then one
+    * equi-join of the postings against the df≥2 subset and a per-doc
+    * rollup. No collects, no pair expansion — cost is linear in corpus
+    * token count. Docs shorter than n tokens have no windows and are
+    * excluded (both engines agree on that rule).
+    */
+  def dedupSubstring(documents: DataFrame, n: Int = 8): DataFrame = {
+    val toks = col("tk")
+    val wins = array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => TextOps.tokenHash60(array_join(slice(toks, i, lit(n)), " "))))
+    val posts = documents
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), explode(wins).as("w"))
+    // postings are per-doc distinct, so count(*) per hash IS document
+    // frequency; only the df≥2 slice (the duplicated vocabulary — small
+    // next to the corpus) flows into the join back
+    val dup = posts.groupBy("w").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+    posts.join(dup, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("df").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(
+        col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup CLUSTER resolution: the LSH pairs from `dedupNear` turned
     * into canonical groups by min-label propagation over the pair graph
     * TO FIXPOINT (each round: every node adopts the smallest label among

