@@ -239,6 +239,7 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextOps.textRepetition(documents(s, d))),
     "text_entropy" -> ((s, d) => TextOps.textEntropy(documents(s, d))),
     "text_decontaminate" -> ((s, d) => TextOps.textDecontaminate(documents(s, d))),
+    "text_heavy_hitters" -> ((s, d) => TextOps.textHeavyHitters(documents(s, d))),
     "q_sql_hints" -> ((s, d) => AuditQueries.qSqlHints(s, orders(s, d), customer(s, d))),
     // [EXT] dedup & similarity variants
     "dedup_simhash" -> ((s, d) => SimOps.dedupSimhash(documents(s, d))),
@@ -1663,6 +1664,17 @@ object SparkEntry {
          SELECT doc_id, count(DISTINCT h) AS n_hits
          FROM g WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM bench)
          GROUP BY doc_id ORDER BY doc_id""",
+    // support threshold compares count >= n_total*0.005 in double on both
+    // sides — identical IEEE arithmetic, no boundary asymmetry
+    "text_heavy_hitters" ->
+      """WITH tk AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
+         t AS (SELECT token FROM tk WHERE token <> ''),
+         tot AS (SELECT count(*) AS n_total FROM t)
+         SELECT token, count(*) AS n,
+           round(count(*)::DOUBLE / n_total, 6) AS support
+         FROM t, tot GROUP BY token, n_total
+         HAVING count(*) >= n_total * 0.005
+         ORDER BY n DESC, token""",
     // same 60-bit window-hash vocabulary as text_decontaminate; df counts
     // per-doc DISTINCT windows, and sub-n-token docs vanish on both sides
     "dedup_substring" ->

@@ -374,4 +374,28 @@ object TextOps {
         size(hashes).as("n_toks"))
       .orderBy("doc_id")
   }
+
+  /** Support-thresholded frequent-token profile — the corpus
+    * heavy-hitters report (which tokens exceed `minSupport` of all token
+    * occurrences) that drives stopword lists and boilerplate vocabulary
+    * detection before dedup tuning. The scalable shape is
+    * filter-then-sort, never sort-then-filter: the per-token count is an
+    * ordinary two-phase hash aggregate (the hottest token pre-combines
+    * map-side — SkewSpec's argument), the corpus total is ONE broadcast
+    * scalar, and only the handful of survivors reach the presentation
+    * sort — the full vocabulary is never globally ordered. Cost is one
+    * linear pass + one vocab-sized shuffle of (token, count) pairs.
+    */
+  def textHeavyHitters(documents: DataFrame, minSupport: Double = 0.005): DataFrame = {
+    val toks = documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") >= col("n_total") * minSupport)
+      .select(col("token"), col("n"),
+        round(col("n") / col("n_total"), 6).as("support"))
+      .orderBy(desc("n"), asc("token"))
+  }
 }
