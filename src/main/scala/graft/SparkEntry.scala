@@ -54,6 +54,7 @@ object SparkEntry {
     "join_range" -> ((s, d) => JoinOps.rangeBand(part(s, d))),
     "join_asof" -> ((s, d) => JoinOps.asof(events(s, d))),
     "join_asof_forward" -> ((s, d) => JoinOps.asofForward(events(s, d))),
+    "join_asof_nearest" -> ((s, d) => JoinOps.asofNearest(events(s, d))),
     "join_bucketed" -> ((s, d) => JoinOps.bucketed(orders(s, d), customer(s, d))),
     "join_bloom_pruned" -> ((s, d) => JoinOps.joinBloomPruned(orders(s, d), lineitem(s, d))),
     "graph_pagerank" -> ((s, d) => GraphOps.graphPagerank(orders(s, d), lineitem(s, d))),
@@ -512,6 +513,32 @@ object SparkEntry {
                    AND c.ts <= p.ts) AS click_ts_us
          FROM events p WHERE p.event_type = 'purchase'
          ORDER BY purchase_id""",
+    // nearest = closer of the backward (ts <= p.ts) and strictly-forward
+    // candidates; backward wins ties and same-instant clicks are backward
+    "join_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+         x AS (SELECT p.event_id AS purchase_id, p.user_id,
+                 epoch_us(p.ts) AS pus,
+                 (SELECT epoch_us(max(c.ts)) FROM events c
+                  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                    AND c.ts <= p.ts) AS b_ts,
+                 (SELECT arg_max(c.event_id, c.ts) FROM events c
+                  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                    AND c.ts <= p.ts) AS b_id,
+                 (SELECT epoch_us(min(c.ts)) FROM events c
+                  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                    AND c.ts > p.ts) AS f_ts,
+                 (SELECT arg_min(c.event_id, c.ts) FROM events c
+                  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                    AND c.ts > p.ts) AS f_id
+               FROM p)
+         SELECT purchase_id, user_id, pus AS purchase_ts_us,
+           CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND pus - b_ts <= f_ts - pus)
+                THEN b_id ELSE f_id END AS click_id,
+           CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND pus - b_ts <= f_ts - pus)
+                THEN b_ts ELSE f_ts END AS click_ts_us
+         FROM x ORDER BY purchase_id""",
     // forward direction compares at MICROSECOND precision (epoch_us) to
     // match Spark's truncated timestamps exactly
     "join_asof_forward" ->

@@ -362,6 +362,54 @@ object JoinOps {
       .orderBy("purchase_id")
   }
 
+  /** Nearest-in-time ASOF variant — each purchase matches the CLOSEST
+    * click in either direction (sensor-fusion semantics; backward wins
+    * distance ties, and a same-instant click counts as backward). Both
+    * direction candidates come from the SAME merged event stream and the
+    * same (ts, side, event_id) sort: the backward frame reads last-click
+    * up to the current row, the forward frame first-click after it —
+    * Spark folds both frames into one Window operator over one user_id
+    * exchange, so "nearest" costs exactly what "backward" costs (plan-
+    * pinned single exchange). A join-shaped formulation would shuffle
+    * the click table twice and re-sort per direction.
+    */
+  def asofNearest(events: DataFrame): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("user_id"),
+        col("ts"),
+        when(col("event_type") === "click", lit(0)).otherwise(lit(1)).as("side"),
+        col("event_id"))
+    val order = Seq(col("ts"), col("side"), col("event_id"))
+    val wb = Window.partitionBy("user_id").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id").orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val clickId = when(col("side") === 0, col("event_id"))
+    val clickUs = when(col("side") === 0, unix_micros(col("ts")))
+    val pus = unix_micros(col("ts"))
+    val backWins = col("f_ts").isNull ||
+      (col("b_ts").isNotNull && pus - col("b_ts") <= col("f_ts") - pus)
+    tagged
+      // one select, not chained withColumns: each withColumn is a Project
+      // barrier that splits the window expressions into separate Window
+      // operators; together they fold into one per frame direction
+      .select(col("user_id"), col("ts"), col("side"), col("event_id"),
+        last(clickId, ignoreNulls = true).over(wb).as("b_id"),
+        last(clickUs, ignoreNulls = true).over(wb).as("b_ts"),
+        first(clickId, ignoreNulls = true).over(wf).as("f_id"),
+        first(clickUs, ignoreNulls = true).over(wf).as("f_ts"))
+      .filter(col("side") === 1)
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        pus.as("purchase_ts_us"),
+        when(backWins, col("b_id")).otherwise(col("f_id")).as("click_id"),
+        when(backWins, col("b_ts")).otherwise(col("f_ts")).as("click_ts_us"))
+      .orderBy("purchase_id")
+  }
+
   /** Bloom-style runtime pruning of a large fact join — the semi-join
     * reduction that matters most at 100 TB: when the dim side of a
     * shuffle join is SELECTIVELY filtered, most fact rows shuffle only to

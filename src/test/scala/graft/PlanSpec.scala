@@ -162,6 +162,20 @@ class PlanSpec extends SparkTestBase {
     } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("join_asof_nearest: both direction frames share ONE user_id exchange") {
+    val p = plan(JoinOps.asofNearest(events(spark, sf0001)))
+    // backward and forward candidates must fold into one Window operator
+    // over one hash exchange — a per-direction join would shuffle twice
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one user_id exchange, found $exchanges:\n$p")
+    // one Window operator per frame direction, chained over the SAME
+    // sorted partitioning — and crucially only one Sort below them
+    val windows = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows <= 2, s"expected <=2 Window operators, found $windows:\n$p")
+    val sorts = "\\bSort \\[user_id".r.findAllIn(p).length
+    assert(sorts == 1, s"expected one user_id sort, found $sorts:\n$p")
+  }
+
   test("join_interval: time-cell grid keeps the overlap join an equi-join (no nested loop)") {
     val p = plan(JoinOps.intervalOverlap(orders(spark, sf0001)))
     // the naive theta form would plan exactly these two shapes
