@@ -151,6 +151,7 @@ object SparkEntry {
     "fn_string" -> ((s, d) => FuncOps.stringFns(documents(s, d))),
     "fn_datetime" -> ((s, d) => FuncOps.datetimeFns(orders(s, d))),
     "fn_math" -> ((s, d) => FuncOps.mathFns(lineitem(s, d))),
+    "fn_try" -> ((s, d) => FuncOps.tryFns(lineitem(s, d))),
     "fn_conditional" -> ((s, d) => FuncOps.conditionalFns(customer(s, d))),
     // Same stringification rule as agg_collect (driver-stable scalars only).
     "fn_array" -> ((s, d) =>
@@ -198,6 +199,7 @@ object SparkEntry {
     "source_api_v2" -> ((s, d) => EtlOps.sourceApiV2(s, d)),
     "source_env_config" -> ((s, d) => EtlOps.sourceConfigured(s, d)),
     "scan_json_corrupt" -> ((s, d) => EtlOps.scanJsonCorrupt(s, d)),
+    "scan_csv_malformed" -> ((s, d) => EtlOps.scanCsvMalformed(s, d)),
     "scan_merge_schema" -> ((s, d) => EtlOps.scanMergeSchema(s, d)),
     "sink_raw_append" -> ((s, d) => EtlOps.sinkRawAppend(s, d)),
     "sink_upsert" -> ((s, d) => EtlOps.sinkUpsert(s, d)),
@@ -997,6 +999,15 @@ object SparkEntry {
          least(l_discount, l_tax) AS min_rate,
          CAST(l_quantity % 7 AS INT) AS qty_mod
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    // DuckDB's `/` returns NULL on a zero divisor — exactly try_divide's
+    // contract, so the oracle is plain arithmetic
+    "fn_try" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(l_extendedprice / (l_quantity % 7), 6) AS price_per_mod,
+         l_quantity / (l_discount - l_discount) AS always_null,
+         round(l_extendedprice + l_tax, 6) AS sum_ok,
+         round(l_extendedprice * 0.5, 6) AS half_price
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "fn_conditional" ->
       """SELECT c_custkey,
          CASE WHEN c_acctbal < 0 THEN 'overdrawn'
@@ -1411,6 +1422,16 @@ object SparkEntry {
          UNION ALL
          SELECT NULL, NULL, NULL, true,
            '<html>503 Service Unavailable ' || CAST(n_nationkey AS VARCHAR)
+         FROM nation WHERE n_nationkey % 5 = 0
+         ORDER BY quarantined, n_nationkey NULLS FIRST, raw NULLS FIRST""",
+    "scan_csv_malformed" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           false AS quarantined, CAST(NULL AS VARCHAR) AS raw
+         FROM nation WHERE n_nationkey % 5 <> 0
+         UNION ALL
+         SELECT NULL, NULL, NULL, true,
+           'garbage line with no commas key=' || CAST(n_nationkey AS VARCHAR)
          FROM nation WHERE n_nationkey % 5 = 0
          ORDER BY quarantined, n_nationkey NULLS FIRST, raw NULLS FIRST""",
     "sink_upsert" ->

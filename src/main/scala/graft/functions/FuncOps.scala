@@ -70,6 +70,26 @@ object FuncOps {
         (col("l_quantity") % 7).cast("int").as("qty_mod"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** ANSI-safe TRY arithmetic family — `try_divide`/`try_add`/
+    * `try_multiply` return NULL where strict ANSI evaluation would
+    * raise (division by zero, overflow), the error-tolerant transform
+    * contract a raw feed needs (README.md:32 "invalid values"): one bad
+    * row must poison neither the task nor the job. Pure codegen'd
+    * built-ins — same scan shape as every fn_* family.
+    */
+  def tryFns(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        // quantity 7 constructs a real divide-by-zero every 7th row
+        round(try_divide(col("l_extendedprice"), col("l_quantity") % 7), 6)
+          .as("price_per_mod"),
+        try_divide(col("l_quantity"), col("l_discount") - col("l_discount"))
+          .as("always_null"),
+        round(try_add(col("l_extendedprice"), col("l_tax")), 6).as("sum_ok"),
+        round(try_multiply(col("l_extendedprice"), lit(0.5)), 6).as("half_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** Conditional family: CASE chains, coalesce, nullif, nvl — the
     * invalid-value mapping stage (README.md:32).
     */

@@ -253,6 +253,39 @@ object EtlOps {
       .orderBy(col("quarantined"), col("n_nationkey"), col("raw"))
   }
 
+  /** Malformed-CSV quarantine scan — `scan_json_corrupt`'s contract for
+    * the OTHER text format a raw feed ships in: every 5th line is
+    * garbage (a single unparseable token, the shape of a truncated
+    * upload or an interleaved error message). PERMISSIVE + a corrupt-
+    * record column keeps the batch AND the evidence: bad lines surface
+    * with all typed fields null, the raw line in `raw`, and
+    * `quarantined` = true, so the load proceeds while the quarantine
+    * slice stays queryable. Same at-scale reasoning as the JSON form:
+    * FAILFAST loses the batch, DROPMALFORMED loses the evidence.
+    */
+  def scanCsvMalformed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "csv_malformed").toString
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    nation.select(
+      when(col("n_nationkey") % 5 === 0,
+        concat(lit("garbage line with no commas key="), col("n_nationkey").cast("string")))
+        .otherwise(concat_ws(",",
+          col("n_nationkey").cast("string"), col("n_name"),
+          col("n_regionkey").cast("string")))
+        .as("value"))
+      .write.mode(SaveMode.Overwrite).text(dir)
+    spark.read
+      .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+      .select(
+        col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col("_corrupt_record").isNotNull.as("quarantined"),
+        col("_corrupt_record").as("raw"))
+      .orderBy(col("quarantined"), col("n_nationkey"), col("raw"))
+  }
+
   /** Bounded retry with exponential backoff for a driver-side page fetch
     * (README.md:12, 32: rate limits / connectivity errors). Retries are
     * the DRIVER's job in the file-paged form — each attempt re-issues one

@@ -74,8 +74,11 @@ class EtlTextSpec extends SparkTestBase {
     val t0 = System.nanoTime()
     (1 to 3).foreach(_ => pacer.acquire())
     val elapsedMs = (System.nanoTime() - t0) / 1000000L
-    // 3 acquires = 2 paced gaps >= 14 ms (first is free)
-    assert(elapsedMs >= 14L, s"expected >=14ms of pacing, got ${elapsedMs}ms")
+    // 3 acquires = 2 paced gaps of 7 ms (first is free). The pacer's
+    // clock truncates nanoTime to ms, so the real elapsed time can read
+    // up to ~2 ms short of 14 — 12 still proves pacing happened (an
+    // unpaced burst measures ~0 ms)
+    assert(elapsedMs >= 12L, s"expected >=12ms of pacing, got ${elapsedMs}ms")
   }
 
   test("configValue precedence: SparkConf beats env beats default") {
