@@ -249,6 +249,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => SimOps.dedupNgramJaccard(documents(s, d))),
     "dedup_embedding" -> ((s, d) => SimOps.dedupEmbedding(embeddings(s, d))),
     "sim_ivf" -> ((s, d) => SimOps.simIvf(embeddings(s, d))),
+    "sim_ivf_recall" -> ((s, d) => SimOps.simIvfRecall(embeddings(s, d))),
     "sim_ivf_kmeans" -> ((s, d) => SimOps.simIvfKmeans(embeddings(s, d))),
     "sink_ann_index" -> ((s, d) => SimOps.sinkAnnIndex(s, d)),
     "sim_kmeans" -> ((s, d) => SimOps.simKmeans(embeddings(s, d))),
@@ -268,6 +269,28 @@ object SparkEntry {
     "sim_radius" -> ((s, d) => SimOps.simRadius(embeddings(s, d))),
     "dedup_substring" -> ((s, d) => LlmOps.dedupSubstring(documents(s, d))),
   )
+
+  /** The sim_ivf ranking in DuckDB — shared verbatim by the sim_ivf
+    * entry and the recall audit that wraps it as a CTE.
+    */
+  private val simIvfOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       a AS (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY round(list_dot_product(v, cv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9)
+                 DESC, cid) AS rn
+             FROM e CROSS JOIN c),
+       asn AS (SELECT vec_id, v, cid AS cell FROM a WHERE rn = 1),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       p AS (SELECT cid AS cell FROM c CROSS JOIN q
+             ORDER BY round(list_dot_product(cv, qv) /
+               (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 9)
+               DESC, cid LIMIT 4)
+       SELECT vec_id, round(list_dot_product(v, qv) /
+         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+       FROM asn JOIN p USING(cell) CROSS JOIN q
+       ORDER BY cos DESC, vec_id LIMIT 10"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2117,24 +2140,25 @@ object SparkEntry {
     // the same integer), so the persisted-index serving path answers
     // with the same rows as the in-query learned IVF
     "sink_ann_index" -> ivfKmeansOracleSql(16, 3, 64),
-    "sim_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-         a AS (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
-                 ORDER BY round(list_dot_product(v, cv) /
-                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9)
-                   DESC, cid) AS rn
-               FROM e CROSS JOIN c),
-         asn AS (SELECT vec_id, v, cid AS cell FROM a WHERE rn = 1),
+    "sim_ivf" -> simIvfOracleSql,
+    // recall@k compares IDENTITY sets: approx = the sim_ivf oracle as a
+    // CTE verbatim, exact = brute force with the same rounded-cosine
+    // tie-break; the audit rides entirely on already-proven rankings
+    "sim_ivf_recall" ->
+      s"""WITH approx AS ($simIvfOracleSql),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         p AS (SELECT cid AS cell FROM c CROSS JOIN q
-               ORDER BY round(list_dot_product(cv, qv) /
-                 (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 9)
-                 DESC, cid LIMIT 4)
-         SELECT vec_id, round(list_dot_product(v, qv) /
-           (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
-         FROM asn JOIN p USING(cell) CROSS JOIN q
-         ORDER BY cos DESC, vec_id LIMIT 10""",
+         exact AS (SELECT vec_id FROM e CROSS JOIN q
+           ORDER BY round(list_dot_product(v, qv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 9)
+             DESC, vec_id
+           LIMIT 10)
+         SELECT count(*) AS k_eval,
+           CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS recall
+         FROM exact x LEFT JOIN approx a ON x.vec_id = a.vec_id""",
     "sim_join_bucketed" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          cells AS (SELECT vec_id, v,

@@ -811,6 +811,38 @@ object SimOps {
       .orderBy("probe", "w")
   }
 
+  /** ANN RECALL audit, in-engine — recall@k of the IVF-pruned scan
+    * against the exact brute-force top-k, as a query. At 100 TB an index
+    * rebuild must be validated before it serves traffic, and exporting
+    * vectors to audit offline is exactly the data movement the engine
+    * exists to avoid: both rankings are k-row frames, so the audit costs
+    * two scans (one pruned, one full — run on a query SAMPLE in
+    * production) and a k-row join. Rankings are compared on identity,
+    * not score, so a pruning bug that keeps scores plausible while
+    * swapping neighbors still fails the audit. Ties at the k-th position
+    * are broken in rounded-cosine space by vec_id — the registry's
+    * standard determinism trick, identical in the oracle.
+    */
+  def simIvfRecall(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val dot = LlmOps.dot _
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val cos = dot(col("v"), col("qv")) /
+      (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv"))))
+    val exact = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cos, 9).as("c9"))
+      .orderBy(desc("c9"), asc("vec_id")).limit(k)
+      .select(col("vec_id"))
+    val approx = simIvf(embeddings).select(col("vec_id")).withColumn("hit", lit(1L))
+    exact.join(approx, Seq("vec_id"), "left")
+      .agg(
+        count(lit(1)).as("k_eval"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("k_eval"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("k_eval"), 6).as("recall"))
+  }
+
   /** Exact RADIUS similarity search — every vector with dot(q, x) ≥ τ,
     * the threshold form of retrieval a similarity-dedup or recall-audit
     * pass needs (near-dup = "all neighbors within τ", not top-k). Same
