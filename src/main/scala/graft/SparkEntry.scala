@@ -204,6 +204,7 @@ object SparkEntry {
     "sink_raw_append" -> ((s, d) => EtlOps.sinkRawAppend(s, d)),
     "sink_upsert" -> ((s, d) => EtlOps.sinkUpsert(s, d)),
     "sink_scd2" -> ((s, d) => EtlOps.sinkScd2(s, d)),
+    "sink_cdc_apply" -> ((s, d) => EtlOps.sinkCdcApply(events(s, d))),
     "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
     "sink_incremental" -> ((s, d) => EtlOps.sinkIncremental(s, d)),
     "sink_agg_refresh" -> ((s, d) => EtlOps.sinkAggRefresh(s, d)),
@@ -1468,6 +1469,18 @@ object SparkEntry {
                   FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2))
          SELECT o_orderkey, o_totalprice, load_id FROM u WHERE rn = 1
          ORDER BY o_orderkey""",
+    // latest-op-wins per key; a key whose latest op is DELETE leaves the
+    // materialized state entirely
+    "sink_cdc_apply" ->
+      """WITH log AS (SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op
+           FROM events),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+               FROM log)
+         SELECT user_id, round(value, 6) AS value, epoch_us(ts) AS ts_us
+         FROM r WHERE rn = 1 AND op <> 'D'
+         ORDER BY user_id""",
     "sink_scd2" ->
       """WITH l1 AS (SELECT o_orderkey, o_totalprice, 1 AS valid_from
                      FROM orders WHERE o_orderkey % 2 = 0),

@@ -749,6 +749,29 @@ object EtlOps {
     * merge shape that survives 100 TB. Deterministic load ids make this
     * oracle-checkable; swap in the ingestion timestamp for wall-clock use.
     */
+  /** CDC APPLY — materialize current entity state from a keyed change
+    * log carrying the verb `sink_upsert`/`sink_scd2` lack: DELETE. Each
+    * event is a change to its user's state (purchase closes the session
+    * entity → D; anything else upserts → U); latest-op-wins per key by
+    * (ts, event_id), and a key whose latest op is D leaves the state
+    * entirely — the MERGE WHEN MATCHED THEN DELETE contract a change-
+    * data feed needs. ONE shuffle on the natural key (the same
+    * single-window shape as sink_upsert); at 100 TB the log is the
+    * small delta side and the window runs per key, never per table.
+    */
+  def sinkCdcApply(events: DataFrame): DataFrame = {
+    val log = events.select(
+      col("user_id"), col("ts"), col("event_id"), col("value"),
+      when(col("event_type") === "purchase", lit("D")).otherwise(lit("U")).as("op"))
+    val latest = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    log
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("user_id"), round(col("value"), 6).as("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy("user_id")
+  }
+
   def sinkUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val load1 = orders.filter(col("o_orderkey") % 2 === 0)
