@@ -170,6 +170,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => LlmOps.dedupExact(documents(s, d))),
     "dedup_paragraph" -> ((s, d) => LlmOps.dedupParagraph(documents(s, d))),
     "dedup_near" -> ((s, d) => LlmOps.dedupNear(documents(s, d))),
+    "dedup_near_pruned" -> ((s, d) => LlmOps.dedupNearPruned(documents(s, d))),
     "dedup_clusters" -> ((s, d) => LlmOps.dedupClusters(documents(s, d))),
     "dedup_normalized" -> ((s, d) => LlmOps.dedupNormalized(documents(s, d))),
     "sim_topk" -> ((s, d) => LlmOps.simTopk(embeddings(s, d))),
@@ -198,6 +199,7 @@ object SparkEntry {
     "source_api_retry" -> ((s, d) => EtlOps.sourceApiRetry(s, d)),
     "source_api_v2" -> ((s, d) => EtlOps.sourceApiV2(s, d)),
     "source_env_config" -> ((s, d) => EtlOps.sourceConfigured(s, d)),
+    "source_api_auth" -> ((s, d) => EtlOps.sourceApiAuth(s, d)),
     "scan_json_corrupt" -> ((s, d) => EtlOps.scanJsonCorrupt(s, d)),
     "scan_csv_malformed" -> ((s, d) => EtlOps.scanCsvMalformed(s, d)),
     "scan_merge_schema" -> ((s, d) => EtlOps.scanMergeSchema(s, d)),
@@ -205,6 +207,8 @@ object SparkEntry {
     "sink_upsert" -> ((s, d) => EtlOps.sinkUpsert(s, d)),
     "sink_scd2" -> ((s, d) => EtlOps.sinkScd2(s, d)),
     "sink_cdc_apply" -> ((s, d) => EtlOps.sinkCdcApply(events(s, d))),
+    "sink_doc_shape" -> ((s, d) => EtlOps.sinkDocShape(s, d)),
+    "sql_merge_into" -> ((s, d) => EtlOps.sqlMergeInto(s, d)),
     "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
     "sink_incremental" -> ((s, d) => EtlOps.sinkIncremental(s, d)),
     "sink_agg_refresh" -> ((s, d) => EtlOps.sinkAggRefresh(s, d)),
@@ -540,7 +544,13 @@ object SparkEntry {
          FROM events p WHERE p.event_type = 'purchase'
          ORDER BY purchase_id""",
     // nearest = closer of the backward (ts <= p.ts) and strictly-forward
-    // candidates; backward wins ties and same-instant clicks are backward
+    // candidates; backward wins ties and same-instant clicks are backward.
+    // arg_max/arg_min order by the composite (ts, event_id) — not ts
+    // alone — so two clicks at the same instant resolve to the same event
+    // the Spark side's deterministic (ts, side, event_id) sort picks.
+    // Encoded as one HUGEINT key (epoch_us * 2^32 + event_id, exact while
+    // event_id < 2^32) because the pinned DuckDB 1.0.0 has no
+    // struct-ordered arg_max
     "join_asof_nearest" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
                     WHERE event_type = 'purchase'),
@@ -549,13 +559,17 @@ object SparkEntry {
                  (SELECT epoch_us(max(c.ts)) FROM events c
                   WHERE c.event_type = 'click' AND c.user_id = p.user_id
                     AND c.ts <= p.ts) AS b_ts,
-                 (SELECT arg_max(c.event_id, c.ts) FROM events c
+                 (SELECT arg_max(c.event_id,
+                         epoch_us(c.ts)::HUGEINT * 4294967296 + c.event_id)
+                  FROM events c
                   WHERE c.event_type = 'click' AND c.user_id = p.user_id
                     AND c.ts <= p.ts) AS b_id,
                  (SELECT epoch_us(min(c.ts)) FROM events c
                   WHERE c.event_type = 'click' AND c.user_id = p.user_id
                     AND c.ts > p.ts) AS f_ts,
-                 (SELECT arg_min(c.event_id, c.ts) FROM events c
+                 (SELECT arg_min(c.event_id,
+                         epoch_us(c.ts)::HUGEINT * 4294967296 + c.event_id)
+                  FROM events c
                   WHERE c.event_type = 'click' AND c.user_id = p.user_id
                     AND c.ts > p.ts) AS f_id
                FROM p)
@@ -1023,12 +1037,14 @@ object SparkEntry {
          least(l_discount, l_tax) AS min_rate,
          CAST(l_quantity % 7 AS INT) AS qty_mod
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
-    // DuckDB's `/` returns NULL on a zero divisor — exactly try_divide's
-    // contract, so the oracle is plain arithmetic
+    // nullif makes the zero-divisor NULL explicitly, so the oracle
+    // states try_divide's contract independent of DuckDB's float-division
+    // semantics (>=1.1 defaults ieee_floating_point_ops=true, where a
+    // DOUBLE x/0.0 would return inf instead of NULL)
     "fn_try" ->
       """SELECT l_orderkey, l_linenumber,
-         round(l_extendedprice / (l_quantity % 7), 6) AS price_per_mod,
-         l_quantity / (l_discount - l_discount) AS always_null,
+         round(l_extendedprice / nullif(l_quantity % 7, 0), 6) AS price_per_mod,
+         l_quantity / nullif(l_discount - l_discount, 0) AS always_null,
          round(l_extendedprice + l_tax, 6) AS sum_ok,
          round(l_extendedprice * 0.5, 6) AS half_price
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
@@ -1091,6 +1107,13 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
     "dedup_near" ->
+      s"""$nearDupCte
+         SELECT doc_a, doc_b, round(jac, 6) AS jac FROM j
+         WHERE round(jac, 6) >= 0.6 ORDER BY doc_a, doc_b""",
+    // same oracle as dedup_near by construction: the pruned form changes
+    // DAG economics (kernel materialized once, verify narrowed to
+    // candidates), never the result
+    "dedup_near_pruned" ->
       s"""$nearDupCte
          SELECT doc_a, doc_b, round(jac, 6) AS jac FROM j
          WHERE round(jac, 6) >= 0.6 ORDER BY doc_a, doc_b""",
@@ -1438,6 +1461,12 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
          min(event_id) AS min_id, max(event_id) AS max_id
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // same shape once more: authentication must be invisible in the data
+    // (the token gates ACCESS, it never alters content)
+    "source_api_auth" ->
+      """SELECT event_type, count(*) AS n,
+         min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "scan_json_corrupt" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
            CAST(n_regionkey AS BIGINT) AS n_regionkey,
@@ -1481,6 +1510,42 @@ object SparkEntry {
          SELECT user_id, round(value, 6) AS value, epoch_us(ts) AS ts_us
          FROM r WHERE rn = 1 AND op <> 'D'
          ORDER BY user_id""",
+    // MERGE three-way split: target-only rows survive as-is, matched rows
+    // update (or DELETE behind the price guard), source-only rows insert
+    "sql_merge_into" ->
+      """WITH t AS (SELECT o_orderkey, round(o_totalprice, 2) AS price,
+                      1 AS load_id
+                    FROM orders WHERE o_orderkey % 2 = 0),
+            s AS (SELECT o_orderkey, round(o_totalprice + 1000.0, 2) AS price,
+                      2 AS load_id
+                    FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT t.o_orderkey, t.price, t.load_id FROM t
+           LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+           WHERE s.o_orderkey IS NULL
+         UNION ALL
+         SELECT t.o_orderkey, s.price, s.load_id FROM t
+           JOIN s ON t.o_orderkey = s.o_orderkey
+           WHERE s.price <= 400000.0
+         UNION ALL
+         SELECT s.o_orderkey, s.price, s.load_id FROM s
+           LEFT JOIN t ON s.o_orderkey = t.o_orderkey
+           WHERE t.o_orderkey IS NULL
+         ORDER BY o_orderkey""",
+    // the document export must reproduce every BSON-ish document
+    // byte-for-byte: struct_pack preserves field order, to_json emits the
+    // same compact form Spark's to_json does, amounts are integer cents
+    // (float formatting is engine-specific, integers are not)
+    "sink_doc_shape" ->
+      """SELECT 'order-' || CAST(o_orderkey AS VARCHAR) AS _id,
+         CAST(to_json(struct_pack(
+           key := o_orderkey,
+           status := o_orderstatus,
+           detail := struct_pack(
+             amount_cents := CAST(round(o_totalprice * 100) AS BIGINT),
+             placed := strftime(o_orderdate, '%Y-%m-%d')),
+           customer_id := o_custkey)) AS VARCHAR) AS doc_json,
+         TIMESTAMP '2024-06-01 00:00:00' AS ingested_at
+         FROM orders ORDER BY _id""",
     "sink_scd2" ->
       """WITH l1 AS (SELECT o_orderkey, o_totalprice, 1 AS valid_from
                      FROM orders WHERE o_orderkey % 2 = 0),

@@ -85,9 +85,25 @@ object LlmOps {
   def dedupNear(documents: DataFrame): DataFrame =
     dedupNearCapped(documents, LshMaxBucket, None)
 
+  /** The 100 TB form of [[dedupNear]] — identical semantics (spec-pinned
+    * identity; same oracle), different DAG economics. The recompute form
+    * re-evaluates the shingle kernel once per DAG branch (bands + both
+    * verify sides) — cheapest at bench scale, where the sets are
+    * document-sized and re-hashing beats extra exchanges (BASELINE.md
+    * round-5 measurement). At corpus scale those re-runs dominate, so the
+    * pruned form (a) MATERIALIZES the kernel output once
+    * (localCheckpoint here; a persisted signature table in production)
+    * and (b) PRUNES the verify stage to candidate docs only: the
+    * candidate-pair id set (collision-bounded, tiny) broadcast-semi-joins
+    * the shingle table map-side, so the verify shuffle carries only
+    * candidates' sets — not the whole corpus — on each side.
+    */
+  def dedupNearPruned(documents: DataFrame): DataFrame =
+    dedupNearCapped(documents, LshMaxBucket, None, pruned = true)
+
   private[graft] def dedupNearCapped(
       documents: DataFrame, maxBucket: Int,
-      overflow: Option[Observation]): DataFrame = {
+      overflow: Option[Observation], pruned: Boolean = false): DataFrame = {
     graft.plans.MinHashSig.register(documents.sparkSession)
     graft.plans.TextKernels.register(documents.sparkSession)
     // Signature computation is CPU-bound (32 md5 minhashes per doc) and the
@@ -98,7 +114,10 @@ object LlmOps {
     // collapse it to one task and serialize all the hashing.
     val spread = documents.select(col("doc_id"), col("text"))
       .repartition(documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-    val withSh = spread.select(col("doc_id"), shingleSet(col("text")).as("sh"))
+    val shingled = spread.select(col("doc_id"), shingleSet(col("text")).as("sh"))
+    // pruned mode: run the shingle kernel exactly ONCE and reuse the
+    // materialized (doc_id, sh) table from every downstream branch
+    val withSh = if (pruned) shingled.localCheckpoint(eager = false) else shingled
     val withSig = withSh.withColumn("mh", minhashSig(col("sh")))
     val bands = withSig.select(
       col("doc_id"),
@@ -126,15 +145,27 @@ object LlmOps {
         .as("overflowed_buckets"),
       max(size(col("ids"))).as("max_bucket_size")))
     val members = audited.filter(size(col("ids")) <= maxBucket)
-    val cand = members
+    val candAll = members
       .select(explode(
         flatten(transform(col("ids"), (x, i) =>
           transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
             struct(x.as("doc_a"), y.as("doc_b")))))).as("pair"))
       .select(col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"))
       .distinct()
-    val sa = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val sb = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    // pruned mode: materialize the pair set (it feeds three consumers —
+    // the verify join and both id-prune sides) and narrow the verify
+    // inputs to candidate docs via a broadcast semi-join, so only
+    // candidates' shingle sets ride the verify shuffle
+    val cand = if (pruned) candAll.localCheckpoint(eager = false) else candAll
+    val verifySrc =
+      if (pruned) {
+        val candIds = cand
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+        withSh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      } else withSh
+    val sa = verifySrc.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = verifySrc.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val jac = inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter)
     cand

@@ -1,0 +1,250 @@
+package graft.plans
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** An in-memory DataSource V2 catalog whose tables support ROW-LEVEL
+  * operations — the interface (`SupportsRowLevelOperations`) that unlocks
+  * Spark's native `MERGE INTO` statement (README.md:28 "updates", the
+  * textual form of the upsert family: `sink_upsert`/`sink_cdc_apply`
+  * implement the same semantics as windows).
+  *
+  * Spark's built-in file sources cannot MERGE; the analyzer's
+  * `RewriteMergeIntoTable` rule requires a v2 table that declares how its
+  * rows are replaced. This catalog implements the GROUP-BASED contract
+  * (the one Iceberg/Delta's copy-on-write mode uses): the operation's
+  * scan reads the affected row groups, Spark computes the merged output
+  * (surviving rows + updates + inserts — one join, fully distributed),
+  * and the operation's write REPLACES those groups atomically on commit.
+  * Here the whole table is one group, so commit swaps the table contents.
+  *
+  * Scale shape: the distributed part of MERGE — the target↔source join
+  * and the merged-row computation — is Spark's own plan, identical to
+  * what it produces for Iceberg at any scale; executors stream rows
+  * through reader/writer factories, never through the driver's query
+  * path. What is deliberately simplified is the COMMIT PAYLOAD: writers
+  * hand row buffers to the driver where a production catalog hands file
+  * handles, and groups are whole-table where a production catalog tracks
+  * per-file groups (`requiredMetadataAttributes` = _file + runtime group
+  * filtering). The MERGE surface, rewrite, and plan shape — the parts
+  * this entry pins — are the production ones.
+  */
+class MergeableCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graftcat"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    MergeableCatalog.tables.keySet().asScala
+      .filter(_.namespace().sameElements(namespace)).toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = MergeableCatalog.tables.get(ident)
+    if (t == null) throw new NoSuchTableException(ident)
+    t
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (MergeableCatalog.tables.containsKey(ident))
+      throw new TableAlreadyExistsException(ident)
+    val t = new MergeableMemTable(ident.toString, schema)
+    MergeableCatalog.tables.put(ident, t)
+    t
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    MergeableCatalog.tables.remove(ident) != null
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val t = MergeableCatalog.tables.remove(oldIdent)
+    if (t == null) throw new NoSuchTableException(oldIdent)
+    MergeableCatalog.tables.put(newIdent, t)
+  }
+
+  // Namespaces are accepted permissively: this catalog's contract is the
+  // row-level-operation machinery, not namespace lifecycle.
+  override def listNamespaces(): Array[Array[String]] =
+    MergeableCatalog.tables.keySet().asScala.map(_.namespace().toSeq).toSet
+      .map((ns: Seq[String]) => ns.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    Array.empty
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    util.Collections.emptyMap()
+
+  override def namespaceExists(namespace: Array[String]): Boolean = true
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = ()
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new NoSuchNamespaceException(namespace)
+}
+
+object MergeableCatalog {
+  // one table store per JVM: every session (and every executor thread in
+  // local mode) sees the same committed state, like a shared metastore
+  private val tables = new ConcurrentHashMap[Identifier, MergeableMemTable]()
+}
+
+/** The v2 table: batch-readable, batch-writable (append + truncate), and
+  * row-level-operable. Committed rows live in one immutable array swapped
+  * atomically on commit — readers snapshot it at scan-build time, so a
+  * MERGE's scan and its replacing write see a consistent version.
+  */
+class MergeableMemTable(tableName: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+
+  @volatile private var committed: Array[InternalRow] = Array.empty
+
+  private[plans] def currentRows: Array[InternalRow] = committed
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new MemScan(tableSchema, committed)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new MemWriteBuilder(this, replaceAll = false, rowLevel = false)
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new RowLevelOperation {
+      override def command(): RowLevelOperation.Command = info.command()
+      // the operation's scan defines the GROUPS the write replaces; one
+      // group = the whole table, so no metadata attributes are needed
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        () => new MemScan(tableSchema, committed)
+      override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
+        new MemWriteBuilder(MergeableMemTable.this, replaceAll = true,
+          rowLevel = true)
+    }
+
+  private[plans] def commitRows(rows: Array[InternalRow], replaceAll: Boolean): Unit =
+    synchronized {
+      committed = if (replaceAll) rows else committed ++ rows
+    }
+}
+
+/** Scan over a snapshot: rows split into up to 4 input partitions so the
+  * read side exercises the normal parallel reader path, not a single task.
+  */
+private final class MemScan(schema: StructType, snapshot: Array[InternalRow])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.min(4, math.max(1, snapshot.length))
+    (0 until n).map(i => MemPartition(
+      snapshot.zipWithIndex.collect { case (r, j) if j % n == i => r })
+    ).toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val rows = partition.asInstanceOf[MemPartition].rows
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
+        override def get(): InternalRow = rows(i)
+        override def close(): Unit = ()
+      }
+    }
+}
+
+private final case class MemPartition(rows: Array[InternalRow]) extends InputPartition
+
+/** Append by default; `truncate()` (INSERT OVERWRITE) and the row-level
+  * replace path both flip to replace-on-commit.
+  */
+private final class MemWriteBuilder(
+    table: MergeableMemTable, replaceAll: Boolean, rowLevel: Boolean)
+    extends WriteBuilder with SupportsTruncate {
+  private var replace = replaceAll
+  override def truncate(): WriteBuilder = { replace = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new MemBatchWrite(table, table.schema(), replace, rowLevel)
+  }
+}
+
+/** Executors buffer their rows and hand them back as commit messages; the
+  * driver-side commit swaps (or extends) the table contents atomically —
+  * the standard DSv2 commit protocol, with row buffers standing in for
+  * the file handles a storage-backed catalog would carry.
+  *
+  * Row-level writes arrive OP-PREFIXED: `ReplaceDataExec` only applies
+  * its op-stripping projection when the operation declares
+  * `requiredMetadataAttributes` (its `writingTask` falls back to the
+  * plain task otherwise — WriteToDataSourceV2Exec.scala in Spark 4.1),
+  * so a metadata-free connector receives MergeRows' raw
+  * `[__row_operation, cols...]` layout. The writer strips the leading
+  * operation column itself (all surviving group-based rows are
+  * WRITE/WRITE_WITH_METADATA; DELETE rows are skipped defensively).
+  */
+private final class MemBatchWrite(
+    table: MergeableMemTable, schema: StructType,
+    replaceAll: Boolean, rowLevel: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    MemWriterFactory(schema, rowLevel)
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    table.commitRows(
+      messages.flatMap(_.asInstanceOf[MemWriteMessage].rows), replaceAll)
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private final case class MemWriterFactory(schema: StructType, rowLevel: Boolean)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+      private val n = schema.length
+      // projects [op, c0..cn-1] -> [c0..cn-1]; built lazily so plain
+      // appends (rows already in table layout) never pay for it
+      private lazy val stripOp = UnsafeProjection.create(
+        schema.fields.zipWithIndex.map { case (f, i) =>
+          BoundReference(i + 1, f.dataType, nullable = true)
+        }.toIndexedSeq)
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      override def write(record: InternalRow): Unit =
+        if (rowLevel && record.numFields == n + 1) {
+          if (record.getInt(0) != 1) buf += stripOp(record).copy() // 1 = DELETE
+        } else buf += record.copy()
+      override def commit(): WriterCommitMessage = MemWriteMessage(buf.toArray)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+}
+
+private final case class MemWriteMessage(rows: Array[InternalRow])
+    extends WriterCommitMessage

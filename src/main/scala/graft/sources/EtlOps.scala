@@ -412,6 +412,88 @@ object EtlOps {
       .orderBy("event_type")
   }
 
+  /** AUTHENTICATED paginated source (README.md:11 "authentication", :21
+    * "secure token/headers", :88–92 credentials in a local `.env`): the
+    * API token is PROVISIONED into a dotenv file — never code — resolved
+    * once at plan-build time through the standard config chain
+    * (`configValue`: conf → env → dotenv), and attached to every page
+    * request as an `Authorization: Bearer` header. The simulated endpoint
+    * rejects any request whose header doesn't carry the provisioned
+    * secret (401) — the unauthenticated path CANNOT reach data, which is
+    * the property the reference mandates. Auth must be invisible in the
+    * DATA: oracle = the un-paginated original (the `source_env_config`
+    * precedent); the rejected-without-token / rejected-with-wrong-token
+    * behavior is pinned in EtlTextSpec via the injectable header.
+    * At 100 TB the shape is unchanged: credential resolution is one
+    * driver-side lookup before the page loop; the secret never enters a
+    * task closure or the data path.
+    */
+  def sourceApiAuth(spark: SparkSession, sfDir: String): DataFrame =
+    sourceApiAuthWith(spark, sfDir)
+
+  private[graft] def sourceApiAuthWith(
+      spark: SparkSession, sfDir: String,
+      headerFor: String => Option[String] = tok => Some(s"Bearer $tok"))
+      : DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val pagesDir = freshDir(sfDir, "api_pages_auth")
+    val nPages = 5
+    events
+      .withColumn("page", pmod(col("event_id"), lit(nPages)))
+      .write.mode(SaveMode.Overwrite).partitionBy("page").json(pagesDir.toString)
+
+    // Credential provisioning (README.md:88–92): the deploy drops the
+    // secret into a dotenv file; deterministic per sfDir so the entry is
+    // reproducible run-over-run.
+    val secret = "graft-" + java.lang.Integer.toHexString(sfDir.hashCode) + "-token"
+    val envFile = freshDir(sfDir, "api_auth_env").resolve("auth.env")
+    Files.writeString(envFile,
+      s"# provisioned by the deployment, never committed\nGRAFT_API_TOKEN=$secret\n")
+
+    // Resolve through the standard chain, pointed at the provisioned
+    // file. Process-level GRAFT_API_TOKEN / GRAFT_ENV_FILE are excluded:
+    // this entry demonstrates the dotenv leg deterministically, and a
+    // stray token in the harness environment must not shadow it.
+    val prevEnvFile = spark.conf.getOption("spark.graft.env.file")
+    val token =
+      try {
+        spark.conf.set("spark.graft.env.file", envFile.toString)
+        configValue(spark, "api.token",
+          sys.error("GRAFT_API_TOKEN is not provisioned"),
+          env = sys.env -- Seq("GRAFT_API_TOKEN", "GRAFT_ENV_FILE"))
+      } finally {
+        prevEnvFile match {
+          case Some(v) => spark.conf.set("spark.graft.env.file", v)
+          case None    => spark.conf.unset("spark.graft.env.file")
+        }
+      }
+
+    // The simulated endpoint: a page is served ONLY to a request bearing
+    // the provisioned secret; anything else is a 401 before any read.
+    def fetchPage(p: Int, authorization: Option[String]): DataFrame = {
+      if (!authorization.contains(s"Bearer $secret"))
+        throw new RuntimeException(
+          s"simulated 401 Unauthorized on page $p: missing or invalid Authorization header")
+      spark.read.json(s"$pagesDir/page=$p")
+    }
+
+    val pacer = new RatePacer(minIntervalMs = 5L)
+    val pages = (0 until nPages).map { p =>
+      pacer.acquire()
+      fetchPage(p, headerFor(token))
+    }
+    pages
+      .reduce(_ unionByName _)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
   /** `.env`-style configuration resolution (README.md:16–17, 88–92): the
     * reference mandates connector settings (endpoint, page count, target
     * collection) come from environment configuration, never from code —
@@ -718,6 +800,47 @@ object EtlOps {
       .withColumn("compacted", lit(files <= 4))
   }
 
+  /** DOCUMENT-shaped export (README.md:22 "MongoDB compatibility", :98–99
+    * collection shape): re-nest the flat raw table into the BSON-ish
+    * document a collection stores — a natural `_id`, the payload as a
+    * NESTED struct (with a sub-document), and the ingestion timestamp as
+    * a TYPED field, not a string. The nesting happens declaratively
+    * (`struct(...)` — one map-side projection, no shuffle) and the sink
+    * is columnar parquet of the nested schema; `format("mongodb")` via
+    * the connector would consume the identical frame (the wire connector
+    * is documented-unavailable offline). The audit reads the STORED
+    * collection back and serializes each document with `to_json`, so the
+    * oracle (DuckDB struct_pack → to_json) must reproduce every document
+    * byte-for-byte — field order, nesting, and types all survive.
+    * Amounts ride as integer cents inside the JSON (float formatting is
+    * engine-specific; integers are not). The load stamp is a
+    * deterministic literal so the entry is oracle-checkable — swap in
+    * `current_timestamp()` for wall-clock use (the sink_upsert
+    * precedent). At 100 TB: pure map-side reshaping, the writer stays
+    * fully distributed, and `_id` is the natural key so a downstream
+    * upsert shuffles once on it.
+    */
+  def sinkDocShape(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "orders_docs").toString
+    val docs = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(
+        concat(lit("order-"), col("o_orderkey").cast("string")).as("_id"),
+        struct(
+          col("o_orderkey").as("key"),
+          col("o_orderstatus").as("status"),
+          struct(
+            round(col("o_totalprice") * 100).cast("long").as("amount_cents"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("placed")
+          ).as("detail"),
+          col("o_custkey").as("customer_id")
+        ).as("doc"),
+        lit("2024-06-01 00:00:00").cast("timestamp").as("ingested_at"))
+    docs.write.mode(SaveMode.Overwrite).parquet(dir)
+    spark.read.parquet(dir)
+      .select(col("_id"), to_json(col("doc")).as("doc_json"), col("ingested_at"))
+      .orderBy("_id")
+  }
+
   /** SCD2 history sink: instead of latest-wins (sinkUpsert), KEEP every
     * version — each (key, load) becomes a row with `valid_from` = its
     * load, `valid_to` = the next load that changed it (null while
@@ -770,6 +893,45 @@ object EtlOps {
       .select(col("user_id"), round(col("value"), 6).as("value"),
         unix_micros(col("ts")).as("ts_us"))
       .orderBy("user_id")
+  }
+
+  /** SQL `MERGE INTO` — the statement form of the upsert family
+    * (README.md:28 "updates"): seed a v2 catalog table with load 1, then
+    * merge load 2 with all three verbs in one statement — UPDATE on
+    * match, DELETE on a matched high-price guard, INSERT on no-match.
+    * Runs through Spark's native MERGE machinery (`RewriteMergeIntoTable`
+    * → group-based ReplaceData) against `graft.plans.MergeableCatalog`,
+    * the in-JVM v2 catalog implementing `SupportsRowLevelOperations` —
+    * the same interface and plan Iceberg/Delta use, so this entry pins
+    * the surface a warehouse user actually types. The merged result is
+    * deterministic (load ids, fixed guard), so the oracle replays the
+    * same three-way split relationally.
+    */
+  def sqlMergeInto(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
+    val target = "graftcat.etl.orders_state"
+    spark.sql(s"DROP TABLE IF EXISTS $target")
+    spark.sql(
+      s"CREATE TABLE $target (o_orderkey BIGINT, price DOUBLE, load_id INT)")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        lit(1).as("load_id"))
+      .writeTo(target).append()
+    orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") + 1000.0, 2).as("price"),
+        lit(2).as("load_id"))
+      .createOrReplaceTempView("graft_merge_src")
+    spark.sql(
+      s"""MERGE INTO $target t
+          USING graft_merge_src s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND s.price > 400000.0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET price = s.price, load_id = s.load_id
+          WHEN NOT MATCHED THEN INSERT (o_orderkey, price, load_id)
+            VALUES (s.o_orderkey, s.price, s.load_id)""")
+    spark.table(target).orderBy("o_orderkey")
   }
 
   def sinkUpsert(spark: SparkSession, sfDir: String): DataFrame = {

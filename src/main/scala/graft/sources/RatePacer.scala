@@ -26,10 +26,17 @@ final class RatePacer(
   // next time a request may be issued; MinValue = no request seen yet
   private var nextAllowed: Long = Long.MinValue
 
+  // slots granted so far — observable, so specs can assert that a code
+  // path (e.g. a DSv2 reader open) really went through this bucket
+  // without resorting to wall-clock timing
+  private val granted = new java.util.concurrent.atomic.AtomicLong(0L)
+  def acquireCount: Long = granted.get()
+
   /** Block (via `sleeper`) until a request slot is available, then consume
     * it. Thread-safe: concurrent page readers in one JVM serialize here.
     */
   def acquire(): Unit = synchronized {
+    granted.incrementAndGet()
     val now = clock()
     if (nextAllowed != Long.MinValue && now < nextAllowed) {
       sleeper(nextAllowed - now)

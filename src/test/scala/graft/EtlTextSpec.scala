@@ -66,19 +66,102 @@ class EtlTextSpec extends SparkTestBase {
     assert(now === 350L)            // issued exactly 100 ms after the t=250 request
   }
 
-  test("sourceApiV2 pacing: page reader opens are spaced by paceMs") {
-    // the executor-side pacer is JVM-global per interval; use a distinct
-    // interval so other suites can't share (and pre-warm) this bucket
+  test("RatePacer.forInterval registry shares exactly one bucket per interval") {
     val pacer = graft.sources.RatePacer.forInterval(7L)
-    assert(pacer eq graft.sources.RatePacer.forInterval(7L), "registry must share one bucket per interval")
-    val t0 = System.nanoTime()
-    (1 to 3).foreach(_ => pacer.acquire())
-    val elapsedMs = (System.nanoTime() - t0) / 1000000L
-    // 3 acquires = 2 paced gaps of 7 ms (first is free). The pacer's
-    // clock truncates nanoTime to ms, so the real elapsed time can read
-    // up to ~2 ms short of 14 — 12 still proves pacing happened (an
-    // unpaced burst measures ~0 ms)
-    assert(elapsedMs >= 12L, s"expected >=12ms of pacing, got ${elapsedMs}ms")
+    assert(pacer eq graft.sources.RatePacer.forInterval(7L),
+      "registry must share one bucket per interval")
+    assert(!(pacer eq graft.sources.RatePacer.forInterval(8L)),
+      "distinct intervals must get distinct buckets")
+  }
+
+  test("PagedJsonSource pacing: every DSv2 reader open acquires from the paceMs bucket") {
+    // drives the REAL plumbing — option("paceMs") -> PageReaderFactory
+    // .createReader -> RatePacer.forInterval(...).acquire() — and asserts
+    // via the bucket's acquire counter, not wall-clock (no flake surface).
+    // interval 13 is unique to this test so no other suite shares the
+    // bucket; local-mode executors are in-JVM, so the registry is visible.
+    val dir = java.nio.file.Files.createTempDirectory("graft_paced_pages")
+    Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L), (4L, "d", 4L), (5L, "e", 0L))
+      .toDF("event_id", "event_type", "user_id")
+      .withColumn("page", pmod(col("event_id"), lit(5)))
+      .write.mode("overwrite").partitionBy("page").json(dir.toString)
+    val pacer = graft.sources.RatePacer.forInterval(13L)
+    val before = pacer.acquireCount
+    val n = spark.read.format("graft.sources.PagedJsonSource")
+      .option("pages", "5").option("paceMs", "13")
+      .load(dir.toString)
+      .count()
+    assert(n === 5)
+    assert(pacer.acquireCount - before === 5L,
+      "each of the 5 page reader opens must take a slot from the shared 13ms bucket")
+  }
+
+  test("source_api_auth: provisioned token passes; missing or wrong token is 401-rejected") {
+    val sfDir = sf0001
+    // happy path: token resolved from the provisioned dotenv file equals
+    // the plain un-paginated read — auth is invisible in the data
+    val authed = EtlOps.sourceApiAuth(spark, sfDir).collect()
+    val plain = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy("event_type").collect()
+    assert(authed.toSeq === plain.toSeq)
+    // no Authorization header at all -> 401 before any data is served
+    val noHeader = intercept[RuntimeException] {
+      EtlOps.sourceApiAuthWith(spark, sfDir, headerFor = _ => None)
+    }
+    assert(noHeader.getMessage.contains("401"))
+    // header present but wrong secret -> same rejection
+    val badToken = intercept[RuntimeException] {
+      EtlOps.sourceApiAuthWith(spark, sfDir, headerFor = _ => Some("Bearer wrong-token"))
+    }
+    assert(badToken.getMessage.contains("401"))
+  }
+
+  test("sql_merge_into: all three MERGE verbs apply; plan is group-based ReplaceData") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
+    spark.sql("DROP TABLE IF EXISTS graftcat.spec.t")
+    spark.sql("CREATE TABLE graftcat.spec.t (k BIGINT, v DOUBLE, load_id INT)")
+    Seq((1L, 10.0, 1), (2L, 20.0, 1), (3L, 500000.0, 1))
+      .toDF("k", "v", "load_id").writeTo("graftcat.spec.t").append()
+    Seq((2L, 999.0, 2), (3L, 500001.0, 2), (4L, 40.0, 2))
+      .toDF("k", "v", "load_id").createOrReplaceTempView("spec_merge_src")
+    val stmt =
+      """MERGE INTO graftcat.spec.t t
+         USING spec_merge_src s
+         ON t.k = s.k
+         WHEN MATCHED AND s.v > 400000.0 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET v = s.v, load_id = s.load_id
+         WHEN NOT MATCHED THEN INSERT (k, v, load_id) VALUES (s.k, s.v, s.load_id)"""
+    // plan pin BEFORE executing: the rewrite must produce the group-based
+    // row-level plan (ReplaceData over the v2 table), not a fallback.
+    // `.analyzed` only — optimizedPlan/executedPlan EXECUTE commands
+    // eagerly (QueryExecution.commandExecuted), and MERGE isn't idempotent
+    val analyzed = spark.sessionState
+      .executePlan(spark.sessionState.sqlParser.parsePlan(stmt))
+      .analyzed.toString
+    assert(analyzed.contains("ReplaceData"),
+      s"expected group-based ReplaceData rewrite, got:\n$analyzed")
+    spark.sql(stmt)
+    val out = spark.table("graftcat.spec.t").orderBy("k")
+      .as[(Long, Double, Int)].collect().toSeq
+    // k=1 untouched (target-only), k=2 updated, k=3 deleted by the
+    // matched guard, k=4 inserted (source-only)
+    assert(out === Seq((1L, 10.0, 1), (2L, 999.0, 2), (4L, 40.0, 2)))
+  }
+
+  test("MergeableCatalog: INSERT appends, read sees committed snapshot, DROP removes") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
+    spark.sql("DROP TABLE IF EXISTS graftcat.spec.lifecycle")
+    spark.sql("CREATE TABLE graftcat.spec.lifecycle (k BIGINT, v STRING)")
+    Seq((1L, "a")).toDF("k", "v").writeTo("graftcat.spec.lifecycle").append()
+    Seq((2L, "b")).toDF("k", "v").writeTo("graftcat.spec.lifecycle").append()
+    val rows = spark.table("graftcat.spec.lifecycle").orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    assert(rows === Seq((1L, "a"), (2L, "b")), "appends must accumulate")
+    spark.sql("DROP TABLE graftcat.spec.lifecycle")
+    assert(!spark.catalog.tableExists("graftcat.spec.lifecycle"))
   }
 
   test("configValue precedence: SparkConf beats env beats default") {

@@ -33,6 +33,23 @@ class LlmSpec extends SparkTestBase {
       s"false positive involving unrelated docs: $pairs")
   }
 
+  test("dedup_near_pruned is result-identical to the recompute form, and prunes the verify join") {
+    // identity on the real corpus: the pruned DAG (materialized kernel +
+    // candidate-narrowed verify) must never change the result
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val recompute = LlmOps.dedupNear(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    val pruned = LlmOps.dedupNearPruned(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pruned === recompute)
+    // the at-scale property: verify inputs are candidate-narrowed via a
+    // broadcast semi-join (visible in the physical plan), so only
+    // candidates' shingle sets ride the verify shuffle
+    val plan = LlmOps.dedupNearPruned(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("Broadcast"),
+      s"expected a broadcast left-semi prune in the verify stage:\n$plan")
+  }
+
   test("dedup_near pairs are ordered (a < b) and unique") {
     val docs = Seq((10L, base), (20L, base), (30L, base)).toDF("doc_id", "text")
     val rows = LlmOps.dedupNear(docs).select("doc_a", "doc_b").as[(Long, Long)].collect()
