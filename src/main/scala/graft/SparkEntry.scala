@@ -209,6 +209,8 @@ object SparkEntry {
     "sink_cdc_apply" -> ((s, d) => EtlOps.sinkCdcApply(events(s, d))),
     "sink_doc_shape" -> ((s, d) => EtlOps.sinkDocShape(s, d)),
     "sql_merge_into" -> ((s, d) => EtlOps.sqlMergeInto(s, d)),
+    "sql_update" -> ((s, d) => EtlOps.sqlUpdate(s, d)),
+    "sql_delete" -> ((s, d) => EtlOps.sqlDelete(s, d)),
     "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
     "sink_incremental" -> ((s, d) => EtlOps.sinkIncremental(s, d)),
     "sink_agg_refresh" -> ((s, d) => EtlOps.sinkAggRefresh(s, d)),
@@ -1530,6 +1532,22 @@ object SparkEntry {
          SELECT s.o_orderkey, s.price, s.load_id FROM s
            LEFT JOIN t ON s.o_orderkey = t.o_orderkey
            WHERE t.o_orderkey IS NULL
+         ORDER BY o_orderkey""",
+    // the statement operates on the even-keyed seed (load 1); the oracle
+    // replays the SET behind the same predicate
+    "sql_update" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0
+                THEN round(o_totalprice, 2) + 1000.0
+                ELSE round(o_totalprice, 2) END AS price,
+           CASE WHEN o_orderkey % 10 = 0 THEN 9 ELSE 1 END AS load_id
+         FROM orders WHERE o_orderkey % 2 = 0
+         ORDER BY o_orderkey""",
+    // predicate delete: only the surviving rows remain
+    "sql_delete" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, 1 AS load_id
+         FROM orders
+         WHERE o_orderkey % 2 = 0 AND round(o_totalprice, 2) <= 400000.0
          ORDER BY o_orderkey""",
     // the document export must reproduce every BSON-ish document
     // byte-for-byte: struct_pack preserves field order, to_json emits the

@@ -908,17 +908,9 @@ object EtlOps {
     * same three-way split relationally.
     */
   def sqlMergeInto(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
-    val target = "graftcat.etl.orders_state"
-    spark.sql(s"DROP TABLE IF EXISTS $target")
-    spark.sql(
-      s"CREATE TABLE $target (o_orderkey BIGINT, price DOUBLE, load_id INT)")
-    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-    orders.filter(col("o_orderkey") % 2 === 0)
-      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
-        lit(1).as("load_id"))
-      .writeTo(target).append()
-    orders.filter(col("o_orderkey") % 3 === 0)
+    val target = seededStateTable(spark, sfDir, "orders_state")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderkey") % 3 === 0)
       .select(col("o_orderkey"),
         round(col("o_totalprice") + 1000.0, 2).as("price"),
         lit(2).as("load_id"))
@@ -932,6 +924,52 @@ object EtlOps {
           WHEN NOT MATCHED THEN INSERT (o_orderkey, price, load_id)
             VALUES (s.o_orderkey, s.price, s.load_id)""")
     spark.table(target).orderBy("o_orderkey")
+  }
+
+  /** SQL `UPDATE` — the single-table statement form (README.md:28):
+    * in-place column rewrite behind a predicate, through Spark's
+    * `RewriteUpdateTable` group-based path over the same v2 catalog as
+    * [[sqlMergeInto]]. The rewrite unions untouched rows with updated
+    * rows and replaces the group — one distributed pass, no per-row RPC.
+    */
+  def sqlUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = seededStateTable(spark, sfDir, "orders_upd")
+    // +1000.0 is exact in binary doubles (a x1.1-style multiplier lands
+    // on half-way products whose rounding differs between engines)
+    spark.sql(
+      s"""UPDATE $target
+          SET price = price + 1000.0, load_id = 9
+          WHERE o_orderkey % 10 = 0""")
+    spark.table(target).orderBy("o_orderkey")
+  }
+
+  /** SQL `DELETE FROM` — the retention/redaction statement (the GDPR
+    * shape a raw store needs): predicate delete through
+    * `RewriteDeleteFromTable`'s group-based path — the kept rows are
+    * re-written, the group is swapped atomically.
+    */
+  def sqlDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = seededStateTable(spark, sfDir, "orders_del")
+    spark.sql(s"DELETE FROM $target WHERE price > 400000.0")
+    spark.table(target).orderBy("o_orderkey")
+  }
+
+  /** Shared seeding for the DML-statement entries: a fresh v2 table
+    * loaded with the even-keyed half of orders at load 1.
+    */
+  private def seededStateTable(
+      spark: SparkSession, sfDir: String, name: String): String = {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
+    val target = s"graftcat.etl.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $target")
+    spark.sql(
+      s"CREATE TABLE $target (o_orderkey BIGINT, price DOUBLE, load_id INT)")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        lit(1).as("load_id"))
+      .writeTo(target).append()
+    target
   }
 
   def sinkUpsert(spark: SparkSession, sfDir: String): DataFrame = {

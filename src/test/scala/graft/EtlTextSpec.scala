@@ -151,6 +151,29 @@ class EtlTextSpec extends SparkTestBase {
     assert(out === Seq((1L, 10.0, 1), (2L, 999.0, 2), (4L, 40.0, 2)))
   }
 
+  test("sql UPDATE and DELETE rewrite group-based over the v2 table and apply exactly") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
+    spark.sql("DROP TABLE IF EXISTS graftcat.spec.dml")
+    spark.sql("CREATE TABLE graftcat.spec.dml (k BIGINT, v DOUBLE)")
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("k", "v").writeTo("graftcat.spec.dml").append()
+    val upd = "UPDATE graftcat.spec.dml SET v = v + 0.5 WHERE k % 2 = 0"
+    val del = "DELETE FROM graftcat.spec.dml WHERE v > 35.0"
+    for (stmt <- Seq(upd, del)) {
+      val analyzed = spark.sessionState
+        .executePlan(spark.sessionState.sqlParser.parsePlan(stmt))
+        .analyzed.toString
+      assert(analyzed.contains("ReplaceData"),
+        s"expected group-based ReplaceData rewrite for: $stmt\n$analyzed")
+    }
+    spark.sql(upd)
+    assert(spark.table("graftcat.spec.dml").orderBy("k").as[(Long, Double)]
+      .collect().toSeq === Seq((1L, 10.0), (2L, 20.5), (3L, 30.0), (4L, 40.5)))
+    spark.sql(del)
+    assert(spark.table("graftcat.spec.dml").orderBy("k").as[(Long, Double)]
+      .collect().toSeq === Seq((1L, 10.0), (2L, 20.5), (3L, 30.0)))
+  }
+
   test("MergeableCatalog: INSERT appends, read sees committed snapshot, DROP removes") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
     spark.sql("DROP TABLE IF EXISTS graftcat.spec.lifecycle")
