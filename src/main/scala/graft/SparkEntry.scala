@@ -233,6 +233,7 @@ object SparkEntry {
     "stream_throttled" -> ((s, d) => StreamOps.streamThrottled(s, d)),
     "stream_recovery" -> ((s, d) => StreamOps.streamRecovery(s, d)),
     "stream_upsert" -> ((s, d) => StreamOps.streamUpsert(s, d)),
+    "stream_merge" -> ((s, d) => StreamOps.streamMerge(s, d)),
     // §2.10 UDF / UDAF / UDTF extension surface
     "udf_scalar" -> ((s, d) => UdfOps.udfScalar(documents(s, d))),
     "udaf_aggregator" -> ((s, d) => UdfOps.udafAggregator(orders(s, d))),
@@ -1711,6 +1712,19 @@ object SparkEntry {
          SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us,
            event_type AS last_type
          FROM r WHERE rn = 1 ORDER BY user_id""",
+    // per-micro-batch MERGE with tombstone retention is associative over
+    // the (ts, event_id) total order, so the final state equals the
+    // whole-log CDC apply — the same oracle as sink_cdc_apply
+    "stream_merge" ->
+      """WITH log AS (SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op
+           FROM events),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+               FROM log)
+         SELECT user_id, round(value, 6) AS value, epoch_us(ts) AS ts_us
+         FROM r WHERE rn = 1 AND op <> 'D'
+         ORDER BY user_id""",
     // §2.10 UDF / UDAF / UDTF
     "udf_scalar" ->
       """SELECT doc_id, source || '/' || lang AS record_key,

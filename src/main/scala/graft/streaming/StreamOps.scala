@@ -413,6 +413,84 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  /** Streaming `MERGE INTO` — each micro-batch issues the real SQL MERGE
+    * statement against the row-level v2 catalog (graft.plans
+    * .MergeableCatalog), the production shape of continuous CDC apply
+    * onto a transactional table (Iceberg/Delta implement the same
+    * interface). The backlog arrives as two files split by event-id
+    * PARITY — deliberately NOT time-ordered — so correctness cannot lean
+    * on arrival order: the state keeps TOMBSTONES (op = 'D' rows stay in
+    * the table, guarded by the merge's (ts, event_id) newer-than
+    * condition) instead of deleting, because a delete arriving before an
+    * older out-of-order upsert must still win. Latest-wins over a total
+    * order is associative, so the final state is batch-boundary-
+    * independent and the entry oracle-pairs with the WHOLE-LOG
+    * `sink_cdc_apply` SQL (the audit filters tombstones out). Per batch:
+    * one window over the batch's own keys + one keyed MERGE — the
+    * incoming delta drives the cost, never the table size.
+    */
+  def streamMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val target = "graftcat.etl.stream_state"
+    spark.sql(s"DROP TABLE IF EXISTS $target")
+    spark.sql(
+      s"""CREATE TABLE $target (
+          user_id BIGINT, value DOUBLE, ts_us BIGINT, event_id BIGINT,
+          op STRING)""")
+    val src = s"$sfDir/events.parquet"
+    val srcDir = scratch(sfDir, "events_merge_src")
+    val events = spark.read.parquet(src)
+    val schema = events.schema
+    def stage(half: Int): Unit = {
+      val tmp = scratch(sfDir, s"events_merge_stage$half")
+      events.filter(pmod(col("event_id"), lit(2)) === half)
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, srcDir.resolve(s"load-$half.parquet"))
+    }
+    stage(0); stage(1)
+    val latest = Window.partitionBy("user_id")
+      .orderBy(desc("ts_us"), desc("event_id"))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .transform(graft.Tables.normalizeTs)
+      .select(
+        col("user_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        when(col("event_type") === "purchase", lit("D")).otherwise(lit("U"))
+          .as("op"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        batch
+          .withColumn("rn", row_number().over(latest))
+          .filter(col("rn") === 1).drop("rn")
+          .createOrReplaceTempView("graft_stream_merge_batch")
+        sp.sql(
+          s"""MERGE INTO $target t
+              USING graft_stream_merge_batch s
+              ON t.user_id = s.user_id
+              WHEN MATCHED AND (s.ts_us > t.ts_us OR
+                (s.ts_us = t.ts_us AND s.event_id > t.event_id))
+                THEN UPDATE SET value = s.value, ts_us = s.ts_us,
+                  event_id = s.event_id, op = s.op
+              WHEN NOT MATCHED THEN INSERT (user_id, value, ts_us, event_id, op)
+                VALUES (s.user_id, s.value, s.ts_us, s.event_id, s.op)""")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(target)
+      .filter(col("op") =!= "D")
+      .select(col("user_id"), round(col("value"), 6).as("value"), col("ts_us"))
+      .orderBy("user_id")
+  }
+
   /** Checkpoint recovery — the exactly-once contract that makes streaming
     * ingestion trustworthy at scale: a query writing through the native
     * parquet FILE sink (offset log + `_spark_metadata` commit log, both

@@ -104,4 +104,42 @@ class StreamSpec extends SparkTestBase {
     val nUsers = Tables.events(spark, sf0001).select("user_id").distinct().count()
     assert(out.size.toLong === nUsers)
   }
+
+  test("stream_merge: per-batch MERGE equals the whole-log CDC apply") {
+    val out = StreamOps.streamMerge(spark, sf0001)
+      .as[(Long, Double, Long)].collect().toSeq
+    val whole = graft.sources.EtlOps.sinkCdcApply(Tables.events(spark, sf0001))
+      .as[(Long, Double, Long)].collect().toSeq
+    // the stream applied >= 2 parity-split (NOT time-ordered) batches;
+    // tombstone retention makes the result batch-boundary-independent
+    assert(out === whole)
+  }
+
+  test("stream_merge tombstones: a delete survives an older upsert arriving later") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
+    spark.sql("DROP TABLE IF EXISTS graftcat.spec.cdc")
+    spark.sql("""CREATE TABLE graftcat.spec.cdc (
+      user_id BIGINT, value DOUBLE, ts_us BIGINT, event_id BIGINT, op STRING)""")
+    def mergeBatch(rows: Seq[(Long, Double, Long, Long, String)]): Unit = {
+      rows.toDF("user_id", "value", "ts_us", "event_id", "op")
+        .createOrReplaceTempView("cdc_batch")
+      spark.sql("""MERGE INTO graftcat.spec.cdc t USING cdc_batch s
+        ON t.user_id = s.user_id
+        WHEN MATCHED AND (s.ts_us > t.ts_us OR
+          (s.ts_us = t.ts_us AND s.event_id > t.event_id))
+          THEN UPDATE SET value = s.value, ts_us = s.ts_us,
+            event_id = s.event_id, op = s.op
+        WHEN NOT MATCHED THEN INSERT (user_id, value, ts_us, event_id, op)
+          VALUES (s.user_id, s.value, s.ts_us, s.event_id, s.op)""")
+    }
+    // batch 1: the DELETE (newest op for user 1) arrives FIRST
+    mergeBatch(Seq((1L, 0.0, 100L, 10L, "D"), (2L, 5.0, 50L, 11L, "U")))
+    // batch 2: an OLDER out-of-order upsert for user 1 arrives later —
+    // without the tombstone it would wrongly resurrect the key
+    mergeBatch(Seq((1L, 9.0, 90L, 9L, "U"), (2L, 7.0, 60L, 12L, "U")))
+    val state = spark.table("graftcat.spec.cdc")
+      .filter(col("op") =!= "D")
+      .select("user_id", "value").as[(Long, Double)].collect().toSeq.sorted
+    assert(state === Seq((2L, 7.0)), s"user 1 must stay deleted, got $state")
+  }
 }
