@@ -211,6 +211,7 @@ object SparkEntry {
     "sql_merge_into" -> ((s, d) => EtlOps.sqlMergeInto(s, d)),
     "sql_update" -> ((s, d) => EtlOps.sqlUpdate(s, d)),
     "sql_delete" -> ((s, d) => EtlOps.sqlDelete(s, d)),
+    "sql_time_travel" -> ((s, d) => EtlOps.sqlTimeTravel(s, d)),
     "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
     "sink_incremental" -> ((s, d) => EtlOps.sinkIncremental(s, d)),
     "sink_agg_refresh" -> ((s, d) => EtlOps.sinkAggRefresh(s, d)),
@@ -1542,6 +1543,17 @@ object SparkEntry {
                 THEN round(o_totalprice, 2) + 1000.0
                 ELSE round(o_totalprice, 2) END AS price,
            CASE WHEN o_orderkey % 10 = 0 THEN 9 ELSE 1 END AS load_id
+         FROM orders WHERE o_orderkey % 2 = 0
+         ORDER BY o_orderkey""",
+    // version 1 = the seed load, current = after the additive update:
+    // the versioned self-join reconstructs both sides from orders
+    "sql_time_travel" ->
+      """SELECT o_orderkey,
+           round(o_totalprice, 2) AS price_v1,
+           CASE WHEN o_orderkey % 10 = 0
+                THEN round(o_totalprice, 2) + 1000.0
+                ELSE round(o_totalprice, 2) END AS price_cur,
+           o_orderkey % 10 = 0 AS changed
          FROM orders WHERE o_orderkey % 2 = 0
          ORDER BY o_orderkey""",
     // predicate delete: only the surviving rows remain

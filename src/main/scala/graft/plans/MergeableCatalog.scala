@@ -59,6 +59,26 @@ class MergeableCatalog extends TableCatalog with SupportsNamespaces {
     t
   }
 
+  /** `VERSION AS OF v` time travel: every commit appends an immutable
+    * snapshot (version 0 = the empty table at creation), and a versioned
+    * load returns a read-only table over that snapshot — the
+    * Iceberg/Delta history contract in miniature, backing the
+    * "timestamped raw history" mandate (README.md:27) with a queryable
+    * form. Snapshots share row arrays (commits replace the reference,
+    * never mutate), so history costs one pointer per version plus the
+    * appended rows.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = MergeableCatalog.tables.get(ident)
+    if (t == null) throw new NoSuchTableException(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"version must be an integer snapshot id, got '$version'")
+    }
+    new SnapshotTable(s"${t.name()}@v$v", t.schema(), t.snapshotAt(v))
+  }
+
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -121,7 +141,19 @@ class MergeableMemTable(tableName: String, tableSchema: StructType)
 
   @volatile private var committed: Array[InternalRow] = Array.empty
 
+  // snapshot per commit; index = version, version 0 = empty at creation
+  private val history =
+    scala.collection.mutable.ArrayBuffer[Array[InternalRow]](Array.empty)
+
   private[plans] def currentRows: Array[InternalRow] = committed
+
+  private[plans] def snapshotAt(version: Int): Array[InternalRow] =
+    synchronized {
+      require(version >= 0 && version < history.length,
+        s"no snapshot $version for table $tableName " +
+          s"(versions 0..${history.length - 1})")
+      history(version)
+    }
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -153,7 +185,20 @@ class MergeableMemTable(tableName: String, tableSchema: StructType)
   private[plans] def commitRows(rows: Array[InternalRow], replaceAll: Boolean): Unit =
     synchronized {
       committed = if (replaceAll) rows else committed ++ rows
+      history += committed
     }
+}
+
+/** Read-only view of one committed snapshot, returned by versioned loads. */
+private final class SnapshotTable(
+    tableName: String, tableSchema: StructType, rows: Array[InternalRow])
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new MemScan(tableSchema, rows)
 }
 
 /** Scan over a snapshot: rows split into up to 4 input partitions so the

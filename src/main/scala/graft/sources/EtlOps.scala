@@ -954,6 +954,31 @@ object EtlOps {
     spark.table(target).orderBy("o_orderkey")
   }
 
+  /** SQL time travel (`VERSION AS OF`) — the queryable form of the
+    * reference's timestamped raw history (README.md:27): the v2 catalog
+    * snapshots every commit, so a versioned read joins PRE-update state
+    * (version 1 = the seed load) against current state after an UPDATE —
+    * the audit-diff every warehouse history feature exists to serve.
+    * Versioned and current scans are two independent snapshot reads of
+    * shared immutable arrays; no copy, no log replay.
+    */
+  def sqlTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = seededStateTable(spark, sfDir, "orders_tt") // commit 1
+    spark.sql(
+      s"""UPDATE $target
+          SET price = price + 1000.0, load_id = 9
+          WHERE o_orderkey % 10 = 0""") // commit 2
+    spark.sql(
+      s"""SELECT cur.o_orderkey,
+                 v1.price AS price_v1,
+                 cur.price AS price_cur,
+                 cur.price <> v1.price AS changed
+          FROM $target cur
+          JOIN $target VERSION AS OF 1 v1
+            ON cur.o_orderkey = v1.o_orderkey
+          ORDER BY cur.o_orderkey""")
+  }
+
   /** Shared seeding for the DML-statement entries: a fresh v2 table
     * loaded with the even-keyed half of orders at load 1.
     */

@@ -174,6 +174,24 @@ class EtlTextSpec extends SparkTestBase {
       .collect().toSeq === Seq((1L, 10.0), (2L, 20.5), (3L, 30.0)))
   }
 
+  test("VERSION AS OF reads every committed snapshot; unknown version errors") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
+    spark.sql("DROP TABLE IF EXISTS graftcat.spec.hist")
+    spark.sql("CREATE TABLE graftcat.spec.hist (k BIGINT)")
+    Seq(1L).toDF("k").writeTo("graftcat.spec.hist").append()  // v1
+    Seq(2L).toDF("k").writeTo("graftcat.spec.hist").append()  // v2
+    def at(v: Int): Seq[Long] =
+      spark.sql(s"SELECT k FROM graftcat.spec.hist VERSION AS OF $v ORDER BY k")
+        .as[Long].collect().toSeq
+    assert(at(0) === Seq.empty, "version 0 is the empty table at creation")
+    assert(at(1) === Seq(1L))
+    assert(at(2) === Seq(1L, 2L))
+    assert(spark.table("graftcat.spec.hist").as[Long].collect().toSeq.sorted
+      === Seq(1L, 2L), "current read unaffected by history")
+    val e = intercept[Exception] { at(9) }
+    assert(e.getMessage.contains("no snapshot 9"))
+  }
+
   test("MergeableCatalog: INSERT appends, read sees committed snapshot, DROP removes") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
     spark.sql("DROP TABLE IF EXISTS graftcat.spec.lifecycle")
