@@ -266,6 +266,8 @@ object SparkEntry {
     "pipeline_pretrain" -> ((s, d) => LlmOps.pipelinePretrain(documents(s, d))),
     "pipeline_pretrain_v2" -> ((s, d) => PipelineOps.pipelinePretrainV2(documents(s, d))),
     "pipeline_pack" -> ((s, d) => PipelineOps.pipelinePack(documents(s, d))),
+    "pipeline_quality_classifier" ->
+      ((s, d) => PipelineOps.pipelineQualityClassifier(documents(s, d))),
     "pipeline_mix" -> ((s, d) => PipelineOps.pipelineMix(documents(s, d))),
     "text_chunk" -> ((s, d) => PipelineOps.textChunk(documents(s, d))),
     "dedup_url" -> ((s, d) => PipelineOps.dedupUrl(documents(s, d))),
@@ -1737,6 +1739,47 @@ object SparkEntry {
          SELECT user_id, round(value, 6) AS value, epoch_us(ts) AS ts_us
          FROM r WHERE rn = 1 AND op <> 'D'
          ORDER BY user_id""",
+    // training replayed exactly: algebraic sigmoid (no exp — identical
+    // IEEE arithmetic on both engines) + integer-microunit gradient
+    // quantization make each unrolled round bit-reproducible
+    "pipeline_quality_classifier" -> {
+      def round_(w: (String, String, String), i: Int): String = {
+        val (a, b, c) = w
+        s"""p$i AS (SELECT x1, x2, y,
+              0.5 + ($a + $b * x1 + $c * x2) /
+                (2.0 * (1.0 + abs($a + $b * x1 + $c * x2))) AS sig
+            FROM f, w${i - 1}),
+         g$i AS (SELECT
+              sum(round((sig - y) * 1e6)::BIGINT) AS s0,
+              sum(round((sig - y) * x1 * 1e6)::BIGINT) AS s1,
+              sum(round((sig - y) * x2 * 1e6)::BIGINT) AS s2,
+              count(*) AS n
+            FROM p$i),
+         w$i AS (SELECT a - 0.5 * (s0 / 1000000.0) / n AS a,
+                        b - 0.5 * (s1 / 1000000.0) / n AS b,
+                        c - 0.5 * (s2 / 1000000.0) / n AS c
+                 FROM w${i - 1}, g$i)"""
+      }
+      val w = ("a", "b", "c")
+      s"""WITH f AS (SELECT doc_id,
+              length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+                / length(text) AS x1,
+              len(list_intersect(list_distinct(str_split(text, ' ')),
+                  ['the','and','of','to','in','a','is','it']))::DOUBLE / 8.0 AS x2,
+              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+            FROM documents),
+         w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c),
+         ${round_(w, 1)},
+         ${round_(w, 2)},
+         ${round_(w, 3)}
+         SELECT doc_id, round(sig, 6) AS score, sig >= 0.5 AS pred_en,
+           y = 1.0 AS is_en
+         FROM (SELECT doc_id, y,
+                 0.5 + (a + b * x1 + c * x2) /
+                   (2.0 * (1.0 + abs(a + b * x1 + c * x2))) AS sig
+               FROM f, w3)
+         ORDER BY doc_id"""
+    },
     // §2.10 UDF / UDAF / UDTF
     "udf_scalar" ->
       """SELECT doc_id, source || '/' || lang AS record_key,

@@ -211,6 +211,67 @@ object PipelineOps {
     * benchmark grams come from the ORIGINAL corpus slice (eval identity
     * must not depend on what cleaning kept).
     */
+  /** In-engine TRAINED quality classifier — the fastText-style learned
+    * filter every pretraining pipeline runs after the rule-based gates
+    * (weak label here: is-English, learned from two surface features).
+    * Batch gradient descent, `rounds` full passes: per round ONE
+    * scan-aggregate produces the gradient (map-side partial aggregation,
+    * 4 longs per partition on the wire) and the driver updates the
+    * 3-scalar weight vector — the Lloyd-loop shape of sim_kmeans, with
+    * the model (not the data) on the driver. Determinism is engineered
+    * like the kmeans oracles' integer domain: the squashing function is
+    * the ALGEBRAIC sigmoid 0.5 + z/(2(1+|z|)) — same IEEE arithmetic on
+    * every engine, unlike exp() whose last-ulp differs across libm
+    * implementations — and per-row gradient contributions are quantized
+    * to integer micro-units before the sum, so partial aggregation order
+    * cannot perturb the result and DuckDB can replay training exactly
+    * (unrolled-round oracle). Features are materialized once
+    * (lazy localCheckpoint) and reused by all round scans + scoring.
+    */
+  def pipelineQualityClassifier(
+      documents: DataFrame, rounds: Int = 3, lr: Double = 0.5): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stop = array(Seq("the", "and", "of", "to", "in", "a", "is", "it")
+      .map(lit): _*)
+    val alphaRatio = length(regexp_replace(col("text"), "[^a-z]", ""))
+      .cast("double") / length(col("text"))
+    val stopRatio = size(array_intersect(array_distinct(toks), stop))
+      .cast("double") / lit(8.0)
+    val feats = documents.select(
+      col("doc_id"),
+      alphaRatio.as("x1"),
+      stopRatio.as("x2"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      .localCheckpoint(eager = false)
+    def sigOf(w: Array[Double]): Column = {
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+      lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+    }
+    var w = Array(0.0, 0.0, 0.0)
+    for (_ <- 1 to rounds) {
+      val err = sigOf(w) - col("y")
+      // quantize per row, sum exactly: integer micro-units make the
+      // gradient independent of partition/summation order
+      val g = feats.agg(
+        sum(round(err * lit(1e6)).cast("long")).as("g0"),
+        sum(round(err * col("x1") * lit(1e6)).cast("long")).as("g1"),
+        sum(round(err * col("x2") * lit(1e6)).cast("long")).as("g2"),
+        count(lit(1)).as("n")).head()
+      val n = g.getLong(3).toDouble
+      w = Array(
+        w(0) - lr * (g.getLong(0).toDouble / 1e6) / n,
+        w(1) - lr * (g.getLong(1).toDouble / 1e6) / n,
+        w(2) - lr * (g.getLong(2).toDouble / 1e6) / n)
+    }
+    val sig = sigOf(w)
+    feats.select(
+      col("doc_id"),
+      round(sig, 6).as("score"),
+      (sig >= 0.5).as("pred_en"),
+      (col("y") === 1.0).as("is_en"))
+      .orderBy("doc_id")
+  }
+
   def pipelinePretrainV2(documents: DataFrame): DataFrame = {
     val base = documents.select(col("doc_id"), col("text"))
     // duplicate-trigram fraction, the text_repetition construction —

@@ -161,4 +161,26 @@ class PipelineSpec extends SparkTestBase {
     assert((0 to 5).map(stages(_)._2).sliding(2).forall(p => p(0) >= p(1)))
     assert(stages(5)._2 === 50L, s"survivor token census: ${stages(5)._2}")
   }
+
+  test("pipeline_quality_classifier: training separates the classes and is deterministic") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = PipelineOps.pipelineQualityClassifier(docs)
+      .select("score", "pred_en", "is_en")
+      .as[(Double, Boolean, Boolean)].collect().toSeq
+    // scores stay inside the algebraic sigmoid's range
+    assert(out.forall { case (s, _, _) => s >= 0.0 && s <= 1.0 })
+    // the learned scores must actually separate the weak label: mean
+    // score of English docs strictly above non-English (gradient moved
+    // the stop-ratio/alpha-ratio weights in the predictive direction)
+    val (en, other) = out.partition(_._3)
+    val meanEn = en.map(_._1).sum / en.size
+    val meanOther = other.map(_._1).sum / other.size
+    assert(meanEn > meanOther + 1e-4,
+      s"no separation after training: en=$meanEn other=$meanOther")
+    // rerun is bit-identical (quantized gradients — no summation-order drift)
+    val rerun = PipelineOps.pipelineQualityClassifier(docs)
+      .select("score", "pred_en", "is_en")
+      .as[(Double, Boolean, Boolean)].collect().toSeq
+    assert(rerun === out)
+  }
 }
