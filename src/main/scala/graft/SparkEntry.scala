@@ -55,6 +55,7 @@ object SparkEntry {
     "join_asof" -> ((s, d) => JoinOps.asof(events(s, d))),
     "join_asof_forward" -> ((s, d) => JoinOps.asofForward(events(s, d))),
     "join_asof_nearest" -> ((s, d) => JoinOps.asofNearest(events(s, d))),
+    "join_asof_tolerance" -> ((s, d) => JoinOps.asofTolerance(events(s, d))),
     "join_bucketed" -> ((s, d) => JoinOps.bucketed(orders(s, d), customer(s, d))),
     "join_bloom_pruned" -> ((s, d) => JoinOps.joinBloomPruned(orders(s, d), lineitem(s, d))),
     "graph_pagerank" -> ((s, d) => GraphOps.graphPagerank(orders(s, d), lineitem(s, d))),
@@ -235,6 +236,7 @@ object SparkEntry {
     "stream_recovery" -> ((s, d) => StreamOps.streamRecovery(s, d)),
     "stream_upsert" -> ((s, d) => StreamOps.streamUpsert(s, d)),
     "stream_merge" -> ((s, d) => StreamOps.streamMerge(s, d)),
+    "stream_ann_ingest" -> ((s, d) => SimOps.streamAnnIngest(s, d)),
     // §2.10 UDF / UDAF / UDTF extension surface
     "udf_scalar" -> ((s, d) => UdfOps.udfScalar(documents(s, d))),
     "udaf_aggregator" -> ((s, d) => UdfOps.udafAggregator(orders(s, d))),
@@ -585,6 +587,28 @@ object SparkEntry {
            CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND pus - b_ts <= f_ts - pus)
                 THEN b_ts ELSE f_ts END AS click_ts_us
          FROM x ORDER BY purchase_id""",
+    // bounded staleness: candidates restricted to [t - 24h, t]; the
+    // latest in-window click, when present, is the overall latest <= t,
+    // so the two formulations agree. Same composite tie key as _nearest
+    "join_asof_tolerance" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+                epoch_us(p.ts) AS purchase_ts_us,
+                (SELECT arg_max(c.event_id,
+                        epoch_us(c.ts)::HUGEINT * 4294967296 + c.event_id)
+                 FROM events c
+                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                   AND c.ts <= p.ts
+                   AND c.ts >= p.ts - INTERVAL 1440 MINUTES) AS click_id,
+                (SELECT epoch_us(max(c.ts)) FROM events c
+                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                   AND c.ts <= p.ts
+                   AND c.ts >= p.ts - INTERVAL 1440 MINUTES) AS click_ts_us,
+                EXISTS (SELECT 1 FROM events c
+                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                   AND c.ts <= p.ts
+                   AND c.ts >= p.ts - INTERVAL 1440 MINUTES) AS matched
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY purchase_id""",
     // forward direction compares at MICROSECOND precision (epoch_us) to
     // match Spark's truncated timestamps exactly
     "join_asof_forward" ->
@@ -1780,6 +1804,20 @@ object SparkEntry {
                FROM f, w3)
          ORDER BY doc_id"""
     },
+    // per-vector cell assignment depends only on the frozen codebook, so
+    // the streamed, partitioned store equals the one-pass batch
+    // assignment (same a/asn CTEs as the sim_ivf oracle)
+    "stream_ann_ingest" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         a AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY round(list_dot_product(v, cv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9)
+                   DESC, cid) AS rn
+               FROM e CROSS JOIN c),
+         asn AS (SELECT vec_id, cid AS cell FROM a WHERE rn = 1)
+         SELECT cell, count(*) AS n, min(vec_id) AS min_vec, max(vec_id) AS max_vec
+         FROM asn GROUP BY cell ORDER BY cell""",
     // §2.10 UDF / UDAF / UDTF
     "udf_scalar" ->
       """SELECT doc_id, source || '/' || lang AS record_key,

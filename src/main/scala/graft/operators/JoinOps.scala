@@ -362,6 +362,49 @@ object JoinOps {
       .orderBy("purchase_id")
   }
 
+  /** ASOF with TOLERANCE — the bounded-staleness form (polars/kdb
+    * `tolerance`): a purchase matches the latest prior click ONLY if it
+    * is at most `tolMinutes` old; a staler click is no match at all
+    * (sensor-fusion and feature-freshness semantics — a quote from last
+    * week is not a usable price). Same union+window machinery as
+    * [[asof]] — one user_id shuffle, one Window — with the staleness
+    * test applied to the carried-forward candidate afterwards: the
+    * latest click in [t−tol, t], when one exists, IS the overall latest
+    * click ≤ t, so post-filtering the backward result is equivalent to
+    * windowed search and costs nothing extra.
+    */
+  def asofTolerance(events: DataFrame, tolMinutes: Int = 1440): DataFrame = {
+    val tolUs = tolMinutes.toLong * 60L * 1000000L
+    val tagged = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("user_id"),
+        col("ts"),
+        when(col("event_type") === "click", lit(0)).otherwise(lit(1)).as("side"),
+        col("event_id"))
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("ts", "side", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pus = unix_micros(col("ts"))
+    val fresh = col("b_ts").isNotNull && pus - col("b_ts") <= tolUs
+    tagged
+      .select(col("user_id"), col("ts"), col("side"), col("event_id"),
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true)
+          .over(w).as("b_id"),
+        last(when(col("side") === 0, unix_micros(col("ts"))), ignoreNulls = true)
+          .over(w).as("b_ts"))
+      .filter(col("side") === 1)
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        pus.as("purchase_ts_us"),
+        when(fresh, col("b_id")).as("click_id"),
+        when(fresh, col("b_ts")).as("click_ts_us"),
+        coalesce(fresh, lit(false)).as("matched"))
+      .orderBy("purchase_id")
+  }
+
   /** Nearest-in-time ASOF variant — each purchase matches the CLOSEST
     * click in either direction (sensor-fusion semantics; backward wins
     * distance ties, and a same-instant click counts as backward). Both

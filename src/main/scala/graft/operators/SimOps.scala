@@ -581,6 +581,68 @@ object SimOps {
   /** The shared IVF scan: assign (broadcast codebook, one corpus pass),
     * probe selection (nprobe=4), pruned exact top-10.
     */
+  /** Streaming ANN-index INGEST — the maintenance half of `sinkAnnIndex`:
+    * vectors ARRIVE as a stream and each micro-batch is assigned to its
+    * IVF cell against the FROZEN broadcast codebook (the layout stays
+    * valid between periodic batch re-trainings — re-training is a batch
+    * job, never a stream concern), then appended to the cell-partitioned
+    * store, keeping the index fresh under continuous ingest. Per batch
+    * the work is delta-sized: a broadcast cross-join with k=16 codebook
+    * rows, an argmax window over the batch's own vec_ids, one
+    * partitioned append. The backlog arrives as two parity-split files
+    * (maxFilesPerTrigger=1 forces >= 2 real micro-batches); assignment
+    * is batch-boundary-independent by construction (each vector's cell
+    * depends only on itself and the frozen codebook), so the final
+    * store equals the one-pass batch assignment — the same `a`/`asn`
+    * CTEs as the sim_ivf oracle, aggregated per cell.
+    */
+  def streamAnnIngest(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    graft.plans.VectorFunctions.register(spark)
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val schema = all.schema
+    val cents = all.select(col("vec_id"), toVec(col("embedding")).as("v"))
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val store = graft.sources.EtlOps.freshDir(sfDir, "ann_ingest_store").toString
+    val srcDir = graft.sources.EtlOps.freshDir(sfDir, "ann_ingest_src")
+    def stage(half: Int): Unit = {
+      val tmp = graft.sources.EtlOps.freshDir(sfDir, s"ann_ingest_stage$half")
+      all.filter(pmod(col("vec_id"), lit(2)) === half)
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, srcDir.resolve(s"load-$half.parquet"))
+    }
+    stage(0); stage(1)
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("vec_id"), toVec(col("embedding")).as("v"))
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            round(cosine(col("v"), col("cv")), 9).as("ccos"))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid").as("cell"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("cell").parquet(store)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(store)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+      .orderBy("cell")
+  }
+
   private def ivfScan(e: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
     val assigned = e.crossJoin(broadcast(cents))

@@ -58,6 +58,32 @@ class IntervalJoinSpec extends SparkTestBase {
     })
   }
 
+  test("asof tolerance: in-window click matches, stale click is NO match, boundary inclusive") {
+    import org.apache.spark.sql.functions._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def at(mins: Long) = new java.sql.Timestamp(t0.getTime + mins * 60000L)
+    val events = Seq(
+      // user 1: click exactly AT the tolerance bound (inclusive -> match)
+      (1L, at(-1440), "click", 10L),
+      (1L, at(0), "purchase", 11L),
+      // user 2: click one minute past the bound -> stale, no match
+      (2L, at(-1441), "click", 20L),
+      (2L, at(0), "purchase", 21L),
+      // user 3: fresh click; an older one exists but latest wins
+      (3L, at(-2000), "click", 30L),
+      (3L, at(-5), "click", 31L),
+      (3L, at(0), "purchase", 32L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+      .withColumn("value", lit(0.0))
+    val out = graft.operators.JoinOps.asofTolerance(events, tolMinutes = 1440)
+      .select("purchase_id", "click_id", "matched")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSeq
+    assert(out === Seq(
+      (11L, Some(10L), true),   // boundary click matches (<= tolerance)
+      (21L, None, false),       // stale-only user: no match at all
+      (32L, Some(31L), true)))  // latest fresh click wins over older
+  }
+
   test("pair meeting in two cells is emitted exactly once") {
     // ids chosen so both intervals straddle the 16-day cell boundary:
     // a = [14, 14+1+2) = [14,17), b = [15, 15+1+1) = [15,17) — overlap

@@ -115,6 +115,23 @@ class StreamSpec extends SparkTestBase {
     assert(out === whole)
   }
 
+  test("stream_ann_ingest: store is cell-partitioned; totals survive the stream") {
+    val out = graft.operators.SimOps.streamAnnIngest(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val total = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(out.map(_._2).sum === total, "every streamed vector must land in a cell")
+    assert(out.map(_._1).distinct.size === out.size, "one row per cell")
+    // the store layout IS the index: cell=N directories on disk
+    val store = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_etl",
+      sf0001.replaceAll("[^a-zA-Z0-9]", "_"), "ann_ingest_store")
+    val dirs = java.nio.file.Files.list(store).iterator()
+    val cellDirs = Iterator.continually(dirs)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString)
+      .count(_.startsWith("cell="))
+    assert(cellDirs === out.size, s"expected ${out.size} cell= partitions, got $cellDirs")
+  }
+
   test("stream_merge tombstones: a delete survives an older upsert arriving later") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
     spark.sql("DROP TABLE IF EXISTS graftcat.spec.cdc")
