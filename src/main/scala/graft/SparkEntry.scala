@@ -213,6 +213,7 @@ object SparkEntry {
     "sql_update" -> ((s, d) => EtlOps.sqlUpdate(s, d)),
     "sql_delete" -> ((s, d) => EtlOps.sqlDelete(s, d)),
     "sql_time_travel" -> ((s, d) => EtlOps.sqlTimeTravel(s, d)),
+    "sql_insert_overwrite" -> ((s, d) => EtlOps.sqlInsertOverwrite(s, d)),
     "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
     "sink_incremental" -> ((s, d) => EtlOps.sinkIncremental(s, d)),
     "sink_agg_refresh" -> ((s, d) => EtlOps.sinkAggRefresh(s, d)),
@@ -1581,6 +1582,12 @@ object SparkEntry {
                 ELSE round(o_totalprice, 2) END AS price_cur,
            o_orderkey % 10 = 0 AS changed
          FROM orders WHERE o_orderkey % 2 = 0
+         ORDER BY o_orderkey""",
+    // full refresh: the overwrite replaces the even-keyed seed entirely
+    // with the %3 load — only the new load remains
+    "sql_insert_overwrite" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, 2 AS load_id
+         FROM orders WHERE o_orderkey % 3 = 0
          ORDER BY o_orderkey""",
     // predicate delete: only the surviving rows remain
     "sql_delete" ->

@@ -979,6 +979,23 @@ object EtlOps {
           ORDER BY cur.o_orderkey""")
   }
 
+  /** SQL `INSERT OVERWRITE` — the truncate-and-reload statement (the
+    * full-refresh counterpart of the incremental DML family): the v2
+    * write requests `truncate()` on the builder and the commit swaps the
+    * table contents atomically — readers of the previous snapshot are
+    * unaffected (and the old state stays reachable via VERSION AS OF).
+    */
+  def sqlInsertOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = seededStateTable(spark, sfDir, "orders_ow")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        lit(2).as("load_id"))
+      .createOrReplaceTempView("graft_overwrite_src")
+    spark.sql(s"INSERT OVERWRITE $target SELECT * FROM graft_overwrite_src")
+    spark.table(target).orderBy("o_orderkey")
+  }
+
   /** Shared seeding for the DML-statement entries: a fresh v2 table
     * loaded with the even-keyed half of orders at load 1.
     */
