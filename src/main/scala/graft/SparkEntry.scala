@@ -214,6 +214,7 @@ object SparkEntry {
     "sql_delete" -> ((s, d) => EtlOps.sqlDelete(s, d)),
     "sql_time_travel" -> ((s, d) => EtlOps.sqlTimeTravel(s, d)),
     "sql_insert_overwrite" -> ((s, d) => EtlOps.sqlInsertOverwrite(s, d)),
+    "join_storage_partitioned" -> ((s, d) => EtlOps.joinStoragePartitioned(s, d)),
     "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
     "sink_incremental" -> ((s, d) => EtlOps.sinkIncremental(s, d)),
     "sink_agg_refresh" -> ((s, d) => EtlOps.sinkAggRefresh(s, d)),
@@ -1583,6 +1584,15 @@ object SparkEntry {
            o_orderkey % 10 = 0 AS changed
          FROM orders WHERE o_orderkey % 2 = 0
          ORDER BY o_orderkey""",
+    // the bucket layout is data-invisible: the zero-shuffle join must
+    // return exactly what the plain join returns
+    "join_storage_partitioned" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // full refresh: the overwrite replaces the even-keyed seed entirely
     // with the %3 load — only the new load remains
     "sql_insert_overwrite" ->

@@ -7,11 +7,14 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** An in-memory DataSource V2 catalog whose tables support ROW-LEVEL
@@ -40,7 +43,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * filtering). The MERGE surface, rewrite, and plan shape — the parts
   * this entry pins — are the production ones.
   */
-class MergeableCatalog extends TableCatalog with SupportsNamespaces {
+class MergeableCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = "graftcat"
 
@@ -84,7 +88,26 @@ class MergeableCatalog extends TableCatalog with SupportsNamespaces {
       properties: util.Map[String, String]): Table = {
     if (MergeableCatalog.tables.containsKey(ident))
       throw new TableAlreadyExistsException(ident)
-    val t = new MergeableMemTable(ident.toString, schema)
+    // `PARTITIONED BY (bucket(n, col))` — the storage-partitioned-join
+    // layout; any other transform is rejected loudly rather than
+    // silently ignored
+    val bucket = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "bucket" =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.asInstanceOf[Number].intValue()
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform needs a literal bucket count: $t"))
+        val colName = t.references.head.fieldNames.mkString(".")
+        val idx = schema.fieldIndex(colName)
+        require(schema.fields(idx).dataType == LongType,
+          s"bucket column $colName must be BIGINT")
+        Some(BucketSpec(idx, n, t))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partitioning: ${other.mkString(", ")}")
+    }
+    val t = new MergeableMemTable(ident.toString, schema, bucket)
     MergeableCatalog.tables.put(ident, t)
     t
   }
@@ -123,6 +146,56 @@ class MergeableCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     throw new NoSuchNamespaceException(namespace)
+
+  // FunctionCatalog: the one function the partitioning layer needs.
+  // Spark resolves a table's partition transforms against the table's
+  // OWN catalog with an empty-namespace identifier (V2ExpressionUtils
+  // .loadV2FunctionOpt), so `bucket` must live here for the
+  // storage-partitioned join's compatibility check to bind both sides
+  // to the same canonical function.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty[String], "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "bucket") GraftBucket
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+}
+
+/** `bucket(n, key)`: ((key mod n) + n) mod n — deterministic, sign-safe,
+  * and trivially replayable in SQL, which keeps every entry over a
+  * bucketed table oracle-pairable (a murmur-style bucket would be
+  * engine-private). Both sides of a storage-partitioned join bind to
+  * THIS object, so `canonicalName` equality — Spark's co-partition
+  * compatibility test — holds by construction.
+  */
+object GraftBucket extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String = "bucket(n, key) = ((key % n) + n) % n"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket(n, key) takes 2 arguments, got $inputType")
+    BucketBound
+  }
+}
+
+object BucketBound extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket(int, bigint)"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    val k = input.getLong(1)
+    (((k % n) + n) % n).toInt
+  }
+}
+
+private[plans] final case class BucketSpec(colIdx: Int, n: Int, transform: Transform) {
+  def idOf(row: InternalRow): Int = {
+    val k = row.getLong(colIdx)
+    (((k % n) + n) % n).toInt
+  }
 }
 
 object MergeableCatalog {
@@ -136,7 +209,9 @@ object MergeableCatalog {
   * atomically on commit — readers snapshot it at scan-build time, so a
   * MERGE's scan and its replacing write see a consistent version.
   */
-class MergeableMemTable(tableName: String, tableSchema: StructType)
+class MergeableMemTable(
+    tableName: String, tableSchema: StructType,
+    bucket: Option[BucketSpec] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
 
   @volatile private var committed: Array[InternalRow] = Array.empty
@@ -157,6 +232,8 @@ class MergeableMemTable(tableName: String, tableSchema: StructType)
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    bucket.map(_.transform).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
@@ -164,7 +241,10 @@ class MergeableMemTable(tableName: String, tableSchema: StructType)
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new MemScan(tableSchema, committed)
+    () => bucket match {
+      case Some(spec) => new KeyedMemScan(tableSchema, committed, spec)
+      case None => new MemScan(tableSchema, committed)
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MemWriteBuilder(this, replaceAll = false, rowLevel = false)
@@ -204,7 +284,7 @@ private final class SnapshotTable(
 /** Scan over a snapshot: rows split into up to 4 input partitions so the
   * read side exercises the normal parallel reader path, not a single task.
   */
-private final class MemScan(schema: StructType, snapshot: Array[InternalRow])
+private class MemScan(schema: StructType, snapshot: Array[InternalRow])
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -216,7 +296,10 @@ private final class MemScan(schema: StructType, snapshot: Array[InternalRow])
   }
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
-      val rows = partition.asInstanceOf[MemPartition].rows
+      val rows = partition match {
+        case MemPartition(rs) => rs
+        case KeyedMemPartition(rs, _) => rs
+      }
       new PartitionReader[InternalRow] {
         private var i = -1
         override def next(): Boolean = { i += 1; i < rows.length }
@@ -226,7 +309,36 @@ private final class MemScan(schema: StructType, snapshot: Array[InternalRow])
     }
 }
 
+/** Bucketed scan: one input partition per PRESENT bucket, each carrying
+  * its key (`HasPartitionKey`), and the scan reports
+  * `KeyGroupedPartitioning` over the table's bucket transform — the
+  * contract behind Spark's STORAGE-PARTITIONED JOIN: two tables bucketed
+  * the same way on the join key join with ZERO shuffle, the layout move
+  * that makes 100 TB fact-fact joins affordable (Iceberg exposes its
+  * bucket layout through exactly this interface).
+  */
+private final class KeyedMemScan(
+    schema: StructType, snapshot: Array[InternalRow], spec: BucketSpec)
+    extends MemScan(schema, snapshot) with SupportsReportPartitioning {
+  private val grouped: Seq[(Int, Array[InternalRow])] =
+    snapshot.groupBy(spec.idOf).toSeq.sortBy(_._1)
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(spec.transform), math.max(1, grouped.length))
+  override def planInputPartitions(): Array[InputPartition] =
+    if (grouped.isEmpty) Array(KeyedMemPartition(Array.empty, 0))
+    else grouped.map { case (id, rows) =>
+      KeyedMemPartition(rows, id)
+    }.toArray[InputPartition]
+}
+
 private final case class MemPartition(rows: Array[InternalRow]) extends InputPartition
+
+private final case class KeyedMemPartition(rows: Array[InternalRow], bucketId: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
 
 /** Append by default; `truncate()` (INSERT OVERWRITE) and the row-level
   * replace path both flip to replace-on-commit.

@@ -996,6 +996,51 @@ object EtlOps {
     spark.table(target).orderBy("o_orderkey")
   }
 
+  /** STORAGE-PARTITIONED JOIN — the v2 answer to `join_bucketed`'s file
+    * buckets: both tables declare `PARTITIONED BY (bucket(16, key))`,
+    * their scans report `KeyGroupedPartitioning` with per-partition keys,
+    * and Spark joins them with ZERO shuffle — neither side is exchanged,
+    * because the layout already co-locates matching keys (the Iceberg
+    * SPJ contract, `spark.sql.sources.v2.bucketing.enabled`). At 100 TB
+    * this is THE fact-fact join move: the shuffle that dominates such a
+    * join is paid once at write time and amortized over every
+    * subsequent join. Plan-pinned in EtlTextSpec (sort-merge join with
+    * no ShuffleExchange under it); the bucket function is plain
+    * sign-safe mod, so the layout is oracle-invisible and replayable.
+    */
+  def joinStoragePartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    val ordersT = "graftcat.spj.orders_b"
+    val custT = "graftcat.spj.customer_b"
+    spark.sql(s"DROP TABLE IF EXISTS $ordersT")
+    spark.sql(s"DROP TABLE IF EXISTS $custT")
+    spark.sql(
+      s"""CREATE TABLE $ordersT (
+          o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+          PARTITIONED BY (bucket(16, o_custkey))""")
+    spark.sql(
+      s"""CREATE TABLE $custT (c_custkey BIGINT, c_mktsegment STRING)
+          PARTITIONED BY (bucket(16, c_custkey))""")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .writeTo(ordersT).append()
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .writeTo(custT).append()
+    spark.table(ordersT).hint("merge")
+      .join(spark.table(custT), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        // integer-cents sum (the skewAqe convention): order-invariant
+        round(sum(round(col("o_totalprice") * 100).cast("bigint")) / 100.0, 2)
+          .as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Shared seeding for the DML-statement entries: a fresh v2 table
     * loaded with the even-keyed half of orders at load 1.
     */

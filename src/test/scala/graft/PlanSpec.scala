@@ -533,4 +533,34 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"),
       s"chunking shuffled — the fan-out must stay map-side:\n$p")
   }
+
+  test("join_storage_partitioned: the join runs with ZERO shuffle under it") {
+    val df = graft.sources.EtlOps.joinStoragePartitioned(spark, sf0001)
+    df.collect() // finalize the adaptive plan before inspecting it
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    // collect() does not descend into materialized AQE query stages;
+    // flatten through them explicitly
+    def all(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(all)) ++ (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          all(q.plan)
+        case _ => Nil
+      })
+    val smj = all(root).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, s"expected a sort-merge join:\n$root")
+    // the storage layout co-locates both sides: NO exchange may appear
+    // anywhere below the join — that absence IS the feature
+    val shuffles = smj.head.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty,
+      s"storage-partitioned join must not shuffle either side:\n${smj.head}")
+  }
 }
