@@ -2467,7 +2467,7 @@ object SparkEntry {
     */
   private def kmeansCte(k: Int, rounds: Int, dim: Int): String = {
     def assign(name: String, cents: String) =
-      s"""$name AS (SELECT vec_id, xq, cid AS cell FROM (
+      s"""$name AS MATERIALIZED (SELECT vec_id, xq, cid AS cell FROM (
            SELECT eq.vec_id, eq.xq, c.cid, row_number() OVER (PARTITION BY eq.vec_id
              ORDER BY list_sum([(eq.xq[i] - c.cvec[i]) * (eq.xq[i] - c.cvec[i])
                                 FOR i IN range(1, ${dim + 1})]), c.cid) AS rn
@@ -2475,17 +2475,17 @@ object SparkEntry {
     val steps = (1 to rounds).map { r =>
       s""",
          ${assign(s"ka$r", s"k${r - 1}")},
-         ku$r AS (SELECT cell, t.i AS i,
+         ku$r AS MATERIALIZED (SELECT cell, t.i AS i,
                   CAST(floor(sum(xq[t.i])::DOUBLE / count(*)) AS BIGINT) AS cq
                 FROM ka$r CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) t
                 GROUP BY cell, t.i),
-         k$r AS (SELECT p.cid, coalesce(u.cvec, p.cvec) AS cvec FROM k${r - 1} p
+         k$r AS MATERIALIZED (SELECT p.cid, coalesce(u.cvec, p.cvec) AS cvec FROM k${r - 1} p
                  LEFT JOIN (SELECT cell AS cid, list(cq ORDER BY i) AS cvec
                             FROM ku$r GROUP BY cell) u USING (cid))"""
     }.mkString
-    s"""eq AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+    s"""eq AS MATERIALIZED (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
              x -> CAST(round(x * 1000) AS BIGINT)) AS xq FROM embeddings),
-         k0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, xq AS cvec
+         k0 AS MATERIALIZED (SELECT CAST(vec_id AS INTEGER) AS cid, xq AS cvec
                 FROM eq WHERE vec_id < $k)$steps,
          ${assign("kaf", s"k$rounds")}"""
   }
@@ -2504,7 +2504,7 @@ object SparkEntry {
     */
   private def pqKmeansCte(s: Int, d: Int, k: Int, rounds: Int): String = {
     def assign(name: String, cents: String) =
-      s"""$name AS (SELECT vec_id, s, sub, cid AS cell FROM (
+      s"""$name AS MATERIALIZED (SELECT vec_id, s, sub, cid AS cell FROM (
            SELECT subs.vec_id, subs.s, subs.sub, c.cid,
              row_number() OVER (PARTITION BY subs.vec_id, subs.s
                ORDER BY list_sum([(subs.sub[i] - c.cvec[i]) * (subs.sub[i] - c.cvec[i])
@@ -2513,20 +2513,20 @@ object SparkEntry {
     val steps = (1 to rounds).map { r =>
       s""",
          ${assign(s"pa$r", s"p${r - 1}")},
-         pu$r AS (SELECT s, cell, t.i AS i,
+         pu$r AS MATERIALIZED (SELECT s, cell, t.i AS i,
                   CAST(floor(sum(sub[t.i])::DOUBLE / count(*)) AS BIGINT) AS cq
                 FROM pa$r CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS i) t
                 GROUP BY s, cell, t.i),
-         p$r AS (SELECT p.s, p.cid, coalesce(u.cvec, p.cvec) AS cvec FROM p${r - 1} p
+         p$r AS MATERIALIZED (SELECT p.s, p.cid, coalesce(u.cvec, p.cvec) AS cvec FROM p${r - 1} p
                  LEFT JOIN (SELECT s, cell AS cid, list(cq ORDER BY i) AS cvec
                             FROM pu$r GROUP BY s, cell) u
                    ON p.s = u.s AND p.cid = u.cid)"""
     }.mkString
-    s"""eq AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+    s"""eq AS MATERIALIZED (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
              x -> CAST(round(x * 1000) AS BIGINT)) AS xq FROM embeddings),
-         subs AS (SELECT vec_id, t.s AS s, xq[t.s*$d+1 : t.s*$d+$d] AS sub
+         subs AS MATERIALIZED (SELECT vec_id, t.s AS s, xq[t.s*$d+1 : t.s*$d+$d] AS sub
                   FROM eq CROSS JOIN (SELECT unnest(range(0, $s)) AS s) t),
-         p0 AS (SELECT s, CAST(vec_id AS INTEGER) AS cid, sub AS cvec
+         p0 AS MATERIALIZED (SELECT s, CAST(vec_id AS INTEGER) AS cid, sub AS cvec
                 FROM subs WHERE vec_id < $k)$steps"""
   }
 
@@ -2580,21 +2580,27 @@ object SparkEntry {
     * identity labeling, each CTE is one synchronous min-propagation hop
     * (min over in-neighbor labels, floored by the node's own).
     */
+  // Every step CTE is MATERIALIZED: DuckDB inlines plain CTEs, and a
+  // step that references its predecessor TWICE (the min-label join +
+  // the neighbor subquery) re-executes the whole upstream chain per
+  // reference — 2^rounds evaluations of the base join, which exhausts
+  // DuckDB's temp spill at sf0.1 (observed round 7). Materialization
+  // makes the chain linear; results are identical by definition.
   private def componentsOracleSql(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s""",
-         l$i AS (SELECT l.id, least(l.label, nb.nbr) AS label
+         l$i AS MATERIALIZED (SELECT l.id, least(l.label, nb.nbr) AS label
                  FROM l${i - 1} l JOIN
                    (SELECT e.dst AS id, min(lp.label) AS nbr
                     FROM edges e JOIN l${i - 1} lp ON lp.id = e.src
                     GROUP BY e.dst) nb USING (id))"""
     }.mkString
-    s"""WITH pairs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         edges AS (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
+         edges AS MATERIALIZED (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
                    UNION ALL SELECT supp * 2 + 1, cust * 2 FROM pairs),
-         nodes AS (SELECT DISTINCT src AS id FROM edges),
-         l0 AS (SELECT id, id AS label FROM nodes)$steps
+         nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+         l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)$steps
          SELECT label AS component, count(*) AS n_nodes, min(id) AS min_node
          FROM l$rounds GROUP BY label ORDER BY component"""
   }
@@ -2608,18 +2614,18 @@ object SparkEntry {
   private def bfsOracleSql(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s""",
-         d$i AS (SELECT d.id, least(d.dist, nb.nbr) AS dist
+         d$i AS MATERIALIZED (SELECT d.id, least(d.dist, nb.nbr) AS dist
                  FROM d${i - 1} d JOIN
                    (SELECT e.dst AS id, min(dp.dist) + 1 AS nbr
                     FROM edges e JOIN d${i - 1} dp ON dp.id = e.src
                     GROUP BY e.dst) nb USING (id))"""
     }.mkString
-    s"""WITH pairs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         edges AS (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
+         edges AS MATERIALIZED (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
                    UNION ALL SELECT supp * 2 + 1, cust * 2 FROM pairs),
-         nodes AS (SELECT DISTINCT src AS id FROM edges),
-         d0 AS (SELECT id, CAST(CASE WHEN id % 64 = 0 THEN 0 ELSE 999999 END
+         nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+         d0 AS MATERIALIZED (SELECT id, CAST(CASE WHEN id % 64 = 0 THEN 0 ELSE 999999 END
                 AS BIGINT) AS dist FROM nodes)$steps
          SELECT CAST(CASE WHEN dist >= 999999 THEN -1 ELSE dist END AS BIGINT)
              AS hops,
@@ -2637,7 +2643,7 @@ object SparkEntry {
   private def pagerankOracleSql(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s""",
-         r$i AS (SELECT nodes.id,
+         r$i AS MATERIALIZED (SELECT nodes.id,
                  0.15 / nn.n + 0.85 * coalesce(s.c, 0) AS rank
                  FROM nodes CROSS JOIN nn
                  LEFT JOIN (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS c
@@ -2645,12 +2651,12 @@ object SparkEntry {
                             JOIN deg d ON d.src = e.src
                             GROUP BY e.dst) s ON s.id = nodes.id)"""
     }.mkString
-    s"""WITH pairs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         edges AS (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
+         edges AS MATERIALIZED (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
                    UNION ALL SELECT supp * 2 + 1, cust * 2 FROM pairs),
-         deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
          r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)$steps
          SELECT id AS node_id, round(rank, 6) AS pr FROM r$rounds
