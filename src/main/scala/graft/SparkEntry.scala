@@ -137,6 +137,7 @@ object SparkEntry {
     "win_sessionize" -> ((s, d) => WindowOps.sessionize(events(s, d))),
     "win_gap_fill" -> ((s, d) => WindowOps.gapFill(events(s, d))),
     "win_pct_change" -> ((s, d) => WindowOps.pctChange(events(s, d))),
+    "win_ntile" -> ((s, d) => WindowOps.ntileBands(orders(s, d))),
     // §2.6 sorts / limits / top-k
     "sort" -> ((s, d) => SortSetOps.sortGlobal(orders(s, d))),
     "limit" -> ((s, d) => SortSetOps.limitPage(orders(s, d))),
@@ -1262,6 +1263,13 @@ object SparkEntry {
          SELECT user_id, session_seq, count(*) AS n_events,
            min(ts_us) AS start_us, max(ts_us) AS end_us, min(event_id) AS first_event
          FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+    // standard ntile rule on both engines (leading buckets absorb the
+    // remainder); (price, key) order makes bands tie-deterministic
+    "win_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS band
+         FROM orders ORDER BY o_orderkey""",
     "win_pct_change" ->
       """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
              round(value, 4) AS v FROM events),

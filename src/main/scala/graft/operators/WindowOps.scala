@@ -156,6 +156,24 @@ object WindowOps {
     * derived-metric shape of monitoring/trend pipelines. First event per
     * user has null change (no prior period).
     */
+  /** NTILE banding — equal-frequency bucket assignment per group (the
+    * SQL-standard way to band entities into quartiles for tiering or
+    * stratified sampling). Bucket sizes differ by at most one (leading
+    * buckets absorb the remainder — both engines implement the standard
+    * rule); the compound (price, key) order makes assignment
+    * tie-deterministic, so the entry oracle-pairs exactly. One shuffle
+    * on the partition key, like every keyed window here.
+    */
+  def ntileBands(orders: DataFrame, n: Int = 4): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders.select(
+      col("o_orderkey"), col("o_orderpriority"),
+      round(col("o_totalprice"), 2).as("price"),
+      ntile(n).over(w).as("band"))
+      .orderBy("o_orderkey")
+  }
+
   def pctChange(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     events
