@@ -67,6 +67,10 @@ object Bench {
     "stream_merge",         // per-micro-batch MERGE w/ tombstones
     "pipeline_quality_classifier", // 3-round GD training, 1 agg per round
     "stream_ann_ingest",    // streamed IVF cell assignment + partitioned append
+    // The 100 TB execution shape of dedup_near; measured EQUAL to the
+    // recompute form at sf0.1 (0.93 vs 0.92 s, round 7) — tracking both
+    // keeps that parity (and any future drift) visible per round.
+    "dedup_near_pruned",    // checkpointed kernel + broadcast-semi pruned verify
   )
 
   def main(args: Array[String]): Unit = {
