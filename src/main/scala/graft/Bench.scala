@@ -71,6 +71,7 @@ object Bench {
     // recompute form at sf0.1 (0.93 vs 0.92 s, round 7) — tracking both
     // keeps that parity (and any future drift) visible per round.
     "dedup_near_pruned",    // checkpointed kernel + broadcast-semi pruned verify
+    "dedup_incremental",    // delta-vs-corpus probe of the persisted LSH index
   )
 
   def main(args: Array[String]): Unit = {

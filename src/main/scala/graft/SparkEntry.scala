@@ -86,6 +86,8 @@ object SparkEntry {
     "q_funnel" -> ((s, d) => AuditQueries.qFunnel(events(s, d))),
     "q_cbo_stats" -> ((s, d) => AuditQueries.qCboStats(s, d)),
     "q_group_by_all" -> ((s, d) => AuditQueries.qGroupByAll(s, lineitem(s, d))),
+    "q_sql_variables" -> ((s, d) => AuditQueries.qSqlVariables(s, orders(s, d))),
+    "q_parameterized" -> ((s, d) => AuditQueries.qParameterized(s, orders(s, d))),
     "q_lateral_join" -> ((s, d) =>
       AuditQueries.qLateralJoin(s, customer(s, d), orders(s, d))),
     "fn_variant" -> ((s, d) => FuncOps.variantFns(events(s, d))),
@@ -168,11 +170,14 @@ object SparkEntry {
     "fn_hash" -> ((s, d) => FuncOps.hashFns(documents(s, d))),
     "fn_bitwise" -> ((s, d) => FuncOps.bitwiseFns(lineitem(s, d))),
     "fn_fuzzy" -> ((s, d) => FuncOps.fuzzyFns(documents(s, d))),
+    "fn_regexp" -> ((s, d) => FuncOps.regexpFns(documents(s, d))),
+    "fn_aes" -> ((s, d) => FuncOps.aesFns(documents(s, d))),
     // §2.11 [EXT] LLM-data-pipeline operators
     "dedup_exact" -> ((s, d) => LlmOps.dedupExact(documents(s, d))),
     "dedup_paragraph" -> ((s, d) => LlmOps.dedupParagraph(documents(s, d))),
     "dedup_near" -> ((s, d) => LlmOps.dedupNear(documents(s, d))),
     "dedup_near_pruned" -> ((s, d) => LlmOps.dedupNearPruned(documents(s, d))),
+    "dedup_incremental" -> ((s, d) => LlmOps.dedupIncremental(s, d)),
     "dedup_clusters" -> ((s, d) => LlmOps.dedupClusters(documents(s, d))),
     "dedup_normalized" -> ((s, d) => LlmOps.dedupNormalized(documents(s, d))),
     "sim_topk" -> ((s, d) => LlmOps.simTopk(embeddings(s, d))),
@@ -195,6 +200,7 @@ object SparkEntry {
     "scan_json" -> ((s, d) => EtlOps.scanJson(s, d)),
     "scan_csv" -> ((s, d) => EtlOps.scanCsv(s, d)),
     "scan_orc" -> ((s, d) => EtlOps.scanOrc(s, d)),
+    "scan_xml" -> ((s, d) => EtlOps.scanXml(s, d)),
     "scan_observed" -> ((s, d) => EtlOps.scanObserved(s, d)),
     "scan_text" -> ((s, d) => EtlOps.scanText(s, d)),
     "source_api_paginated" -> ((s, d) => EtlOps.sourceApiPaginated(s, d)),
@@ -215,6 +221,9 @@ object SparkEntry {
     "sql_delete" -> ((s, d) => EtlOps.sqlDelete(s, d)),
     "sql_time_travel" -> ((s, d) => EtlOps.sqlTimeTravel(s, d)),
     "sql_insert_overwrite" -> ((s, d) => EtlOps.sqlInsertOverwrite(s, d)),
+    "sql_ctas" -> ((s, d) => EtlOps.sqlCtas(s, d)),
+    "sql_alter_evolve" -> ((s, d) => EtlOps.sqlAlterEvolve(s, d)),
+    "sql_time_travel_ts" -> ((s, d) => EtlOps.sqlTimeTravelTs(s, d)),
     "join_storage_partitioned" -> ((s, d) => EtlOps.joinStoragePartitioned(s, d)),
     "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
     "sink_incremental" -> ((s, d) => EtlOps.sinkIncremental(s, d)),
@@ -263,6 +272,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => SimOps.dedupNgramJaccard(documents(s, d))),
     "dedup_embedding" -> ((s, d) => SimOps.dedupEmbedding(embeddings(s, d))),
     "sim_ivf" -> ((s, d) => SimOps.simIvf(embeddings(s, d))),
+    "sim_ann_filtered" -> ((s, d) => SimOps.simAnnFiltered(embeddings(s, d))),
     "sim_ivf_recall" -> ((s, d) => SimOps.simIvfRecall(embeddings(s, d))),
     "sim_ivf_kmeans" -> ((s, d) => SimOps.simIvfKmeans(embeddings(s, d))),
     "sink_ann_index" -> ((s, d) => SimOps.sinkAnnIndex(s, d)),
@@ -274,6 +284,8 @@ object SparkEntry {
     "pipeline_quality_classifier" ->
       ((s, d) => PipelineOps.pipelineQualityClassifier(documents(s, d))),
     "pipeline_mix" -> ((s, d) => PipelineOps.pipelineMix(documents(s, d))),
+    "pipeline_shard_manifest" ->
+      ((s, d) => PipelineOps.pipelineShardManifest(documents(s, d))),
     "text_chunk" -> ((s, d) => PipelineOps.textChunk(documents(s, d))),
     "dedup_url" -> ((s, d) => PipelineOps.dedupUrl(documents(s, d))),
     "sim_mips" -> ((s, d) => SimOps.simMips(embeddings(s, d))),
@@ -315,7 +327,10 @@ object SparkEntry {
     * pipeline in DuckDB — used by both dedup_near (the pair list) and
     * dedup_clusters (label propagation over those pairs).
     */
-  private def nearDupCtes(src: String): String =
+  /** Just the shingle→minhash→band CTEs (t, s, m0, m, b) — shared by the
+    * all-pairs chain below and the asymmetric incremental-probe oracle.
+    */
+  private def nearDupBandCtes(src: String): String =
     s"""t AS (SELECT doc_id, str_split(text,' ') AS toks FROM $src),
        s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
               for i in range(1, greatest(len(toks)-1, 2))]) AS sh FROM t),
@@ -326,7 +341,10 @@ object SparkEntry {
                          list_min(list_transform(hs, h -> substring(h, 17, 16)))]
                         for hs in mhs]) AS mh FROM m0),
        b AS (SELECT doc_id, r.b AS band, md5(array_to_string(mh[r.b*4+1 : r.b*4+4], '|')) AS sig
-             FROM m CROSS JOIN (SELECT unnest(range(0,8)) AS b) r),
+             FROM m CROSS JOIN (SELECT unnest(range(0,8)) AS b) r)"""
+
+  private def nearDupCtes(src: String): String =
+    s"""${nearDupBandCtes(src)},
        bsz AS (SELECT band, sig FROM b GROUP BY band, sig
                HAVING count(*) BETWEEN 2 AND 64),
        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
@@ -1128,6 +1146,25 @@ object SparkEntry {
          (l_orderkey >> 4) AS shr,
          CAST(bit_count(l_orderkey) AS INTEGER) AS popcount
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    // regexp_count has no DuckDB twin (len of extract_all, cast — DuckDB
+    // len is BIGINT, Spark regexp_count INT); replace needs the 'g' flag
+    // (DuckDB is first-match by default, Spark is always global); both
+    // engines return '' for a no-match regexp_extract
+    "fn_regexp" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[aeiou][aeiou]')) AS INTEGER) AS n_vv,
+         regexp_extract(text, '([a-z]{8,})', 1) AS first_long,
+         regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+         coalesce(array_to_string(
+             regexp_extract_all(text, '\b[a-z]{3}\b'), '|'), '')
+           AS three_letter
+         FROM documents ORDER BY doc_id""",
+    // the ciphertext is engine-internal (GCM IV is random by design);
+    // the DATA-visible contract is the round-trip and the fail-closed
+    // wrong-key NULL — both replayed here
+    "fn_aes" ->
+      """SELECT doc_id, text AS text_rt, true AS wrong_key_rejected
+         FROM documents ORDER BY doc_id""",
     "fn_fuzzy" ->
       """WITH p AS (SELECT doc_id, substring(text, 1, 15) AS prefix FROM documents)
          SELECT doc_id, prefix,
@@ -1150,6 +1187,24 @@ object SparkEntry {
       s"""$nearDupCte
          SELECT doc_a, doc_b, round(jac, 6) AS jac FROM j
          WHERE round(jac, 6) >= 0.6 ORDER BY doc_a, doc_b""",
+    // asymmetric probe: corpus-side (%10<>0) buckets are the index
+    // (capped at build), delta docs (%10=0) probe them; pairs are
+    // (new, ref) — never delta×delta or corpus×corpus
+    "dedup_incremental" ->
+      s"""WITH ${nearDupBandCtes("documents")},
+         bsz AS (SELECT band, sig FROM b WHERE doc_id % 10 <> 0
+                 GROUP BY band, sig HAVING count(*) <= 64),
+         cand AS (SELECT DISTINCT d.doc_id AS doc_new, c.doc_id AS doc_ref
+                  FROM b d JOIN b c ON d.band = c.band AND d.sig = c.sig
+                  JOIN bsz ON bsz.band = d.band AND bsz.sig = d.sig
+                  WHERE d.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
+         j AS (SELECT doc_new, doc_ref,
+                len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+               FROM cand JOIN s sa ON sa.doc_id = doc_new
+                         JOIN s sb ON sb.doc_id = doc_ref)
+         SELECT doc_new, doc_ref, round(jac, 6) AS jac FROM j
+         WHERE round(jac, 6) >= 0.6 ORDER BY doc_new, doc_ref""",
     // same pipeline, then 3 unrolled min-label propagation rounds — the
     // exact mirror of LlmOps.dedupClusters' iteration
     // Exact fixpoint oracle: the Spark side iterates min-label
@@ -1234,6 +1289,12 @@ object SparkEntry {
     "scan_orc" ->
       """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS bal
          FROM supplier WHERE s_acctbal > 1000 ORDER BY s_suppkey""",
+    // the XML round-trip must be lossless; the float column travels as
+    // integer cents (decimal-text float round-trips are the lossy edge)
+    "scan_xml" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+         FROM supplier ORDER BY s_suppkey""",
     // text-source round-trip must be lossless vs the original table; the
     // n_fields=2 prediction doubles as the no-tabs-in-payload audit
     "scan_text" ->
@@ -1607,6 +1668,49 @@ object SparkEntry {
       """SELECT o_orderkey, round(o_totalprice, 2) AS price, 2 AS load_id
          FROM orders WHERE o_orderkey % 3 = 0
          ORDER BY o_orderkey""",
+    // variables/parameters resolve to literals at analysis time — the
+    // oracle IS the literal form of each query
+    "q_sql_variables" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+         FROM orders
+         WHERE o_totalprice > 300000.0 AND o_orderstatus = 'F'
+         ORDER BY o_orderkey""",
+    "q_parameterized" ->
+      """SELECT o_orderpriority, count(*) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderstatus = 'F'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // floor-to-version semantics: 00:01:30 lands between commits 1 and
+    // 2, so the versioned side is the seed load — same oracle as the
+    // VERSION AS OF entry by construction
+    "sql_time_travel_ts" ->
+      """SELECT o_orderkey,
+           round(o_totalprice, 2) AS price_v1,
+           CASE WHEN o_orderkey % 10 = 0
+                THEN round(o_totalprice, 2) + 1000.0
+                ELSE round(o_totalprice, 2) END AS price_cur,
+           o_orderkey % 10 = 0 AS changed
+         FROM orders WHERE o_orderkey % 2 = 0
+         ORDER BY o_orderkey""",
+    // CTAS: schema and contents both come from the SELECT
+    "sql_ctas" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price,
+         o_orderstatus AS status
+         FROM orders WHERE o_orderkey % 4 = 0
+         ORDER BY o_orderkey""",
+    // schema evolution: the pre-ALTER seed (load 1) reads back with the
+    // new trailing column NULL-backfilled; the post-ALTER load carries it
+    "sql_alter_evolve" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, 1 AS load_id,
+           CAST(NULL AS VARCHAR) AS priority
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, round(o_totalprice, 2), 2, o_orderpriority
+         FROM orders WHERE o_orderkey % 2 = 1
+         ORDER BY o_orderkey""",
     // predicate delete: only the surviving rows remain
     "sql_delete" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price, 1 AS load_id
@@ -1723,6 +1827,22 @@ object SparkEntry {
          SELECT user_id, min(u) // 1000000 AS session_start_s,
                 count(*) AS n_events
          FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_s""",
+    // append-mode + watermark over a single-batch source is
+    // DETERMINISTIC: the final watermark is max(ts) - 1h (ms-floored),
+    // and exactly the windows sealed by it (window_end <= watermark) are
+    // emitted — the un-sealed tail windows are withheld, which is the
+    // late-data contract this entry pins
+    "stream_watermark" ->
+      """WITH w AS (SELECT (epoch_us(ts) // 1000000 // 3600) * 3600
+                      AS win_start_s, event_type
+                    FROM events),
+            m AS (SELECT max(epoch_us(ts) // 1000) AS mx_ms FROM events)
+         SELECT win_start_s, event_type, count(*) AS n
+         FROM w
+         WHERE (win_start_s + 3600) * 1000 <=
+               (SELECT mx_ms FROM m) - 3600000
+         GROUP BY win_start_s, event_type
+         ORDER BY win_start_s, event_type""",
     "stream_dedup" ->
       """SELECT event_type, count(*) AS n, count(*) AS n_ids FROM events
          GROUP BY event_type ORDER BY event_type""",
@@ -2283,6 +2403,19 @@ object SparkEntry {
            CAST(floor((start_tok + n_toks - 1) / 64.0)
                 - floor(start_tok / 64.0) + 1 AS BIGINT) AS n_seqs
          FROM w ORDER BY source, doc_id""",
+    // content-hashed shard + order-invariant bit_xor fingerprint: both
+    // engines share the 60-bit md5 key, and DuckDB's BIGINT sum widens
+    // to HUGEINT so n_tokens is cast back
+    "pipeline_shard_manifest" ->
+      """WITH d AS (SELECT doc_id,
+             ('0x' || substring(md5(text), 1, 15))::BIGINT AS h,
+             len(str_split(text, ' '))::BIGINT AS n_toks
+           FROM documents)
+         SELECT CAST(h % 8 AS INTEGER) AS shard, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           bit_xor(h) AS content_fp
+         FROM d GROUP BY 1 ORDER BY 1""",
     // rate/threshold derived from the source index exactly as the
     // engine's mixture table builds them; same md5 first-digit rule
     "pipeline_mix" ->
@@ -2369,6 +2502,29 @@ object SparkEntry {
     // with the same rows as the in-query learned IVF
     "sink_ann_index" -> ivfKmeansOracleSql(16, 3, 64),
     "sim_ivf" -> simIvfOracleSql,
+    // the sim_ivf ranking with the metadata predicate applied to the
+    // corpus BEFORE assignment/ranking (pre-filter form); the query
+    // vector is drawn from the UNFILTERED table
+    "sim_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label,
+              CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         f AS (SELECT vec_id, v FROM e WHERE label % 3 = 0),
+         a AS (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY round(list_dot_product(v, cv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9)
+                   DESC, cid) AS rn
+               FROM f CROSS JOIN c),
+         asn AS (SELECT vec_id, v, cid AS cell FROM a WHERE rn = 1),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         p AS (SELECT cid AS cell FROM c CROSS JOIN q
+               ORDER BY round(list_dot_product(cv, qv) /
+                 (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 9)
+                 DESC, cid LIMIT 4)
+         SELECT vec_id, round(list_dot_product(v, qv) /
+           (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+         FROM asn JOIN p USING(cell) CROSS JOIN q
+         ORDER BY cos DESC, vec_id LIMIT 10""",
     // recall@k compares IDENTITY sets: approx = the sim_ivf oracle as a
     // CTE verbatim, exact = brute force with the same rounded-cosine
     // tie-break; the audit rides entirely on already-proven rankings

@@ -271,4 +271,50 @@ object FuncOps {
         sha2(col("text"), 256).as("sha"),
         md5(col("text")).as("mdfive"))
       .orderBy("doc_id")
+
+  /** Regex family beyond the single-match basics `fn_string` carries:
+    * count, global replace, and extract-ALL — the workhorses of text
+    * cleaning at corpus scale (all codegen'd Catalyst expressions; a
+    * regex UDF here would be the classic 10× mistake). The extract-all
+    * list is re-joined to a string so the compare is a flat column.
+    * Oracle notes: DuckDB's `regexp_replace` is FIRST-match unless
+    * passed the 'g' flag (Spark's is always global), and its extract-all
+    * list becomes `array_to_string`; both engines speak RE2-compatible
+    * syntax for the classes used here.
+    */
+  def regexpFns(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("[aeiou][aeiou]")).as("n_vv"),
+        regexp_extract(col("text"), "([a-z]{8,})", 1).as("first_long"),
+        regexp_replace(col("text"), lit("[aeiou]"), lit("_")).as("devoweled"),
+        array_join(
+          regexp_extract_all(col("text"), lit("\\b[a-z]{3}\\b"), lit(0)), "|")
+          .as("three_letter"))
+      .orderBy("doc_id")
+
+  /** Column-level encryption — PII protection AT REST for the secure-
+    * handling mandate (README.md:21 "secure token", :88 secrets hygiene):
+    * AES-GCM encrypt → decrypt round-trips the payload (GCM's random IV
+    * makes ciphertext non-deterministic, which is the POINT — equal
+    * plaintexts must not correlate at rest), and a wrong-key decrypt
+    * fails CLOSED: `try_aes_decrypt` yields NULL, never garbage bytes —
+    * GCM authenticates before it decrypts. Both properties are data-
+    * visible and oracle-checked; the ciphertext itself never leaves the
+    * engine. Scale: per-row cipher work is map-side codegen'd expression
+    * evaluation, embarrassingly parallel.
+    */
+  def aesFns(documents: DataFrame): DataFrame = {
+    val key = lit("0123456789abcdef") // 16-byte demo key; prod = dotenv/KMS
+    val wrongKey = lit("fedcba9876543210")
+    val ct = aes_encrypt(col("text"), key, lit("GCM"))
+    documents
+      .select(
+        col("doc_id"),
+        aes_decrypt(ct, key, lit("GCM")).cast("string").as("text_rt"),
+        try_aes_decrypt(ct, wrongKey, lit("GCM")).isNull
+          .as("wrong_key_rejected"))
+      .orderBy("doc_id")
+  }
 }

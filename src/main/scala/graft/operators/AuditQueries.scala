@@ -326,6 +326,45 @@ object AuditQueries {
          FROM lineitem_v GROUP BY ALL ORDER BY ALL""")
   }
 
+  /** SQL session variables (Spark 4 `DECLARE` / `SET VARIABLE`) — the
+    * parameterization layer an operational SQL job uses for thresholds
+    * and run dates. Variables resolve at ANALYSIS time into plain
+    * literals, so a variable-gated predicate stays pushdown- and
+    * pruning-eligible (nothing variable-shaped ever reaches executors) —
+    * the property that makes parameterized nightly jobs scale-neutral.
+    * One variable takes its DEFAULT, one is SET after declaration.
+    */
+  def qSqlVariables(spark: SparkSession, orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_vars_v")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE")
+    spark.sql("SET VARIABLE price_floor = 300000.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE status_pick STRING DEFAULT 'F'")
+    spark.sql(
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+         FROM orders_vars_v
+         WHERE o_totalprice > price_floor AND o_orderstatus = status_pick
+         ORDER BY o_orderkey""")
+  }
+
+  /** Named-parameter SQL (`:param` markers bound via `spark.sql(text,
+    * args)`) — the injection-safe form of the same need: values bind as
+    * typed literals in the parser, never by string splicing, so a
+    * user-supplied cutoff can't smuggle SQL and the bound plan is
+    * identical to the literal one (pushdown intact).
+    */
+  def qParameterized(spark: SparkSession, orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_param_v")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D, 2)
+             AS total
+         FROM orders_param_v
+         WHERE o_orderdate >= CAST(:cutoff AS TIMESTAMP_NTZ)
+           AND o_orderstatus = :status
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      Map("cutoff" -> "1995-01-01 00:00:00", "status" -> "F"))
+  }
+
   /** SQL-text hint surface — `/*+ MERGE(t) */` et al., the escape hatch
     * operators use when they know better than the stats. The hint here
     * deliberately forces a sort-merge join on a dim SMALL enough that the

@@ -176,6 +176,64 @@ object LlmOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** INCREMENTAL near-dedup — the shape a GROWING corpus actually runs:
+    * the existing corpus's LSH bucket table is a PERSISTED INDEX (built
+    * once, stored as compact (band, sig, ids) rows — written/re-read
+    * through parquet here to keep the store real), and each arriving
+    * delta shard computes only its own signatures and probes that index.
+    * Cost per ingest is O(delta), never O(corpus): the corpus text is
+    * not re-shingled, not re-hashed, not re-shuffled — only the docs the
+    * index nominates are pulled into the exact-Jaccard verify. Pairs are
+    * asymmetric (new_doc × corpus_doc) by construction — delta-internal
+    * dups are `dedup_near`'s job on the shard itself. The bucket cap is
+    * applied at INDEX BUILD (an overgrown bucket is boilerplate, pruned
+    * once at write time rather than re-skipped by every probe).
+    */
+  def dedupIncremental(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    dedupIncrementalOn(
+      graft.Tables.documents(spark, sfDir),
+      graft.sources.EtlOps.freshDir(sfDir, "neardup_index").toString)
+
+  private[graft] def dedupIncrementalOn(
+      documents: DataFrame, idxDir: String): DataFrame = {
+    val spark = documents.sparkSession
+    graft.plans.MinHashSig.register(spark)
+    graft.plans.TextKernels.register(spark)
+    val isDelta = col("doc_id") % 10 === 0
+    val spread = documents.select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val bands = spread
+      .withColumn("mh", minhashSig(shingleSet(col("text"))))
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), lit(7)),
+          b => struct(b.as("band"),
+            md5(array_join(slice(col("mh"), b * 4 + 1, lit(4)), "|")).as("sig")))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // index build (amortized in production): corpus buckets, capped
+    bands.filter(!isDelta)
+      .groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= LshMaxBucket)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(idxDir)
+    // ingest: delta probes the stored index; fan-out ≤ cap per probe
+    val cand = bands.filter(isDelta)
+      .join(spark.read.parquet(idxDir), Seq("band", "sig"))
+      .select(col("doc_id").as("doc_new"), explode(col("ids")).as("doc_ref"))
+      .distinct()
+    val sh = spread.select(col("doc_id"), shingleSet(col("text")).as("sh"))
+    val sa = sh.select(col("doc_id").as("doc_new"), col("sh").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("doc_ref"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter)
+    cand
+      .join(sa, "doc_new")
+      .join(sb, "doc_ref")
+      .select(col("doc_new"), col("doc_ref"), round(jac, 6).as("jac"))
+      .filter(col("jac") >= 0.6)
+      .orderBy("doc_new", "doc_ref")
+  }
+
   /** Normalization-aware exact dedup: lowercase + trim + whitespace
     * collapse BEFORE hashing, so trivially-reformatted copies (case
     * drift, padding, double spaces) collapse into one group where byte-

@@ -364,4 +364,32 @@ object PipelineOps {
         col("st.n_tokens").as("n_tokens"))
       .orderBy("stage")
   }
+
+  /** Training-export SHARD MANIFEST — the reproducibility artifact a
+    * corpus release ships alongside its shards: per shard, the doc and
+    * token counts, the id range, and an ORDER-INVARIANT content
+    * fingerprint (bit_xor of per-doc 60-bit md5 keys — any partitioning
+    * or task order produces the same value, and a single changed /
+    * dropped / duplicated doc changes it). Sharding is content-hashed
+    * (md5 of the text, not the id), so shard sizes stay balanced no
+    * matter how ids were assigned upstream — the property that keeps
+    * downstream training readers uniform at 100 TB. One hash aggregate
+    * on an 8-value key; the manifest is the only output, the shard
+    * write itself is `sink_partitioned`'s job.
+    */
+  def pipelineShardManifest(documents: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    documents.select(col("doc_id"), col("text"))
+      .withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(8)).cast("int"))
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(h)").as("content_fp"))
+      .orderBy("shard")
+  }
 }

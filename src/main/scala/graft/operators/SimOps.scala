@@ -530,6 +530,29 @@ object SimOps {
     ivfScan(e, cents)
   }
 
+  /** FILTERED vector search — ANN under a metadata predicate, the query
+    * every production vector store actually serves ("nearest neighbors
+    * WHERE label in …"). This is the PRE-filter form: the predicate cuts
+    * the corpus BEFORE assignment and ranking, so selectivity compounds
+    * with nprobe pruning (scan cost ≈ sel × nprobe/k of the corpus) and
+    * top-k is exact over the filtered set. The POST-filter alternative
+    * (rank first, filter the top-k) is cheaper only when the predicate
+    * is near-vacuous and silently returns < k rows otherwise — the
+    * classic filtered-ANN recall bug, designed out here. The filter is a
+    * plain Catalyst predicate on the scan (pushdown-eligible: at 100 TB
+    * with label-partitioned storage it becomes partition pruning).
+    */
+  def simAnnFiltered(embeddings: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings
+      .select(col("vec_id"), col("label"), toVec(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val filtered = e.filter(col("label") % 3 === 0)
+      .select(col("vec_id"), col("v"))
+    ivfScan(filtered, cents, Some(e))
+  }
+
   /** PERSISTED ANN index + partition-pruned serving — the shape an
     * embedding corpus actually takes at 100 TB: the IVF index is not an
     * in-memory structure but a STORAGE LAYOUT. Build = learn the
@@ -643,7 +666,10 @@ object SimOps {
       .orderBy("cell")
   }
 
-  private def ivfScan(e: DataFrame, cents: DataFrame): DataFrame = {
+  // `qSrc`: where the query vector lives — defaults to the corpus, but a
+  // FILTERED search must still draw the query from the unfiltered table
+  private def ivfScan(
+      e: DataFrame, cents: DataFrame, qSrc: Option[DataFrame] = None): DataFrame = {
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
     val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cid"),
@@ -651,7 +677,8 @@ object SimOps {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cid").as("cell"))
-    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val q = qSrc.getOrElse(e).filter(col("vec_id") === 0)
+      .select(col("v").as("qv"))
     val probes = cents.crossJoin(broadcast(q))
       .select(col("cid"), round(cosine(col("cv"), col("qv")), 9).as("ccos"))
       .orderBy(desc("ccos"), asc("cid"))

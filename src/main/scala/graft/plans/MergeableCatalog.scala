@@ -83,6 +83,24 @@ class MergeableCatalog extends TableCatalog with SupportsNamespaces
     new SnapshotTable(s"${t.name()}@v$v", t.schema(), t.snapshotAt(v))
   }
 
+  /** `TIMESTAMP AS OF t` time travel: resolves to the LATEST snapshot
+    * whose commit time is ≤ t — the Iceberg/Delta timestamp-travel
+    * contract. Commit times here come from a SYNTHETIC commit clock
+    * (version v committed at BASE + v minutes) so timestamp travel is
+    * deterministic and replayable; a storage-backed catalog would read
+    * real commit metadata, with exactly this floor-to-version lookup.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = MergeableCatalog.tables.get(ident)
+    if (t == null) throw new NoSuchTableException(ident)
+    require(timestamp >= MergeableCatalog.CommitClockBaseMicros,
+      s"timestamp precedes the first snapshot of ${t.name()}")
+    val v = math.min(
+      (timestamp - MergeableCatalog.CommitClockBaseMicros) / 60000000L,
+      t.versionCount - 1L).toInt
+    new SnapshotTable(s"${t.name()}@t$timestamp", t.schema(), t.snapshotAt(v))
+  }
+
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -112,8 +130,30 @@ class MergeableCatalog extends TableCatalog with SupportsNamespaces
     t
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** `ALTER TABLE … ADD COLUMNS` — in-place schema evolution, the v2
+    * counterpart of `scan_merge_schema`'s file-side widening: the table's
+    * schema gains the new trailing columns and EVERY existing snapshot
+    * (current and historical) reads back with NULL backfill — pure
+    * schema-on-read, no data rewrite in a production catalog (here the
+    * in-memory rows are padded once, standing in for the reader-side
+    * projection a file catalog performs per scan). Only top-level
+    * appended columns are supported; anything positional or nested is
+    * rejected loudly rather than half-applied.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = MergeableCatalog.tables.get(ident)
+    if (t == null) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn
+          if a.fieldNames().length == 1 && a.position() == null =>
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), a.isNullable)
+      case other => throw new UnsupportedOperationException(
+        s"only top-level appended ADD COLUMNS is supported: $other")
+    }
+    t.evolve(adds)
+    t
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     MergeableCatalog.tables.remove(ident) != null
@@ -202,6 +242,10 @@ object MergeableCatalog {
   // one table store per JVM: every session (and every executor thread in
   // local mode) sees the same committed state, like a shared metastore
   private val tables = new ConcurrentHashMap[Identifier, MergeableMemTable]()
+
+  // synthetic commit clock origin: version v "committed" at BASE + v min
+  private[plans] val CommitClockBaseMicros: Long =
+    java.time.Instant.parse("2024-06-01T00:00:00Z").toEpochMilli * 1000L
 }
 
 /** The v2 table: batch-readable, batch-writable (append + truncate), and
@@ -216,11 +260,43 @@ class MergeableMemTable(
 
   @volatile private var committed: Array[InternalRow] = Array.empty
 
+  // the LIVE schema: starts as the created schema, widened by `evolve`
+  @volatile private var curSchema: StructType = tableSchema
+
   // snapshot per commit; index = version, version 0 = empty at creation
   private val history =
     scala.collection.mutable.ArrayBuffer[Array[InternalRow]](Array.empty)
 
   private[plans] def currentRows: Array[InternalRow] = committed
+
+  /** Append columns to the schema; NULL-backfill every stored snapshot
+    * row to the new arity so current AND versioned reads stay aligned
+    * with `schema()` (see `alterTable` for the production analogy).
+    */
+  private[plans] def evolve(newCols: Seq[org.apache.spark.sql.types.StructField]): Unit =
+    synchronized {
+      val oldTypes = curSchema.fields.map(_.dataType)
+      val oldWidth = oldTypes.length
+      curSchema = StructType(curSchema.fields ++ newCols)
+      val width = curSchema.length
+      def pad(rows: Array[InternalRow]): Array[InternalRow] = rows.map { r =>
+        val vals = new Array[Any](width)
+        var i = 0
+        while (i < oldWidth) { vals(i) = r.get(i, oldTypes(i)); i += 1 }
+        new GenericInternalRow(vals): InternalRow
+      }
+      // history entries share row arrays with `committed` by reference;
+      // pad each DISTINCT array once so sharing (and memory) is preserved
+      val seen = new java.util.IdentityHashMap[Array[InternalRow], Array[InternalRow]]()
+      def padShared(rows: Array[InternalRow]): Array[InternalRow] = {
+        val cached = seen.get(rows)
+        if (cached != null) cached else { val p = pad(rows); seen.put(rows, p); p }
+      }
+      for (i <- history.indices) history(i) = padShared(history(i))
+      committed = padShared(committed)
+    }
+
+  private[plans] def versionCount: Int = synchronized { history.length }
 
   private[plans] def snapshotAt(version: Int): Array[InternalRow] =
     synchronized {
@@ -231,7 +307,7 @@ class MergeableMemTable(
     }
 
   override def name(): String = tableName
-  override def schema(): StructType = tableSchema
+  override def schema(): StructType = curSchema
   override def partitioning(): Array[Transform] =
     bucket.map(_.transform).toArray
   override def capabilities(): util.Set[TableCapability] =
@@ -242,8 +318,8 @@ class MergeableMemTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => bucket match {
-      case Some(spec) => new KeyedMemScan(tableSchema, committed, spec)
-      case None => new MemScan(tableSchema, committed)
+      case Some(spec) => new KeyedMemScan(curSchema, committed, spec)
+      case None => new MemScan(curSchema, committed)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -256,7 +332,7 @@ class MergeableMemTable(
       // the operation's scan defines the GROUPS the write replaces; one
       // group = the whole table, so no metadata attributes are needed
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        () => new MemScan(tableSchema, committed)
+        () => new MemScan(curSchema, committed)
       override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
         new MemWriteBuilder(MergeableMemTable.this, replaceAll = true,
           rowLevel = true)

@@ -220,6 +220,30 @@ object EtlOps {
       .orderBy("s_suppkey")
   }
 
+  /** XML round-trip — the fourth interchange format (README.md:22 "clean
+    * or reformat data"), through Spark 4's BUILT-IN XML source (one
+    * record per `rowTag` element; multi-record files split executor-side
+    * like any text format). The float column travels as integer cents:
+    * XML is a TEXT format, and decimal-text float round-trips are the
+    * classic lossy edge a connector must design out, not hope past. Read
+    * side passes the schema explicitly — inference would re-scan, and at
+    * 100 TB schema-on-read means DECLARED schema, inferred only in dev.
+    */
+  def scanXml(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "xml_src").toString
+    spark.read.parquet(s"$sfDir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        round(col("s_acctbal") * 100).cast("bigint").as("bal_cents"))
+      .write.mode(SaveMode.Overwrite)
+      .option("rootTag", "suppliers").option("rowTag", "supplier")
+      .format("xml").save(dir)
+    spark.read
+      .option("rowTag", "supplier")
+      .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, bal_cents BIGINT")
+      .format("xml").load(dir)
+      .orderBy("s_suppkey")
+  }
+
   /** Invalid-response handling at the SOURCE level (README.md:32, 105
     * "Test for invalid responses"): a JSON stream where some pages came
     * back as non-JSON error bodies (the 503-HTML-in-a-JSON-feed failure
@@ -979,6 +1003,32 @@ object EtlOps {
           ORDER BY cur.o_orderkey""")
   }
 
+  /** SQL time travel by TIMESTAMP (`TIMESTAMP AS OF`) — the calendar
+    * form of [[sqlTimeTravel]]: "what did this table say at 00:01:30?"
+    * resolves to the latest snapshot committed at or before that
+    * instant (floor semantics — the Iceberg/Delta contract). The
+    * catalog's commit clock is synthetic (version v at BASE + v min,
+    * see MergeableCatalog.loadTable) so the entry is deterministic;
+    * 00:01:30 lands strictly BETWEEN commits 1 and 2 and must floor to
+    * the seed load, proving the lookup is ≤, not nearest.
+    */
+  def sqlTimeTravelTs(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = seededStateTable(spark, sfDir, "orders_ttts") // commit 1
+    spark.sql(
+      s"""UPDATE $target
+          SET price = price + 1000.0, load_id = 9
+          WHERE o_orderkey % 10 = 0""") // commit 2
+    spark.sql(
+      s"""SELECT cur.o_orderkey,
+                 v1.price AS price_v1,
+                 cur.price AS price_cur,
+                 cur.price <> v1.price AS changed
+          FROM $target cur
+          JOIN $target TIMESTAMP AS OF '2024-06-01 00:01:30' v1
+            ON cur.o_orderkey = v1.o_orderkey
+          ORDER BY cur.o_orderkey""")
+  }
+
   /** SQL `INSERT OVERWRITE` — the truncate-and-reload statement (the
     * full-refresh counterpart of the incremental DML family): the v2
     * write requests `truncate()` on the builder and the commit swaps the
@@ -993,6 +1043,50 @@ object EtlOps {
         lit(2).as("load_id"))
       .createOrReplaceTempView("graft_overwrite_src")
     spark.sql(s"INSERT OVERWRITE $target SELECT * FROM graft_overwrite_src")
+    spark.table(target).orderBy("o_orderkey")
+  }
+
+  /** SQL `CREATE TABLE AS SELECT` — the derive-a-table statement (the
+    * "transform" leg of the reference's E→T→L as DDL): schema comes from
+    * the query, creation and load are one statement through the v2
+    * non-atomic CTAS path (create, then append; a `StagingTableCatalog`
+    * would make it atomic — the statement surface is identical). The
+    * SELECT itself is a normal distributed plan; nothing about CTAS
+    * changes how it scales.
+    */
+  def sqlCtas(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
+    val target = "graftcat.etl.orders_ctas"
+    spark.sql(s"DROP TABLE IF EXISTS $target")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .createOrReplaceTempView("graft_ctas_src")
+    spark.sql(
+      s"""CREATE TABLE $target AS
+          SELECT o_orderkey, round(o_totalprice, 2) AS price,
+                 o_orderstatus AS status
+          FROM graft_ctas_src WHERE o_orderkey % 4 = 0""")
+    spark.table(target).orderBy("o_orderkey")
+  }
+
+  /** SQL `ALTER TABLE ADD COLUMNS` — in-place schema evolution, the
+    * statement a long-lived raw store cannot live without (a connector's
+    * upstream WILL add fields; README.md:21 "handle variations in data
+    * formats"): seed the v2 table, widen it with a trailing column, load
+    * the next batch against the WIDER schema. Old rows read back with
+    * NULL backfill — schema-on-read, the same contract
+    * `scan_merge_schema` pins file-side — and the pre-evolution snapshot
+    * stays time-travelable under the new schema. No data rewrite: at
+    * scale ALTER is a metadata commit, never a table scan.
+    */
+  def sqlAlterEvolve(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = seededStateTable(spark, sfDir, "orders_evo")
+    spark.sql(s"ALTER TABLE $target ADD COLUMNS (priority STRING)")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        lit(2).as("load_id"), col("o_orderpriority").as("priority"))
+      .createOrReplaceTempView("graft_evo_src")
+    spark.sql(s"INSERT INTO $target SELECT * FROM graft_evo_src")
     spark.table(target).orderBy("o_orderkey")
   }
 

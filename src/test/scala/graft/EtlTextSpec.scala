@@ -192,6 +192,47 @@ class EtlTextSpec extends SparkTestBase {
     assert(e.getMessage.contains("no snapshot 9"))
   }
 
+  test("ALTER TABLE ADD COLUMNS: NULL backfill reaches history; non-append changes rejected") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
+    spark.sql("DROP TABLE IF EXISTS graftcat.spec.evo")
+    spark.sql("CREATE TABLE graftcat.spec.evo (k BIGINT)")
+    Seq(1L).toDF("k").writeTo("graftcat.spec.evo").append() // v1, pre-ALTER
+    spark.sql("ALTER TABLE graftcat.spec.evo ADD COLUMNS (tag STRING)")
+    Seq((2L, "new")).toDF("k", "tag").writeTo("graftcat.spec.evo").append()
+    // current read: old row NULL-backfilled, new row carries the column
+    assert(spark.table("graftcat.spec.evo").orderBy("k")
+      .as[(Long, Option[String])].collect().toSeq
+      === Seq((1L, None), (2L, Some("new"))))
+    // the PRE-evolution snapshot stays time-travelable, read under the
+    // evolved schema with the same NULL backfill
+    assert(spark.sql(
+      "SELECT k, tag FROM graftcat.spec.evo VERSION AS OF 1")
+      .as[(Long, Option[String])].collect().toSeq === Seq((1L, None)))
+    // anything other than a top-level appended ADD COLUMNS fails loudly
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.spec.evo RENAME COLUMN tag TO label")
+    }
+    assert(e.getMessage.contains("only top-level appended ADD COLUMNS"))
+  }
+
+  test("TIMESTAMP AS OF floors to the latest commit <= t; pre-history timestamps error") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
+    spark.sql("DROP TABLE IF EXISTS graftcat.spec.tts")
+    spark.sql("CREATE TABLE graftcat.spec.tts (k BIGINT)")
+    Seq(1L).toDF("k").writeTo("graftcat.spec.tts").append() // v1 @ 00:01
+    Seq(2L).toDF("k").writeTo("graftcat.spec.tts").append() // v2 @ 00:02
+    def at(ts: String): Seq[Long] =
+      spark.sql(s"SELECT k FROM graftcat.spec.tts TIMESTAMP AS OF '$ts' ORDER BY k")
+        .as[Long].collect().toSeq
+    // between commits 1 and 2 -> floor to v1, never round up
+    assert(at("2024-06-01 00:01:30") === Seq(1L))
+    // exactly on commit 2 -> v2; far future -> latest
+    assert(at("2024-06-01 00:02:00") === Seq(1L, 2L))
+    assert(at("2024-06-01 09:00:00") === Seq(1L, 2L))
+    val e = intercept[Exception] { at("2024-05-31 23:59:59") }
+    assert(e.getMessage.contains("precedes the first snapshot"))
+  }
+
   test("MergeableCatalog: INSERT appends, read sees committed snapshot, DROP removes") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
     spark.sql("DROP TABLE IF EXISTS graftcat.spec.lifecycle")

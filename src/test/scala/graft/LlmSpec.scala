@@ -33,6 +33,24 @@ class LlmSpec extends SparkTestBase {
       s"false positive involving unrelated docs: $pairs")
   }
 
+  test("dedup_incremental: only delta-vs-corpus pairs report; delta-internal dups do not") {
+    // ids ending in 0 are the delta shard; 10↔20 is a delta-internal dup
+    // pair (dedup_near's job, NOT this operator's), 10↔13 straddles the
+    // split and must be the only reported pair; 14 is unrelated corpus
+    val docs = Seq(
+      (10L, base),
+      (20L, base),                                     // delta dup of 10
+      (13L, base.replace("morning", "evening")),       // corpus near-dup of 10
+      (14L, "completely different words about spark catalyst optimizer rules " +
+        "and tungsten codegen stages running shuffles across many executors"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_inc_idx").toString
+    val pairs = LlmOps.dedupIncrementalOn(docs, idx)
+      .select("doc_new", "doc_ref").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((10L, 13L), (20L, 13L)),
+      s"expected only delta→corpus pairs, got $pairs")
+  }
+
   test("dedup_near_pruned is result-identical to the recompute form, and prunes the verify join") {
     // identity on the real corpus: the pruned DAG (materialized kernel +
     // candidate-narrowed verify) must never change the result
@@ -402,6 +420,16 @@ class LlmSpec extends SparkTestBase {
     assert(ivf.contains(0L), "query vector missing from IVF result")
     assert((ivf intersect brute).size >= 5,
       s"IVF recall too low vs brute force: $ivf vs $brute")
+  }
+
+  test("sim_ann_filtered: pre-filter keeps k results and every result satisfies the predicate") {
+    val e = Tables.embeddings(spark, sf0001)
+    val got = operators.SimOps.simAnnFiltered(e).select("vec_id").as[Long].collect().toSeq
+    assert(got.size === 10,
+      "pre-filter form must still fill top-k (post-filter under-fills)")
+    val labels = e.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(got.forall(id => labels(id) % 3 === 0),
+      s"result leaked vectors outside the predicate: $got")
   }
 
   test("sim_kmeans: Lloyd rounds rebalance a degenerate first-k codebook") {
