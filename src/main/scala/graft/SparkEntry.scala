@@ -88,6 +88,7 @@ object SparkEntry {
     "q_group_by_all" -> ((s, d) => AuditQueries.qGroupByAll(s, lineitem(s, d))),
     "q_sql_variables" -> ((s, d) => AuditQueries.qSqlVariables(s, orders(s, d))),
     "q_parameterized" -> ((s, d) => AuditQueries.qParameterized(s, orders(s, d))),
+    "q_offset" -> ((s, d) => AuditQueries.qOffset(s, orders(s, d))),
     "q_lateral_join" -> ((s, d) =>
       AuditQueries.qLateralJoin(s, customer(s, d), orders(s, d))),
     "fn_variant" -> ((s, d) => FuncOps.variantFns(events(s, d))),
@@ -172,6 +173,8 @@ object SparkEntry {
     "fn_fuzzy" -> ((s, d) => FuncOps.fuzzyFns(documents(s, d))),
     "fn_regexp" -> ((s, d) => FuncOps.regexpFns(documents(s, d))),
     "fn_aes" -> ((s, d) => FuncOps.aesFns(documents(s, d))),
+    "fn_listagg" -> ((s, d) => FuncOps.listaggFns(documents(s, d))),
+    "fn_mask" -> ((s, d) => FuncOps.maskFns(documents(s, d))),
     // §2.11 [EXT] LLM-data-pipeline operators
     "dedup_exact" -> ((s, d) => LlmOps.dedupExact(documents(s, d))),
     "dedup_paragraph" -> ((s, d) => LlmOps.dedupParagraph(documents(s, d))),
@@ -1165,6 +1168,24 @@ object SparkEntry {
     "fn_aes" ->
       """SELECT doc_id, text AS text_rt, true AS wrong_key_rejected
          FROM documents ORDER BY doc_id""",
+    // WITHIN GROUP (ORDER BY doc_id) = string_agg's ORDER BY clause
+    "fn_listagg" ->
+      """SELECT lang,
+         string_agg(substring(text, 1, 8), '|' ORDER BY doc_id) AS prefixes,
+         count(*) AS n
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // mask() semantics rebuilt as class-wise regex replaces: default set
+    // X/x/n with others untouched; custom set A/a/9 with others -> '*'
+    "fn_mask" ->
+      """SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(
+           upper(substring(text, 1, 6)) || ' Doc' || CAST(doc_id AS VARCHAR),
+           '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+           AS masked_default,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(source,
+           '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g'),
+           '[^Aa9]', '*', 'g') AS masked_custom
+         FROM documents ORDER BY doc_id""",
     "fn_fuzzy" ->
       """WITH p AS (SELECT doc_id, substring(text, 1, 15) AS prefix FROM documents)
          SELECT doc_id, prefix,
@@ -1683,6 +1704,12 @@ object SparkEntry {
          WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
            AND o_orderstatus = 'F'
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // OFFSET pages are deterministic under the total key order
+    "q_offset" ->
+      """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
+         FROM orders
+         ORDER BY o_orderkey
+         LIMIT 50 OFFSET 100""",
     // floor-to-version semantics: 00:01:30 lands between commits 1 and
     // 2, so the versioned side is the seed load — same oracle as the
     // VERSION AS OF entry by construction

@@ -294,6 +294,41 @@ object FuncOps {
           .as("three_letter"))
       .orderBy("doc_id")
 
+  /** Ordered string aggregation (Spark 4 `LISTAGG … WITHIN GROUP`) — the
+    * report/export shape every warehouse user types (CSV cell of member
+    * ids, breadcrumb of statuses). The WITHIN GROUP order is the whole
+    * contract: an unordered listagg is nondeterministic under ANY
+    * parallelism, so the deterministic form is the only one that can be
+    * oracle-paired — or trusted in production output at all. Cost: one
+    * hash aggregate; per-group strings stay bounded by group size.
+    */
+  def listaggFns(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), col("doc_id"),
+        substring(col("text"), 1, 8).as("prefix"))
+      .groupBy(col("lang"))
+      .agg(
+        expr("listagg(prefix, '|') WITHIN GROUP (ORDER BY doc_id)")
+          .as("prefixes"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+
+  /** Built-in data masking (`mask()`) — the display-layer PII guard
+    * (README.md:21 secure handling; complements `text_pii_mask`'s regex
+    * redaction and `fn_aes`'s at-rest encryption): case class and digit
+    * CLASS survive, values don't. Default charset and a custom charset
+    * (others collapsed to '*') both exercised; map-side codegen'd.
+    */
+  def maskFns(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        mask(concat(upper(substring(col("text"), 1, 6)),
+          lit(" Doc"), col("doc_id").cast("string"))).as("masked_default"),
+        mask(col("source"), lit("A"), lit("a"), lit("9"), lit("*"))
+          .as("masked_custom"))
+      .orderBy("doc_id")
+
   /** Column-level encryption — PII protection AT REST for the secure-
     * handling mandate (README.md:21 "secure token", :88 secrets hygiene):
     * AES-GCM encrypt → decrypt round-trips the payload (GCM's random IV

@@ -365,6 +365,24 @@ object AuditQueries {
       Map("cutoff" -> "1995-01-01 00:00:00", "status" -> "F"))
   }
 
+  /** `LIMIT … OFFSET` keyset-free pagination — the API-results page the
+    * reference serves (README.md:12 pagination, seen from the QUERY
+    * side). Spark plans OFFSET into the same single-pass
+    * TakeOrderedAndProject as LIMIT (collect limit+offset, drop offset) —
+    * fine for page-sized offsets; a deep-scroll production query should
+    * switch to a keyset predicate (`WHERE key > last_seen LIMIT n`),
+    * which is `topk`'s shape. Total order by key makes the page
+    * deterministic, hence oracle-paired.
+    */
+  def qOffset(spark: SparkSession, orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_page_v")
+    spark.sql(
+      """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
+         FROM orders_page_v
+         ORDER BY o_orderkey
+         LIMIT 50 OFFSET 100""")
+  }
+
   /** SQL-text hint surface — `/*+ MERGE(t) */` et al., the escape hatch
     * operators use when they know better than the stats. The hint here
     * deliberately forces a sort-merge join on a dim SMALL enough that the

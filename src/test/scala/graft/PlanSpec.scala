@@ -312,6 +312,26 @@ class PlanSpec extends SparkTestBase {
     assert(salted === plain)
   }
 
+  test("sim_ann_filtered: the metadata predicate pushes into the embeddings scan") {
+    // the pre-filter form's 100 TB value IS the pushdown: the label
+    // predicate must reach the scan, not evaluate after the cosine work
+    val p = plan(operators.SimOps.simAnnFiltered(embeddings(spark, sf0001)))
+    assert(p.contains("PushedFilters: [IsNotNull(label)"),
+      s"label predicate did not push to the embeddings scan:\n$p")
+  }
+
+  test("q_sql_variables / q_parameterized: bound values resolve to pushed literals") {
+    // variables and :params are analysis-time literals — the proof is the
+    // predicate arriving in the scan's pushed-filter list, same as if the
+    // user had typed the constant
+    val pv = plan(operators.AuditQueries.qSqlVariables(spark, orders(spark, sf0001)))
+    assert(pv.contains("GreaterThan(o_totalprice,300000.0)"),
+      s"variable-gated predicate not pushed:\n$pv")
+    val pp = plan(operators.AuditQueries.qParameterized(spark, orders(spark, sf0001)))
+    assert(pp.contains("GreaterThanOrEqual(o_orderdate"),
+      s"parameter-gated predicate not pushed:\n$pp")
+  }
+
   test("q5 six-way join broadcasts dims and never plans a cartesian product") {
     val p = plan(AuditQueries.q5LocalSupplier(
       customer(spark, sf0001), orders(spark, sf0001), lineitem(spark, sf0001),
