@@ -72,6 +72,8 @@ object Bench {
     // keeps that parity (and any future drift) visible per round.
     "dedup_near_pruned",    // checkpointed kernel + broadcast-semi pruned verify
     "dedup_incremental",    // delta-vs-corpus probe of the persisted LSH index
+    "pipeline_bpe_train",   // 6-round BPE merge learning over the vocab table
+    "sim_bitext",           // margin-scored cross-corpus mining via IVF cells
   )
 
   def main(args: Array[String]): Unit = {

@@ -175,6 +175,7 @@ object SparkEntry {
     "fn_aes" -> ((s, d) => FuncOps.aesFns(documents(s, d))),
     "fn_listagg" -> ((s, d) => FuncOps.listaggFns(documents(s, d))),
     "fn_mask" -> ((s, d) => FuncOps.maskFns(documents(s, d))),
+    "fn_encoding" -> ((s, d) => FuncOps.encodingFns(documents(s, d))),
     // §2.11 [EXT] LLM-data-pipeline operators
     "dedup_exact" -> ((s, d) => LlmOps.dedupExact(documents(s, d))),
     "dedup_paragraph" -> ((s, d) => LlmOps.dedupParagraph(documents(s, d))),
@@ -204,6 +205,8 @@ object SparkEntry {
     "scan_csv" -> ((s, d) => EtlOps.scanCsv(s, d)),
     "scan_orc" -> ((s, d) => EtlOps.scanOrc(s, d)),
     "scan_xml" -> ((s, d) => EtlOps.scanXml(s, d)),
+    "scan_binary" -> ((s, d) => EtlOps.scanBinary(s, d)),
+    "scan_csv_quoted" -> ((s, d) => EtlOps.scanCsvQuoted(s, d)),
     "scan_observed" -> ((s, d) => EtlOps.scanObserved(s, d)),
     "scan_text" -> ((s, d) => EtlOps.scanText(s, d)),
     "source_api_paginated" -> ((s, d) => EtlOps.sourceApiPaginated(s, d)),
@@ -276,6 +279,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => SimOps.dedupEmbedding(embeddings(s, d))),
     "sim_ivf" -> ((s, d) => SimOps.simIvf(embeddings(s, d))),
     "sim_ann_filtered" -> ((s, d) => SimOps.simAnnFiltered(embeddings(s, d))),
+    "sim_bitext" -> ((s, d) => SimOps.simBitext(embeddings(s, d))),
     "sim_ivf_recall" -> ((s, d) => SimOps.simIvfRecall(embeddings(s, d))),
     "sim_ivf_kmeans" -> ((s, d) => SimOps.simIvfKmeans(embeddings(s, d))),
     "sink_ann_index" -> ((s, d) => SimOps.sinkAnnIndex(s, d)),
@@ -289,6 +293,10 @@ object SparkEntry {
     "pipeline_mix" -> ((s, d) => PipelineOps.pipelineMix(documents(s, d))),
     "pipeline_shard_manifest" ->
       ((s, d) => PipelineOps.pipelineShardManifest(documents(s, d))),
+    "pipeline_bpe_train" ->
+      ((s, d) => PipelineOps.pipelineBpeTrain(documents(s, d))),
+    "pipeline_bpe_apply" ->
+      ((s, d) => PipelineOps.pipelineBpeApply(documents(s, d))),
     "text_chunk" -> ((s, d) => PipelineOps.textChunk(documents(s, d))),
     "dedup_url" -> ((s, d) => PipelineOps.dedupUrl(documents(s, d))),
     "sim_mips" -> ((s, d) => SimOps.simMips(embeddings(s, d))),
@@ -322,6 +330,56 @@ object SparkEntry {
          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
        FROM asn JOIN p USING(cell) CROSS JOIN q
        ORDER BY cos DESC, vec_id LIMIT 10"""
+
+  /** Unrolled-round BPE oracle: word counts once, then per round the
+    * weighted pair counts, the lexicographically tie-broken argmax, and
+    * a RECURSIVE leftmost-first merge application (first-match
+    * regexp_replace + rescan-from-start ≡ the engine's greedy left fold
+    * — a merge can't enable an earlier match because the merged symbol
+    * differs from both pattern symbols; see PipelineOps.pipelineBpeTrain).
+    */
+  private def bpeOracle(rounds: Int): String =
+    s"""${bpeCtes(rounds)}
+       ${(1 to rounds).map(r =>
+        s"SELECT $r AS round, a AS sym_a, b AS sym_b, a || b AS merged, cnt FROM b$r")
+        .mkString("\n UNION ALL ")} ORDER BY round"""
+
+  /** The apply-side census over the same CTE chain: per-doc whitespace
+    * vs post-merge BPE token counts (sum of final symbol counts).
+    */
+  private def bpeApplyOracle(rounds: Int): String =
+    s"""${bpeCtes(rounds)},
+       v AS (SELECT w, len(str_split(trim(seq), ' '))::BIGINT AS n_sym
+             FROM s$rounds),
+       d AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+       SELECT doc_id, count(*) AS n_ws, CAST(sum(n_sym) AS BIGINT) AS n_bpe
+       FROM d JOIN v USING (w) WHERE len(w) > 0
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  private def bpeCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT p.a AS a, p.b AS b, sum(n)::BIGINT AS cnt FROM
+           (SELECT n, unnest([{'a': li[i], 'b': li[i+1]}
+              for i in range(1, len(li))]) AS p
+            FROM (SELECT n, str_split(trim(seq), ' ') AS li FROM s${r - 1}) t0) t
+         GROUP BY 1, 2),
+         b$r AS (SELECT a, b, cnt, ' ' || a || ' ' || b || ' ' AS pat,
+                 ' ' || a || b || ' ' AS rep
+               FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         r$r AS (SELECT w, n, seq, pat FROM s${r - 1} CROSS JOIN b$r
+           UNION ALL
+           SELECT w, n, regexp_replace(seq, pat, (SELECT rep FROM b$r)), pat
+           FROM r$r WHERE contains(seq, pat)),
+         s$r AS (SELECT w, n, seq FROM r$r WHERE NOT contains(seq, pat))"""
+    }.mkString(",\n")
+    s"""WITH RECURSIVE words AS (SELECT w, count(*)::BIGINT AS n FROM
+         (SELECT unnest(str_split(text, ' ')) AS w FROM documents) t
+       WHERE len(w) > 0 GROUP BY w),
+       s0 AS (SELECT w, n,
+           ' ' || array_to_string(str_split(w, ''), ' ') || ' ' AS seq
+         FROM words),
+       $roundCtes"""
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1168,6 +1226,15 @@ object SparkEntry {
     "fn_aes" ->
       """SELECT doc_id, text AS text_rt, true AS wrong_key_rejected
          FROM documents ORDER BY doc_id""",
+    // unwrapped base64 on both engines; hex is uppercase on both
+    "fn_encoding" ->
+      """SELECT doc_id,
+         to_base64(text::BLOB) AS b64,
+         text AS b64_rt,
+         hex(text::BLOB) AS hx,
+         ascii(text) AS first_code,
+         chr(ascii(text)) AS first_char
+         FROM documents ORDER BY doc_id""",
     // WITHIN GROUP (ORDER BY doc_id) = string_agg's ORDER BY clause
     "fn_listagg" ->
       """SELECT lang,
@@ -1316,6 +1383,17 @@ object SparkEntry {
       """SELECT s_suppkey, s_name, s_nationkey,
          CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
          FROM supplier ORDER BY s_suppkey""",
+    // the tricky value is constructed, so the oracle rebuilds it — the
+    // quoted/escaped CSV round-trip must be lossless
+    "scan_csv_quoted" ->
+      """SELECT n_nationkey, n_name || ',"' || chr(10) || n_name AS tricky
+         FROM nation ORDER BY n_nationkey""",
+    // one text file per doc (writer appends '\n'); blob equality by
+    // content digest — strlen is BYTES on this ASCII corpus
+    "scan_binary" ->
+      """SELECT doc_id, CAST(strlen(text) + 1 AS BIGINT) AS length,
+         sha256(text || chr(10)) AS sha
+         FROM documents ORDER BY doc_id""",
     // text-source round-trip must be lossless vs the original table; the
     // n_fields=2 prediction doubles as the no-tabs-in-payload audit
     "scan_text" ->
@@ -2430,6 +2508,8 @@ object SparkEntry {
            CAST(floor((start_tok + n_toks - 1) / 64.0)
                 - floor(start_tok / 64.0) + 1 AS BIGINT) AS n_seqs
          FROM w ORDER BY source, doc_id""",
+    "pipeline_bpe_train" -> bpeOracle(6),
+    "pipeline_bpe_apply" -> bpeApplyOracle(6),
     // content-hashed shard + order-invariant bit_xor fingerprint: both
     // engines share the 60-bit md5 key, and DuckDB's BIGINT sum widens
     // to HUGEINT so n_tokens is cast back
@@ -2529,6 +2609,45 @@ object SparkEntry {
     // with the same rows as the in-query learned IVF
     "sink_ann_index" -> ivfKmeansOracleSql(16, 3, 64),
     "sim_ivf" -> simIvfOracleSql,
+    // margin mining: targets assigned to one cell each, sources probe 4
+    // cells, per-source top-4 pivoted so the margin folds c1..c4 in a
+    // fixed association order on both engines
+    "sim_bitext" ->
+      """WITH e AS (SELECT vec_id, label,
+              CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         t AS (SELECT vec_id AS tgt_id, v AS tv FROM e WHERE label = 1),
+         s AS (SELECT vec_id AS src_id, v AS sv FROM e WHERE label = 0),
+         ta AS (SELECT tgt_id, tv, cid AS cell FROM (
+             SELECT tgt_id, tv, cid, row_number() OVER (PARTITION BY tgt_id
+               ORDER BY round(list_dot_product(tv, cv) /
+                 (sqrt(list_dot_product(tv, tv)) * sqrt(list_dot_product(cv, cv))), 9)
+                 DESC, cid) AS rn
+             FROM t CROSS JOIN c) WHERE rn = 1),
+         pr AS (SELECT src_id, sv, cid AS cell FROM (
+             SELECT src_id, sv, cid, row_number() OVER (PARTITION BY src_id
+               ORDER BY round(list_dot_product(sv, cv) /
+                 (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(cv, cv))), 9)
+                 DESC, cid) AS rn
+             FROM s CROSS JOIN c) WHERE rn <= 4),
+         cand AS (SELECT src_id, tgt_id,
+               round(list_dot_product(sv, tv) /
+                 (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(tv, tv))), 9) AS cos
+             FROM pr JOIN ta USING (cell)),
+         rk AS (SELECT src_id, tgt_id, cos, row_number() OVER
+                  (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rn
+                FROM cand),
+         piv AS (SELECT src_id,
+             max(CASE WHEN rn = 1 THEN tgt_id END) AS best_tgt,
+             max(CASE WHEN rn = 1 THEN cos END) AS c1,
+             max(CASE WHEN rn = 2 THEN cos END) AS c2,
+             max(CASE WHEN rn = 3 THEN cos END) AS c3,
+             max(CASE WHEN rn = 4 THEN cos END) AS c4,
+             count(*) AS n
+           FROM rk WHERE rn <= 4 GROUP BY src_id HAVING count(*) >= 4)
+         SELECT src_id, best_tgt, round(c1, 6) AS cos,
+           round(c1 / ((c1 + c2 + c3 + c4) / 4.0), 6) AS margin
+         FROM piv ORDER BY src_id""",
     // the sim_ivf ranking with the metadata predicate applied to the
     // corpus BEFORE assignment/ranking (pre-filter form); the query
     // vector is drawn from the UNFILTERED table

@@ -294,6 +294,25 @@ object FuncOps {
           .as("three_letter"))
       .orderBy("doc_id")
 
+  /** Binary/text encoding family — base64 and hex for blob transport
+    * (the wire form a JSON API hands binary payloads in, README.md:21),
+    * plus ascii/chr codepoint access. Round-trips prove losslessness;
+    * all map-side codegen'd.
+    */
+  def encodingFns(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        // Spark's base64 is RFC2045 (MIME) — 76-char lines joined by
+        // CRLF; strip the wrapping for the canonical unchunked form
+        regexp_replace(base64(col("text").cast("binary")), "[\\r\\n]", "")
+          .as("b64"),
+        unbase64(base64(col("text").cast("binary"))).cast("string").as("b64_rt"),
+        hex(col("text").cast("binary")).as("hx"),
+        ascii(col("text")).as("first_code"),
+        chr(ascii(col("text"))).as("first_char"))
+      .orderBy("doc_id")
+
   /** Ordered string aggregation (Spark 4 `LISTAGG … WITHIN GROUP`) — the
     * report/export shape every warehouse user types (CSV cell of member
     * ids, breadcrumb of statuses). The WITHIN GROUP order is the whole

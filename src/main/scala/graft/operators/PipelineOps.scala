@@ -365,6 +365,89 @@ object PipelineOps {
       .orderBy("stage")
   }
 
+  /** In-engine BPE TOKENIZER TRAINING (Sennrich et al. 2016 — the
+    * public byte-pair-encoding recipe every LLM tokenizer descends
+    * from): learn the first `rounds` merges over the corpus. The scale
+    * anatomy is the point — the only corpus-sized stage is the word
+    * count (ONE distinct-shuffle, exactly how production BPE trainers
+    * scale: token frequencies first, merges on the compact vocabulary);
+    * the merge loop then runs on the vocab-sized symbol table with a
+    * per-round localCheckpoint (the dedup_clusters / Lloyd loop shape),
+    * and each round's winning pair stays a 1-row broadcast — nothing is
+    * ever collected. Merge application is the greedy leftmost-first
+    * rule as a left fold over the symbol array (plain attribute refs in
+    * the lambda — the interpreted-HOF hazard needs an EXPENSIVE outer
+    * expression to bite); ties break lexicographically so training is
+    * bit-deterministic, and the oracle replays every round (pair
+    * counts, argmax, recursive merge application) in DuckDB.
+    */
+  def pipelineBpeTrain(documents: DataFrame, rounds: Int = 6): DataFrame =
+    bpeLoop(documents, rounds)._1.orderBy("round")
+
+  /** Tokenize WITH the learned tokenizer — apply the trained merges back
+    * to the corpus and report per-document whitespace-vs-BPE token
+    * counts (the number a sequence-packing budget actually needs; the
+    * whitespace count `text_tokens` uses is only a proxy). The corpus
+    * side is one explode + one join against the VOCAB-sized symbol
+    * table (broadcast-sized by construction) — tokenizing 100 TB costs
+    * one map-side join, the merges are learned once.
+    */
+  def pipelineBpeApply(documents: DataFrame, rounds: Int = 6): DataFrame = {
+    val (_, seqs) = bpeLoop(documents, rounds)
+    val vocab = seqs.select(col("w"), size(col("syms")).cast("long").as("n_sym"))
+    documents.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(vocab, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws"), sum(col("n_sym")).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared merge-learning loop: returns (merge table, final per-word
+    * symbol table). See [[pipelineBpeTrain]] for the design notes.
+    */
+  private def bpeLoop(documents: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    val words = documents.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    // split keeps a trailing "" (limit -1 semantics) — drop it, or the
+    // first rounds learn phantom (x, "") merges
+    var seqs = words
+      .select(col("w"), col("n"),
+        array_remove(split(col("w"), "(?!^)"), "").as("syms"))
+      .localCheckpoint(eager = false)
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      val pairs = seqs.select(col("n"),
+          explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+      // the round's winner: frozen eagerly so later rounds' plans don't
+      // re-run earlier rounds' argmax
+      val best = pairs.orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+        .localCheckpoint()
+      merges = {
+        val row = best.select(lit(r).as("round"), col("a").as("sym_a"),
+          col("b").as("sym_b"), concat(col("a"), col("b")).as("merged"),
+          col("cnt"))
+        if (merges == null) row else merges.unionAll(row)
+      }
+      seqs = seqs.crossJoin(broadcast(best.select(col("a"), col("b"))))
+        .select(col("w"), col("n"),
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(
+                get(acc, size(acc) - 1) === col("a") && x === col("b"),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(col("a"), col("b")))))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+        .localCheckpoint(eager = false)
+    }
+    (merges, seqs)
+  }
+
   /** Training-export SHARD MANIFEST — the reproducibility artifact a
     * corpus release ships alongside its shards: per shard, the doc and
     * token counts, the id range, and an ORDER-INVARIANT content

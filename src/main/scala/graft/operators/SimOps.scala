@@ -553,6 +553,68 @@ object SimOps {
     ivfScan(filtered, cents, Some(e))
   }
 
+  /** BITEXT MINING — margin-scored cross-corpus nearest-neighbor pairs
+    * (Artetxe & Schwenk 2019, the public recipe behind CCMatrix/NLLB
+    * parallel-corpus construction): for every "source-language" vector
+    * (label 0) find its best "target-language" (label 1) neighbor and
+    * score it by the MARGIN — top-1 cosine over the mean of the top-4 —
+    * which separates true translations from hubs that are merely close
+    * to everything. Routed through the IVF cells (targets assigned once,
+    * sources probe nprobe=4 cells), so no all-pairs stage exists: the
+    * candidate set per source is bounded by the probed cells'
+    * populations, the 100 TB contract of every ANN entry here. Sources
+    * with fewer than 4 candidates are withheld (a 4-way margin over
+    * padding would be noise, and the deterministic rule is oracle-safe).
+    * All cosines are rounded to 9 digits BEFORE ranking and margin
+    * arithmetic, so both engines fold identical doubles in identical
+    * order.
+    */
+  def simBitext(embeddings: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings
+      .select(col("vec_id"), col("label"), toVec(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val src = e.filter(col("label") === 0)
+      .select(col("vec_id").as("src_id"), col("v").as("sv"))
+    val tgt = e.filter(col("label") === 1)
+      .select(col("vec_id").as("tgt_id"), col("v").as("tv"))
+    val wT = Window.partitionBy("tgt_id").orderBy(desc("ccos"), asc("cid"))
+    val tgtCell = tgt.crossJoin(broadcast(cents))
+      .select(col("tgt_id"), col("tv"), col("cid"),
+        round(cosine(col("tv"), col("cv")), 9).as("ccos"))
+      .withColumn("rn", row_number().over(wT)).filter(col("rn") === 1)
+      .select(col("tgt_id"), col("tv"), col("cid").as("cell"))
+    val wS = Window.partitionBy("src_id").orderBy(desc("ccos"), asc("cid"))
+    val probes = src.crossJoin(broadcast(cents))
+      .select(col("src_id"), col("sv"), col("cid"),
+        round(cosine(col("sv"), col("cv")), 9).as("ccos"))
+      .withColumn("rn", row_number().over(wS)).filter(col("rn") <= 4)
+      .select(col("src_id"), col("sv"), col("cid").as("cell"))
+    // each target lives in exactly ONE cell and probe cells are distinct,
+    // so the candidate stream is duplicate-free by construction
+    val wC = Window.partitionBy("src_id").orderBy(desc("cos"), asc("tgt_id"))
+    val cand = probes.join(tgtCell, "cell")
+      .select(col("src_id"), col("tgt_id"),
+        round(cosine(col("sv"), col("tv")), 9).as("cos"))
+      .withColumn("rn", row_number().over(wC)).filter(col("rn") <= 4)
+    cand.groupBy(col("src_id"))
+      .agg(
+        max(when(col("rn") === 1, col("tgt_id"))).as("best_tgt"),
+        max(when(col("rn") === 1, col("cos"))).as("c1"),
+        max(when(col("rn") === 2, col("cos"))).as("c2"),
+        max(when(col("rn") === 3, col("cos"))).as("c3"),
+        max(when(col("rn") === 4, col("cos"))).as("c4"),
+        count(lit(1)).as("n_cand"))
+      .filter(col("n_cand") >= 4)
+      .select(col("src_id"), col("best_tgt"),
+        round(col("c1"), 6).as("cos"),
+        round(col("c1") /
+          ((col("c1") + col("c2") + col("c3") + col("c4")) / lit(4.0)), 6)
+          .as("margin"))
+      .orderBy("src_id")
+  }
+
   /** PERSISTED ANN index + partition-pruned serving — the shape an
     * embedding corpus actually takes at 100 TB: the IVF index is not an
     * in-memory structure but a STORAGE LAYOUT. Build = learn the

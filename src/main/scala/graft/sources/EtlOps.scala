@@ -244,6 +244,57 @@ object EtlOps {
       .orderBy("s_suppkey")
   }
 
+  /** Quoted multi-line CSV — the reader capability `scan_csv` doesn't
+    * exercise: fields carrying the DELIMITER, the QUOTE char, and
+    * embedded NEWLINES (free-text columns in real exports always do).
+    * The writer quotes/escapes them; the reader needs `multiLine` (a
+    * record no longer equals a physical line, so files can't be split
+    * at newlines — the documented cost of quoted-newline CSV at scale,
+    * and the reason pipelines prefer parquet for such columns). The
+    * tricky value is CONSTRUCTED (name,"\nname), so the oracle is exact
+    * by construction and the round-trip provably lossless.
+    */
+  def scanCsvQuoted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "csv_quoted").toString
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey"),
+        concat(col("n_name"), lit(",\"\n"), col("n_name")).as("tricky"))
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
+    spark.read
+      .option("header", "true").option("multiLine", "true")
+      .schema("n_nationkey INT, tricky STRING")
+      .csv(dir)
+      .orderBy("n_nationkey")
+  }
+
+  /** `binaryFile` source — the ingest format of a MULTIMODAL lake (image
+    * / audio / arbitrary blobs arrive as FILES, not rows): each file
+    * becomes one row of (path, length, content BINARY), read
+    * executor-side with no decode. Staging writes one file per document
+    * through the DISTRIBUTED text writer (partitionBy(doc_id) — the
+    * driver never touches a payload); the read proves identity by
+    * content digest, the only sane equality for blobs. The
+    * wall-clock `modificationTime` column is deliberately dropped —
+    * everything else round-trips exactly. Downstream this column IS
+    * `multimodal_cols`' payload input; at 100 TB the source's per-file
+    * task granularity is what makes blob ingest embarrassingly parallel.
+    */
+  def scanBinary(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "bin_src").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text").as("value"))
+      .write.mode(SaveMode.Overwrite).partitionBy("doc_id").text(dir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_id=(\\d+)", 1).cast("long").as("doc_id"),
+        col("length"),
+        sha2(col("content"), 256).as("sha"))
+      .orderBy("doc_id")
+  }
+
   /** Invalid-response handling at the SOURCE level (README.md:32, 105
     * "Test for invalid responses"): a JSON stream where some pages came
     * back as non-JSON error bodies (the 503-HTML-in-a-JSON-feed failure

@@ -132,6 +132,22 @@ class PipelineSpec extends SparkTestBase {
       s"got ${out.toSeq}")
   }
 
+  test("pipeline_bpe_train: greedy leftmost-first application and weighted lexicographic argmax") {
+    // corpus: 'aaa' ×3, 'ab' ×2. Round 1 must pick (a,a) with WEIGHTED
+    // count 6 (two adjacent pairs per 'aaa'); greedy LEFTMOST application
+    // turns 'aaa' into [aa, a] — so round 2's best is (aa, a) ×3. A
+    // rightmost (or re-scanning-after-merge) application would yield
+    // [a, aa] and flip round 2's winner to (a, aa): the assertion pins
+    // the exact BPE rule, not just "some merge happened".
+    val docs = Seq((1L, "aaa aaa aaa ab ab")).toDF("doc_id", "text")
+    val merges = PipelineOps.pipelineBpeTrain(docs, rounds = 2)
+      .select("round", "sym_a", "sym_b", "merged", "cnt")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(merges === Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "aa", "a", "aaa", 3L)), s"got $merges")
+  }
+
   test("pipeline_pretrain_v2: each of the six funnel stages removes exactly its seeded casualty") {
     // 50 words + stopwords → quality ≥ 0.5; all trigrams distinct → repetition 0
     val benchDoc = (1 to 50).map(i => if (i % 5 == 0) "and" else s"bench$i").mkString(" ")
