@@ -116,6 +116,7 @@ object SparkEntry {
     "agg_median" -> ((s, d) => AggOps.aggMedian(lineitem(s, d))),
     "agg_mode" -> ((s, d) => AggOps.aggMode(lineitem(s, d))),
     "agg_corr" -> ((s, d) => AggOps.aggCorr(lineitem(s, d))),
+    "agg_regression" -> ((s, d) => AggOps.aggRegression(lineitem(s, d))),
     "agg_histogram" -> ((s, d) => AggOps.aggHistogram(lineitem(s, d))),
     // Array columns stringified at the query boundary: the driver's pandas
     // compare can't hash ndarray cells. AggOps.aggCollect keeps true arrays.
@@ -232,6 +233,7 @@ object SparkEntry {
     "sql_time_travel_ts" -> ((s, d) => EtlOps.sqlTimeTravelTs(s, d)),
     "join_storage_partitioned" -> ((s, d) => EtlOps.joinStoragePartitioned(s, d)),
     "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
+    "sink_retention" -> ((s, d) => EtlOps.sinkRetention(s, d)),
     "sink_incremental" -> ((s, d) => EtlOps.sinkIncremental(s, d)),
     "sink_agg_refresh" -> ((s, d) => EtlOps.sinkAggRefresh(s, d)),
     "scan_constraints" -> ((s, d) => EtlOps.scanConstraints(lineitem(s, d), orders(s, d))),
@@ -1383,6 +1385,14 @@ object SparkEntry {
       """SELECT s_suppkey, s_name, s_nationkey,
          CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
          FROM supplier ORDER BY s_suppkey""",
+    // retention drops load 1's partition; loads 2 and 3 survive complete
+    "sink_retention" ->
+      """SELECT load_id, count(*) AS n, min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+         FROM (SELECT o_orderkey, 2 AS load_id FROM orders WHERE o_orderkey % 3 = 1
+               UNION ALL
+               SELECT o_orderkey, 3 AS load_id FROM orders WHERE o_orderkey % 3 = 2) t
+         GROUP BY load_id ORDER BY load_id""",
     // the tricky value is constructed, so the oracle rebuilds it — the
     // quoted/escaped CSV round-trip must be lossless
     "scan_csv_quoted" ->
@@ -1606,6 +1616,27 @@ object SparkEntry {
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag, bucket, lo
          ORDER BY l_returnflag, bucket""",
+    // sufficient-statistics OLS: exact integer sums cast to DOUBLE at
+    // the same boundary, then identical fixed-order closed forms
+    "agg_regression" ->
+      """WITH s AS (SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice) AS BIGINT) AS y
+           FROM lineitem),
+         a AS (SELECT l_returnflag, count(*) AS n,
+             CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(x) AS DOUBLE) AS sxd, CAST(sum(y) AS DOUBLE) AS syd,
+             CAST(sum(x * y) AS DOUBLE) AS sxyd,
+             CAST(sum(x * x) AS DOUBLE) AS sxxd,
+             CAST(sum(y * y) AS DOUBLE) AS syyd
+           FROM s GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) AS slope,
+           round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd)
+                 / nd, 6) AS intercept,
+           round(((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) /
+                 ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) AS r2
+         FROM a ORDER BY l_returnflag""",
     "agg_corr" ->
       """SELECT l_returnflag,
          round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,

@@ -493,4 +493,52 @@ object AggOps {
           <= band).as("approx_ok"))
       .orderBy("event_type")
   }
+
+  /** Linear REGRESSION per group via algebraic sufficient statistics —
+    * slope/intercept/R² of price-vs-quantity from the six exact sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²). The built-in `regr_*`/`covar`/`var`
+    * aggregates use numerically-stable STREAMING updates whose result
+    * depends on partition visit order — fine numerically, fatal for a
+    * bit-exact oracle; the sufficient-statistics form is the mergeable
+    * alternative (partials merge by ADDITION, the `sink_agg_refresh`
+    * state rule) and is exact here because both variables are integers
+    * (quantity integral by data; price rounded to whole dollars) whose
+    * sums stay < 2⁵³. The closed-form arithmetic then runs a FIXED
+    * operation order on bit-identical inputs in both engines. One
+    * partial-agg pass; at 100 TB this is also the INCREMENTAL form —
+    * new data just adds to the six sums.
+    */
+  def aggRegression(lineitem: DataFrame): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    val y = round(col("l_extendedprice")).cast("long")
+    // exact LONG sums (all < 2^53, so they also sit exactly in double);
+    // the closed forms then run PURE double arithmetic in a fixed
+    // operation order — long intermediates like n·Σy² would overflow,
+    // and DuckDB's overflow behavior differs, so the double boundary is
+    // drawn immediately after aggregation on BOTH engines
+    lineitem
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        col("n").cast("double").as("nd"), col("sx").cast("double").as("sxd"),
+        col("sy").cast("double").as("syd"), col("sxy").cast("double").as("sxyd"),
+        col("sxx").cast("double").as("sxxd"), col("syy").cast("double").as("syyd"))
+      .select(
+        col("l_returnflag"), col("n"),
+        round((col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+              (col("nd") * col("sxxd") - col("sxd") * col("sxd")), 6).as("slope"),
+        round((col("syd") - (col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+               (col("nd") * col("sxxd") - col("sxd") * col("sxd")) * col("sxd")) /
+              col("nd"), 6).as("intercept"),
+        round(((col("nd") * col("sxyd") - col("sxd") * col("syd")) *
+               (col("nd") * col("sxyd") - col("sxd") * col("syd"))) /
+              ((col("nd") * col("sxxd") - col("sxd") * col("sxd")) *
+               (col("nd") * col("syyd") - col("syd") * col("syd"))), 6).as("r2"))
+      .orderBy("l_returnflag")
+  }
 }

@@ -809,6 +809,38 @@ object EtlOps {
       .orderBy("o_orderkey")
   }
 
+  /** LOAD-RETENTION maintenance — the expiry half of the append-only raw
+    * store lifecycle (README.md:27 keeps every timestamped load; a real
+    * store also DROPS the old ones): loads land as `load_id=` partitions,
+    * and retention removes whole expired partition DIRECTORIES — a pure
+    * file/metadata operation, like `ALTER TABLE DROP PARTITION` or an
+    * Iceberg expire-snapshots. The surviving data is NEVER rewritten —
+    * the property that makes retention affordable at 100 TB (a
+    * rewrite-based retention would re-shuffle the whole store monthly).
+    * The post-retention census proves exactly the expired load is gone
+    * and the kept loads are byte-complete.
+    */
+  def sinkRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirP = freshDir(sfDir, "orders_retain")
+    val dir = dirP.toString
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    for (l <- 1 to 3)
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === (l - 1))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .withColumn("load_id", lit(l))
+        .write.mode(SaveMode.Append).partitionBy("load_id").parquet(dir)
+    val doomed = dirP.resolve("load_id=1")
+    if (Files.exists(doomed))
+      Files.walk(doomed).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    spark.read.parquet(dir)
+      .groupBy(col("load_id").cast("int").as("load_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("load_id")
+  }
+
   /** Incremental MATERIALIZED-AGGREGATE maintenance (merge-on-refresh) —
     * the pattern that keeps a 100 TB rollup affordable: the historical
     * aggregate is persisted as PARTIAL STATE (group key + algebraic
