@@ -62,6 +62,7 @@ object SparkEntry {
     "graph_triangles" -> ((s, d) => GraphOps.graphTriangles(orders(s, d), lineitem(s, d))),
     "graph_components" -> ((s, d) => GraphOps.graphComponents(orders(s, d), lineitem(s, d))),
     "graph_bfs" -> ((s, d) => GraphOps.graphBfs(orders(s, d), lineitem(s, d))),
+    "graph_degree_dist" -> ((s, d) => GraphOps.degreeDist(orders(s, d), lineitem(s, d))),
     "join_skew_salted" -> ((s, d) => JoinOps.skewSalted(lineitem(s, d), orders(s, d))),
     "join_skew_aqe" -> ((s, d) => JoinOps.skewAqe(lineitem(s, d), orders(s, d))),
     "join_geo" -> ((s, d) => JoinOps.joinGeo(customer(s, d), supplier(s, d))),
@@ -89,6 +90,8 @@ object SparkEntry {
     "q_sql_variables" -> ((s, d) => AuditQueries.qSqlVariables(s, orders(s, d))),
     "q_parameterized" -> ((s, d) => AuditQueries.qParameterized(s, orders(s, d))),
     "q_offset" -> ((s, d) => AuditQueries.qOffset(s, orders(s, d))),
+    "q_select_except" -> ((s, d) => AuditQueries.qSelectExcept(s, customer(s, d))),
+    "q_sql_scripting" -> ((s, d) => AuditQueries.qSqlScripting(s, orders(s, d))),
     "q_lateral_join" -> ((s, d) =>
       AuditQueries.qLateralJoin(s, customer(s, d), orders(s, d))),
     "fn_variant" -> ((s, d) => FuncOps.variantFns(events(s, d))),
@@ -117,6 +120,8 @@ object SparkEntry {
     "agg_mode" -> ((s, d) => AggOps.aggMode(lineitem(s, d))),
     "agg_corr" -> ((s, d) => AggOps.aggCorr(lineitem(s, d))),
     "agg_regression" -> ((s, d) => AggOps.aggRegression(lineitem(s, d))),
+    "agg_skew_kurt" -> ((s, d) => AggOps.aggSkewKurt(lineitem(s, d))),
+    "agg_product" -> ((s, d) => AggOps.aggProduct(lineitem(s, d))),
     "agg_histogram" -> ((s, d) => AggOps.aggHistogram(lineitem(s, d))),
     // Array columns stringified at the query boundary: the driver's pandas
     // compare can't hash ndarray cells. AggOps.aggCollect keeps true arrays.
@@ -174,6 +179,7 @@ object SparkEntry {
     "fn_fuzzy" -> ((s, d) => FuncOps.fuzzyFns(documents(s, d))),
     "fn_regexp" -> ((s, d) => FuncOps.regexpFns(documents(s, d))),
     "fn_aes" -> ((s, d) => FuncOps.aesFns(documents(s, d))),
+    "fn_xpath" -> ((s, d) => FuncOps.xpathFns(orders(s, d))),
     "fn_listagg" -> ((s, d) => FuncOps.listaggFns(documents(s, d))),
     "fn_mask" -> ((s, d) => FuncOps.maskFns(documents(s, d))),
     "fn_encoding" -> ((s, d) => FuncOps.encodingFns(documents(s, d))),
@@ -295,6 +301,8 @@ object SparkEntry {
     "pipeline_mix" -> ((s, d) => PipelineOps.pipelineMix(documents(s, d))),
     "pipeline_shard_manifest" ->
       ((s, d) => PipelineOps.pipelineShardManifest(documents(s, d))),
+    "pipeline_dataset_card" ->
+      ((s, d) => PipelineOps.datasetCard(documents(s, d))),
     "pipeline_bpe_train" ->
       ((s, d) => PipelineOps.pipelineBpeTrain(documents(s, d))),
     "pipeline_bpe_apply" ->
@@ -1637,6 +1645,23 @@ object SparkEntry {
            round(((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) /
                  ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) AS r2
          FROM a ORDER BY l_returnflag""",
+    // population formulas (Spark's skewness/kurtosis), two-pass from the mean
+    "agg_skew_kurt" ->
+      """WITH m AS (SELECT l_returnflag, avg(l_quantity) AS mu
+           FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag, count(*) AS n,
+           round(avg(pow(l_quantity - mu, 3))
+                 / pow(avg(pow(l_quantity - mu, 2)), 1.5), 6) AS skew,
+           round(avg(pow(l_quantity - mu, 4))
+                 / pow(avg(pow(l_quantity - mu, 2)), 2) - 3, 6) AS kurt
+         FROM lineitem l JOIN m USING (l_returnflag)
+         GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
+    // product() is double-typed but exact here (<= 9^17 < 2^53)
+    "agg_product" ->
+      """SELECT l_orderkey, count(*) AS n_lines,
+           CAST(round(product(CAST(l_quantity AS BIGINT) % 9 + 1)) AS BIGINT)
+             AS qty_product
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
     "agg_corr" ->
       """SELECT l_returnflag,
          round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
@@ -1813,6 +1838,42 @@ object SparkEntry {
          WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
            AND o_orderstatus = 'F'
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // DuckDB spells the star modifier EXCLUDE; same resolved projection
+    "q_select_except" ->
+      """SELECT * EXCLUDE (c_name, c_acctbal)
+         FROM customer WHERE c_custkey % 10 = 3 ORDER BY ALL""",
+    // the WHILE loop's closed form: 100000 * 1.2^5 = 248832
+    "q_sql_scripting" ->
+      """SELECT o_orderpriority, count(*) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total
+         FROM orders
+         WHERE o_totalprice > 248832.0
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // xpath extraction is a round trip over typed columns
+    "fn_xpath" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(o_orderkey AS VARCHAR) AS id_attr,
+           CAST(3 AS INTEGER) AS n_children
+         FROM orders ORDER BY o_orderkey""",
+    "graph_degree_dist" ->
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         d AS (SELECT cust, count(*) AS deg FROM e GROUP BY 1)
+         SELECT deg, count(*) AS n_nodes FROM d GROUP BY 1 ORDER BY deg""",
+    "pipeline_dataset_card" ->
+      """WITH t AS (SELECT source, lang, n_chars,
+             len(list_filter(str_split(text, ' '), x -> x <> ''))::BIGINT
+               AS n_toks
+           FROM documents)
+         SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           round(avg(n_toks), 4) AS avg_toks,
+           round(median(n_chars), 1) AS median_chars,
+           round(avg(CASE WHEN n_chars < 100 THEN 1.0 ELSE 0.0 END), 4)
+             AS short_frac
+         FROM t GROUP BY source, lang ORDER BY source, lang""",
     // OFFSET pages are deterministic under the total key order
     "q_offset" ->
       """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price

@@ -371,4 +371,29 @@ object FuncOps {
           .as("wrong_key_rejected"))
       .orderBy("doc_id")
   }
+
+  /** XPath family (`xpath`, `xpath_string`, `xpath_long`) — element
+    * text, attribute, and node-list extraction from XML payloads, the
+    * per-row companion of the whole-file `scan_xml` source. Row-local
+    * and codegen-adjacent (no shuffle, no UDF); the document is built
+    * from typed columns so the extraction is oracle-checkable as a
+    * round trip. SQL-only builtins, hence `expr(...)`.
+    */
+  def xpathFns(orders: DataFrame): DataFrame = {
+    val xml = concat(
+      lit("<order id=\""), col("o_orderkey"), lit("\"><status>"),
+      col("o_orderstatus"), lit("</status><cents>"),
+      round(col("o_totalprice") * 100).cast("long"), lit("</cents><pri>"),
+      col("o_orderpriority"), lit("</pri></order>"))
+    orders
+      .select(col("o_orderkey"), xml.as("xml"))
+      .select(
+        col("o_orderkey"),
+        expr("xpath_string(xml, '/order/status/text()')").as("status"),
+        expr("xpath_long(xml, '/order/cents/text()')").as("cents"),
+        expr("xpath_string(xml, '/order/@id')").as("id_attr"),
+        expr("cast(size(xpath(xml, '/order/*/text()')) as int)")
+          .as("n_children"))
+      .orderBy("o_orderkey")
+  }
 }

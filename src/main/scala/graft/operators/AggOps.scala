@@ -541,4 +541,41 @@ object AggOps {
                (col("nd") * col("syyd") - col("syd") * col("syd"))), 6).as("r2"))
       .orderBy("l_returnflag")
   }
+
+  /** Higher central moments — Spark's built-in `skewness` / `kurtosis`
+    * (population formulas: m3/m2^1.5 and m4/m2² − 3, computed by the
+    * streaming CentralMomentAgg, one pass, map-side partials). The
+    * oracle recomputes the same closed forms two-pass from the mean;
+    * `l_quantity` is a small-integer column so both routes agree well
+    * past the 6-decimal round. Distribution-shape profiling is a corpus
+    * census staple (detecting degenerate/synthetic value columns).
+    */
+  def aggSkewKurt(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(skewness(col("l_quantity")), 6).as("skew"),
+        round(kurtosis(col("l_quantity")), 6).as("kurt"))
+      .orderBy("l_returnflag")
+
+  /** Product aggregate — an aggregate Spark lacks natively, composed
+    * from `collect_list` + the `aggregate` HOF instead of a UDAF: the
+    * fold runs map-side per group inside codegen'd HashAggregate state.
+    * Exact in LONG: factors are folded to 1..9 and orders carry ≤ 17
+    * lines → ≤ 9¹⁷ < 2⁵³, so DuckDB's double-typed `product()` is also
+    * exact and the BIGINT cast is lossless on both engines (raw
+    * quantities overflow: 50¹⁷ ≫ 2⁶³). Bounded-group-only by the same
+    * rule as `agg_collect` (never on unbounded groups at 100 TB).
+    */
+  def aggProduct(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_orderkey"),
+        (col("l_quantity").cast("long") % 9 + 1).as("q"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        aggregate(collect_list(col("q")), lit(1L), (acc, x) => acc * x)
+          .as("qty_product"))
+      .orderBy("l_orderkey")
 }

@@ -470,4 +470,49 @@ object AuditQueries {
     cboPrepare(spark, dir)
     cboQuery(spark, cbo = true)
   }
+
+  /** Spark 4 star-modifier projection — `SELECT * EXCEPT (cols)` plus
+    * `ORDER BY ALL`: the wide-table ergonomics a 1000-column feature
+    * store needs (name what to DROP, not the 990 survivors). The
+    * modifier resolves at analysis into an ordinary explicit projection,
+    * so column pruning reaches the parquet scan exactly as if the
+    * surviving columns were spelled out. DuckDB spells it `EXCLUDE`.
+    */
+  def qSelectExcept(spark: SparkSession, customer: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("customer_sx_v")
+    spark.sql(
+      """SELECT * EXCEPT (c_name, c_acctbal)
+         FROM customer_sx_v
+         WHERE c_custkey % 10 = 3
+         ORDER BY ALL""")
+  }
+
+  /** SQL scripting (Spark 4 `BEGIN … END` control flow) — a procedural
+    * block with a WHILE loop folding a compound-growth threshold, then a
+    * data query gated on the computed variable. Control flow runs on the
+    * DRIVER between statements; each statement inside is a full Catalyst
+    * plan (the loop never touches executors), so scripting adds zero
+    * distributed overhead — the oracle is the same query with the
+    * closed-form constant inlined.
+    */
+  def qSqlScripting(spark: SparkSession, orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_script_v")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    spark.sql(
+      """BEGIN
+           DECLARE floor_price DOUBLE DEFAULT 100000.0;
+           DECLARE i INT DEFAULT 0;
+           WHILE i < 5 DO
+             SET floor_price = floor_price * 1.2;
+             SET i = i + 1;
+           END WHILE;
+           SELECT o_orderpriority, count(*) AS n,
+                  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D, 2)
+                    AS total
+           FROM orders_script_v
+           WHERE o_totalprice > floor_price
+           GROUP BY o_orderpriority
+           ORDER BY o_orderpriority;
+         END""")
+  }
 }

@@ -320,4 +320,22 @@ object GraphOps {
       .orderBy(desc("n_triangles"), asc("supp_id"))
       .limit(10)
   }
+
+  /** Degree distribution of the customer→supplier trade graph — the
+    * first profiling query run before any iterative graph algorithm
+    * (it sizes the hub problem the adjacency chunking and the triangle
+    * degree cap exist for). Two cascaded hash aggregates over compact
+    * long keys; output is O(max degree) rows regardless of |V| or |E|,
+    * so the full distribution is always driver-safe.
+    */
+  def degreeDist(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+      .groupBy(col("cust"))
+      .agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("deg")
 }

@@ -475,4 +475,29 @@ object PipelineOps {
         expr("bit_xor(h)").as("content_fp"))
       .orderBy("shard")
   }
+
+  /** Dataset-card census — the per-(source, lang) summary table a
+    * released training corpus ships with (doc/token counts, length
+    * quantiles, short-doc fraction). ONE map-side labeling pass + ONE
+    * hash aggregate over the composition key; output is O(sources ×
+    * langs) rows, so the full card is driver-safe at any corpus size.
+    * Median is the exact built-in (both engines average the two middle
+    * values on even counts).
+    */
+  def datasetCard(documents: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    documents
+      .select(
+        col("source"), col("lang"), col("n_chars"),
+        size(toks).cast("long").as("n_toks"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        round(avg(col("n_toks")), 4).as("avg_toks"),
+        round(median(col("n_chars")), 1).as("median_chars"),
+        round(avg(when(col("n_chars") < 100, 1.0).otherwise(0.0)), 4)
+          .as("short_frac"))
+      .orderBy("source", "lang")
+  }
 }

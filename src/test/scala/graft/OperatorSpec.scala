@@ -382,6 +382,50 @@ class OperatorSpec extends SparkTestBase {
     assert(r("B").getDouble(4) === 10.0)
   }
 
+  test("agg_skew_kurt: moments match the closed form on a hand-checked frame") {
+    // values 1,2,3,6 — mean 3, m2 = 3.5, m3 = 4.5, m4 = 24.5
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 6.0))
+      .toDF("l_returnflag", "l_quantity")
+    val r = AggOps.aggSkewKurt(df).collect()
+    assert(r.length === 1 && r(0).getLong(1) === 4L)
+    val expSkew = 4.5 / math.pow(3.5, 1.5)
+    val expKurt = 24.5 / (3.5 * 3.5) - 3.0
+    assert(math.abs(r(0).getDouble(2) - expSkew) < 1e-6, s"skew ${r(0)}")
+    assert(math.abs(r(0).getDouble(3) - expKurt) < 1e-6, s"kurt ${r(0)}")
+  }
+
+  test("agg_product: HOF fold is exact and bounded against long overflow") {
+    // factors fold to q%9+1; 17 lines of quantity 50 -> 6^17, exact in LONG
+    val wide = (1 to 17).map(i => (1L, 50.0)) :+ ((2L, 8.0))
+    val df = wide.toDF("l_orderkey", "l_quantity")
+    val r = AggOps.aggProduct(df).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) === 17L)
+    assert(r(1L).getLong(2) === math.pow(6.0, 17).toLong) // 50%9+1 = 6
+    assert(r(2L).getLong(2) === 9L)                        // 8%9+1 = 9
+  }
+
+  test("q_select_except: star modifier resolves to the explicit survivor set") {
+    val out = AuditQueries.qSelectExcept(spark, Tables.customer(spark, sf0001))
+    assert(out.columns.toSeq === Seq("c_custkey", "c_nationkey", "c_mktsegment"),
+      "EXCEPT must drop exactly (c_name, c_acctbal) and keep declaration order")
+    assert(out.count() > 0)
+  }
+
+  test("pipeline_dataset_card: census on a hand-checked corpus") {
+    val docs = Seq(
+      (1L, "a b c", "en", "web", 5L),
+      (2L, "d  e", "en", "web", 150L),   // double space: 2 tokens, not 3
+      (3L, "f", "fr", "web", 99L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = PipelineOps.datasetCard(docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    val en = r(("web", "en"))
+    assert(en.getLong(2) === 2L && en.getLong(3) === 5L)
+    assert(en.getDouble(5) === 77.5)   // median of (5, 150)
+    assert(en.getDouble(6) === 0.5)    // one of two docs under 100 chars
+    assert(r(("web", "fr")).getLong(3) === 1L)
+  }
+
   test("agg_bitmap_distinct: bitmap counts are EXACT and survive re-merging") {
     val li = Tables.lineitem(spark, sf0001)
     val exact = li.groupBy("l_returnflag")
