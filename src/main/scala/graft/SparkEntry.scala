@@ -67,6 +67,7 @@ object SparkEntry {
     "join_skew_aqe" -> ((s, d) => JoinOps.skewAqe(lineitem(s, d), orders(s, d))),
     "join_geo" -> ((s, d) => JoinOps.joinGeo(customer(s, d), supplier(s, d))),
     "join_interval" -> ((s, d) => JoinOps.intervalOverlap(orders(s, d))),
+    "join_dpp" -> ((s, d) => JoinOps.joinDpp(s, d)),
     // composite audit pipelines (TPC-H Q3/Q5/Q10 shapes)
     "q3_shipping_priority" -> ((s, d) =>
       AuditQueries.q3ShippingPriority(customer(s, d), orders(s, d), lineitem(s, d))),
@@ -147,6 +148,7 @@ object SparkEntry {
     "win_gap_fill" -> ((s, d) => WindowOps.gapFill(events(s, d))),
     "win_pct_change" -> ((s, d) => WindowOps.pctChange(events(s, d))),
     "win_ntile" -> ((s, d) => WindowOps.ntileBands(orders(s, d))),
+    "win_median_sliding" -> ((s, d) => WindowOps.medianSliding(events(s, d))),
     // §2.6 sorts / limits / top-k
     "sort" -> ((s, d) => SortSetOps.sortGlobal(orders(s, d))),
     "limit" -> ((s, d) => SortSetOps.limitPage(orders(s, d))),
@@ -258,6 +260,7 @@ object SparkEntry {
     "stream_sink" -> ((s, d) => StreamOps.streamSink(s, d)),
     "stream_join" -> ((s, d) => StreamOps.streamJoin(s, d)),
     "stream_stream_join" -> ((s, d) => StreamOps.streamStreamJoin(s, d)),
+    "stream_outer_join" -> ((s, d) => StreamOps.streamOuterJoin(s, d)),
     "stream_throttled" -> ((s, d) => StreamOps.streamThrottled(s, d)),
     "stream_recovery" -> ((s, d) => StreamOps.streamRecovery(s, d)),
     "stream_upsert" -> ((s, d) => StreamOps.streamUpsert(s, d)),
@@ -946,6 +949,15 @@ object SparkEntry {
            ON a.tenant = b.tenant AND a.s < b.e AND b.s < a.e
          WHERE a.id % 2 = 0 AND b.id % 2 = 1
          ORDER BY a_id, b_id""",
+    // DPP is a SCAN optimization — results equal the unpartitioned join
+    "join_dpp" ->
+      """WITH dim AS (SELECT DISTINCT CAST(ts AS DATE) AS event_date
+           FROM events WHERE day(CAST(ts AS DATE)) <= 7)
+         SELECT CAST(f.event_date AS VARCHAR) AS day, count(*) AS n,
+           round(sum(f.value), 2) AS sum_value
+         FROM (SELECT CAST(ts AS DATE) AS event_date, value FROM events) f
+         JOIN dim USING (event_date)
+         GROUP BY f.event_date ORDER BY day""",
     "sink_partitioned" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n,
          count(DISTINCT user_id) AS n_users
@@ -1448,6 +1460,14 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
                           ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS band
          FROM orders ORDER BY o_orderkey""",
+    "win_median_sliding" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+           FROM events)
+         SELECT user_id, event_id, ts_us,
+           round(median(value) OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rolling_median
+         FROM b ORDER BY user_id, ts_us, event_id""",
     "win_pct_change" ->
       """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
              round(value, 4) AS v FROM events),
@@ -2071,6 +2091,20 @@ object SparkEntry {
           AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
           AND epoch_us(c.ts) <= epoch_us(p.ts)
          ORDER BY p.user_id, purchase_id, click_id""",
+    // sealed region (p_ts <= max(ts) - 2h): append output == batch left join
+    "stream_outer_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+           FROM events WHERE event_type = 'click'),
+         seal AS (SELECT max(epoch_us(ts)) - 7200000000 AS seal_us FROM events)
+         SELECT p.user_id, p.purchase_id, c.click_id, p.p_us
+         FROM p LEFT JOIN c
+           ON p.user_id = c.user_id
+          AND c.c_us >= p.p_us - 1800000000 AND c.c_us <= p.p_us,
+         seal
+         WHERE p.p_us <= seal.seal_us
+         ORDER BY p.user_id, p.purchase_id, c.click_id NULLS FIRST, p.p_us""",
     // throttling changes batching, never data
     "stream_throttled" ->
       """SELECT event_type, count(*) AS n

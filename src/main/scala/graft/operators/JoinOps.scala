@@ -581,4 +581,35 @@ object JoinOps {
           .as("overlap_days"))
       .orderBy("a_id", "b_id")
   }
+
+  /** Dynamic partition pruning — THE star-schema scan killer at 100 TB:
+    * the fact table is date-partitioned on disk, the dim filter is only
+    * knowable at runtime, and DPP turns the broadcast dim's key set into
+    * a partition filter on the fact scan (a `dynamicpruning` subquery in
+    * `PartitionFilters`, plan-pinned in PlanSpec) — the fact side reads
+    * ~23% of its partitions here instead of all of them, with zero
+    * change to the declared join. The dim derives from the RAW table so
+    * only the partitioned fact benefits from pruning; the day-of-month
+    * predicate is engine-portable (no dow numbering mismatch).
+    */
+  def joinDpp(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = graft.sources.EtlOps.freshDir(sfDir, "events_dpp").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .transform(graft.Tables.normalizeTs)
+      .withColumn("event_date", col("ts").cast("date"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("event_date").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = spark.read.parquet(s"$sfDir/events.parquet")
+      .transform(graft.Tables.normalizeTs)
+      .select(col("ts").cast("date").as("event_date")).distinct()
+      .filter(dayofmonth(col("event_date")) <= 7)
+    fact.join(broadcast(dim), Seq("event_date"))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("event_date").cast("string").as("day"),
+        col("n"), col("sum_value"))
+      .orderBy("day")
+  }
 }

@@ -221,4 +221,33 @@ object WindowOps {
       .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_custkey", "rn")
   }
+
+  /** Order-statistic window aggregate — exact rolling MEDIAN over a
+    * sliding 4-row frame per user (the robust rolling baseline a metrics
+    * feed wants where one outlier wrecks a rolling MEAN). Spark rejects
+    * `median` in a framed window (INVALID_WINDOW_SPEC_FOR_AGGREGATION_
+    * FUNC), so the order statistic is COMPOSED: `collect_list` gathers
+    * the ≤4-element frame — bounded by the frame spec, so the per-row
+    * array never scales with data — and codegen'd array ops
+    * (`array_sort` + `element_at`) take the middle. One shuffle on
+    * user_id; frame evaluation is partition-local; the (ts, event_id)
+    * ordering fixes frame contents so both engines see identical sets.
+    */
+  def medianSliding(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    val sorted = array_sort(collect_list(col("value")).over(w))
+    val n = size(sorted)
+    val half = (n / 2).cast("int")
+    val med = when(n % 2 === 1, element_at(sorted, ((n + 1) / 2).cast("int")))
+      .otherwise((element_at(sorted, half) + element_at(sorted, half + 1)) / 2.0)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("rolling_median", round(med, 6))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("rolling_median"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
 }

@@ -319,6 +319,46 @@ object StreamOps {
       .orderBy("user_id", "purchase_id", "click_id")
   }
 
+  /** LEFT OUTER stream-stream join — the attribution query that must also
+    * report purchases with NO preceding click. The engine holds the left
+    * row in state until the watermark proves no matching click can still
+    * arrive, then emits it null-extended; state stays bounded by the
+    * watermark delay + join window, never by stream length. Output is
+    * restricted to the SEALED region (p_ts ≤ max(ts) − 2 h — strictly
+    * below every eviction boundary: 1 h delay + 30 min window), where
+    * append-mode results are exactly the batch left join — that seal is
+    * what makes the entry oracle-pairable, the stream_watermark
+    * precedent. The seal scalar joins as a 1-row broadcast (no driver
+    * collect).
+    */
+  def streamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val purchases = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val out = drain(
+      purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer"),
+      "graft_stream_outer_join", "append")
+    val seal = graft.Tables.events(spark, sfDir)
+      .agg((max(unix_micros(col("ts").cast("timestamp"))) - 7200L * 1000000L)
+        .as("seal_us"))
+    out.crossJoin(broadcast(seal))
+      .filter(unix_micros(col("p_ts").cast("timestamp")) <= col("seal_us"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        unix_micros(col("p_ts").cast("timestamp")).as("p_us"))
+      .orderBy("user_id", "purchase_id", "click_id", "p_us")
+  }
+
   /** Production sink shape: foreachBatch → append to the raw parquet table
     * with an ingestion timestamp (README.md:23, 28) — closes the loop back
     * to sink_raw_append. Output audits the STORED table: every row

@@ -219,6 +219,18 @@ class PlanSpec extends SparkTestBase {
       s"serving path plans a cartesian product:\n$p")
   }
 
+  test("join_dpp: date-partitioned fact scan carries a dynamic partition filter") {
+    val p = plan(operators.JoinOps.joinDpp(spark, sf0001))
+    assert(p.contains("dynamicpruning"),
+      s"fact scan is not dynamically partition-pruned:\n$p")
+  }
+
+  test("win_median_sliding: frame median is one window pass, no self-join") {
+    val p = plan(operators.WindowOps.medianSliding(Tables.events(spark, sf0001)))
+    assert(!p.contains("Join"), s"rolling median planned a join:\n$p")
+    assert(p.contains("Window"), s"expected a Window node:\n$p")
+  }
+
   test("pipeline_pretrain_v2: no quadratic join anywhere; the gate predicate stays linear") {
     val p = plan(operators.PipelineOps.pipelinePretrainV2(documents(spark, sf0001)))
     assert(!p.contains("CartesianProduct"), s"funnel plans a cartesian product:\n$p")

@@ -159,4 +159,18 @@ class StreamSpec extends SparkTestBase {
       .select("user_id", "value").as[(Long, Double)].collect().toSeq.sorted
     assert(state === Seq((2L, 7.0)), s"user 1 must stay deleted, got $state")
   }
+
+  test("stream_outer_join: emits null-extended rows AND matched rows in the sealed region") {
+    val out = StreamOps.streamOuterJoin(spark, sf0001).cache()
+    val nNull = out.filter(col("click_id").isNull).count()
+    val nMatched = out.filter(col("click_id").isNotNull).count()
+    assert(nNull > 0, "outer part is vacuous: every purchase had a click")
+    assert(nMatched > 0, "join part is vacuous: no purchase matched any click")
+    // matched subset must equal the inner stream-stream join on the same region
+    val inner = StreamOps.streamStreamJoin(spark, sf0001)
+      .join(out.filter(col("click_id").isNull).select(col("purchase_id")),
+        Seq("purchase_id"), "left_semi").count()
+    assert(inner === 0, "a purchase cannot be both matched and null-extended")
+    out.unpersist()
+  }
 }
