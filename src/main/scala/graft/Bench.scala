@@ -74,6 +74,9 @@ object Bench {
     "dedup_incremental",    // delta-vs-corpus probe of the persisted LSH index
     "pipeline_bpe_train",   // 6-round BPE merge learning over the vocab table
     "sim_bitext",           // margin-scored cross-corpus mining via IVF cells
+    "stream_outer_join",    // watermark-evicted outer stream-stream join
+    "join_dpp",             // partitioned write + DPP-pruned star join
+    "win_median_sliding",   // composed rolling-median window
   )
 
   def main(args: Array[String]): Unit = {
