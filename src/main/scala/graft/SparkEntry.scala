@@ -93,6 +93,7 @@ object SparkEntry {
     "q_offset" -> ((s, d) => AuditQueries.qOffset(s, orders(s, d))),
     "q_select_except" -> ((s, d) => AuditQueries.qSelectExcept(s, customer(s, d))),
     "q_sql_scripting" -> ((s, d) => AuditQueries.qSqlScripting(s, orders(s, d))),
+    "q_pipe_syntax" -> ((s, d) => AuditQueries.qPipeSyntax(s, orders(s, d))),
     "q_lateral_join" -> ((s, d) =>
       AuditQueries.qLateralJoin(s, customer(s, d), orders(s, d))),
     "fn_variant" -> ((s, d) => FuncOps.variantFns(events(s, d))),
@@ -122,6 +123,7 @@ object SparkEntry {
     "agg_corr" -> ((s, d) => AggOps.aggCorr(lineitem(s, d))),
     "agg_regression" -> ((s, d) => AggOps.aggRegression(lineitem(s, d))),
     "agg_skew_kurt" -> ((s, d) => AggOps.aggSkewKurt(lineitem(s, d))),
+    "agg_quantiles" -> ((s, d) => AggOps.aggQuantiles(lineitem(s, d))),
     "agg_product" -> ((s, d) => AggOps.aggProduct(lineitem(s, d))),
     "agg_histogram" -> ((s, d) => AggOps.aggHistogram(lineitem(s, d))),
     // Array columns stringified at the query boundary: the driver's pandas
@@ -306,6 +308,8 @@ object SparkEntry {
       ((s, d) => PipelineOps.pipelineShardManifest(documents(s, d))),
     "pipeline_dataset_card" ->
       ((s, d) => PipelineOps.datasetCard(documents(s, d))),
+    "pipeline_preference_pairs" ->
+      ((s, d) => PipelineOps.preferencePairs(documents(s, d))),
     "pipeline_bpe_train" ->
       ((s, d) => PipelineOps.pipelineBpeTrain(documents(s, d))),
     "pipeline_bpe_apply" ->
@@ -1676,6 +1680,14 @@ object SparkEntry {
                  / pow(avg(pow(l_quantity - mu, 2)), 2) - 3, 6) AS kurt
          FROM lineitem l JOIN m USING (l_returnflag)
          GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
+    // quantile_cont shares percentile's (n-1)*p interpolation definition
+    "agg_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // product() is double-typed but exact here (<= 9^17 < 2^53)
     "agg_product" ->
       """SELECT l_orderkey, count(*) AS n_lines,
@@ -1862,6 +1874,13 @@ object SparkEntry {
     "q_select_except" ->
       """SELECT * EXCLUDE (c_name, c_acctbal)
          FROM customer WHERE c_custkey % 10 = 3 ORDER BY ALL""",
+    // pipe syntax is parse-level: the oracle is the nested spelling
+    "q_pipe_syntax" ->
+      """SELECT o_orderpriority, count(*) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // the WHILE loop's closed form: 100000 * 1.2^5 = 248832
     "q_sql_scripting" ->
       """SELECT o_orderpriority, count(*) AS n,
@@ -1882,6 +1901,28 @@ object SparkEntry {
            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
          d AS (SELECT cust, count(*) AS deg FROM e GROUP BY 1)
          SELECT deg, count(*) AS n_nodes FROM d GROUP BY 1 ORDER BY deg""",
+    "pipeline_preference_pairs" ->
+      """WITH t AS (SELECT source, lang, doc_id,
+             round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS ttr
+           FROM (SELECT source, lang, doc_id,
+                   list_filter(str_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents)
+           WHERE len(toks) > 0),
+         r AS (SELECT source, lang, doc_id, ttr,
+             row_number() OVER (PARTITION BY source, lang
+               ORDER BY ttr DESC, doc_id DESC) AS rmax,
+             row_number() OVER (PARTITION BY source, lang
+               ORDER BY ttr ASC, doc_id ASC) AS rmin
+           FROM t)
+         SELECT source, lang,
+           max(CASE WHEN rmax = 1 THEN doc_id END) AS chosen_id,
+           max(CASE WHEN rmin = 1 THEN doc_id END) AS rejected_id,
+           round(max(ttr) - min(ttr), 6) AS margin,
+           count(*) AS n_candidates
+         FROM r GROUP BY source, lang
+         HAVING max(CASE WHEN rmax = 1 THEN doc_id END)
+             <> max(CASE WHEN rmin = 1 THEN doc_id END)
+         ORDER BY source, lang""",
     "pipeline_dataset_card" ->
       """WITH t AS (SELECT source, lang, n_chars,
              len(list_filter(str_split(text, ' '), x -> x <> ''))::BIGINT

@@ -559,6 +559,25 @@ object AggOps {
         round(kurtosis(col("l_quantity")), 6).as("kurt"))
       .orderBy("l_returnflag")
 
+  /** Multi-quantile census — exact interpolated percentiles (p25/50/75/95)
+    * per group, the length/price-distribution profile a dataset report
+    * leads with. Spark's `percentile` and DuckDB's `quantile_cont` share
+    * the (n−1)·p linear-interpolation definition, so the values
+    * oracle-match after rounding. Exact percentile holds per-group sorted
+    * state — fine on bounded groups; unbounded groups at 100 TB use
+    * `agg_percentile_approx` (mergeable sketch) instead.
+    */
+  def aggQuantiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.25D)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75D)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95D)"), 4).as("p95"))
+      .orderBy("l_returnflag")
+
   /** Product aggregate — an aggregate Spark lacks natively, composed
     * from `collect_list` + the `aggregate` HOF instead of a UDAF: the
     * fold runs map-side per group inside codegen'd HashAggregate state.

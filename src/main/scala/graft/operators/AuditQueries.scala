@@ -487,6 +487,25 @@ object AuditQueries {
          ORDER BY ALL""")
   }
 
+  /** Spark 4 SQL pipe syntax (`|>`) — the linear dataflow spelling of
+    * the same logical plan (FROM … |> WHERE … |> AGGREGATE … |> ORDER
+    * BY). Pure surface syntax: each stage parses into the ordinary
+    * operator it names, so pushdown/pruning/codegen are identical to
+    * the nested form — which is exactly what the plain-SQL oracle
+    * asserts.
+    */
+  def qPipeSyntax(spark: SparkSession, orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_pipe_v")
+    spark.sql(
+      """FROM orders_pipe_v
+         |> WHERE o_orderstatus = 'F'
+         |> AGGREGATE count(*) AS n,
+              round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D, 2)
+                AS total
+            GROUP BY o_orderpriority
+         |> ORDER BY o_orderpriority""")
+  }
+
   /** SQL scripting (Spark 4 `BEGIN … END` control flow) — a procedural
     * block with a WHILE loop folding a compound-growth threshold, then a
     * data query gated on the computed variable. Control flow runs on the

@@ -476,6 +476,33 @@ object PipelineOps {
       .orderBy("shard")
   }
 
+  /** Preference-pair construction — the (chosen, rejected) extraction
+    * step of RLHF/DPO data prep: within each candidate group, pick the
+    * best- and worst-scored document and emit one training pair with its
+    * score margin. Score here is the doc-local type-token ratio (any
+    * model- or heuristic-score column slots in); argmax/argmin are the
+    * tie-deterministic `max_by`/`min_by` struct form (the agg_argmax
+    * house rule). ONE hash aggregate over the group key — no window, no
+    * per-group sort — so pair extraction is a single shuffle at any
+    * corpus size; degenerate single-candidate groups drop (no pair).
+    */
+  def preferencePairs(documents: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val ttr = round(
+      size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6)
+    documents
+      .filter(size(toks) > 0)
+      .select(col("source"), col("lang"), col("doc_id"), ttr.as("ttr"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        max_by(col("doc_id"), struct(col("ttr"), col("doc_id"))).as("chosen_id"),
+        min_by(col("doc_id"), struct(col("ttr"), col("doc_id"))).as("rejected_id"),
+        round(max(col("ttr")) - min(col("ttr")), 6).as("margin"),
+        count(lit(1)).as("n_candidates"))
+      .filter(col("chosen_id") =!= col("rejected_id"))
+      .orderBy("source", "lang")
+  }
+
   /** Dataset-card census — the per-(source, lang) summary table a
     * released training corpus ships with (doc/token counts, length
     * quantiles, short-doc fraction). ONE map-side labeling pass + ONE

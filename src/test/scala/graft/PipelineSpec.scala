@@ -199,4 +199,23 @@ class PipelineSpec extends SparkTestBase {
       .as[(Double, Boolean, Boolean)].collect().toSeq
     assert(rerun === out)
   }
+
+  test("pipeline_preference_pairs: argmax/argmin picks, tie-break, and degenerate-group drop") {
+    import spark.implicits._
+    val docs = Seq(
+      // group (web, en): doc 1 ttr=1.0, doc 2 ttr=0.5, doc 3 ttr=1.0 (tie -> larger id wins chosen)
+      (1L, "a b c", "en", "web", 0L),
+      (2L, "a a b b", "en", "web", 0L),
+      (3L, "x y", "en", "web", 0L),
+      // group (web, fr): single candidate -> no pair emitted
+      (4L, "q r s", "fr", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = PipelineOps.preferencePairs(docs).collect()
+    assert(out.length === 1, s"degenerate group must drop: ${out.toSeq}")
+    val r = out(0)
+    assert(r.getString(0) === "web" && r.getString(1) === "en")
+    assert(r.getLong(2) === 3L, "ttr tie must break toward the larger doc_id")
+    assert(r.getLong(3) === 2L)
+    assert(r.getDouble(4) === 0.5 && r.getLong(5) === 3L)
+  }
 }
