@@ -77,6 +77,7 @@ object Bench {
     "stream_outer_join",    // watermark-evicted outer stream-stream join
     "join_dpp",             // partitioned write + DPP-pruned star join
     "win_median_sliding",   // composed rolling-median window
+    "topk_per_group_native", // custom partial/final top-k operator
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array_join, col, hex}
+import org.apache.spark.sql.functions.{array_join, col, hex, round}
 import graft.Tables._
 import graft.operators._
 import graft.functions.{FuncOps, UdfOps}
@@ -63,6 +63,13 @@ object SparkEntry {
     "graph_components" -> ((s, d) => GraphOps.graphComponents(orders(s, d), lineitem(s, d))),
     "graph_bfs" -> ((s, d) => GraphOps.graphBfs(orders(s, d), lineitem(s, d))),
     "graph_degree_dist" -> ((s, d) => GraphOps.degreeDist(orders(s, d), lineitem(s, d))),
+    // native custom operator (logical node + strategy + partial/final exec)
+    "topk_per_group_native" -> ((s, d) =>
+      graft.plans.TopKOps.topKPerGroup(orders(s, d), Seq("o_orderpriority"),
+          Seq(("o_totalprice", false), ("o_orderkey", false)), 3)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderpriority", "o_orderkey")),
     "join_skew_salted" -> ((s, d) => JoinOps.skewSalted(lineitem(s, d), orders(s, d))),
     "join_skew_aqe" -> ((s, d) => JoinOps.skewAqe(lineitem(s, d), orders(s, d))),
     "join_geo" -> ((s, d) => JoinOps.joinGeo(customer(s, d), supplier(s, d))),
@@ -1896,6 +1903,14 @@ object SparkEntry {
            CAST(o_orderkey AS VARCHAR) AS id_attr,
            CAST(3 AS INTEGER) AS n_children
          FROM orders ORDER BY o_orderkey""",
+    // the custom operator's retained SET is unique under the total order
+    "topk_per_group_native" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+           FROM orders)
+         SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price
+         FROM r WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey""",
     "graph_degree_dist" ->
       """WITH e AS (SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),

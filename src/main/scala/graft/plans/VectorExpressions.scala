@@ -206,5 +206,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("argmin_l2"),
       new ExpressionInfo(classOf[ArgMinL2].getName, "argmin_l2"),
       exprs => ArgMinL2(exprs(0), exprs(1))))
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

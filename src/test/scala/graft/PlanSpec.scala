@@ -219,6 +219,34 @@ class PlanSpec extends SparkTestBase {
       s"serving path plans a cartesian product:\n$p")
   }
 
+  test("topk_per_group_native: partial/final execs straddle the exchange; equals the window form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    // repartition forces a real multi-partition partial phase
+    val in = Tables.orders(spark, sf0001).repartition(5)
+    val df = graft.plans.TopKOps.topKPerGroup(
+      in, Seq("o_orderpriority"), Seq(("o_totalprice", false), ("o_orderkey", false)), 3)
+    val p = df.queryExecution.executedPlan.toString
+    // the exec prints as "TopKPerGroup [...], k, partialFlag"
+    val hits = "TopKPerGroup \\[".r.findAllIn(p).toSeq
+    assert(hits.length == 2, s"expected partial+final TopKPerGroup exec pair:\n$p")
+    val first = p.indexOf("TopKPerGroup [")
+    val ex = p.indexOf("Exchange hashpartitioning", first)
+    val second = p.indexOf("TopKPerGroup [", first + 1)
+    assert(first < ex && ex < second,
+      s"group exchange must sit BETWEEN final and partial phases:\n$p")
+    assert(p.substring(first, ex).contains(", 3, false") &&
+      p.substring(second).contains(", 3, true"),
+      s"final phase must be above the exchange, partial below:\n$p")
+    // exact equality with the built-in window spelling (same total order)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    val expect = Tables.orders(spark, sf0001)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+    assert(df.exceptAll(expect).count() === 0 && expect.exceptAll(df).count() === 0,
+      "native top-k must return exactly the window form's row set")
+  }
+
   test("join_dpp: date-partitioned fact scan carries a dynamic partition filter") {
     val p = plan(operators.JoinOps.joinDpp(spark, sf0001))
     assert(p.contains("dynamicpruning"),
