@@ -101,6 +101,8 @@ object SparkEntry {
     "q_select_except" -> ((s, d) => AuditQueries.qSelectExcept(s, customer(s, d))),
     "q_sql_scripting" -> ((s, d) => AuditQueries.qSqlScripting(s, orders(s, d))),
     "q_pipe_syntax" -> ((s, d) => AuditQueries.qPipeSyntax(s, orders(s, d))),
+    "q_agg_filter" -> ((s, d) => AuditQueries.qAggFilter(s, lineitem(s, d))),
+    "q_identifier" -> ((s, d) => AuditQueries.qIdentifier(s, orders(s, d))),
     "q_lateral_join" -> ((s, d) =>
       AuditQueries.qLateralJoin(s, customer(s, d), orders(s, d))),
     "fn_variant" -> ((s, d) => FuncOps.variantFns(events(s, d))),
@@ -327,6 +329,7 @@ object SparkEntry {
     "sim_join_bucketed" -> ((s, d) => SimOps.simJoinBucketed(embeddings(s, d))),
     "sim_quantized" -> ((s, d) => SimOps.simQuantized(embeddings(s, d))),
     "sim_rerank" -> ((s, d) => SimOps.simRerank(embeddings(s, d))),
+    "sim_matryoshka" -> ((s, d) => SimOps.simMatryoshka(embeddings(s, d))),
     "sim_pq" -> ((s, d) => SimOps.simPq(embeddings(s, d))),
     "sim_pq_kmeans" -> ((s, d) => SimOps.simPqKmeans(embeddings(s, d))),
     "sim_radius" -> ((s, d) => SimOps.simRadius(embeddings(s, d))),
@@ -1881,6 +1884,20 @@ object SparkEntry {
     "q_select_except" ->
       """SELECT * EXCLUDE (c_name, c_acctbal)
          FROM customer WHERE c_custkey % 10 = 3 ORDER BY ALL""",
+    // FILTER folds into each aggregate's update on both engines
+    "q_agg_filter" ->
+      """SELECT l_returnflag,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+           round(sum(l_quantity) FILTER (WHERE l_tax < 0.04), 2) AS qty_lowtax
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // IDENTIFIER binding resolves at analysis — plan equals the literal form
+    "q_identifier" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // pipe syntax is parse-level: the oracle is the nested spelling
     "q_pipe_syntax" ->
       """SELECT o_orderpriority, count(*) AS n,
@@ -2909,6 +2926,22 @@ object SparkEntry {
              AS cos_exact
          FROM q CROSS JOIN p
          ORDER BY qdot DESC, vec_id LIMIT 10""",
+    // coarse rank on the 16-dim prefix, exact rerank on the full width
+    "sim_matryoshka" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST(embedding AS DOUBLE[])[1:16] AS v16 FROM embeddings),
+         p AS (SELECT v16 AS p16, v AS pv FROM e WHERE vec_id = 0),
+         s1 AS (SELECT e.vec_id, e.v, p.pv,
+                  round(list_dot_product(e.v16, p.p16) /
+                    (sqrt(list_dot_product(e.v16, e.v16)) *
+                     sqrt(list_dot_product(p.p16, p.p16))), 6) AS cos16
+                FROM e CROSS JOIN p
+                ORDER BY cos16 DESC, vec_id LIMIT 50)
+         SELECT vec_id, cos16,
+           round(list_dot_product(v, pv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))), 6)
+             AS cos_full
+         FROM s1 ORDER BY cos_full DESC, vec_id LIMIT 10""",
     "sim_rerank" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          sc AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s FROM e),

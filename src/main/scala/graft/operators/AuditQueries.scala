@@ -487,6 +487,43 @@ object AuditQueries {
          ORDER BY ALL""")
   }
 
+  /** SQL standard FILTER clause — per-aggregate predicates
+    * (`agg(...) FILTER (WHERE ...)`) computing several conditional
+    * aggregates in ONE pass over the group (the multi-metric audit
+    * shape; the function-style spelling is `agg_count_if`). Each FILTER
+    * folds into its aggregate's update — no extra scan, no join of
+    * per-predicate subqueries.
+    */
+  def qAggFilter(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("lineitem_af_v")
+    spark.sql(
+      """SELECT l_returnflag,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+           round(sum(l_quantity) FILTER (WHERE l_tax < 0.04), 2) AS qty_lowtax
+         FROM lineitem_af_v
+         GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  /** `IDENTIFIER(:param)` — injection-safe DYNAMIC identifiers (Spark
+    * 3.5+): the table/column name arrives as a bound parameter and is
+    * resolved as an identifier, never spliced as text — the safe form
+    * of the "which table does this nightly job read tonight" pattern.
+    * Resolution happens at analysis; the resulting plan is identical to
+    * the literal spelling (pushdown intact).
+    */
+  def qIdentifier(spark: SparkSession, orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_ident_v")
+    spark.sql(
+      """SELECT o_orderstatus, count(*) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D, 2)
+             AS total
+         FROM IDENTIFIER(:tbl)
+         GROUP BY IDENTIFIER(:grp) ORDER BY o_orderstatus""",
+      Map("tbl" -> "orders_ident_v", "grp" -> "o_orderstatus"))
+  }
+
   /** Spark 4 SQL pipe syntax (`|>`) — the linear dataflow spelling of
     * the same logical plan (FROM … |> WHERE … |> AGGREGATE … |> ORDER
     * BY). Pure surface syntax: each stage parses into the ordinary

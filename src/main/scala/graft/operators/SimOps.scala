@@ -354,6 +354,35 @@ object SimOps {
       .limit(k)
   }
 
+  /** Matryoshka two-stage ANN (Kusupati et al. 2022, MRL) — coarse rank
+    * on the embedding PREFIX (first 16 of 64 dims; MRL-trained encoders
+    * front-load information into leading dims), exact full-width cosine
+    * rerank of the m survivors. Complements `simRerank`: that one cuts
+    * BIT WIDTH (int8), this one cuts DIMENSIONS — the coarse scan reads
+    * ¼ of the vector bytes with zero auxiliary structure (no codebook,
+    * no quantizer state), which is the cheapest possible first stage on
+    * a 100 TB embedding store whose encoder was MRL-trained. Both
+    * stages are TakeOrderedAndProject; the coarse score is rounded
+    * before ranking so both engines cut the identical candidate set.
+    */
+  def simMatryoshka(embeddings: DataFrame, m: Int = 50, k: Int = 10): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+      .withColumn("v16", slice(col("v"), 1, 16))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("v16").as("p16"), col("v").as("pv"))
+    val candidates = e.crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("v"), col("pv"),
+        round(cosine(col("v16"), col("p16")), 6).as("cos16"))
+      .orderBy(desc("cos16"), asc("vec_id"))
+      .limit(m)
+    candidates
+      .select(col("vec_id"), col("cos16"),
+        round(cosine(col("v"), col("pv")), 6).as("cos_full"))
+      .orderBy(desc("cos_full"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Product-quantized ANN (PQ + asymmetric-distance scan) — the memory
     * endgame of the quantization family: vectors split into 8 subspaces
     * of 8 dims; each subvector is encoded as the index of its nearest

@@ -82,7 +82,11 @@ class CollectGuardSpec extends SparkTestBase {
     // k (≤16) centroids or 8 sub-codebooks — algorithm constants chosen
     // at plan time, not data-dependent group sizes
     "sim_kmeans", "sim_ivf_kmeans", "sim_pq", "sim_pq_kmeans",
-    "sim_mips", "sink_ann_index", "dedup_semantic"
+    "sim_mips", "sink_ann_index", "dedup_semantic",
+    // the HOF product fold consumes one array per ORDER of that order's
+    // line quantities — bounded by lines-per-order (≤ 17 in the fixture,
+    // a 7-line cap in the TPC-H spec), the agg_collect dim-bound rule
+    "agg_product"
   )
 
   test("guard catches an uncapped collect_list (deliberately-bad fixture)") {
