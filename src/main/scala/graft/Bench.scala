@@ -78,6 +78,7 @@ object Bench {
     "join_dpp",             // partitioned write + DPP-pruned star join
     "win_median_sliding",   // composed rolling-median window
     "topk_per_group_native", // custom partial/final top-k operator
+    "sim_knn_graph",        // full kNN graph via multiprobe LSH + native top-k
   )
 
   def main(args: Array[String]): Unit = {

@@ -103,6 +103,7 @@ object SparkEntry {
     "q_pipe_syntax" -> ((s, d) => AuditQueries.qPipeSyntax(s, orders(s, d))),
     "q_agg_filter" -> ((s, d) => AuditQueries.qAggFilter(s, lineitem(s, d))),
     "q_identifier" -> ((s, d) => AuditQueries.qIdentifier(s, orders(s, d))),
+    "sql_cache_table" -> ((s, d) => AuditQueries.sqlCacheTable(s, orders(s, d))),
     "q_lateral_join" -> ((s, d) =>
       AuditQueries.qLateralJoin(s, customer(s, d), orders(s, d))),
     "fn_variant" -> ((s, d) => FuncOps.variantFns(events(s, d))),
@@ -330,6 +331,7 @@ object SparkEntry {
     "sim_quantized" -> ((s, d) => SimOps.simQuantized(embeddings(s, d))),
     "sim_rerank" -> ((s, d) => SimOps.simRerank(embeddings(s, d))),
     "sim_matryoshka" -> ((s, d) => SimOps.simMatryoshka(embeddings(s, d))),
+    "sim_knn_graph" -> ((s, d) => SimOps.simKnnGraph(embeddings(s, d))),
     "sim_pq" -> ((s, d) => SimOps.simPq(embeddings(s, d))),
     "sim_pq_kmeans" -> ((s, d) => SimOps.simPqKmeans(embeddings(s, d))),
     "sim_radius" -> ((s, d) => SimOps.simRadius(embeddings(s, d))),
@@ -1892,6 +1894,12 @@ object SparkEntry {
            count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
            round(sum(l_quantity) FILTER (WHERE l_tax < 0.04), 2) AS qty_lowtax
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the cache layer is data-invisible: oracle = the raw-table aggregate
+    "sql_cache_table" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // IDENTIFIER binding resolves at analysis — plan equals the literal form
     "q_identifier" ->
       """SELECT o_orderstatus, count(*) AS n,
@@ -2888,6 +2896,30 @@ object SparkEntry {
            round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 6) AS recall
          FROM exact x LEFT JOIN approx a ON x.vec_id = a.vec_id""",
+    // every vector probes hamming<=1 cells; the native operator's retained
+    // top-3 set equals the row_number form under the (cos, dst) total order
+    "sim_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cells AS (SELECT vec_id, v,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END
+              + CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) AS cell
+           FROM e),
+         probes AS (SELECT vec_id AS src, v AS sv, xor(cell, flip) AS cell
+           FROM cells, (SELECT unnest([0,1,2,4,8,16]) AS flip)),
+         cand AS (SELECT p.src, c.vec_id AS dst,
+             round(list_dot_product(c.v, p.sv) /
+               (sqrt(list_dot_product(c.v, c.v)) *
+                sqrt(list_dot_product(p.sv, p.sv))), 6) AS cos
+           FROM cells c JOIN probes p USING (cell)
+           WHERE c.vec_id <> p.src),
+         f AS (SELECT src, dst, cos, row_number() OVER
+             (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+           FROM cand WHERE cos >= 0.3)
+         SELECT src, dst, cos FROM f WHERE rn <= 3
+         ORDER BY src, cos DESC, dst""",
     "sim_join_bucketed" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          cells AS (SELECT vec_id, v,

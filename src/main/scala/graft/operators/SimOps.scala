@@ -283,6 +283,44 @@ object SimOps {
       .orderBy("probe_id", "rn")
   }
 
+  /** Full kNN-GRAPH construction — the neighbor graph SemDeDup-style
+    * clustering and graph-based dedup consume: top-3 cosine neighbors
+    * for EVERY vector (not a probe sample), from multiprobe sign-LSH
+    * candidates (hamming ≤ 1 — narrower probing than the sampled join,
+    * the standard graph-build recall/cost tradeoff), reduced by the
+    * NATIVE TopKPerGroup operator: per-source top-k runs map-side in
+    * bounded heaps BEFORE the group exchange, so the candidate stream —
+    * the dominant intermediate of every kNN-graph build — crosses the
+    * wire as at most partitions·V·k rows, never in full, and no
+    * partition is ever window-sorted. At 100 TB the cell key simply
+    * grows more sign bits (cells scale with the corpus); the operator's
+    * partial-reduction law is what keeps the build shuffle O(V·k)
+    * instead of O(candidates).
+    */
+  def simKnnGraph(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val cell = (0 until 5).map { b =>
+      when(element_at(col("v"), b + 1) > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val corpusCells = e.select(col("vec_id"), col("v"), cell.as("cell"))
+    val flips = Seq(0, 1, 2, 4, 8, 16) // self + the 5 single-bit probes
+    val probeCells = e
+      .select(col("vec_id").as("src"), col("v").as("sv"), cell.as("own"))
+      .select(col("src"), col("sv"), col("own"),
+        explode(array(flips.map(lit): _*)).as("flip"))
+      .select(col("src"), col("sv"),
+        col("own").bitwiseXOR(col("flip")).as("cell"))
+    val cand = corpusCells.join(probeCells, "cell")
+      .filter(col("vec_id") =!= col("src"))
+      .select(col("src"), col("vec_id").as("dst"),
+        round(cosine(col("v"), col("sv")), 6).as("cos"))
+      .filter(col("cos") >= 0.3)
+    graft.plans.TopKOps
+      .topKPerGroup(cand, Seq("src"), Seq(("cos", false), ("dst", true)), k)
+      .orderBy(asc("src"), desc("cos"), asc("dst"))
+  }
+
   /** Int8 scalar-quantized similarity search — the memory/bandwidth move
     * that makes 100 TB of embeddings tractable: one corpus-wide symmetric
     * scale s = max|component| (a single tiny aggregate, broadcast back),

@@ -247,6 +247,13 @@ class PlanSpec extends SparkTestBase {
       "native top-k must return exactly the window form's row set")
   }
 
+  test("sql_cache_table: downstream aggregate scans the in-memory cache, not the files") {
+    val p = plan(operators.AuditQueries.sqlCacheTable(
+      spark, Tables.orders(spark, sf0001)))
+    assert(p.contains("InMemoryRelation") && p.contains("In-memory table"),
+      s"aggregate must read the cached relation:\n$p")
+  }
+
   test("join_dpp: date-partitioned fact scan carries a dynamic partition filter") {
     val p = plan(operators.JoinOps.joinDpp(spark, sf0001))
     assert(p.contains("dynamicpruning"),
