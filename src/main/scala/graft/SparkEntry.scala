@@ -168,6 +168,7 @@ object SparkEntry {
     "sort_within_partitions" -> ((s, d) => SortSetOps.sortWithinPartitions(lineitem(s, d))),
     // §2.7 set operations
     "union" -> ((s, d) => SortSetOps.unionLoads(orders(s, d))),
+    "union_evolved" -> ((s, d) => SortSetOps.unionEvolved(orders(s, d))),
     "intersect" -> ((s, d) => SortSetOps.intersectLoads(customer(s, d))),
     "except" -> ((s, d) => SortSetOps.exceptLoads(orders(s, d))),
     "except_all" -> ((s, d) => SortSetOps.exceptAllLoads(orders(s, d))),
@@ -253,6 +254,7 @@ object SparkEntry {
     "sql_time_travel_ts" -> ((s, d) => EtlOps.sqlTimeTravelTs(s, d)),
     "join_storage_partitioned" -> ((s, d) => EtlOps.joinStoragePartitioned(s, d)),
     "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
+    "sink_jsonl" -> ((s, d) => EtlOps.sinkJsonl(s, d)),
     "sink_retention" -> ((s, d) => EtlOps.sinkRetention(s, d)),
     "sink_incremental" -> ((s, d) => EtlOps.sinkIncremental(s, d)),
     "sink_agg_refresh" -> ((s, d) => EtlOps.sinkAggRefresh(s, d)),
@@ -1127,6 +1129,15 @@ object SparkEntry {
            SELECT o_orderkey, o_totalprice, 2 AS page FROM orders
            WHERE o_totalprice >= 150000)
          ORDER BY o_orderkey, page""",
+    // the early page backfills NULL for the late-added column
+    "union_evolved" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_orderstatus, NULL AS priority FROM orders
+           WHERE o_orderkey % 4 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_orderpriority AS priority
+           FROM orders WHERE o_orderkey % 4 = 1)
+         ORDER BY o_orderkey""",
     "intersect" ->
       """SELECT c_nationkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0
          INTERSECT
@@ -2044,6 +2055,13 @@ object SparkEntry {
          FROM h ORDER BY o_orderkey, valid_from""",
     // compaction must be data-invisible; integer-cents sum keeps the
     // audit associative (double sums depend on partition order)
+    // JSONL is the interchange layer — the census must equal the source
+    "sink_jsonl" ->
+      """SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_meta,
+           CAST(sum(length(text)) AS BIGINT) AS chars_text,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents GROUP BY source ORDER BY source""",
     "sink_compact" ->
       """SELECT count(*) AS n_rows,
          CAST(sum(o_orderkey) AS BIGINT) AS key_sum,

@@ -72,6 +72,24 @@ object SortSetOps {
       .orderBy("o_orderkey", "page")
   }
 
+  /** Schema-EVOLVED union (`unionByName(allowMissingColumns = true)`) —
+    * the page-merge shape when the upstream API adds a field mid-extract:
+    * early pages lack the new column and must backfill NULL, not fail
+    * the load and not mis-zip positionally. Resolution is analysis-time
+    * (a Project per branch), so the union itself stays a zero-cost plan
+    * node.
+    */
+  def unionEvolved(orders: DataFrame): DataFrame = {
+    val early = orders.filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    // the later page carries the newly-added priority field
+    val late = orders.filter(col("o_orderkey") % 4 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority").as("priority"))
+    early.unionByName(late, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
   /** Records present in both loads (distinct semantics — Spark INTERSECT
     * ≡ SQL INTERSECT).
     */

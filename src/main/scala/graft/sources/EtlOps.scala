@@ -86,6 +86,31 @@ object EtlOps {
       .orderBy("r_regionkey")
   }
 
+  /** JSONL export round trip — the interchange format LLM training
+    * corpora actually ship in (one JSON document per line, splittable,
+    * appendable). Write shards the corpus as .json lines, read declares
+    * the schema (inference would re-scan — the scan_xml rule), and the
+    * audit census must match the parquet original byte-for-byte:
+    * JSON round-trips the text payload losslessly or this entry goes
+    * red. Oracle = the same census on the source table.
+    */
+  def sinkJsonl(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "docs_jsonl").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode(SaveMode.Overwrite).json(dir)
+    spark.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .json(dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_meta"),
+        sum(length(col("text"))).as("chars_text"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("source")
+  }
+
   /** Recursive + glob file discovery — the layout-tolerant scan a raw
     * data lake needs: loads arrive in NESTED directories of varying
     * depth (not hive-partitioned), with stray non-data files alongside.
