@@ -205,6 +205,7 @@ object SparkEntry {
     "dedup_near_pruned" -> ((s, d) => LlmOps.dedupNearPruned(documents(s, d))),
     "dedup_incremental" -> ((s, d) => LlmOps.dedupIncremental(s, d)),
     "dedup_clusters" -> ((s, d) => LlmOps.dedupClusters(documents(s, d))),
+    "dedup_keep_best" -> ((s, d) => LlmOps.dedupKeepBest(documents(s, d))),
     "dedup_normalized" -> ((s, d) => LlmOps.dedupNormalized(documents(s, d))),
     "sim_topk" -> ((s, d) => LlmOps.simTopk(embeddings(s, d))),
     "sim_join" -> ((s, d) => LlmOps.simJoin(embeddings(s, d))),
@@ -1358,6 +1359,29 @@ object SparkEntry {
                    SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.via)
          SELECT id AS doc_id, min(via) AS cluster_rep FROM reach
          GROUP BY id ORDER BY doc_id""",
+    // same fixpoint labels + keep the most-token member (ties -> smaller id)
+    "dedup_keep_best" ->
+      s"""${nearDupCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         pairs AS (SELECT doc_a, doc_b FROM j WHERE round(jac, 6) >= 0.6),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach AS (SELECT src AS id, src AS via FROM edges
+                   UNION
+                   SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.via),
+         lab AS (SELECT id AS doc_id, min(via) AS cluster_rep FROM reach
+                 GROUP BY id),
+         scored AS (SELECT l.cluster_rep, l.doc_id,
+             len(list_filter(str_split(d.text, ' '), x -> x <> ''))::BIGINT
+               AS n_toks
+           FROM lab l JOIN documents d ON d.doc_id = l.doc_id),
+         r AS (SELECT cluster_rep, doc_id, n_toks, row_number() OVER
+             (PARTITION BY cluster_rep ORDER BY n_toks DESC, doc_id) AS rn
+           FROM scored)
+         SELECT cluster_rep,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+           max(n_toks) AS keep_toks,
+           count(*) AS n_members
+         FROM r GROUP BY cluster_rep ORDER BY cluster_rep""",
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

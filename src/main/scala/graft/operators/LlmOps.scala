@@ -415,6 +415,32 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Cluster-resolution with KEEP-BEST selection — what production dedup
+    * actually ships: after near-dup clustering, retain the highest-VALUE
+    * document per cluster (here: most tokens; any quality score slots
+    * in), not the arbitrary smallest id. Composes `dedupClusters`
+    * verbatim (labels to fixpoint) + one tie-deterministic argmax
+    * aggregate over the cluster key; ties break toward the SMALLER
+    * doc_id via the negated-id struct (the agg_argmax rule, inverted).
+    * Output is one row per cluster — bounded by cluster count, not
+    * corpus size.
+    */
+  def dedupKeepBest(documents: DataFrame): DataFrame = {
+    val labels = dedupClusters(documents)
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    documents
+      .select(col("doc_id"), size(toks).cast("long").as("n_toks"))
+      .join(labels, "doc_id")
+      .groupBy(col("cluster_rep"))
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("n_toks"), (lit(0L) - col("doc_id")).as("neg_id")))
+          .as("keep_id"),
+        max(col("n_toks")).as("keep_toks"),
+        count(lit(1)).as("n_members"))
+      .orderBy("cluster_rep")
+  }
+
   /** The end-to-end pretraining corpus funnel — the COMPOSITION proof for
     * the §2.11 family: quality gate → exact dedup → near-dup removal,
     * chained the way a real pipeline runs them, reporting the per-stage

@@ -137,6 +137,22 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_keep_best keeps the most-token member, not the min-id rep") {
+    import spark.implicits._
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (1L, base, "en", "web", 0L),                 // 10 tokens, cluster rep
+      (2L, base + " w11 w12", "en", "web", 0L),    // 12 tokens -> the keeper
+      (9L, "alpha beta gamma delta", "en", "web", 0L)) // unrelated
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = LlmOps.dedupKeepBest(docs).collect()
+    assert(out.length === 1, s"only the near-dup cluster reports: ${out.toSeq}")
+    val r = out(0)
+    assert(r.getLong(0) === 1L, "rep is the component min id")
+    assert(r.getLong(1) === 2L, "keeper must be the LONGER doc, not the rep")
+    assert(r.getLong(2) === 12L && r.getLong(3) === 2L)
+  }
+
   test("dedup_clusters converges on a chain deeper than any fixed round count") {
     // Six docs in a sliding-window chain over distinct words: adjacent
     // windows share ~73% of shingles (a near-dup edge at J≈0.73), windows
