@@ -323,6 +323,7 @@ object SparkEntry {
       ((s, d) => PipelineOps.datasetCard(documents(s, d))),
     "pipeline_preference_pairs" ->
       ((s, d) => PipelineOps.preferencePairs(documents(s, d))),
+    "pipeline_sft_format" -> ((s, d) => PipelineOps.sftFormat(documents(s, d))),
     "pipeline_bpe_train" ->
       ((s, d) => PipelineOps.pipelineBpeTrain(documents(s, d))),
     "pipeline_bpe_apply" ->
@@ -335,6 +336,7 @@ object SparkEntry {
     "sim_rerank" -> ((s, d) => SimOps.simRerank(embeddings(s, d))),
     "sim_matryoshka" -> ((s, d) => SimOps.simMatryoshka(embeddings(s, d))),
     "sim_knn_graph" -> ((s, d) => SimOps.simKnnGraph(embeddings(s, d))),
+    "sim_ivf_pq" -> ((s, d) => SimOps.simIvfPq(embeddings(s, d))),
     "sim_pq" -> ((s, d) => SimOps.simPq(embeddings(s, d))),
     "sim_pq_kmeans" -> ((s, d) => SimOps.simPqKmeans(embeddings(s, d))),
     "sim_radius" -> ((s, d) => SimOps.simRadius(embeddings(s, d))),
@@ -1998,6 +2000,23 @@ object SparkEntry {
          HAVING max(CASE WHEN rmax = 1 THEN doc_id END)
              <> max(CASE WHEN rmin = 1 THEN doc_id END)
          ORDER BY source, lang""",
+    // byte-exact template proof via md5 of the rendered example
+    "pipeline_sft_format" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(str_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         el AS (SELECT doc_id,
+             array_to_string(toks[1:12], ' ') AS prompt,
+             array_to_string(toks[13:32], ' ') AS response,
+             len(toks) - 12 AS n_rest
+           FROM t WHERE len(toks) > 12)
+         SELECT doc_id,
+           CAST(least(n_rest, 20) AS INTEGER) AS n_resp_toks,
+           CAST(length(prompt) + 27 AS INTEGER) AS loss_start,
+           CAST(length(response) AS INTEGER) AS loss_len,
+           md5('### Prompt:' || chr(10) || prompt || chr(10) ||
+               '### Response:' || chr(10) || response) AS rendered_md5
+         FROM el ORDER BY doc_id""",
     "pipeline_dataset_card" ->
       """WITH t AS (SELECT source, lang, n_chars,
              len(list_filter(str_split(text, ' '), x -> x <> ''))::BIGINT
@@ -2858,6 +2877,38 @@ object SparkEntry {
     // with the same rows as the in-query learned IVF
     "sink_ann_index" -> ivfKmeansOracleSql(16, 3, 64),
     "sim_ivf" -> simIvfOracleSql,
+    // IVF cell pruning composed with the PQ ADC rank — both CTE chains verbatim
+    "sim_ivf_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         a AS (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY round(list_dot_product(v, cv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9)
+                   DESC, cid) AS rn
+               FROM e CROSS JOIN c),
+         asn AS (SELECT vec_id, cid AS cell FROM a WHERE rn = 1),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         p AS (SELECT cid AS cell FROM c CROSS JOIN q
+               ORDER BY round(list_dot_product(cv, qv) /
+                 (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 9)
+                 DESC, cid LIMIT 4),
+         cb AS (SELECT list(v ORDER BY vec_id) AS cents FROM e WHERE vec_id < 16),
+         scored AS (SELECT vec_id, v,
+           [[ list_sum([ (v[s*8+i] - c2[s*8+i]) * (v[s*8+i] - c2[s*8+i])
+                         FOR i IN range(1, 9) ])
+              FOR c2 IN cents ] FOR s IN range(0, 8)] AS st
+           FROM e CROSS JOIN cb),
+         enc AS (SELECT vec_id, v,
+                   [ list_position(sc, list_min(sc)) FOR sc IN st ] AS codes
+                 FROM scored),
+         qt AS (SELECT st AS dt, v AS qv2 FROM scored WHERE vec_id = 0)
+         SELECT enc.vec_id,
+           round(list_sum([ dt[s][codes[s]] FOR s IN range(1, 9) ]), 6) AS adc_dist,
+           round(list_dot_product(enc.v, qv2) /
+             (sqrt(list_dot_product(enc.v, enc.v)) *
+              sqrt(list_dot_product(qv2, qv2))), 6) AS cos_exact
+         FROM enc JOIN asn USING (vec_id) JOIN p USING (cell) CROSS JOIN qt
+         ORDER BY adc_dist ASC, vec_id LIMIT 10""",
     // margin mining: targets assigned to one cell each, sources probe 4
     // cells, per-source top-4 pivoted so the margin folds c1..c4 in a
     // fixed association order on both engines

@@ -476,6 +476,40 @@ object PipelineOps {
       .orderBy("shard")
   }
 
+  /** SFT example formatting — the supervised-fine-tuning prep step:
+    * render each (prompt, response) pair through a chat template and
+    * emit the LOSS-MASK span (the char range the trainer computes loss
+    * over — everything before the response is masked). Pure map-side
+    * string arithmetic, zero shuffles before the output sort; the
+    * rendered text is fingerprinted (md5) rather than emitted, so the
+    * oracle proves byte-exact formatting without hashing megabyte rows.
+    * Docs too short to yield a non-empty response are dropped — the
+    * deterministic eligibility rule, not a sample.
+    */
+  def sftFormat(
+      documents: DataFrame, promptToks: Int = 12, respToks: Int = 20): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val prefix = "### Prompt:\n"
+    val sep = "\n### Response:\n"
+    documents
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > promptToks)
+      .select(col("doc_id"),
+        array_join(slice(col("toks"), 1, promptToks), " ").as("prompt"),
+        array_join(slice(col("toks"), promptToks + 1, respToks), " ")
+          .as("response"),
+        (size(col("toks")) - promptToks).as("n_rest"))
+      .select(
+        col("doc_id"),
+        least(col("n_rest"), lit(respToks)).as("n_resp_toks"),
+        (length(col("prompt")) + lit(prefix.length + sep.length))
+          .as("loss_start"),
+        length(col("response")).as("loss_len"),
+        md5(concat(lit(prefix), col("prompt"), lit(sep), col("response")))
+          .as("rendered_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Preference-pair construction — the (chosen, rejected) extraction
     * step of RLHF/DPO data prep: within each candidate group, pick the
     * best- and worst-scored document and emit one training pair with its

@@ -597,6 +597,68 @@ object SimOps {
     ivfScan(e, cents)
   }
 
+  /** IVF+PQ COMPOSED — the production ANN stack (the FAISS IVFPQ shape):
+    * coarse quantizer routes the query to nprobe=4 cells, and within the
+    * probed cells candidates are ranked by the PQ asymmetric-distance
+    * lookup — 8 table probes per candidate, no float vector touched in
+    * the scan. The two structures multiply: cell pruning cuts CANDIDATES
+    * (nprobe/k of the corpus), PQ cuts BYTES PER CANDIDATE (32×), which
+    * is what makes a 100 TB embedding store servable from memory. Codes
+    * are computed corpus-wide here because in production they ARE the
+    * stored index (encode once at ingest, the sink_ann_index stance);
+    * the exact cosine rides along as the rerank column. Same fixed
+    * first-16 codebooks as `simIvf`/`simPq`, so every stage is
+    * deterministic and the oracle composes their CTE chains verbatim.
+    */
+  def simIvfPq(embeddings: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val S = 8
+    val D = 8
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(cosine(col("v"), col("cv")), 9).as("ccos"))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val probes = cents.crossJoin(broadcast(q))
+      .select(col("cid"), round(cosine(col("cv"), col("qv")), 9).as("ccos"))
+      .orderBy(desc("ccos"), asc("cid")).limit(4)
+      .select(col("cid").as("cell"))
+    val cb = e.filter(col("vec_id") < 16)
+      .agg(transform(
+        array_sort(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv")))),
+        s => s.getField("cv")).as("cents"))
+    val scoreTables = transform(sequence(lit(0), lit(S - 1)), s =>
+      transform(col("cents"), c =>
+        aggregate(
+          zip_with(
+            slice(col("v"), s * D + 1, lit(D)), slice(c, s * D + 1, lit(D)),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, z) => acc + z)))
+    val scored = e.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("v"), scoreTables.as("st"))
+    val enc = scored.select(col("vec_id"), col("v"),
+      transform(col("st"), sc => array_position(sc, array_min(sc))).as("codes"))
+    val qt = scored.filter(col("vec_id") === 0)
+      .select(col("st").as("dt"), col("v").as("qv"))
+    val lookup = aggregate(
+      sequence(lit(0), lit(S - 1)), lit(0.0),
+      (acc, s) => acc + element_at(
+        element_at(col("dt"), (s + 1).cast("int")),
+        element_at(col("codes"), (s + 1).cast("int")).cast("int")))
+    enc.join(assigned, "vec_id")
+      .join(broadcast(probes), "cell")
+      .crossJoin(broadcast(qt))
+      .select(col("vec_id"), round(lookup, 6).as("adc_dist"),
+        round(cosine(col("v"), col("qv")), 6).as("cos_exact"))
+      .orderBy(asc("adc_dist"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** FILTERED vector search — ANN under a metadata predicate, the query
     * every production vector store actually serves ("nearest neighbors
     * WHERE label in …"). This is the PRE-filter form: the predicate cuts
