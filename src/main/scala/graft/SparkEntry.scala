@@ -249,6 +249,7 @@ object SparkEntry {
     "sql_update" -> ((s, d) => EtlOps.sqlUpdate(s, d)),
     "sql_delete" -> ((s, d) => EtlOps.sqlDelete(s, d)),
     "sql_time_travel" -> ((s, d) => EtlOps.sqlTimeTravel(s, d)),
+    "sql_changefeed" -> ((s, d) => EtlOps.sqlChangefeed(s, d)),
     "sql_insert_overwrite" -> ((s, d) => EtlOps.sqlInsertOverwrite(s, d)),
     "sql_ctas" -> ((s, d) => EtlOps.sqlCtas(s, d)),
     "sql_alter_evolve" -> ((s, d) => EtlOps.sqlAlterEvolve(s, d)),
@@ -298,6 +299,8 @@ object SparkEntry {
     "text_entropy" -> ((s, d) => TextOps.textEntropy(documents(s, d))),
     "text_decontaminate" -> ((s, d) => TextOps.textDecontaminate(documents(s, d))),
     "text_heavy_hitters" -> ((s, d) => TextOps.textHeavyHitters(documents(s, d))),
+    "text_heavy_hitters_grouped" ->
+      ((s, d) => TextOps.textHeavyHittersGrouped(documents(s, d))),
     "q_sql_hints" -> ((s, d) => AuditQueries.qSqlHints(s, orders(s, d), customer(s, d))),
     // [EXT] dedup & similarity variants
     "dedup_simhash" -> ((s, d) => SimOps.dedupSimhash(documents(s, d))),
@@ -1880,6 +1883,20 @@ object SparkEntry {
          ORDER BY o_orderkey""",
     // version 1 = the seed load, current = after the additive update:
     // the versioned self-join reconstructs both sides from orders
+    // the feed is the algebraic diff of the two snapshots
+    "sql_changefeed" ->
+      """WITH v1 AS (SELECT o_orderkey, round(o_totalprice, 2) AS price
+           FROM orders WHERE o_orderkey % 2 = 0)
+         SELECT * FROM (
+           SELECT o_orderkey, 'U' AS op, price AS price_before,
+             price + 500.0 AS price_after
+           FROM v1 WHERE o_orderkey % 10 = 4
+           UNION ALL
+           SELECT o_orderkey, 'D', price, CAST(NULL AS DOUBLE)
+           FROM v1 WHERE o_orderkey % 10 = 8
+           UNION ALL
+           SELECT 1, 'I', CAST(NULL AS DOUBLE), 42.5)
+         ORDER BY o_orderkey""",
     "sql_time_travel" ->
       """SELECT o_orderkey,
            round(o_totalprice, 2) AS price_v1,
@@ -2456,6 +2473,15 @@ object SparkEntry {
          SELECT doc_id, count(DISTINCT h) AS n_hits
          FROM g WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM bench)
          GROUP BY doc_id ORDER BY doc_id""",
+    "text_heavy_hitters_grouped" ->
+      """WITH c AS (SELECT lang, token, count(*) AS tf FROM (
+             SELECT lang, unnest(str_split(lower(text), ' ')) AS token
+             FROM documents)
+           WHERE token <> '' GROUP BY lang, token),
+         r AS (SELECT lang, token, tf, row_number() OVER
+             (PARTITION BY lang ORDER BY tf DESC, token) AS rn FROM c)
+         SELECT lang, token, tf FROM r WHERE rn <= 5
+         ORDER BY lang, tf DESC, token""",
     // support threshold compares count >= n_total*0.005 in double on both
     // sides — identical IEEE arithmetic, no boundary asymmetry
     "text_heavy_hitters" ->

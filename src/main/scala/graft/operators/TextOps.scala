@@ -398,4 +398,24 @@ object TextOps {
         round(col("n") / col("n_total"), 6).as("support"))
       .orderBy(desc("n"), asc("token"))
   }
+
+  /** Per-LANGUAGE heavy hitters — top-5 tokens per language, the
+    * per-subcorpus vocabulary profile. Counts are one partial+final
+    * hash aggregate; the per-group cut is the NATIVE TopKPerGroup
+    * operator, so the (lang, token) count table — vocabulary-sized,
+    * i.e. huge at corpus scale — is reduced to k rows per language
+    * MAP-SIDE before its group exchange (a window spelling would
+    * shuffle and sort the whole vocabulary).
+    */
+  def textHeavyHittersGrouped(documents: DataFrame, k: Int = 5): DataFrame = {
+    val counts = documents
+      .select(col("lang"),
+        explode(filter(split(lower(col("text")), " "), t => t =!= ""))
+          .as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    graft.plans.TopKOps
+      .topKPerGroup(counts, Seq("lang"), Seq(("tf", false), ("token", true)), k)
+      .orderBy(asc("lang"), desc("tf"), asc("token"))
+  }
 }

@@ -1261,6 +1261,37 @@ object EtlOps {
     target
   }
 
+  /** CHANGEFEED generation — the PRODUCER side of CDC (the engine's
+    * `sink_cdc_apply`/`stream_merge` are the consumer side): diff the
+    * current table against `VERSION AS OF 1` into (op, before, after)
+    * change rows — exactly what a downstream incremental consumer
+    * replays. One FULL OUTER self-join on the key between two snapshot
+    * scans; all three verbs are staged (UPDATE, DELETE, INSERT) so the
+    * feed carries U, D, and I rows. At scale the join is key-partitioned
+    * like any other; snapshot scans share the catalog's storage.
+    */
+  def sqlChangefeed(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = seededStateTable(spark, sfDir, "orders_cf") // commit 1
+    spark.sql(
+      s"""UPDATE $target SET price = price + 500.0, load_id = 2
+          WHERE o_orderkey % 10 = 4""") // commit 2: U rows
+    spark.sql(s"DELETE FROM $target WHERE o_orderkey % 10 = 8") // commit 3: D rows
+    spark.sql(s"INSERT INTO $target VALUES (1, 42.5, 3)") // commit 4: the I row
+    spark.sql(
+      s"""SELECT coalesce(cur.o_orderkey, v1.o_orderkey) AS o_orderkey,
+             CASE WHEN v1.o_orderkey IS NULL THEN 'I'
+                  WHEN cur.o_orderkey IS NULL THEN 'D'
+                  ELSE 'U' END AS op,
+             v1.price AS price_before,
+             cur.price AS price_after
+          FROM $target cur
+          FULL OUTER JOIN $target VERSION AS OF 1 v1
+            ON cur.o_orderkey = v1.o_orderkey
+          WHERE v1.o_orderkey IS NULL OR cur.o_orderkey IS NULL
+             OR cur.price <> v1.price
+          ORDER BY o_orderkey""")
+  }
+
   def sinkUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val load1 = orders.filter(col("o_orderkey") % 2 === 0)
