@@ -195,6 +195,7 @@ object SparkEntry {
     "fn_regexp" -> ((s, d) => FuncOps.regexpFns(documents(s, d))),
     "fn_aes" -> ((s, d) => FuncOps.aesFns(documents(s, d))),
     "fn_xpath" -> ((s, d) => FuncOps.xpathFns(orders(s, d))),
+    "fn_luhn" -> ((s, d) => FuncOps.validationFns(orders(s, d))),
     "fn_listagg" -> ((s, d) => FuncOps.listaggFns(documents(s, d))),
     "fn_mask" -> ((s, d) => FuncOps.maskFns(documents(s, d))),
     "fn_encoding" -> ((s, d) => FuncOps.encodingFns(documents(s, d))),
@@ -1975,6 +1976,21 @@ object SparkEntry {
          FROM orders
          WHERE o_totalprice > 248832.0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // Luhn recomputed arithmetically: double every 2nd digit from the right
+    "fn_luhn" ->
+      """WITH t AS (SELECT o_orderkey,
+             lpad(CAST(o_orderkey * 7919 AS VARCHAR), 16, '5') AS num
+           FROM orders),
+         d AS (SELECT o_orderkey, num,
+             [CAST(num[i] AS INTEGER) FOR i IN range(1, length(num) + 1)] AS ds
+           FROM t)
+         SELECT o_orderkey, num,
+           (list_sum([CASE WHEN (len(ds) - i) % 2 = 1
+                 THEN CASE WHEN ds[i] * 2 > 9 THEN ds[i] * 2 - 9
+                      ELSE ds[i] * 2 END
+                 ELSE ds[i] END
+               FOR i IN range(1, len(ds) + 1)]) % 10 = 0) AS luhn_ok
+         FROM d ORDER BY o_orderkey""",
     // xpath extraction is a round trip over typed columns
     "fn_xpath" ->
       """SELECT o_orderkey, o_orderstatus AS status,

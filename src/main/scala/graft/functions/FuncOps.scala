@@ -372,6 +372,21 @@ object FuncOps {
       .orderBy("doc_id")
   }
 
+  /** Checksum validation (`luhn_check`) — the PII-adjacent data-quality
+    * gate: card-shaped numeric fields validated by the Luhn mod-10
+    * checksum before a pipeline treats them as real identifiers (and
+    * masks them — see `fn_mask`/`text_pii_mask`). Synthetic 16-digit
+    * numbers derived from the key give a deterministic valid/invalid
+    * mix; the oracle recomputes the doubled-digit sum arithmetically.
+    */
+  def validationFns(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderkey"),
+        expr("lpad(CAST(o_orderkey * 7919 AS STRING), 16, '5')").as("num"))
+      .select(col("o_orderkey"), col("num"),
+        expr("luhn_check(num)").as("luhn_ok"))
+      .orderBy("o_orderkey")
+
   /** XPath family (`xpath`, `xpath_string`, `xpath_long`) — element
     * text, attribute, and node-list extraction from XML payloads, the
     * per-row companion of the whole-file `scan_xml` source. Row-local

@@ -426,6 +426,28 @@ class OperatorSpec extends SparkTestBase {
     assert(r(("web", "fr")).getLong(3) === 1L)
   }
 
+  test("property: native TopKPerGroup equals the reference top-k on random frames") {
+    val rowsGen = Gen.nonEmptyListOf(for {
+      key <- Gen.choose(0L, 4L)
+      value <- Gen.choose(-100L, 100L)
+      id <- Gen.choose(0L, 30L)
+    } yield (key, value, id))
+    val kGen = Gen.choose(1, 4)
+    check(Prop.forAll(rowsGen, kGen) { (rows: List[(Long, Long, Long)], k: Int) =>
+      val df = rows.toDF("g", "v", "id")
+      val got = graft.plans.TopKOps
+        .topKPerGroup(df, Seq("g"), Seq(("v", false), ("id", true)), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      // reference: per group, first k rows under (v desc, id asc);
+      // sorted-seq compare keeps row MULTIPLICITY visible
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (_, grp) =>
+        grp.sortBy(t => (-t._2, t._3)).take(k)
+      }.sorted
+      got == expect
+    })
+  }
+
   test("agg_bitmap_distinct: bitmap counts are EXACT and survive re-merging") {
     val li = Tables.lineitem(spark, sf0001)
     val exact = li.groupBy("l_returnflag")
