@@ -848,7 +848,13 @@ object SimOps {
         ()
       }
       .start()
-    q.processAllAvailable()
+    // per-batch window over a tiny delta: shrink its shuffle to match
+    // (conf is read at each micro-batch's planning; restored after)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      q.processAllAvailable()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.stop()
     spark.read.parquet(store)
       .groupBy(col("cell").cast("long").as("cell"))

@@ -57,6 +57,20 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Run `body` with the stateful-shard count pinned to `n` — the
+    * stream_outer_join lesson generalized: every micro-batch commits one
+    * state-store delta file PER shard, so stateful-query shard count
+    * should track STATE size, not the batch shuffle width (state
+    * partitioning is fixed at the query's FIRST start anyway, so a
+    * production job sets this once per query, not per cluster). The conf
+    * is restored after the drain; batch entries are untouched.
+    */
+  private def withStateShards[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try { spark.conf.set("spark.sql.shuffle.partitions", n.toString); body }
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Incremental file ingestion (the polled API stand-in): per-type counts
     * must equal the batch read — a lossless source.
     */
@@ -69,11 +83,11 @@ object StreamOps {
 
   /** Tumbling 1-hour windows per event type. */
   def streamTumbling(spark: SparkSession, sfDir: String): DataFrame =
-    drain(
+    withStateShards(spark, 4) { drain(
       eventsStream(spark, sfDir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .count(),
-      "graft_stream_tumbling", "complete")
+      "graft_stream_tumbling", "complete") }
       .select(
         unix_micros(col("window.start")).divide(lit(1000000L)).cast("long").as("win_start_s"),
         col("event_type"),
@@ -84,11 +98,11 @@ object StreamOps {
     * overlapping windows.
     */
   def streamSliding(spark: SparkSession, sfDir: String): DataFrame =
-    drain(
+    withStateShards(spark, 4) { drain(
       eventsStream(spark, sfDir)
         .groupBy(window(col("ts"), "2 hours", "1 hour"))
         .agg(count(lit(1)).as("n")),
-      "graft_stream_sliding", "complete")
+      "graft_stream_sliding", "complete") }
       .select(
         unix_micros(col("window.start")).divide(lit(1000000L)).cast("long").as("win_start_s"),
         col("n"))
@@ -98,11 +112,11 @@ object StreamOps {
     * session_window — dynamic, per-key, state ages out as sessions close).
     */
   def streamSession(spark: SparkSession, sfDir: String): DataFrame =
-    drain(
+    withStateShards(spark, 4) { drain(
       eventsStream(spark, sfDir)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .count(),
-      "graft_stream_session", "complete")
+      "graft_stream_session", "complete") }
       .select(
         col("user_id"),
         unix_micros(col("session_window.start")).divide(lit(1000000L)).cast("long")
@@ -117,12 +131,12 @@ object StreamOps {
     * behavior on a controlled stream.
     */
   def streamWatermark(spark: SparkSession, sfDir: String): DataFrame =
-    drain(
+    withStateShards(spark, 4) { drain(
       eventsStream(spark, sfDir)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .count(),
-      "graft_stream_watermark", "append")
+      "graft_stream_watermark", "append") }
       .select(
         unix_micros(col("window.start")).divide(lit(1000000L)).cast("long").as("win_start_s"),
         col("event_type"),
@@ -148,7 +162,7 @@ object StreamOps {
       .withWatermark("ts", "365 days")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"))
-    drain(deduped, "graft_stream_dedup", "append")
+    withStateShards(spark, 4) { drain(deduped, "graft_stream_dedup", "append") }
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_ids"))
       .orderBy("event_type")
@@ -179,7 +193,8 @@ object StreamOps {
           state.update(agg)
           agg
         })
-    drain(folded.toDF(), "graft_stream_stateful", "update")
+    withStateShards(spark, 4) {
+      drain(folded.toDF(), "graft_stream_stateful", "update") }
       .groupBy(col("user_id"))
       .agg(
         max(col("n_events")).as("n_events"), // last update per key wins
@@ -230,7 +245,8 @@ object StreamOps {
       .groupByKey(_.user_id)
       .transformWithState(
         new UserAggProcessor, TimeMode.None(), OutputMode.Update())
-    drain(folded.toDF(), "graft_stream_stateful_v2", "update")
+    withStateShards(spark, 4) {
+      drain(folded.toDF(), "graft_stream_stateful_v2", "update") }
       .groupBy(col("user_id"))
       .agg(
         max(col("n_events")).as("n_events"),
@@ -309,12 +325,12 @@ object StreamOps {
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
-    drain(
+    withStateShards(spark, 4) { drain(
       purchases.join(clicks,
         col("p_user") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
           col("c_ts") <= col("p_ts")),
-      "graft_stream_stream_join", "append")
+      "graft_stream_stream_join", "append") }
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
       .orderBy("user_id", "purchase_id", "click_id")
   }
@@ -342,18 +358,11 @@ object StreamOps {
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
-    // A stream-stream join runs FOUR state stores, each sharded across
-    // spark.sql.shuffle.partitions — and every micro-batch commits a
-    // delta file PER shard PER store. State here is watermark-bounded
-    // (1 h delay + 30 min window), so shard count should track state
-    // SIZE, not the batch-side shuffle width: 4 shards cut the
-    // commit-file fan-out 8x (measured 8.5 s -> 2.9 s at sf0.1, min of
-    // 2 reps) with identical results. Conf restored after the drain
-    // (state partitioning is fixed at query start anyway).
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // A stream-stream join runs FOUR state stores — the measurement that
+    // motivated withStateShards: 32 shards 8.5 s -> 4 shards 2.9 s at
+    // sf0.1 (min of 2 reps), identical results.
     val out =
-      try {
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+      withStateShards(spark, 4) {
         drain(
           purchases.join(clicks,
             col("p_user") === col("c_user") &&
@@ -361,7 +370,7 @@ object StreamOps {
               col("c_ts") <= col("p_ts"),
             "left_outer"),
           "graft_stream_outer_join", "append")
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     val seal = graft.Tables.events(spark, sfDir)
       .agg((max(unix_micros(col("ts").cast("timestamp"))) - 7200L * 1000000L)
         .as("seal_us"))
@@ -455,7 +464,7 @@ object StreamOps {
         ()
       }
       .start()
-    q.processAllAvailable()
+    withStateShards(spark, 4) { q.processAllAvailable() }
     q.stop()
     spark.read.parquet(curDir.toString)
       .select(
@@ -536,7 +545,9 @@ object StreamOps {
         ()
       }
       .start()
-    q.processAllAvailable()
+    // conf is read at each micro-batch's planning, so wrapping the drain
+    // shrinks the per-batch window + MERGE shuffles (tiny deltas)
+    withStateShards(spark, 4) { q.processAllAvailable() }
     q.stop()
     spark.table(target)
       .filter(col("op") =!= "D")
