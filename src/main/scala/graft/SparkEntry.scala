@@ -341,6 +341,7 @@ object SparkEntry {
     "sim_matryoshka" -> ((s, d) => SimOps.simMatryoshka(embeddings(s, d))),
     "sim_knn_graph" -> ((s, d) => SimOps.simKnnGraph(embeddings(s, d))),
     "sim_ivf_pq" -> ((s, d) => SimOps.simIvfPq(embeddings(s, d))),
+    "sim_knn_graph_recall" -> ((s, d) => SimOps.simKnnGraphRecall(embeddings(s, d))),
     "sim_pq" -> ((s, d) => SimOps.simPq(embeddings(s, d))),
     "sim_pq_kmeans" -> ((s, d) => SimOps.simPqKmeans(embeddings(s, d))),
     "sim_radius" -> ((s, d) => SimOps.simRadius(embeddings(s, d))),
@@ -3031,6 +3032,44 @@ object SparkEntry {
            round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 6) AS recall
          FROM exact x LEFT JOIN approx a ON x.vec_id = a.vec_id""",
+    // sampled exact top-k vs the LSH graph, edge-for-edge
+    "sim_knn_graph_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cells AS (SELECT vec_id, v,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END
+              + CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) AS cell
+           FROM e),
+         probes AS (SELECT vec_id AS src, v AS sv, xor(cell, flip) AS cell
+           FROM cells, (SELECT unnest([0,1,2,4,8,16,3,5,9,17,6,10,18,12,20,24]) AS flip)),
+         cand AS (SELECT p.src, c.vec_id AS dst,
+             round(list_dot_product(c.v, p.sv) /
+               (sqrt(list_dot_product(c.v, c.v)) *
+                sqrt(list_dot_product(p.sv, p.sv))), 6) AS cos
+           FROM cells c JOIN probes p USING (cell)
+           WHERE c.vec_id <> p.src),
+         f AS (SELECT src, dst, cos, row_number() OVER
+             (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+           FROM cand WHERE cos >= 0.3),
+         g AS (SELECT src, dst FROM f WHERE rn <= 3),
+         p2 AS (SELECT vec_id AS src, v AS sv FROM e WHERE vec_id % 50 = 0),
+         ex0 AS (SELECT p2.src, e2.vec_id AS dst,
+             round(list_dot_product(e2.v, p2.sv) /
+               (sqrt(list_dot_product(e2.v, e2.v)) *
+                sqrt(list_dot_product(p2.sv, p2.sv))), 6) AS cos
+           FROM e e2 CROSS JOIN p2 WHERE e2.vec_id <> p2.src),
+         ex1 AS (SELECT src, dst, row_number() OVER
+             (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+           FROM ex0 WHERE cos >= 0.3),
+         ex AS (SELECT src, dst FROM ex1 WHERE rn <= 3)
+         SELECT count(*) AS k_eval,
+           CAST(sum(CASE WHEN g.dst IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           round(CAST(sum(CASE WHEN g.dst IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS recall
+         FROM ex LEFT JOIN g ON g.src = ex.src AND g.dst = ex.dst""",
     // every vector probes hamming<=1 cells; the native operator's retained
     // top-3 set equals the row_number form under the (cos, dst) total order
     "sim_knn_graph" ->
@@ -3043,7 +3082,7 @@ object SparkEntry {
               + CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) AS cell
            FROM e),
          probes AS (SELECT vec_id AS src, v AS sv, xor(cell, flip) AS cell
-           FROM cells, (SELECT unnest([0,1,2,4,8,16]) AS flip)),
+           FROM cells, (SELECT unnest([0,1,2,4,8,16,3,5,9,17,6,10,18,12,20,24]) AS flip)),
          cand AS (SELECT p.src, c.vec_id AS dst,
              round(list_dot_product(c.v, p.sv) /
                (sqrt(list_dot_product(c.v, c.v)) *

@@ -286,8 +286,8 @@ object SimOps {
   /** Full kNN-GRAPH construction — the neighbor graph SemDeDup-style
     * clustering and graph-based dedup consume: top-3 cosine neighbors
     * for EVERY vector (not a probe sample), from multiprobe sign-LSH
-    * candidates (hamming ≤ 1 — narrower probing than the sampled join,
-    * the standard graph-build recall/cost tradeoff), reduced by the
+    * candidates (hamming ≤ 2 multiprobe — the recall audit below is what
+    * sets this dial), reduced by the
     * NATIVE TopKPerGroup operator: per-source top-k runs map-side in
     * bounded heaps BEFORE the group exchange, so the candidate stream —
     * the dominant intermediate of every kNN-graph build — crosses the
@@ -304,7 +304,13 @@ object SimOps {
       when(element_at(col("v"), b + 1) > 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
     val corpusCells = e.select(col("vec_id"), col("v"), cell.as("cell"))
-    val flips = Seq(0, 1, 2, 4, 8, 16) // self + the 5 single-bit probes
+    // hamming <= 2 multiprobe (self + 5 single + 10 double flips) — the
+    // sim_join_bucketed set. The in-engine audit (simKnnGraphRecall)
+    // measured hamming <= 1 at recall 0.34 on this structureless corpus
+    // (the LSH worst case); <= 2 lifts it to the documented ~0.77 regime
+    // at ~2.7x candidate volume — the audit is what makes this dial
+    // honest.
+    val flips = Seq(0, 1, 2, 4, 8, 16, 3, 5, 9, 17, 6, 10, 18, 12, 20, 24)
     val probeCells = e
       .select(col("vec_id").as("src"), col("v").as("sv"), cell.as("own"))
       .select(col("src"), col("sv"), col("own"),
@@ -319,6 +325,36 @@ object SimOps {
     graft.plans.TopKOps
       .topKPerGroup(cand, Seq("src"), Seq(("cos", false), ("dst", true)), k)
       .orderBy(asc("src"), desc("cos"), asc("dst"))
+  }
+
+  /** In-engine recall audit for the kNN GRAPH (the sim_ivf_recall stance
+    * applied to `simKnnGraph`): exact top-k is recomputed for a 1-in-50
+    * probe sample — the bounded-cost form a 100 TB store can actually
+    * afford — and compared edge-for-edge against the LSH-built graph.
+    * Publishing recall as a QUERY keeps the approximation honest in the
+    * same gate that checks correctness; the sample rule is deterministic
+    * (key mod), so the audit itself is oracle-paired.
+    */
+  def simKnnGraphRecall(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("src"), col("v").as("sv"))
+    val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
+    val exact = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("src"))
+      .select(col("src"), col("vec_id").as("dst"),
+        round(cosine(col("v"), col("sv")), 6).as("cos"))
+      .filter(col("cos") >= 0.3) // the graph's own admissibility bound
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("src"), col("dst"))
+    val got = simKnnGraph(embeddings, k)
+      .select(col("src"), col("dst")).withColumn("hit", lit(1L))
+    exact.join(got, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("k_eval"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("k_eval"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("k_eval"), 6).as("recall"))
   }
 
   /** Int8 scalar-quantized similarity search — the memory/bandwidth move
