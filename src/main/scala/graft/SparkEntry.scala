@@ -207,6 +207,8 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => LlmOps.dedupIncremental(s, d)),
     "dedup_clusters" -> ((s, d) => LlmOps.dedupClusters(documents(s, d))),
     "dedup_keep_best" -> ((s, d) => LlmOps.dedupKeepBest(documents(s, d))),
+    "dedup_threshold_sweep" ->
+      ((s, d) => LlmOps.dedupThresholdSweep(documents(s, d))),
     "dedup_normalized" -> ((s, d) => LlmOps.dedupNormalized(documents(s, d))),
     "sim_topk" -> ((s, d) => LlmOps.simTopk(embeddings(s, d))),
     "sim_join" -> ((s, d) => LlmOps.simJoin(embeddings(s, d))),
@@ -1325,6 +1327,14 @@ object SparkEntry {
       s"""$nearDupCte
          SELECT doc_a, doc_b, round(jac, 6) AS jac FROM j
          WHERE round(jac, 6) >= 0.6 ORDER BY doc_a, doc_b""",
+    // decile boundaries fold identical IEEE doubles on both engines
+    "dedup_threshold_sweep" ->
+      s"""$nearDupCte
+         SELECT CAST(floor(round(jac, 6) * 10) AS INTEGER) AS decile,
+           count(*) AS n_pairs,
+           round(min(round(jac, 6)), 6) AS min_jac,
+           round(max(round(jac, 6)), 6) AS max_jac
+         FROM j GROUP BY 1 ORDER BY decile""",
     // same oracle as dedup_near by construction: the pruned form changes
     // DAG economics (kernel materialized once, verify narrowed to
     // candidates), never the result

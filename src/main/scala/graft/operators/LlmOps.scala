@@ -103,7 +103,8 @@ object LlmOps {
 
   private[graft] def dedupNearCapped(
       documents: DataFrame, maxBucket: Int,
-      overflow: Option[Observation], pruned: Boolean = false): DataFrame = {
+      overflow: Option[Observation], pruned: Boolean = false,
+      minJac: Double = 0.6): DataFrame = {
     graft.plans.MinHashSig.register(documents.sparkSession)
     graft.plans.TextKernels.register(documents.sparkSession)
     // Signature computation is CPU-bound (32 md5 minhashes per doc) and the
@@ -172,9 +173,26 @@ object LlmOps {
       .join(sa, "doc_a")
       .join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
-      .filter(col("jac") >= 0.6)
+      .filter(col("jac") >= minJac)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Threshold-TUNING sweep — the calibration artifact run before fixing
+    * a near-dup cutoff: the decile histogram of ALL verified candidate
+    * jaccards (minJac = 0, same banding/cap as production). Where the
+    * mass sits tells you what a 0.6 vs 0.7 cutoff would actually remove;
+    * cost is the same banded verify the dedup itself pays, plus one tiny
+    * aggregate. Decile boundaries use the identical IEEE doubles on both
+    * engines, so the bucketing oracle-matches exactly.
+    */
+  def dedupThresholdSweep(documents: DataFrame): DataFrame =
+    dedupNearCapped(documents, LshMaxBucket, None, minJac = 0.0)
+      .groupBy(floor(col("jac") * 10).cast("int").as("decile"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(min(col("jac")), 6).as("min_jac"),
+        round(max(col("jac")), 6).as("max_jac"))
+      .orderBy("decile")
 
   /** INCREMENTAL near-dedup — the shape a GROWING corpus actually runs:
     * the existing corpus's LSH bucket table is a PERSISTED INDEX (built
