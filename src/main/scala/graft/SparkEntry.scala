@@ -344,6 +344,7 @@ object SparkEntry {
     "sim_knn_graph" -> ((s, d) => SimOps.simKnnGraph(embeddings(s, d))),
     "sim_ivf_pq" -> ((s, d) => SimOps.simIvfPq(embeddings(s, d))),
     "sim_knn_graph_recall" -> ((s, d) => SimOps.simKnnGraphRecall(embeddings(s, d))),
+    "sim_ood_detect" -> ((s, d) => SimOps.simOodDetect(embeddings(s, d))),
     "sim_pq" -> ((s, d) => SimOps.simPq(embeddings(s, d))),
     "sim_pq_kmeans" -> ((s, d) => SimOps.simPqKmeans(embeddings(s, d))),
     "sim_radius" -> ((s, d) => SimOps.simRadius(embeddings(s, d))),
@@ -2716,6 +2717,25 @@ object SparkEntry {
     // Lloyd rounds unrolled like the pagerank oracle; everything integer-
     // exact, so even the learned centroids hash-match
     "sim_kmeans" -> kmeansOracleSql(16, 3, 64),
+    // exact-integer 2-sigma tail: (d2*n - S2) > 0 and its square > 4*(n*S4 - S2^2)
+    "sim_ood_detect" ->
+      s"""WITH ${kmeansCte(16, 3, 64)},
+         dd AS (SELECT a.vec_id, a.cell,
+             CAST(list_sum([(a.xq[i] - c.cvec[i]) * (a.xq[i] - c.cvec[i])
+                            FOR i IN range(1, 65)]) AS BIGINT) AS d2
+           FROM kaf a JOIN k3 c ON c.cid = a.cell),
+         st AS (SELECT cell, CAST(sum(d2) AS BIGINT) AS sum_d2,
+             CAST(sum(d2 * d2) AS BIGINT) AS sum_d4,
+             count(*) AS n FROM dd GROUP BY cell)
+         SELECT dd.cell, st.n AS n,
+           CAST(sum(CASE WHEN dd.d2 * st.n - st.sum_d2 > 0
+                      AND (dd.d2 * st.n - st.sum_d2) * (dd.d2 * st.n - st.sum_d2)
+                          > 4 * (st.n * st.sum_d4 - st.sum_d2 * st.sum_d2)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(st.sum_d2 AS DOUBLE) / st.n, 2) AS avg_d2,
+           CAST(max(dd.d2) AS BIGINT) AS max_d2
+         FROM dd JOIN st USING (cell)
+         GROUP BY dd.cell, st.n, st.sum_d2, st.sum_d4 ORDER BY dd.cell""",
     // the whole funnel replicated stage by stage: quality gate (same
     // rounded arithmetic as text_quality), first-per-text exact dedup,
     // MinHash/LSH near-dup chain over the SURVIVORS, keep-first removal

@@ -327,6 +327,49 @@ object SimOps {
       .orderBy(asc("src"), desc("cos"), asc("dst"))
   }
 
+  /** Embedding OUTLIER detection — the data-quality gate a 100 TB
+    * embedding store runs at ingest: vectors whose squared distance to
+    * their learned cluster centroid exceeds 4× the cell's mean are
+    * flagged (corrupt encodes, wrong-modality rows, adversarial junk).
+    * The rule is the classic mean + 2σ tail cut, kept ENTIRELY in the
+    * kmeans family's exact integer domain by cross-multiplication:
+    * d2 > μ + 2σ  ⇔  (d2·n − Σd2) > 0 ∧ (d2·n − Σd2)² > 4·(n·Σd4 − Σd2²)
+    * — no division, no square root, no floats (all terms < 2⁶³ at any
+    * realistic cell size), so the flag is bit-deterministic and the
+    * whole detector oracle-pairs through the unrolled Lloyd CTEs.
+    * Cost beyond the codebook build: one map-side distance per vector
+    * + two cell-keyed aggregates. Output is O(cells) rows.
+    */
+  def simOodDetect(embeddings: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val eq = embeddings
+      .select(col("vec_id"), quantize1000(toVec(col("embedding"))).as("xq"))
+    val cents = kmeansCentroids(eq, k = 16, rounds = 3)
+    val cvecs = cents.select(col("cid").cast("int").as("cell"), col("cvec"))
+    val d2 = aggregate(
+      zip_with(col("xq"), col("cvec"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, z) => acc + z)
+    val withD = assignCells(eq, cents)
+      .join(broadcast(cvecs), "cell")
+      .select(col("vec_id"), col("cell"), d2.as("d2"))
+    val st = withD.groupBy(col("cell"))
+      .agg(sum(col("d2")).as("sum_d2"),
+        sum(col("d2") * col("d2")).as("sum_d4"),
+        count(lit(1)).as("n"))
+    val dev = col("d2") * col("n") - col("sum_d2")
+    val varTerm = col("n") * col("sum_d4") - col("sum_d2") * col("sum_d2")
+    withD.join(st, "cell")
+      .groupBy(col("cell"), col("n"), col("sum_d2"), col("sum_d4"))
+      .agg(
+        sum(when(dev > 0 && dev * dev > lit(4L) * varTerm, 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max(col("d2")).as("max_d2"))
+      .select(col("cell"), col("n"), col("n_outliers"),
+        round(col("sum_d2").cast("double") / col("n"), 2).as("avg_d2"),
+        col("max_d2"))
+      .orderBy("cell")
+  }
+
   /** In-engine recall audit for the kNN GRAPH (the sim_ivf_recall stance
     * applied to `simKnnGraph`): exact top-k is recomputed for a 1-in-50
     * probe sample — the bounded-cost form a 100 TB store can actually

@@ -153,6 +153,24 @@ class LlmSpec extends SparkTestBase {
     assert(r.getLong(2) === 12L && r.getLong(3) === 2L)
   }
 
+  test("sim_ood_detect: partition of the corpus, tail-only flags, deterministic rerun") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = operators.SimOps.simOodDetect(emb).collect()
+    assert(out.map(_.getLong(1)).sum === emb.count(), "cells must partition the corpus")
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"more outliers than members: $r")
+      assert(r.getDouble(3) <= r.getLong(4).toDouble,
+        s"cell mean cannot exceed cell max: $r")
+    }
+    // an outlier needs d2 beyond the mean by construction of the 2-sigma rule
+    out.filter(_.getLong(2) > 0).foreach { r =>
+      assert(r.getLong(4).toDouble > r.getDouble(3), s"flagged cell with flat tail: $r")
+    }
+    val rerun = operators.SimOps.simOodDetect(emb).collect()
+    assert(rerun.map(_.toString).toSeq === out.map(_.toString).toSeq,
+      "detector must be bit-deterministic")
+  }
+
   test("dedup_clusters converges on a chain deeper than any fixed round count") {
     // Six docs in a sliding-window chain over distinct words: adjacent
     // windows share ~73% of shingles (a near-dup edge at J≈0.73), windows
