@@ -330,6 +330,7 @@ object SparkEntry {
     "pipeline_preference_pairs" ->
       ((s, d) => PipelineOps.preferencePairs(documents(s, d))),
     "pipeline_sft_format" -> ((s, d) => PipelineOps.sftFormat(documents(s, d))),
+    "pipeline_epoch_plan" -> ((s, d) => PipelineOps.epochPlan(documents(s, d))),
     "pipeline_bpe_train" ->
       ((s, d) => PipelineOps.pipelineBpeTrain(documents(s, d))),
     "pipeline_bpe_apply" ->
@@ -2045,6 +2046,23 @@ object SparkEntry {
          HAVING max(CASE WHEN rmax = 1 THEN doc_id END)
              <> max(CASE WHEN rmin = 1 THEN doc_id END)
          ORDER BY source, lang""",
+    // integer weight sum is order-invariant; sqrt/floor are bit-exact IEEE
+    "pipeline_epoch_plan" ->
+      """WITH t AS (SELECT source,
+             CAST(sum(len(list_filter(str_split(text, ' '), x -> x <> '')))
+               AS BIGINT) AS n_toks
+           FROM documents GROUP BY source),
+         w AS (SELECT source, n_toks,
+             CAST(floor(sqrt(CAST(n_toks AS DOUBLE) * 1000000.0)) AS BIGINT) AS w
+           FROM t),
+         s AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM w)
+         SELECT source, n_toks, w,
+           least(4.0, round(60000.0 * CAST(w AS DOUBLE) /
+             (CAST(sum_w AS DOUBLE) * CAST(n_toks AS DOUBLE)), 4)) AS epochs,
+           CAST(round(least(4.0, round(60000.0 * CAST(w AS DOUBLE) /
+             (CAST(sum_w AS DOUBLE) * CAST(n_toks AS DOUBLE)), 4))
+             * CAST(n_toks AS DOUBLE)) AS BIGINT) AS planned_toks
+         FROM w, s ORDER BY source""",
     // byte-exact template proof via md5 of the rendered example
     "pipeline_sft_format" ->
       """WITH t AS (SELECT doc_id,

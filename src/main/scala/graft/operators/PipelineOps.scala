@@ -476,6 +476,37 @@ object PipelineOps {
       .orderBy("shard")
   }
 
+  /** Epoch PLANNING under a token budget — the data-constrained-scaling
+    * table (how many epochs of each source to run, Muennighoff et al.
+    * 2023): sources weight by √tokens (up-sampling small high-quality
+    * sources), shares normalize over the weight sum, and per-source
+    * epochs cap at 4 (the published diminishing-returns knee). The
+    * determinism trick: weights are FLOOR(√(tokens·10⁶)) as integers, so
+    * the cross-source normalizing sum is an order-invariant INTEGER sum
+    * (a float Σ√ would vary with aggregation order); each output value
+    * is then one fixed-order double expression over exact ints. One
+    * corpus aggregate + O(sources) arithmetic.
+    */
+  def epochPlan(documents: DataFrame, budgetToks: Long = 60000L): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val perSource = documents
+      .select(col("source"), size(toks).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_toks"))
+      .withColumn("w",
+        floor(sqrt(col("n_toks").cast("double") * 1000000.0)).cast("long"))
+    val totalW = perSource.agg(sum(col("w")).as("sum_w"))
+    perSource.crossJoin(broadcast(totalW))
+      .select(col("source"), col("n_toks"), col("w"),
+        least(lit(4.0),
+          round(lit(budgetToks.toDouble) * col("w").cast("double") /
+            (col("sum_w").cast("double") * col("n_toks").cast("double")), 4))
+          .as("epochs"))
+      .withColumn("planned_toks",
+        round(col("epochs") * col("n_toks").cast("double")).cast("long"))
+      .orderBy("source")
+  }
+
   /** SFT example formatting — the supervised-fine-tuning prep step:
     * render each (prompt, response) pair through a chat template and
     * emit the LOSS-MASK span (the char range the trainer computes loss
