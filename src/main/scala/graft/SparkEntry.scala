@@ -134,6 +134,7 @@ object SparkEntry {
     "agg_regression" -> ((s, d) => AggOps.aggRegression(lineitem(s, d))),
     "agg_skew_kurt" -> ((s, d) => AggOps.aggSkewKurt(lineitem(s, d))),
     "agg_quantiles" -> ((s, d) => AggOps.aggQuantiles(lineitem(s, d))),
+    "agg_hll_sketch" -> ((s, d) => AggOps.aggHllSketch(lineitem(s, d))),
     "agg_product" -> ((s, d) => AggOps.aggProduct(lineitem(s, d))),
     "agg_histogram" -> ((s, d) => AggOps.aggHistogram(lineitem(s, d))),
     // Array columns stringified at the query boundary: the driver's pandas
@@ -1569,6 +1570,12 @@ object SparkEntry {
       """SELECT l_returnflag,
          count(DISTINCT l_partkey) AS n_exact,
          true AS approx_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // DataSketches HLL: per-group estimate + sketch-union both within 5%
+    "agg_hll_sketch" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS n_exact,
+         true AS est_ok, true AS union_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // same derived-band contract as agg_approx_distinct_checked: the
     // oracle predicts the merged daily sketches land within 3×rse of exact
