@@ -82,7 +82,8 @@ class CollectGuardSpec extends SparkTestBase {
     // k (≤16) centroids or 8 sub-codebooks — algorithm constants chosen
     // at plan time, not data-dependent group sizes
     "sim_kmeans", "sim_ivf_kmeans", "sim_pq", "sim_pq_kmeans",
-    "sim_ivf_pq", "sim_mips", "sink_ann_index", "dedup_semantic",
+    "sim_ivf_pq", "sim_ood_detect", "sim_mips", "sink_ann_index",
+    "dedup_semantic",
     // the HOF product fold consumes one array per ORDER of that order's
     // line quantities — bounded by lines-per-order (≤ 17 in the fixture,
     // a 7-line cap in the TPC-H spec), the agg_collect dim-bound rule
