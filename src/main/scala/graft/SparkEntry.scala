@@ -162,6 +162,8 @@ object SparkEntry {
     "win_pct_change" -> ((s, d) => WindowOps.pctChange(events(s, d))),
     "win_ntile" -> ((s, d) => WindowOps.ntileBands(orders(s, d))),
     "win_median_sliding" -> ((s, d) => WindowOps.medianSliding(events(s, d))),
+    "win_distinct_sliding" -> ((s, d) => WindowOps.distinctSliding(events(s, d))),
+    "q_named_window" -> ((s, d) => AuditQueries.qNamedWindow(s, orders(s, d))),
     // §2.6 sorts / limits / top-k
     "sort" -> ((s, d) => SortSetOps.sortGlobal(orders(s, d))),
     "limit" -> ((s, d) => SortSetOps.limitPage(orders(s, d))),
@@ -1531,6 +1533,22 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
                           ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS band
          FROM orders ORDER BY o_orderkey""",
+    "win_distinct_sliding" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(len(list_distinct(list(event_type) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))) AS INTEGER)
+             AS n_types_8
+         FROM events ORDER BY user_id, ts_us, event_id""",
+    // named window resolves to ONE Window operator shared by all three fns
+    "q_named_window" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS INTEGER) AS rn,
+           round(sum(o_totalprice) OVER w, 2) AS run_total,
+           round(max(o_totalprice) OVER w, 2) AS run_max
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, rn""",
     "win_median_sliding" ->
       """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
            FROM events)

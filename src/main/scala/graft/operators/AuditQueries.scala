@@ -546,6 +546,25 @@ object AuditQueries {
       Map("tbl" -> "orders_ident_v", "grp" -> "o_orderstatus"))
   }
 
+  /** Named-window SQL (`WINDOW w AS (…)`) — one window definition shared
+    * by several functions: the analyzer resolves all of them into a
+    * SINGLE Window operator (one sort, one pass), which is both the
+    * readable spelling and the plan you want — N inline windows with the
+    * same spec would still fuse, but the named form makes the sharing a
+    * syntactic guarantee.
+    */
+  def qNamedWindow(spark: SparkSession, orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_nw_v")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           round(sum(o_totalprice) OVER w, 2) AS run_total,
+           round(max(o_totalprice) OVER w, 2) AS run_max
+         FROM orders_nw_v
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, rn""")
+  }
+
   /** Spark 4 SQL pipe syntax (`|>`) — the linear dataflow spelling of
     * the same logical plan (FROM … |> WHERE … |> AGGREGATE … |> ORDER
     * BY). Pure surface syntax: each stage parses into the ordinary

@@ -222,6 +222,28 @@ object WindowOps {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Frame-scoped COUNT DISTINCT — Spark rejects `count(DISTINCT …)` in
+    * windows outright, so it is COMPOSED the win_median_sliding way:
+    * frame-bounded `collect_list` (≤ 8 elements by the frame spec, never
+    * data-scaled) + codegen'd `array_distinct`/`size`. The rolling
+    * distinct-type count over the last 8 events is the classic
+    * fraud/bot-behavior feature (how varied is this user's recent
+    * activity). One shuffle on user_id; frame eval partition-local.
+    */
+  def distinctSliding(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-7, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("n_types_8",
+        size(array_distinct(collect_list(col("event_type")).over(w))))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("n_types_8"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   /** Order-statistic window aggregate — exact rolling MEDIAN over a
     * sliding 4-row frame per user (the robust rolling baseline a metrics
     * feed wants where one outlier wrecks a rolling MEAN). Spark rejects

@@ -247,6 +247,12 @@ class PlanSpec extends SparkTestBase {
       "native top-k must return exactly the window form's row set")
   }
 
+  test("q_named_window: three functions over the named window share ONE Window operator") {
+    val p = plan(operators.AuditQueries.qNamedWindow(spark, Tables.orders(spark, sf0001)))
+    val n = "Window \\[".r.findAllIn(p).length
+    assert(n === 1, s"expected exactly one Window node, found $n:\n$p")
+  }
+
   test("sql_cache_table: downstream aggregate scans the in-memory cache, not the files") {
     val p = plan(operators.AuditQueries.sqlCacheTable(
       spark, Tables.orders(spark, sf0001)))
