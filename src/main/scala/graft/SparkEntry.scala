@@ -338,6 +338,8 @@ object SparkEntry {
       ((s, d) => PipelineOps.pipelineBpeTrain(documents(s, d))),
     "pipeline_bpe_apply" ->
       ((s, d) => PipelineOps.pipelineBpeApply(documents(s, d))),
+    "pipeline_fertility" ->
+      ((s, d) => PipelineOps.pipelineFertility(documents(s, d))),
     "text_chunk" -> ((s, d) => PipelineOps.textChunk(documents(s, d))),
     "dedup_url" -> ((s, d) => PipelineOps.dedupUrl(documents(s, d))),
     "sim_mips" -> ((s, d) => SimOps.simMips(embeddings(s, d))),
@@ -2894,6 +2896,16 @@ object SparkEntry {
          FROM w ORDER BY source, doc_id""",
     "pipeline_bpe_train" -> bpeOracle(6),
     "pipeline_bpe_apply" -> bpeApplyOracle(6),
+    // the apply chain aggregated per language instead of per doc
+    "pipeline_fertility" ->
+      s"""${bpeCtes(6)},
+         v AS (SELECT w, len(str_split(trim(seq), ' '))::BIGINT AS n_sym
+               FROM s6),
+         d AS (SELECT lang, unnest(str_split(text, ' ')) AS w FROM documents)
+         SELECT lang, count(*) AS n_ws, CAST(sum(n_sym) AS BIGINT) AS n_bpe,
+           round(CAST(sum(n_sym) AS DOUBLE) / count(*), 6) AS fertility
+         FROM d JOIN v USING (w) WHERE len(w) > 0
+         GROUP BY lang ORDER BY lang""",
     // content-hashed shard + order-invariant bit_xor fingerprint: both
     // engines share the 60-bit md5 key, and DuckDB's BIGINT sum widens
     // to HUGEINT so n_tokens is cast back

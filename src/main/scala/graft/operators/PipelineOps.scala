@@ -403,6 +403,29 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY census — BPE symbols emitted per whitespace
+    * word, per language: THE multilingual tokenizer-equity metric (a
+    * language with 2× fertility pays 2× the context budget per word, so
+    * mixes and packing budgets must know it). Reuses the learned merge
+    * loop verbatim; the corpus-side cost is one explode + one join
+    * against the vocab-sized symbol table + one hash aggregate — the
+    * same single-pass shape as `pipelineBpeApply`, aggregated by lang
+    * instead of doc.
+    */
+  def pipelineFertility(documents: DataFrame, rounds: Int = 6): DataFrame = {
+    val (_, seqs) = bpeLoop(documents, rounds)
+    val vocab = seqs.select(col("w"), size(col("syms")).cast("long").as("n_sym"))
+    documents.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(vocab, "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_ws"), sum(col("n_sym")).as("n_bpe"))
+      .select(col("lang"), col("n_ws"), col("n_bpe"),
+        round(col("n_bpe").cast("double") / col("n_ws").cast("double"), 6)
+          .as("fertility"))
+      .orderBy("lang")
+  }
+
   /** Shared merge-learning loop: returns (merge table, final per-word
     * symbol table). See [[pipelineBpeTrain]] for the design notes.
     */
