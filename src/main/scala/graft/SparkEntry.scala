@@ -63,6 +63,7 @@ object SparkEntry {
     "graph_components" -> ((s, d) => GraphOps.graphComponents(orders(s, d), lineitem(s, d))),
     "graph_bfs" -> ((s, d) => GraphOps.graphBfs(orders(s, d), lineitem(s, d))),
     "graph_degree_dist" -> ((s, d) => GraphOps.degreeDist(orders(s, d), lineitem(s, d))),
+    "graph_jaccard" -> ((s, d) => GraphOps.graphJaccard(orders(s, d), lineitem(s, d))),
     // native custom operator (logical node + strategy + partial/final exec)
     "topk_per_group_native" -> ((s, d) =>
       graft.plans.TopKOps.topKPerGroup(orders(s, d), Seq("o_orderpriority"),
@@ -2046,6 +2047,22 @@ object SparkEntry {
            FROM orders)
          SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price
          FROM r WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey""",
+    // deg-capped co-purchase projection, one pair aggregate, top-20 cut
+    "graph_jaccard" ->
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         sc AS (SELECT cust FROM e GROUP BY cust HAVING count(*) <= 256),
+         kept AS (SELECT e.cust, e.supp FROM e JOIN sc USING (cust)),
+         deg AS (SELECT supp, count(*) AS deg FROM kept GROUP BY supp),
+         co AS (SELECT a.supp AS s1, b.supp AS s2, count(*) AS shared
+           FROM kept a JOIN kept b ON a.cust = b.cust AND a.supp < b.supp
+           GROUP BY 1, 2)
+         SELECT co.s1, co.s2, co.shared,
+           round(CAST(co.shared AS DOUBLE) /
+             (da.deg + db.deg - co.shared), 6) AS jac
+         FROM co JOIN deg da ON da.supp = co.s1
+                 JOIN deg db ON db.supp = co.s2
+         ORDER BY jac DESC, co.s1, co.s2 LIMIT 20""",
     "graph_degree_dist" ->
       """WITH e AS (SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),

@@ -321,6 +321,44 @@ object GraphOps {
       .limit(10)
   }
 
+  /** Common-neighbor LINK PREDICTION — Jaccard similarity of supplier
+    * customer-sets (the classic "suppliers serving the same buyers"
+    * recsys/market-structure signal): top-20 supplier pairs by
+    * |common customers| / |union|. Same deg-capped co-purchase
+    * projection as `graphTriangles` (hub customers ≤ 256 keep the
+    * self-join deg²-bounded); the pair stream collapses in ONE hash
+    * aggregate, degree vectors join back on compact supplier keys, and
+    * the top-20 is TakeOrderedAndProject. Rounded score + (a, b)
+    * tie-break make the cut deterministic on both engines.
+    */
+  def graphJaccard(orders: DataFrame, lineitem: DataFrame,
+      maxCustDeg: Int = 256, k: Int = 20): DataFrame = {
+    val pairs = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val smallCust = pairs.groupBy(col("cust"))
+      .agg(count(lit(1)).as("cdeg"))
+      .filter(col("cdeg") <= maxCustDeg)
+      .select("cust")
+    // feeds the self-join AND the degree table — materialized once
+    val kept = pairs.join(smallCust, "cust").localCheckpoint()
+    val deg = kept.groupBy(col("supp")).agg(count(lit(1)).as("deg"))
+    val co = kept.select(col("cust"), col("supp").as("s1"))
+      .join(kept.select(col("cust"), col("supp").as("s2")), Seq("cust"))
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("shared"))
+    co
+      .join(deg.select(col("supp").as("s1"), col("deg").as("deg_a")), "s1")
+      .join(deg.select(col("supp").as("s2"), col("deg").as("deg_b")), "s2")
+      .select(col("s1"), col("s2"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("deg_a") + col("deg_b") - col("shared")), 6).as("jac"))
+      .orderBy(desc("jac"), asc("s1"), asc("s2"))
+      .limit(k)
+  }
+
   /** Degree distribution of the customer→supplier trade graph — the
     * first profiling query run before any iterative graph algorithm
     * (it sizes the hub problem the adjacency chunking and the triangle
