@@ -79,6 +79,7 @@ object Bench {
     "win_median_sliding",   // composed rolling-median window
     "topk_per_group_native", // custom partial/final top-k operator
     "sim_knn_graph",        // full kNN graph via multiprobe LSH + native top-k
+    "graph_jaccard",        // deg-capped common-neighbor link prediction
   )
 
   def main(args: Array[String]): Unit = {
