@@ -78,8 +78,11 @@ object Bench {
     "join_dpp",             // partitioned write + DPP-pruned star join
     "win_median_sliding",   // composed rolling-median window
     "topk_per_group_native", // custom partial/final top-k operator
-    "sim_knn_graph",        // full kNN graph via multiprobe LSH + native top-k
+    "sim_knn_graph",        // full kNN graph via kmeans-cell nprobe + native top-k
     "graph_jaccard",        // deg-capped common-neighbor link prediction
+    // Round-8: stored-layout graph serving (write once, loop-only reads)
+    "sink_graph_adjacency", // bucketed adjacency layout write + census
+    "graph_pagerank_stored", // pagerank served from the stored layout
   )
 
   def main(args: Array[String]): Unit = {
@@ -138,8 +141,13 @@ object Bench {
       if (reps.exists(_ < 0)) errors ::= name
       name -> reps
     }
+    // stdout carries per-query MINs at 3-decimal precision: the driver's
+    // artifact of record keeps only the last 2000 stdout chars, so the
+    // compact line must stay under that — full-precision reps go to the
+    // detail file
     val qs = results.map { case (k, r) =>
-      "\"" + k + "\":" + (if (r.exists(_ < 0)) -1.0 else r.min)
+      val v = if (r.exists(_ < 0)) -1.0 else math.rint(r.min * 1000) / 1000
+      "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
     val repsJson = results.map { case (k, r) =>
       "\"" + k + "\":" + r.mkString("[", ",", "]")
@@ -163,13 +171,44 @@ object Bench {
         val t1 = System.nanoTime()
         operators.GraphOps.loopPartitioned(adj, nodes, n, 10, 0.85).count()
         val loopSec = (System.nanoTime() - t1) / 1e9
-        System.err.println(f"[bench] graph_pagerank split: build $buildSec%.3f s, loop $loopSec%.3f s")
-        s"""{"graph_pagerank":{"build":$buildSec,"loop":$loopSec}}"""
+        // loop-only cost when the adjacency is SERVED from the stored
+        // bucketed layout (built earlier in this JVM by the headline's
+        // sink_graph_adjacency entry, so this times serving, not writing)
+        val t2 = System.nanoTime()
+        operators.GraphOps.graphPagerankStored(
+          spark, Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir),
+          sfDir).count()
+        val storedSec = (System.nanoTime() - t2) / 1e9
+        System.err.println(f"[bench] graph_pagerank split: build $buildSec%.3f s, loop $loopSec%.3f s, stored $storedSec%.3f s")
+        s"""{"graph_pagerank":{"build":$buildSec,"loop":$loopSec,"from_stored_layout":$storedSec}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] graph_pagerank split FAILED: ${e.getMessage}")
         "{}"
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errJson,"breakdowns":$breakdownJson,"sf":"$sfDir","cpus":$cpus,"heap_mb":$heapMb}""")
+    // Full metric JSON (reps, breakdowns) goes to a FILE; stdout carries a
+    // compact line. Round-6/7 artifacts of record came back head-truncated
+    // ("parsed": null) because the single stdout line outgrew the driver's
+    // capture window — the detail file is the machine-readable record and
+    // the stdout line stays small enough to always parse (round-7 verdict,
+    // next-round item 1).
+    val qsFull = results.map { case (k, r) =>
+      "\"" + k + "\":" + (if (r.exists(_ < 0)) -1.0 else r.min)
+    }.mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"reps":$repsJson,"errors":$errJson,"breakdowns":$breakdownJson,"sf":"$sfDir","cpus":$cpus,"heap_mb":$heapMb}"""
+    val detailPath = if (args.length > 1) args(1) else "/tmp/graft_bench.json"
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(detailPath),
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write FAILED: ${e.getMessage}")
+    }
+    val compact = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"heap_mb":$heapMb,"detail":"$detailPath"}"""
+    // hard guard on the 2000-char stdout capture window: if the headline
+    // ever grows past it, keep the line parseable by dropping the
+    // per-query map (still in the detail file) rather than truncating
+    println(
+      if (compact.length <= 1900) compact
+      else s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","errors":$errJson,"sf":"$sfDir","cpus":$cpus,"heap_mb":$heapMb,"detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -59,6 +59,10 @@ object SparkEntry {
     "join_bucketed" -> ((s, d) => JoinOps.bucketed(orders(s, d), customer(s, d))),
     "join_bloom_pruned" -> ((s, d) => JoinOps.joinBloomPruned(orders(s, d), lineitem(s, d))),
     "graph_pagerank" -> ((s, d) => GraphOps.graphPagerank(orders(s, d), lineitem(s, d))),
+    "sink_graph_adjacency" -> ((s, d) =>
+      GraphOps.sinkGraphAdjacency(s, orders(s, d), lineitem(s, d), d)),
+    "graph_pagerank_stored" -> ((s, d) =>
+      GraphOps.graphPagerankStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_triangles" -> ((s, d) => GraphOps.graphTriangles(orders(s, d), lineitem(s, d))),
     "graph_components" -> ((s, d) => GraphOps.graphComponents(orders(s, d), lineitem(s, d))),
     "graph_bfs" -> ((s, d) => GraphOps.graphBfs(orders(s, d), lineitem(s, d))),
@@ -1138,6 +1142,14 @@ object SparkEntry {
     "topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    // CONTENT oracle: sortWithinPartitions is a row-preserving physical
+    // reorder, so the unsorted table is the exact multiset the operator
+    // must return (the driver compare canonicalizes row order). The
+    // partition-local ORDER itself is invisible to a content hash and
+    // stays pinned by its scalatest invariant spec (OperatorSpec).
+    "sort_within_partitions" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
+         FROM lineitem""",
     // §2.7 set operations
     "union" ->
       """SELECT * FROM (
@@ -1712,6 +1724,26 @@ object SparkEntry {
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // the engine's 10 Pregel supersteps, unrolled as 10 chained CTEs
     "graph_pagerank" -> pagerankOracleSql(10),
+    // identical semantics served from the stored bucketed layout — the
+    // layout round-trip must be invisible to the ranks
+    "graph_pagerank_stored" -> pagerankOracleSql(10),
+    // content census of the stored adjacency: the oracle rebuilds the
+    // undirected chunked layout relationally (chunk rows = ceil(deg /
+    // 65536) — 1 per src at any tested SF, kept general on both sides)
+    "sink_graph_adjacency" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
+                   UNION ALL
+                   SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)
+         SELECT src % 2 AS side, src % 8 AS bucket,
+           count(*) AS n_src,
+           CAST(sum(CAST(ceil(outdeg / 65536.0) AS BIGINT)) AS BIGINT)
+             AS n_chunk_rows,
+           CAST(sum(outdeg) AS BIGINT) AS n_edges,
+           max(outdeg) AS max_deg, min(src) AS min_src
+         FROM deg GROUP BY side, bucket ORDER BY side, bucket""",
     "graph_components" -> componentsOracleSql(8),
     // min-plus distance propagation, unrolled like the other two
     "graph_bfs" -> bfsOracleSql(6),
@@ -1782,11 +1814,13 @@ object SparkEntry {
            round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
            round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    // product() is double-typed but exact here (<= 9^17 < 2^53)
+    // product() is double-typed but exact here (<= 9^17 < 2^53); floor
+    // before the BIGINT cast matches the Spark side's explicit rounding
+    // direction (Spark cast truncates, DuckDB CAST rounds half-even)
     "agg_product" ->
       """SELECT l_orderkey, count(*) AS n_lines,
-           CAST(round(product(CAST(l_quantity AS BIGINT) % 9 + 1)) AS BIGINT)
-             AS qty_product
+           CAST(round(product(CAST(floor(l_quantity) AS BIGINT) % 9 + 1))
+             AS BIGINT) AS qty_product
          FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
     "agg_corr" ->
       """SELECT l_returnflag,
@@ -1869,6 +1903,15 @@ object SparkEntry {
            'garbage line with no commas key=' || CAST(n_nationkey AS VARCHAR)
          FROM nation WHERE n_nationkey % 5 = 0
          ORDER BY quarantined, n_nationkey NULLS FIRST, raw NULLS FIRST""",
+    // two appends of the same batch: every selected key carries exactly
+    // two loads, both stamped, last load_id 2, ingested total = 2x price.
+    // ingested_at itself stays data-invisible (wall clock), the
+    // scan_observed pattern; its NON-NULLness is what n_stamped verifies
+    "sink_raw_append" ->
+      """SELECT o_orderkey, CAST(2 AS BIGINT) AS n_loads,
+           CAST(2 AS BIGINT) AS n_stamped, 2 AS last_load,
+           round(o_totalprice * 2, 2) AS total_ingested
+         FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""",
     "sink_upsert" ->
       """WITH l1 AS (SELECT o_orderkey, o_totalprice, 1 AS load_id
                      FROM orders WHERE o_orderkey % 2 = 0),
@@ -3134,28 +3177,9 @@ object SparkEntry {
            round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 6) AS recall
          FROM exact x LEFT JOIN approx a ON x.vec_id = a.vec_id""",
-    // sampled exact top-k vs the LSH graph, edge-for-edge
+    // sampled exact top-k vs the kmeans-cell graph, edge-for-edge
     "sim_knn_graph_recall" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         cells AS (SELECT vec_id, v,
-             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
-              + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
-              + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
-              + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END
-              + CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) AS cell
-           FROM e),
-         probes AS (SELECT vec_id AS src, v AS sv, xor(cell, flip) AS cell
-           FROM cells, (SELECT unnest([0,1,2,4,8,16,3,5,9,17,6,10,18,12,20,24]) AS flip)),
-         cand AS (SELECT p.src, c.vec_id AS dst,
-             round(list_dot_product(c.v, p.sv) /
-               (sqrt(list_dot_product(c.v, c.v)) *
-                sqrt(list_dot_product(p.sv, p.sv))), 6) AS cos
-           FROM cells c JOIN probes p USING (cell)
-           WHERE c.vec_id <> p.src),
-         f AS (SELECT src, dst, cos, row_number() OVER
-             (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-           FROM cand WHERE cos >= 0.3),
-         g AS (SELECT src, dst FROM f WHERE rn <= 3),
+      s"""WITH $knnGraphCte,
          p2 AS (SELECT vec_id AS src, v AS sv FROM e WHERE vec_id % 50 = 0),
          ex0 AS (SELECT p2.src, e2.vec_id AS dst,
              round(list_dot_product(e2.v, p2.sv) /
@@ -3172,29 +3196,14 @@ object SparkEntry {
            round(CAST(sum(CASE WHEN g.dst IS NOT NULL THEN 1 ELSE 0 END)
                  AS DOUBLE) / count(*), 6) AS recall
          FROM ex LEFT JOIN g ON g.src = ex.src AND g.dst = ex.dst""",
-    // every vector probes hamming<=1 cells; the native operator's retained
-    // top-3 set equals the row_number form under the (cos, dst) total order
+    // every vector probes its 8 nearest learned centroids (nprobe of the
+    // 16-cell integer-kmeans codebook, candidates symmetrized — the dial
+    // the recall audit set: 0.93 at sf0.1); the native operator's
+    // retained top-3 set equals the row_number form under the (cos, dst)
+    // total order
     "sim_knn_graph" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         cells AS (SELECT vec_id, v,
-             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
-              + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
-              + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
-              + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END
-              + CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) AS cell
-           FROM e),
-         probes AS (SELECT vec_id AS src, v AS sv, xor(cell, flip) AS cell
-           FROM cells, (SELECT unnest([0,1,2,4,8,16,3,5,9,17,6,10,18,12,20,24]) AS flip)),
-         cand AS (SELECT p.src, c.vec_id AS dst,
-             round(list_dot_product(c.v, p.sv) /
-               (sqrt(list_dot_product(c.v, c.v)) *
-                sqrt(list_dot_product(p.sv, p.sv))), 6) AS cos
-           FROM cells c JOIN probes p USING (cell)
-           WHERE c.vec_id <> p.src),
-         f AS (SELECT src, dst, cos, row_number() OVER
-             (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-           FROM cand WHERE cos >= 0.3)
-         SELECT src, dst, cos FROM f WHERE rn <= 3
+      s"""WITH $knnGraphCte
+         SELECT src, dst, cos FROM g
          ORDER BY src, cos DESC, dst""",
     "sim_join_bucketed" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3322,6 +3331,40 @@ object SparkEntry {
                 FROM eq WHERE vec_id < $k)$steps,
          ${assign("kaf", s"k$rounds")}"""
   }
+
+  /** Shared CTE chain for the kNN-graph entries: the unrolled integer
+    * Lloyd loop (`kmeansCte`) + nearest-cell corpus assignment (kaf) +
+    * nprobe-nearest probe cells per source + within-cell cosine
+    * candidates, SYMMETRIZED (cosine is symmetric, so each forward
+    * candidate also serves the reverse src) + per-src top-3 — the exact
+    * replica of `SimOps.simKnnGraph(k = 3, nprobe = 8)` (2 Lloyd rounds
+    * — recall is flat in codebook convergence at this nprobe); the
+    * UNION's set-dedupe matches the engine's distinct-before-final-cut.
+    */
+  private def knnGraphCte: String =
+    s"""${kmeansCte(16, 2, 64)},
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         asn AS (SELECT a.vec_id, e.v, a.cell FROM kaf a JOIN e USING (vec_id)),
+         pr AS (SELECT vec_id, cell FROM (
+             SELECT eq.vec_id, c.cid AS cell, row_number() OVER (PARTITION BY eq.vec_id
+               ORDER BY list_sum([(eq.xq[i] - c.cvec[i]) * (eq.xq[i] - c.cvec[i])
+                                  FOR i IN range(1, 65)]), c.cid) AS rn
+             FROM eq CROSS JOIN k2 c) WHERE rn <= 8),
+         probes AS (SELECT pr.vec_id AS src, e.v AS sv, pr.cell
+           FROM pr JOIN e ON pr.vec_id = e.vec_id),
+         cand AS (SELECT p.src, a.vec_id AS dst,
+             round(list_dot_product(a.v, p.sv) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(p.sv, p.sv))), 6) AS cos
+           FROM asn a JOIN probes p USING (cell)
+           WHERE a.vec_id <> p.src),
+         cs AS (SELECT src, dst, cos FROM cand
+                UNION
+                SELECT dst AS src, src AS dst, cos FROM cand),
+         f AS (SELECT src, dst, cos, row_number() OVER
+             (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+           FROM cs WHERE cos >= 0.3),
+         g AS (SELECT src, dst, cos FROM f WHERE rn <= 3)"""
 
   private def kmeansOracleSql(k: Int, rounds: Int, dim: Int): String =
     s"""WITH ${kmeansCte(k, rounds, dim)}

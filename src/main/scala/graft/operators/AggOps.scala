@@ -621,11 +621,15 @@ object AggOps {
     * exact and the BIGINT cast is lossless on both engines (raw
     * quantities overflow: 50¹⁷ ≫ 2⁶³). Bounded-group-only by the same
     * rule as `agg_collect` (never on unbounded groups at 100 TB).
+    * `floor` before the long conversion makes the rounding direction
+    * explicit on both engines (Spark's cast(double as long) truncates,
+    * DuckDB's CAST rounds half-even — they only coincide on integer
+    * values, and l_quantity happens to be integer-valued).
     */
   def aggProduct(lineitem: DataFrame): DataFrame =
     lineitem
       .select(col("l_orderkey"),
-        (col("l_quantity").cast("long") % 9 + 1).as("q"))
+        (floor(col("l_quantity")) % 9 + 1).as("q"))
       .groupBy(col("l_orderkey"))
       .agg(
         count(lit(1)).as("n_lines"),

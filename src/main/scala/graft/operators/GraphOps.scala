@@ -63,9 +63,13 @@ object GraphOps {
     * keep exactly one row — the |V|-rows-per-round scan economy is
     * untouched.
     */
-  private[graft] def buildGraph(
+  /** The adjacency FRAME alone — shared by the in-query cache path
+    * (`buildGraph`) and the stored layout (`sinkGraphAdjacency`), which
+    * persists the same rows as a src-bucketed table instead.
+    */
+  private[graft] def adjacencyFrame(
       orders: DataFrame, lineitem: DataFrame,
-      chunkSize: Int = 65536): (DataFrame, DataFrame, Long) = {
+      chunkSize: Int = 65536): DataFrame = {
     // localCheckpoint: the distinct pair table feeds BOTH direction
     // branches of the undirected union; left lazy, the orders⋈lineitem
     // join + distinct (the build's widest shuffles) run once per branch.
@@ -78,14 +82,19 @@ object GraphOps {
       .select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
       .unionByName(pairs
         .select((col("supp") * 2 + 1).as("src"), (col("cust") * 2).as("dst")))
-    val adj = edges
+    edges
       .groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"), collect_list(col("dst")).as("all_dsts"))
       .select(col("src"), col("outdeg"),
         explode(transform(
           sequence(lit(0L), floor((size(col("all_dsts")) - 1) / lit(chunkSize))),
           i => slice(col("all_dsts"), (i * chunkSize + 1).cast("int"), lit(chunkSize)))).as("dsts"))
-      .persist()
+  }
+
+  private[graft] def buildGraph(
+      orders: DataFrame, lineitem: DataFrame,
+      chunkSize: Int = 65536): (DataFrame, DataFrame, Long) = {
+    val adj = adjacencyFrame(orders, lineitem, chunkSize).persist()
     // distinct because a hub spanning several chunk rows repeats its src;
     // the cache's src HashPartitioning makes this exchange-free
     val nodes = adj.select(col("src").as("id")).distinct()
@@ -376,4 +385,86 @@ object GraphOps {
       .groupBy(col("deg"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("deg")
+
+  // ---- stored adjacency layout (round 8) -------------------------------
+
+  private def adjTableName(sfDir: String): String =
+    "graft_adj_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Build-or-reuse the STORED adjacency: the chunked per-src adjacency
+    * rows written ONCE as a `bucketBy(32, "src")` table — the
+    * sink_ann_index stance applied to graphs. The bucketed scan reports
+    * the src HashPartitioning straight from storage, so every iterative
+    * consumer joins against it with only the O(V) rank-side exchange and
+    * NOBODY re-pays the O(E) build: buildGraph's 1.8 s (43% of the
+    * pagerank entry, re-run identically by all five graph entries per
+    * sweep — the round-7 verdict's finding) becomes a once-per-ingest
+    * write. Table name is keyed by sfDir so layouts from different scale
+    * factors never collide; the in-memory catalog forgets tables between
+    * JVMs while their files remain, so a (re)build clears the physical
+    * location first (the join_bucketed lesson).
+    */
+  private[graft] def ensureAdjacencyTable(
+      spark: org.apache.spark.sql.SparkSession,
+      orders: DataFrame, lineitem: DataFrame, sfDir: String,
+      rebuild: Boolean = false): String = {
+    val name = adjTableName(sfDir)
+    if (!rebuild && spark.catalog.tableExists(name)) return name
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath match {
+        case "" => spark.conf.get("spark.sql.warehouse.dir")
+        case p => p
+      }, name)
+    if (java.nio.file.Files.exists(loc)) {
+      java.nio.file.Files.walk(loc)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    adjacencyFrame(orders, lineitem)
+      .write.bucketBy(32, "src").sortBy("src")
+      .mode("overwrite").saveAsTable(name)
+    name
+  }
+
+  /** The stored-layout WRITE entry + its content audit: (re)build the
+    * bucketed adjacency table, then read it back and fold it to a
+    * per-(side, bucket) census — src count, chunk-row count, edge count,
+    * degree extrema. The audit key `src % 8` is a LOGICAL bucket (the
+    * physical file bucket uses Spark's internal Murmur3, deliberately
+    * not replicated in SQL); layout CONTENT is what the oracle proves,
+    * the exchange-free physical consumption is what PlanSpec pins.
+    */
+  def sinkGraphAdjacency(
+      spark: org.apache.spark.sql.SparkSession,
+      orders: DataFrame, lineitem: DataFrame, sfDir: String): DataFrame = {
+    val name = ensureAdjacencyTable(spark, orders, lineitem, sfDir, rebuild = true)
+    spark.table(name)
+      .groupBy((col("src") % 2).as("side"), (col("src") % 8).as("bucket"))
+      .agg(
+        countDistinct(col("src")).as("n_src"),
+        count(lit(1)).as("n_chunk_rows"),
+        sum(size(col("dsts"))).as("n_edges"),
+        max(col("outdeg")).as("max_deg"),
+        min(col("src")).as("min_src"))
+      .orderBy("side", "bucket")
+  }
+
+  /** PageRank SERVED FROM the stored layout — identical result to
+    * `graphPagerank` (same oracle), loop-only cost: the adjacency
+    * arrives src-bucketed from storage (built here only if this JVM has
+    * not yet), is pinned in the cache for superstep reuse, and the loop
+    * pays exactly what it pays after an in-query build — one O(V)
+    * alignment exchange + the dst aggregate per round.
+    */
+  def graphPagerankStored(
+      spark: org.apache.spark.sql.SparkSession,
+      orders: DataFrame, lineitem: DataFrame, sfDir: String,
+      rounds: Int = 10, damping: Double = 0.85): DataFrame = {
+    val name = ensureAdjacencyTable(spark, orders, lineitem, sfDir)
+    val adj = spark.table(name).persist()
+    val nodes = adj.select(col("src").as("id")).distinct()
+    val n = nodes.count()
+    loopPartitioned(adj, nodes, n, rounds, damping)
+  }
 }

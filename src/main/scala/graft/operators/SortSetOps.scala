@@ -45,9 +45,11 @@ object SortSetOps {
 
   /** Physical layout control: cluster rows by key inside each partition
     * without a global shuffle-sort — the 100 TB write-path pattern
-    * (run-length/dictionary-friendly parquet, min-max pruning). no-oracle:
-    * row order is partitioning-dependent by design; the spec asserts the
-    * per-partition sort invariant instead.
+    * (run-length/dictionary-friendly parquet, min-max pruning).
+    * Oracle-paired on CONTENT since round 8 (the reorder is
+    * row-preserving, so the unsorted table is the exact multiset; the
+    * driver compare canonicalizes row order); the partition-local sort
+    * ORDER itself is content-invisible and stays pinned by the spec.
     */
   def sortWithinPartitions(lineitem: DataFrame): DataFrame =
     lineitem

@@ -25,9 +25,18 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * The partial phase caps each input partition's contribution at k rows
   * PER GROUP, so the shuffle carries at most partitions·groups·k rows
   * instead of every row — the same partial-reduction law that makes
-  * aggregation scale, applied to an order statistic. State is bounded
-  * (groups × k rows per task — the output size), so there is nothing to
-  * spill: if the retained set doesn't fit, neither would the result.
+  * aggregation scale, applied to an order statistic.
+  *
+  * Memory discipline (round-8 advice): in the partial phase a single task
+  * can see EVERY group, so an unbounded heap map would be
+  * O(total_groups × k) per task and OOM instead of spilling at high group
+  * cardinality (sim_knn_graph: groups = every vector). The partial phase
+  * therefore caps its heap map at `spark.graft.topk.maxPartialGroups`
+  * (default 65536) live groups; once full, rows of UNSEEN groups stream
+  * through unreduced. Partial reduction is only an optimization — the
+  * final phase (whose state is output-sized: its partition's groups × k,
+  * i.e. exactly the rows it returns) restores exactness, so the cap
+  * trades shuffle volume for bounded memory, never correctness.
   *
   * Determinism: callers must pass a TOTAL ordering (tie-broken sort
   * keys); the retained row SET is then unique regardless of partitioning
@@ -84,34 +93,62 @@ case class TopKPerGroupExec(
     val groupExprsLocal = groupExprs
     val orderingLocal = ordering
     val kLocal = k
+    // partial-only group-map cap (final state is output-sized by the
+    // ClusteredDistribution, so capping it would only break exactness)
+    val maxGroups =
+      if (partial)
+        conf.getConfString("spark.graft.topk.maxPartialGroups", "65536").toInt
+      else Int.MaxValue
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupExprsLocal, childOutput)
       // codegen'd row comparator on the (total) sort keys
       val cmp = GenerateOrdering.generate(orderingLocal, childOutput)
       // max-heap: head = WORST retained row, evicted on a better arrival
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, cmp.reversed())
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kLocal) heap.add(row.copy())
-        else if (cmp.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
-        }
-      }
-      val groups = heaps.values().iterator()
       new Iterator[InternalRow] {
-        private var current: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
+        // a row whose group overflowed the map, streamed through unreduced
+        private var overflow: InternalRow = null
+        private var drained: java.util.Iterator[java.util.PriorityQueue[InternalRow]] = null
+        private var current: java.util.Iterator[InternalRow] =
+          java.util.Collections.emptyIterator()
+        /** Consume input until it is exhausted or an overflow row must be
+          * emitted (it references the scanner's reused buffer, so it goes
+          * downstream before the next iter.next(), like any narrow op).
+          */
+        private def consume(): Unit = {
+          while (overflow == null && iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              if (heaps.size() >= maxGroups) { overflow = row }
+              else {
+                heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, cmp.reversed())
+                heaps.put(key.copy(), heap)
+              }
+            }
+            if (heap != null) {
+              if (heap.size < kLocal) heap.add(row.copy())
+              else if (cmp.compare(row, heap.peek()) < 0) {
+                heap.poll()
+                heap.add(row.copy())
+              }
+            }
+          }
+        }
         override def hasNext: Boolean = {
-          while (!current.hasNext && groups.hasNext) current = groups.next().iterator()
+          if (overflow != null) return true
+          consume()
+          if (overflow != null) return true
+          if (drained == null) drained = heaps.values().iterator()
+          while (!current.hasNext && drained.hasNext) current = drained.next().iterator()
           current.hasNext
         }
-        override def next(): InternalRow = current.next()
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty top-k iterator")
+          if (overflow != null) { val r = overflow; overflow = null; r }
+          else current.next()
+        }
       }
     }
   }

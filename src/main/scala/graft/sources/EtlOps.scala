@@ -695,18 +695,29 @@ object EtlOps {
   /** The load stage (README.md:23, 27–28, 98–99): append records + an
     * ingestion timestamp into `<name>_raw`, run TWICE to prove appends
     * accumulate. Output is the read-back audit: rows per load equal, every
-    * row stamped. no-oracle: current_timestamp() is wall-clock by design;
-    * the spec asserts the invariants instead.
+    * row stamped, load ids monotone, ingested total = loads × price.
+    * Oracle-paired since round 8: the wall-clock ingested_at stays
+    * data-invisible (only its non-nullness is counted), while the
+    * deterministic load_id carries the append semantics into the hash.
     */
   def sinkRawAppend(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = freshDir(sfDir, "orders_raw").toString
     val batch = spark.read.parquet(s"$sfDir/orders.parquet")
       .filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), col("o_totalprice"))
+    // every row still carries the wall-clock ingestion stamp the reference
+    // mandates (README.md:23) — verified as NON-NULL via n_stamped — plus
+    // a deterministic per-run load_id (the sink_upsert precedent), which
+    // is what makes the entry oracle-pairable (round-7 verdict, item 3)
+    var load = 0
     val connector = Connector(
       name = "orders",
       source = _ => batch,
-      transform = _.withColumn("ingested_at", current_timestamp()),
+      transform = df => {
+        load += 1
+        df.withColumn("ingested_at", current_timestamp())
+          .withColumn("load_id", lit(load))
+      },
       sink = _.write.mode(SaveMode.Append).parquet(raw))
     connector.run(spark)
     connector.run(spark)
@@ -714,7 +725,9 @@ object EtlOps {
       .groupBy(col("o_orderkey"))
       .agg(
         count(lit(1)).as("n_loads"),
-        count(col("ingested_at")).as("n_stamped"))
+        count(col("ingested_at")).as("n_stamped"),
+        max(col("load_id")).as("last_load"),
+        round(sum(col("o_totalprice")), 2).as("total_ingested"))
       .orderBy("o_orderkey")
   }
 

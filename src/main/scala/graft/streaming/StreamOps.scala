@@ -463,9 +463,11 @@ object StreamOps {
         Files.move(nextDir, curDir)
         ()
       }
-      .start()
-    withStateShards(spark, 4) { q.processAllAvailable() }
-    q.stop()
+    // a streaming query captures SQL conf when start() runs, so the shard
+    // wrapper must enclose start(), not just the drain (round-8 advice)
+    withStateShards(spark, 4) {
+      val run = q.start(); run.processAllAvailable(); run.stop()
+    }
     spark.read.parquet(curDir.toString)
       .select(
         col("user_id"),
@@ -544,11 +546,12 @@ object StreamOps {
                 VALUES (s.user_id, s.value, s.ts_us, s.event_id, s.op)""")
         ()
       }
-      .start()
-    // conf is read at each micro-batch's planning, so wrapping the drain
-    // shrinks the per-batch window + MERGE shuffles (tiny deltas)
-    withStateShards(spark, 4) { q.processAllAvailable() }
-    q.stop()
+    // SQL conf is captured when start() runs (the query clones the
+    // session), so the 4-shard wrapper must enclose start() for the
+    // per-batch window + MERGE shuffles to actually shrink
+    withStateShards(spark, 4) {
+      val run = q.start(); run.processAllAvailable(); run.stop()
+    }
     spark.table(target)
       .filter(col("op") =!= "D")
       .select(col("user_id"), round(col("value"), 6).as("value"), col("ts_us"))

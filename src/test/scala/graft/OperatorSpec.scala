@@ -448,6 +448,27 @@ class OperatorSpec extends SparkTestBase {
     })
   }
 
+  test("TopKPerGroup partial-phase group cap: overflow rows stream through, result exact") {
+    // cap the partial heap map at 2 live groups over a 40-group frame:
+    // most rows must take the unreduced-overflow path, and the final
+    // phase must still return exactly the window-form top-k
+    spark.conf.set("spark.graft.topk.maxPartialGroups", "2")
+    try {
+      val rows = (0 until 4000).map { i =>
+        (i % 40L, (i * 2654435761L) % 1000L, i.toLong)
+      }
+      val df = rows.toDF("g", "v", "id").repartition(8)
+      val got = graft.plans.TopKOps
+        .topKPerGroup(df, Seq("g"), Seq(("v", false), ("id", true)), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (_, grp) =>
+        grp.sortBy(t => (-t._2, t._3)).take(3)
+      }.sorted
+      assert(got === expect, "capped partial phase changed the retained set")
+    } finally spark.conf.unset("spark.graft.topk.maxPartialGroups")
+  }
+
   test("agg_bitmap_distinct: bitmap counts are EXACT and survive re-merging") {
     val li = Tables.lineitem(spark, sf0001)
     val exact = li.groupBy("l_returnflag")

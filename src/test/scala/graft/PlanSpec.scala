@@ -499,6 +499,46 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("stored adjacency: superstep consumes the bucketed layout with a single exchange") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val name = GraphOps.ensureAdjacencyTable(
+        spark, orders(spark, sf0001), lineitem(spark, sf0001), sf0001,
+        rebuild = true)
+      val adj = spark.table(name).persist()
+      val ids = adj.select(col("src").as("id")).distinct()
+      val n = ids.count()
+      // aligned to the layout's BUCKET count (32), not the session's
+      // shuffle width: co-location is against storage partitioning here
+      val ranks = ids.select(col("id"), lit(1.0 / n).as("rank"))
+        .repartition(32, col("id")).persist()
+      ranks.count()
+      val step = GraphOps.superstepPartitioned(adj, ranks, n, 0.85)
+      val root = step.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      val p = root.toString
+      ranks.unpersist()
+      adj.unpersist()
+      val bhj = root.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.isEmpty, s"stored-layout superstep must not broadcast:\n$p")
+      // the adjacency arrives hash-partitioned straight from the BUCKETED
+      // scan (cached), so the only exchange is the dst aggregate's — the
+      // storage layout replaces the build shuffle entirely
+      val exchanges = root.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.length == 1,
+        s"stored-layout superstep should shuffle exactly once (dst agg), saw ${exchanges.length}:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_cbo_stats: table statistics flip the join order (CBO reorder), results identical") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     AuditQueries.cboPrepare(spark, sf0001)
