@@ -965,16 +965,14 @@ object SimOps {
           .partitionBy("cell").parquet(store)
         ()
       }
-    // per-batch window over a tiny delta: shrink its shuffle to match.
-    // SQL conf is captured at start() (the query clones the session), so
-    // the override must be in place BEFORE start(); restored after.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      val run = q.start()
-      run.processAllAvailable()
-      run.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // NO shuffle-width override: foreachBatch has no state store, and SQL
+    // conf is captured at start() (the query clones the session) — when
+    // the old post-start override was made effective it only throttled
+    // the per-batch assignment work (the StreamOps foreachBatch lesson,
+    // round 8), so the query keeps the session's full width
+    val run = q.start()
+    run.processAllAvailable()
+    run.stop()
     spark.read.parquet(store)
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n"),

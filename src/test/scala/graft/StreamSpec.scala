@@ -173,4 +173,25 @@ class StreamSpec extends SparkTestBase {
     assert(inner === 0, "a purchase cannot be both matched and null-extended")
     out.unpersist()
   }
+
+  test("state-shard rule: tracks state size across regimes, monotone, capped") {
+    // tuned regime (sf0.1-scale state, ~10^3..10^5 keys): the rule must
+    // reproduce the measured-best constant 4 — the value the round-7
+    // timings were taken at
+    assert(StreamOps.stateShardsFor(1000) === 4)
+    assert(StreamOps.stateShardsFor(60000) === 4)
+    // 100x-state regime: shards GROW with keys (per-shard state stays
+    // ~keysPerShard), so the shard-count-misfit cliff cannot return
+    assert(StreamOps.stateShardsFor(25_000_000L) === 100)
+    assert(StreamOps.stateShardsFor(1_000_000_000L) === 4000)
+    // bounded above: delta-file commit overhead is linear in shards
+    assert(StreamOps.stateShardsFor(10_000_000_000L) === 4096)
+    // the keysPerShard dial rescales the whole curve
+    assert(StreamOps.stateShardsFor(1_000_000L, keysPerShard = 100_000L) === 10)
+    // monotone in estimated keys (sampled)
+    val samples = Seq(1L, 100L, 10_000L, 1_000_000L, 50_000_000L,
+      2_000_000_000L, 20_000_000_000L)
+    val shards = samples.map(StreamOps.stateShardsFor(_))
+    assert(shards === shards.sorted, s"rule not monotone: $shards")
+  }
 }
