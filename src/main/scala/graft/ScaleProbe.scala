@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-decade scale probe (round-8 verdict item 2): synthesize a ×10
+  * blow-up of the sf0.1 fixtures into a scratch dir, then time the heavy
+  * operators at both scales and print the measured ratios. A near-linear
+  * operator lands ≲ 12× (10× data + constant overheads); anything far
+  * above that is a scale offender to fix, not to argue about.
+  *
+  * The blow-up is 10 shifted COPIES, not row duplication: every key
+  * column shifts by copy·10⁷ so per-copy join structure is preserved
+  * (the graph becomes 10 disjoint graphs — exactly how V and E scale),
+  * while CONTENT is decorrelated per copy — document words get a
+  * per-copy prefix (verbatim duplication would make every doc 9 exact
+  * near-dup partners and blow the LSH pair count quadratically, testing
+  * the data, not the engine) and embeddings rotate by copy·6 positions
+  * (norm-preserving, so the distribution matches but vectors differ).
+  * Unused dims (region..part) copy through so the dir serves any entry.
+  *
+  * Run: sbt "runMain graft.ScaleProbe [baseDir] [x10Dir]"
+  * Results are recorded in BASELINE.md (§ scale decade).
+  */
+object ScaleProbe {
+  private val Copies = 10
+  private val Shift = 10000000L
+
+  private def copies(spark: SparkSession)(build: Int => DataFrame): DataFrame =
+    (0 until Copies).map(build).reduce(_ unionByName _)
+
+  private def generate(spark: SparkSession, base: String, out: String): Unit = {
+    val outP = Paths.get(out)
+    if (Files.exists(outP.resolve("_DONE"))) return
+    Files.createDirectories(outP)
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet.dir")
+      // entries read "<dir>/<table>.parquet" — a directory at that exact
+      // path serves the same spark.read; rename for the expected layout
+      val target = outP.resolve(s"$name.parquet")
+      if (Files.exists(target)) {
+        Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      }
+      Files.move(outP.resolve(s"$name.parquet.dir"), target,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    write(copies(spark) { i =>
+      orders.withColumn("o_orderkey", col("o_orderkey") + i * Shift)
+        .withColumn("o_custkey", col("o_custkey") + i * Shift)
+    }, "orders")
+    val lineitem = spark.read.parquet(s"$base/lineitem.parquet")
+    write(copies(spark) { i =>
+      lineitem.withColumn("l_orderkey", col("l_orderkey") + i * Shift)
+        .withColumn("l_partkey", col("l_partkey") + i * Shift)
+        .withColumn("l_suppkey", col("l_suppkey") + i * Shift)
+    }, "lineitem")
+    // events must land as a single FILE, not a directory: the streaming
+    // entries stage the source with a file-level copy (eventsStream), and
+    // a shallow directory copy would stage an EMPTY stream — the first
+    // probe run measured stream_outer_join at 0.2x for exactly that reason
+    val events = spark.read.parquet(s"$base/events.parquet")
+      .transform(Tables.normalizeTs)
+    val evX = copies(spark) { i =>
+      events.withColumn("event_id", col("event_id") + i * Shift)
+        .withColumn("user_id", col("user_id") + i * Shift)
+    }
+    val evTmp = outP.resolve("events.tmp")
+    evX.coalesce(1).write.mode(SaveMode.Overwrite).parquet(evTmp.toString)
+    val part = Files.list(evTmp).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val evTarget = outP.resolve("events.parquet")
+    if (Files.isDirectory(evTarget)) {
+      Files.walk(evTarget).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    Files.move(part, evTarget, StandardCopyOption.REPLACE_EXISTING)
+    Files.walk(evTmp).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => if (Files.exists(f)) Files.delete(f))
+    val documents = spark.read.parquet(s"$base/documents.parquet")
+    write(copies(spark) { i =>
+      documents.withColumn("doc_id", col("doc_id") + i * Shift)
+        .withColumn("text",
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(lit(s"c${i}_"), w))))
+    }, "documents")
+    val embeddings = spark.read.parquet(s"$base/embeddings.parquet")
+    write(copies(spark) { i =>
+      val rot = (i * 6) % 64
+      val rotated =
+        if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, 64 - rot),
+          slice(col("embedding"), 1, rot))
+      embeddings.withColumn("vec_id", col("vec_id") + i * Shift)
+        .withColumn("embedding", rotated)
+    }, "embeddings")
+    // pass-through dims so the dir serves every entry
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      write(spark.read.parquet(s"$base/$t.parquet"), t)
+    }
+    Files.createFile(outP.resolve("_DONE"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_x10"
+    val probes: Seq[String] =
+      if (args.length > 2) args(2).split(",").toSeq
+      else Seq("graph_pagerank", "dedup_near", "dedup_near_pruned",
+        "sim_knn_graph", "stream_outer_join", "pipeline_bpe_train",
+        "text_heavy_hitters_grouped")
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, base, out)
+
+    def time(name: String, dir: String): Double = {
+      // warmup once, then min of 2 timed reps — the Bench protocol
+      SparkEntry.queries(name)(spark, dir).count()
+      (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val rows = probes.map { name =>
+      val tBase = time(name, base)
+      val tX10 = time(name, out)
+      val ratio = tX10 / tBase
+      System.err.println(f"[scale] $name%-28s base $tBase%7.2f s  x10 $tX10%7.2f s  ratio ${ratio}%5.1f")
+      s""""$name":{"base":$tBase,"x10":$tX10,"ratio":${math.rint(ratio * 10) / 10}}"""
+    }
+    println(s"""{"metric":"scale_decade","copies":$Copies,"base":"$base","probes":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+}

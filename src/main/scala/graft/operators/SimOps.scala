@@ -309,11 +309,20 @@ object SimOps {
     val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
     val eq = embeddings
       .select(col("vec_id"), quantize1000(toVec(col("embedding"))).as("xq"))
+    // Cell count GROWS with the corpus (k ≈ V / 125, the dedup_semantic
+    // target-cell-size rule) so candidate volume stays ~V·nprobe·125 =
+    // O(V), not O(V²): doubling the corpus at fixed k would double every
+    // cell and quadruple the join. The ≤4000 floor keeps the oracle-
+    // tested scale factors (V = 500 / 2000) on the fixed 16-cell codebook
+    // the static SQL replicates; beyond it (the scale-probe regime and
+    // up) the adaptive rule takes over.
+    val v = embeddings.count()
+    val cells = if (v <= 4000) 16 else math.max(16L, v / 125).toInt
     // 2 Lloyd rounds: at nprobe = 8 of 16 cells the audit measured recall
     // FLAT in codebook convergence (0.93 at rounds ∈ {2,3}; 0.97 at 1) —
     // cells only need to partition the space, not converge, so the graph
     // build pays for the cheapest non-degenerate codebook
-    val cents = kmeansCentroids(eq, k = 16, rounds = 2)
+    val cents = kmeansCentroids(eq, k = cells, rounds = 2)
     // corpus side: each vector lives in exactly its nearest cell
     val corpus = assignCells(eq, cents)
       .join(e, "vec_id")
