@@ -83,6 +83,7 @@ object Bench {
     // Round-8: stored-layout graph serving (write once, loop-only reads)
     "sink_graph_adjacency", // bucketed adjacency layout write + census
     "graph_pagerank_stored", // pagerank served from the stored layout
+    "sim_knn_cluster",      // SemDeDup clusters over the kNN graph
   )
 
   def main(args: Array[String]): Unit = {

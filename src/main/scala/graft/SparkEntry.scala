@@ -65,6 +65,8 @@ object SparkEntry {
       GraphOps.graphPagerankStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_triangles" -> ((s, d) => GraphOps.graphTriangles(orders(s, d), lineitem(s, d))),
     "graph_components" -> ((s, d) => GraphOps.graphComponents(orders(s, d), lineitem(s, d))),
+    "graph_components_stored" -> ((s, d) =>
+      GraphOps.graphComponentsStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_bfs" -> ((s, d) => GraphOps.graphBfs(orders(s, d), lineitem(s, d))),
     "graph_degree_dist" -> ((s, d) => GraphOps.degreeDist(orders(s, d), lineitem(s, d))),
     "graph_jaccard" -> ((s, d) => GraphOps.graphJaccard(orders(s, d), lineitem(s, d))),
@@ -355,6 +357,7 @@ object SparkEntry {
     "sim_knn_graph" -> ((s, d) => SimOps.simKnnGraph(embeddings(s, d))),
     "sim_ivf_pq" -> ((s, d) => SimOps.simIvfPq(embeddings(s, d))),
     "sim_knn_graph_recall" -> ((s, d) => SimOps.simKnnGraphRecall(embeddings(s, d))),
+    "sim_knn_cluster" -> ((s, d) => SimOps.simKnnCluster(embeddings(s, d))),
     "sim_ood_detect" -> ((s, d) => SimOps.simOodDetect(embeddings(s, d))),
     "sim_pq" -> ((s, d) => SimOps.simPq(embeddings(s, d))),
     "sim_pq_kmeans" -> ((s, d) => SimOps.simPqKmeans(embeddings(s, d))),
@@ -1745,6 +1748,11 @@ object SparkEntry {
            max(outdeg) AS max_deg, min(src) AS min_src
          FROM deg GROUP BY side, bucket ORDER BY side, bucket""",
     "graph_components" -> componentsOracleSql(8),
+    // identical labels served from the stored bucketed layout
+    "graph_components_stored" -> componentsOracleSql(8),
+    // SemDeDup clusters over the kNN graph: same knnGraphCte, edges cut
+    // at cos >= 0.45, six unrolled min-label hops
+    "sim_knn_cluster" -> knnClusterOracleSql(0.45, 6),
     // min-plus distance propagation, unrolled like the other two
     "graph_bfs" -> bfsOracleSql(6),
     // same cap + same exact-percentile edge rule; each triangle counted
@@ -3365,6 +3373,32 @@ object SparkEntry {
              (PARTITION BY src ORDER BY cos DESC, dst) AS rn
            FROM cs WHERE cos >= 0.3),
          g AS (SELECT src, dst, cos FROM f WHERE rn <= 3)"""
+
+  /** SemDeDup cluster oracle: the shared kNN-graph CTE chain, edges cut
+    * at `minCos`, symmetrized (UNION set-dedupe), then `rounds` unrolled
+    * synchronous min-label hops — MATERIALIZED per hop (the components-
+    * oracle lesson: DuckDB inlines plain CTEs and a step referenced twice
+    * re-executes its whole upstream chain). Isolated nodes keep their own
+    * label via LEFT JOIN + coalesce, matching the engine loop.
+    */
+  private def knnClusterOracleSql(minCos: Double, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s""",
+         c$r AS MATERIALIZED (SELECT l.id,
+               least(l.label, coalesce(m.nbr, l.label)) AS label
+             FROM c${r - 1} l LEFT JOIN (
+               SELECT el.dst AS nid, min(l2.label) AS nbr
+               FROM el JOIN c${r - 1} l2 ON el.src = l2.id GROUP BY el.dst) m
+               ON l.id = m.nid)"""
+    }.mkString
+    s"""WITH $knnGraphCte,
+         ge AS (SELECT src, dst FROM g WHERE cos >= $minCos),
+         el AS (SELECT src, dst FROM ge
+                UNION SELECT dst AS src, src AS dst FROM ge),
+         c0 AS MATERIALIZED (SELECT vec_id AS id, vec_id AS label FROM e)$steps
+         SELECT label AS cluster, count(*) AS n_members, max(id) AS max_member
+         FROM c$rounds GROUP BY label HAVING count(*) >= 2 ORDER BY cluster"""
+  }
 
   private def kmeansOracleSql(k: Int, rounds: Int, dim: Int): String =
     s"""WITH ${kmeansCte(k, rounds, dim)}

@@ -196,6 +196,14 @@ object GraphOps {
   def graphComponents(orders: DataFrame, lineitem: DataFrame,
       rounds: Int = 8): DataFrame = {
     val (adj, nodes, _) = buildGraph(orders, lineitem)
+    componentsLoop(adj, nodes, rounds)
+  }
+
+  /** The min-label loop + census, shared by the in-query build and the
+    * stored-layout serving path (both hand in a persisted adjacency).
+    */
+  private def componentsLoop(
+      adj: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
     for (_ <- 1 to rounds) {
       val nbrMin = adj.join(labels, col("src") === col("id"))
@@ -211,6 +219,20 @@ object GraphOps {
       .groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_node"))
       .orderBy("component")
+  }
+
+  /** Connected components SERVED from the stored layout — the second
+    * iterative consumer of `sink_graph_adjacency` (same oracle as
+    * graph_components): one layout write amortizes across the family.
+    */
+  def graphComponentsStored(
+      spark: org.apache.spark.sql.SparkSession,
+      orders: DataFrame, lineitem: DataFrame, sfDir: String,
+      rounds: Int = 8): DataFrame = {
+    val name = ensureAdjacencyTable(spark, orders, lineitem, sfDir)
+    val adj = spark.table(name).persist()
+    val nodes = adj.select(col("src").as("id")).distinct()
+    componentsLoop(adj, nodes, rounds)
   }
 
   /** Multi-source BFS — shortest hop distance from a seed set (every

@@ -448,6 +448,52 @@ object SimOps {
         round(col("n_hits").cast("double") / col("k_eval"), 6).as("recall"))
   }
 
+  /** SemDeDup END-TO-END (round 8): connected components over the kNN
+    * graph — the cluster step the kNN graph exists to feed. Edges are
+    * the graph's top-k neighbor pairs at cos ≥ minCos (0.45: tight
+    * near-duplicate evidence, not the graph's own 0.3 admissibility
+    * floor), symmetrized, then `rounds` synchronous min-label hops
+    * produce the duplicate CLUSTERS a keep-best policy consumes
+    * (dedup_keep_best is the policy half; this is the grouping half at
+    * graph quality rather than single-LSH-bucket quality).
+    *
+    * Scale shape: the edge list is O(V·k) BY CONSTRUCTION (top-3 per
+    * vector), so every label round is one join + one min-aggregate on a
+    * frame k× the node count — the graph family's per-round economics
+    * with the kNN graph as the adjacency. Edges are localCheckpointed
+    * once (every round reads them; the graph build is 10 joins deep).
+    * Nodes with no qualifying edge keep their own label via the left
+    * join + coalesce (unlike the trade graph, isolation is common here).
+    * Deterministic end to end (the graph is; min-label is) → the oracle
+    * unrolls the same rounds over the shared knnGraphCte.
+    * Output: clusters with ≥ 2 members (census + extrema handles).
+    */
+  def simKnnCluster(embeddings: DataFrame, minCos: Double = 0.45,
+      rounds: Int = 6): DataFrame = {
+    val g = simKnnGraph(embeddings).filter(col("cos") >= minCos)
+    val edges = g.select(col("src"), col("dst"))
+      .union(g.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = embeddings.select(col("vec_id").as("id"))
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val nbrMin = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("nid"), col("label").as("nl"))
+        .groupBy(col("nid"))
+        .agg(min(col("nl")).as("nbr"))
+      labels = labels.join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+    }
+    labels
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+      .filter(col("n_members") >= 2)
+      .orderBy("cluster")
+  }
+
   /** Int8 scalar-quantized similarity search — the memory/bandwidth move
     * that makes 100 TB of embeddings tractable: one corpus-wide symmetric
     * scale s = max|component| (a single tiny aggregate, broadcast back),

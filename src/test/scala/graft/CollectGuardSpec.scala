@@ -85,8 +85,9 @@ class CollectGuardSpec extends SparkTestBase {
     "sim_ivf_pq", "sim_ood_detect", "sim_mips", "sink_ann_index",
     "dedup_semantic",
     // round 8: the kNN graph now trains the same k=16 codebook for its
-    // nprobe cells — the identical bounded-constant collect
-    "sim_knn_graph", "sim_knn_graph_recall",
+    // nprobe cells — the identical bounded-constant collect (the cluster
+    // entry builds on the graph and inherits it)
+    "sim_knn_graph", "sim_knn_graph_recall", "sim_knn_cluster",
     // the HOF product fold consumes one array per ORDER of that order's
     // line quantities — bounded by lines-per-order (≤ 17 in the fixture,
     // a 7-line cap in the TPC-H spec), the agg_collect dim-bound rule

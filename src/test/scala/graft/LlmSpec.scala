@@ -600,6 +600,27 @@ class LlmSpec extends SparkTestBase {
     assert(out(4L) === ((1L, 1L, false)), s"singleton group: ${out.get(4L)}")
   }
 
+  test("sim_knn_cluster: clusters are min-labeled, size >= 2, and edge-consistent") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val out = operators.SimOps.simKnnCluster(embs).cache()
+    assert(out.count() > 0, "no clusters at all — threshold too tight for the fixture")
+    // the label is the component's MIN member: strictly below max_member
+    assert(out.filter(col("cluster") >= col("max_member")).count() === 0)
+    assert(out.filter(col("n_members") < 2).count() === 0)
+    // edge-consistency: both endpoints of every qualifying graph edge
+    // fall in SOME cluster (an edge is 2 members by definition)
+    val g = operators.SimOps.simKnnGraph(embs).filter(col("cos") >= 0.45)
+    val nEdge = g.count()
+    if (nEdge > 0) {
+      val covered = g.select(col("src").as("id"))
+        .union(g.select(col("dst").as("id"))).distinct()
+      val nMembersTotal = out.agg(sum(col("n_members"))).as[Long].head()
+      assert(nMembersTotal === covered.count(),
+        "cluster membership must cover exactly the edge-touched vectors")
+    }
+    out.unpersist()
+  }
+
   test("multimodal payload survives project/filter/join byte-identically") {
     val docs = Tables.documents(spark, sf0001)
     val embs = Tables.embeddings(spark, sf0001)
