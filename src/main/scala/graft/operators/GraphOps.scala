@@ -136,8 +136,14 @@ object GraphOps {
   private[graft] def loopPartitioned(adj: DataFrame, nodes: DataFrame, n: Long,
       rounds: Int, damping: Double): DataFrame = {
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint()
-    for (_ <- 1 to rounds) {
-      ranks = superstepPartitioned(adj, ranks, n, damping).localCheckpoint()
+    for (r <- 1 to rounds) {
+      ranks = superstepPartitioned(adj, ranks, n, damping)
+      // checkpoint every SECOND superstep: each eager localCheckpoint is
+      // a job barrier with fixed cost, a 2-deep superstep lineage plans
+      // fine, and the lineage still truncates before it compounds (the
+      // per-round form this replaces was the r4 fix for UNBOUNDED
+      // lineage — the cadence keeps that property at half the barriers)
+      if (r % 2 == 0 || r == rounds) ranks = ranks.localCheckpoint()
     }
     adj.unpersist()
     finish(ranks)
@@ -205,14 +211,15 @@ object GraphOps {
   private def componentsLoop(
       adj: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val nbrMin = adj.join(labels, col("src") === col("id"))
         .select(explode(col("dsts")).as("nid"), col("label").as("nl"))
         .groupBy(col("nid"))
         .agg(min(col("nl")).as("nbr"))
       labels = labels.join(nbrMin, col("id") === col("nid"))
         .select(col("id"), least(col("label"), col("nbr")).as("label"))
-        .localCheckpoint()
+      // every-second-hop checkpoint cadence (the loopPartitioned trade)
+      if (r % 2 == 0 || r == rounds) labels = labels.localCheckpoint()
     }
     adj.unpersist()
     labels
@@ -261,14 +268,15 @@ object GraphOps {
     var dist = nodes.select(col("id"),
       when(col("id") % 64 === 0, lit(0L)).otherwise(lit(INF)).as("dist"))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val nbr = adj.join(dist, col("src") === col("id"))
         .select(explode(col("dsts")).as("nid"), (col("dist") + 1).as("nd"))
         .groupBy(col("nid"))
         .agg(min(col("nd")).as("nbr"))
       dist = dist.join(nbr, col("id") === col("nid"))
         .select(col("id"), least(col("dist"), col("nbr")).as("dist"))
-        .localCheckpoint()
+      // every-second-hop checkpoint cadence (the loopPartitioned trade)
+      if (r % 2 == 0 || r == rounds) dist = dist.localCheckpoint()
     }
     adj.unpersist()
     dist
