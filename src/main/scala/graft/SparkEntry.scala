@@ -213,6 +213,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => LlmOps.dedupExact(documents(s, d))),
     "dedup_paragraph" -> ((s, d) => LlmOps.dedupParagraph(documents(s, d))),
     "dedup_near" -> ((s, d) => LlmOps.dedupNear(documents(s, d))),
+    "dedup_near_recall" -> ((s, d) => LlmOps.dedupNearRecall(documents(s, d))),
     "dedup_near_pruned" -> ((s, d) => LlmOps.dedupNearPruned(documents(s, d))),
     "dedup_incremental" -> ((s, d) => LlmOps.dedupIncremental(s, d)),
     "dedup_clusters" -> ((s, d) => LlmOps.dedupClusters(documents(s, d))),
@@ -1350,6 +1351,26 @@ object SparkEntry {
       s"""$nearDupCte
          SELECT doc_a, doc_b, round(jac, 6) AS jac FROM j
          WHERE round(jac, 6) >= 0.6 ORDER BY doc_a, doc_b""",
+    // sampled exact-Jaccard ground truth vs the banded pairs, pair-for-
+    // pair (precision is 1 by construction — every emitted pair is
+    // exact-verified; recall is what banding owes)
+    "dedup_near_recall" ->
+      s"""$nearDupCte,
+         pr AS (SELECT doc_id AS p, sh AS shp FROM s WHERE doc_id % 20 = 0),
+         ex0 AS (SELECT least(pr.p, s.doc_id) AS doc_a,
+             greatest(pr.p, s.doc_id) AS doc_b,
+             round(len(list_intersect(s.sh, pr.shp))::DOUBLE /
+               (len(s.sh) + len(pr.shp) - len(list_intersect(s.sh, pr.shp))), 6)
+               AS jac
+           FROM s CROSS JOIN pr WHERE s.doc_id <> pr.p),
+         ex AS (SELECT DISTINCT doc_a, doc_b FROM ex0 WHERE jac >= 0.6),
+         g2 AS (SELECT doc_a, doc_b FROM j WHERE round(jac, 6) >= 0.6)
+         SELECT count(*) AS k_eval,
+           CAST(sum(CASE WHEN g2.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           round(CAST(sum(CASE WHEN g2.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS recall
+         FROM ex LEFT JOIN g2 ON g2.doc_a = ex.doc_a AND g2.doc_b = ex.doc_b""",
     // decile boundaries fold identical IEEE doubles on both engines
     "dedup_threshold_sweep" ->
       s"""$nearDupCte

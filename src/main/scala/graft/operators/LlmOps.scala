@@ -177,6 +177,42 @@ object LlmOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** In-engine RECALL audit for the banded near-dedup — the
+    * sim_ivf_recall stance applied to MinHash/LSH (round 8): the
+    * banding math promises ≈ 1-(1-J^4)^8 recall, and this entry MEASURES
+    * it instead of citing it. Ground truth is exact shingle Jaccard for
+    * a deterministic 1-in-20 document sample against the whole corpus
+    * (the bounded audit a 100 TB pipeline can afford: the sampled
+    * shingle sets broadcast, one linear corpus pass), compared
+    * pair-for-pair against the production dedup's output. Precision
+    * needs no audit — every emitted pair is exact-Jaccard-verified by
+    * construction — so recall is the one honest number banding owes.
+    */
+  def dedupNearRecall(documents: DataFrame, minJac: Double = 0.6): DataFrame = {
+    graft.plans.TextKernels.register(documents.sparkSession)
+    val sh = documents.select(col("doc_id"), shingleSet(col("text")).as("sh"))
+    val probes = sh.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("p"), col("sh").as("shp"))
+    val inter = size(array_intersect(col("sh"), col("shp")))
+    val jac = inter.cast("double") /
+      (size(col("sh")) + size(col("shp")) - inter)
+    val exact = sh.crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("p"))
+      .select(least(col("p"), col("doc_id")).as("doc_a"),
+        greatest(col("p"), col("doc_id")).as("doc_b"),
+        round(jac, 6).as("jac"))
+      .filter(col("jac") >= minJac)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct() // both-endpoints-sampled pairs arrive once per endpoint
+    val got = dedupNear(documents)
+      .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1L))
+    exact.join(got, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("k_eval"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("k_eval"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("k_eval"), 6).as("recall"))
+  }
+
   /** Threshold-TUNING sweep — the calibration artifact run before fixing
     * a near-dup cutoff: the decile histogram of ALL verified candidate
     * jaccards (minJac = 0, same banding/cap as production). Where the
