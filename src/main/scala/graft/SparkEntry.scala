@@ -142,6 +142,8 @@ object SparkEntry {
     "agg_skew_kurt" -> ((s, d) => AggOps.aggSkewKurt(lineitem(s, d))),
     "agg_quantiles" -> ((s, d) => AggOps.aggQuantiles(lineitem(s, d))),
     "agg_hll_sketch" -> ((s, d) => AggOps.aggHllSketch(lineitem(s, d))),
+    "agg_theta_sketch" -> ((s, d) => AggOps.aggThetaSketch(lineitem(s, d))),
+    "agg_approx_topk_checked" -> ((s, d) => AggOps.aggApproxTopK(events(s, d))),
     "agg_product" -> ((s, d) => AggOps.aggProduct(lineitem(s, d))),
     "agg_histogram" -> ((s, d) => AggOps.aggHistogram(lineitem(s, d))),
     // Array columns stringified at the query boundary: the driver's pandas
@@ -1634,6 +1636,29 @@ object SparkEntry {
          count(DISTINCT l_partkey) AS n_exact,
          true AS est_ok, true AS union_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // DataSketches THETA: exact overlap algebra + set-op verdicts within
+    // 5% of the union cardinality (theta error scales with the sets)
+    "agg_theta_sketch" ->
+      """WITH k AS (SELECT DISTINCT l_returnflag AS flag, l_partkey AS pk
+                    FROM lineitem),
+         c AS (SELECT flag, count(*) AS n FROM k GROUP BY flag),
+         i AS (SELECT a.flag AS fa, b.flag AS fb, count(*) AS n_inter_exact
+               FROM k a JOIN k b ON a.pk = b.pk AND a.flag < b.flag
+               GROUP BY 1, 2)
+         SELECT fa, fb, n_inter_exact,
+           ca.n + cb.n - n_inter_exact AS n_union_exact,
+           ca.n - n_inter_exact AS n_diff_exact,
+           true AS inter_ok, true AS union_ok, true AS diff_ok
+         FROM i JOIN c ca ON ca.flag = i.fa JOIN c cb ON cb.flag = i.fb
+         ORDER BY fa, fb""",
+    // frequent-items sketch in its exact regime: the returned top-3 set
+    // IS the true top-3 (counts well separated in the fixture) and each
+    // carries its exact count
+    "agg_approx_topk_checked" ->
+      """SELECT event_type, n_exact, true AS est_ok FROM (
+           SELECT event_type, count(*) AS n_exact FROM events
+           GROUP BY event_type ORDER BY n_exact DESC, event_type LIMIT 3)
+         ORDER BY event_type""",
     // same derived-band contract as agg_approx_distinct_checked: the
     // oracle predicts the merged daily sketches land within 3×rse of exact
     "agg_sketch_rollup" ->

@@ -613,6 +613,74 @@ object AggOps {
         round(expr("percentile(l_extendedprice, 0.95D)"), 4).as("p95"))
       .orderBy("l_returnflag")
 
+  /** DataSketches THETA sketches (round 8) — the sketch family that
+    * supports SET ALGEBRA: intersection and difference estimates, which
+    * HLL structurally cannot answer (HLL only unions). The 100 TB use is
+    * audience/corpus overlap — "how many part keys do two return flags
+    * share" without materializing either set. Theta sketches are
+    * ORDER-INSENSITIVE (the retained hash set is a pure function of the
+    * input SET), so estimates are deterministic; they are still
+    * engine-internal numbers, so the entry exports the EXACT overlap
+    * algebra plus verdicts the oracle predicts true (the
+    * agg_approx_distinct_checked contract). The verdict band is 5% of
+    * the UNION cardinality — theta set-op error scales with the
+    * participating sets, not the result (a tiny difference estimated
+    * from two 20k-key sketches carries the sketches' absolute error).
+    */
+  def aggThetaSketch(lineitem: DataFrame): DataFrame = {
+    val sk = lineitem.groupBy(col("l_returnflag").as("flag"))
+      .agg(expr("theta_sketch_agg(l_partkey)").as("sk"))
+    val est = sk.as("a").join(sk.as("b"), col("a.flag") < col("b.flag"))
+      .select(col("a.flag").as("fa"), col("b.flag").as("fb"),
+        expr("theta_sketch_estimate(theta_intersection(a.sk, b.sk))").as("est_inter"),
+        expr("theta_sketch_estimate(theta_union(a.sk, b.sk))").as("est_union"),
+        expr("theta_sketch_estimate(theta_difference(a.sk, b.sk))").as("est_diff"))
+    val keys = lineitem
+      .select(col("l_returnflag").as("flag"), col("l_partkey").as("pk"))
+      .distinct()
+    val cnt = keys.groupBy(col("flag")).agg(count(lit(1)).as("n"))
+    val inter = keys.as("ka").join(keys.as("kb"),
+        col("ka.pk") === col("kb.pk") && col("ka.flag") < col("kb.flag"))
+      .groupBy(col("ka.flag").as("fa"), col("kb.flag").as("fb"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    val withExact = inter
+      .join(cnt.select(col("flag").as("fa"), col("n").as("na")), "fa")
+      .join(cnt.select(col("flag").as("fb"), col("n").as("nb")), "fb")
+      .select(col("fa"), col("fb"), col("n_inter_exact"),
+        (col("na") + col("nb") - col("n_inter_exact")).as("n_union_exact"),
+        (col("na") - col("n_inter_exact")).as("n_diff_exact"))
+    val band = col("n_union_exact").cast("double") * 0.05
+    withExact.join(est, Seq("fa", "fb"))
+      .select(col("fa"), col("fb"),
+        col("n_inter_exact"), col("n_union_exact"), col("n_diff_exact"),
+        (abs(col("est_inter") - col("n_inter_exact")) <= band).as("inter_ok"),
+        (abs(col("est_union") - col("n_union_exact")) <= band).as("union_ok"),
+        (abs(col("est_diff") - col("n_diff_exact")) <= band).as("diff_ok"))
+      .orderBy("fa", "fb")
+  }
+
+  /** DataSketches frequent-items top-k (round 8) — the heavy-hitter
+    * sketch behind `approx_top_k`: bounded state per task, mergeable,
+    * the one-pass answer to "most frequent values" a 100 TB profiling
+    * pass runs per column. With tracked capacity ≥ the column's distinct
+    * count the sketch is in its EXACT regime (no eviction ⇒
+    * merge-order-invariant, counts exact), which the fixture guarantees
+    * (5 event types, default capacity 10⁴) and the verdict columns
+    * prove: the returned k items must carry exactly their true counts.
+    * Beyond capacity the counts become bounded-error estimates — the
+    * documented trade, audited the agg_approx_distinct_checked way.
+    */
+  def aggApproxTopK(events: DataFrame): DataFrame = {
+    val topk = events.agg(expr("approx_top_k(event_type, 3)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.count").as("est"))
+    val exact = events.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    topk.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (col("est") === col("n_exact")).as("est_ok"))
+      .orderBy("event_type")
+  }
+
   /** Product aggregate — an aggregate Spark lacks natively, composed
     * from `collect_list` + the `aggregate` HOF instead of a UDAF: the
     * fold runs map-side per group inside codegen'd HashAggregate state.
