@@ -90,6 +90,8 @@ object SparkEntry {
         supplier(s, d), nation(s, d), region(s, d))),
     "q10_returned_items" -> ((s, d) =>
       AuditQueries.q10ReturnedItems(customer(s, d), orders(s, d), lineitem(s, d), nation(s, d))),
+    "q18_large_volume" -> ((s, d) =>
+      AuditQueries.q18LargeVolume(customer(s, d), orders(s, d), lineitem(s, d))),
     "q6_sql_revenue" -> ((s, d) => AuditQueries.q6SqlRevenue(s, lineitem(s, d))),
     "q_subquery_scalar" -> ((s, d) => AuditQueries.qSubqueryScalar(s, orders(s, d))),
     "q_subquery_exists" -> ((s, d) =>
@@ -802,6 +804,19 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY c_custkey, c_name, n_name
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    // floor() before the long compare: integer-valued totals, explicit
+    // rounding direction on both engines (the agg_product rule)
+    "q18_large_volume" ->
+      """WITH big AS (SELECT l_orderkey,
+             CAST(floor(sum(l_quantity)) AS BIGINT) AS total_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING CAST(floor(sum(l_quantity)) AS BIGINT) > 250)
+         SELECT c_custkey, c_name, o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_day,
+           round(o_totalprice, 2) AS price, total_qty
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN big ON o_orderkey = l_orderkey
+         ORDER BY price DESC, o_orderkey LIMIT 100""",
     "q_funnel" ->
       """WITH f AS (SELECT user_id,
              min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,

@@ -75,6 +75,33 @@ object AuditQueries {
       .orderBy(desc("revenue"), asc("c_custkey"))
       .limit(20)
 
+  /** Q18 shape (round 8) — large-volume customers: the aggregate-HAVING
+    * semi-join pattern. The fact table folds to per-order quantity totals
+    * FIRST (map-side partial sum, one shuffle on the order key), the
+    * HAVING cut shrinks that to the rare big orders, and only then do
+    * customer/orders join in — the order of operations a 100 TB plan
+    * needs (filter-by-aggregate before widening, never after). Quantity
+    * totals are integer-valued; `floor` makes the long conversion
+    * direction explicit on both engines (the agg_product rule).
+    */
+  def q18LargeVolume(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      minQty: Int = 250): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(floor(sum(col("l_quantity"))).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").cast("string").as("order_day"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("total_qty"))
+      .orderBy(desc("price"), asc("o_orderkey"))
+      .limit(100)
+  }
+
   /** Funnel analysis over the event stream: users who signed up, then
     * clicked, then purchased IN THAT ORDER — first-occurrence timestamps
     * per (user, stage) from one conditional aggregation (no joins, no
