@@ -256,6 +256,7 @@ object SparkEntry {
     "source_env_config" -> ((s, d) => EtlOps.sourceConfigured(s, d)),
     "source_api_auth" -> ((s, d) => EtlOps.sourceApiAuth(s, d)),
     "scan_json_corrupt" -> ((s, d) => EtlOps.scanJsonCorrupt(s, d)),
+    "scan_file_metadata" -> ((s, d) => EtlOps.scanFileMetadata(s, d)),
     "scan_csv_malformed" -> ((s, d) => EtlOps.scanCsvMalformed(s, d)),
     "scan_merge_schema" -> ((s, d) => EtlOps.scanMergeSchema(s, d)),
     "sink_raw_append" -> ((s, d) => EtlOps.sinkRawAppend(s, d)),
@@ -1972,6 +1973,13 @@ object SparkEntry {
            'garbage line with no commas key=' || CAST(n_nationkey AS VARCHAR)
          FROM nation WHERE n_nationkey % 5 = 0
          ORDER BY quarantined, n_nationkey NULLS FIRST, raw NULLS FIRST""",
+    // provenance is a pure function of the key (parity split), so the
+    // hidden _metadata.file_name folds to a predictable label
+    "scan_file_metadata" ->
+      """SELECT 'load-' || CAST(event_id % 2 AS VARCHAR) AS load_file,
+           count(*) AS n, count(DISTINCT user_id) AS n_users,
+           max(event_id) AS max_id
+         FROM events GROUP BY 1 ORDER BY load_file""",
     // two appends of the same batch: every selected key carries exactly
     // two loads, both stamped, last load_id 2, ingested total = 2x price.
     // ingested_at itself stays data-invisible (wall clock), the

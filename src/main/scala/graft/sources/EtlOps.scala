@@ -134,6 +134,40 @@ object EtlOps {
       .orderBy("r_regionkey")
   }
 
+  /** FILE PROVENANCE via the hidden `_metadata` struct (round 8) — the
+    * per-file lineage an idempotent append pipeline audits with
+    * (README.md:27–28: which load did each record arrive in?): every
+    * file-source row carries `_metadata.file_name` for free (constant
+    * per file, populated by the reader — no join against a manifest),
+    * so "rows / distinct users / high-water mark PER LOAD FILE" is one
+    * group-by away. Two deterministic parity-split load files make the
+    * provenance oracle-pairable: the file a row lands in is a pure
+    * function of its key.
+    */
+  def scanFileMetadata(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "events_files")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"))
+    for (half <- 0 to 1) {
+      val tmp = freshDir(sfDir, s"events_files_stage$half")
+      events.filter(col("event_id") % 2 === half)
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, dir.resolve(s"load-$half.parquet"))
+    }
+    spark.read.parquet(dir.toString)
+      .select(
+        regexp_extract(col("_metadata.file_name"), "(load-\\d+)", 1)
+          .as("load_file"),
+        col("event_id"), col("user_id"))
+      .groupBy(col("load_file"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("load_file")
+  }
+
   /** Raw TEXT-source scan — the format a web-corpus pipeline actually
     * starts from (one record per line, no schema at all): the documents
     * table round-trips through `.text` files (tab-joined — the corpus
