@@ -1374,7 +1374,9 @@ object SparkEntry {
     // exact-verified; recall is what banding owes)
     "dedup_near_recall" ->
       s"""$nearDupCte,
-         pr AS (SELECT doc_id AS p, sh AS shp FROM s WHERE doc_id % 20 = 0),
+         pr AS (SELECT doc_id AS p, sh AS shp FROM s
+                WHERE doc_id % (SELECT greatest(20, count(*) // 100)
+                                FROM documents) = 0),
          ex0 AS (SELECT least(pr.p, s.doc_id) AS doc_a,
              greatest(pr.p, s.doc_id) AS doc_b,
              round(len(list_intersect(s.sh, pr.shp))::DOUBLE /

@@ -181,17 +181,22 @@ object LlmOps {
     * sim_ivf_recall stance applied to MinHash/LSH (round 8): the
     * banding math promises ≈ 1-(1-J^4)^8 recall, and this entry MEASURES
     * it instead of citing it. Ground truth is exact shingle Jaccard for
-    * a deterministic 1-in-20 document sample against the whole corpus
-    * (the bounded audit a 100 TB pipeline can afford: the sampled
-    * shingle sets broadcast, one linear corpus pass), compared
-    * pair-for-pair against the production dedup's output. Precision
-    * needs no audit — every emitted pair is exact-Jaccard-verified by
-    * construction — so recall is the one honest number banding owes.
+    * a deterministic ~100-document sample against the whole corpus,
+    * compared pair-for-pair against the production dedup's output. The
+    * sample is BOUNDED, not proportional: the modulus grows with the
+    * corpus (max(20, N/100)), so the audit stays one linear corpus pass
+    * against ~100 broadcast shingle sets at ANY scale — the first
+    * ScaleProbe run caught the proportional 1-in-20 form at 11.8× for
+    * 10× data (a quadratic audit nobody can afford at 100 TB; the fix
+    * lands it back near-linear). Precision needs no audit — every
+    * emitted pair is exact-Jaccard-verified by construction — so recall
+    * is the one honest number banding owes.
     */
   def dedupNearRecall(documents: DataFrame, minJac: Double = 0.6): DataFrame = {
     graft.plans.TextKernels.register(documents.sparkSession)
+    val mod = math.max(20L, documents.count() / 100L)
     val sh = documents.select(col("doc_id"), shingleSet(col("text")).as("sh"))
-    val probes = sh.filter(col("doc_id") % 20 === 0)
+    val probes = sh.filter(col("doc_id") % mod === 0)
       .select(col("doc_id").as("p"), col("sh").as("shp"))
     val inter = size(array_intersect(col("sh"), col("shp")))
     val jac = inter.cast("double") /
