@@ -364,6 +364,8 @@ object SparkEntry {
     "sim_ivf_pq" -> ((s, d) => SimOps.simIvfPq(embeddings(s, d))),
     "sim_knn_graph_recall" -> ((s, d) => SimOps.simKnnGraphRecall(embeddings(s, d))),
     "sim_knn_cluster" -> ((s, d) => SimOps.simKnnCluster(embeddings(s, d))),
+    "pipeline_hard_negatives" -> ((s, d) =>
+      SimOps.pipelineHardNegatives(embeddings(s, d))),
     "sim_ood_detect" -> ((s, d) => SimOps.simOodDetect(embeddings(s, d))),
     "sim_pq" -> ((s, d) => SimOps.simPq(embeddings(s, d))),
     "sim_pq_kmeans" -> ((s, d) => SimOps.simPqKmeans(embeddings(s, d))),
@@ -1817,6 +1819,21 @@ object SparkEntry {
     // SemDeDup clusters over the kNN graph: same knnGraphCte, edges cut
     // at cos >= 0.45, six unrolled min-label hops
     "sim_knn_cluster" -> knnClusterOracleSql(0.45, 4),
+    // contrastive mining census over the same graph: positives at
+    // cos >= 0.45, hard negatives = retained neighbors below it
+    "pipeline_hard_negatives" ->
+      s"""WITH $knnGraphCte
+         SELECT src AS anchor,
+           CAST(sum(CASE WHEN cos >= 0.45 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           CAST(sum(CASE WHEN cos < 0.45 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hard,
+           max(CASE WHEN cos >= 0.45 THEN cos END) AS best_pos_cos,
+           max(CASE WHEN cos < 0.45 THEN cos END) AS best_neg_cos,
+           min(CASE WHEN cos < 0.45 THEN dst END) AS first_neg_id
+         FROM g GROUP BY src
+         HAVING sum(CASE WHEN cos < 0.45 THEN 1 ELSE 0 END) >= 1
+         ORDER BY anchor""",
     // min-plus distance propagation, unrolled like the other two
     "graph_bfs" -> bfsOracleSql(6),
     // same cap + same exact-percentile edge rule; each triangle counted

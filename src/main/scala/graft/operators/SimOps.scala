@@ -512,6 +512,33 @@ object SimOps {
       .orderBy("cluster")
   }
 
+  /** Contrastive HARD-NEGATIVE mining (round 8) — the training-pair
+    * extraction an embedding-model pipeline runs over its own corpus:
+    * per anchor, neighbors ABOVE the duplicate threshold are positives
+    * (same-content evidence) and the highest-cosine neighbors BELOW it
+    * are hard negatives — close enough to be informative, far enough to
+    * be true negatives (the standard dense-retrieval recipe; random
+    * negatives teach nothing at scale). Rides the kNN graph, so the
+    * mining cost beyond the graph build is one O(V·k) aggregation; the
+    * census keeps anchors that have at least one hard negative (pairs
+    * without contrast don't train anything). Deterministic end to end →
+    * oracle = the shared knnGraphCte + the same conditional aggregate.
+    */
+  def pipelineHardNegatives(embeddings: DataFrame,
+      posCos: Double = 0.45): DataFrame = {
+    val g = simKnnGraph(embeddings)
+    val isPos = col("cos") >= posCos
+    g.groupBy(col("src").as("anchor"))
+      .agg(
+        sum(when(isPos, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!isPos, 1L).otherwise(0L)).as("n_hard"),
+        max(when(isPos, col("cos"))).as("best_pos_cos"),
+        max(when(!isPos, col("cos"))).as("best_neg_cos"),
+        min(when(!isPos, col("dst"))).as("first_neg_id"))
+      .filter(col("n_hard") >= 1)
+      .orderBy("anchor")
+  }
+
   /** Int8 scalar-quantized similarity search — the memory/bandwidth move
     * that makes 100 TB of embeddings tractable: one corpus-wide symmetric
     * scale s = max|component| (a single tiny aggregate, broadcast back),

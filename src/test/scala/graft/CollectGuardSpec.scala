@@ -88,6 +88,7 @@ class CollectGuardSpec extends SparkTestBase {
     // nprobe cells — the identical bounded-constant collect (the cluster
     // entry builds on the graph and inherits it)
     "sim_knn_graph", "sim_knn_graph_recall", "sim_knn_cluster",
+    "pipeline_hard_negatives",
     // the HOF product fold consumes one array per ORDER of that order's
     // line quantities — bounded by lines-per-order (≤ 17 in the fixture,
     // a 7-line cap in the TPC-H spec), the agg_collect dim-bound rule
