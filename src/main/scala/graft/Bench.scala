@@ -84,6 +84,7 @@ object Bench {
     "sink_graph_adjacency", // bucketed adjacency layout write + census
     "graph_pagerank_stored", // pagerank served from the stored layout
     "sim_knn_cluster",      // SemDeDup clusters over the kNN graph
+    "q18_large_volume",     // aggregate-HAVING semi-join composite
   )
 
   def main(args: Array[String]): Unit = {
