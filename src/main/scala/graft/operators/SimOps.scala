@@ -1184,12 +1184,23 @@ object SimOps {
     * (integer k-means + first-index argmin + rounded cosine), so the
     * oracle replicates the entire pipeline.
     */
-  def dedupSemantic(embeddings: DataFrame, k: Int = 16, rounds: Int = 3,
+  def dedupSemantic(embeddings: DataFrame, k: Int = 0, rounds: Int = 3,
       minCos: Double = 0.95): DataFrame = {
     graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    // k = 0 → the documented scale lever applied automatically: cells
+    // grow as V/125 beyond the oracle-tested SFs (the sim_knn_graph
+    // rule), so within-cluster quadratic work stays bounded per cell —
+    // the ScaleProbe measured the FIXED k=16 form at 8.9× for 10× data
+    // (cluster size ×10 ⇒ pairs ×100), the adaptive form near-linear
+    val kEff =
+      if (k > 0) k
+      else {
+        val v = embeddings.count()
+        if (v <= 4000) 16 else math.max(16L, v / 125).toInt
+      }
     val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
     val eq = embeddings.select(col("vec_id"), quantize1000(toVec(col("embedding"))).as("xq"))
-    val cells = assignCells(eq, kmeansCentroids(eq, k, rounds))
+    val cells = assignCells(eq, kmeansCentroids(eq, kEff, rounds))
       .select(col("vec_id").as("doc_id"), col("cell"))
     val cand = bucketPairs(cells, Seq("cell"))
     val va = e.select(col("vec_id").as("doc_a"), col("v").as("v_a"))
