@@ -69,6 +69,8 @@ object SparkEntry {
       GraphOps.graphComponentsStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_bfs" -> ((s, d) => GraphOps.graphBfs(orders(s, d), lineitem(s, d))),
     "graph_degree_dist" -> ((s, d) => GraphOps.degreeDist(orders(s, d), lineitem(s, d))),
+    "graph_label_prop" -> ((s, d) => GraphOps.graphLabelProp(orders(s, d), lineitem(s, d))),
+    "graph_kcore" -> ((s, d) => GraphOps.graphKcore(orders(s, d), lineitem(s, d))),
     "graph_jaccard" -> ((s, d) => GraphOps.graphJaccard(orders(s, d), lineitem(s, d))),
     // native custom operator (logical node + strategy + partial/final exec)
     "topk_per_group_native" -> ((s, d) =>
@@ -97,6 +99,7 @@ object SparkEntry {
     "q_subquery_exists" -> ((s, d) =>
       AuditQueries.qSubqueryExists(s, customer(s, d), orders(s, d))),
     "q_subquery_in" -> ((s, d) => AuditQueries.qSubqueryIn(s, orders(s, d), customer(s, d))),
+    "q_not_in_nulls" -> ((s, d) => AuditQueries.qNotInNulls(s, orders(s, d), customer(s, d))),
     "q_cte" -> ((s, d) => AuditQueries.qCte(s, orders(s, d), customer(s, d))),
     "q_recursive_cte" -> ((s, d) => AuditQueries.qRecursiveCte(s, orders(s, d))),
     "q_window_sql" -> ((s, d) => AuditQueries.qWindowSql(s, customer(s, d))),
@@ -141,6 +144,7 @@ object SparkEntry {
     "agg_mode" -> ((s, d) => AggOps.aggMode(lineitem(s, d))),
     "agg_corr" -> ((s, d) => AggOps.aggCorr(lineitem(s, d))),
     "agg_regression" -> ((s, d) => AggOps.aggRegression(lineitem(s, d))),
+    "agg_weighted_stats" -> ((s, d) => AggOps.aggWeightedStats(lineitem(s, d))),
     "agg_skew_kurt" -> ((s, d) => AggOps.aggSkewKurt(lineitem(s, d))),
     "agg_quantiles" -> ((s, d) => AggOps.aggQuantiles(lineitem(s, d))),
     "agg_hll_sketch" -> ((s, d) => AggOps.aggHllSketch(lineitem(s, d))),
@@ -339,6 +343,9 @@ object SparkEntry {
     "pipeline_quality_classifier" ->
       ((s, d) => PipelineOps.pipelineQualityClassifier(documents(s, d))),
     "pipeline_mix" -> ((s, d) => PipelineOps.pipelineMix(documents(s, d))),
+    "pipeline_curriculum" -> ((s, d) => PipelineOps.pipelineCurriculum(documents(s, d))),
+    "pipeline_span_corruption" ->
+      ((s, d) => PipelineOps.pipelineSpanCorruption(documents(s, d))),
     "pipeline_shard_manifest" ->
       ((s, d) => PipelineOps.pipelineShardManifest(documents(s, d))),
     "pipeline_dataset_card" ->
@@ -918,6 +925,21 @@ object SparkEntry {
          WHERE o_custkey IN (SELECT c_custkey FROM customer
                              WHERE c_mktsegment = 'BUILDING')
          ORDER BY o_orderkey""",
+    // three-valued logic: the NULL-bearing NOT IN list empties the first
+    // count on BOTH engines; the anti-join legs agree with each other
+    "q_not_in_nulls" ->
+      """SELECT
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN
+              (SELECT CASE WHEN c_acctbal < 0 THEN c_custkey END
+               FROM customer)) AS n_not_in_with_nulls,
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN
+              (SELECT c_custkey FROM customer WHERE c_acctbal < 0)) AS n_not_in_clean,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS
+              (SELECT 1 FROM customer c
+               WHERE c.c_acctbal < 0 AND c.c_custkey = o.o_custkey)) AS n_not_exists""",
     // sum(bigint) is HUGEINT in DuckDB — cast back so dtypes match Spark
     "q_cte" ->
       """WITH big_orders AS (
@@ -1816,6 +1838,10 @@ object SparkEntry {
     "graph_components" -> componentsOracleSql(8),
     // identical labels served from the stored bucketed layout
     "graph_components_stored" -> componentsOracleSql(8),
+    // mode-of-neighbors with smallest-label tie-break, unrolled rounds
+    "graph_label_prop" -> labelPropOracleSql(4),
+    // peeling trajectory: per-round census of the >=k-degree active set
+    "graph_kcore" -> kcoreOracleSql(0.90, 10, 5),
     // SemDeDup clusters over the kNN graph: same knnGraphCte, edges cut
     // at cos >= 0.45, six unrolled min-label hops
     "sim_knn_cluster" -> knnClusterOracleSql(0.45, 4),
@@ -1863,6 +1889,24 @@ object SparkEntry {
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag, bucket, lo
          ORDER BY l_returnflag, bucket""",
+    // same sufficient-statistics discipline as agg_regression: exact
+    // integer (w, w·x, w·x²) sums, double boundary after aggregation
+    "agg_weighted_stats" ->
+      """WITH s AS (SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS w,
+             CAST(round(l_extendedprice) AS BIGINT) AS x
+           FROM lineitem),
+         a AS (SELECT l_returnflag,
+             CAST(sum(w) AS BIGINT) AS sw,
+             CAST(sum(w) AS DOUBLE) AS swd,
+             CAST(sum(w * x) AS DOUBLE) AS swxd,
+             CAST(sum(w * x * x) AS DOUBLE) AS swxxd
+           FROM s GROUP BY l_returnflag)
+         SELECT l_returnflag, sw,
+           round(swxd / swd, 6) AS wmean,
+           round(swxxd / swd - (swxd / swd) * (swxd / swd), 6) AS wvar,
+           round(sqrt(swxxd / swd - (swxd / swd) * (swxd / swd)), 6) AS wstd
+         FROM a ORDER BY l_returnflag""",
     // sufficient-statistics OLS: exact integer sums cast to DOUBLE at
     // the same boundary, then identical fixed-order closed forms
     "agg_regression" ->
@@ -3075,6 +3119,40 @@ object SparkEntry {
            min(doc_id) AS min_doc, max(doc_id) AS max_doc,
            bit_xor(h) AS content_fp
          FROM d GROUP BY 1 ORDER BY 1""",
+    // plain ntile over (score, doc_id) — the engine's histogram-rank
+    // closed form reproduces exactly this membership
+    "pipeline_curriculum" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+         s AS (SELECT doc_id, n_toks,
+             CAST(floor(n_chars * 1000.0 / n_toks) AS BIGINT) AS score FROM t),
+         r AS (SELECT doc_id, n_toks, score,
+             CAST(ntile(4) OVER (ORDER BY score, doc_id) AS BIGINT) AS stage
+           FROM s)
+         SELECT stage, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           min(score) AS min_score, max(score) AS max_score,
+           first(doc_id ORDER BY score, doc_id) AS first_doc
+         FROM r GROUP BY stage ORDER BY stage""",
+    // same (doc_id, span_idx) md5 mask rule; the last span's true size
+    // via least(3, n_toks - i*3) on both engines
+    "pipeline_span_corruption" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),
+         s AS (SELECT doc_id, n_toks,
+             CAST(floor((n_toks + 2) / 3.0) AS BIGINT) AS n_spans FROM t),
+         sp AS (SELECT doc_id, n_toks, n_spans,
+             unnest(range(0, n_spans)) AS i FROM s),
+         m AS (SELECT doc_id, n_toks, n_spans,
+             substr(md5(doc_id || '|' || i), 1, 1) < '3' AS msk,
+             least(3, n_toks - i * 3) AS sz FROM sp)
+         SELECT doc_id, n_toks, n_spans,
+           CAST(sum(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_masked,
+           CAST(sum(CASE WHEN msk THEN sz ELSE 0 END) AS BIGINT) AS n_toks_masked,
+           round(CAST(sum(CASE WHEN msk THEN sz ELSE 0 END) AS DOUBLE) / n_toks, 6)
+             AS corrupt_rate
+         FROM m GROUP BY doc_id, n_toks, n_spans ORDER BY doc_id""",
     // rate/threshold derived from the source index exactly as the
     // engine's mixture table builds them; same md5 first-digit rule
     "pipeline_mix" ->
@@ -3601,6 +3679,63 @@ object SparkEntry {
          l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)$steps
          SELECT label AS component, count(*) AS n_nodes, min(id) AS min_node
          FROM l$rounds GROUP BY label ORDER BY component"""
+  }
+
+  /** The label-propagation oracle: each round is the grouped in-neighbor
+    * label count topped by row_number (count DESC, label ASC) — the mode
+    * with smallest-label tie-break GraphOps.graphLabelProp encodes as
+    * max(struct(c, -label)).
+    */
+  private def labelPropOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s""",
+         l$i AS MATERIALIZED (SELECT id, nl AS label FROM (
+                 SELECT e.dst AS id, lp.label AS nl,
+                        row_number() OVER (PARTITION BY e.dst
+                          ORDER BY count(*) DESC, lp.label ASC) AS rn
+                 FROM edges e JOIN l${i - 1} lp ON lp.id = e.src
+                 GROUP BY e.dst, lp.label) v WHERE rn = 1)"""
+    }.mkString
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS MATERIALIZED (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
+                   UNION ALL SELECT supp * 2 + 1, cust * 2 FROM pairs),
+         nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+         l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)$steps
+         SELECT label AS community, count(*) AS n_nodes, min(id) AS min_node
+         FROM l$rounds GROUP BY label ORDER BY community"""
+  }
+
+  /** The k-core oracle: the deg-capped co-purchase projection with the
+    * exact-interpolating percentile edge rule (the triangles CTEs, at a
+    * milder pct), then each peel round keeps nodes with >= k active
+    * neighbors; the output is the per-round census trajectory.
+    */
+  private def kcoreOracleSql(pct: Double, k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s""",
+         a$i AS MATERIALIZED (SELECT e.src AS id FROM edges e
+                 JOIN a${i - 1} s ON s.id = e.src
+                 JOIN a${i - 1} t ON t.id = e.dst
+                 GROUP BY e.src HAVING count(*) >= $k)"""
+    }.mkString
+    val census = (0 to rounds).map { i =>
+      s"SELECT $i AS round, count(*) AS n_active, min(id) AS min_node FROM a$i"
+    }.mkString("\n         UNION ALL ")
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         sc AS MATERIALIZED (SELECT cust FROM pairs GROUP BY cust HAVING count(*) <= 256),
+         kept AS MATERIALIZED (SELECT p.cust, p.supp FROM pairs p JOIN sc USING (cust)),
+         co AS MATERIALIZED (SELECT a.supp AS s1, b.supp AS s2, count(*) AS shared
+                FROM kept a JOIN kept b ON a.cust = b.cust AND a.supp < b.supp
+                GROUP BY a.supp, b.supp),
+         thr AS MATERIALIZED (SELECT quantile_cont(shared, $pct) AS t FROM co),
+         uedges AS MATERIALIZED (SELECT s1, s2 FROM co CROSS JOIN thr WHERE shared >= t),
+         edges AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM uedges
+                   UNION ALL SELECT s2, s1 FROM uedges),
+         a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)$steps
+         $census
+         ORDER BY round"""
   }
 
   /** The BFS oracle: d0 seeds the id%64 sources at distance 0 and every

@@ -508,6 +508,40 @@ object AggOps {
     * partial-agg pass; at 100 TB this is also the INCREMENTAL form —
     * new data just adds to the six sums.
     */
+  /** Frequency-WEIGHTED mean / variance / stddev per group — the
+    * "aggregate a pre-aggregated table" form (rollups where each row
+    * carries a count) that plain avg/var get WRONG. Same exact-integer
+    * sufficient-statistics discipline as aggRegression: LONG sums of
+    * (w, w·x, w·x²), the double boundary drawn immediately after
+    * aggregation on both engines, closed forms in fixed operation order.
+    * One map-side-combined hash aggregate — nothing else.
+    */
+  def aggWeightedStats(lineitem: DataFrame): DataFrame = {
+    val w = col("l_quantity").cast("long")
+    val x = round(col("l_extendedprice")).cast("long")
+    lineitem
+      .select(col("l_returnflag"), w.as("w"), x.as("x"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("w")).as("sw"),
+        sum(col("w") * col("x")).as("swx"),
+        sum(col("w") * col("x") * col("x")).as("swxx"))
+      .select(col("l_returnflag"), col("sw"),
+        col("sw").cast("double").as("swd"),
+        col("swx").cast("double").as("swxd"),
+        col("swxx").cast("double").as("swxxd"))
+      .select(
+        col("l_returnflag"), col("sw"),
+        round(col("swxd") / col("swd"), 6).as("wmean"),
+        round(col("swxxd") / col("swd")
+          - (col("swxd") / col("swd")) * (col("swxd") / col("swd")), 6)
+          .as("wvar"),
+        round(sqrt(col("swxxd") / col("swd")
+          - (col("swxd") / col("swd")) * (col("swxd") / col("swd"))), 6)
+          .as("wstd"))
+      .orderBy("l_returnflag")
+  }
+
   def aggRegression(lineitem: DataFrame): DataFrame = {
     val x = col("l_quantity").cast("long")
     val y = round(col("l_extendedprice")).cast("long")

@@ -196,6 +196,34 @@ object AuditQueries {
          ORDER BY o_orderkey""")
   }
 
+  /** NOT IN vs NOT EXISTS under NULLs — the classic three-valued-logic
+    * trap, pinned as a first-class semantics entry: a NULL in the NOT IN
+    * subquery list makes EVERY row's predicate UNKNOWN (so the query
+    * returns nothing), while NOT EXISTS / anti-join semantics ignore the
+    * NULL. The entry returns all three counts side by side from the same
+    * tables, so the oracle check proves the engine implements the
+    * standard's (surprising) semantics, not the intuitive one. One
+    * broadcast-able subquery per leg; no data-sized movement.
+    */
+  def qNotInNulls(
+      spark: SparkSession, orders: DataFrame, customer: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_v")
+    customer.createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT
+           (SELECT count(*) FROM orders_v
+            WHERE o_custkey NOT IN
+              (SELECT CASE WHEN c_acctbal < 0 THEN c_custkey END
+               FROM customer_v)) AS n_not_in_with_nulls,
+           (SELECT count(*) FROM orders_v
+            WHERE o_custkey NOT IN
+              (SELECT c_custkey FROM customer_v WHERE c_acctbal < 0)) AS n_not_in_clean,
+           (SELECT count(*) FROM orders_v o
+            WHERE NOT EXISTS
+              (SELECT 1 FROM customer_v c
+               WHERE c.c_acctbal < 0 AND c.c_custkey = o.o_custkey)) AS n_not_exists""")
+  }
+
   /** Chained CTEs through the SQL surface — the second named subquery
     * consumes the first. Catalyst either inlines the CTE or materializes
     * it behind `WithCTE`/`CTERelationRef` per its cost rule; both resolve

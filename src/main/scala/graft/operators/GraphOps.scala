@@ -398,6 +398,121 @@ object GraphOps {
       .limit(k)
   }
 
+  /** Synchronous LABEL PROPAGATION community detection over the trade
+    * graph — the fourth member of the iterative family on the SAME
+    * cached adjacency as pagerank/components/bfs, with MODE semantics
+    * where components uses plain min: each round every node adopts the
+    * most frequent label among its in-neighbors, ties broken by the
+    * smallest label (the deterministic LPA variant — async/random-order
+    * LPA is not oracle-able). Per round: one explode fan-out, one
+    * (node, label) count aggregate, one max-of-struct top-1 per node
+    * (highest count, then smallest label, encoded as max(struct(c,
+    * -label)) so ONE hash aggregate replaces a window sort), one
+    * alignment join back — all compact long keys, nothing O(E²).
+    *
+    * FIXED rounds (default 4), not fixpoint ⇒ deterministic "labels
+    * after N mode-hops", oracle-paired via unrolled CTEs where each
+    * round is a grouped count topped by row_number (the components /
+    * bfs precedent). Round 1 degenerates to min (all vote counts are 1
+    * on a simple graph); real mode dynamics start at round 2 once
+    * neighbors share labels. Output: per-community census.
+    */
+  def graphLabelProp(orders: DataFrame, lineitem: DataFrame,
+      rounds: Int = 4): DataFrame = {
+    val (adj, nodes, _) = buildGraph(orders, lineitem)
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    for (r <- 1 to rounds) {
+      val votes = adj.join(labels, col("src") === col("id"))
+        .select(explode(col("dsts")).as("nid"), col("label").as("nl"))
+        .groupBy(col("nid"), col("nl"))
+        .agg(count(lit(1)).as("c"))
+      // top-1 label per node: max over (count, -label) — one aggregate,
+      // no per-round window sort; -label inverts the tie to "smallest"
+      val top = votes.groupBy(col("nid"))
+        .agg(max(struct(col("c"), (-col("nl")).as("negl"))).as("t"))
+        .select(col("nid").as("id"), (-col("t.negl")).as("label"))
+      // bidirectional edges ⇒ every node has in-neighbors ⇒ inner join
+      // back covers all of them (the componentsLoop invariant)
+      labels = labels.select("id").join(top, "id")
+      // every-second-hop checkpoint cadence (the loopPartitioned trade)
+      if (r % 2 == 0 || r == rounds) labels = labels.localCheckpoint()
+    }
+    adj.unpersist()
+    labels
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_node"))
+      .orderBy("community")
+  }
+
+  /** k-CORE decomposition by synchronous peeling over the supplier
+    * co-purchase graph — the "dense cohort extraction" kernel (spam
+    * rings, market cores, bot clusters). The bipartite trade graph
+    * itself has no peeling dynamics (supplier degree ≈ |customers|
+    * never drops below any sane k), so the input is the same deg-capped
+    * co-purchase projection as `graphTriangles` with a MILDER percentile
+    * (0.90: top-10% of supplier pairs — at 0.99 the 10-core is nearly
+    * empty), made bidirectional for per-node degrees.
+    *
+    * Each peel round keeps nodes with ≥ k surviving neighbors: two
+    * semi-join-shaped equi-joins of the edge list against the active
+    * set, one degree aggregate, one filter — all on compact int keys;
+    * the edge list is the top-percentile pair table (bounded), the
+    * active set only shrinks. FIXED rounds (default 5) ⇒ deterministic
+    * "active set after N peels" — at sf0.01 the 10-core census walks
+    * 95→39→31→30→29→28, real cascade dynamics, not a one-shot filter.
+    * Output: per-round census (round, n_active, min_node) — the peeling
+    * TRAJECTORY, so the oracle checks every intermediate fixpoint step,
+    * not just the survivor set.
+    */
+  def graphKcore(orders: DataFrame, lineitem: DataFrame,
+      maxCustDeg: Int = 256, pct: Double = 0.90, k: Int = 10,
+      rounds: Int = 5): DataFrame = {
+    val pairs = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val smallCust = pairs.groupBy(col("cust"))
+      .agg(count(lit(1)).as("cdeg"))
+      .filter(col("cdeg") <= maxCustDeg)
+      .select("cust")
+    // feeds both sides of the deg² self-join — materialized once
+    val kept = pairs.join(smallCust, "cust").localCheckpoint()
+    val co = kept.select(col("cust"), col("supp").as("s1"))
+      .join(kept.select(col("cust"), col("supp").as("s2")), Seq("cust"))
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("shared"))
+      .localCheckpoint() // feeds the percentile AND the edge filter
+    val thr = co.agg(percentile(col("shared"), lit(pct)).as("t"))
+    // bidirectional: the peel loop needs per-NODE degrees
+    val uedges = co.crossJoin(broadcast(thr))
+      .filter(col("shared") >= col("t"))
+      .select("s1", "s2")
+    val edges = uedges.select(col("s1").as("src"), col("s2").as("dst"))
+      .unionByName(uedges.select(col("s2").as("src"), col("s1").as("dst")))
+      .localCheckpoint() // feeds every peel round — built once
+    def census(active: DataFrame, r: Int): DataFrame = active
+      .agg(count(lit(1)).as("n_active"), min(col("id")).as("min_node"))
+      .select(lit(r).as("round"), col("n_active"), col("min_node"))
+    var active = edges.select(col("src").as("id")).distinct().localCheckpoint()
+    val trajectory = scala.collection.mutable.ArrayBuffer(census(active, 0))
+    for (r <- 1 to rounds) {
+      // keep nodes with >= k neighbors still active: edge survives iff
+      // BOTH endpoints are active (two compact-key equi-joins), then one
+      // degree aggregate + filter
+      active = edges
+        .join(active.select(col("id").as("src")), Seq("src"))
+        .join(active.select(col("id").as("dst")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("id"))
+        .localCheckpoint() // feeds both joins of the NEXT round + census
+      trajectory += census(active, r)
+    }
+    trajectory.reduce(_ unionByName _).orderBy("round")
+  }
+
   /** Degree distribution of the customer→supplier trade graph — the
     * first profiling query run before any iterative graph algorithm
     * (it sizes the hub problem the adjacency chunking and the triangle

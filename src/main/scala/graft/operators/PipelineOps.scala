@@ -98,6 +98,109 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Curriculum STAGING — order the corpus by a difficulty proxy and cut
+    * it into equal-population training stages (curriculum learning's
+    * easy→hard schedule; the proxy here is mean word length in chars ×
+    * 1000, the stand-in for a learned difficulty model's score). The
+    * score is EXACT INTEGER arithmetic (floor of chars·1000 / tokens —
+    * both engines truncate identically after an explicit floor, the
+    * agg_product rule), and the stage cut is ntile over the total order
+    * (score, doc_id) — ntile's front-loaded remainder rule is identical
+    * in Spark and DuckDB, so stage membership is bit-reproducible.
+    *
+    * Shape: the score is map-side; the ntile is ONE global sort of
+    * (score, doc_id) pairs — the corpus-wide ranking a curriculum
+    * inherently needs. At 100 TB the same plan holds because the sorted
+    * payload is two longs per document (the text never enters the sort),
+    * and range partitioning splits the order across executors; the
+    * per-stage census it feeds is a bounded aggregate. Output: one row
+    * per stage — population, token budget, score span, first doc.
+    */
+  def pipelineCurriculum(documents: DataFrame, stages: Int = 4): DataFrame = {
+    // feeds the histogram AND the rank join — materialized once
+    val scored = documents.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"),
+      col("n_chars").cast("long").as("n_chars"))
+      .select(col("doc_id"), col("n_toks"),
+        floor(col("n_chars") * 1000 / col("n_toks")).cast("long").as("score"))
+      .localCheckpoint()
+    // global rank WITHOUT a single-partition corpus window: the running
+    // count below each score comes from the SCORE HISTOGRAM (bounded by
+    // the score domain — the only unpartitioned window here runs over
+    // that small aggregate, the pipelineMix rule), and the intra-score
+    // tie-break is a window PARTITIONED by score. rank = below + rn.
+    val below = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(sum(col("c")).over(below), lit(0L)))
+      .select("score", "below")
+    val total = scored.agg(count(lit(1)).as("n"))
+    val ranked = scored
+      .join(broadcast(cum), "score")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("score").orderBy("doc_id")))
+      .withColumn("rnk", col("below") + col("rn"))
+      .crossJoin(broadcast(total))
+    // ntile's front-loaded remainder rule in closed form: with q = n/k
+    // and r = n%k, ranks 1..r(q+1) land in the first r stages of size
+    // q+1, the rest in stages of size q — exact integer arithmetic, so
+    // the oracle's plain ntile reproduces stage membership bit-for-bit
+    val q = floor(col("n") / stages).cast("long")
+    val r = col("n") % stages
+    val stage = when(col("rnk") <= r * (q + 1),
+        floor((col("rnk") + q) / (q + 1)).cast("long"))
+      .otherwise(r + floor((col("rnk") - r * (q + 1) + q - 1) / q).cast("long"))
+    ranked
+      .withColumn("stage", stage)
+      .groupBy(col("stage"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"),
+        min_by(col("doc_id"), struct(col("score"), col("doc_id"))).as("first_doc"))
+      .orderBy("stage")
+  }
+
+  /** T5-style SPAN CORRUPTION planning — the denoising-objective mask:
+    * tokens are grouped into fixed spans of 3 and each span is masked iff
+    * its content hash falls under a 3/16 rate (the `sample_hash` rule
+    * keyed on (doc_id, span_idx) — deterministic at any partitioning,
+    * no RNG state to coordinate across executors). The operator emits
+    * each document's corruption plan: span count, masked spans, masked
+    * tokens (the last span may run short — masked-token arithmetic uses
+    * its true size), and the realized corruption rate.
+    *
+    * Shape: there is NO shuffle and NO token explosion — the span walk
+    * runs inside `aggregate(sequence(...))` (a codegen'd higher-order
+    * expression over the span INDEX list, bounded by n_toks/3 per row),
+    * so the whole plan is a map-side projection followed by the
+    * presentation sort. This is the 100 TB form: masking is decided per
+    * document row, never by a corpus-wide pass.
+    */
+  def pipelineSpanCorruption(documents: DataFrame, span: Int = 3): DataFrame = {
+    val nToks = size(split(col("text"), " ")).cast("long")
+    // ceil(n/span) in exact integer form
+    val nSpans = floor((col("n_toks") + span - 1) / span).cast("long")
+    val masked = (i: Column) =>
+      substring(md5(concat_ws("|", col("doc_id"), i)), 1, 1) < "3"
+    documents
+      .select(col("doc_id"), nToks.as("n_toks"))
+      .withColumn("n_spans", nSpans)
+      .select(
+        col("doc_id"), col("n_toks"), col("n_spans"),
+        aggregate(sequence(lit(0L), col("n_spans") - 1), lit(0L),
+          (acc, i) => acc + when(masked(i), 1L).otherwise(0L))
+          .as("n_spans_masked"),
+        aggregate(sequence(lit(0L), col("n_spans") - 1), lit(0L),
+          (acc, i) => acc + when(masked(i),
+            least(lit(span.toLong), col("n_toks") - i * span)).otherwise(0L))
+          .as("n_toks_masked"))
+      .withColumn("corrupt_rate",
+        round(col("n_toks_masked").cast("double") / col("n_toks"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Retrieval CHUNKING — cut each document into overlapping fixed-width
     * token windows (width 32, stride 24 → 8-token overlap), the unit a
     * RAG index embeds and retrieves. Boundaries are pure arithmetic on

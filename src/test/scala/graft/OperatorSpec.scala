@@ -357,6 +357,56 @@ class OperatorSpec extends SparkTestBase {
     assert(out.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got ${out.toSeq}")
   }
 
+  test("agg_weighted_stats: hand-computed weighted moments on a two-row group") {
+    // group A: (w=2, x=10), (w=3, x=20) → sw=5, wmean=16,
+    // wvar = (2·100+3·400)/5 − 16² = 24, wstd = √24
+    val df = Seq(("A", 2.0, 10.0), ("A", 3.0, 20.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val r = AggOps.aggWeightedStats(df).collect().head
+    assert(r.getString(0) === "A" && r.getLong(1) === 5L)
+    assert(r.getDouble(2) === 16.0 && r.getDouble(3) === 24.0)
+    assert(r.getDouble(4) === math.round(math.sqrt(24.0) * 1e6) / 1e6)
+  }
+
+  test("q_not_in_nulls: NULL in the NOT IN list empties the result; anti-join legs agree") {
+    val customer = Seq((1L, -5.0), (2L, 10.0)).toDF("c_custkey", "c_acctbal")
+    val orders = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("o_orderkey", "o_custkey")
+    val r = graft.operators.AuditQueries.qNotInNulls(spark, orders, customer)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((0L, 2L, 2L)), s"got $r")
+  }
+
+  test("graph_label_prop: majority label beats min label, ties break to smallest") {
+    // s2 (node 5) serves customers c1,c2,c3; s1 (node 3) serves only c1.
+    // After round 1 the customers carry labels {3,5,5}, so round 2's MODE
+    // vote at s2 must pick 5 (count 2) over the MIN 3 — the assertion that
+    // separates label propagation from the components min-kernel. Four
+    // synchronous rounds land at c*=2, s1=3, s2=5 (traced by hand).
+    val orders = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      (1L, 1L), (1L, 2L), (2L, 2L), (3L, 2L)).toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.graphLabelProp(orders, lineitem).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((2L, 3L, 2L), (3L, 1L, 3L), (5L, 1L, 5L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("graph_kcore: pendant chain cascades off round by round, core survives") {
+    // c1 buys {1,2,3,4} → K4 core; c2 buys {1,5} → pendant s5; c3 buys
+    // {5,6} → pendant chain s6. All co-pairs share exactly 1 customer, so
+    // the percentile threshold keeps every edge. Peeling at k=2: round 1
+    // drops s6 (deg 1), round 2 drops s5 (its surviving degree fell to 1
+    // when s6 left — the cascade), round 3 is stable at the K4.
+    val orders = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 1L), (2L, 5L), (3L, 5L), (3L, 6L)).toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.graphKcore(orders, lineitem, k = 2, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0, 6L, 1L), (1, 5L, 1L), (2, 4L, 1L), (3, 4L, 1L)),
+      s"got ${out.toSeq}")
+  }
+
   test("agg_argmax: struct tie-break makes max_by/min_by deterministic on value ties") {
     val df = Seq(
       ("A", 100.0, 5L), ("A", 100.0, 9L), ("A", 50.0, 1L),

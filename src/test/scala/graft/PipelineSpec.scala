@@ -57,6 +57,52 @@ class PipelineSpec extends SparkTestBase {
     assert(again.toSeq === out.map(r => (r._1, r._4)).toSeq)
   }
 
+  test("pipeline_curriculum: closed-form stage cut reproduces ntile's remainder rule on ties") {
+    // 6 equal-score docs into 4 stages: ntile front-loads the remainder →
+    // sizes (2,2,1,1) with membership decided purely by the doc_id
+    // tie-break — the per-score row_number path. Every text has 2 tokens
+    // and n_chars 8 → score floor(8*1000/2) = 4000 for all.
+    val docs = (1L to 6L).map(id => (id, "a b", 8L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = PipelineOps.pipelineCurriculum(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 4L, 4000L, 4000L, 1L),
+      (2L, 2L, 4L, 4000L, 4000L, 3L),
+      (3L, 1L, 2L, 4000L, 4000L, 5L),
+      (4L, 1L, 2L, 4000L, 4000L, 6L)), s"got ${out.toSeq}")
+  }
+
+  test("pipeline_span_corruption: span arithmetic exact, mask matches the md5 rule") {
+    // 7 tokens → 3 spans of sizes 3,3,1; the mask per span recomputed
+    // here with the same md5("<doc>|<span>") first-hex-digit rule.
+    val docs = Seq((7L, "t0 t1 t2 t3 t4 t5 t6", 20L))
+      .toDF("doc_id", "text", "n_chars")
+    def maskOf(doc: Long, i: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"$doc|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hex.charAt(0) < '3'
+    }
+    val sizes = Seq(3L, 3L, 1L)
+    val expMaskedSpans = (0L to 2L).count(maskOf(7L, _)).toLong
+    val expMaskedToks = (0L to 2L).filter(maskOf(7L, _)).map(i => sizes(i.toInt)).sum
+    val r = PipelineOps.pipelineSpanCorruption(docs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((7L, 7L, 3L)))
+    assert(r.getLong(3) === expMaskedSpans, s"masked spans ${r.getLong(3)}")
+    assert(r.getLong(4) === expMaskedToks, s"masked tokens ${r.getLong(4)}")
+    assert(r.getDouble(5) === math.round(expMaskedToks / 7.0 * 1e6) / 1e6)
+    // corpus invariants at sf0.001: bounds hold for every doc
+    val all = PipelineOps.pipelineSpanCorruption(documents(spark, sf0001)).collect()
+    assert(all.nonEmpty)
+    all.foreach { row =>
+      assert(row.getLong(2) === (row.getLong(1) + 2) / 3)
+      assert(row.getLong(3) >= 0 && row.getLong(3) <= row.getLong(2))
+      assert(row.getLong(4) <= row.getLong(3) * 3)
+    }
+  }
+
   test("text_chunk rejects stride outside (0, width] before any coverage is lost") {
     val docs = documents(spark, sf0001)
     intercept[IllegalArgumentException](PipelineOps.textChunk(docs, width = 32, stride = 33))
