@@ -173,6 +173,7 @@ object SparkEntry {
     "win_topk_per_group" -> ((s, d) => WindowOps.topkPerGroup(orders(s, d))),
     "win_value_fns" -> ((s, d) => WindowOps.valueFns(part(s, d))),
     "win_sessionize" -> ((s, d) => WindowOps.sessionize(events(s, d))),
+    "win_streak" -> ((s, d) => WindowOps.winStreak(events(s, d))),
     "win_gap_fill" -> ((s, d) => WindowOps.gapFill(events(s, d))),
     "win_pct_change" -> ((s, d) => WindowOps.pctChange(events(s, d))),
     "win_ntile" -> ((s, d) => WindowOps.ntileBands(orders(s, d))),
@@ -318,6 +319,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.textFingerprint(documents(s, d))),
     "text_boilerplate" -> ((s, d) => TextOps.textBoilerplate(documents(s, d))),
     "text_bigram_lm" -> ((s, d) => TextOps.textBigramLm(documents(s, d))),
+    "text_perplexity_filter" ->
+      ((s, d) => TextOps.textPerplexityFilter(documents(s, d))),
     "text_repetition" -> ((s, d) => TextOps.textRepetition(documents(s, d))),
     "text_entropy" -> ((s, d) => TextOps.textEntropy(documents(s, d))),
     "text_decontaminate" -> ((s, d) => TextOps.textDecontaminate(documents(s, d))),
@@ -1596,6 +1599,25 @@ object SparkEntry {
                 wf AS (PARTITION BY p_brand ORDER BY p_size, p_partkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY p_partkey""",
+    // island key = epoch-days − row_number, pure integer on both engines;
+    // longest-streak tie breaks toward the latest start via the ranked CTE
+    "win_streak" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         r AS (SELECT user_id, d,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+           FROM days),
+         isl AS (SELECT user_id, d,
+             datediff('day', DATE '2024-01-01', d) - rn AS g FROM r),
+         s AS (SELECT user_id, g, CAST(count(*) AS BIGINT) AS len,
+             min(d) AS start_d FROM isl GROUP BY user_id, g),
+         rk AS (SELECT user_id, len, start_d,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY len DESC, start_d DESC) AS sr FROM s)
+         SELECT user_id, count(*) AS n_streaks,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           max(len) AS longest,
+           CAST(max(CASE WHEN sr = 1 THEN start_d END) AS VARCHAR) AS longest_start
+         FROM rk GROUP BY user_id ORDER BY user_id""",
     "win_sessionize" ->
       """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
          g AS (SELECT user_id, event_id, ts_us,
@@ -2862,6 +2884,44 @@ object SparkEntry {
            round(avg(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v))), 6) AS avg_logp
          FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
          GROUP BY doc_id ORDER BY doc_id""",
+    // the bigram-LM CTE chain reused verbatim; nearest-rank decile via the
+    // same running-count-over-histogram selection the engine runs
+    "text_perplexity_filter" ->
+      """WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+         b0 AS (SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                  for i in range(1, len(toks))]) AS bg FROM t),
+         db AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b0),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM db GROUP BY w1, w2),
+         c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+         v AS (SELECT count(DISTINCT w) AS v FROM
+               (SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents)
+               WHERE w <> ''),
+         sk AS (SELECT doc_id, CAST(round(
+               round(avg(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v))), 6) * 1e6)
+               AS BIGINT) AS k
+           FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+           GROUP BY doc_id),
+         cum AS (SELECT k, sum(cnt) OVER (ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS upto
+           FROM (SELECT k, count(*) AS cnt FROM sk GROUP BY k)),
+         nn AS (SELECT count(*) AS n FROM sk),
+         thr AS (SELECT min(k) AS thr_k FROM cum CROSS JOIN nn
+           WHERE upto >= CAST(ceil(n * 0.10) AS BIGINT)),
+         d AS (SELECT doc.source,
+             CAST(len(list_filter(str_split(lower(doc.text), ' '),
+               x -> x <> '')) AS BIGINT) AS n_toks,
+             sk.k
+           FROM documents doc LEFT JOIN sk ON doc.doc_id = sk.doc_id)
+         SELECT source, round(thr.thr_k / 1e6, 6) AS thr_logp,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           CAST(sum(CASE WHEN k <= thr.thr_k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(sum(CASE WHEN k > thr.thr_k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN k > thr.thr_k THEN n_toks ELSE 0 END) AS BIGINT)
+             AS n_toks_kept
+         FROM d CROSS JOIN thr GROUP BY source, thr_logp ORDER BY source""",
     // [EXT] dedup & similarity variants
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline — language ID,
@@ -249,6 +250,51 @@ object TextOps {
         round(avg(log((col("c2") + 1).cast("double") / (col("c1") + col("v")))), 6)
           .as("avg_logp"))
       .orderBy("doc_id")
+  }
+
+  /** PERPLEXITY-based quality gate — the CCNet/KenLM-style filter every
+    * published pretraining pipeline runs: score each document under the
+    * corpus bigram LM (`textBigramLm`, reused verbatim — one definition,
+    * one oracle convention) and quarantine the lowest-decile avg log-prob
+    * plus everything too short to score. The decile threshold is a
+    * NEAREST-RANK order statistic computed from an integer HISTOGRAM of
+    * the micro-log grid (avg_logp·10⁶ as LONG): no interpolation floats,
+    * no buffering the corpus in one exact-percentile aggregate — the
+    * running count lives on the bounded score histogram, the membership
+    * test compares LONGs (the pipeline_curriculum rank machinery applied
+    * to a float column). Output: per-source quarantine census.
+    */
+  def textPerplexityFilter(documents: DataFrame, q: Double = 0.10): DataFrame = {
+    // feeds the histogram AND the census join — materialized once
+    val sk = textBigramLm(documents)
+      .select(col("doc_id"),
+        round(col("avg_logp") * 1e6).cast("long").as("k"))
+      .localCheckpoint()
+    val upto = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = sk.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .withColumn("upto", sum(col("c")).over(upto)) // bounded-histogram window
+    val n = sk.agg(count(lit(1)).as("n"))
+    // nearest-rank decile: the smallest grid value whose running count
+    // reaches ceil(q·n) — pure integer selection, identical on the oracle
+    val thr = cum.crossJoin(broadcast(n))
+      .filter(col("upto") >= ceil(col("n") * q).cast("long"))
+      .agg(min(col("k")).as("thr_k"))
+    documents
+      .select(col("doc_id"), col("source"),
+        size(filter(split(lower(col("text")), " "), x => x =!= ""))
+          .cast("long").as("n_toks"))
+      .join(sk, Seq("doc_id"), "left")
+      .crossJoin(broadcast(thr))
+      .groupBy(col("source"),
+        round(col("thr_k") / 1e6, 6).as("thr_logp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("k") <= col("thr_k"), 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when(col("k") > col("thr_k"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("k") > col("thr_k"), col("n_toks")).otherwise(0L))
+          .as("n_toks_kept"))
+      .orderBy("source")
   }
 
   /** Intra-document repetition signals — the classic LLM-corpus quality

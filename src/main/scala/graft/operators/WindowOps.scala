@@ -132,6 +132,38 @@ object WindowOps {
     * same single shuffle on user_id, no state store. Timestamps surface as
     * epoch-micros bigints (the engine-portable form for the compare).
     */
+  /** Gaps-and-islands STREAKS — longest run of consecutive active DAYS
+    * per user (the retention/engagement feature every activity warehouse
+    * computes). The island key is the classic date-minus-row_number
+    * constant, kept in PURE INTEGER day arithmetic (days since the epoch
+    * anchor minus rank — no interval types, identical on both engines).
+    * Two shuffles total: the distinct (user, day) projection and its
+    * user-partitioned window — day counts are bounded per user, so the
+    * window partition can never outgrow a task. Ties for the longest
+    * streak break toward the LATEST start (max_by struct).
+    */
+  def winStreak(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val rn = row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    val isl = days.withColumn("g",
+      datediff(col("d"), lit("2024-01-01").cast("date")) - rn)
+    val streaks = isl
+      .groupBy(col("user_id"), col("g"))
+      .agg(count(lit(1)).as("len"), min(col("d")).as("start_d"))
+    streaks
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("n_active_days"),
+        max(col("len")).as("longest"),
+        // exported as the ISO string — the engine-portable date form
+        max_by(col("start_d"), struct(col("len"), col("start_d")))
+          .cast("string").as("longest_start"))
+      .orderBy("user_id")
+  }
+
   def sessionize(events: DataFrame): DataFrame = {
     val gapUs = 30L * 60 * 1000000
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")

@@ -357,6 +357,43 @@ class OperatorSpec extends SparkTestBase {
     assert(out.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got ${out.toSeq}")
   }
 
+  test("win_streak: islands split on gaps; longest-streak tie breaks to the latest start") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // user 1: days 1,2,3 then 5,6 → streaks (3, 2); user 2: 1,2 then 4,5
+    // → two len-2 streaks, tie must resolve to the LATER start (Jan 4)
+    val events = Seq(
+      (1L, ts(1)), (1L, ts(2)), (1L, ts(3)), (1L, ts(5)), (1L, ts(6)),
+      (1L, ts(6)), // duplicate-day event must not inflate the streak
+      (2L, ts(1)), (2L, ts(2)), (2L, ts(4)), (2L, ts(5)))
+      .toDF("user_id", "ts")
+    val out = WindowOps.winStreak(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 5L, 3L, "2024-01-01"),
+      (2L, 2L, 4L, 2L, "2024-01-04")), s"got ${out.toSeq}")
+  }
+
+  test("text_perplexity_filter: census closes, threshold is the nearest-rank decile") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = TextOps.textPerplexityFilter(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) === r.getLong(3) + r.getLong(4) + r.getLong(5),
+        s"census must close: $r")
+    }
+    // recompute the nearest-rank decile from the scored grid directly
+    val ks = TextOps.textBigramLm(docs)
+      .select((round(col("avg_logp") * 1e6)).cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    val thrK = ks(math.ceil(ks.length * 0.10).toInt - 1)
+    val thrOut = out.head.getDouble(1)
+    assert(thrOut === math.round(thrK / 1e6 * 1e6) / 1e6, s"thr $thrOut vs grid $thrK")
+    val quarantined = out.map(_.getLong(4)).sum
+    assert(quarantined === ks.count(_ <= thrK).toLong,
+      "quarantine count must equal the at-or-below-threshold population")
+  }
+
   test("agg_weighted_stats: hand-computed weighted moments on a two-row group") {
     // group A: (w=2, x=10), (w=3, x=20) → sw=5, wmean=16,
     // wvar = (2·100+3·400)/5 − 16² = 24, wstd = √24
