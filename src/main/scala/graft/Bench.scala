@@ -85,6 +85,11 @@ object Bench {
     "graph_pagerank_stored", // pagerank served from the stored layout
     "sim_knn_cluster",      // SemDeDup clusters over the kNN graph
     "q18_large_volume",     // aggregate-HAVING semi-join composite
+    // Round-8 continuation: the post-gate heavy families.
+    "graph_label_prop",     // mode-of-neighbors LPA on the shared adjacency
+    "graph_kcore",          // peeling trajectory over the co-purchase graph
+    "text_perplexity_filter", // bigram-LM lowest-decile quarantine census
+    "pipeline_curriculum",  // histogram-ranked curriculum staging
   )
 
   def main(args: Array[String]): Unit = {

@@ -145,6 +145,8 @@ object SparkEntry {
     "agg_corr" -> ((s, d) => AggOps.aggCorr(lineitem(s, d))),
     "agg_regression" -> ((s, d) => AggOps.aggRegression(lineitem(s, d))),
     "agg_weighted_stats" -> ((s, d) => AggOps.aggWeightedStats(lineitem(s, d))),
+    "agg_ab_test" -> ((s, d) => AggOps.aggAbTest(events(s, d))),
+    "agg_chi2" -> ((s, d) => AggOps.aggChi2(lineitem(s, d))),
     "agg_skew_kurt" -> ((s, d) => AggOps.aggSkewKurt(lineitem(s, d))),
     "agg_quantiles" -> ((s, d) => AggOps.aggQuantiles(lineitem(s, d))),
     "agg_hll_sketch" -> ((s, d) => AggOps.aggHllSketch(lineitem(s, d))),
@@ -336,6 +338,7 @@ object SparkEntry {
     "sim_ann_filtered" -> ((s, d) => SimOps.simAnnFiltered(embeddings(s, d))),
     "sim_bitext" -> ((s, d) => SimOps.simBitext(embeddings(s, d))),
     "sim_ivf_recall" -> ((s, d) => SimOps.simIvfRecall(embeddings(s, d))),
+    "sim_ivf_recall_curve" -> ((s, d) => SimOps.simIvfRecallCurve(embeddings(s, d))),
     "sim_ivf_kmeans" -> ((s, d) => SimOps.simIvfKmeans(embeddings(s, d))),
     "sink_ann_index" -> ((s, d) => SimOps.sinkAnnIndex(s, d)),
     "sim_kmeans" -> ((s, d) => SimOps.simKmeans(embeddings(s, d))),
@@ -1911,6 +1914,58 @@ object SparkEntry {
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag, bucket, lo
          ORDER BY l_returnflag, bucket""",
+    // Welch t per day: exact cent-integer sufficient statistics folded by
+    // conditional aggregation, fixed-order closed forms after the boundary
+    "agg_ab_test" ->
+      """WITH s AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             event_type = 'click' AS a,
+             CAST(round(value * 100) AS BIGINT) AS v
+           FROM events WHERE event_type IN ('click', 'view')),
+         g AS (SELECT day,
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN a THEN v ELSE 0 END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN a THEN v * v ELSE 0 END) AS BIGINT) AS saa,
+             CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN a THEN 0 ELSE v END) AS BIGINT) AS sb,
+             CAST(sum(CASE WHEN a THEN 0 ELSE v * v END) AS BIGINT) AS sbb
+           FROM s GROUP BY day),
+         f AS (SELECT day, na, nb,
+             na::DOUBLE AS nad, nb::DOUBLE AS nbd,
+             sa::DOUBLE / na AS ma, sb::DOUBLE / nb AS mb,
+             (saa::DOUBLE - sa::DOUBLE * (sa::DOUBLE / na)) / (na::DOUBLE - 1)
+               AS va,
+             (sbb::DOUBLE - sb::DOUBLE * (sb::DOUBLE / nb)) / (nb::DOUBLE - 1)
+               AS vb
+           FROM g)
+         SELECT day, na, nb,
+           round(ma, 6) AS mean_a_cents,
+           round(mb, 6) AS mean_b_cents,
+           round((ma - mb) / sqrt(va / nad + vb / nbd), 6) AS t_stat,
+           round((va / nad + vb / nbd) * (va / nad + vb / nbd) /
+             ((va / nad) * (va / nad) / (nad - 1)
+              + (vb / nbd) * (vb / nbd) / (nbd - 1)), 6) AS welch_df
+         FROM f ORDER BY day""",
+    // per-cell expected/contribution closed forms on the bounded cell
+    // table; the total rounds coarser than any summation-order wobble
+    "agg_chi2" ->
+      """WITH cells AS (SELECT l_returnflag, l_linestatus, count(*) AS o
+           FROM lineitem GROUP BY l_returnflag, l_linestatus),
+         e AS (SELECT l_returnflag, l_linestatus, o,
+             sum(o) OVER (PARTITION BY l_returnflag) AS row_t,
+             sum(o) OVER (PARTITION BY l_linestatus) AS col_t,
+             sum(o) OVER () AS n
+           FROM cells),
+         c AS (SELECT l_returnflag, l_linestatus, CAST(o AS BIGINT) AS o,
+             (row_t * col_t)::DOUBLE / n::DOUBLE AS ex,
+             (o::DOUBLE - (row_t * col_t)::DOUBLE / n::DOUBLE)
+               * (o::DOUBLE - (row_t * col_t)::DOUBLE / n::DOUBLE)
+               / ((row_t * col_t)::DOUBLE / n::DOUBLE) AS contrib
+           FROM e)
+         SELECT l_returnflag, l_linestatus, o,
+           round(ex, 6) AS expected,
+           round(contrib, 6) AS contrib,
+           round(sum(contrib) OVER (), 4) AS chi2_total
+         FROM c ORDER BY l_returnflag, l_linestatus""",
     // same sufficient-statistics discipline as agg_regression: exact
     // integer (w, w·x, w·x²) sums, double boundary after aggregation
     "agg_weighted_stats" ->
@@ -3396,6 +3451,27 @@ object SparkEntry {
     // recall@k compares IDENTITY sets: approx = the sim_ivf oracle as a
     // CTE verbatim, exact = brute force with the same rounded-cosine
     // tie-break; the audit rides entirely on already-proven rankings
+    // the single-k audit generalized: per-k cuts over the ranked exact
+    // top-10 via a constant k list — identical join, k-wise census
+    "sim_ivf_recall_curve" ->
+      s"""WITH approx AS ($simIvfOracleSql),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         exact AS (SELECT vec_id, row_number() OVER (ORDER BY
+             round(list_dot_product(v, qv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 9)
+             DESC, vec_id) AS rnk
+           FROM e CROSS JOIN q
+           QUALIFY rnk <= 10),
+         j AS (SELECT ex.rnk,
+             CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM exact ex LEFT JOIN (SELECT vec_id FROM approx) a USING (vec_id))
+         SELECT kk AS k,
+           CAST(sum(CASE WHEN rnk <= kk THEN hit ELSE 0 END) AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN rnk <= kk THEN hit ELSE 0 END) AS DOUBLE)
+             / kk, 6) AS recall
+         FROM j CROSS JOIN (SELECT unnest([1, 3, 5, 10]) AS kk)
+         GROUP BY kk ORDER BY kk""",
     "sim_ivf_recall" ->
       s"""WITH approx AS ($simIvfOracleSql),
          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -508,6 +508,82 @@ object AggOps {
     * partial-agg pass; at 100 TB this is also the INCREMENTAL form —
     * new data just adds to the six sums.
     */
+  /** Welch two-sample t-test per day — the A/B experiment readout (arm A
+    * = click events, arm B = view events, metric = event value). The
+    * sufficient statistics are exact LONG sums of value-CENTS (n, Σv,
+    * Σv²) per (day, arm), folded to one row per day by conditional
+    * aggregation — ONE map-side-combined pass, no pivot shuffle; the
+    * Welch t and Satterthwaite df run as fixed-order double closed forms
+    * after the integer boundary (the agg_regression discipline). At
+    * 100 TB the per-day sufficient statistics ARE the incremental form —
+    * arms merge by addition across any partitioning.
+    */
+  def aggAbTest(events: DataFrame): DataFrame = {
+    val v = round(col("value") * 100).cast("long")
+    val isA = col("event_type") === "click"
+    val day = to_date(col("ts")).cast("string")
+    val s = events
+      .filter(col("event_type").isin("click", "view"))
+      .select(day.as("day"), isA.as("a"), v.as("v"))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("a"), col("v")).otherwise(0L)).as("sa"),
+        sum(when(col("a"), col("v") * col("v")).otherwise(0L)).as("saa"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("a"), col("v")).otherwise(0L)).as("sb"),
+        sum(when(!col("a"), col("v") * col("v")).otherwise(0L)).as("sbb"))
+    val nad = col("na").cast("double"); val nbd = col("nb").cast("double")
+    val ma = col("sa").cast("double") / nad
+    val mb = col("sb").cast("double") / nbd
+    // sample variances from the sums, then the variance-of-mean terms
+    val va = (col("saa").cast("double") - col("sa").cast("double") * ma) / (nad - 1)
+    val vb = (col("sbb").cast("double") - col("sb").cast("double") * mb) / (nbd - 1)
+    val ta = va / nad; val tb = vb / nbd
+    s.select(
+      col("day"), col("na"), col("nb"),
+      round(ma, 6).as("mean_a_cents"),
+      round(mb, 6).as("mean_b_cents"),
+      round((ma - mb) / sqrt(ta + tb), 6).as("t_stat"),
+      round((ta + tb) * (ta + tb) /
+        (ta * ta / (nad - 1) + tb * tb / (nbd - 1)), 6).as("welch_df"))
+      .orderBy("day")
+  }
+
+  /** Chi-square test of independence between two categoricals (return
+    * flag × line status) — the contingency-table association check a
+    * data-drift monitor runs per ingest. Counts are exact; expected
+    * frequencies and per-cell contributions are per-CELL closed forms
+    * (no cross-cell float sum in arbitrary order — the total is summed
+    * over the bounded cell table's window, then rounded coarser than
+    * any ulp wobble). One corpus aggregate; everything after runs on the
+    * O(|flag|·|status|) cell table.
+    */
+  def aggChi2(lineitem: DataFrame): DataFrame = {
+    val cells = lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("o"))
+    val w = Window.partitionBy()
+    val wr = Window.partitionBy(col("l_returnflag"))
+    val wc = Window.partitionBy(col("l_linestatus"))
+    // all windows run over the bounded cell table (the pipelineMix rule)
+    val withE = cells
+      .withColumn("row_t", sum(col("o")).over(wr))
+      .withColumn("col_t", sum(col("o")).over(wc))
+      .withColumn("n", sum(col("o")).over(w))
+      .withColumn("e",
+        (col("row_t") * col("col_t")).cast("double") / col("n").cast("double"))
+      .withColumn("contrib",
+        (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e"))
+          / col("e"))
+    withE.select(
+      col("l_returnflag"), col("l_linestatus"), col("o"),
+      round(col("e"), 6).as("expected"),
+      round(col("contrib"), 6).as("contrib"),
+      round(sum(col("contrib")).over(w), 4).as("chi2_total"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** Frequency-WEIGHTED mean / variance / stddev per group — the
     * "aggregate a pre-aggregated table" form (rollups where each row
     * carries a count) that plain avg/var get WRONG. Same exact-integer

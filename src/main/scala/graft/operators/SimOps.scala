@@ -1357,6 +1357,46 @@ object SimOps {
         round(col("n_hits").cast("double") / col("k_eval"), 6).as("recall"))
   }
 
+  /** Recall@k CURVE for the IVF index — the calibration sweep form of
+    * `simIvfRecall` (the dedup_threshold_sweep stance applied to ANN):
+    * one query computes recall at every operating point k ∈ {1,3,5,10}
+    * so the dial's effect is visible in a single audit, not k reruns.
+    * The exact top-10 is ranked once (a window over the 10-row frame —
+    * bounded, never data-scaled), joined once against the IVF result,
+    * and the per-k cuts fan out map-side via explode over the constant
+    * k list. Costs exactly what the single-k audit costs plus O(k·|ks|)
+    * arithmetic.
+    */
+  def simIvfRecallCurve(embeddings: DataFrame,
+      ks: Seq[Int] = Seq(1, 3, 5, 10)): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val dot = LlmOps.dot _
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val cos = dot(col("v"), col("qv")) /
+      (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv"))))
+    val kmax = ks.max
+    val exact = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cos, 9).as("c9"))
+      .orderBy(desc("c9"), asc("vec_id")).limit(kmax)
+    val ranked = exact.withColumn("rnk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(desc("c9"), asc("vec_id")))) // kmax-row frame, bounded
+    val approx = simIvf(embeddings).select(col("vec_id"))
+      .withColumn("hit", lit(1L))
+    ranked.join(approx, Seq("vec_id"), "left")
+      .select(col("rnk"), coalesce(col("hit"), lit(0L)).as("hit"))
+      .crossJoin(broadcast(
+        embeddings.sparkSession.range(1).select(
+          explode(array(ks.map(lit): _*)).as("k"))))
+      .groupBy(col("k"))
+      .agg(sum(when(col("rnk") <= col("k"), col("hit")).otherwise(0L))
+        .as("n_hits"))
+      .select(col("k"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("k"), 6).as("recall"))
+      .orderBy("k")
+  }
+
   /** Exact RADIUS similarity search — every vector with dot(q, x) ≥ τ,
     * the threshold form of retrieval a similarity-dedup or recall-audit
     * pass needs (near-dup = "all neighbors within τ", not top-k). Same

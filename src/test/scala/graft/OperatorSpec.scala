@@ -394,6 +394,56 @@ class OperatorSpec extends SparkTestBase {
       "quarantine count must equal the at-or-below-threshold population")
   }
 
+  test("agg_ab_test: hand-computed Welch t and Satterthwaite df on a seeded day") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // clicks (cents): 10, 20 → ma=15, va=50; views: 10, 10, 40 → mb=20,
+    // vb=300; t = −5/√125 = −0.447214, df = 125²/(625+5000) = 2.777778
+    val events = Seq(
+      ("click", 0.10, ts), ("click", 0.20, ts),
+      ("view", 0.10, ts), ("view", 0.10, ts), ("view", 0.40, ts),
+      ("error", 9.99, ts)) // non-arm types must be excluded
+      .toDF("event_type", "value", "ts")
+    val r = AggOps.aggAbTest(events).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "2024-01-01")
+    assert((row.getLong(1), row.getLong(2)) === ((2L, 3L)))
+    assert(row.getDouble(3) === 15.0 && row.getDouble(4) === 20.0)
+    assert(row.getDouble(5) === -0.447214, s"t ${row.getDouble(5)}")
+    assert(row.getDouble(6) === 2.777778, s"df ${row.getDouble(6)}")
+  }
+
+  test("agg_chi2: uniform-margin 2x2 table gives equal expecteds and the textbook total") {
+    // o = [[10,20],[20,10]]: every margin 30, n=60 → e=15 everywhere,
+    // contrib = 25/15 = 1.666667 per cell, chi2 = 6.6667
+    val rows = Seq.fill(10)(("A", "O")) ++ Seq.fill(20)(("A", "F")) ++
+      Seq.fill(20)(("B", "O")) ++ Seq.fill(10)(("B", "F"))
+    val df = rows.toDF("l_returnflag", "l_linestatus")
+    val out = AggOps.aggChi2(df).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(r.getDouble(3) === 15.0, s"expected $r")
+      assert(r.getDouble(4) === 1.666667, s"contrib $r")
+      assert(r.getDouble(5) === 6.6667, s"total $r")
+    }
+  }
+
+  test("sim_ivf_recall_curve: per-k census consistent, @10 equals the single-k audit") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val curve = SimOps.simIvfRecallCurve(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(curve.map(_._1).toSeq === Seq(1, 3, 5, 10))
+    curve.foreach { case (k, h, rec) =>
+      assert(h >= 0 && h <= k, s"hits out of range at k=$k")
+      assert(rec === math.round(h.toDouble / k * 1e6) / 1e6)
+    }
+    // cumulative hits can only grow with k
+    assert(curve.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    val single = SimOps.simIvfRecall(emb).collect().head
+    assert(curve.last._2 === single.getLong(1),
+      "curve@10 must equal the single-k audit")
+  }
+
   test("agg_weighted_stats: hand-computed weighted moments on a two-row group") {
     // group A: (w=2, x=10), (w=3, x=20) → sw=5, wmean=16,
     // wvar = (2·100+3·400)/5 − 16² = 24, wstd = √24
