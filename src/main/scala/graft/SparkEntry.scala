@@ -100,6 +100,7 @@ object SparkEntry {
       AuditQueries.qSubqueryExists(s, customer(s, d), orders(s, d))),
     "q_subquery_in" -> ((s, d) => AuditQueries.qSubqueryIn(s, orders(s, d), customer(s, d))),
     "q_not_in_nulls" -> ((s, d) => AuditQueries.qNotInNulls(s, orders(s, d), customer(s, d))),
+    "q_sql_udf" -> ((s, d) => AuditQueries.qSqlUdf(s, lineitem(s, d))),
     "q_cte" -> ((s, d) => AuditQueries.qCte(s, orders(s, d), customer(s, d))),
     "q_recursive_cte" -> ((s, d) => AuditQueries.qRecursiveCte(s, orders(s, d))),
     "q_window_sql" -> ((s, d) => AuditQueries.qWindowSql(s, customer(s, d))),
@@ -299,6 +300,7 @@ object SparkEntry {
     "stream_dedup" -> ((s, d) => StreamOps.streamDedup(s, d)),
     "stream_stateful" -> ((s, d) => StreamOps.streamStateful(s, d)),
     "stream_stateful_v2" -> ((s, d) => StreamOps.streamStatefulV2(s, d)),
+    "stream_timer_sessions" -> ((s, d) => StreamOps.streamTimerSessions(s, d)),
     "stream_sink" -> ((s, d) => StreamOps.streamSink(s, d)),
     "stream_join" -> ((s, d) => StreamOps.streamJoin(s, d)),
     "stream_stream_join" -> ((s, d) => StreamOps.streamStreamJoin(s, d)),
@@ -931,6 +933,12 @@ object SparkEntry {
          WHERE o_custkey IN (SELECT c_custkey FROM customer
                              WHERE c_mktsegment = 'BUILDING')
          ORDER BY o_orderkey""",
+    // the SQL UDF inlines at analysis — the oracle is the expression
+    "q_sql_udf" ->
+      """SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // three-valued logic: the NULL-bearing NOT IN list empties the first
     // count on BOTH engines; the anti-join legs agree with each other
     "q_not_in_nulls" ->
@@ -2558,6 +2566,31 @@ object SparkEntry {
     // and exactly the windows sealed by it (window_end <= watermark) are
     // emitted — the un-sealed tail windows are withheld, which is the
     // late-data contract this entry pins
+    // gap-sealed sessions emit inline; each user's trailing session only
+    // if its timer expiry clears the final watermark (max − 2 h)
+    "stream_timer_sessions" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         g AS (SELECT user_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END
+               AS new_s
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         s AS (SELECT user_id, ts_us, sum(new_s) OVER (
+             PARTITION BY user_id ORDER BY ts_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g),
+         sess AS (SELECT user_id, sid, min(ts_us) AS start_us,
+             max(ts_us) AS end_us, CAST(count(*) AS BIGINT) AS n_events
+           FROM s GROUP BY user_id, sid),
+         mx AS (SELECT max(ts_us // 1000) AS max_ms FROM b),
+         ranked AS (SELECT user_id, start_us, end_us, n_events,
+             row_number() OVER (PARTITION BY user_id ORDER BY start_us DESC)
+               AS rdesc
+           FROM sess)
+         SELECT user_id, start_us // 1000000 AS session_start_s, n_events
+         FROM ranked CROSS JOIN mx
+         WHERE rdesc > 1 OR end_us // 1000 + 1800000 <= max_ms - 7200000
+         ORDER BY user_id, session_start_s""",
     "stream_watermark" ->
       """WITH w AS (SELECT (epoch_us(ts) // 1000000 // 3600) * 3600
                       AS win_start_s, event_type

@@ -196,6 +196,26 @@ object AuditQueries {
          ORDER BY o_orderkey""")
   }
 
+  /** SQL-DEFINED scalar UDF (Spark 4 `CREATE FUNCTION … RETURN expr`) —
+    * the extension point that, unlike a Scala/Python UDF black box, is
+    * INLINED into the plan at analysis: the optimizer sees the
+    * expression, so codegen, pushdown, and constant folding all still
+    * apply (the reason to prefer SQL UDFs for pure-expression logic).
+    * The function body is the TPC-H discounted-price form; the oracle
+    * is the inlined expression — semantically invisible by design.
+    */
+  def qSqlUdf(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE)
+         RETURNS DOUBLE RETURN p * (1 - d)""")
+    spark.sql(
+      """SELECT l_returnflag,
+           round(sum(graft_disc_price(l_extendedprice, l_discount)), 2) AS revenue,
+           count(*) AS n_rows
+         FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
   /** NOT IN vs NOT EXISTS under NULLs — the classic three-valued-logic
     * trap, pinned as a first-class semantics entry: a NULL in the NOT IN
     * subquery list makes EVERY row's predicate UNKNOWN (so the query

@@ -289,6 +289,99 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  case class EvT(user_id: Long, ts_us: Long)
+  case class SessOut(user_id: Long, session_start_s: Long, n_events: Long)
+  // public like Ev/UserAgg: a private case class breaks the state
+  // encoder's codegen (janino can't see the ctor → interpreter fallback)
+  case class OpenSess(start_us: Long, end_us: Long, n: Long)
+
+  /** Event-time TIMER session finalization — the transformWithState
+    * feature the v2 fold doesn't exercise: sessions closed by the GAP are
+    * emitted inline, but each user's last OPEN session is sealed by a
+    * registered event-time timer that fires when the watermark proves no
+    * extension can arrive (expiry = end + gap, watermark delay 2 h). The
+    * per-user event list is bounded (the agg_collect rule), so the
+    * in-handler sort is task-local and small.
+    */
+  private class TimerSessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvT, SessOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var open: ValueState[OpenSess] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSess](
+        "open", org.apache.spark.sql.Encoders.product[OpenSess], TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long, rows: Iterator[EvT], timers: TimerValues): Iterator[SessOut] = {
+      val incoming = rows.map(_.ts_us).toArray.sorted
+      val prior = if (open.exists()) Some(open.get()) else None
+      // resume the open session if the first new event continues it
+      var sessions = Vector.empty[OpenSess]
+      var cur: OpenSess = null
+      prior.foreach { p => cur = p; open.clear(); getHandle.deleteTimer(p.end_us / 1000 + gapUs / 1000) }
+      incoming.foreach { t =>
+        if (cur == null) cur = OpenSess(t, t, 1L)
+        else if (t - cur.end_us <= gapUs) cur = OpenSess(cur.start_us, t, cur.n + 1)
+        else { sessions :+= cur; cur = OpenSess(t, t, 1L) }
+      }
+      // all but the trailing session are gap-sealed — emit now; the
+      // trailing one waits for its timer
+      if (cur != null) {
+        open.update(cur)
+        getHandle.registerTimer(cur.end_us / 1000 + gapUs / 1000)
+      }
+      sessions.iterator.map(s => SessOut(user, s.start_us / 1000000L, s.n))
+    }
+    override def handleExpiredTimer(
+        user: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessOut] = {
+      if (open.exists()) {
+        val s = open.get()
+        // only seal if THIS timer belongs to the current open session
+        if (expired.getExpiryTimeInMs == s.end_us / 1000 + gapUs / 1000) {
+          open.clear()
+          return Iterator.single(SessOut(user, s.start_us / 1000000L, s.n))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** The processor applied to any watermarked EvT stream — shared by the
+    * entry and the controlled-stream spec. */
+  private[graft] def timerSessionsOf(evs: Dataset[EvT],
+      gapUs: Long = 1800L * 1000000L): Dataset[SessOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    evs.groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(
+        new TimerSessionProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())(
+        org.apache.spark.sql.Encoders.product[SessOut])
+  }
+
+  /** The timer-sealed sessionization entry. Output is DETERMINISTIC with
+    * the single-file staging: one data batch carries everything (so the
+    * in-handler sort sees each user's full history — no cross-batch
+    * session splits), the watermark lands at max(ts) − 2 h after it, and
+    * the engine's no-data batch fires every timer with expiry under that
+    * — i.e. exactly the sessions ending ≤ max − 2 h − gap. Oracle =
+    * batch sessionize minus each user's unsealed trailing session.
+    */
+  def streamTimerSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evs: Dataset[EvT] = eventsStream(spark, sfDir)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).as[EvT]
+    val sessions = timerSessionsOf(evs)
+    withStateShardsFor(spark, sfDir) {
+      drain(sessions.toDF(), "graft_stream_timer_sessions", "append") }
+      .select(col("user_id"), col("session_start_s"), col("n_events"))
+      .orderBy("user_id", "session_start_s")
+  }
+
   /** Stream-static join: the arriving event stream enriched against a
     * BATCH dimension (user → cohort), then aggregated per cohort. The
     * static side is broadcast per micro-batch — no stream-side shuffle for

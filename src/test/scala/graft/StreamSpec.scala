@@ -66,6 +66,39 @@ class StreamSpec extends SparkTestBase {
     assert(out(100L) === 1L)
   }
 
+  test("stream_timer_sessions: gap seals inline, the timer seals the trailing session, unsealed stays back") {
+    import graft.streaming.StreamOps
+    spark.conf.set( // transformWithState requires the RocksDB store
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(java.sql.Timestamp, Long)](spark, 1)
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val evs = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 seconds")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[StreamOps.EvT]
+    val q = StreamOps.timerSessionsOf(evs, gapUs = 20L * 1000000L)
+      .toDF().writeStream.format("memory")
+      .queryName("graft_timer_sess_test").outputMode("append").start()
+    // batch 1: session A (0,5) gap-sealed inline once 100 opens B
+    input.addData((t(0), 1L), (t(5), 1L), (t(100), 1L))
+    q.processAllAvailable()
+    // batch 2: 110 EXTENDS open B across the batch boundary (no split);
+    // 300 gap-seals B inline and opens C (timer at 320)
+    input.addData((t(110), 1L), (t(300), 1L))
+    q.processAllAvailable()
+    // batch 3: user 2 at 500 pushes the watermark to 490 > 320 → C's
+    // timer fires; user 2's own trailing session (timer 520) stays open
+    input.addData((t(500), 2L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("graft_timer_sess_test")
+      .select(col("user_id"), col("session_start_s"), col("n_events"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(out === Seq((1L, 0L, 2L), (1L, 100L, 2L), (1L, 300L, 1L)),
+      s"got $out")
+  }
+
   test("streaming dedup of a doubled log equals single-copy counts") {
     val out = StreamOps.streamDedup(spark, sf0001)
       .select(col("event_type"), col("n")).as[(String, Long)].collect().toMap
