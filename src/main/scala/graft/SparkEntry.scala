@@ -70,6 +70,9 @@ object SparkEntry {
     "graph_bfs" -> ((s, d) => GraphOps.graphBfs(orders(s, d), lineitem(s, d))),
     "graph_degree_dist" -> ((s, d) => GraphOps.degreeDist(orders(s, d), lineitem(s, d))),
     "graph_label_prop" -> ((s, d) => GraphOps.graphLabelProp(orders(s, d), lineitem(s, d))),
+    "graph_label_prop_stored" -> ((s, d) =>
+      GraphOps.graphLabelPropStored(s, orders(s, d), lineitem(s, d), d)),
+    "graph_modularity" -> ((s, d) => GraphOps.graphModularity(orders(s, d), lineitem(s, d))),
     "graph_kcore" -> ((s, d) => GraphOps.graphKcore(orders(s, d), lineitem(s, d))),
     "graph_jaccard" -> ((s, d) => GraphOps.graphJaccard(orders(s, d), lineitem(s, d))),
     // native custom operator (logical node + strategy + partial/final exec)
@@ -101,6 +104,8 @@ object SparkEntry {
     "q_subquery_in" -> ((s, d) => AuditQueries.qSubqueryIn(s, orders(s, d), customer(s, d))),
     "q_not_in_nulls" -> ((s, d) => AuditQueries.qNotInNulls(s, orders(s, d), customer(s, d))),
     "q_sql_udf" -> ((s, d) => AuditQueries.qSqlUdf(s, lineitem(s, d))),
+    "q_existence_join" ->
+      ((s, d) => AuditQueries.qExistenceJoin(s, orders(s, d), customer(s, d))),
     "q_cte" -> ((s, d) => AuditQueries.qCte(s, orders(s, d), customer(s, d))),
     "q_recursive_cte" -> ((s, d) => AuditQueries.qRecursiveCte(s, orders(s, d))),
     "q_window_sql" -> ((s, d) => AuditQueries.qWindowSql(s, customer(s, d))),
@@ -325,6 +330,7 @@ object SparkEntry {
     "text_bigram_lm" -> ((s, d) => TextOps.textBigramLm(documents(s, d))),
     "text_perplexity_filter" ->
       ((s, d) => TextOps.textPerplexityFilter(documents(s, d))),
+    "text_code_detect" -> ((s, d) => TextOps.textCodeDetect(documents(s, d))),
     "text_repetition" -> ((s, d) => TextOps.textRepetition(documents(s, d))),
     "text_entropy" -> ((s, d) => TextOps.textEntropy(documents(s, d))),
     "text_decontaminate" -> ((s, d) => TextOps.textDecontaminate(documents(s, d))),
@@ -933,6 +939,16 @@ object SparkEntry {
          WHERE o_custkey IN (SELECT c_custkey FROM customer
                              WHERE c_mktsegment = 'BUILDING')
          ORDER BY o_orderkey""",
+    // semantics across the disjunction; the plan-level ExistenceJoin
+    // node is spec-pinned
+    "q_existence_join" ->
+      """SELECT count(*) AS n_qualifying,
+           CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_by_price
+         FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING')
+            OR o_totalprice > 150000""",
     // the SQL UDF inlines at analysis — the oracle is the expression
     "q_sql_udf" ->
       """SELECT l_returnflag,
@@ -1873,6 +1889,10 @@ object SparkEntry {
     "graph_components_stored" -> componentsOracleSql(8),
     // mode-of-neighbors with smallest-label tie-break, unrolled rounds
     "graph_label_prop" -> labelPropOracleSql(4),
+    // identical labels served from the stored bucketed layout
+    "graph_label_prop_stored" -> labelPropOracleSql(4),
+    // Newman Q over the same labels, integer sufficient statistics
+    "graph_modularity" -> modularityOracleSql(4),
     // peeling trajectory: per-round census of the >=k-degree active set
     "graph_kcore" -> kcoreOracleSql(0.90, 10, 5),
     // SemDeDup clusters over the kNN graph: same knnGraphCte, edges cut
@@ -2972,6 +2992,20 @@ object SparkEntry {
            round(avg(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v))), 6) AS avg_logp
          FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
          GROUP BY doc_id ORDER BY doc_id""",
+    // Java-regex / RE2 agreeing patterns; counts via regexp_extract_all
+    "text_code_detect" ->
+      """WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[{}()\[\];=<>]')) AS BIGINT)
+               AS sym_cnt,
+             CAST(len(regexp_extract_all(text,
+               '\b(def|return|import|class|function|var|int|void)\b'))
+               AS BIGINT) AS kw_hits
+           FROM documents)
+         SELECT doc_id, n_chars, sym_cnt, kw_hits,
+           round(sym_cnt::DOUBLE / n_chars, 6) AS sym_frac,
+           (round(sym_cnt::DOUBLE / n_chars, 6) > 0.02 AND kw_hits >= 1)
+             AS is_code_like
+         FROM t ORDER BY doc_id""",
     // the bigram-LM CTE chain reused verbatim; nearest-rank decile via the
     // same running-count-over-histogram selection the engine runs
     "text_perplexity_filter" ->
@@ -3855,7 +3889,10 @@ object SparkEntry {
     * with smallest-label tie-break GraphOps.graphLabelProp encodes as
     * max(struct(c, -label)).
     */
-  private def labelPropOracleSql(rounds: Int): String = {
+  /** The shared LPA CTE chain (edges + unrolled mode-vote rounds),
+    * consumed by the census oracle and the modularity oracle.
+    */
+  private def lpaCtes(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s""",
          l$i AS MATERIALIZED (SELECT id, nl AS label FROM (
@@ -3870,10 +3907,39 @@ object SparkEntry {
          edges AS MATERIALIZED (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
                    UNION ALL SELECT supp * 2 + 1, cust * 2 FROM pairs),
          nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
-         l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)$steps
+         l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)$steps"""
+  }
+
+  private def labelPropOracleSql(rounds: Int): String =
+    s"""${lpaCtes(rounds)}
          SELECT label AS community, count(*) AS n_nodes, min(id) AS min_node
          FROM l$rounds GROUP BY label ORDER BY community"""
-  }
+
+  /** Modularity over the LPA labels: integer (intra, degree-mass) sums
+    * per community, 2m recovered from the community table, fixed-order
+    * double closed forms — mirroring GraphOps.graphModularity.
+    */
+  private def modularityOracleSql(rounds: Int): String =
+    s"""${lpaCtes(rounds)},
+         wl AS MATERIALIZED (SELECT e.src, e.dst, ls.label AS sl, ld.label AS dl
+                 FROM edges e JOIN l$rounds ls ON ls.id = e.src
+                 JOIN l$rounds ld ON ld.id = e.dst),
+         bc AS MATERIALIZED (SELECT sl AS community,
+                 CAST(count(*) AS BIGINT) AS deg_mass,
+                 CAST(sum(CASE WHEN sl = dl THEN 1 ELSE 0 END) AS BIGINT)
+                   AS intra_edges
+               FROM wl GROUP BY sl),
+         sz AS MATERIALIZED (SELECT label AS community, count(*) AS n_nodes
+               FROM l$rounds GROUP BY label),
+         m2 AS (SELECT CAST(sum(deg_mass) AS BIGINT) AS m2 FROM bc)
+         SELECT community, n_nodes, intra_edges, deg_mass,
+           round(intra_edges::DOUBLE / m2
+                 - (deg_mass::DOUBLE / m2) * (deg_mass::DOUBLE / m2), 6)
+             AS q_contrib,
+           round(sum(intra_edges::DOUBLE / m2
+                 - (deg_mass::DOUBLE / m2) * (deg_mass::DOUBLE / m2)) OVER (), 4)
+             AS q_total
+         FROM bc JOIN sz USING (community) CROSS JOIN m2 ORDER BY community"""
 
   /** The k-core oracle: the deg-capped co-purchase projection with the
     * exact-interpolating percentile edge rule (the triangles CTEs, at a

@@ -196,6 +196,27 @@ object AuditQueries {
          ORDER BY o_orderkey""")
   }
 
+  /** EXISTENCE join — the fourth semi-join variant: an IN-subquery under
+    * an OR cannot rewrite to a plain left-semi (rows failing the
+    * subquery may still pass the disjunct), so Catalyst plans
+    * `ExistenceJoin`: a semi-join that ADDS a boolean `exists` column
+    * for the filter to consume. The spec pins the plan node; here the
+    * result proves the semantics across the disjunction.
+    */
+  def qExistenceJoin(
+      spark: SparkSession, orders: DataFrame, customer: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_v")
+    customer.createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT count(*) AS n_qualifying,
+           sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+             AS n_by_price
+         FROM orders_v
+         WHERE o_custkey IN (SELECT c_custkey FROM customer_v
+                             WHERE c_mktsegment = 'BUILDING')
+            OR o_totalprice > 150000""")
+  }
+
   /** SQL-DEFINED scalar UDF (Spark 4 `CREATE FUNCTION … RETURN expr`) —
     * the extension point that, unlike a Scala/Python UDF black box, is
     * INLINED into the plan at analysis: the optimizer sees the

@@ -420,6 +420,15 @@ object GraphOps {
   def graphLabelProp(orders: DataFrame, lineitem: DataFrame,
       rounds: Int = 4): DataFrame = {
     val (adj, nodes, _) = buildGraph(orders, lineitem)
+    labelPropLoop(adj, nodes, rounds)
+  }
+
+  /** The mode-vote loop alone — returns the final (id, label) frame;
+    * shared by the census entries and the modularity scorer. The caller
+    * owns the adjacency handle (unpersist after its last consumer).
+    */
+  private def lpaLabels(
+      adj: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
     for (r <- 1 to rounds) {
       val votes = adj.join(labels, col("src") === col("id"))
@@ -437,10 +446,83 @@ object GraphOps {
       // every-second-hop checkpoint cadence (the loopPartitioned trade)
       if (r % 2 == 0 || r == rounds) labels = labels.localCheckpoint()
     }
+    labels
+  }
+
+  /** The mode-vote loop + census, shared by the in-query build and the
+    * stored-layout serving path (the componentsLoop convention).
+    */
+  private def labelPropLoop(
+      adj: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
+    val labels = lpaLabels(adj, nodes, rounds)
     adj.unpersist()
     labels
       .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_node"))
+      .orderBy("community")
+  }
+
+  /** Label propagation SERVED from the stored bucketed layout — the third
+    * iterative consumer of `sink_graph_adjacency` (same oracle as
+    * graph_label_prop): one layout write amortizes across the family.
+    */
+  def graphLabelPropStored(
+      spark: org.apache.spark.sql.SparkSession,
+      orders: DataFrame, lineitem: DataFrame, sfDir: String,
+      rounds: Int = 4): DataFrame = {
+    val name = ensureAdjacencyTable(spark, orders, lineitem, sfDir)
+    val adj = spark.table(name).persist()
+    val nodes = adj.select(col("src").as("id")).distinct()
+    labelPropLoop(adj, nodes, rounds)
+  }
+
+  /** MODULARITY of the LPA communities — the quality score that makes
+    * community detection quantitative (Newman's Q = Σ_c [e_c/m −
+    * (a_c/2m)²]: intra-community edge fraction minus the random-graph
+    * expectation). Labels come from the same fixed-round LPA loop; the
+    * sufficient statistics are EXACT INTEGER sums — intra-community
+    * directed-edge count per label and total degree per label — joined
+    * on compact keys, with the double closed form entering only at the
+    * final per-community row (the agg_regression boundary discipline).
+    * Cost beyond the LPA loop: one edge-label join + two bounded
+    * aggregates. Output: per-community size, edge/degree masses, and
+    * contribution to Q, plus the corpus Q on every row (window over the
+    * bounded community table).
+    */
+  def graphModularity(orders: DataFrame, lineitem: DataFrame,
+      rounds: Int = 4): DataFrame = {
+    val (adj, nodes, _) = buildGraph(orders, lineitem)
+    val labels = lpaLabels(adj, nodes, rounds)
+    // directed edge list with both endpoint labels; 2m = total directed
+    // edges (the graph stores both orientations)
+    val edges = adj.select(col("src"), explode(col("dsts")).as("dst"))
+    val withL = edges
+      .join(labels.select(col("id").as("src"), col("label").as("sl")), "src")
+      .join(labels.select(col("id").as("dst"), col("label").as("dl")), "dst")
+    // bounded per-community sufficient statistics, MATERIALIZED while the
+    // adjacency cache is still alive (everything below is lazy — an
+    // unpersist before a checkpoint would silently re-pay the edge scan)
+    val byComm = withL
+      .groupBy(col("sl").as("community"))
+      .agg(
+        count(lit(1)).as("deg_mass"), // Σ out-degrees = a_c · (2m scale)
+        sum(when(col("sl") === col("dl"), 1L).otherwise(0L)).as("intra_edges"))
+      .localCheckpoint()
+    val sizes = labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    adj.unpersist()
+    // 2m from the community table itself — no second edge scan
+    val m2 = byComm.agg(sum(col("deg_mass")).as("m2"))
+    val contrib = col("intra_edges").cast("double") / col("m2") -
+      (col("deg_mass").cast("double") / col("m2")) *
+      (col("deg_mass").cast("double") / col("m2"))
+    byComm
+      .join(sizes, "community")
+      .crossJoin(broadcast(m2))
+      .select(col("community"), col("n_nodes"), col("intra_edges"),
+        col("deg_mass"), round(contrib, 6).as("q_contrib"),
+        round(sum(contrib).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()), 4).as("q_total"))
       .orderBy("community")
   }
 

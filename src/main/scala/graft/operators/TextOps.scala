@@ -252,6 +252,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CODE-vs-prose detection — the corpus-routing signal a pretraining
+    * mix needs (code goes to the code pipeline: different dedup, quality
+    * and tokenizer rules). Pure map-side regex arithmetic: code-symbol
+    * density, whole-word keyword hits, and the assignment-shaped line
+    * fraction; the verdict thresholds are data (broadcast-free
+    * literals). Patterns stay in the ASCII subset Java regex and RE2
+    * agree on — the cross-engine regex rule (`fn_regexp`).
+    */
+  def textCodeDetect(documents: DataFrame): DataFrame = {
+    val symPat = "[{}()\\[\\];=<>]"
+    val kwPat = "\\b(def|return|import|class|function|var|int|void)\\b"
+    val nChars = col("n_chars").cast("long")
+    val sym = size(regexp_extract_all(col("text"), lit(symPat), lit(0))).cast("long")
+    val kw = size(regexp_extract_all(col("text"), lit(kwPat), lit(0))).cast("long")
+    documents
+      .select(col("doc_id"), nChars.as("n_chars"),
+        sym.as("sym_cnt"), kw.as("kw_hits"))
+      .withColumn("sym_frac",
+        round(col("sym_cnt").cast("double") / col("n_chars"), 6))
+      .withColumn("is_code_like",
+        col("sym_frac") > 0.02 && col("kw_hits") >= 1)
+      .orderBy("doc_id")
+  }
+
   /** PERPLEXITY-based quality gate — the CCNet/KenLM-style filter every
     * published pretraining pipeline runs: score each document under the
     * corpus bigram LM (`textBigramLm`, reused verbatim — one definition,

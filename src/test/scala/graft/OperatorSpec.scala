@@ -478,6 +478,40 @@ class OperatorSpec extends SparkTestBase {
       s"got ${out.toSeq}")
   }
 
+  test("graph_label_prop_stored serves the identical census from the bucketed layout") {
+    val a = SparkEntry.queries("graph_label_prop")(spark, sf0001).collect().toSeq
+    val b = SparkEntry.queries("graph_label_prop_stored")(spark, sf0001).collect().toSeq
+    assert(a === b, s"in-query $a vs stored $b")
+  }
+
+  test("graph_modularity: bipartite star is anti-community — hand-computed Q = -0.5") {
+    // star: customer 1 (node 2) ↔ suppliers 1..3 (nodes 3,5,7). LPA
+    // oscillation lands at {2}:{3,5,7}; NO intra-community edge exists
+    // (every edge crosses), so each community contributes 0 − (3/6)² =
+    // −0.25 and Q = −0.5 — the classic bipartite anti-community signal.
+    val orders = (1L to 3L).map(k => (k, 1L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = (1L to 3L).map(k => (k, k)).toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.graphModularity(orders, lineitem).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      (2L, 1L, 0L, 3L, -0.25, -0.5),
+      (3L, 3L, 0L, 3L, -0.25, -0.5)), s"got ${out.toSeq}")
+  }
+
+  test("text_code_detect: symbol density + whole-word keywords, prefix words don't match") {
+    val docs = Seq(
+      (1L, "def f(x); return (y);", 100L),   // 6 symbols, 2 keywords
+      (2L, "the quick brown fox", 100L),      // prose
+      (3L, "classic definition of intent", 100L)) // prefixes must NOT hit
+      .toDF("doc_id", "text", "n_chars")
+    val out = TextOps.textCodeDetect(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(5)))
+    assert(out.toSeq === Seq(
+      (1L, 6L, 2L, true), (2L, 0L, 0L, false), (3L, 0L, 0L, false)),
+      s"got ${out.toSeq}")
+  }
+
   test("graph_kcore: pendant chain cascades off round by round, core survives") {
     // c1 buys {1,2,3,4} → K4 core; c2 buys {1,5} → pendant s5; c3 buys
     // {5,6} → pendant chain s6. All co-pairs share exactly 1 customer, so

@@ -30,6 +30,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("s_nationkey"), "unused column not pruned from scan")
   }
 
+  test("q_existence_join plans the ExistenceJoin variant (semi-join + exists flag)") {
+    val p = plan(graft.operators.AuditQueries.qExistenceJoin(
+      spark, Tables.orders(spark, sf0001), Tables.customer(spark, sf0001)))
+    assert(p.contains("ExistenceJoin"),
+      s"IN-under-OR must plan as ExistenceJoin, not rewrite to semi:\n$p")
+  }
+
   test("join_broadcast plans as BroadcastHashJoin (dims never shuffle the fact side)") {
     val p = plan(JoinOps.broadcastDims(
       customer(spark, sf0001), nation(spark, sf0001), region(spark, sf0001)))
