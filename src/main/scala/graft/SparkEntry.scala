@@ -125,6 +125,7 @@ object SparkEntry {
     "q_lateral_join" -> ((s, d) =>
       AuditQueries.qLateralJoin(s, customer(s, d), orders(s, d))),
     "fn_variant" -> ((s, d) => FuncOps.variantFns(events(s, d))),
+    "fn_struct" -> ((s, d) => FuncOps.structFns(customer(s, d))),
     "fn_url" -> ((s, d) => FuncOps.urlFns(documents(s, d))),
     "fn_collation" -> ((s, d) => FuncOps.collationFns(customer(s, d))),
     "scan_glob" -> ((s, d) => EtlOps.scanGlob(s, d)),
@@ -184,6 +185,8 @@ object SparkEntry {
     "win_streak" -> ((s, d) => WindowOps.winStreak(events(s, d))),
     "win_gap_fill" -> ((s, d) => WindowOps.gapFill(events(s, d))),
     "win_pct_change" -> ((s, d) => WindowOps.pctChange(events(s, d))),
+    "win_rolling_regression" ->
+      ((s, d) => WindowOps.winRollingRegression(events(s, d))),
     "win_ntile" -> ((s, d) => WindowOps.ntileBands(orders(s, d))),
     "win_median_sliding" -> ((s, d) => WindowOps.medianSliding(events(s, d))),
     "win_distinct_sliding" -> ((s, d) => WindowOps.distinctSliding(events(s, d))),
@@ -288,6 +291,7 @@ object SparkEntry {
     "sql_time_travel_ts" -> ((s, d) => EtlOps.sqlTimeTravelTs(s, d)),
     "join_storage_partitioned" -> ((s, d) => EtlOps.joinStoragePartitioned(s, d)),
     "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
+    "sink_manifest_commit" -> ((s, d) => EtlOps.sinkManifestCommit(s, d)),
     "sink_jsonl" -> ((s, d) => EtlOps.sinkJsonl(s, d)),
     "sink_retention" -> ((s, d) => EtlOps.sinkRetention(s, d)),
     "sink_incremental" -> ((s, d) => EtlOps.sinkIncremental(s, d)),
@@ -357,6 +361,7 @@ object SparkEntry {
     "pipeline_quality_classifier" ->
       ((s, d) => PipelineOps.pipelineQualityClassifier(documents(s, d))),
     "pipeline_mix" -> ((s, d) => PipelineOps.pipelineMix(documents(s, d))),
+    "pipeline_split" -> ((s, d) => PipelineOps.pipelineSplit(documents(s, d))),
     "pipeline_curriculum" -> ((s, d) => PipelineOps.pipelineCurriculum(documents(s, d))),
     "pipeline_span_corruption" ->
       ((s, d) => PipelineOps.pipelineSpanCorruption(documents(s, d))),
@@ -891,6 +896,23 @@ object SparkEntry {
     // variant extractions replicated via DuckDB's JSON path functions;
     // v_schema is the per-row shape of {"k": <int>} — constant across
     // this corpus, derived per row by schema_of_variant on the Spark side
+    // withField/dropFields flatten to one struct rebuild; integer cents
+    // in the JSON so the byte-compare survives (sink_doc_shape rule)
+    "fn_struct" ->
+      """SELECT c_custkey, c_custkey AS key,
+           lower(c_mktsegment) AS segment,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS balance_cents,
+           CASE WHEN round(c_acctbal * 100) < 0 THEN 'overdrawn'
+                WHEN round(c_acctbal * 100) < 500000 THEN 'standard'
+                ELSE 'premium' END AS band,
+           to_json(struct_pack(
+             key := c_custkey,
+             segment := lower(c_mktsegment),
+             balance_cents := CAST(round(c_acctbal * 100) AS BIGINT),
+             band := CASE WHEN round(c_acctbal * 100) < 0 THEN 'overdrawn'
+                WHEN round(c_acctbal * 100) < 500000 THEN 'standard'
+                ELSE 'premium' END)) AS doc_json
+         FROM customer ORDER BY c_custkey""",
     "fn_variant" ->
       """SELECT event_id,
          CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
@@ -1689,6 +1711,27 @@ object SparkEntry {
              ORDER BY ts_us, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rolling_median
          FROM b ORDER BY user_id, ts_us, event_id""",
+    // frame-bounded OLS sufficient sums; NULL guard on degenerate frames
+    // (IEEE inf/nan would hash engine-specifically)
+    "win_rolling_regression" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS y FROM events),
+         wx AS (SELECT user_id, event_id, ts_us, y,
+             CAST(row_number() OVER w AS BIGINT) AS x
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (SELECT user_id, x, y,
+             CAST(count(*) OVER f AS BIGINT) AS n,
+             CAST(sum(x) OVER f AS BIGINT) AS sx,
+             CAST(sum(y) OVER f AS BIGINT) AS sy,
+             CAST(sum(x * y) OVER f AS BIGINT) AS sxy,
+             CAST(sum(x * x) OVER f AS BIGINT) AS sxx
+           FROM wx WINDOW f AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         SELECT user_id, x AS rn, y,
+           CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0
+                THEN round((n * sxy - sx * sy)::DOUBLE
+                           / (n * sxx - sx * sx)::DOUBLE, 6) END AS slope5
+         FROM s ORDER BY user_id, rn""",
     "win_pct_change" ->
       """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
              round(value, 4) AS v FROM events),
@@ -2500,6 +2543,16 @@ object SparkEntry {
            CAST(sum(length(text)) AS BIGINT) AS chars_text,
            min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM documents GROUP BY source ORDER BY source""",
+    // the manifest names exactly the 4 committed shards; the planted
+    // orphan is invisible, so the census equals the raw source
+    "sink_manifest_commit" ->
+      """SELECT count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           4 AS n_manifest_files,
+           TRUE AS orphan_invisible
+         FROM orders""",
     "sink_compact" ->
       """SELECT count(*) AS n_rows,
          CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
@@ -3337,6 +3390,22 @@ object SparkEntry {
          FROM m GROUP BY doc_id, n_toks, n_spans ORDER BY doc_id""",
     // rate/threshold derived from the source index exactly as the
     // engine's mixture table builds them; same md5 first-digit rule
+    // same md5-first-digit assignment; splits disjoint+exhaustive by
+    // construction, shares audited per source
+    "pipeline_split" ->
+      """WITH d AS (SELECT source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                    THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+           FROM documents)
+         SELECT source, split, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY source), 6)
+             AS doc_share
+         FROM d GROUP BY source, split ORDER BY source, split""",
     "pipeline_mix" ->
       """WITH mix AS (SELECT source,
              CAST(CASE (CAST(substr(source, 4) AS INTEGER) % 4)

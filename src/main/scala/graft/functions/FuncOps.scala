@@ -228,6 +228,44 @@ object FuncOps {
     * exported is a typed scalar, so the DuckDB oracle replicates with its
     * own JSON path functions.
     */
+  /** Nested-struct surgery — `withField` / `dropFields` (Spark 3.1+),
+    * the in-place document-update API a Mongo-shaped pipeline edits
+    * nested records with (vs rebuilding the whole struct by hand). All
+    * analysis-time projections: the optimizer flattens the chain of
+    * edits into one map-side struct rebuild — no shuffle, no UDF. The
+    * audit re-expands the edited struct to plain columns so the oracle
+    * sees through the nesting (struct layout is the tested behavior:
+    * field ADDED, field UPDATED, field DROPPED, order preserved).
+    */
+  def structFns(customer: DataFrame): DataFrame = {
+    // amounts ride as integer cents inside the struct: the JSON audit
+    // byte-compares, and float formatting is engine-specific (the
+    // sink_doc_shape rule)
+    val doc = struct(
+      col("c_custkey").as("key"),
+      col("c_mktsegment").as("segment"),
+      round(col("c_acctbal") * 100).cast("long").as("balance_cents"),
+      col("c_nationkey").as("nation"))
+    customer
+      .select(col("c_custkey"), doc.as("doc"))
+      // update one field, add one, drop one — the document-edit triple
+      .withColumn("doc", col("doc")
+        .withField("segment", lower(col("doc.segment")))
+        .withField("band",
+          when(col("doc.balance_cents") < 0, "overdrawn")
+            .when(col("doc.balance_cents") < 500000, "standard")
+            .otherwise("premium"))
+        .dropFields("nation"))
+      .select(
+        col("c_custkey"),
+        col("doc.key").as("key"),
+        col("doc.segment").as("segment"),
+        col("doc.balance_cents").as("balance_cents"),
+        col("doc.band").as("band"),
+        to_json(col("doc")).as("doc_json"))
+      .orderBy("c_custkey")
+  }
+
   def variantFns(events: DataFrame): DataFrame =
     events
       .select(

@@ -162,6 +162,31 @@ object PipelineOps {
       .orderBy("stage")
   }
 
+  /** Deterministic TRAIN/VAL/TEST split — the held-out partition every
+    * training run needs, assigned by CONTENT HASH (the `sample_hash`
+    * rule): md5 first hex digit 0–b → train (12/16), c–d → val, e–f →
+    * test. Hash assignment is stable under re-runs, repartitioning, and
+    * corpus growth (a doc never migrates between splits), which is what
+    * makes the val set trustworthy across pipeline versions. Splits are
+    * disjoint and exhaustive BY CONSTRUCTION; the census makes the
+    * partition law auditable per source. Entirely map-side + one
+    * bounded aggregate.
+    */
+  def pipelineSplit(documents: DataFrame): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    documents
+      .select(col("source"),
+        when(h < "c", "train").when(h < "e", "val").otherwise("test")
+          .as("split"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("doc_share", round(
+        col("n_docs") / sum(col("n_docs")).over(
+          Window.partitionBy(col("source"))), 6))
+      .orderBy("source", "split")
+  }
+
   /** T5-style SPAN CORRUPTION planning — the denoising-objective mask:
     * tokens are grouped into fixed spans of 3 and each span is masked iff
     * its content hash falls under a 3/16 rate (the `sample_hash` rule

@@ -132,6 +132,40 @@ object WindowOps {
     * same single shuffle on user_id, no state store. Timestamps surface as
     * epoch-micros bigints (the engine-portable form for the compare).
     */
+  /** ROLLING REGRESSION — per-user OLS slope of event value over the
+    * last 5 events (the windowed trend feature an anomaly detector
+    * reads). The x axis is the event's per-user rank (small exact
+    * integers), y is value-CENTS; the five frame-bounded sufficient
+    * sums (n, Σx, Σy, Σxy, Σx²) are window aggregates over ONE
+    * user-partitioned sort, and the slope is the agg_regression closed
+    * form entering doubles only at the final projection. Degenerate
+    * frames (n < 2, or zero x-variance) yield NULL via an explicit
+    * guard — IEEE ∞/NaN would hash-compare engine-specifically.
+    */
+  def winRollingRegression(events: DataFrame, frame: Int = 5): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val fr = byUser.rowsBetween(-(frame - 1), 0)
+    val base = events.select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 100).cast("long").as("y"))
+    val withX = base.withColumn("x", row_number().over(byUser).cast("long"))
+    val s = withX
+      .withColumn("n", count(lit(1)).over(fr))
+      .withColumn("sx", sum(col("x")).over(fr))
+      .withColumn("sy", sum(col("y")).over(fr))
+      .withColumn("sxy", sum(col("x") * col("y")).over(fr))
+      .withColumn("sxx", sum(col("x") * col("x")).over(fr))
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    s.select(
+      col("user_id"), col("x").as("rn"), col("y"),
+      when(col("n") >= 2 && den =!= 0.0, round(num / den, 6))
+        .otherwise(lit(null).cast("double")).as("slope5"))
+      .orderBy("user_id", "rn")
+  }
+
   /** Gaps-and-islands STREAKS — longest run of consecutive active DAYS
     * per user (the retention/engagement feature every activity warehouse
     * computes). The island key is the classic date-minus-row_number

@@ -959,6 +959,52 @@ object EtlOps {
     * sum). File-count invariants live in the spec; the oracle checks the
     * data.
     */
+  /** MANIFEST-committed sink — the atomic-visibility protocol object
+    * stores need (S3 has no directory rename): data files land first,
+    * then ONE manifest write commits exactly that file list; readers
+    * resolve the manifest, never the directory listing, so a partial
+    * file from a failed concurrent writer is INVISIBLE (the Iceberg /
+    * Delta commit principle in its minimal form). Here: 4 shards
+    * written, an orphan part-file planted AFTER the manifest (the
+    * crashed-writer debris), and the audit reads through the manifest —
+    * its census must equal the source exactly, orphan excluded. The
+    * manifest is metadata-sized (one line per file), driver-side by
+    * design; data files stay fully distributed.
+    */
+  def sinkManifestCommit(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "orders_manifested")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartition(4)
+      .write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val dataFiles = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    // COMMIT: the manifest names exactly the files written above
+    Files.write(dir.resolve("_manifest.json"),
+      dataFiles.mkString("\n").getBytes("UTF-8"))
+    // crashed-writer debris arriving after the commit — must stay invisible
+    val orphanTmp = freshDir(sfDir, "orders_orphan")
+    spark.range(5)
+      .select(col("id").as("o_orderkey"), lit(9.99).as("o_totalprice"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(orphanTmp.toString)
+    val orphanPart = Option(orphanTmp.toFile.listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(orphanPart.toPath, dir.resolve("part-99999-orphan.parquet"))
+    // READ PATH: resolve the manifest, load only its files
+    val committed = new String(
+      Files.readAllBytes(dir.resolve("_manifest.json")), "UTF-8")
+      .split("\n").map(f => dir.resolve(f).toString)
+    val dirParquets = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet"))
+    spark.read.parquet(committed: _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))
+      .withColumn("n_manifest_files", lit(committed.length))
+      .withColumn("orphan_invisible", lit(dirParquets > committed.length))
+  }
+
   def sinkCompact(spark: SparkSession, sfDir: String): DataFrame = {
     val frag = freshDir(sfDir, "orders_frag").toString
     spark.read.parquet(s"$sfDir/orders.parquet")

@@ -357,6 +357,49 @@ class OperatorSpec extends SparkTestBase {
     assert(out.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got ${out.toSeq}")
   }
 
+  test("fn_struct: withField updates/adds, dropFields removes from the JSON form") {
+    val customer = Seq((1L, "BUILDING", 42.5, 7L))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal", "c_nationkey")
+    val r = graft.functions.FuncOps.structFns(customer).collect().head
+    assert(r.getString(2) === "building", "withField update must lowercase")
+    assert(r.getLong(3) === 4250L && r.getString(4) === "standard")
+    val json = r.getString(5)
+    assert(json.contains("\"band\":\"standard\""), s"added field missing: $json")
+    assert(!json.contains("nation"), s"dropped field leaked into: $json")
+  }
+
+  test("win_rolling_regression: perfect line gives the exact slope, degenerate frame gives NULL") {
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    val events = Seq(
+      (1L, 10L, ts(1), 1.00), (1L, 11L, ts(2), 2.00), (1L, 12L, ts(3), 3.00))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = WindowOps.winRollingRegression(events).collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSeq === Seq(
+      (1L, None), (2L, Some(100.0)), (3L, Some(100.0))), s"got ${out.toSeq}")
+  }
+
+  test("pipeline_split: shares close per source, splits are the canonical three") {
+    val out = PipelineOps.pipelineSplit(Tables.documents(spark, sf0001)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(4)))
+    assert(out.nonEmpty)
+    assert(out.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val share = rows.map(_._4).sum
+      assert(math.abs(share - 1.0) < 1e-4, s"$src shares sum to $share")
+    }
+    val total = out.map(_._3).sum
+    assert(total === Tables.documents(spark, sf0001).count(),
+      "splits must partition the corpus exactly")
+  }
+
+  test("sink_manifest_commit: orphan planted after the commit stays invisible") {
+    val r = SparkEntry.queries("sink_manifest_commit")(spark, sf0001).collect().head
+    assert(r.getBoolean(4), "orphan file leaked into the manifest read")
+    assert(r.getLong(0) === Tables.orders(spark, sf0001).count(),
+      "manifest read must see exactly the committed rows")
+  }
+
   test("win_streak: islands split on gaps; longest-streak tie breaks to the latest start") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
     // user 1: days 1,2,3 then 5,6 → streaks (3, 2); user 2: 1,2 then 4,5
