@@ -187,6 +187,7 @@ object SparkEntry {
     "win_pct_change" -> ((s, d) => WindowOps.pctChange(events(s, d))),
     "win_rolling_regression" ->
       ((s, d) => WindowOps.winRollingRegression(events(s, d))),
+    "win_attribution" -> ((s, d) => WindowOps.winAttribution(events(s, d))),
     "win_ntile" -> ((s, d) => WindowOps.ntileBands(orders(s, d))),
     "win_median_sliding" -> ((s, d) => WindowOps.medianSliding(events(s, d))),
     "win_distinct_sliding" -> ((s, d) => WindowOps.distinctSliding(events(s, d))),
@@ -362,6 +363,8 @@ object SparkEntry {
       ((s, d) => PipelineOps.pipelineQualityClassifier(documents(s, d))),
     "pipeline_mix" -> ((s, d) => PipelineOps.pipelineMix(documents(s, d))),
     "pipeline_split" -> ((s, d) => PipelineOps.pipelineSplit(documents(s, d))),
+    "pipeline_length_buckets" ->
+      ((s, d) => PipelineOps.pipelineLengthBuckets(documents(s, d))),
     "pipeline_curriculum" -> ((s, d) => PipelineOps.pipelineCurriculum(documents(s, d))),
     "pipeline_span_corruption" ->
       ((s, d) => PipelineOps.pipelineSpanCorruption(documents(s, d))),
@@ -1713,6 +1716,22 @@ object SparkEntry {
          FROM b ORDER BY user_id, ts_us, event_id""",
     // frame-bounded OLS sufficient sums; NULL guard on degenerate frames
     // (IEEE inf/nan would hash engine-specifically)
+    // conditional max over the preceding frame = last-touch credit;
+    // organic purchases carry NULLs on both engines
+    "win_attribution" ->
+      """WITH b AS (SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS ts_us FROM events),
+         w AS (SELECT event_id, user_id, event_type, ts_us,
+             max(CASE WHEN event_type = 'click' THEN ts_us END) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_us
+           FROM b)
+         SELECT event_id, user_id,
+           ts_us // 1000000 AS purchase_s,
+           last_click_us // 1000000 AS click_s,
+           (ts_us - last_click_us) // 1000000 AS latency_s
+         FROM w WHERE event_type = 'purchase' ORDER BY event_id""",
     "win_rolling_regression" ->
       """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
              CAST(round(value * 100) AS BIGINT) AS y FROM events),
@@ -3392,6 +3411,23 @@ object SparkEntry {
     // engine's mixture table builds them; same md5 first-digit rule
     // same md5-first-digit assignment; splits disjoint+exhaustive by
     // construction, shares audited per source
+    // explicit power-of-two thresholds (float log2 mis-buckets powers)
+    "pipeline_length_buckets" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+         b AS (SELECT n, CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+             WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+             WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+             ELSE 1024 END AS bucket FROM t),
+         g AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+             count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_toks
+           FROM b GROUP BY bucket)
+         SELECT bucket, n_docs, sum_toks,
+           CAST(4096 // bucket AS BIGINT) AS rows_per_batch,
+           CAST((n_docs + (4096 // bucket) - 1) // (4096 // bucket) AS BIGINT)
+             AS n_batches,
+           round(sum_toks::DOUBLE / (n_docs * bucket), 6) AS pad_efficiency
+         FROM g ORDER BY bucket""",
     "pipeline_split" ->
       """WITH d AS (SELECT source,
              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'

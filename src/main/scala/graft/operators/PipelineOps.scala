@@ -162,6 +162,34 @@ object PipelineOps {
       .orderBy("stage")
   }
 
+  /** LENGTH-BUCKET batching — sequence-length bucketing (the standard
+    * padding-efficiency move: batch similar-length documents so pad
+    * tokens don't dominate). Buckets are power-of-two ceilings chosen by
+    * an EXPLICIT threshold CASE (float log2 would mis-bucket exact
+    * powers); per bucket the census reports batch count under a fixed
+    * token budget and the realized padding efficiency — the number a
+    * training-throughput dashboard watches. Map-side + one bounded
+    * aggregate.
+    */
+  def pipelineLengthBuckets(
+      documents: DataFrame, budgetToks: Int = 4096): DataFrame = {
+    val n = size(split(col("text"), " ")).cast("long")
+    val bucket = when(n <= 16, 16L).when(n <= 32, 32L).when(n <= 64, 64L)
+      .when(n <= 128, 128L).when(n <= 256, 256L).when(n <= 512, 512L)
+      .otherwise(1024L)
+    documents
+      .select(n.as("n_toks"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+      .withColumn("rows_per_batch", floor(lit(budgetToks) / col("bucket")).cast("long"))
+      .withColumn("n_batches",
+        floor((col("n_docs") + col("rows_per_batch") - 1) / col("rows_per_batch"))
+          .cast("long"))
+      .withColumn("pad_efficiency",
+        round(col("sum_toks").cast("double") / (col("n_docs") * col("bucket")), 6))
+      .orderBy("bucket")
+  }
+
   /** Deterministic TRAIN/VAL/TEST split — the held-out partition every
     * training run needs, assigned by CONTENT HASH (the `sample_hash`
     * rule): md5 first hex digit 0–b → train (12/16), c–d → val, e–f →

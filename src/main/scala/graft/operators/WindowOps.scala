@@ -132,6 +132,33 @@ object WindowOps {
     * same single shuffle on user_id, no state store. Timestamps surface as
     * epoch-micros bigints (the engine-portable form for the compare).
     */
+  /** LAST-TOUCH ATTRIBUTION — each purchase credited to the user's most
+    * recent preceding click (the marketing-analytics join every event
+    * warehouse runs). The "most recent preceding" is a conditional MAX
+    * over the unbounded-to-1-PRECEDING frame — one user-partitioned
+    * window, no self-join, no as-of machinery; purchases with no prior
+    * click surface as organic (NULL click, latency NULL). Latency is
+    * integer-floor seconds (identical division on both engines).
+    */
+  def winAttribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"),
+        floor(col("ts_us") / 1000000L).cast("long").as("purchase_s"),
+        floor(col("last_click_us") / 1000000L).cast("long").as("click_s"),
+        floor((col("ts_us") - col("last_click_us")) / 1000000L).cast("long")
+          .as("latency_s"))
+      .orderBy("event_id")
+  }
+
   /** ROLLING REGRESSION — per-user OLS slope of event value over the
     * last 5 events (the windowed trend feature an anomaly detector
     * reads). The x axis is the event's per-user rank (small exact

@@ -357,6 +357,41 @@ class OperatorSpec extends SparkTestBase {
     assert(out.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got ${out.toSeq}")
   }
 
+  test("win_attribution: last preceding click wins; organic and future clicks excluded") {
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    val events = Seq(
+      (1L, 1L, "purchase", ts(5)),  // organic: no click before
+      (2L, 1L, "click", ts(10)),
+      (3L, 1L, "click", ts(15)),    // the LAST preceding click
+      (4L, 1L, "view", ts(20)),
+      (5L, 1L, "purchase", ts(30)), // latency = 15 s
+      (6L, 1L, "click", ts(40)))    // future click must not attribute
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = WindowOps.winAttribution(events).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    assert(out.toSeq === Seq(
+      (1L, None, None),
+      (5L, Some(base + 15), Some(15L))), s"got ${out.toSeq}")
+  }
+
+  test("pipeline_length_buckets: threshold buckets, batch ceil, padding efficiency") {
+    val docs = Seq(
+      (1L, Seq.fill(10)("w").mkString(" ")),
+      (2L, Seq.fill(20)("w").mkString(" ")),
+      (3L, Seq.fill(100)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.pipelineLengthBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      (16L, 1L, 256L, 1L, 0.625),
+      (32L, 1L, 128L, 1L, 0.625),
+      (128L, 1L, 32L, 1L, 0.78125)), s"got ${out.toSeq}")
+  }
+
   test("fn_struct: withField updates/adds, dropFields removes from the JSON form") {
     val customer = Seq((1L, "BUILDING", 42.5, 7L))
       .toDF("c_custkey", "c_mktsegment", "c_acctbal", "c_nationkey")
