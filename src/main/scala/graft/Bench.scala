@@ -88,6 +88,7 @@ object Bench {
     // Round-8 continuation: the post-gate heavy families.
     "graph_label_prop",     // mode-of-neighbors LPA on the shared adjacency
     "graph_kcore",          // peeling trajectory over the co-purchase graph
+    "graph_kcore_stored",   // same trajectory served from the stored layout
     "text_perplexity_filter", // bigram-LM lowest-decile quarantine census
     "pipeline_curriculum",  // histogram-ranked curriculum staging
   )

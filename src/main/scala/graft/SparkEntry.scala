@@ -74,6 +74,10 @@ object SparkEntry {
       GraphOps.graphLabelPropStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_modularity" -> ((s, d) => GraphOps.graphModularity(orders(s, d), lineitem(s, d))),
     "graph_kcore" -> ((s, d) => GraphOps.graphKcore(orders(s, d), lineitem(s, d))),
+    "sink_copurchase_layout" -> ((s, d) =>
+      GraphOps.sinkCopurchaseLayout(s, orders(s, d), lineitem(s, d), d)),
+    "graph_kcore_stored" -> ((s, d) =>
+      GraphOps.graphKcoreStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_jaccard" -> ((s, d) => GraphOps.graphJaccard(orders(s, d), lineitem(s, d))),
     // native custom operator (logical node + strategy + partial/final exec)
     "topk_per_group_native" -> ((s, d) =>
@@ -1957,6 +1961,26 @@ object SparkEntry {
     "graph_modularity" -> modularityOracleSql(4),
     // peeling trajectory: per-round census of the >=k-degree active set
     "graph_kcore" -> kcoreOracleSql(0.90, 10, 5),
+    // identical trajectory served from the stored bucketed layout
+    "graph_kcore_stored" -> kcoreOracleSql(0.90, 10, 5),
+    // layout CONTENT census per logical bucket (physical bucketing is
+    // Spark-internal hash, deliberately not replicated)
+    "sink_copurchase_layout" ->
+      """WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         sc AS MATERIALIZED (SELECT cust FROM pairs GROUP BY cust HAVING count(*) <= 256),
+         kept AS MATERIALIZED (SELECT p.cust, p.supp FROM pairs p JOIN sc USING (cust)),
+         co AS MATERIALIZED (SELECT a.supp AS s1, b.supp AS s2, count(*) AS shared
+                FROM kept a JOIN kept b ON a.cust = b.cust AND a.supp < b.supp
+                GROUP BY a.supp, b.supp),
+         thr AS MATERIALIZED (SELECT quantile_cont(shared, 0.90) AS t FROM co),
+         uedges AS MATERIALIZED (SELECT s1, s2 FROM co CROSS JOIN thr WHERE shared >= t),
+         edges AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM uedges
+                   UNION ALL SELECT s2, s1 FROM uedges)
+         SELECT src % 8 AS bucket, count(*) AS n_edges,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_src,
+           min(src) AS min_src, max(dst) AS max_dst
+         FROM edges GROUP BY bucket ORDER BY bucket""",
     // SemDeDup clusters over the kNN graph: same knnGraphCte, edges cut
     // at cos >= 0.45, six unrolled min-label hops
     "sim_knn_cluster" -> knnClusterOracleSql(0.45, 4),

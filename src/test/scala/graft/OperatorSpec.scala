@@ -556,6 +556,12 @@ class OperatorSpec extends SparkTestBase {
       s"got ${out.toSeq}")
   }
 
+  test("graph_kcore_stored serves the identical trajectory from the co-purchase layout") {
+    val a = SparkEntry.queries("graph_kcore")(spark, sf0001).collect().toSeq
+    val b = SparkEntry.queries("graph_kcore_stored")(spark, sf0001).collect().toSeq
+    assert(a === b, s"in-query $a vs stored $b")
+  }
+
   test("graph_label_prop_stored serves the identical census from the bucketed layout") {
     val a = SparkEntry.queries("graph_label_prop")(spark, sf0001).collect().toSeq
     val b = SparkEntry.queries("graph_label_prop_stored")(spark, sf0001).collect().toSeq
