@@ -78,6 +78,8 @@ object SparkEntry {
       GraphOps.sinkCopurchaseLayout(s, orders(s, d), lineitem(s, d), d)),
     "graph_kcore_stored" -> ((s, d) =>
       GraphOps.graphKcoreStored(s, orders(s, d), lineitem(s, d), d)),
+    "graph_triangles_stored" -> ((s, d) =>
+      GraphOps.graphTrianglesStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_jaccard" -> ((s, d) => GraphOps.graphJaccard(orders(s, d), lineitem(s, d))),
     // native custom operator (logical node + strategy + partial/final exec)
     "topk_per_group_native" -> ((s, d) =>
@@ -1963,6 +1965,25 @@ object SparkEntry {
     "graph_kcore" -> kcoreOracleSql(0.90, 10, 5),
     // identical trajectory served from the stored bucketed layout
     "graph_kcore_stored" -> kcoreOracleSql(0.90, 10, 5),
+    // the triangles census at the LAYOUT's 0.90 operating point
+    "graph_triangles_stored" ->
+      """WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         sc AS MATERIALIZED (SELECT cust FROM pairs GROUP BY cust HAVING count(*) <= 256),
+         kept AS MATERIALIZED (SELECT p.cust, p.supp FROM pairs p JOIN sc USING (cust)),
+         co AS MATERIALIZED (SELECT a.supp AS s1, b.supp AS s2, count(*) AS shared
+                FROM kept a JOIN kept b ON a.cust = b.cust AND a.supp < b.supp
+                GROUP BY a.supp, b.supp),
+         thr AS MATERIALIZED (SELECT quantile_cont(shared, 0.90) AS t FROM co),
+         edges AS MATERIALIZED (SELECT s1, s2 FROM co CROSS JOIN thr WHERE shared >= t),
+         wedges AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+                    FROM edges e1 JOIN edges e2 ON e1.s2 = e2.s1),
+         tri AS (SELECT a, b, c FROM wedges w
+                 WHERE EXISTS (SELECT 1 FROM edges e WHERE e.s1 = w.a AND e.s2 = w.c)),
+         nodes AS (SELECT unnest([a, b, c]) AS supp_id FROM tri)
+         SELECT supp_id, count(*) AS n_triangles
+         FROM nodes GROUP BY supp_id
+         ORDER BY n_triangles DESC, supp_id LIMIT 10""",
     // layout CONTENT census per logical bucket (physical bucketing is
     // Spark-internal hash, deliberately not replicated)
     "sink_copurchase_layout" ->

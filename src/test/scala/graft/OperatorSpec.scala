@@ -556,6 +556,15 @@ class OperatorSpec extends SparkTestBase {
       s"got ${out.toSeq}")
   }
 
+  test("graph_triangles_stored equals the in-query builder at the layout's percentile") {
+    val fromLayout = SparkEntry.queries("graph_triangles_stored")(spark, sf0001)
+      .collect().toSeq
+    val inQuery = GraphOps.graphTriangles(
+      Tables.orders(spark, sf0001), Tables.lineitem(spark, sf0001), pct = 0.90)
+      .collect().toSeq
+    assert(fromLayout === inQuery, s"layout $fromLayout vs in-query $inQuery")
+  }
+
   test("graph_kcore_stored serves the identical trajectory from the co-purchase layout") {
     val a = SparkEntry.queries("graph_kcore")(spark, sf0001).collect().toSeq
     val b = SparkEntry.queries("graph_kcore_stored")(spark, sf0001).collect().toSeq
