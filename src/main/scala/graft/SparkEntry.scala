@@ -299,6 +299,7 @@ object SparkEntry {
     "join_storage_partitioned" -> ((s, d) => EtlOps.joinStoragePartitioned(s, d)),
     "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
     "sink_manifest_commit" -> ((s, d) => EtlOps.sinkManifestCommit(s, d)),
+    "sink_vacuum" -> ((s, d) => EtlOps.sinkVacuum(s, d)),
     "sink_jsonl" -> ((s, d) => EtlOps.sinkJsonl(s, d)),
     "sink_retention" -> ((s, d) => EtlOps.sinkRetention(s, d)),
     "sink_incremental" -> ((s, d) => EtlOps.sinkIncremental(s, d)),
@@ -358,6 +359,8 @@ object SparkEntry {
     "sim_bitext" -> ((s, d) => SimOps.simBitext(embeddings(s, d))),
     "sim_ivf_recall" -> ((s, d) => SimOps.simIvfRecall(embeddings(s, d))),
     "sim_ivf_recall_curve" -> ((s, d) => SimOps.simIvfRecallCurve(embeddings(s, d))),
+    "sim_hybrid_rrf" ->
+      ((s, d) => SimOps.simHybridRrf(documents(s, d), embeddings(s, d))),
     "sim_ivf_kmeans" -> ((s, d) => SimOps.simIvfKmeans(embeddings(s, d))),
     "sink_ann_index" -> ((s, d) => SimOps.sinkAnnIndex(s, d)),
     "sim_kmeans" -> ((s, d) => SimOps.simKmeans(embeddings(s, d))),
@@ -2609,6 +2612,15 @@ object SparkEntry {
          FROM documents GROUP BY source ORDER BY source""",
     // the manifest names exactly the 4 committed shards; the planted
     // orphan is invisible, so the census equals the raw source
+    // vacuum removed exactly the 2 planted orphans; committed data intact
+    "sink_vacuum" ->
+      """SELECT count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           2 AS n_removed,
+           TRUE AS vacuum_clean
+         FROM orders""",
     "sink_manifest_commit" ->
       """SELECT count(*) AS n_rows,
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
@@ -3668,6 +3680,37 @@ object SparkEntry {
     // recall@k compares IDENTITY sets: approx = the sim_ivf oracle as a
     // CTE verbatim, exact = brute force with the same rounded-cosine
     // tie-break; the audit rides entirely on already-proven rankings
+    // both legs' top-10 ranked under their rounded-score total orders;
+    // RRF folds two fixed-order terms — no score calibration anywhere
+    "sim_hybrid_rrf" ->
+      """WITH nd AS (SELECT count(*) AS n FROM documents),
+         toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents),
+         qt AS (SELECT doc_id, w FROM toks WHERE w IN ('hash', 'join')),
+         dft AS (SELECT w, count(DISTINCT doc_id) AS df FROM qt GROUP BY w),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM qt GROUP BY doc_id, w),
+         lex AS (SELECT doc_id, round(sum(tf * ln(n::DOUBLE / df)), 6) AS s6
+           FROM tf JOIN dft USING (w) CROSS JOIN nd GROUP BY doc_id),
+         lex10 AS (SELECT doc_id, s6 FROM lex ORDER BY s6 DESC, doc_id LIMIT 10),
+         lexr AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY s6 DESC, doc_id) AS INTEGER)
+               AS lex_rank FROM lex10),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         vec AS (SELECT vec_id AS doc_id,
+             round(list_dot_product(v, qv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 9)
+               AS c9
+           FROM e CROSS JOIN q),
+         vec10 AS (SELECT doc_id, c9 FROM vec ORDER BY c9 DESC, doc_id LIMIT 10),
+         vecr AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY c9 DESC, doc_id) AS INTEGER)
+               AS vec_rank FROM vec10)
+         SELECT doc_id, lex_rank, vec_rank,
+           round(coalesce(1.0 / (60 + lex_rank), 0)
+                 + coalesce(1.0 / (60 + vec_rank), 0), 6) AS rrf
+         FROM lexr FULL OUTER JOIN vecr USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
     // the single-k audit generalized: per-k cuts over the ranked exact
     // top-10 via a constant k list — identical join, k-wise census
     "sim_ivf_recall_curve" ->

@@ -1357,6 +1357,62 @@ object SimOps {
         round(col("n_hits").cast("double") / col("k_eval"), 6).as("recall"))
   }
 
+  /** HYBRID retrieval — lexical TF·IDF and vector cosine legs fused by
+    * Reciprocal Rank Fusion (the standard hybrid-search combiner:
+    * rrf = Σ 1/(60 + rank), rank-based so the two score scales never
+    * need calibrating). Each leg is a top-k cut (TakeOrderedAndProject,
+    * ranks assigned on the k-row frame — bounded window); the fusion is
+    * one full-outer join of two k-row lists. The lexical per-doc sum
+    * folds ≤ |terms| values (IEEE addition is commutative, 2-element
+    * sums are order-safe); ln(N/df) enters as the same fixed expression
+    * on both engines. At 100 TB each leg is the already-scaled operator
+    * (inverted term index, ANN index) — fusion cost is O(k).
+    */
+  def simHybridRrf(documents: DataFrame, embeddings: DataFrame,
+      terms: Seq[String] = Seq("hash", "join"), k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val dot = LlmOps.dot _
+    // lexical leg: Σ_terms tf · ln(N/df)
+    val toks = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .localCheckpoint() // feeds df and tf
+    val nDocs = documents.agg(count(lit(1)).as("n"))
+    val dfT = toks.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+    val lexTop = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(dfT), "w")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * log(col("n").cast("double") / col("df"))).as("score"))
+      .select(col("doc_id"), round(col("score"), 6).as("s6"))
+      .orderBy(desc("s6"), asc("doc_id")).limit(k)
+      .withColumn("lex_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("s6"), asc("doc_id")))) // k-row frame, bounded
+    // vector leg: exact cosine top-k against the vec-0 query
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val cos = dot(col("v"), col("qv")) /
+      (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv"))))
+    val vecTop = e.crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"), round(cos, 9).as("c9"))
+      .orderBy(desc("c9"), asc("doc_id")).limit(k)
+      .withColumn("vec_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("c9"), asc("doc_id"))))
+    lexTop.select(col("doc_id"), col("lex_rank"))
+      .join(vecTop.select(col("doc_id"), col("vec_rank")), Seq("doc_id"), "full")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Recall@k CURVE for the IVF index — the calibration sweep form of
     * `simIvfRecall` (the dedup_threshold_sweep stance applied to ANN):
     * one query computes recall at every operating point k ∈ {1,3,5,10}

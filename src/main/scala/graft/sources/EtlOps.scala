@@ -1005,6 +1005,52 @@ object EtlOps {
       .withColumn("orphan_invisible", lit(dirParquets > committed.length))
   }
 
+  /** VACUUM — the cleanup half of the manifest-commit protocol: files in
+    * the sink directory that the manifest does NOT reference are debris
+    * (failed writers, superseded compactions) and get deleted; manifest
+    * files are never touched. The audit proves vacuum removed exactly
+    * the planted orphans and the committed data read back bit-complete —
+    * deletion that cannot eat committed data is the property that makes
+    * retention automation safe to run continuously at 100 TB. File ops
+    * are metadata-sized and driver-side by design.
+    */
+  def sinkVacuum(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "orders_vacuum")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartition(4)
+      .write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val dataFiles = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    Files.write(dir.resolve("_manifest.json"),
+      dataFiles.mkString("\n").getBytes("UTF-8"))
+    // two debris files from failed/superseded writers
+    val orphanTmp = freshDir(sfDir, "orders_vacuum_orphan")
+    spark.range(7)
+      .select(col("id").as("o_orderkey"), lit(1.23).as("o_totalprice"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(orphanTmp.toString)
+    val orphanPart = Option(orphanTmp.toFile.listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(orphanPart.toPath, dir.resolve("part-99998-stale.parquet"))
+    Files.copy(orphanPart.toPath, dir.resolve("part-99999-stale.parquet"))
+    // VACUUM: delete every parquet the manifest does not reference
+    val referenced = new String(
+      Files.readAllBytes(dir.resolve("_manifest.json")), "UTF-8")
+      .split("\n").toSet
+    val removed = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") && !referenced(f.getName))
+    removed.foreach(f => Files.delete(f.toPath))
+    val survivors = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet"))
+    spark.read.parquet(dir.toString) // plain directory read is safe again
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))
+      .withColumn("n_removed", lit(removed.length))
+      .withColumn("vacuum_clean", lit(survivors == referenced.size))
+  }
+
   def sinkCompact(spark: SparkSession, sfDir: String): DataFrame = {
     val frag = freshDir(sfDir, "orders_frag").toString
     spark.read.parquet(s"$sfDir/orders.parquet")

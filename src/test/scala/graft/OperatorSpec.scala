@@ -428,6 +428,29 @@ class OperatorSpec extends SparkTestBase {
       "splits must partition the corpus exactly")
   }
 
+  test("sim_hybrid_rrf: fusion score recomputes from the leg ranks, order is by fused score") {
+    val out = SparkEntry.queries("sim_hybrid_rrf")(spark, sf0001).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getDouble(3)))
+    assert(out.length === 10)
+    out.foreach { case (_, lr, vr, rrf) =>
+      val expected = lr.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        vr.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(rrf === math.round(expected * 1e6) / 1e6, s"rrf mismatch: $lr $vr $rrf")
+      assert(lr.isDefined || vr.isDefined, "a fused row must come from some leg")
+    }
+    assert(out.map(_._4).sliding(2).forall(p => p(0) >= p(1)), "not sorted by rrf")
+  }
+
+  test("sink_vacuum: exactly the planted debris removed, committed data intact") {
+    val r = SparkEntry.queries("sink_vacuum")(spark, sf0001).collect().head
+    assert(r.getInt(3) === 2, "vacuum must remove exactly the 2 orphans")
+    assert(r.getBoolean(4), "survivors must equal the manifest set")
+    assert(r.getLong(0) === Tables.orders(spark, sf0001).count())
+  }
+
   test("sink_manifest_commit: orphan planted after the commit stays invisible") {
     val r = SparkEntry.queries("sink_manifest_commit")(spark, sf0001).collect().head
     assert(r.getBoolean(4), "orphan file leaked into the manifest read")
