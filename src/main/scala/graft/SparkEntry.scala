@@ -112,6 +112,8 @@ object SparkEntry {
     "q_sql_udf" -> ((s, d) => AuditQueries.qSqlUdf(s, lineitem(s, d))),
     "q_existence_join" ->
       ((s, d) => AuditQueries.qExistenceJoin(s, orders(s, d), customer(s, d))),
+    "q_execute_immediate" ->
+      ((s, d) => AuditQueries.qExecuteImmediate(s, orders(s, d))),
     "q_cte" -> ((s, d) => AuditQueries.qCte(s, orders(s, d), customer(s, d))),
     "q_recursive_cte" -> ((s, d) => AuditQueries.qRecursiveCte(s, orders(s, d))),
     "q_window_sql" -> ((s, d) => AuditQueries.qWindowSql(s, customer(s, d))),
@@ -159,6 +161,7 @@ object SparkEntry {
     "agg_regression" -> ((s, d) => AggOps.aggRegression(lineitem(s, d))),
     "agg_weighted_stats" -> ((s, d) => AggOps.aggWeightedStats(lineitem(s, d))),
     "agg_ab_test" -> ((s, d) => AggOps.aggAbTest(events(s, d))),
+    "agg_percentile_disc" -> ((s, d) => AggOps.aggPercentileDisc(lineitem(s, d))),
     "agg_chi2" -> ((s, d) => AggOps.aggChi2(lineitem(s, d))),
     "agg_skew_kurt" -> ((s, d) => AggOps.aggSkewKurt(lineitem(s, d))),
     "agg_quantiles" -> ((s, d) => AggOps.aggQuantiles(lineitem(s, d))),
@@ -973,6 +976,13 @@ object SparkEntry {
          WHERE o_custkey IN (SELECT c_custkey FROM customer
                              WHERE c_mktsegment = 'BUILDING')
          ORDER BY o_orderkey""",
+    // the executed text is an ordinary query — oracle is its inline form
+    "q_execute_immediate" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total
+         FROM orders WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // semantics across the disjunction; the plan-level ExistenceJoin
     // node is spec-pinned
     "q_existence_join" ->
@@ -2052,6 +2062,15 @@ object SparkEntry {
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag, bucket, lo
          ORDER BY l_returnflag, bucket""",
+    // DuckDB's quantile_disc IS nearest-rank ceil(p*n) — same definition
+    "agg_percentile_disc" ->
+      """WITH v AS (SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem)
+         SELECT l_returnflag, count(*) AS n,
+           quantile_disc(v, 0.25) AS p25_cents,
+           quantile_disc(v, 0.50) AS p50_cents,
+           quantile_disc(v, 0.95) AS p95_cents
+         FROM v GROUP BY l_returnflag ORDER BY l_returnflag""",
     // Welch t per day: exact cent-integer sufficient statistics folded by
     // conditional aggregation, fixed-order closed forms after the boundary
     "agg_ab_test" ->

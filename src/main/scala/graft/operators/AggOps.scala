@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -508,6 +508,34 @@ object AggOps {
     * partial-agg pass; at 100 TB this is also the INCREMENTAL form —
     * new data just adds to the six sums.
     */
+  /** DISCRETE (nearest-rank) percentiles per group — the quantile form
+    * that returns an ACTUAL data value, never an interpolated one (what
+    * you want for "the p95 order" you can then look up). Spark has no
+    * percentile_disc builtin; the selection composes from the exact
+    * sorted collect per group (bounded-group rule: the per-flag value
+    * arrays are capped by the quantity domain after the cents rounding
+    * — here by order count per flag, fine at the tested SFs; unbounded
+    * groups take the histogram-rank form `text_perplexity_filter`
+    * demonstrates). Mirrors DuckDB's quantile_disc definition:
+    * index = ceil(p·n) (1-based), exact on both engines.
+    */
+  def aggPercentileDisc(lineitem: DataFrame): DataFrame = {
+    val v = round(col("l_extendedprice") * 100).cast("long")
+    def disc(arr: Column, n: Column, p: Double): Column =
+      element_at(arr, greatest(lit(1), ceil(n * p).cast("int")))
+    lineitem
+      .select(col("l_returnflag"), v.as("v"))
+      .groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_list(col("v"))).as("arr"),
+        count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"), col("n"),
+        disc(col("arr"), col("n"), 0.25).as("p25_cents"),
+        disc(col("arr"), col("n"), 0.50).as("p50_cents"),
+        disc(col("arr"), col("n"), 0.95).as("p95_cents"))
+      .orderBy("l_returnflag")
+  }
+
   /** Welch two-sample t-test per day — the A/B experiment readout (arm A
     * = click events, arm B = view events, metric = event value). The
     * sufficient statistics are exact LONG sums of value-CENTS (n, Σv,

@@ -196,6 +196,26 @@ object AuditQueries {
          ORDER BY o_orderkey""")
   }
 
+  /** `EXECUTE IMMEDIATE` (Spark 4) — dynamic SQL-from-a-string with USING
+    * parameter binding: the statement text arrives as data (a session
+    * variable here), parameters bind by position — the injection-safe
+    * dynamic-SQL form a metadata-driven ETL runner uses. The executed
+    * text is an ordinary query; planning/pushdown are identical to the
+    * literal spelling (the q_identifier stance for whole statements).
+    */
+  def qExecuteImmediate(spark: SparkSession, orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_ei_v")
+    spark.sql("DECLARE OR REPLACE VARIABLE stmt STRING")
+    spark.sql(
+      """SET VAR stmt =
+         'SELECT o_orderstatus, count(*) AS n,
+            round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D, 2)
+              AS total
+          FROM orders_ei_v WHERE o_orderpriority = ?
+          GROUP BY o_orderstatus ORDER BY o_orderstatus'""")
+    spark.sql("EXECUTE IMMEDIATE stmt USING '1-URGENT'")
+  }
+
   /** EXISTENCE join — the fourth semi-join variant: an IN-subquery under
     * an OR cannot rewrite to a plain left-semi (rows failing the
     * subquery may still pass the disjunct), so Catalyst plans

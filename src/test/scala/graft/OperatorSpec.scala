@@ -495,6 +495,29 @@ class OperatorSpec extends SparkTestBase {
       "quarantine count must equal the at-or-below-threshold population")
   }
 
+  test("agg_percentile_disc: nearest-rank returns actual data values, ceil(p*n) index") {
+    // values (cents) 1000,2000,3000,4000: p25→idx 1, p50→idx 2, p95→idx 4
+    val df = Seq(("A", 10.0), ("A", 20.0), ("A", 30.0), ("A", 40.0))
+      .toDF("l_returnflag", "l_extendedprice")
+    val r = AggOps.aggPercentileDisc(df).collect().head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((1000L, 2000L, 4000L)),
+      s"got $r")
+  }
+
+  test("q_execute_immediate: dynamic statement equals its literal spelling") {
+    val orders = Tables.orders(spark, sf0001)
+    val dynamic = graft.operators.AuditQueries.qExecuteImmediate(spark, orders)
+      .collect().toSeq
+    orders.createOrReplaceTempView("orders_ei_lit")
+    val literal = spark.sql(
+      """SELECT o_orderstatus, count(*) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D, 2)
+             AS total
+         FROM orders_ei_lit WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""").collect().toSeq
+    assert(dynamic === literal)
+  }
+
   test("agg_ab_test: hand-computed Welch t and Satterthwaite df on a seeded day") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
     // clicks (cents): 10, 20 → ma=15, va=50; views: 10, 10, 40 → mb=20,
