@@ -114,6 +114,10 @@ object SparkEntry {
       ((s, d) => AuditQueries.qExistenceJoin(s, orders(s, d), customer(s, d))),
     "q_execute_immediate" ->
       ((s, d) => AuditQueries.qExecuteImmediate(s, orders(s, d))),
+    "q14_promo_revenue" ->
+      ((s, d) => AuditQueries.q14PromoRevenue(s, lineitem(s, d), part(s, d))),
+    "q17_small_qty" ->
+      ((s, d) => AuditQueries.q17SmallQty(s, lineitem(s, d), part(s, d))),
     "q_cte" -> ((s, d) => AuditQueries.qCte(s, orders(s, d), customer(s, d))),
     "q_recursive_cte" -> ((s, d) => AuditQueries.qRecursiveCte(s, orders(s, d))),
     "q_window_sql" -> ((s, d) => AuditQueries.qWindowSql(s, customer(s, d))),
@@ -976,6 +980,26 @@ object SparkEntry {
          WHERE o_custkey IN (SELECT c_custkey FROM customer
                              WHERE c_mktsegment = 'BUILDING')
          ORDER BY o_orderkey""",
+    // ratio of same-scale sums — rounded output far inside double noise
+    "q14_promo_revenue" ->
+      """SELECT
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4)
+             AS promo_revenue_pct,
+           count(*) AS n_rows
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'""",
+    // correlated aggregate subquery — DuckDB evaluates it directly
+    "q17_small_qty" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_rows
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
+           AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = p_partkey)""",
     // the executed text is an ordinary query — oracle is its inline form
     "q_execute_immediate" ->
       """SELECT o_orderstatus, count(*) AS n,

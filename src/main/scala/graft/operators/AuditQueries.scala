@@ -196,6 +196,48 @@ object AuditQueries {
          ORDER BY o_orderkey""")
   }
 
+  /** TPC-H Q14 shape — promotion-revenue share for one ship month: the
+    * conditional-aggregate-over-a-join composite. The measure is a RATIO
+    * of two same-scale sums, so the rounded output is far inside double
+    * noise; the fact-side filter pushes to the scan and the part dim
+    * broadcasts.
+    */
+  def q14PromoRevenue(
+      spark: SparkSession, lineitem: DataFrame, part: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("lineitem_q14")
+    part.createOrReplaceTempView("part_q14")
+    spark.sql(
+      """SELECT
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4)
+             AS promo_revenue_pct,
+           count(*) AS n_rows
+         FROM lineitem_q14 JOIN part_q14 ON l_partkey = p_partkey
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'""")
+  }
+
+  /** TPC-H Q17 shape — small-quantity-order revenue: the correlated
+    * aggregate subquery composite (each row compares against ITS part's
+    * average). Catalyst decorrelates into an aggregate + join; the
+    * 0.2·avg threshold comparison stays in exact-enough double (integer
+    * quantities, one multiply).
+    */
+  def q17SmallQty(
+      spark: SparkSession, lineitem: DataFrame, part: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("lineitem_q17")
+    part.createOrReplaceTempView("part_q17")
+    spark.sql(
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_rows
+         FROM lineitem_q17 JOIN part_q17 ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
+           AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                             FROM lineitem_q17 l2
+                             WHERE l2.l_partkey = p_partkey)""")
+  }
+
   /** `EXECUTE IMMEDIATE` (Spark 4) — dynamic SQL-from-a-string with USING
     * parameter binding: the statement text arrives as data (a session
     * variable here), parameters bind by position — the injection-safe
