@@ -73,6 +73,7 @@ object SparkEntry {
     "graph_label_prop_stored" -> ((s, d) =>
       GraphOps.graphLabelPropStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_modularity" -> ((s, d) => GraphOps.graphModularity(orders(s, d), lineitem(s, d))),
+    "graph_hits" -> ((s, d) => GraphOps.graphHits(orders(s, d), lineitem(s, d))),
     "graph_kcore" -> ((s, d) => GraphOps.graphKcore(orders(s, d), lineitem(s, d))),
     "sink_copurchase_layout" -> ((s, d) =>
       GraphOps.sinkCopurchaseLayout(s, orders(s, d), lineitem(s, d), d)),
@@ -368,6 +369,7 @@ object SparkEntry {
     "sim_ivf_recall_curve" -> ((s, d) => SimOps.simIvfRecallCurve(embeddings(s, d))),
     "sim_hybrid_rrf" ->
       ((s, d) => SimOps.simHybridRrf(documents(s, d), embeddings(s, d))),
+    "sim_maxsim" -> ((s, d) => SimOps.simMaxSim(embeddings(s, d))),
     "sim_ivf_kmeans" -> ((s, d) => SimOps.simIvfKmeans(embeddings(s, d))),
     "sink_ann_index" -> ((s, d) => SimOps.sinkAnnIndex(s, d)),
     "sim_kmeans" -> ((s, d) => SimOps.simKmeans(embeddings(s, d))),
@@ -1998,6 +2000,8 @@ object SparkEntry {
     "graph_label_prop_stored" -> labelPropOracleSql(4),
     // Newman Q over the same labels, integer sufficient statistics
     "graph_modularity" -> modularityOracleSql(4),
+    // two matvecs + L1 normalization per round, re-quantized each half
+    "graph_hits" -> hitsOracleSql(6),
     // peeling trajectory: per-round census of the >=k-degree active set
     "graph_kcore" -> kcoreOracleSql(0.90, 10, 5),
     // identical trajectory served from the stored bucketed layout
@@ -3723,6 +3727,30 @@ object SparkEntry {
     // recall@k compares IDENTITY sets: approx = the sim_ivf oracle as a
     // CTE verbatim, exact = brute force with the same rounded-cosine
     // tie-break; the audit rides entirely on already-proven rankings
+    // 4x4 sliced dot grid + per-part greatest + fixed-order sum, all
+    // mirrored; DuckDB list slices are 1-based inclusive like Spark's
+    "sim_maxsim" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         SELECT vec_id, round(
+             greatest(list_dot_product(v[1:16], qv[1:16]),
+                      list_dot_product(v[17:32], qv[1:16]),
+                      list_dot_product(v[33:48], qv[1:16]),
+                      list_dot_product(v[49:64], qv[1:16]))
+           + greatest(list_dot_product(v[1:16], qv[17:32]),
+                      list_dot_product(v[17:32], qv[17:32]),
+                      list_dot_product(v[33:48], qv[17:32]),
+                      list_dot_product(v[49:64], qv[17:32]))
+           + greatest(list_dot_product(v[1:16], qv[33:48]),
+                      list_dot_product(v[17:32], qv[33:48]),
+                      list_dot_product(v[33:48], qv[33:48]),
+                      list_dot_product(v[49:64], qv[33:48]))
+           + greatest(list_dot_product(v[1:16], qv[49:64]),
+                      list_dot_product(v[17:32], qv[49:64]),
+                      list_dot_product(v[33:48], qv[49:64]),
+                      list_dot_product(v[49:64], qv[49:64])), 6) AS maxsim
+         FROM e CROSS JOIN q WHERE vec_id <> 0
+         ORDER BY maxsim DESC, vec_id LIMIT 10""",
     // both legs' top-10 ranked under their rounded-score total orders;
     // RRF folds two fixed-order terms — no score calibration anywhere
     "sim_hybrid_rrf" ->
@@ -4207,6 +4235,36 @@ object SparkEntry {
          a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)$steps
          $census
          ORDER BY round"""
+  }
+
+  /** The HITS oracle: directed cust→supp edges only; each round is two
+    * matvec aggregates with L1 normalization, scores re-quantized to 9
+    * decimals per half-round exactly as GraphOps.graphHits does — the
+    * re-sync that stops float summation-order ulps from compounding.
+    */
+  private def hitsOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s""",
+         ar$i AS MATERIALIZED (SELECT e.dst AS id, sum(hp.score) AS s
+                 FROM edges e JOIN h${i - 1} hp ON hp.id = e.src GROUP BY e.dst),
+         a$i AS MATERIALIZED (SELECT id,
+                 round(s / (SELECT sum(s) FROM ar$i), 9) AS score FROM ar$i),
+         hr$i AS MATERIALIZED (SELECT e.src AS id, sum(ap.score) AS s
+                 FROM edges e JOIN a$i ap ON ap.id = e.dst GROUP BY e.src),
+         h$i AS MATERIALIZED (SELECT id,
+                 round(s / (SELECT sum(s) FROM hr$i), 9) AS score FROM hr$i)"""
+    }.mkString
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS MATERIALIZED (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs),
+         h0 AS MATERIALIZED (SELECT DISTINCT src AS id, 1.0 AS score FROM edges)$steps
+         SELECT side, id, score FROM (
+           (SELECT 'auth' AS side, id, round(score, 6) AS score FROM a$rounds
+            ORDER BY score DESC, id LIMIT 10)
+           UNION ALL
+           (SELECT 'hub' AS side, id, round(score, 6) AS score FROM h$rounds
+            ORDER BY score DESC, id LIMIT 10)) u
+         ORDER BY side, score DESC, id"""
   }
 
   /** The BFS oracle: d0 seeds the id%64 sources at distance 0 and every

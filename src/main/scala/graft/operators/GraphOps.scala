@@ -526,6 +526,53 @@ object GraphOps {
       .orderBy("community")
   }
 
+  /** HITS hubs & authorities over the DIRECTED customer→supplier trade
+    * graph — the mutual-recursion kernel (hub score = sum of pointed-to
+    * authority scores and vice versa) that degenerates on undirected
+    * graphs, so this entry consumes only the even-src (customer→
+    * supplier) half of the shared adjacency: customers are hubs,
+    * suppliers authorities. Per round: two explode+aggregate matvecs on
+    * the cached adjacency + two L1 normalizations (a scalar aggregate
+    * broadcast back — never a driver pull). Scores are RE-QUANTIZED to
+    * 9 decimals after every normalization on BOTH engines, so float
+    * summation-order ulps can never compound across rounds into the
+    * rounded output (the dedup_semantic re-sync stance applied to a
+    * float fixpoint loop). Output: top-10 per side.
+    */
+  def graphHits(orders: DataFrame, lineitem: DataFrame,
+      rounds: Int = 6): DataFrame = {
+    val (adjAll, _, _) = buildGraph(orders, lineitem)
+    // directed half: customer (even id) → supplier (odd id)
+    val adj = adjAll.filter(col("src") % 2 === 0)
+    val custs = adj.select(col("src").as("id")).distinct()
+    var h = custs.select(col("id"), lit(1.0).as("score")).localCheckpoint()
+    var a: DataFrame = null
+    for (r <- 1 to rounds) {
+      val araw = adj.join(h, col("src") === col("id"))
+        .select(explode(col("dsts")).as("nid"), col("score"))
+        .groupBy(col("nid")).agg(sum(col("score")).as("s"))
+      val asum = araw.agg(sum(col("s")).as("t"))
+      a = araw.crossJoin(broadcast(asum))
+        .select(col("nid").as("id"), round(col("s") / col("t"), 9).as("score"))
+        .localCheckpoint() // feeds the h matvec and (last round) the output
+      val hraw = adj
+        .select(col("src"), explode(col("dsts")).as("nid"))
+        .join(a.select(col("id").as("nid"), col("score")), "nid")
+        .groupBy(col("src")).agg(sum(col("score")).as("s"))
+      val hsum = hraw.agg(sum(col("s")).as("t"))
+      h = hraw.crossJoin(broadcast(hsum))
+        .select(col("src").as("id"), round(col("s") / col("t"), 9).as("score"))
+      if (r % 2 == 0 || r == rounds) h = h.localCheckpoint()
+    }
+    adjAll.unpersist()
+    def top(side: String, df: DataFrame): DataFrame = df
+      .orderBy(desc("score"), asc("id")).limit(10)
+      .select(lit(side).as("side"), col("id"),
+        round(col("score"), 6).as("score"))
+    top("auth", a).unionByName(top("hub", h))
+      .orderBy(col("side"), col("score").desc, col("id"))
+  }
+
   /** k-CORE decomposition by synchronous peeling over the supplier
     * co-purchase graph — the "dense cohort extraction" kernel (spam
     * rings, market cores, bot clusters). The bipartite trade graph

@@ -1357,6 +1357,33 @@ object SimOps {
         round(col("n_hits").cast("double") / col("k_eval"), 6).as("recall"))
   }
 
+  /** ColBERT-style MaxSim LATE INTERACTION — the multi-vector retrieval
+    * kernel: score = Σ over query sub-vectors of the MAX dot against any
+    * document sub-vector (Chamfer similarity). Each 64-dim embedding is
+    * treated as 4 token-vectors of 16 dims (the multi-vector layout a
+    * late-interaction store holds); the 4×4 dot grid, the per-query-part
+    * max, and the final sum are ALL fixed-order scalar expressions inside
+    * one codegen'd projection — a pure corpus scan against the broadcast
+    * query, no shuffle before the top-k cut. The native vector_dot
+    * kernel evaluates each slice dot; DuckDB mirrors with sliced
+    * list_dot_product (both fold sequentially).
+    */
+  def simMaxSim(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val dot = LlmOps.dot _
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    def part(c: Column, i: Int): Column = slice(c, (i - 1) * 16 + 1, 16)
+    val score = (1 to 4).map { i =>
+      greatest((1 to 4).map(j => dot(part(col("v"), j), part(col("qv"), i))): _*)
+    }.reduce(_ + _)
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(score, 6).as("maxsim"))
+      .orderBy(desc("maxsim"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** HYBRID retrieval — lexical TF·IDF and vector cosine legs fused by
     * Reciprocal Rank Fusion (the standard hybrid-search combiner:
     * rrf = Σ 1/(60 + rank), rank-based so the two score scales never

@@ -428,6 +428,27 @@ class OperatorSpec extends SparkTestBase {
       "splits must partition the corpus exactly")
   }
 
+  test("sim_maxsim: part-permuted doc scores like the identical doc; collapsed doc scores 1") {
+    // query parts P1..P4 are one-hot at dims 0,16,32,48. A doc with the
+    // SAME parts in reverse order must score exactly like the identical
+    // doc (late interaction is a bag of vectors), while a doc whose four
+    // parts are all P1 matches only query part 1.
+    def p(i: Int): Seq[Float] = // part P_i: one-hot at local dim i-1
+      (0 until 16).map(d => if (d == i - 1) 1.0f else 0.0f)
+    def vec(parts: Seq[Int]): Array[Float] =
+      parts.flatMap(i => p(i)).toArray
+    val rows = Seq(
+      (0L, vec(Seq(1, 2, 3, 4))),  // query
+      (1L, vec(Seq(1, 2, 3, 4))),  // identical
+      (2L, vec(Seq(4, 3, 2, 1))),  // permuted parts
+      (3L, vec(Seq(1, 1, 1, 1))))  // collapsed
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = SimOps.simMaxSim(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) === 4.0 && out(2L) === 4.0, s"permutation broke MaxSim: $out")
+    assert(out(3L) === 1.0, s"collapsed doc must score 1.0: $out")
+  }
+
   test("sim_hybrid_rrf: fusion score recomputes from the leg ranks, order is by fused score") {
     val out = SparkEntry.queries("sim_hybrid_rrf")(spark, sf0001).collect()
       .map(r => (r.getLong(0),
@@ -621,6 +642,18 @@ class OperatorSpec extends SparkTestBase {
     val a = SparkEntry.queries("graph_label_prop")(spark, sf0001).collect().toSeq
     val b = SparkEntry.queries("graph_label_prop_stored")(spark, sf0001).collect().toSeq
     assert(a === b, s"in-query $a vs stored $b")
+  }
+
+  test("graph_hits: single-hub star — hub mass 1, authorities split into exact thirds") {
+    // one customer (node 2) buys from suppliers 1..3: the only hub holds
+    // all hub mass, each authority gets exactly 1/3 at every round.
+    val orders = (1L to 3L).map(k => (k, 1L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = (1L to 3L).map(k => (k, k)).toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.graphHits(orders, lineitem).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(
+      ("auth", 3L, 0.333333), ("auth", 5L, 0.333333), ("auth", 7L, 0.333333),
+      ("hub", 2L, 1.0)), s"got ${out.toSeq}")
   }
 
   test("graph_modularity: bipartite star is anti-community — hand-computed Q = -0.5") {
