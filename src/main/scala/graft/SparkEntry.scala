@@ -74,6 +74,8 @@ object SparkEntry {
       GraphOps.graphLabelPropStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_modularity" -> ((s, d) => GraphOps.graphModularity(orders(s, d), lineitem(s, d))),
     "graph_hits" -> ((s, d) => GraphOps.graphHits(orders(s, d), lineitem(s, d))),
+    "graph_hits_stored" -> ((s, d) =>
+      GraphOps.graphHitsStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_kcore" -> ((s, d) => GraphOps.graphKcore(orders(s, d), lineitem(s, d))),
     "sink_copurchase_layout" -> ((s, d) =>
       GraphOps.sinkCopurchaseLayout(s, orders(s, d), lineitem(s, d), d)),
@@ -202,6 +204,7 @@ object SparkEntry {
     "win_rolling_regression" ->
       ((s, d) => WindowOps.winRollingRegression(events(s, d))),
     "win_attribution" -> ((s, d) => WindowOps.winAttribution(events(s, d))),
+    "win_mad_outlier" -> ((s, d) => WindowOps.winMadOutlier(events(s, d))),
     "win_ntile" -> ((s, d) => WindowOps.ntileBands(orders(s, d))),
     "win_median_sliding" -> ((s, d) => WindowOps.medianSliding(events(s, d))),
     "win_distinct_sliding" -> ((s, d) => WindowOps.distinctSliding(events(s, d))),
@@ -1761,6 +1764,28 @@ object SparkEntry {
          FROM b ORDER BY user_id, ts_us, event_id""",
     // frame-bounded OLS sufficient sums; NULL guard on degenerate frames
     // (IEEE inf/nan would hash engine-specifically)
+    // both medians from the frame-bounded sorted array; 9-integer medians
+    // are integer-or-half values, exact in double on both engines
+    "win_mad_outlier" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS y FROM events),
+         w AS (SELECT user_id, event_id, y,
+             list_sort(list(y) OVER f) AS arr
+           FROM b WINDOW f AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)),
+         m AS (SELECT user_id, event_id, y, arr,
+             (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1])::DOUBLE / 2.0
+               AS med
+           FROM w),
+         d AS (SELECT user_id, event_id, y, arr, med,
+             list_sort(list_transform(arr, x -> abs(x::DOUBLE - med))) AS ma
+           FROM m)
+         SELECT user_id, event_id, y, med,
+           (ma[(len(ma) + 1) // 2] + ma[len(ma) // 2 + 1]) / 2.0 AS mad,
+           (len(arr) >= 9 AND abs(y::DOUBLE - med) >
+             3.0 * (ma[(len(ma) + 1) // 2] + ma[len(ma) // 2 + 1]) / 2.0)
+             AS is_outlier
+         FROM d ORDER BY user_id, event_id""",
     // conditional max over the preceding frame = last-touch credit;
     // organic purchases carry NULLs on both engines
     "win_attribution" ->
@@ -2002,6 +2027,8 @@ object SparkEntry {
     "graph_modularity" -> modularityOracleSql(4),
     // two matvecs + L1 normalization per round, re-quantized each half
     "graph_hits" -> hitsOracleSql(6),
+    // identical scores served from the stored bucketed layout
+    "graph_hits_stored" -> hitsOracleSql(6),
     // peeling trajectory: per-round census of the >=k-degree active set
     "graph_kcore" -> kcoreOracleSql(0.90, 10, 5),
     // identical trajectory served from the stored bucketed layout

@@ -542,6 +542,22 @@ object GraphOps {
   def graphHits(orders: DataFrame, lineitem: DataFrame,
       rounds: Int = 6): DataFrame = {
     val (adjAll, _, _) = buildGraph(orders, lineitem)
+    hitsLoop(adjAll, rounds)
+  }
+
+  /** HITS served from the stored bucketed adjacency — the SIXTH
+    * iterative consumer of `sink_graph_adjacency` (same oracle as
+    * graph_hits; the directed half is a filter on the stored rows).
+    */
+  def graphHitsStored(
+      spark: org.apache.spark.sql.SparkSession,
+      orders: DataFrame, lineitem: DataFrame, sfDir: String,
+      rounds: Int = 6): DataFrame = {
+    val name = ensureAdjacencyTable(spark, orders, lineitem, sfDir)
+    hitsLoop(spark.table(name).persist(), rounds)
+  }
+
+  private def hitsLoop(adjAll: DataFrame, rounds: Int): DataFrame = {
     // directed half: customer (even id) → supplier (odd id)
     val adj = adjAll.filter(col("src") % 2 === 0)
     val custs = adj.select(col("src").as("id")).distinct()

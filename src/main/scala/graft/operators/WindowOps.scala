@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -132,6 +132,54 @@ object WindowOps {
     * same single shuffle on user_id, no state store. Timestamps surface as
     * epoch-micros bigints (the engine-portable form for the compare).
     */
+  /** Rolling MAD outlier flags — the robust anomaly detector (median
+    * absolute deviation is unmoved by the outliers it hunts, unlike
+    * mean/σ): over each user's trailing 9-event frame, med = exact
+    * median, MAD = median of |x − med|, flag when |x − med| > 3·MAD.
+    * Spark rejects median in framed windows, so both medians COMPOSE
+    * from the frame-bounded sorted array (the win_median_sliding rule —
+    * frame width caps the array, never data-scaled). Values are exact
+    * integer cents; medians of 9 integers are integer-or-half values
+    * exact in double on both engines.
+    */
+  def winMadOutlier(events: DataFrame, frame: Int = 9,
+      nMads: Double = 3.0): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val fr = byUser.rowsBetween(-(frame - 1), 0)
+    def medOf(arr: Column): Column = {
+      val n = size(arr)
+      val lo = floor((n + 1) / 2).cast("int")
+      val hi = (floor(n / 2) + 1).cast("int")
+      (element_at(arr, lo) + element_at(arr, hi)).cast("double") / 2.0
+    }
+    val base = events.select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 100).cast("long").as("y"))
+    base
+      .withColumn("arr", sort_array(collect_list(col("y")).over(fr)))
+      .withColumn("med", medOf(col("arr")))
+      .withColumn("madarr", sort_array(transform(col("arr"),
+        x => abs(x.cast("double") - col("med")))))
+      .withColumn("mad", medOf2(col("madarr")))
+      .select(
+        col("user_id"), col("event_id"), col("y"),
+        col("med"), col("mad"),
+        (size(col("arr")) >= frame &&
+          abs(col("y").cast("double") - col("med")) > lit(nMads) * col("mad"))
+          .as("is_outlier"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // median of an already-sorted DOUBLE array (the MAD inner median)
+  private def medOf2(arr: Column): Column = {
+    val n = size(arr)
+    val lo = floor((n + 1) / 2).cast("int")
+    val hi = (floor(n / 2) + 1).cast("int")
+    (element_at(arr, lo) + element_at(arr, hi)) / 2.0
+  }
+
   /** LAST-TOUCH ATTRIBUTION — each purchase credited to the user's most
     * recent preceding click (the marketing-analytics join every event
     * warehouse runs). The "most recent preceding" is a conditional MAX

@@ -656,6 +656,29 @@ class OperatorSpec extends SparkTestBase {
       ("hub", 2L, 1.0)), s"got ${out.toSeq}")
   }
 
+  test("graph_hits_stored serves identical scores from the bucketed layout") {
+    val a = SparkEntry.queries("graph_hits")(spark, sf0001).collect().toSeq
+    val b = SparkEntry.queries("graph_hits_stored")(spark, sf0001).collect().toSeq
+    assert(a === b, s"in-query $a vs stored $b")
+  }
+
+  test("win_mad_outlier: spike after a stable window flags; constant series never does") {
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    val stable = (1 to 8).map(i => (1L, i.toLong, ts(i), 10.0))
+    val spike = Seq((1L, 9L, ts(9), 1000.0))
+    val const = (1 to 9).map(i => (2L, 100L + i, ts(i), 5.0))
+    val events = (stable ++ spike ++ const)
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = WindowOps.winMadOutlier(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(5))).toSeq
+    assert(out.count { case (u, e, o) => u == 1L && e == 9L && o } === 1,
+      s"spike not flagged: $out")
+    assert(out.filter(_._1 == 2L).forall(!_._3),
+      s"constant series flagged: $out")
+    // full-frame requirement: the first 8 events of user 1 can't flag
+    assert(out.filter(t => t._1 == 1L && t._2 < 9L).forall(!_._3))
+  }
+
   test("graph_modularity: bipartite star is anti-community — hand-computed Q = -0.5") {
     // star: customer 1 (node 2) ↔ suppliers 1..3 (nodes 3,5,7). LPA
     // oscillation lands at {2}:{3,5,7}; NO intra-community edge exists
