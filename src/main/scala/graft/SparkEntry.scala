@@ -169,6 +169,8 @@ object SparkEntry {
     "agg_weighted_stats" -> ((s, d) => AggOps.aggWeightedStats(lineitem(s, d))),
     "agg_ab_test" -> ((s, d) => AggOps.aggAbTest(events(s, d))),
     "agg_percentile_disc" -> ((s, d) => AggOps.aggPercentileDisc(lineitem(s, d))),
+    "agg_benford" -> ((s, d) => AggOps.aggBenford(orders(s, d))),
+    "agg_gini" -> ((s, d) => AggOps.aggGini(documents(s, d))),
     "agg_chi2" -> ((s, d) => AggOps.aggChi2(lineitem(s, d))),
     "agg_skew_kurt" -> ((s, d) => AggOps.aggSkewKurt(lineitem(s, d))),
     "agg_quantiles" -> ((s, d) => AggOps.aggQuantiles(lineitem(s, d))),
@@ -2117,6 +2119,37 @@ object SparkEntry {
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag, bucket, lo
          ORDER BY l_returnflag, bucket""",
+    // first digit extracted structurally (string head of the integer
+    // part) — no float log to disagree on; closed forms at the boundary
+    "agg_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+               AS VARCHAR), 1, 1) AS INTEGER) AS d
+           FROM orders),
+         c AS (SELECT d, count(*) AS n FROM d WHERE d >= 1 GROUP BY d),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+         SELECT d, n,
+           round(n::DOUBLE / t, 6) AS observed,
+           round(log10(1.0 + 1.0 / d), 6) AS benford,
+           round(abs(n::DOUBLE / t - log10(1.0 + 1.0 / d)), 6) AS abs_dev
+         FROM c CROSS JOIN t ORDER BY d""",
+    // G = 2*sum(i*x)/(n*sum(x)) - (n+1)/n on exact integer sums; rank is
+    // a per-source window with doc_id tie-break
+    "agg_gini" ->
+      """WITH tk AS (SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+           FROM documents),
+         r AS (SELECT source, n_toks,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_toks, doc_id) AS BIGINT) AS i
+           FROM tk),
+         g AS (SELECT source, count(*) AS n,
+             CAST(sum(n_toks) AS BIGINT) AS sx,
+             CAST(sum(i * n_toks) AS BIGINT) AS six
+           FROM r GROUP BY source)
+         SELECT source, n, sx,
+           round((2.0 * six::DOUBLE) / (n::DOUBLE * sx::DOUBLE)
+                 - (n + 1)::DOUBLE / n::DOUBLE, 6) AS gini
+         FROM g ORDER BY source""",
     // DuckDB's quantile_disc IS nearest-rank ceil(p*n) — same definition
     "agg_percentile_disc" ->
       """WITH v AS (SELECT l_returnflag,

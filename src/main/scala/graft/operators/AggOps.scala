@@ -508,6 +508,62 @@ object AggOps {
     * partial-agg pass; at 100 TB this is also the INCREMENTAL form —
     * new data just adds to the six sums.
     */
+  /** BENFORD first-digit audit — the classic fabricated-data detector:
+    * natural multi-scale amounts follow P(d) = log10(1 + 1/d); per-digit
+    * observed share vs that expectation plus the total variation
+    * distance. First digit extracted STRUCTURALLY (first char of the
+    * integer part's string — no float log arithmetic to disagree on);
+    * counts exact, closed forms double at the boundary. One hash
+    * aggregate; output is always 9 rows.
+    */
+  def aggBenford(orders: DataFrame): DataFrame = {
+    val firstDigit =
+      substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int")
+    val counts = orders
+      .select(firstDigit.as("d"))
+      .filter(col("d") >= 1) // zero totals (none here) would be unBenford
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("d"), col("n"),
+        round(col("n").cast("double") / col("t"), 6).as("observed"),
+        round(log10(lit(1.0) + lit(1.0) / col("d")), 6).as("benford"),
+        round(abs(col("n").cast("double") / col("t")
+          - log10(lit(1.0) + lit(1.0) / col("d"))), 6).as("abs_dev"))
+      .orderBy("d")
+  }
+
+  /** GINI concentration of tokens over documents, per source — the
+    * corpus-inequality metric ("does 1% of documents carry 50% of the
+    * tokens?") a mixture designer reads next to the data card. The
+    * closed form G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n runs on EXACT integer
+    * sums (rank · token-count products stay far under 2⁶³); the rank is
+    * a per-source window (partitioned — never a global sort), ties
+    * broken by doc_id so both engines rank identically.
+    */
+  def aggGini(documents: DataFrame): DataFrame = {
+    val byTok = Window.partitionBy("source")
+      .orderBy(col("n_toks"), col("doc_id"))
+    val ranked = documents
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("i", row_number().over(byTok).cast("long"))
+    ranked
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_toks")).as("sx"),
+        sum(col("i") * col("n_toks")).as("six"))
+      .select(col("source"), col("n"), col("sx"),
+        round(
+          (lit(2.0) * col("six").cast("double"))
+            / (col("n").cast("double") * col("sx").cast("double"))
+            - (col("n") + 1).cast("double") / col("n").cast("double"), 6)
+          .as("gini"))
+      .orderBy("source")
+  }
+
   /** DISCRETE (nearest-rank) percentiles per group — the quantile form
     * that returns an ACTUAL data value, never an interpolated one (what
     * you want for "the p95 order" you can then look up). Spark has no

@@ -70,6 +70,11 @@ class CollectGuardSpec extends SparkTestBase {
     // streaming form (stream_stateful) is the documented unbounded-series
     // escape hatch
     "agg_ewma",
+    // nearest-rank order statistic from the per-flag sorted array — the
+    // documented bounded-group exact form; unbounded groups take the
+    // histogram-rank selection text_perplexity_filter demonstrates
+    // (AggOps.aggPercentileDisc Scaladoc)
+    "agg_percentile_disc",
     // the collected array IS a bounded dim table (25 nations per region):
     // a dim too big for one row would have stopped broadcasting first
     "agg_collect",

@@ -516,6 +516,31 @@ class OperatorSpec extends SparkTestBase {
       "quarantine count must equal the at-or-below-threshold population")
   }
 
+  test("agg_benford: structural first digits, log-law expectation per digit") {
+    val df = Seq(100.5, 123.0, 19.0, 20.0, 250.0, 311.0, 95.0)
+      .map(Tuple1(_)).toDF("o_totalprice")
+    val out = AggOps.aggBenford(df).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set(1, 2, 3, 9))
+    assert(out(1)._1 === 3L && out(1)._2 === 0.428571)
+    assert(out(1)._3 === 0.30103, "Benford P(1) must be log10(2)")
+    assert(out(9)._3 === 0.045757, s"Benford P(9): ${out(9)._3}")
+  }
+
+  test("agg_gini: equal distribution scores 0, near-total concentration scores high") {
+    def doc(src: String, id: Long, toks: Int) =
+      (src, id, Seq.fill(toks)("w").mkString(" "))
+    val docs = (
+      (1L to 4L).map(i => doc("even", i, 25)) ++
+      (Seq(doc("skewed", 10L, 1), doc("skewed", 11L, 1),
+        doc("skewed", 12L, 1), doc("skewed", 13L, 97))))
+      .toDF("source", "doc_id", "text")
+    val out = AggOps.aggGini(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("even") === 0.0, s"equal split must be Gini 0: $out")
+    assert(out("skewed") > 0.5, s"concentration not detected: $out")
+  }
+
   test("agg_percentile_disc: nearest-rank returns actual data values, ceil(p*n) index") {
     // values (cents) 1000,2000,3000,4000: p25→idx 1, p50→idx 2, p95→idx 4
     val df = Seq(("A", 10.0), ("A", 20.0), ("A", 30.0), ("A", 40.0))
