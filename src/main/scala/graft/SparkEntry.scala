@@ -170,6 +170,7 @@ object SparkEntry {
     "agg_ab_test" -> ((s, d) => AggOps.aggAbTest(events(s, d))),
     "agg_percentile_disc" -> ((s, d) => AggOps.aggPercentileDisc(lineitem(s, d))),
     "agg_benford" -> ((s, d) => AggOps.aggBenford(orders(s, d))),
+    "agg_ks_test" -> ((s, d) => AggOps.aggKsTest(events(s, d))),
     "agg_gini" -> ((s, d) => AggOps.aggGini(documents(s, d))),
     "agg_chi2" -> ((s, d) => AggOps.aggChi2(lineitem(s, d))),
     "agg_skew_kurt" -> ((s, d) => AggOps.aggSkewKurt(lineitem(s, d))),
@@ -388,6 +389,8 @@ object SparkEntry {
     "pipeline_split" -> ((s, d) => PipelineOps.pipelineSplit(documents(s, d))),
     "pipeline_length_buckets" ->
       ((s, d) => PipelineOps.pipelineLengthBuckets(documents(s, d))),
+    "pipeline_epoch_shuffle" ->
+      ((s, d) => PipelineOps.pipelineEpochShuffle(documents(s, d))),
     "pipeline_curriculum" -> ((s, d) => PipelineOps.pipelineCurriculum(documents(s, d))),
     "pipeline_span_corruption" ->
       ((s, d) => PipelineOps.pipelineSpanCorruption(documents(s, d))),
@@ -2119,6 +2122,33 @@ object SparkEntry {
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag, bucket, lo
          ORDER BY l_returnflag, bucket""",
+    // empirical CDFs on the bounded cent histogram; D = max of rounded
+    // per-grid rationals; 1.358 = the alpha=0.05 KS coefficient
+    "agg_ks_test" ->
+      """WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             event_type = 'click' AS a
+           FROM events WHERE event_type IN ('click', 'view')),
+         h AS (SELECT v,
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+           FROM b GROUP BY v),
+         c AS (SELECT v,
+             sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS fa,
+             sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS fb
+           FROM h),
+         t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb FROM h),
+         d AS (SELECT na, nb,
+             max(round(abs(fa::DOUBLE / na - fb::DOUBLE / nb), 6)) AS ks_d
+           FROM c CROSS JOIN t GROUP BY na, nb)
+         SELECT na, nb, ks_d,
+           round(1.358 * sqrt((na + nb)::DOUBLE / (na::DOUBLE * nb::DOUBLE)), 6)
+             AS crit_05,
+           ks_d > round(1.358 * sqrt((na + nb)::DOUBLE
+             / (na::DOUBLE * nb::DOUBLE)), 6) AS reject_05
+         FROM d""",
     // first digit extracted structurally (string head of the integer
     // part) — no float log to disagree on; closed forms at the boundary
     "agg_benford" ->
@@ -3575,6 +3605,21 @@ object SparkEntry {
     // engine's mixture table builds them; same md5 first-digit rule
     // same md5-first-digit assignment; splits disjoint+exhaustive by
     // construction, shares audited per source
+    // md5(epoch, doc) rank per epoch; shard census + order fingerprint
+    "pipeline_epoch_shuffle" ->
+      """WITH e AS (SELECT doc_id, unnest([1, 2]) AS epoch FROM documents),
+         h AS (SELECT epoch, doc_id,
+             md5(epoch || '|' || doc_id) AS h FROM e),
+         r AS (SELECT epoch, doc_id,
+             CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+               AS BIGINT) - 1 AS pos
+           FROM h),
+         m AS (SELECT epoch, doc_id, pos // 64 AS shard,
+             pos % 64 AS off FROM r)
+         SELECT CAST(epoch AS INTEGER) AS epoch, shard, count(*) AS n_docs,
+           min(doc_id) AS first_doc,
+           CAST(sum(off * doc_id) AS BIGINT) AS order_fp
+         FROM m GROUP BY epoch, shard ORDER BY epoch, shard""",
     // explicit power-of-two thresholds (float log2 mis-buckets powers)
     "pipeline_length_buckets" ->
       """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n

@@ -508,6 +508,45 @@ object AggOps {
     * partial-agg pass; at 100 TB this is also the INCREMENTAL form —
     * new data just adds to the six sums.
     */
+  /** Two-sample KOLMOGOROV–SMIRNOV statistic — the NONPARAMETRIC partner
+    * of `agg_ab_test` (distribution drift, not just mean shift): D =
+    * max over the pooled value grid of |F_click − F_view|. The value
+    * domain is integer CENTS, so the empirical CDFs live on a BOUNDED
+    * histogram; both running counts come from one window over that
+    * histogram (the pipelineMix small-aggregate rule), and D is a max of
+    * per-grid-point rationals rounded identically. One corpus aggregate
+    * + bounded-table windows — no per-row sort at any scale.
+    */
+  def aggKsTest(events: DataFrame): DataFrame = {
+    val v = round(col("value") * 100).cast("long")
+    val isA = col("event_type") === "click"
+    val hist = events
+      .filter(col("event_type").isin("click", "view"))
+      .select(v.as("v"), isA.as("a"))
+      .groupBy(col("v"))
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("fa", sum(col("ca")).over(w))
+      .withColumn("fb", sum(col("cb")).over(w))
+    val tot = hist.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        round(abs(col("fa").cast("double") / col("na")
+          - col("fb").cast("double") / col("nb")), 6).as("d"))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(col("d")).as("ks_d"))
+      .select(col("na"), col("nb"), col("ks_d"),
+        // the alpha=0.05 rejection threshold c(α)·√((na+nb)/(na·nb))
+        round(lit(1.358) * sqrt(
+          (col("na") + col("nb")).cast("double") /
+            (col("na").cast("double") * col("nb").cast("double"))), 6)
+          .as("crit_05"))
+      .withColumn("reject_05", col("ks_d") > col("crit_05"))
+  }
+
   /** BENFORD first-digit audit — the classic fabricated-data detector:
     * natural multi-scale amounts follow P(d) = log10(1 + 1/d); per-digit
     * observed share vs that expectation plus the total variation

@@ -162,6 +162,38 @@ object PipelineOps {
       .orderBy("stage")
   }
 
+  /** EPOCH SHUFFLE plan — the deterministic global permutation a
+    * multi-epoch training run needs: per epoch, every document gets a
+    * fresh pseudo-random position from md5(epoch, doc_id) (content-hash
+    * determinism — reproducible across re-runs and partitioning, yet
+    * DIFFERENT between epochs), then positions map to (shard, offset)
+    * under a fixed shard size. The audit proves each epoch is a COMPLETE
+    * permutation (every doc exactly once, every shard full except the
+    * tail) and that epochs genuinely reshuffle (pairwise different
+    * orders). The rank is a per-epoch window over (hash, doc_id) —
+    * partitioned by epoch, and at 100 TB by (epoch, hash-prefix) with
+    * offsets composed exactly like pipeline_curriculum's histogram rank.
+    */
+  def pipelineEpochShuffle(documents: DataFrame, epochs: Int = 2,
+      shardSize: Int = 64): DataFrame = {
+    val eps = (1 to epochs).map(lit(_))
+    val byHash = Window.partitionBy("epoch").orderBy(col("h"), col("doc_id"))
+    documents
+      .select(col("doc_id"), explode(array(eps: _*)).as("epoch"))
+      .withColumn("h", md5(concat_ws("|", col("epoch"), col("doc_id"))))
+      .withColumn("pos", row_number().over(byHash).cast("long") - 1)
+      .select(col("epoch"), col("doc_id"),
+        floor(col("pos") / shardSize).cast("long").as("shard"),
+        (col("pos") % shardSize).as("offset"))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        // order fingerprint: epochs must differ, re-runs must not
+        sum(col("offset") * col("doc_id")).as("order_fp"))
+      .orderBy("epoch", "shard")
+  }
+
   /** LENGTH-BUCKET batching — sequence-length bucketing (the standard
     * padding-efficiency move: batch similar-length documents so pad
     * tokens don't dominate). Buckets are power-of-two ceilings chosen by

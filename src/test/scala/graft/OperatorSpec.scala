@@ -516,6 +516,44 @@ class OperatorSpec extends SparkTestBase {
       "quarantine count must equal the at-or-below-threshold population")
   }
 
+  test("agg_ks_test: disjoint supports give D=1 and reject; identical samples give D=0") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // 10-a-side keeps the asymptotic critical value (1.358·√(20/100) ≈
+    // 0.607) below the D=1 a disjoint support produces
+    val disjoint = ((1 to 10).map(i => ("click", i / 100.0, ts)) ++
+      (1 to 10).map(i => ("view", 1.0 + i / 100.0, ts)))
+      .toDF("event_type", "value", "ts")
+    val r1 = AggOps.aggKsTest(disjoint).collect().head
+    assert(r1.getDouble(2) === 1.0 && r1.getBoolean(4), s"got $r1")
+    val same = Seq(
+      ("click", 0.01, ts), ("click", 0.02, ts),
+      ("view", 0.01, ts), ("view", 0.02, ts))
+      .toDF("event_type", "value", "ts")
+    val r2 = AggOps.aggKsTest(same).collect().head
+    assert(r2.getDouble(2) === 0.0 && !r2.getBoolean(4), s"got $r2")
+  }
+
+  test("pipeline_epoch_shuffle: each epoch a complete permutation, epochs genuinely differ") {
+    val docs = Tables.documents(spark, sf0001)
+    val n = docs.count()
+    val out = PipelineOps.pipelineEpochShuffle(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet === Set(1, 2))
+    byEpoch.foreach { case (ep, rows) =>
+      assert(rows.map(_._3).sum === n, s"epoch $ep is not a complete permutation")
+      // every shard full except possibly the last
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.init.forall(_._3 === 64L), s"epoch $ep has a short mid-shard")
+    }
+    val fp = (ep: Int) => byEpoch(ep).sortBy(_._2).map(_._4).toSeq
+    assert(fp(1) !== fp(2), "epochs must reshuffle")
+    // determinism: a re-run produces identical fingerprints
+    val again = PipelineOps.pipelineEpochShuffle(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(again === out.map(t => (t._1, t._2, t._4)).toSeq)
+  }
+
   test("agg_benford: structural first digits, log-law expectation per digit") {
     val df = Seq(100.5, 123.0, 19.0, 20.0, 250.0, 311.0, 95.0)
       .map(Tuple1(_)).toDF("o_totalprice")
