@@ -30,6 +30,25 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("s_nationkey"), "unused column not pruned from scan")
   }
 
+  test("pipeline_curriculum: the only unpartitioned window runs over the score histogram") {
+    val p = plan(PipelineOps.pipelineCurriculum(documents(spark, sf0001)))
+    // corpus-side rank must be the per-score partitioned window; the
+    // single-partition window exists only downstream of the histogram
+    // aggregate (bounded input), never over raw documents
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.exists(w => w.contains("row_number") && w.contains("score")),
+      s"per-score row_number window missing:\n$p")
+    assert(p.contains("HashAggregate"), "histogram aggregate missing")
+  }
+
+  test("sim_maxsim: pure broadcast scan into TakeOrderedAndProject, native dot kernel") {
+    val p = plan(SimOps.simMaxSim(Tables.embeddings(spark, sf0001)))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+    assert(p.contains("vector_dot"), s"native kernel not in the plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query vector not broadcast:\n$p")
+  }
+
   test("q_existence_join plans the ExistenceJoin variant (semi-join + exists flag)") {
     val p = plan(graft.operators.AuditQueries.qExistenceJoin(
       spark, Tables.orders(spark, sf0001), Tables.customer(spark, sf0001)))
