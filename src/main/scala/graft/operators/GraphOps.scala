@@ -568,9 +568,13 @@ object GraphOps {
         .select(explode(col("dsts")).as("nid"), col("score"))
         .groupBy(col("nid")).agg(sum(col("score")).as("s"))
       val asum = araw.agg(sum(col("s")).as("t"))
+      // per-ROUND checkpoint: `a` nominally has one consumer, but the
+      // scalar-normalizer broadcast makes every lazy hop re-pay araw,
+      // and chains compound ~2× per skipped barrier — the lazy cadence
+      // measured 17.6 s vs 8.3 s at sf0.1 and was reverted
       a = araw.crossJoin(broadcast(asum))
         .select(col("nid").as("id"), round(col("s") / col("t"), 9).as("score"))
-        .localCheckpoint() // feeds the h matvec and (last round) the output
+        .localCheckpoint()
       val hraw = adj
         .select(col("src"), explode(col("dsts")).as("nid"))
         .join(a.select(col("id").as("nid"), col("score")), "nid")
@@ -578,7 +582,7 @@ object GraphOps {
       val hsum = hraw.agg(sum(col("s")).as("t"))
       h = hraw.crossJoin(broadcast(hsum))
         .select(col("src").as("id"), round(col("s") / col("t"), 9).as("score"))
-      if (r % 2 == 0 || r == rounds) h = h.localCheckpoint()
+      h = h.localCheckpoint() // same barrier economics as `a`
     }
     adjAll.unpersist()
     def top(side: String, df: DataFrame): DataFrame = df
