@@ -69,6 +69,8 @@ object SparkEntry {
       GraphOps.graphComponentsStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_bfs" -> ((s, d) => GraphOps.graphBfs(orders(s, d), lineitem(s, d))),
     "graph_degree_dist" -> ((s, d) => GraphOps.degreeDist(orders(s, d), lineitem(s, d))),
+    "graph_assortativity" ->
+      ((s, d) => GraphOps.graphAssortativity(orders(s, d), lineitem(s, d))),
     "graph_label_prop" -> ((s, d) => GraphOps.graphLabelProp(orders(s, d), lineitem(s, d))),
     "graph_label_prop_stored" -> ((s, d) =>
       GraphOps.graphLabelPropStored(s, orders(s, d), lineitem(s, d), d)),
@@ -2026,6 +2028,29 @@ object SparkEntry {
     "graph_components_stored" -> componentsOracleSql(8),
     // mode-of-neighbors with smallest-label tie-break, unrolled rounds
     "graph_label_prop" -> labelPropOracleSql(4),
+    // Pearson over endpoint degrees — exact integer sums, fixed-order
+    // closed form (bipartite graphs are disassortative by construction)
+    "graph_assortativity" ->
+      """WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS MATERIALIZED (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
+                   UNION ALL SELECT supp * 2 + 1, cust * 2 FROM pairs),
+         deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+         xy AS (SELECT dx.deg AS x, dy.deg AS y
+                FROM edges e JOIN deg dx ON dx.id = e.src
+                             JOIN deg dy ON dy.id = e.dst),
+         s AS (SELECT count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+           FROM xy)
+         SELECT n, round(
+             (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+             sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+                  (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+           AS assortativity
+         FROM s""",
     // identical labels served from the stored bucketed layout
     "graph_label_prop_stored" -> labelPropOracleSql(4),
     // Newman Q over the same labels, integer sufficient statistics

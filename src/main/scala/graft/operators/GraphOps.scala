@@ -681,6 +681,46 @@ object GraphOps {
     trajectory.reduce(_ unionByName _).orderBy("round")
   }
 
+  /** Degree ASSORTATIVITY — Pearson correlation of endpoint degrees over
+    * the edges (do hubs link to hubs?): the one-number structure summary
+    * read before choosing partition/skew strategy (disassortative graphs
+    * concentrate load on hub-leaf exchanges). Exact integer sufficient
+    * sums over the edge list (degrees joined on compact keys), the
+    * agg_regression closed form at the double boundary. Bipartite trade
+    * graphs are strongly disassortative by construction — the spec pins
+    * the sign.
+    */
+  def graphAssortativity(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val pairs = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+      .localCheckpoint() // feeds both degree tables and the edge list
+    val edges = pairs
+      .select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
+      .unionByName(pairs
+        .select((col("supp") * 2 + 1).as("src"), (col("cust") * 2).as("dst")))
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val xy = edges
+      .join(deg.select(col("id").as("src"), col("deg").as("x")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("y")), "dst")
+    val s = xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    s.select(col("n"),
+      round(
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")) /
+        sqrt((col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")) *
+          (col("n").cast("double") * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double"))), 6)
+        .as("assortativity"))
+  }
+
   /** Degree distribution of the customer→supplier trade graph — the
     * first profiling query run before any iterative graph algorithm
     * (it sizes the hub problem the adjacency chunking and the triangle

@@ -719,6 +719,15 @@ class OperatorSpec extends SparkTestBase {
       ("hub", 2L, 1.0)), s"got ${out.toSeq}")
   }
 
+  test("graph_assortativity: bipartite trade graph reads disassortative on real data") {
+    val r = GraphOps.graphAssortativity(
+      Tables.orders(spark, sf0001), Tables.lineitem(spark, sf0001))
+      .collect().head
+    assert(r.getLong(0) > 0)
+    assert(r.getDouble(1) < 0, s"bipartite hub-leaf graph must be negative: $r")
+    assert(r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0)
+  }
+
   test("graph_hits_stored serves identical scores from the bucketed layout") {
     val a = SparkEntry.queries("graph_hits")(spark, sf0001).collect().toSeq
     val b = SparkEntry.queries("graph_hits_stored")(spark, sf0001).collect().toSeq
