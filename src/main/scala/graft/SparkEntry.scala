@@ -121,6 +121,7 @@ object SparkEntry {
       ((s, d) => AuditQueries.qExecuteImmediate(s, orders(s, d))),
     "q14_promo_revenue" ->
       ((s, d) => AuditQueries.q14PromoRevenue(s, lineitem(s, d), part(s, d))),
+    "q_null_ordering" -> ((s, d) => AuditQueries.qNullOrdering(s, orders(s, d))),
     "q17_small_qty" ->
       ((s, d) => AuditQueries.q17SmallQty(s, lineitem(s, d), part(s, d))),
     "q_cte" -> ((s, d) => AuditQueries.qCte(s, orders(s, d), customer(s, d))),
@@ -992,6 +993,23 @@ object SparkEntry {
          WHERE o_custkey IN (SELECT c_custkey FROM customer
                              WHERE c_mktsegment = 'BUILDING')
          ORDER BY o_orderkey""",
+    // DuckDB rank() returns BIGINT where Spark's is INT — cast; the four
+    // explicit null-ordering spellings must agree rank-for-rank
+    "q_null_ordering" ->
+      """WITH k AS (SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_totalprice END AS maybe_price
+           FROM orders WHERE o_orderkey <= 200)
+         SELECT o_orderkey, maybe_price,
+           CAST(rank() OVER (ORDER BY maybe_price ASC NULLS FIRST, o_orderkey)
+             AS INTEGER) AS r_asc_nf,
+           CAST(rank() OVER (ORDER BY maybe_price ASC NULLS LAST, o_orderkey)
+             AS INTEGER) AS r_asc_nl,
+           CAST(rank() OVER (ORDER BY maybe_price DESC NULLS FIRST, o_orderkey)
+             AS INTEGER) AS r_desc_nf,
+           CAST(rank() OVER (ORDER BY maybe_price DESC NULLS LAST, o_orderkey)
+             AS INTEGER) AS r_desc_nl
+         FROM k ORDER BY o_orderkey""",
     // ratio of same-scale sums — rounded output far inside double noise
     "q14_promo_revenue" ->
       """SELECT

@@ -196,6 +196,32 @@ object AuditQueries {
          ORDER BY o_orderkey""")
   }
 
+  /** NULL ORDERING semantics — the cross-engine trap made a first-class
+    * entry: Spark's ASC default puts NULLs FIRST, DESC puts them LAST;
+    * DuckDB defaults to the opposite. Every nullable sort key in this
+    * registry spells the ordering explicitly — this entry pins all four
+    * explicit spellings side by side (rank under each), so a regression
+    * in either engine's explicit-override path fails loudly.
+    */
+  def qNullOrdering(spark: SparkSession, orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_no_v")
+    spark.sql(
+      """WITH k AS (SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_totalprice END AS maybe_price
+           FROM orders_no_v WHERE o_orderkey <= 200)
+         SELECT o_orderkey, maybe_price,
+           rank() OVER (ORDER BY maybe_price ASC NULLS FIRST, o_orderkey)
+             AS r_asc_nf,
+           rank() OVER (ORDER BY maybe_price ASC NULLS LAST, o_orderkey)
+             AS r_asc_nl,
+           rank() OVER (ORDER BY maybe_price DESC NULLS FIRST, o_orderkey)
+             AS r_desc_nf,
+           rank() OVER (ORDER BY maybe_price DESC NULLS LAST, o_orderkey)
+             AS r_desc_nl
+         FROM k ORDER BY o_orderkey""")
+  }
+
   /** TPC-H Q14 shape — promotion-revenue share for one ship month: the
     * conditional-aggregate-over-a-join composite. The measure is a RATIO
     * of two same-scale sums, so the rounded output is far inside double
