@@ -115,6 +115,7 @@ object SparkEntry {
     "q_subquery_in" -> ((s, d) => AuditQueries.qSubqueryIn(s, orders(s, d), customer(s, d))),
     "q_not_in_nulls" -> ((s, d) => AuditQueries.qNotInNulls(s, orders(s, d), customer(s, d))),
     "q_sql_udf" -> ((s, d) => AuditQueries.qSqlUdf(s, lineitem(s, d))),
+    "q_sql_table_udf" -> ((s, d) => AuditQueries.qSqlTableUdf(s, orders(s, d))),
     "q_existence_join" ->
       ((s, d) => AuditQueries.qExistenceJoin(s, orders(s, d), customer(s, d))),
     "q_execute_immediate" ->
@@ -1047,6 +1048,13 @@ object SparkEntry {
          WHERE o_custkey IN (SELECT c_custkey FROM customer
                              WHERE c_mktsegment = 'BUILDING')
             OR o_totalprice > 150000""",
+    // the table function is a parameterized view — oracle inlines it
+    "q_sql_table_udf" ->
+      """SELECT o_orderpriority, count(*) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total
+         FROM orders WHERE o_totalprice > 400000.0
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // the SQL UDF inlines at analysis — the oracle is the expression
     "q_sql_udf" ->
       """SELECT l_returnflag,

@@ -196,6 +196,28 @@ object AuditQueries {
          ORDER BY o_orderkey""")
   }
 
+  /** SQL-defined TABLE function (Spark 4) — the parameterized-view form
+    * of the SQL UDF surface: `CREATE FUNCTION … RETURNS TABLE(…) RETURN
+    * SELECT …`, invoked in FROM position. Like the scalar SQL UDF the
+    * body INLINES at analysis (it is a view with parameters), so
+    * pushdown/codegen see the underlying query — no TVF black box.
+    */
+  def qSqlTableUdf(spark: SparkSession, orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_tf_v")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_big_orders(lim DOUBLE)
+         RETURNS TABLE(o_orderkey BIGINT, o_orderpriority STRING,
+                       o_totalprice DOUBLE)
+         RETURN SELECT o_orderkey, o_orderpriority, o_totalprice
+                FROM orders_tf_v WHERE o_totalprice > lim""")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D, 2)
+             AS total
+         FROM graft_big_orders(400000.0D)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
   /** NULL ORDERING semantics — the cross-engine trap made a first-class
     * entry: Spark's ASC default puts NULLs FIRST, DESC puts them LAST;
     * DuckDB defaults to the opposite. Every nullable sort key in this
