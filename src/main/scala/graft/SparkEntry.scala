@@ -377,6 +377,7 @@ object SparkEntry {
     "sim_bitext" -> ((s, d) => SimOps.simBitext(embeddings(s, d))),
     "sim_ivf_recall" -> ((s, d) => SimOps.simIvfRecall(embeddings(s, d))),
     "sim_ivf_recall_curve" -> ((s, d) => SimOps.simIvfRecallCurve(embeddings(s, d))),
+    "sim_ivf_nprobe_sweep" -> ((s, d) => SimOps.simIvfNprobeSweep(embeddings(s, d))),
     "sim_hybrid_rrf" ->
       ((s, d) => SimOps.simHybridRrf(documents(s, d), embeddings(s, d))),
     "sim_maxsim" -> ((s, d) => SimOps.simMaxSim(embeddings(s, d))),
@@ -3938,6 +3939,80 @@ object SparkEntry {
                  + coalesce(1.0 / (60 + vec_rank), 0), 6) AS rrf
          FROM lexr FULL OUTER JOIN vecr USING (doc_id)
          ORDER BY rrf DESC, doc_id LIMIT 10""",
+    // one ranked probe list serves every sweep point (prn <= np)
+    "sim_ivf_nprobe_sweep" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         a AS (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY round(list_dot_product(v, cv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9)
+                   DESC, cid) AS rn
+               FROM e CROSS JOIN c),
+         asn AS MATERIALIZED (SELECT vec_id, v, cid AS cell FROM a WHERE rn = 1),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         pr AS MATERIALIZED (SELECT cid AS cell, row_number() OVER (
+                 ORDER BY round(list_dot_product(cv, qv) /
+                   (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 9)
+                   DESC, cid) AS prn
+               FROM c CROSS JOIN q),
+         exact AS MATERIALIZED (SELECT vec_id FROM e CROSS JOIN q
+               ORDER BY round(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 9)
+                 DESC, vec_id LIMIT 10)
+         SELECT * FROM (
+           SELECT 1 AS nprobe, count(*) AS k_eval,
+             CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+             round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 6) AS recall
+           FROM exact ex LEFT JOIN
+             (SELECT vec_id FROM asn JOIN
+                (SELECT cell FROM pr WHERE prn <= 1) p1 USING (cell)
+              CROSS JOIN q
+              ORDER BY round(list_dot_product(v, qv) /
+                (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+                DESC, vec_id LIMIT 10) ap
+           ON ap.vec_id = ex.vec_id
+           UNION ALL SELECT 2 AS nprobe, count(*) AS k_eval,
+             CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+             round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 6) AS recall
+           FROM exact ex LEFT JOIN
+             (SELECT vec_id FROM asn JOIN
+                (SELECT cell FROM pr WHERE prn <= 2) p2 USING (cell)
+              CROSS JOIN q
+              ORDER BY round(list_dot_product(v, qv) /
+                (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+                DESC, vec_id LIMIT 10) ap
+           ON ap.vec_id = ex.vec_id
+           UNION ALL SELECT 4 AS nprobe, count(*) AS k_eval,
+             CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+             round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 6) AS recall
+           FROM exact ex LEFT JOIN
+             (SELECT vec_id FROM asn JOIN
+                (SELECT cell FROM pr WHERE prn <= 4) p4 USING (cell)
+              CROSS JOIN q
+              ORDER BY round(list_dot_product(v, qv) /
+                (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+                DESC, vec_id LIMIT 10) ap
+           ON ap.vec_id = ex.vec_id
+           UNION ALL SELECT 8 AS nprobe, count(*) AS k_eval,
+             CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+             round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 6) AS recall
+           FROM exact ex LEFT JOIN
+             (SELECT vec_id FROM asn JOIN
+                (SELECT cell FROM pr WHERE prn <= 8) p8 USING (cell)
+              CROSS JOIN q
+              ORDER BY round(list_dot_product(v, qv) /
+                (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+                DESC, vec_id LIMIT 10) ap
+           ON ap.vec_id = ex.vec_id) u
+         ORDER BY nprobe""",
     // the single-k audit generalized: per-k cuts over the ranked exact
     // top-10 via a constant k list — identical join, k-wise census
     "sim_ivf_recall_curve" ->

@@ -1083,7 +1083,8 @@ object SimOps {
   // `qSrc`: where the query vector lives — defaults to the corpus, but a
   // FILTERED search must still draw the query from the unfiltered table
   private def ivfScan(
-      e: DataFrame, cents: DataFrame, qSrc: Option[DataFrame] = None): DataFrame = {
+      e: DataFrame, cents: DataFrame, qSrc: Option[DataFrame] = None,
+      nprobe: Int = 4): DataFrame = {
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
     val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cid"),
@@ -1096,7 +1097,7 @@ object SimOps {
     val probes = cents.crossJoin(broadcast(q))
       .select(col("cid"), round(cosine(col("cv"), col("qv")), 9).as("ccos"))
       .orderBy(desc("ccos"), asc("cid"))
-      .limit(4)
+      .limit(nprobe)
       .select(col("cid").as("cell"))
     assigned
       .join(broadcast(probes), "cell") // prune: scan only probed cells
@@ -1382,6 +1383,40 @@ object SimOps {
       .select(col("vec_id"), round(score, 6).as("maxsim"))
       .orderBy(desc("maxsim"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** nprobe SWEEP for the IVF index — the calibration curve along the
+    * OTHER dial (`sim_ivf_recall_curve` sweeps k; this sweeps how many
+    * cells the query probes): recall@10 at nprobe ∈ {1,2,4,8} in one
+    * audit, making the probe-count/recall trade the operator's user
+    * actually tunes visible as data. Each sweep point is the production
+    * ivfScan at that nprobe; the exact baseline computes once.
+    */
+  def simIvfNprobeSweep(embeddings: DataFrame,
+      probeCounts: Seq[Int] = Seq(1, 2, 4, 8), k: Int = 10): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val dot = LlmOps.dot _
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val cos = dot(col("v"), col("qv")) /
+      (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv"))))
+    val exact = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cos, 9).as("c9"))
+      .orderBy(desc("c9"), asc("vec_id")).limit(k)
+      .select(col("vec_id"))
+      .localCheckpoint() // one baseline serves every sweep point
+    probeCounts.map { np =>
+      val approx = ivfScan(e, cents, nprobe = np)
+        .select(col("vec_id")).withColumn("hit", lit(1L))
+      exact.join(approx, Seq("vec_id"), "left")
+        .agg(
+          count(lit(1)).as("k_eval"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(np).as("nprobe"), col("k_eval"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("k_eval"), 6).as("recall"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
   }
 
   /** HYBRID retrieval — lexical TF·IDF and vector cosine legs fused by

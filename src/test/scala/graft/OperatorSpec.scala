@@ -636,6 +636,19 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("sim_ivf_nprobe_sweep: recall monotone in probe count, self-consistent census") {
+    val out = SimOps.simIvfNprobeSweep(Tables.embeddings(spark, sf0001)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq === Seq(1, 2, 4, 8))
+    assert(out.forall(_._2 === 10L))
+    out.foreach { case (_, k, h, rec) =>
+      assert(rec === math.round(h.toDouble / k * 1e6) / 1e6)
+    }
+    // probing MORE cells can only find MORE of the exact top-k
+    assert(out.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+      s"recall not monotone in nprobe: ${out.toSeq}")
+  }
+
   test("sim_ivf_recall_curve: per-k census consistent, @10 equals the single-k audit") {
     val emb = Tables.embeddings(spark, sf0001)
     val curve = SimOps.simIvfRecallCurve(emb).collect()
