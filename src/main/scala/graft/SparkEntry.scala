@@ -336,6 +336,7 @@ object SparkEntry {
     "stream_stateful" -> ((s, d) => StreamOps.streamStateful(s, d)),
     "stream_stateful_v2" -> ((s, d) => StreamOps.streamStatefulV2(s, d)),
     "stream_timer_sessions" -> ((s, d) => StreamOps.streamTimerSessions(s, d)),
+    "stream_recent_events" -> ((s, d) => StreamOps.streamRecentEvents(s, d)),
     "stream_sink" -> ((s, d) => StreamOps.streamSink(s, d)),
     "stream_join" -> ((s, d) => StreamOps.streamJoin(s, d)),
     "stream_stream_join" -> ((s, d) => StreamOps.streamStreamJoin(s, d)),
@@ -2904,6 +2905,20 @@ object SparkEntry {
     // and exactly the windows sealed by it (window_end <= watermark) are
     // emitted — the un-sealed tail windows are withheld, which is the
     // late-data contract this entry pins
+    // the associative-commutative top-5 merge makes the final ListState
+    // batching-independent; oracle = batch top-5 + count per user
+    "stream_recent_events" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         r AS (SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts_us DESC, event_id DESC) AS rn
+           FROM b),
+         t AS (SELECT user_id,
+             string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS recent_ids
+           FROM r WHERE rn <= 5 GROUP BY user_id),
+         n AS (SELECT user_id, count(*) AS n_seen FROM b GROUP BY user_id)
+         SELECT user_id, n_seen, recent_ids
+         FROM n JOIN t USING (user_id) ORDER BY user_id""",
     // gap-sealed sessions emit inline; each user's trailing session only
     // if its timer expiry clears the final watermark (max − 2 h)
     "stream_timer_sessions" ->

@@ -433,6 +433,95 @@ object StreamOps {
       .orderBy("event_type")
   }
 
+  case class EvIdT(user_id: Long, event_id: Long, ts_us: Long)
+  case class RecentOut(user_id: Long, n_seen: Long, recent_ids: String)
+
+  /** LIST-state processor — the transformWithState state type the other
+    * entries don't exercise: per user, a ListState buffer of the 5 most
+    * recent (ts, event_id) pairs plus a ValueState total counter. The
+    * keep-top-5 merge is ASSOCIATIVE AND COMMUTATIVE (max-heap of a
+    * bounded set), so the final state is identical under ANY batching —
+    * the multi-file staging genuinely exercises cross-batch state
+    * append/rebuild without costing determinism.
+    */
+  private class RecentEventsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvIdT, RecentOut] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var recent: ListState[(Long, Long)] = _
+    @transient private var seen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[(Long, Long)](
+        "recent", org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+      seen = getHandle.getValueState[Long](
+        "seen", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        user: Long, rows: Iterator[EvIdT],
+        timers: TimerValues): Iterator[RecentOut] = {
+      val incoming = rows.map(e => (e.ts_us, e.event_id)).toArray
+      val prior = {
+        val it = recent.get(); val b = Array.newBuilder[(Long, Long)]
+        while (it.hasNext) b += it.next(); b.result()
+      }
+      val merged = (prior ++ incoming)
+        .sortBy { case (ts, id) => (-ts, -id) }.take(5)
+      recent.clear()
+      recent.put(merged)
+      val total = (if (seen.exists()) seen.get() else 0L) + incoming.length
+      seen.update(total)
+      Iterator.single(RecentOut(user, total,
+        merged.map(_._2).mkString(",")))
+    }
+  }
+
+  /** The processor applied to any EvIdT stream — shared by the entry and
+    * the controlled-stream spec. */
+  private[graft] def recentEventsOf(evs: Dataset[EvIdT]): Dataset[RecentOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    evs.groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(
+        new RecentEventsProcessor, TimeMode.None(), OutputMode.Update())(
+        org.apache.spark.sql.Encoders.product[RecentOut])
+  }
+
+  /** The ListState entry: 4-file staged arrivals (real cross-batch state
+    * evolution), per-user top-5-recent buffer + total counter; the final
+    * answer per user is the row with the LARGEST n_seen (the counter
+    * grows monotonically, so max_by is "state at stream end"). Oracle =
+    * batch top-5-by-(ts,event_id) + count per user.
+    */
+  def streamRecentEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = s"$sfDir/events.parquet"
+    val dir = scratch(sfDir, "events_recent_src")
+    spark.read.parquet(src)
+      .withColumn("part", pmod(col("event_id"), lit(4)))
+      .repartition(4, col("part")).drop("part")
+      .write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val schema = spark.read.parquet(src).schema
+    val evs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .transform(graft.Tables.normalizeTs)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us")).as[EvIdT]
+    val folded = recentEventsOf(evs)
+    withStateShardsFor(spark, sfDir) {
+      drain(folded.toDF(), "graft_stream_recent", "update") }
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("n_seen")).as("n_seen"),
+        max_by(col("recent_ids"), col("n_seen")).as("recent_ids"))
+      .orderBy("user_id")
+  }
+
   /** Stream-STREAM interval join (attribution shape): purchases joined to
     * the same user's clicks from the preceding 30 minutes. Both sides are
     * independent streams with watermarks; the time-range condition is what

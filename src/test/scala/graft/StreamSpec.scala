@@ -99,6 +99,31 @@ class StreamSpec extends SparkTestBase {
       s"got $out")
   }
 
+  test("stream_recent_events: ListState buffer survives batches, keeps exactly the top-5") {
+    import graft.streaming.StreamOps
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Long, Long)](spark, 1)
+    val evs = input.toDF().toDF("user_id", "event_id", "ts_us")
+      .as[StreamOps.EvIdT]
+    val q = StreamOps.recentEventsOf(evs).toDF()
+      .writeStream.format("memory")
+      .queryName("graft_recent_test").outputMode("update").start()
+    // batch 1: events 1..4 (ts = id); batch 2: 5..7 — the buffer must
+    // carry 3,4 across the batch boundary and evict 1,2
+    input.addData((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L), (1L, 4L, 4L))
+    q.processAllAvailable()
+    input.addData((1L, 5L, 5L), (1L, 6L, 6L), (1L, 7L, 7L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("graft_recent_test")
+      .as[(Long, Long, String)].collect().sortBy(_._2)
+    assert(rows.last === ((1L, 7L, "7,6,5,4,3")),
+      s"final state wrong: ${rows.toSeq}")
+    assert(rows.head === ((1L, 4L, "4,3,2,1")), s"batch-1 state: ${rows.toSeq}")
+  }
+
   test("streaming dedup of a doubled log equals single-copy counts") {
     val out = StreamOps.streamDedup(spark, sf0001)
       .select(col("event_type"), col("n")).as[(String, Long)].collect().toMap
