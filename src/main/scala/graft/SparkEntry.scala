@@ -337,6 +337,7 @@ object SparkEntry {
     "stream_stateful_v2" -> ((s, d) => StreamOps.streamStatefulV2(s, d)),
     "stream_timer_sessions" -> ((s, d) => StreamOps.streamTimerSessions(s, d)),
     "stream_recent_events" -> ((s, d) => StreamOps.streamRecentEvents(s, d)),
+    "stream_type_counts" -> ((s, d) => StreamOps.streamTypeCounts(s, d)),
     "stream_sink" -> ((s, d) => StreamOps.streamSink(s, d)),
     "stream_join" -> ((s, d) => StreamOps.streamJoin(s, d)),
     "stream_stream_join" -> ((s, d) => StreamOps.streamStreamJoin(s, d)),
@@ -2905,6 +2906,12 @@ object SparkEntry {
     // and exactly the windows sealed by it (window_end <= watermark) are
     // emitted — the un-sealed tail windows are withheld, which is the
     // late-data contract this entry pins
+    // MapState increments are pure addition — batching-independent;
+    // oracle = the plain batch census
+    "stream_type_counts" ->
+      """SELECT user_id, event_type, count(*) AS n
+         FROM events GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""",
     // the associative-commutative top-5 merge makes the final ListState
     // batching-independent; oracle = batch top-5 + count per user
     "stream_recent_events" ->

@@ -476,6 +476,79 @@ object StreamOps {
     }
   }
 
+  case class EvTypeT(user_id: Long, event_type: String)
+  case class TypeCountOut(user_id: Long, event_type: String, n: Long)
+
+  /** MAP-state processor — the third transformWithState state type: a
+    * per-user MapState[event_type → count]. Increment is pure addition
+    * (commutative), so the final map is batching-independent like the
+    * ListState top-5 merge; emission is the user's full current map each
+    * batch (update mode), and "state at stream end" is the max count per
+    * (user, type).
+    */
+  private class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvTypeT, TypeCountOut] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long, rows: Iterator[EvTypeT],
+        timers: TimerValues): Iterator[TypeCountOut] = {
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1)
+      }
+      val out = Array.newBuilder[TypeCountOut]
+      val it = counts.iterator()
+      while (it.hasNext) {
+        val kv = it.next()
+        out += TypeCountOut(user, kv._1, kv._2)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** The MapState entry: same 4-file staged arrivals; final per-(user,
+    * type) count = max over emissions (counts only grow). Oracle = the
+    * plain batch groupBy census.
+    */
+  def streamTypeCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = s"$sfDir/events.parquet"
+    val dir = scratch(sfDir, "events_typecount_src")
+    spark.read.parquet(src)
+      .withColumn("part", pmod(col("event_id"), lit(4)))
+      .repartition(4, col("part")).drop("part")
+      .write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val schema = spark.read.parquet(src).schema
+    val evs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .select(col("user_id"), col("event_type")).as[EvTypeT]
+    val folded = typeCountsOf(evs)
+    withStateShardsFor(spark, sfDir) {
+      drain(folded.toDF(), "graft_stream_type_counts", "update") }
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n"))
+      .orderBy("user_id", "event_type")
+  }
+
+  private[graft] def typeCountsOf(evs: Dataset[EvTypeT]): Dataset[TypeCountOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    evs.groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(
+        new TypeCountProcessor, TimeMode.None(), OutputMode.Update())(
+        org.apache.spark.sql.Encoders.product[TypeCountOut])
+  }
+
   /** The processor applied to any EvIdT stream — shared by the entry and
     * the controlled-stream spec. */
   private[graft] def recentEventsOf(evs: Dataset[EvIdT]): Dataset[RecentOut] = {

@@ -124,6 +124,29 @@ class StreamSpec extends SparkTestBase {
     assert(rows.head === ((1L, 4L, "4,3,2,1")), s"batch-1 state: ${rows.toSeq}")
   }
 
+  test("stream_type_counts: MapState counters accumulate across batches per key") {
+    import graft.streaming.StreamOps
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, String)](spark, 1)
+    val evs = input.toDF().toDF("user_id", "event_type").as[StreamOps.EvTypeT]
+    val q = StreamOps.typeCountsOf(evs).toDF()
+      .writeStream.format("memory")
+      .queryName("graft_typecount_test").outputMode("update").start()
+    input.addData((1L, "click"), (1L, "click"), (1L, "view"))
+    q.processAllAvailable()
+    input.addData((1L, "click"), (2L, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("graft_typecount_test")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n"))
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(fin === Seq((1L, "click", 3L), (1L, "view", 1L), (2L, "view", 1L)),
+      s"got $fin")
+  }
+
   test("streaming dedup of a doubled log equals single-copy counts") {
     val out = StreamOps.streamDedup(spark, sf0001)
       .select(col("event_type"), col("n")).as[(String, Long)].collect().toMap
