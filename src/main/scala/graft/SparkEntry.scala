@@ -317,6 +317,7 @@ object SparkEntry {
     "join_storage_partitioned" -> ((s, d) => EtlOps.joinStoragePartitioned(s, d)),
     "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
     "sink_manifest_commit" -> ((s, d) => EtlOps.sinkManifestCommit(s, d)),
+    "scan_parquet_bloom" -> ((s, d) => EtlOps.scanParquetBloom(s, d)),
     "sink_vacuum" -> ((s, d) => EtlOps.sinkVacuum(s, d)),
     "sink_jsonl" -> ((s, d) => EtlOps.sinkJsonl(s, d)),
     "sink_retention" -> ((s, d) => EtlOps.sinkRetention(s, d)),
@@ -2812,6 +2813,13 @@ object SparkEntry {
            2 AS n_removed,
            TRUE AS vacuum_clean
          FROM orders""",
+    // bloom acceleration is data-invisible — oracle is the plain filter
+    "scan_parquet_bloom" ->
+      """SELECT count(*) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+         FROM orders WHERE o_custkey = 7""",
     "sink_manifest_commit" ->
       """SELECT count(*) AS n_rows,
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,

@@ -959,6 +959,39 @@ object EtlOps {
     * sum). File-count invariants live in the spec; the oracle checks the
     * data.
     */
+  /** Parquet BLOOM-FILTER layout — the storage-level point-lookup
+    * accelerator: the writer embeds a bloom filter on the lookup key in
+    * each file's metadata, and a reader's equality predicate can skip
+    * whole row groups whose filter proves absence (the needle-in-
+    * haystack path a 100 TB "find this customer" query takes; min/max
+    * stats alone can't prune high-cardinality unsorted keys). The
+    * acceleration is DATA-INVISIBLE (the scan_observed stance): the
+    * oracle is the plain filtered aggregate, the layout is the tested
+    * artifact — written per-shard, fully distributed.
+    */
+  def scanParquetBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "orders_bloom").toString
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(4)
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.bloom.filter.enabled#o_custkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+      // parquet SKIPS the bloom when a row group stays fully dictionary-
+      // encoded (the dictionary already proves membership exactly); at
+      // production cardinality the key column overflows the dictionary
+      // and the bloom kicks in — disabling the dictionary for just this
+      // column reproduces that regime at test scale
+      .option("parquet.enable.dictionary#o_custkey", "false")
+      .parquet(dir)
+    spark.read.parquet(dir)
+      .filter(col("o_custkey") === 7)
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))
+  }
+
   /** MANIFEST-committed sink — the atomic-visibility protocol object
     * stores need (S3 has no directory rename): data files land first,
     * then ONE manifest write commits exactly that file list; readers

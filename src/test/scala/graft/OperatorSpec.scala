@@ -472,6 +472,30 @@ class OperatorSpec extends SparkTestBase {
     assert(r.getLong(0) === Tables.orders(spark, sf0001).count())
   }
 
+  test("scan_parquet_bloom: the bloom filter physically lands in the written footers") {
+    SparkEntry.queries("scan_parquet_bloom")(spark, sf0001).collect()
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_etl",
+      sf0001.replaceAll("[^a-zA-Z0-9]", "_"), "orders_bloom")
+    val part = java.nio.file.Files.list(dir).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted.head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part), conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val custkey = (0 until cols.size).map(cols.get)
+        .find(_.getPath.toDotString == "o_custkey").get
+      assert(custkey.getBloomFilterOffset > 0,
+        "o_custkey column chunk carries no bloom filter")
+      val other = (0 until cols.size).map(cols.get)
+        .find(_.getPath.toDotString == "o_orderkey").get
+      assert(other.getBloomFilterOffset <= 0,
+        "bloom must be scoped to the declared column only")
+    } finally reader.close()
+  }
+
   test("sink_manifest_commit: orphan planted after the commit stays invisible") {
     val r = SparkEntry.queries("sink_manifest_commit")(spark, sf0001).collect().head
     assert(r.getBoolean(4), "orphan file leaked into the manifest read")
