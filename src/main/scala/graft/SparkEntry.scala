@@ -145,6 +145,7 @@ object SparkEntry {
       AuditQueries.qLateralJoin(s, customer(s, d), orders(s, d))),
     "fn_variant" -> ((s, d) => FuncOps.variantFns(events(s, d))),
     "fn_struct" -> ((s, d) => FuncOps.structFns(customer(s, d))),
+    "fn_rounding" -> ((s, d) => FuncOps.roundingFns(orders(s, d))),
     "fn_url" -> ((s, d) => FuncOps.urlFns(documents(s, d))),
     "fn_collation" -> ((s, d) => FuncOps.collationFns(customer(s, d))),
     "scan_glob" -> ((s, d) => EtlOps.scanGlob(s, d)),
@@ -935,6 +936,16 @@ object SparkEntry {
     // this corpus, derived per row by schema_of_variant on the Spark side
     // withField/dropFields flatten to one struct rebuild; integer cents
     // in the JSON so the byte-compare survives (sink_doc_shape rule)
+    // round = half away from zero (HALF_UP on positives), round_even =
+    // banker's — the exact .5 boundary separates them on every odd key
+    "fn_rounding" ->
+      """SELECT o_orderkey,
+           o_orderkey + 0.5 AS boundary,
+           round(o_orderkey + 0.5) AS half_up,
+           round_even(o_orderkey + 0.5, 0) AS half_even,
+           round(o_orderkey + 0.5) <> round_even(o_orderkey + 0.5, 0)
+             AS modes_differ
+         FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey""",
     "fn_struct" ->
       """SELECT c_custkey, c_custkey AS key,
            lower(c_mktsegment) AS segment,

@@ -228,6 +228,27 @@ object FuncOps {
     * exported is a typed scalar, so the DuckDB oracle replicates with its
     * own JSON path functions.
     */
+  /** Rounding-mode semantics — `round` (HALF_UP) vs `bround` (HALF_EVEN,
+    * banker's) side by side on exact .5 boundaries: the silent
+    * financial-aggregation divergence every engine migration trips on.
+    * Boundary values are CONSTRUCTED exactly (k + 0.5 with k integer —
+    * representable in double), so both modes differ deterministically on
+    * every odd k; DuckDB mirrors with round / round_even.
+    */
+  def roundingFns(orders: DataFrame): DataFrame = {
+    // exact k.5 values: o_orderkey + 0.5 is exact in double
+    val half = col("o_orderkey").cast("double") + 0.5
+    orders
+      .filter(col("o_orderkey") <= 50)
+      .select(
+        col("o_orderkey"),
+        half.as("boundary"),
+        round(half, 0).as("half_up"),
+        bround(half, 0).as("half_even"),
+        (round(half, 0) =!= bround(half, 0)).as("modes_differ"))
+      .orderBy("o_orderkey")
+  }
+
   /** Nested-struct surgery — `withField` / `dropFields` (Spark 3.1+),
     * the in-place document-update API a Mongo-shaped pipeline edits
     * nested records with (vs rebuilding the whole struct by hand). All

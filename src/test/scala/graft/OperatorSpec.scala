@@ -392,6 +392,17 @@ class OperatorSpec extends SparkTestBase {
       (128L, 1L, 32L, 1L, 0.78125)), s"got ${out.toSeq}")
   }
 
+  test("fn_rounding: HALF_UP and HALF_EVEN differ on exactly the odd boundaries") {
+    val orders = Seq(1L, 2L, 3L, 4L).map(Tuple1(_)).toDF("o_orderkey")
+    val out = graft.functions.FuncOps.roundingFns(orders).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (1L, 2.0, 2.0, false),  // 1.5: up→2, even→2
+      (2L, 3.0, 2.0, true),   // 2.5: up→3, even→2
+      (3L, 4.0, 4.0, false),  // 3.5: up→4, even→4
+      (4L, 5.0, 4.0, true)), s"got ${out.toSeq}")
+  }
+
   test("fn_struct: withField updates/adds, dropFields removes from the JSON form") {
     val customer = Seq((1L, "BUILDING", 42.5, 7L))
       .toDF("c_custkey", "c_mktsegment", "c_acctbal", "c_nationkey")
