@@ -319,6 +319,7 @@ object SparkEntry {
     "sink_compact" -> ((s, d) => EtlOps.sinkCompact(s, d)),
     "sink_manifest_commit" -> ((s, d) => EtlOps.sinkManifestCommit(s, d)),
     "scan_parquet_bloom" -> ((s, d) => EtlOps.scanParquetBloom(s, d)),
+    "scan_csv_multidelim" -> ((s, d) => EtlOps.scanCsvMultidelim(s, d)),
     "sink_vacuum" -> ((s, d) => EtlOps.sinkVacuum(s, d)),
     "sink_jsonl" -> ((s, d) => EtlOps.sinkJsonl(s, d)),
     "sink_retention" -> ((s, d) => EtlOps.sinkRetention(s, d)),
@@ -2825,6 +2826,11 @@ object SparkEntry {
            TRUE AS vacuum_clean
          FROM orders""",
     // bloom acceleration is data-invisible — oracle is the plain filter
+    // regionkey ints survive the text round trip; pipe-in-value proves
+    // the delimiter is the PAIR, not the single char
+    "scan_csv_multidelim" ->
+      """SELECT n_nationkey, 'a|' || n_name AS piped, n_regionkey
+         FROM nation ORDER BY n_nationkey""",
     "scan_parquet_bloom" ->
       """SELECT count(*) AS n_orders,
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,

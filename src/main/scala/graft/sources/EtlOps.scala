@@ -313,6 +313,29 @@ object EtlOps {
     * tricky value is CONSTRUCTED (name,"\nname), so the oracle is exact
     * by construction and the round-trip provably lossless.
     */
+  /** MULTI-CHARACTER CSV delimiter (Spark 4) — legacy exports routinely
+    * separate with "||" or "~|~" precisely because single characters
+    * collide with content; Spark's reader accepts multi-char `sep`
+    * directly (pre-4.0 engines forced a regex-split detour through the
+    * text source). Round trip: write with the 2-char delimiter, read it
+    * back with a declared schema; values that CONTAIN a single pipe
+    * prove the delimiter really is the pair.
+    */
+  def scanCsvMultidelim(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "csv_multidelim").toString
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey"),
+        concat(lit("a|"), col("n_name")).as("piped"), // single pipe inside
+        col("n_regionkey"))
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("sep", "||").csv(dir)
+    spark.read
+      .option("header", "true").option("sep", "||")
+      .schema("n_nationkey INT, piped STRING, n_regionkey INT")
+      .csv(dir)
+      .orderBy("n_nationkey")
+  }
+
   def scanCsvQuoted(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = freshDir(sfDir, "csv_quoted").toString
     spark.read.parquet(s"$sfDir/nation.parquet")
