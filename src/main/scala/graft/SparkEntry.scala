@@ -320,6 +320,7 @@ object SparkEntry {
     "sink_manifest_commit" -> ((s, d) => EtlOps.sinkManifestCommit(s, d)),
     "scan_parquet_bloom" -> ((s, d) => EtlOps.scanParquetBloom(s, d)),
     "scan_csv_multidelim" -> ((s, d) => EtlOps.scanCsvMultidelim(s, d)),
+    "scan_corrupt_files_skip" -> ((s, d) => EtlOps.scanCorruptFilesSkip(s, d)),
     "sink_vacuum" -> ((s, d) => EtlOps.sinkVacuum(s, d)),
     "sink_jsonl" -> ((s, d) => EtlOps.sinkJsonl(s, d)),
     "sink_retention" -> ((s, d) => EtlOps.sinkRetention(s, d)),
@@ -2828,6 +2829,13 @@ object SparkEntry {
     // bloom acceleration is data-invisible — oracle is the plain filter
     // regionkey ints survive the text round trip; pipe-in-value proves
     // the delimiter is the PAIR, not the single char
+    // the skipped garbage file contributes nothing — census = good shards
+    "scan_corrupt_files_skip" ->
+      """SELECT count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+         FROM orders""",
     "scan_csv_multidelim" ->
       """SELECT n_nationkey, 'a|' || n_name AS piped, n_regionkey
          FROM nation ORDER BY n_nationkey""",

@@ -313,6 +313,35 @@ object EtlOps {
     * tricky value is CONSTRUCTED (name,"\nname), so the oracle is exact
     * by construction and the round-trip provably lossless.
     */
+  /** Corrupt-file TOLERANCE — `spark.sql.files.ignoreCorruptFiles`: at
+    * 100 TB some file is always truncated (killed writer, partial
+    * upload); the default read fails the whole job on one bad footer,
+    * the flag turns it into a skip. Staged here: 4 good shards plus one
+    * garbage "parquet", read back with the flag on — the census equals
+    * exactly the good shards (and the conf is restored after, so no
+    * other entry silently inherits tolerance).
+    */
+  def scanCorruptFilesSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir(sfDir, "orders_corruptmix")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartition(4)
+      .write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    Files.write(dir.resolve("part-99999-truncated.parquet"),
+      "PAR1 this is not a real parquet footer".getBytes("UTF-8"))
+    val prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    try {
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+      spark.read.parquet(dir.toString)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))
+        // the aggregate is tiny — force it while the conf is set
+        .localCheckpoint()
+    } finally spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+  }
+
   /** MULTI-CHARACTER CSV delimiter (Spark 4) — legacy exports routinely
     * separate with "||" or "~|~" precisely because single characters
     * collide with content; Spark's reader accepts multi-char `sep`

@@ -483,6 +483,22 @@ class OperatorSpec extends SparkTestBase {
     assert(r.getLong(0) === Tables.orders(spark, sf0001).count())
   }
 
+  test("scan_corrupt_files_skip: tolerant read skips the garbage the default read dies on") {
+    val r = SparkEntry.queries("scan_corrupt_files_skip")(spark, sf0001)
+      .collect().head
+    assert(r.getLong(0) === Tables.orders(spark, sf0001).count(),
+      "tolerant read must see exactly the good shards")
+    // same directory, default strictness: the bad footer must FAIL the job
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_etl",
+      sf0001.replaceAll("[^a-zA-Z0-9]", "_"), "orders_corruptmix").toString
+    assert(spark.conf.get("spark.sql.files.ignoreCorruptFiles") === "false",
+      "entry must restore the strict default")
+    intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).count()
+    }
+  }
+
   test("scan_parquet_bloom: the bloom filter physically lands in the written footers") {
     SparkEntry.queries("scan_parquet_bloom")(spark, sf0001).collect()
     val dir = java.nio.file.Paths.get(
