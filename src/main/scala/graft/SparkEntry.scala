@@ -402,6 +402,8 @@ object SparkEntry {
       ((s, d) => PipelineOps.pipelineLengthBuckets(documents(s, d))),
     "pipeline_epoch_shuffle" ->
       ((s, d) => PipelineOps.pipelineEpochShuffle(documents(s, d))),
+    "pipeline_leakage_audit" ->
+      ((s, d) => PipelineOps.pipelineLeakageAudit(documents(s, d))),
     "pipeline_curriculum" -> ((s, d) => PipelineOps.pipelineCurriculum(documents(s, d))),
     "pipeline_span_corruption" ->
       ((s, d) => PipelineOps.pipelineSpanCorruption(documents(s, d))),
@@ -1542,6 +1544,27 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
+    // the production banded pairs joined to the hash-split map; a
+    // cross-split pair touching an eval split is a leak
+    "pipeline_leakage_audit" ->
+      s"""$nearDupCte,
+         sp AS (SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                    THEN 'val'
+                  ELSE 'test' END AS split FROM documents),
+         p AS (SELECT doc_a, doc_b, round(jac, 6) AS jac FROM j
+               WHERE round(jac, 6) >= 0.6)
+         SELECT sa.split AS split_a, sb.split AS split_b,
+           count(*) AS n_pairs,
+           round(min(jac), 6) AS min_jac,
+           round(max(jac), 6) AS max_jac,
+           (sa.split <> sb.split AND (sa.split IN ('val', 'test')
+              OR sb.split IN ('val', 'test'))) AS is_leak
+         FROM p JOIN sp sa ON sa.doc_id = p.doc_a
+                JOIN sp sb ON sb.doc_id = p.doc_b
+         GROUP BY sa.split, sb.split ORDER BY split_a, split_b""",
     "dedup_near" ->
       s"""$nearDupCte
          SELECT doc_a, doc_b, round(jac, 6) AS jac FROM j

@@ -162,6 +162,38 @@ object PipelineOps {
       .orderBy("stage")
   }
 
+  /** Cross-split LEAKAGE audit — the eval-hygiene check every held-out
+    * set owes: NEAR-DUPLICATE pairs (the production MinHash/LSH dedup,
+    * reused verbatim — one definition, one oracle convention) that
+    * straddle the train/val/test boundary leak training signal into
+    * evaluation even though no doc id is shared. Pairs land in a
+    * per-(split_a, split_b) census; a cross-split pair touching an eval
+    * split is flagged. Cost = the dedup itself + one broadcast-sized
+    * split map join; at 100 TB the pair set is the already-banded
+    * candidate output, never all-pairs.
+    */
+  def pipelineLeakageAudit(documents: DataFrame): DataFrame = {
+    val pairs = LlmOps.dedupNear(documents)
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val splits = documents.select(col("doc_id"),
+      when(h < "c", "train").when(h < "e", "val").otherwise("test")
+        .as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        "doc_b")
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(min(col("jac")), 6).as("min_jac"),
+        round(max(col("jac")), 6).as("max_jac"))
+      .withColumn("is_leak", col("split_a") =!= col("split_b") &&
+        (col("split_a").isin("val", "test") ||
+          col("split_b").isin("val", "test")))
+      .orderBy("split_a", "split_b")
+  }
+
   /** EPOCH SHUFFLE plan — the deterministic global permutation a
     * multi-epoch training run needs: per epoch, every document gets a
     * fresh pseudo-random position from md5(epoch, doc_id) (content-hash

@@ -584,6 +584,35 @@ class OperatorSpec extends SparkTestBase {
     assert(r2.getDouble(2) === 0.0 && !r2.getBoolean(4), s"got $r2")
   }
 
+  test("pipeline_leakage_audit: a seeded cross-split near-dup flags, same-split does not") {
+    def firstHex(id: Long): Char = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+    }
+    def split(id: Long): String = {
+      val h = firstHex(id)
+      if (h < 'c') "train" else if (h < 'e') "val" else "test"
+    }
+    val ids = (1L to 300L)
+    val trainId = ids.find(split(_) == "train").get
+    val valId = ids.find(split(_) == "val").get
+    val trainId2 = ids.filter(split(_) == "train").drop(1).head
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val noise = (1 to 30).map(i => s"unique$i word$i filler$i").zipWithIndex
+    val docs = (Seq(
+      (trainId, dup), (valId, dup),          // cross-split near-dup → leak
+      (trainId2, dup + " x")) ++             // same-split near-dup → no leak
+      noise.map { case (t, i) => (1000L + i, t) })
+      .toDF("doc_id", "text")
+    val out = PipelineOps.pipelineLeakageAudit(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getBoolean(5))).toMap
+    val leakKeys = out.keySet.filter(k => out(k))
+    assert(leakKeys.exists(k => Set(k._1, k._2) == Set("train", "val")),
+      s"seeded train/val near-dup not flagged: $out")
+    assert(out.get(("train", "train")).contains(false),
+      s"same-split pair must not be a leak: $out")
+  }
+
   test("pipeline_epoch_shuffle: each epoch a complete permutation, epochs genuinely differ") {
     val docs = Tables.documents(spark, sf0001)
     val n = docs.count()
