@@ -75,6 +75,8 @@ object SparkEntry {
     "graph_label_prop_stored" -> ((s, d) =>
       GraphOps.graphLabelPropStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_modularity" -> ((s, d) => GraphOps.graphModularity(orders(s, d), lineitem(s, d))),
+    "graph_modularity_stored" -> ((s, d) =>
+      GraphOps.graphModularityStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_hits" -> ((s, d) => GraphOps.graphHits(orders(s, d), lineitem(s, d))),
     "graph_hits_stored" -> ((s, d) =>
       GraphOps.graphHitsStored(s, orders(s, d), lineitem(s, d), d)),
@@ -2121,6 +2123,8 @@ object SparkEntry {
     "graph_label_prop_stored" -> labelPropOracleSql(4),
     // Newman Q over the same labels, integer sufficient statistics
     "graph_modularity" -> modularityOracleSql(4),
+    // identical Q served from the stored bucketed layout
+    "graph_modularity_stored" -> modularityOracleSql(4),
     // two matvecs + L1 normalization per round, re-quantized each half
     "graph_hits" -> hitsOracleSql(6),
     // identical scores served from the stored bucketed layout

@@ -492,6 +492,25 @@ object GraphOps {
   def graphModularity(orders: DataFrame, lineitem: DataFrame,
       rounds: Int = 4): DataFrame = {
     val (adj, nodes, _) = buildGraph(orders, lineitem)
+    modularityOf(adj, nodes, rounds)
+  }
+
+  /** Modularity SERVED from the stored bucketed adjacency — the seventh
+    * iterative consumer of `sink_graph_adjacency` (same oracle as
+    * graph_modularity).
+    */
+  def graphModularityStored(
+      spark: org.apache.spark.sql.SparkSession,
+      orders: DataFrame, lineitem: DataFrame, sfDir: String,
+      rounds: Int = 4): DataFrame = {
+    val name = ensureAdjacencyTable(spark, orders, lineitem, sfDir)
+    val adj = spark.table(name).persist()
+    val nodes = adj.select(col("src").as("id")).distinct()
+    modularityOf(adj, nodes, rounds)
+  }
+
+  private def modularityOf(adj: DataFrame, nodes: DataFrame,
+      rounds: Int): DataFrame = {
     val labels = lpaLabels(adj, nodes, rounds)
     // directed edge list with both endpoint labels; 2m = total directed
     // edges (the graph stores both orientations)
