@@ -68,6 +68,8 @@ object SparkEntry {
     "graph_components_stored" -> ((s, d) =>
       GraphOps.graphComponentsStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_bfs" -> ((s, d) => GraphOps.graphBfs(orders(s, d), lineitem(s, d))),
+    "graph_bfs_stored" -> ((s, d) =>
+      GraphOps.graphBfsStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_degree_dist" -> ((s, d) => GraphOps.degreeDist(orders(s, d), lineitem(s, d))),
     "graph_assortativity" ->
       ((s, d) => GraphOps.graphAssortativity(orders(s, d), lineitem(s, d))),
@@ -2190,6 +2192,8 @@ object SparkEntry {
          ORDER BY anchor""",
     // min-plus distance propagation, unrolled like the other two
     "graph_bfs" -> bfsOracleSql(6),
+    // identical rings served from the stored bucketed layout
+    "graph_bfs_stored" -> bfsOracleSql(6),
     // same cap + same exact-percentile edge rule; each triangle counted
     // once via the a<b<c orientation
     "graph_triangles" ->

@@ -263,8 +263,27 @@ object GraphOps {
     */
   def graphBfs(orders: DataFrame, lineitem: DataFrame,
       rounds: Int = 6): DataFrame = {
-    val INF = 999999L
     val (adj, nodes, _) = buildGraph(orders, lineitem)
+    bfsLoop(adj, nodes, rounds)
+  }
+
+  /** BFS served from the stored bucketed adjacency — with this, every
+    * iterative algorithm in the family (pagerank, components, LPA, HITS,
+    * modularity, BFS) has a loop-only serving path off the one layout.
+    */
+  def graphBfsStored(
+      spark: org.apache.spark.sql.SparkSession,
+      orders: DataFrame, lineitem: DataFrame, sfDir: String,
+      rounds: Int = 6): DataFrame = {
+    val name = ensureAdjacencyTable(spark, orders, lineitem, sfDir)
+    val adj = spark.table(name).persist()
+    val nodes = adj.select(col("src").as("id")).distinct()
+    bfsLoop(adj, nodes, rounds)
+  }
+
+  private def bfsLoop(adj: DataFrame, nodes: DataFrame,
+      rounds: Int): DataFrame = {
+    val INF = 999999L
     var dist = nodes.select(col("id"),
       when(col("id") % 64 === 0, lit(0L)).otherwise(lit(INF)).as("dist"))
       .localCheckpoint()

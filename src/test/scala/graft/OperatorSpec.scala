@@ -794,6 +794,12 @@ class OperatorSpec extends SparkTestBase {
     assert(a === b, s"in-query $a vs stored $b")
   }
 
+  test("graph_bfs_stored serves identical distance rings from the bucketed layout") {
+    val a = SparkEntry.queries("graph_bfs")(spark, sf0001).collect().toSeq
+    val b = SparkEntry.queries("graph_bfs_stored")(spark, sf0001).collect().toSeq
+    assert(a === b, s"in-query $a vs stored $b")
+  }
+
   test("graph_modularity_stored serves identical Q from the bucketed layout") {
     val a = SparkEntry.queries("graph_modularity")(spark, sf0001).collect().toSeq
     val b = SparkEntry.queries("graph_modularity_stored")(spark, sf0001).collect().toSeq
