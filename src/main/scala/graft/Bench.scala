@@ -91,6 +91,7 @@ object Bench {
     "graph_kcore_stored",   // same trajectory served from the stored layout
     "text_perplexity_filter", // bigram-LM lowest-decile quarantine census
     "pipeline_curriculum",  // histogram-ranked curriculum staging
+    "sim_knn_cluster_stored", // SemDeDup served from the stored kNN layout
     "graph_hits",           // 6-round hub/authority matvec loop
     "graph_modularity",     // LPA labels + Newman Q sufficient statistics
     "stream_timer_sessions", // event-time timer session finalization

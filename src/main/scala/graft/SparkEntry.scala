@@ -436,6 +436,11 @@ object SparkEntry {
     "sim_ivf_pq" -> ((s, d) => SimOps.simIvfPq(embeddings(s, d))),
     "sim_knn_graph_recall" -> ((s, d) => SimOps.simKnnGraphRecall(embeddings(s, d))),
     "sim_knn_cluster" -> ((s, d) => SimOps.simKnnCluster(embeddings(s, d))),
+    "sink_knn_graph" -> ((s, d) => SimOps.sinkKnnGraph(s, embeddings(s, d), d)),
+    "sim_knn_cluster_stored" -> ((s, d) =>
+      SimOps.simKnnClusterStored(s, embeddings(s, d), d)),
+    "pipeline_hard_negatives_stored" -> ((s, d) =>
+      SimOps.pipelineHardNegativesStored(s, embeddings(s, d), d)),
     "pipeline_hard_negatives" -> ((s, d) =>
       SimOps.pipelineHardNegatives(embeddings(s, d))),
     "sim_ood_detect" -> ((s, d) => SimOps.simOodDetect(embeddings(s, d))),
@@ -2175,8 +2180,32 @@ object SparkEntry {
     // SemDeDup clusters over the kNN graph: same knnGraphCte, edges cut
     // at cos >= 0.45, six unrolled min-label hops
     "sim_knn_cluster" -> knnClusterOracleSql(0.45, 4),
+    // identical clusters served from the stored bucketed kNN layout
+    "sim_knn_cluster_stored" -> knnClusterOracleSql(0.45, 4),
+    // layout CONTENT census per logical bucket
+    "sink_knn_graph" ->
+      s"""WITH $knnGraphCte
+         SELECT src % 8 AS bucket, count(*) AS n_edges,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_src,
+           round(min(cos), 6) AS min_cos,
+           round(max(cos), 6) AS max_cos
+         FROM g GROUP BY bucket ORDER BY bucket""",
     // contrastive mining census over the same graph: positives at
     // cos >= 0.45, hard negatives = retained neighbors below it
+    // identical census served from the stored kNN layout
+    "pipeline_hard_negatives_stored" ->
+      s"""WITH $knnGraphCte
+         SELECT src AS anchor,
+           CAST(sum(CASE WHEN cos >= 0.45 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           CAST(sum(CASE WHEN cos < 0.45 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hard,
+           max(CASE WHEN cos >= 0.45 THEN cos END) AS best_pos_cos,
+           max(CASE WHEN cos < 0.45 THEN cos END) AS best_neg_cos,
+           min(CASE WHEN cos < 0.45 THEN dst END) AS first_neg_id
+         FROM g GROUP BY src
+         HAVING sum(CASE WHEN cos < 0.45 THEN 1 ELSE 0 END) >= 1
+         ORDER BY anchor""",
     "pipeline_hard_negatives" ->
       s"""WITH $knnGraphCte
          SELECT src AS anchor,

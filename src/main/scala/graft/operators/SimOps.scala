@@ -481,9 +481,86 @@ object SimOps {
     * unrolls the same rounds over the shared knnGraphCte.
     * Output: clusters with ≥ 2 members (census + extrema handles).
     */
+  // ---- stored kNN-graph layout (round 8 continuation) ------------------
+
+  private def knnTableName(sfDir: String): String =
+    "graft_knngraph_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Build-or-reuse the STORED kNN graph — the sink_graph_adjacency
+    * stance applied to the SIMILARITY graph: the learned-cell nprobe
+    * build (the two most expensive sim entries each re-paid it per
+    * query) written once as a src-bucketed (src, dst, cos) table, so
+    * SemDeDup clustering and hard-negative mining read a bucketed scan.
+    */
+  private[graft] def ensureKnnGraphTable(
+      spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, sfDir: String,
+      rebuild: Boolean = false): String = {
+    val name = knnTableName(sfDir)
+    if (!rebuild && spark.catalog.tableExists(name)) return name
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath match {
+        case "" => spark.conf.get("spark.sql.warehouse.dir")
+        case p => p
+      }, name)
+    if (java.nio.file.Files.exists(loc)) {
+      java.nio.file.Files.walk(loc)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    simKnnGraph(embeddings)
+      .write.bucketBy(32, "src").sortBy("src")
+      .mode("overwrite").saveAsTable(name)
+    name
+  }
+
+  /** The stored kNN-graph WRITE entry + content audit — per logical
+    * bucket (src % 8): edge count, distinct anchors, cosine extrema.
+    */
+  def sinkKnnGraph(
+      spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, sfDir: String): DataFrame = {
+    val name = ensureKnnGraphTable(spark, embeddings, sfDir, rebuild = true)
+    spark.table(name)
+      .groupBy((col("src") % 8).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        countDistinct(col("src")).as("n_src"),
+        round(min(col("cos")), 6).as("min_cos"),
+        round(max(col("cos")), 6).as("max_cos"))
+      .orderBy("bucket")
+  }
+
+  /** SemDeDup clusters SERVED from the stored kNN graph (same oracle as
+    * sim_knn_cluster) — the graph build becomes a once-per-ingest write.
+    */
+  def simKnnClusterStored(
+      spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, sfDir: String,
+      minCos: Double = 0.45, rounds: Int = 4): DataFrame = {
+    val name = ensureKnnGraphTable(spark, embeddings, sfDir)
+    knnClusterOf(spark.table(name), embeddings, minCos, rounds)
+  }
+
+  /** Hard-negative mining SERVED from the stored kNN graph (same oracle
+    * as pipeline_hard_negatives).
+    */
+  def pipelineHardNegativesStored(
+      spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, sfDir: String,
+      posCos: Double = 0.45): DataFrame = {
+    val name = ensureKnnGraphTable(spark, embeddings, sfDir)
+    hardNegativesOf(spark.table(name), posCos)
+  }
+
   def simKnnCluster(embeddings: DataFrame, minCos: Double = 0.45,
-      rounds: Int = 4): DataFrame = {
-    val g = simKnnGraph(embeddings).filter(col("cos") >= minCos)
+      rounds: Int = 4): DataFrame =
+    knnClusterOf(simKnnGraph(embeddings), embeddings, minCos, rounds)
+
+  private def knnClusterOf(graph: DataFrame, embeddings: DataFrame,
+      minCos: Double, rounds: Int): DataFrame = {
+    val g = graph.filter(col("cos") >= minCos)
     val edges = g.select(col("src"), col("dst"))
       .union(g.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -525,8 +602,10 @@ object SimOps {
     * oracle = the shared knnGraphCte + the same conditional aggregate.
     */
   def pipelineHardNegatives(embeddings: DataFrame,
-      posCos: Double = 0.45): DataFrame = {
-    val g = simKnnGraph(embeddings)
+      posCos: Double = 0.45): DataFrame =
+    hardNegativesOf(simKnnGraph(embeddings), posCos)
+
+  private def hardNegativesOf(g: DataFrame, posCos: Double): DataFrame = {
     val isPos = col("cos") >= posCos
     g.groupBy(col("src").as("anchor"))
       .agg(

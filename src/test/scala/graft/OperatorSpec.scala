@@ -794,6 +794,16 @@ class OperatorSpec extends SparkTestBase {
     assert(a === b, s"in-query $a vs stored $b")
   }
 
+  test("stored kNN layout: cluster and hard-negative serving match the in-query builds") {
+    val a1 = SparkEntry.queries("sim_knn_cluster")(spark, sf0001).collect().toSeq
+    val b1 = SparkEntry.queries("sim_knn_cluster_stored")(spark, sf0001).collect().toSeq
+    assert(a1 === b1, s"cluster: $a1 vs $b1")
+    val a2 = SparkEntry.queries("pipeline_hard_negatives")(spark, sf0001).collect().toSeq
+    val b2 = SparkEntry.queries("pipeline_hard_negatives_stored")(spark, sf0001)
+      .collect().toSeq
+    assert(a2 === b2, s"hard negatives differ")
+  }
+
   test("graph_bfs_stored serves identical distance rings from the bucketed layout") {
     val a = SparkEntry.queries("graph_bfs")(spark, sf0001).collect().toSeq
     val b = SparkEntry.queries("graph_bfs_stored")(spark, sf0001).collect().toSeq
