@@ -411,6 +411,8 @@ object SparkEntry {
     "pipeline_curriculum" -> ((s, d) => PipelineOps.pipelineCurriculum(documents(s, d))),
     "pipeline_span_corruption" ->
       ((s, d) => PipelineOps.pipelineSpanCorruption(documents(s, d))),
+    "pipeline_span_render" ->
+      ((s, d) => PipelineOps.pipelineSpanRender(documents(s, d))),
     "pipeline_shard_manifest" ->
       ((s, d) => PipelineOps.pipelineShardManifest(documents(s, d))),
     "pipeline_dataset_card" ->
@@ -3750,6 +3752,28 @@ object SparkEntry {
            min(score) AS min_score, max(score) AS max_score,
            first(doc_id ORDER BY score, doc_id) AS first_doc
          FROM r GROUP BY stage ORDER BY stage""",
+    // same mask rule; the pair assembled with list algebra and
+    // byte-compared (sliced segments clamp at the document tail)
+    "pipeline_span_render" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+           FROM documents),
+         s AS (SELECT doc_id, tk, n_toks,
+             CAST(floor((n_toks + 2) / 3.0) AS BIGINT) AS n_spans FROM t),
+         sp AS (SELECT doc_id, n_toks,
+             [{'m': substr(md5(doc_id || '|' || i), 1, 1) < '3',
+               'seg': tk[(i * 3 + 1):least((i + 1) * 3, n_toks)]}
+              FOR i IN range(0, n_spans)] AS spans
+           FROM s)
+         SELECT doc_id, n_toks,
+           array_to_string(flatten(list_transform(spans,
+             x -> CASE WHEN x.m THEN ['<M>'] ELSE x.seg END)), ' ')
+             AS input_text,
+           coalesce(array_to_string(list_transform(
+             list_filter(spans, x -> x.m),
+             x -> '<M> ' || array_to_string(x.seg, ' ')), ' '), '')
+             AS target_text
+         FROM sp ORDER BY doc_id""",
     // same (doc_id, span_idx) md5 mask rule; the last span's true size
     // via least(3, n_toks - i*3) on both engines
     "pipeline_span_corruption" ->

@@ -162,6 +162,42 @@ object PipelineOps {
       .orderBy("stage")
   }
 
+  /** Span-corruption RENDERING — the artifact half of
+    * `pipelineSpanCorruption` (which plans the mask): the actual
+    * (input, target) training pair, T5-style — masked spans collapse to
+    * a sentinel in the input and reappear after their sentinel in the
+    * target. Same md5(doc, span) mask rule; the assembly is pure
+    * higher-order-function list algebra (transform → flatten →
+    * array_join), zero shuffles, and the rendered strings are
+    * byte-compared by the oracle (document-sized rows — the text_chunk
+    * precedent).
+    */
+  def pipelineSpanRender(documents: DataFrame, span: Int = 3): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nToks = size(toks).cast("long")
+    val nSpans = floor((col("n_toks") + span - 1) / span).cast("long")
+    val masked = (i: Column) =>
+      substring(md5(concat_ws("|", col("doc_id"), i)), 1, 1) < "3"
+    documents
+      .select(col("doc_id"), toks.as("tk"), nToks.as("n_toks"))
+      .withColumn("n_spans", nSpans)
+      .withColumn("spans",
+        transform(sequence(lit(0L), col("n_spans") - 1),
+          i => struct(
+            masked(i).as("m"),
+            slice(col("tk"), (i * span + 1).cast("int"), lit(span)).as("seg"))))
+      .select(
+        col("doc_id"), col("n_toks"),
+        array_join(flatten(transform(col("spans"),
+          s => when(s.getField("m"), array(lit("<M>")))
+            .otherwise(s.getField("seg")))), " ").as("input_text"),
+        array_join(transform(
+          filter(col("spans"), s => s.getField("m")),
+          s => concat(lit("<M> "), array_join(s.getField("seg"), " "))), " ")
+          .as("target_text"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-split LEAKAGE audit — the eval-hygiene check every held-out
     * set owes: NEAR-DUPLICATE pairs (the production MinHash/LSH dedup,
     * reused verbatim — one definition, one oracle convention) that

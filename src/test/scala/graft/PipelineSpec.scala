@@ -103,6 +103,27 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("pipeline_span_render: rendered pair matches the hand-assembled mask; counts agree with the plan") {
+    def maskOf(doc: Long, i: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s"$doc|$i".getBytes("UTF-8")).map("%02x".format(_)).mkString.head < '3'
+    }
+    val toks = Seq("t0", "t1", "t2", "t3", "t4", "t5", "t6")
+    val docs = Seq((7L, toks.mkString(" "))).toDF("doc_id", "text")
+    val r = PipelineOps.pipelineSpanRender(docs).collect().head
+    val segs = toks.grouped(3).toSeq
+    val masks = (0L to 2L).map(maskOf(7L, _))
+    val expIn = segs.zip(masks)
+      .flatMap { case (s, m) => if (m) Seq("<M>") else s }.mkString(" ")
+    val expTgt = segs.zip(masks).collect { case (s, true) =>
+      "<M> " + s.mkString(" ") }.mkString(" ")
+    assert(r.getString(2) === expIn, s"input: ${r.getString(2)}")
+    assert(r.getString(3) === expTgt, s"target: ${r.getString(3)}")
+    // consistency with the planning entry: sentinel count == masked spans
+    val plan = PipelineOps.pipelineSpanCorruption(docs).collect().head
+    assert(r.getString(2).split(" ").count(_ == "<M>") === plan.getLong(3))
+  }
+
   test("text_chunk rejects stride outside (0, width] before any coverage is lost") {
     val docs = documents(spark, sf0001)
     intercept[IllegalArgumentException](PipelineOps.textChunk(docs, width = 32, stride = 33))
