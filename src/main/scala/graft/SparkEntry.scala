@@ -150,6 +150,8 @@ object SparkEntry {
     "fn_variant" -> ((s, d) => FuncOps.variantFns(events(s, d))),
     "fn_struct" -> ((s, d) => FuncOps.structFns(customer(s, d))),
     "fn_rounding" -> ((s, d) => FuncOps.roundingFns(orders(s, d))),
+    "fn_levenshtein_bounded" ->
+      ((s, d) => FuncOps.levenshteinBounded(nation(s, d))),
     "fn_url" -> ((s, d) => FuncOps.urlFns(documents(s, d))),
     "fn_collation" -> ((s, d) => FuncOps.collationFns(customer(s, d))),
     "scan_glob" -> ((s, d) => EtlOps.scanGlob(s, d)),
@@ -953,6 +955,16 @@ object SparkEntry {
     // in the JSON so the byte-compare survives (sink_doc_shape rule)
     // round = half away from zero (HALF_UP on positives), round_even =
     // banker's — the exact .5 boundary separates them on every odd key
+    // DuckDB lacks the bounded form — thresholding the full distance is
+    // semantically identical (the bound only changes the kernel's cost)
+    "fn_levenshtein_bounded" ->
+      """SELECT a.n_nationkey AS ka, b.n_nationkey AS kb,
+           CAST(CASE WHEN levenshtein(a.n_name, b.n_name) <= 5
+                THEN levenshtein(a.n_name, b.n_name) ELSE -1 END AS INTEGER)
+             AS lev_bounded,
+           levenshtein(a.n_name, b.n_name) <= 5 AS within
+         FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+         ORDER BY ka, kb""",
     "fn_rounding" ->
       """SELECT o_orderkey,
            o_orderkey + 0.5 AS boundary,

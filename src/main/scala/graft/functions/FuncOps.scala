@@ -228,6 +228,24 @@ object FuncOps {
     * exported is a typed scalar, so the DuckDB oracle replicates with its
     * own JSON path functions.
     */
+  /** BOUNDED Levenshtein (Spark 3.5+ 3-arg form) — the scale form of
+    * edit distance: with a threshold the kernel abandons a row the
+    * moment the distance provably exceeds it (O(k·n) banded DP instead
+    * of O(n·m)), returning −1 — what a fuzzy-join verify stage wants,
+    * since candidates beyond the cutoff need no exact distance. DuckDB
+    * has no bounded form; the oracle applies the threshold to the full
+    * distance, which is semantically identical.
+    */
+  def levenshteinBounded(nation: DataFrame, threshold: Int = 5): DataFrame = {
+    val pairs = nation.select(col("n_nationkey").as("ka"), col("n_name").as("a"))
+      .crossJoin(nation.select(col("n_nationkey").as("kb"), col("n_name").as("b")))
+      .filter(col("ka") < col("kb"))
+    pairs.select(col("ka"), col("kb"),
+      levenshtein(col("a"), col("b"), threshold).as("lev_bounded"),
+      (levenshtein(col("a"), col("b"), threshold) >= 0).as("within"))
+      .orderBy("ka", "kb")
+  }
+
   /** Rounding-mode semantics — `round` (HALF_UP) vs `bround` (HALF_EVEN,
     * banker's) side by side on exact .5 boundaries: the silent
     * financial-aggregation divergence every engine migration trips on.
