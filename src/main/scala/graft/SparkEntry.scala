@@ -182,6 +182,7 @@ object SparkEntry {
     "agg_percentile_disc" -> ((s, d) => AggOps.aggPercentileDisc(lineitem(s, d))),
     "agg_benford" -> ((s, d) => AggOps.aggBenford(orders(s, d))),
     "agg_ks_test" -> ((s, d) => AggOps.aggKsTest(events(s, d))),
+    "agg_pivot_multi" -> ((s, d) => AggOps.aggPivotMulti(lineitem(s, d))),
     "agg_gini" -> ((s, d) => AggOps.aggGini(documents(s, d))),
     "agg_chi2" -> ((s, d) => AggOps.aggChi2(lineitem(s, d))),
     "agg_skew_kurt" -> ((s, d) => AggOps.aggSkewKurt(lineitem(s, d))),
@@ -2266,6 +2267,16 @@ object SparkEntry {
          ORDER BY l_returnflag, bucket""",
     // empirical CDFs on the bounded cent histogram; D = max of rounded
     // per-grid rationals; 1.358 = the alpha=0.05 KS coefficient
+    // Spark suffixes pivotValue_aggAlias; nulls where a cell is empty
+    "agg_pivot_multi" ->
+      """SELECT l_returnflag,
+           count(*) FILTER (WHERE l_linestatus = 'F') AS "F_n",
+           CAST(floor(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'))
+             AS BIGINT) AS "F_qty",
+           count(*) FILTER (WHERE l_linestatus = 'O') AS "O_n",
+           CAST(floor(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'))
+             AS BIGINT) AS "O_qty"
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_ks_test" ->
       """WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
              event_type = 'click' AS a

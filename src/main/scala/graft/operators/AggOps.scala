@@ -508,6 +508,23 @@ object AggOps {
     * partial-agg pass; at 100 TB this is also the INCREMENTAL form —
     * new data just adds to the six sums.
     */
+  /** MULTI-aggregate pivot — `pivot` with several aggregates per pivoted
+    * value (the report shape: count AND volume per status column).
+    * Spark suffixes each pivot value with each aggregate's alias
+    * (`F_n`, `F_qty`, …); values are declared explicitly, so no
+    * discovery pass runs and the schema is static (the 100 TB rule:
+    * pivot on OPEN domains needs the discovery job — declare when you
+    * can). One hash aggregate; the oracle spells the conditional
+    * aggregates with the same generated names.
+    */
+  def aggPivotMulti(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)).as("n"),
+        floor(sum(col("l_quantity"))).cast("long").as("qty"))
+      .orderBy("l_returnflag")
+
   /** Two-sample KOLMOGOROV–SMIRNOV statistic — the NONPARAMETRIC partner
     * of `agg_ab_test` (distribution drift, not just mean shift): D =
     * max over the pooled value grid of |F_click − F_view|. The value
