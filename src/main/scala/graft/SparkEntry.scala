@@ -304,6 +304,7 @@ object SparkEntry {
     "source_api_v2" -> ((s, d) => EtlOps.sourceApiV2(s, d)),
     "source_env_config" -> ((s, d) => EtlOps.sourceConfigured(s, d)),
     "source_api_auth" -> ((s, d) => EtlOps.sourceApiAuth(s, d)),
+    "source_api_ratelimit" -> ((s, d) => EtlOps.sourceApiRatelimit(s, d)),
     "scan_json_corrupt" -> ((s, d) => EtlOps.scanJsonCorrupt(s, d)),
     "scan_file_metadata" -> ((s, d) => EtlOps.scanFileMetadata(s, d)),
     "scan_csv_malformed" -> ((s, d) => EtlOps.scanCsvMalformed(s, d)),
@@ -1950,6 +1951,15 @@ object SparkEntry {
          count(DISTINCT l_partkey) AS n_exact,
          true AS approx_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // r9: formerly the registry's single no-oracle entry — now the same
+    // derived-band checked contract over BOTH sketched columns
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS exact_parts,
+         count(DISTINCT l_suppkey) AS exact_supps,
+         count(*) AS n_rows,
+         true AS approx_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // DataSketches HLL: per-group estimate + sketch-union both within 5%
     "agg_hll_sketch" ->
       """SELECT l_returnflag,
@@ -2518,6 +2528,13 @@ object SparkEntry {
     // same shape once more: authentication must be invisible in the data
     // (the token gates ACCESS, it never alters content)
     "source_api_auth" ->
+      """SELECT event_type, count(*) AS n,
+         min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // and once more for the 429/Retry-After endpoint: server-side
+    // throttling must be invisible in the data (pages delayed, never
+    // dropped or duplicated)
+    "source_api_ratelimit" ->
       """SELECT event_type, count(*) AS n,
          min(event_id) AS min_id, max(event_id) AS max_id
          FROM events GROUP BY event_type ORDER BY event_type""",

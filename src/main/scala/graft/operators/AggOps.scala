@@ -56,16 +56,31 @@ object AggOps {
       .orderBy("l_returnflag")
 
   /** HLL++ approximate distinct — the 100 TB shape (constant memory per
-    * group vs. the exact expansion). no-oracle: approximate by design;
-    * bounds asserted in the scalatest spec instead.
+    * group vs. the exact expansion). Oracle-CHECKED (r9): formerly the
+    * registry's one no-oracle entry; now exports exact counts plus a
+    * derived-band verdict over BOTH sketched columns (the
+    * `aggApproxDistinctChecked` contract, which covers l_partkey alone),
+    * so a drifting HLL turns this row red instead of invisible.
     */
-  def aggApproxDistinct(lineitem: DataFrame): DataFrame =
+  def aggApproxDistinct(lineitem: DataFrame): DataFrame = {
+    val rsd = 0.02
+    val band = 3 * rsd // ≈99.7% confidence, derived — survives SF changes
     lineitem
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), rsd).as("ap"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd).as("as_"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
         count(lit(1)).as("n_rows"))
+      .select(
+        col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+        col("n_rows"),
+        (abs(col("ap") - col("exact_parts")).cast("double") / col("exact_parts") <= band &&
+         abs(col("as_") - col("exact_supps")).cast("double") / col("exact_supps") <= band)
+          .as("approx_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** Histogram: fixed-width value buckets per group — the distribution-
     * shape aggregate (bucket arithmetic is map-side; one partial+final

@@ -462,8 +462,13 @@ object GraphOps {
       // bidirectional edges ⇒ every node has in-neighbors ⇒ inner join
       // back covers all of them (the componentsLoop invariant)
       labels = labels.select("id").join(top, "id")
-      // every-second-hop checkpoint cadence (the loopPartitioned trade)
-      if (r % 2 == 0 || r == rounds) labels = labels.localCheckpoint()
+      // per-ROUND checkpoint: `labels` has TWO consumers per round (the
+      // vote join above and the alignment join back), so a lazy round
+      // re-pays the whole two-aggregation vote chain per consumer — the
+      // same multi-consumer pathology measured for HITS (17.6 s lazy vs
+      // 8.3 s per-round) and kcore; the every-second-hop cadence here
+      // measured 17.1 s vs ~4.3 s per-round at sf0.1 (BASELINE.md r9)
+      labels = labels.localCheckpoint()
     }
     labels
   }
@@ -623,10 +628,14 @@ object GraphOps {
       h = h.localCheckpoint() // same barrier economics as `a`
     }
     adjAll.unpersist()
+    // round to 6 BEFORE the top-10 cut (the oracle rounds first and
+    // orders by the rounded alias — cutting on the 9-decimal score
+    // could retain a different id set on a 6-decimal tie; the repo's
+    // round-before-cut discipline, cf. q18 / sim_*)
     def top(side: String, df: DataFrame): DataFrame = df
-      .orderBy(desc("score"), asc("id")).limit(10)
       .select(lit(side).as("side"), col("id"),
         round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("id")).limit(10)
     top("auth", a).unionByName(top("hub", h))
       .orderBy(col("side"), col("score").desc, col("id"))
   }

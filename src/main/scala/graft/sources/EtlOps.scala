@@ -495,6 +495,79 @@ object EtlOps {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Retry honoring the server's `Retry-After` hint — the 429 contract,
+    * distinct from `withRetry`'s exponential guess: the server TELLS the
+    * client when the window refills, so the compliant client sleeps
+    * exactly that long (no under-sleep that bounces off the still-empty
+    * bucket, no over-sleep that wastes the budget). Non-429 failures are
+    * not handled here — they are `withRetry`'s fault class. Bounded by
+    * `maxAttempts` so a permanently-starved endpoint fails the job
+    * loudly instead of hanging the driver.
+    */
+  def honoringRetryAfter[T](maxAttempts: Int,
+      sleeper: Long => Unit = Thread.sleep)(f: => T): T = {
+    var attempt = 1
+    while (true) {
+      try return f
+      catch {
+        case e: RateLimitException if attempt < maxAttempts =>
+          sleeper(e.retryAfterMs)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Paginated source against a server-enforced RATE LIMIT (HTTP 429 +
+    * Retry-After; README.md:12 "rate limits", :32 "Test for … rate
+    * limits") — the last EP2 fault class: `source_api_retry` covers the
+    * transient 503 (clears on any re-attempt) and `RatePacer` covers
+    * client-side prevention, but neither models a server that REJECTS
+    * with a refill schedule the client must honor. The simulated
+    * endpoint is a token bucket (burst capacity 2, one token per 250 ms)
+    * the client cannot see into; page requests that find it empty get a
+    * 429 whose Retry-After is the exact time to the next refill, and the
+    * client sleeps precisely that (`honoringRetryAfter`). Throttling
+    * must be invisible in the DATA: oracle = the un-paginated original
+    * (the `source_api_auth` stance). EtlTextSpec pins, on a virtual
+    * clock, that the compliant client drains all pages with the expected
+    * 429 count and that a client ignoring Retry-After starves and fails.
+    * At 100 TB the shape is unchanged: the limiter gates driver-side
+    * page REQUESTS (a provider-budget concern, O(pages)), never executor
+    * parallelism over the fetched bytes.
+    */
+  def sourceApiRatelimit(spark: SparkSession, sfDir: String): DataFrame = {
+    val endpoint = new RateLimitedEndpoint(capacity = 2, refillIntervalMs = 250L)
+    sourceApiRatelimitWith(spark, sfDir, endpoint)
+  }
+
+  private[graft] def sourceApiRatelimitWith(
+      spark: SparkSession, sfDir: String, endpoint: RateLimitedEndpoint,
+      sleeper: Long => Unit = Thread.sleep): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val pagesDir = freshDir(sfDir, "api_pages_ratelimit")
+    val nPages = 5
+    events
+      .withColumn("page", pmod(col("event_id"), lit(nPages)))
+      .write.mode(SaveMode.Overwrite).partitionBy("page").json(pagesDir.toString)
+    val pages = (0 until nPages).map { p =>
+      honoringRetryAfter(maxAttempts = 4, sleeper) {
+        endpoint.request(p) // 429 before any read when the bucket is empty
+        spark.read.json(s"$pagesDir/page=$p")
+      }
+    }
+    pages
+      .reduce(_ unionByName _)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
   /** Paginated source with transient-failure semantics: one designated
     * page fails on its first fetch (a simulated 503) and succeeds on
     * retry; another is RATE-LIMITED (a simulated 429) for two attempts

@@ -119,6 +119,41 @@ class EtlTextSpec extends SparkTestBase {
     assert(badToken.getMessage.contains("401"))
   }
 
+  test("source_api_ratelimit: compliant client drains all pages; ignoring Retry-After starves") {
+    import graft.sources.{RateLimitException, RateLimitedEndpoint}
+    val sfDir = sf0001
+    // virtual clock: request processing costs 0 virtual ms, honoring the
+    // Retry-After hint advances time — the whole 429 schedule is exact
+    var now = 0L
+    val endpoint = new RateLimitedEndpoint(
+      capacity = 2, refillIntervalMs = 250L, clock = () => now)
+    val out = EtlOps.sourceApiRatelimitWith(
+      spark, sfDir, endpoint, sleeper = ms => now += ms).collect()
+    val plain = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy("event_type").collect()
+    // throttling is invisible in the data: delayed pages, never dropped
+    assert(out.toSeq === plain.toSeq)
+    // exact burst schedule: pages 0,1 ride the capacity-2 burst; pages
+    // 2,3,4 each hit one 429 and clear after honoring exactly one refill
+    assert(endpoint.servedCount === 5L)
+    assert(endpoint.rejectedCount === 3L)
+    assert(now === 750L, "3 honored Retry-After sleeps x 250ms refill")
+
+    // a client that IGNORES Retry-After (sleeper advances nothing) keeps
+    // bouncing off the same empty bucket and must fail, not hang or skip
+    var now2 = 0L
+    val endpoint2 = new RateLimitedEndpoint(
+      capacity = 2, refillIntervalMs = 250L, clock = () => now2)
+    val starved = intercept[RateLimitException] {
+      EtlOps.sourceApiRatelimitWith(spark, sfDir, endpoint2, sleeper = _ => ())
+    }
+    assert(starved.getMessage.contains("429"))
+    assert(endpoint2.servedCount === 2L, "only the burst is ever served")
+  }
+
   test("sql_merge_into: all three MERGE verbs apply; plan is group-based ReplaceData") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
     spark.sql("DROP TABLE IF EXISTS graftcat.spec.t")
