@@ -63,8 +63,12 @@ object SparkEntry {
       GraphOps.sinkGraphAdjacency(s, orders(s, d), lineitem(s, d), d)),
     "graph_pagerank_stored" -> ((s, d) =>
       GraphOps.graphPagerankStored(s, orders(s, d), lineitem(s, d), d)),
+    "graph_pagerank_conv" -> ((s, d) =>
+      GraphOps.graphPagerankConv(orders(s, d), lineitem(s, d))),
     "graph_triangles" -> ((s, d) => GraphOps.graphTriangles(orders(s, d), lineitem(s, d))),
     "graph_components" -> ((s, d) => GraphOps.graphComponents(orders(s, d), lineitem(s, d))),
+    "graph_components_conv" -> ((s, d) =>
+      GraphOps.graphComponentsConv(orders(s, d), lineitem(s, d))),
     "graph_components_stored" -> ((s, d) =>
       GraphOps.graphComponentsStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_bfs" -> ((s, d) => GraphOps.graphBfs(orders(s, d), lineitem(s, d))),
@@ -2103,6 +2107,8 @@ object SparkEntry {
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // the engine's 10 Pregel supersteps, unrolled as 10 chained CTEs
     "graph_pagerank" -> pagerankOracleSql(10),
+    "graph_pagerank_conv" -> pagerankConvOracleSql(16, 0.25),
+    "graph_components_conv" -> componentsConvOracleSql(8),
     // identical semantics served from the stored bucketed layout — the
     // layout round-trip must be invisible to the ranks
     "graph_pagerank_stored" -> pagerankOracleSql(10),
@@ -4539,6 +4545,85 @@ object SparkEntry {
   // reference — 2^rounds evaluations of the base join, which exhausts
   // DuckDB's temp spill at sf0.1 (observed round 7). Materialization
   // makes the chain linear; results are identical by definition.
+  /** The components CONVERGENCE oracle: the fixed-round chain unrolled
+    * to `maxRounds` with a per-round change-count CTE beside each hop;
+    * the exit round is derived IN SQL (min round with zero changes) and
+    * the census reads the `maxRounds` table — equal to the exit-round
+    * table because the min-label fixpoint is invariant under further
+    * hops. Change counts are exact integers, so the exit round can
+    * never diverge between engines.
+    */
+  private def componentsConvOracleSql(maxRounds: Int): String = {
+    val steps = (1 to maxRounds).map { i =>
+      s""",
+         l$i AS MATERIALIZED (SELECT l.id, least(l.label, nb.nbr) AS label
+                 FROM l${i - 1} l JOIN
+                   (SELECT e.dst AS id, min(lp.label) AS nbr
+                    FROM edges e JOIN l${i - 1} lp ON lp.id = e.src
+                    GROUP BY e.dst) nb USING (id)),
+         c$i AS MATERIALIZED (SELECT count(*) AS chg
+                 FROM l$i a JOIN l${i - 1} b USING (id)
+                 WHERE a.label <> b.label)"""
+    }.mkString
+    val rr = (1 to maxRounds)
+      .map(i => s"SELECT $i AS r, (SELECT chg FROM c$i) AS chg")
+      .mkString(" UNION ALL ")
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS MATERIALIZED (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
+                   UNION ALL SELECT supp * 2 + 1, cust * 2 FROM pairs),
+         nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+         l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)$steps,
+         rr AS ($rr),
+         ex AS (SELECT CAST(min(r) AS BIGINT) AS er FROM rr WHERE chg = 0)
+         SELECT label AS component, count(*) AS n_nodes, min(id) AS min_node,
+           (SELECT er FROM ex) AS exit_round
+         FROM l$maxRounds GROUP BY label ORDER BY component"""
+  }
+
+  /** The pagerank CONVERGENCE oracle: per-round rank CTEs RE-QUANTIZED
+    * to 9 decimals (mirroring the engine loop), a per-round L1-residual
+    * CTE beside each, the exit round derived in SQL as the first round
+    * whose residual drops below `tol`, and THAT round's ranks selected
+    * from the union of all rounds — the early-exit dynamics themselves
+    * are what the oracle checks.
+    */
+  private def pagerankConvOracleSql(maxRounds: Int, tol: Double): String = {
+    val steps = (1 to maxRounds).map { i =>
+      s""",
+         r$i AS MATERIALIZED (SELECT nodes.id,
+                 round(0.15 / nn.n + 0.85 * coalesce(s.c, 0), 9) AS rank
+                 FROM nodes CROSS JOIN nn
+                 LEFT JOIN (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS c
+                            FROM edges e JOIN r${i - 1} r ON r.id = e.src
+                            JOIN deg d ON d.src = e.src
+                            GROUP BY e.dst) s ON s.id = nodes.id),
+         d$i AS MATERIALIZED (SELECT round(sum(abs(a.rank - b.rank)), 9) AS delta
+                 FROM r$i a JOIN r${i - 1} b USING (id))"""
+    }.mkString
+    val rr = (1 to maxRounds)
+      .map(i => s"SELECT $i AS r, (SELECT delta FROM d$i) AS delta")
+      .mkString(" UNION ALL ")
+    val allR = (1 to maxRounds)
+      .map(i => s"SELECT $i AS r, id, rank FROM r$i")
+      .mkString(" UNION ALL ")
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS MATERIALIZED (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
+                   UNION ALL SELECT supp * 2 + 1, cust * 2 FROM pairs),
+         deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)$steps,
+         rr AS ($rr),
+         ex AS (SELECT CAST(min(r) AS BIGINT) AS er FROM rr WHERE delta < $tol),
+         allr AS ($allR)
+         SELECT id AS node_id, round(rank, 6) AS pr,
+           (SELECT er FROM ex) AS exit_round
+         FROM allr WHERE r = (SELECT er FROM ex)
+         ORDER BY pr DESC, node_id LIMIT 100"""
+  }
+
   private def componentsOracleSql(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s""",

@@ -181,6 +181,120 @@ object GraphOps {
     loopPartitioned(adj, nodes, n, rounds, damping)
   }
 
+  /** PageRank with CONVERGENCE-DETECTED early exit — the at-scale form
+    * of `graphPagerank` (r8/r9 verdict carry-over): fixed-round loops
+    * either under-converge or waste supersteps when graph diameter and
+    * mixing time grow with the corpus, so the production loop watches
+    * the L1 residual Σ|rank_r − rank_{r−1}| (total variation — scale-
+    * free because Σrank = 1 at every round; here it decays as exactly
+    * damping^r, so `tol` sets the round count logarithmically) and
+    * stops at the first round where it drops below `tol`, with a
+    * fail-loud `maxRounds` backstop (the dedup_clusters stance: a
+    * silent truncation at the cap would be an under-converged result
+    * presented as converged).
+    *
+    * Determinism across engines: ranks are RE-QUANTIZED to 9 decimals
+    * after every superstep on BOTH engines (the HITS float-fixpoint
+    * discipline), so the residual is arithmetic over identical decimals
+    * and the exit-round comparison `delta < tol` can never diverge on
+    * summation-order ulps; the residual itself is also rounded to 9
+    * before the comparison, and `tol` (0.25 → exit at round 12 on this
+    * graph, measured residuals 0.2928/0.2489 bracketing it at sf0.001/
+    * 0.01/0.1) sits ≥1e-3 from the nearest residual — six orders of
+    * magnitude of margin. The oracle unrolls to `maxRounds`, computes
+    * the same per-round residuals, derives the same exit round IN SQL,
+    * and selects that round's ranks — so the early-exit DYNAMICS are
+    * oracle-checked, not just the final vector. Per-round cost: the
+    * residual join is O(V) between two checkpointed compact-key frames
+    * plus a 1-row scalar pull (the Lloyd-loop driver pattern); `next`
+    * has two consumers per round (residual + next superstep), so the
+    * cadence is per-round localCheckpoint (the LPA rule).
+    * Output: top-100 ranks at the exit round + the exit round itself.
+    */
+  def graphPagerankConv(orders: DataFrame, lineitem: DataFrame,
+      maxRounds: Int = 16, tol: Double = 0.25,
+      damping: Double = 0.85): DataFrame = {
+    val (adj, nodes, n) = buildGraph(orders, lineitem)
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint()
+    var exitRound = 0
+    var r = 0
+    while (exitRound == 0 && r < maxRounds) {
+      r += 1
+      val next = superstepPartitioned(adj, ranks, n, damping)
+        .select(col("id"), round(col("rank"), 9).as("rank"))
+        .localCheckpoint()
+      val delta = next.select(col("id"), col("rank").as("next_rank"))
+        .join(ranks, "id")
+        .agg(round(coalesce(sum(abs(col("next_rank") - col("rank"))), lit(0.0)), 9)
+          .as("d"))
+        .head().getDouble(0)
+      ranks = next
+      if (delta < tol) exitRound = r
+    }
+    adj.unpersist()
+    require(exitRound > 0,
+      s"pagerank residual did not reach $tol within $maxRounds rounds — " +
+        "raise maxRounds or loosen tol; refusing to return an " +
+        "under-converged vector as converged")
+    ranks
+      .select(col("id").as("node_id"), round(col("rank"), 6).as("pr"),
+        lit(exitRound.toLong).as("exit_round"))
+      .orderBy(col("pr").desc, col("node_id"))
+      .limit(100)
+  }
+
+  /** Connected components with CONVERGENCE-DETECTED early exit — the
+    * min-label loop run to its FIXPOINT instead of a fixed hop count:
+    * stop at the first round where ZERO labels changed (an exact integer
+    * count — no float tolerance, so the exit round is deterministic by
+    * construction on both engines), fail-loud `maxRounds` backstop. The
+    * exit round is genuinely data-dependent (measured 3/4/5 at
+    * sf0.001/0.01/0.1 — label-propagation depth grows with the graph,
+    * which is exactly why a fixed round count is wrong at 100×), and
+    * the oracle derives it from the same per-round change counts
+    * unrolled in SQL; its census reads the `maxRounds` table, which
+    * equals the exit-round table because a fixpoint is invariant under
+    * further hops — so engine-side early exit and oracle-side full
+    * unroll provably agree. Per-round cost: one O(V) change-count join
+    * between checkpointed frames + a 1-row scalar pull; `next` has
+    * three consumers (change count + the next round's two joins) ⇒
+    * per-round localCheckpoint cadence (the kcore rule).
+    * Output: the component census + the exit round.
+    */
+  def graphComponentsConv(orders: DataFrame, lineitem: DataFrame,
+      maxRounds: Int = 8): DataFrame = {
+    val (adj, nodes, _) = buildGraph(orders, lineitem)
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var exitRound = 0
+    var r = 0
+    while (exitRound == 0 && r < maxRounds) {
+      r += 1
+      val nbrMin = adj.join(labels, col("src") === col("id"))
+        .select(explode(col("dsts")).as("nid"), col("label").as("nl"))
+        .groupBy(col("nid"))
+        .agg(min(col("nl")).as("nbr"))
+      val next = labels.join(nbrMin, col("id") === col("nid"))
+        .select(col("id"), least(col("label"), col("nbr")).as("label"))
+        .localCheckpoint()
+      val changed = next.select(col("id"), col("label").as("next_label"))
+        .join(labels, "id")
+        .filter(col("next_label") =!= col("label"))
+        .count()
+      labels = next
+      if (changed == 0L) exitRound = r
+    }
+    adj.unpersist()
+    require(exitRound > 0,
+      s"components did not reach a fixpoint within $maxRounds rounds — " +
+        "raise maxRounds; refusing to return a truncated labeling as converged")
+    labels
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_node"))
+      .select(col("component"), col("n_nodes"), col("min_node"),
+        lit(exitRound.toLong).as("exit_round"))
+      .orderBy("component")
+  }
+
   /** Fixed-round synchronous min-label propagation over the trade graph —
     * the connected-components kernel on the SAME cached adjacency layout
     * as PageRank (the point: one graph build serves the whole iterative

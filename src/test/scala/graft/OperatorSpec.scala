@@ -346,6 +346,42 @@ class OperatorSpec extends SparkTestBase {
     assert(out.toSeq === Seq((2L, 3L, 2L), (4L, 2L, 4L)), s"got ${out.toSeq}")
   }
 
+  test("graph_components_conv: early exit at the proving round, census identical to the fixed form") {
+    // same two-component seed as graph_components: both components have
+    // diameter ≤ 2, so labels converge in round 1 and round 2 proves the
+    // fixpoint (zero changes) — exit_round must be 2, and the census must
+    // be the fixed-round census plus the exit_round column.
+    val orders = Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((1L, 1L), (1L, 2L), (2L, 10L)).toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.graphComponentsConv(orders, lineitem).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((2L, 3L, 2L, 2L), (4L, 2L, 4L, 2L)), s"got ${out.toSeq}")
+    val fixed = GraphOps.graphComponents(orders, lineitem).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq === fixed.toSeq,
+      "conv census must equal the fixed-round census (fixpoint invariance)")
+  }
+
+  test("graph_pagerank_conv: exits at the analytic residual round, ranks match the fixed loop") {
+    // 4-leaf star: the update is linear, so the L1 residual is exactly
+    // geometric — delta_r = delta_1 * 0.85^(r-1) with delta_1 = 1.02
+    // (hub |0.71-0.2| + 4 leaves |0.0725-0.2|). First round below
+    // tol=0.25 is r=10 (1.02*0.85^9 = 0.23627; round 9 sits at 0.27796).
+    val orders = (1L to 4L).map(k => (k, 1L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = (1L to 4L).map(k => (k, k)).toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.graphPagerankConv(orders, lineitem).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.forall(_._3 === 10L), s"expected exit_round 10: ${out.toSeq}")
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-5, "rank mass not conserved")
+    // the conv loop at its exit round must reproduce the fixed loop run
+    // for the same count (per-round 1e-9 re-quantization is below the
+    // 6-decimal output rounding, up to a boundary ulp)
+    val fixed = GraphOps.graphPagerank(orders, lineitem, rounds = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { case (id, pr, _) =>
+      assert(math.abs(pr - fixed(id)) < 2e-6, s"node $id: conv $pr vs fixed ${fixed(id)}") }
+  }
+
   test("graph_triangles: one seeded triangle found, counted once per corner, isolated pair excluded") {
     // customers 1,2 both buy from suppliers 1,2,3 → co-purchase edges
     // (1,2),(1,3),(2,3) with shared=2; customer 3 buys from 4,5 once →
