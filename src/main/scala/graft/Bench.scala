@@ -94,9 +94,15 @@ object Bench {
     "pipeline_curriculum",  // histogram-ranked curriculum staging
     "sim_knn_cluster_stored", // SemDeDup served from the stored kNN layout
     "graph_hits",           // 6-round hub/authority matvec loop
+    "graph_hits_stored",    // HITS served from the stored layout (r10: first-class)
     "graph_modularity",     // LPA labels + Newman Q sufficient statistics
+    "graph_modularity_stored", // modularity served from the stored layout (r10)
     "stream_timer_sessions", // event-time timer session finalization
     "sim_maxsim",           // ColBERT-style late-interaction scan
+    // Round-10: convergence-detected early-exit loops (residual-watched
+    // pagerank; components run to fixpoint) — the at-scale iterative form
+    "graph_pagerank_conv",
+    "graph_components_conv",
   )
 
   def main(args: Array[String]): Unit = {
@@ -206,21 +212,31 @@ object Bench {
     // full/stored ratio exploding — visible in the BENCH json without a
     // judge diff. Derived from the timed headline results, so the split
     // costs zero extra bench wall-clock.
-    val familySplits = Seq(
+    // Subset (`only`) runs SKIP the splits entirely (r9 verdict): without
+    // the full headline, sink_graph_adjacency may not have built the
+    // layout first, so an ad-hoc stored-twin timing would publish
+    // "stored > full, build_est 0" artifacts into the A/B record.
+    val familySplits = if (only.nonEmpty) Seq.empty[String] else Seq(
       "graph_label_prop", "graph_kcore", "graph_hits", "graph_modularity")
       .flatMap { fam =>
         val resMap = results.toMap
         for {
           full <- resMap.get(fam).map(_.min) if full >= 0
           stored <- resMap.get(fam + "_stored").orElse {
-            // modularity/hits stored twins are registry entries but not all
-            // are in the headline: time one rep here (post-warmup JVM)
+            // fallback for a future family whose stored twin is a registry
+            // entry but not (yet) in the headline: one untimed warmup,
+            // then min of 2 timed reps — the same protocol as headline
+            // numbers, so the split is comparable to them (r9 ADVICE)
             if (!SparkEntry.queries.contains(fam + "_stored")) None
             else Some {
-              System.gc()
-              val t0 = System.nanoTime()
-              try { SparkEntry.queries(fam + "_stored")(spark, sfDir).count()
-                Vector((System.nanoTime() - t0) / 1e9)
+              try {
+                SparkEntry.queries(fam + "_stored")(spark, sfDir).count()
+                Vector.fill(2) {
+                  System.gc()
+                  val t0 = System.nanoTime()
+                  SparkEntry.queries(fam + "_stored")(spark, sfDir).count()
+                  (System.nanoTime() - t0) / 1e9
+                }
               } catch { case _: Throwable => Vector(-1.0) }
             }
           }.map(_.min) if stored >= 0

@@ -51,8 +51,22 @@ object StreamOps {
   private def drain(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
     spark.catalog.dropTempView(name)
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    q.processAllAvailable()
+    // Trigger dial (r9 verdict item 6): `availableNow` plans the whole
+    // backlog upfront and self-terminates, vs the default interval-0
+    // processing-time loop + processAllAvailable() polling. A/B'd at
+    // sf0.1 under no external load: statistically equal (BASELINE.md
+    // r10) — the dial exists so a loaded box can be re-measured without
+    // a code change.
+    val availableNow = spark.conf
+      .getOption("spark.graft.stream.availableNow")
+      .orElse(sys.env.get("GRAFT_STREAM_AVAILABLE_NOW"))
+      .exists(_.toBoolean)
+    val w = df.writeStream.format("memory").queryName(name).outputMode(mode)
+    val q =
+      if (availableNow)
+        w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      else w.start()
+    if (availableNow) q.awaitTermination() else q.processAllAvailable()
     q.stop()
     spark.table(name)
   }
