@@ -447,6 +447,8 @@ object SparkEntry {
     "sim_knn_graph_recall" -> ((s, d) => SimOps.simKnnGraphRecall(embeddings(s, d))),
     "sim_knn_cluster" -> ((s, d) => SimOps.simKnnCluster(embeddings(s, d))),
     "sink_knn_graph" -> ((s, d) => SimOps.sinkKnnGraph(s, embeddings(s, d), d)),
+    "sink_knn_graph_incremental" -> ((s, d) =>
+      SimOps.sinkKnnGraphIncremental(s, embeddings(s, d), d)),
     "sim_knn_cluster_stored" -> ((s, d) =>
       SimOps.simKnnClusterStored(s, embeddings(s, d), d)),
     "pipeline_hard_negatives_stored" -> ((s, d) =>
@@ -2218,6 +2220,22 @@ object SparkEntry {
       s"""WITH $knnGraphCte
          SELECT src % 8 AS bucket, count(*) AS n_edges,
            CAST(count(DISTINCT src) AS BIGINT) AS n_src,
+           round(min(cos), 6) AS min_cos,
+           round(max(cos), 6) AS max_cos
+         FROM g GROUP BY bucket ORDER BY bucket""",
+    // the incremental maintainer's result is PROVABLY the frozen-corpus-
+    // codebook batch graph over corpus + delta (the monotone top-k law),
+    // so the oracle is that graph unrolled in SQL: Lloyd trained on the
+    // corpus 90% (recency split — delta = top decile of vec_ids, the
+    // append-only ingest shape), assignment/probing over everything
+    "sink_knn_graph_incremental" ->
+      s"""WITH ${knnGraphCteT(
+        "vec_id < (SELECT count(*) * 9 // 10 FROM embeddings)")}
+         SELECT src % 8 AS bucket, count(*) AS n_edges,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_src,
+           CAST(count(DISTINCT src) FILTER (
+             WHERE src >= (SELECT count(*) * 9 // 10 FROM embeddings))
+             AS BIGINT) AS n_delta_src,
            round(min(cos), 6) AS min_cos,
            round(max(cos), 6) AS max_cos
          FROM g GROUP BY bucket ORDER BY bucket""",
@@ -4364,16 +4382,24 @@ object SparkEntry {
     * Everything is integer-exact, so the chain replicates the engine
     * bit-for-bit regardless of partitioning or summation order.
     */
-  private def kmeansCte(k: Int, rounds: Int, dim: Int): String = {
-    def assign(name: String, cents: String) =
+  /** `trainWhere` (r10): when non-empty, the Lloyd chain (seeds + per-
+    * round assignments) trains only on `eq WHERE trainWhere`, while the
+    * final assignment `kaf` still covers ALL of eq — the frozen-corpus-
+    * codebook shape the incremental kNN-graph maintainer runs. Empty
+    * string reproduces the original SQL byte-for-byte.
+    */
+  private def kmeansCte(k: Int, rounds: Int, dim: Int,
+      trainWhere: String = ""): String = {
+    val trainSrc = if (trainWhere.isEmpty) "eq" else "eqt"
+    def assign(name: String, cents: String, src: String = "eq") =
       s"""$name AS MATERIALIZED (SELECT vec_id, xq, cid AS cell FROM (
-           SELECT eq.vec_id, eq.xq, c.cid, row_number() OVER (PARTITION BY eq.vec_id
-             ORDER BY list_sum([(eq.xq[i] - c.cvec[i]) * (eq.xq[i] - c.cvec[i])
+           SELECT $src.vec_id, $src.xq, c.cid, row_number() OVER (PARTITION BY $src.vec_id
+             ORDER BY list_sum([($src.xq[i] - c.cvec[i]) * ($src.xq[i] - c.cvec[i])
                                 FOR i IN range(1, ${dim + 1})]), c.cid) AS rn
-           FROM eq CROSS JOIN $cents c) WHERE rn = 1)"""
+           FROM $src CROSS JOIN $cents c) WHERE rn = 1)"""
     val steps = (1 to rounds).map { r =>
       s""",
-         ${assign(s"ka$r", s"k${r - 1}")},
+         ${assign(s"ka$r", s"k${r - 1}", trainSrc)},
          ku$r AS MATERIALIZED (SELECT cell, t.i AS i,
                   CAST(floor(sum(xq[t.i])::DOUBLE / count(*)) AS BIGINT) AS cq
                 FROM ka$r CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) t
@@ -4382,10 +4408,14 @@ object SparkEntry {
                  LEFT JOIN (SELECT cell AS cid, list(cq ORDER BY i) AS cvec
                             FROM ku$r GROUP BY cell) u USING (cid))"""
     }.mkString
+    val eqt =
+      if (trainWhere.isEmpty) ""
+      else s""",
+         eqt AS MATERIALIZED (SELECT vec_id, xq FROM eq WHERE $trainWhere)"""
     s"""eq AS MATERIALIZED (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-             x -> CAST(round(x * 1000) AS BIGINT)) AS xq FROM embeddings),
+             x -> CAST(round(x * 1000) AS BIGINT)) AS xq FROM embeddings)$eqt,
          k0 AS MATERIALIZED (SELECT CAST(vec_id AS INTEGER) AS cid, xq AS cvec
-                FROM eq WHERE vec_id < $k)$steps,
+                FROM $trainSrc WHERE vec_id < $k)$steps,
          ${assign("kaf", s"k$rounds")}"""
   }
 
@@ -4398,8 +4428,14 @@ object SparkEntry {
     * — recall is flat in codebook convergence at this nprobe); the
     * UNION's set-dedupe matches the engine's distinct-before-final-cut.
     */
-  private def knnGraphCte: String =
-    s"""${kmeansCte(16, 2, 64)},
+  private def knnGraphCte: String = knnGraphCteT("")
+
+  /** `trainWhere` ≠ "" trains the Lloyd chain on that subset (frozen
+    * corpus codebook) while assignment/probing/candidates still cover
+    * every vector — the incremental maintainer's batch-equivalent.
+    */
+  private def knnGraphCteT(trainWhere: String): String =
+    s"""${kmeansCte(16, 2, 64, trainWhere)},
          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          asn AS (SELECT a.vec_id, e.v, a.cell FROM kaf a JOIN e USING (vec_id)),
          pr AS (SELECT vec_id, cell FROM (

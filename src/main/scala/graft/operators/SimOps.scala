@@ -306,7 +306,6 @@ object SimOps {
     */
   def simKnnGraph(embeddings: DataFrame, k: Int = 3, nprobe: Int = 8): DataFrame = {
     graft.plans.VectorFunctions.register(embeddings.sparkSession)
-    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
     val eq = embeddings
       .select(col("vec_id"), quantize1000(toVec(col("embedding"))).as("xq"))
     // Cell count GROWS with the corpus (k ≈ V / 125, the dedup_semantic
@@ -323,6 +322,42 @@ object SimOps {
     // cells only need to partition the space, not converge, so the graph
     // build pays for the cheapest non-degenerate codebook
     val cents = kmeansCentroids(eq, k = cells, rounds = 2)
+    knnGraphWithCodebook(embeddings, cents, k, nprobe)
+  }
+
+  /** The nprobe-nearest probe cells per source vector — exact integer
+    * distances, cid tie-break; the window sorts O(cells) rows per
+    * vector, not the corpus. Factored out (r10) because the incremental
+    * layout maintainer stores these rows as part of the index.
+    */
+  private[graft] def probeCells(
+      eq: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("xq"), col("cvec"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, z) => acc + z)
+    val wProbe = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("cid"))
+    eq.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), d2.as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("cid").cast("int").as("cell"))
+  }
+
+  /** The graph build AFTER the codebook: assignment + probing +
+    * within-cell candidates + symmetrized top-k cut, all against a
+    * GIVEN centroid table. Factored out of `simKnnGraph` (r10, bit-
+    * identical refactor) so the incremental maintainer can run the
+    * identical pipeline under a FROZEN corpus-trained codebook — the
+    * production IVF maintenance contract (codebook refresh is a
+    * separate periodic op, not an every-ingest cost).
+    */
+  private[graft] def knnGraphWithCodebook(
+      embeddings: DataFrame, cents: DataFrame,
+      k: Int = 3, nprobe: Int = 8): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val eq = embeddings
+      .select(col("vec_id"), quantize1000(toVec(col("embedding"))).as("xq"))
     // per-vector norms are precomputed ONCE (O(V) dots) so each of the
     // O(V·nprobe·cellsize) candidate pairs pays a single vector_dot
     // instead of three; sqrt(dot(v,v)) here is the same value as inside
@@ -334,20 +369,10 @@ object SimOps {
     val corpus = assignCells(eq, cents)
       .join(en, "vec_id")
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    // probe side: each source probes its nprobe nearest centroids —
-    // exact integer distances, cid tie-break; the window sorts k=16
-    // rows per vector, not the corpus
-    val d2 = aggregate(
-      zip_with(col("xq"), col("cvec"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, z) => acc + z)
-    val wProbe = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("cid"))
-    val probes = eq.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"), d2.as("d2"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
+    val probes = probeCells(eq, cents, nprobe)
       .join(en, "vec_id")
       .select(col("vec_id").as("src"), col("v").as("sv"),
-        col("nrm").as("snrm"), col("cid").cast("int").as("cell"))
+        col("nrm").as("snrm"), col("cell"))
     // the candidate stream feeds BOTH direction cuts below: CACHE it
     // (lazy, memory-first) rather than localCheckpoint (eager job
     // barrier + disk write — measured SLOWER than recompute, 4.5 vs
@@ -527,6 +552,133 @@ object SimOps {
       .agg(
         count(lit(1)).as("n_edges"),
         countDistinct(col("src")).as("n_src"),
+        round(min(col("cos")), 6).as("min_cos"),
+        round(max(col("cos")), 6).as("max_cos"))
+      .orderBy("bucket")
+  }
+
+  /** INCREMENTAL maintenance for the stored kNN graph (r9 verdict item
+    * 4) — the `dedup_incremental` stance applied to the third stored
+    * layout, so the similarity graph gets the growing-corpus story its
+    * LSH (`dedup_incremental`) and IVF (`stream_ann_ingest`) siblings
+    * already have. The persisted index is FOUR artifacts written once
+    * per corpus (re-read through parquet to keep the store real): the
+    * corpus kNN graph, the corpus cell assignments, the corpus PROBE
+    * LISTS (which cells each corpus vector probed — O(V·nprobe) rows;
+    * without them, finding "who would have probed the new vector's
+    * cell" is an O(V) recompute, exactly the cost ingest must not pay),
+    * and the frozen codebook.
+    *
+    * Per delta ingest, O(delta·nprobe·cellsize) candidate work and
+    * NO corpus re-shuffle: new vectors assign + probe against the
+    * frozen codebook (one broadcast), candidate pairs are (i) delta →
+    * anything assigned in a probed cell (corpus rows via the stored
+    * assignment table, delta-delta via the fresh assignments) and (ii)
+    * stored-probe rows touching a delta cell → the affected corpus
+    * sources; every candidate has a delta endpoint by construction.
+    * Corpus embeddings are touched only through vec_id-keyed joins that
+    * hydrate candidate endpoints (the dedup_incremental "only the docs
+    * the index nominates" contract). The merge is the monotone top-k
+    * law: top-k(stored ∪ sym(delta candidates)) per src — unaffected
+    * sources pass through bit-identically, affected ones re-cut against
+    * at most k + |their delta candidates| rows, and the result is
+    * PROVABLY the frozen-codebook batch rebuild over corpus + delta
+    * (spec-pinned identical on the fixture; the codebook itself stays
+    * corpus-trained — refreshing it is the periodic op, as for the IVF
+    * layout). Output: per-bucket census of the updated graph (the
+    * sink_knn_graph audit shape + the delta-source count); oracle = the
+    * same census over the frozen-codebook graph unrolled in SQL.
+    */
+  private[graft] def knnGraphIncrementalEdges(
+      spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, sfDir: String,
+      k: Int = 3, nprobe: Int = 8): (DataFrame, DataFrame, DataFrame) = {
+    graft.plans.VectorFunctions.register(spark)
+    import graft.sources.EtlOps.freshDir
+    import org.apache.spark.sql.SaveMode
+    // RECENCY split — the append-only ingest shape (new vectors arrive
+    // with the highest ids): delta = the top 10% of vec_ids. Also a
+    // correctness constraint, not just realism: `kmeansCentroids` seeds
+    // cells from vec_id < k and relies on seed cids being contiguous
+    // 0..k-1 (argmin returns the array INDEX); a mod-based split would
+    // puncture the seed range and silently misattribute Lloyd updates
+    // (measured: the mod-10 split diverged from the oracle's cid-keyed
+    // chain from round 1).
+    val v = embeddings.count()
+    val cutoff = (v * 9L) / 10L
+    val isDelta = col("vec_id") >= cutoff
+    val corpusEmb = embeddings.filter(!isDelta)
+    // ---- index build (amortized once per corpus in production) ----
+    val eqC = corpusEmb
+      .select(col("vec_id"), quantize1000(toVec(col("embedding"))).as("xq"))
+    val cents = kmeansCentroids(eqC, k = 16, rounds = 2)
+    val graphDir = freshDir(sfDir, "knn_inc_graph").toString
+    val asnDir = freshDir(sfDir, "knn_inc_asn").toString
+    val probesDir = freshDir(sfDir, "knn_inc_probes").toString
+    val centsDir = freshDir(sfDir, "knn_inc_cents").toString
+    knnGraphWithCodebook(corpusEmb, cents, k, nprobe)
+      .write.mode(SaveMode.Overwrite).parquet(graphDir)
+    assignCells(eqC, cents).select(col("vec_id"), col("cell"))
+      .write.mode(SaveMode.Overwrite).parquet(asnDir)
+    probeCells(eqC, cents, nprobe)
+      .write.mode(SaveMode.Overwrite).parquet(probesDir)
+    cents.write.mode(SaveMode.Overwrite).parquet(centsDir)
+    // ---- delta ingest: O(delta) against the stored index ----
+    val storedCents = spark.read.parquet(centsDir)
+    val eqD = embeddings.filter(isDelta)
+      .select(col("vec_id"), quantize1000(toVec(col("embedding"))).as("xq"))
+    val en = embeddings
+      .select(col("vec_id"), toVec(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        sqrt(graft.plans.VectorFunctions.vectorDot(col("v"), col("v"))).as("nrm"))
+    val dAsn = assignCells(eqD, storedCents).select(col("vec_id"), col("cell"))
+    val dProbes = probeCells(eqD, storedCents, nprobe)
+    val asnAll = spark.read.parquet(asnDir).unionByName(dAsn)
+    // (i) delta probes → anything assigned in a probed cell
+    val c1 = dProbes.select(col("vec_id").as("src"), col("cell"))
+      .join(asnAll.select(col("vec_id").as("dst"), col("cell")), "cell")
+    // (ii) stored probe lists touching a delta cell → affected corpus srcs
+    val c2 = spark.read.parquet(probesDir)
+      .select(col("vec_id").as("src"), col("cell"))
+      .join(dAsn.select(col("vec_id").as("dst"), col("cell")), "cell")
+    val ena = en.select(col("vec_id").as("src"), col("v").as("sv"),
+      col("nrm").as("snrm"))
+    val enb = en.select(col("vec_id").as("dst"), col("v").as("dv"),
+      col("nrm").as("dnrm"))
+    val cd = c1.select(col("src"), col("dst"))
+      .unionByName(c2.select(col("src"), col("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .join(ena, "src").join(enb, "dst")
+      .select(col("src"), col("dst"),
+        round(graft.plans.VectorFunctions.vectorDot(col("sv"), col("dv"))
+          / (col("snrm") * col("dnrm")), 6).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .localCheckpoint() // feeds both directions of the symmetrized merge
+    val sym = cd.unionByName(
+      cd.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+    val stored = spark.read.parquet(graphDir).select("src", "dst", "cos")
+    val updated = graft.plans.TopKOps.topKPerGroup(
+      stored.unionByName(sym).distinct(),
+      Seq("src"), Seq(("cos", false), ("dst", true)), k)
+    (cd, stored, updated)
+  }
+
+  /** The registry entry: run the incremental maintenance and audit the
+    * UPDATED graph per logical bucket (the sinkKnnGraph census shape +
+    * how many delta vectors became sources).
+    */
+  def sinkKnnGraphIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, sfDir: String): DataFrame = {
+    val cutoff = (embeddings.count() * 9L) / 10L
+    val (_, _, updated) = knnGraphIncrementalEdges(spark, embeddings, sfDir)
+    updated
+      .groupBy((col("src") % 8).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        countDistinct(col("src")).as("n_src"),
+        countDistinct(when(col("src") >= cutoff, col("src"))).as("n_delta_src"),
         round(min(col("cos")), 6).as("min_cos"),
         round(max(col("cos")), 6).as("max_cos"))
       .orderBy("bucket")
@@ -1213,7 +1365,7 @@ object SimOps {
     * corpus once, which this composes with for free.
     * Returns the k-row codebook (cid, cvec: array<long>).
     */
-  private[operators] def kmeansCentroids(eq: DataFrame, k: Int, rounds: Int): DataFrame = {
+  private[graft] def kmeansCentroids(eq: DataFrame, k: Int, rounds: Int): DataFrame = {
     var cents = eq.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("xq").as("cvec"))
       .localCheckpoint()

@@ -621,6 +621,40 @@ class LlmSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("sink_knn_graph_incremental: O(delta) candidates, batch identity, unaffected rows pass through") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val cutoff = (embs.count() * 9L) / 10L
+    val (cand, stored, updated) =
+      operators.SimOps.knnGraphIncrementalEdges(spark, embs, sf0001)
+    // O(delta): every ingest candidate has a delta endpoint by
+    // construction — the ingest never generates corpus-corpus work
+    assert(cand.filter(col("src") < cutoff && col("dst") < cutoff).count() === 0,
+      "ingest produced a corpus-corpus candidate: not O(delta)")
+    assert(cand.count() > 0, "fixture delta produced no candidates at all")
+    // result identity with the frozen-codebook batch rebuild over
+    // corpus + delta (the monotone top-k law, end to end)
+    val eqC = embs.filter(col("vec_id") < cutoff)
+      .select(col("vec_id"),
+        expr("transform(cast(embedding as array<double>), x -> cast(round(x * 1000) as long))").as("xq"))
+    val cents = operators.SimOps.kmeansCentroids(eqC, k = 16, rounds = 2)
+    val batch = operators.SimOps.knnGraphWithCodebook(embs, cents)
+    val u = updated.select("src", "dst", "cos").collect().map(_.toSeq).toSet
+    val b = batch.select("src", "dst", "cos").collect().map(_.toSeq).toSet
+    assert(u === b, s"incremental != frozen-codebook batch: " +
+      s"onlyInc=${(u -- b).take(3)} onlyBatch=${(b -- u).take(3)}")
+    // unaffected sources: rows whose src touches no delta candidate must
+    // pass through from the stored corpus graph BIT-identically
+    val touched = cand.select(col("src").as("id"))
+      .union(cand.select(col("dst").as("id"))).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val storedRows = stored.collect().map(_.toSeq)
+      .filterNot(r => touched(r.head.asInstanceOf[Long])).toSet
+    val updatedRows = updated.select("src", "dst", "cos").collect().map(_.toSeq)
+      .filterNot(r => touched(r.head.asInstanceOf[Long])).toSet
+    assert(storedRows === updatedRows,
+      "untouched corpus sources must keep their stored rows unchanged")
+  }
+
   test("multimodal payload survives project/filter/join byte-identically") {
     val docs = Tables.documents(spark, sf0001)
     val embs = Tables.embeddings(spark, sf0001)
