@@ -55,12 +55,17 @@ object AggOps {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
-  /** HLL++ approximate distinct — the 100 TB shape (constant memory per
-    * group vs. the exact expansion). Oracle-CHECKED (r9): formerly the
+  /** HLL++ approximate distinct, oracle-CHECKED (r9): formerly the
     * registry's one no-oracle entry; now exports exact counts plus a
     * derived-band verdict over BOTH sketched columns (the
     * `aggApproxDistinctChecked` contract, which covers l_partkey alone),
-    * so a drifting HLL turns this row red instead of invisible.
+    * so a drifting HLL turns this row red instead of invisible. NOTE:
+    * the inline exact countDistinct columns are verification
+    * SCAFFOLDING — this checked entry deliberately pays the exact
+    * expansion to band-check the sketch. The constant-memory-per-group
+    * 100 TB execution shape (HLL only, no expansion) is what a
+    * production caller gets from `approx_count_distinct` alone; its
+    * plan shape is pinned in AggSpec, not re-timed here.
     */
   def aggApproxDistinct(lineitem: DataFrame): DataFrame = {
     val rsd = 0.02

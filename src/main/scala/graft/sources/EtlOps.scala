@@ -537,7 +537,12 @@ object EtlOps {
     * parallelism over the fetched bytes.
     */
   def sourceApiRatelimit(spark: SparkSession, sfDir: String): DataFrame = {
-    val endpoint = new RateLimitedEndpoint(capacity = 2, refillIntervalMs = 250L)
+    // 25 ms refill for the registry entry: semantics (429 counts, drain
+    // order, starvation) are pinned on a VIRTUAL clock in EtlTextSpec,
+    // so the real-sleep path here only needs a nonzero schedule to
+    // exercise honoringRetryAfter — 250 ms added ~750 ms of guaranteed
+    // driver sleep to every full sweep for no extra coverage (r9 ADVICE)
+    val endpoint = new RateLimitedEndpoint(capacity = 2, refillIntervalMs = 25L)
     sourceApiRatelimitWith(spark, sfDir, endpoint)
   }
 
