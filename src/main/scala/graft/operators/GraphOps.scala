@@ -205,10 +205,16 @@ object GraphOps {
     * the same per-round residuals, derives the same exit round IN SQL,
     * and selects that round's ranks — so the early-exit DYNAMICS are
     * oracle-checked, not just the final vector. Per-round cost: the
-    * residual join is O(V) between two checkpointed compact-key frames
-    * plus a 1-row scalar pull (the Lloyd-loop driver pattern); `next`
-    * has two consumers per round (residual + next superstep), so the
-    * cadence is per-round localCheckpoint (the LPA rule).
+    * per-node |Δrank| is FUSED into the superstep's checkpoint job
+    * (the new ranks join their predecessors on the compact key inside
+    * the same plan) and the residual SUM is pulled out as an
+    * `observe()` metric of that same job — ONE action per round, the
+    * minimum any per-round exit decision can pay (r10: the two-action
+    * form — checkpoint + separate residual aggregate — benched 5.2 s
+    * vs fixed-round 2.9/3.3; detection must not cost extra jobs). The
+    * driver replicates Spark's round(x, 9) via HALF_UP BigDecimal; the
+    * ≥1e-3 margin between tol and the nearest residual makes the
+    * comparison ulp-proof regardless.
     * Output: top-100 ranks at the exit round + the exit round itself.
     */
   def graphPagerankConv(orders: DataFrame, lineitem: DataFrame,
@@ -220,15 +226,16 @@ object GraphOps {
     var r = 0
     while (exitRound == 0 && r < maxRounds) {
       r += 1
+      val obs = org.apache.spark.sql.Observation(s"pr_resid_$r")
       val next = superstepPartitioned(adj, ranks, n, damping)
         .select(col("id"), round(col("rank"), 9).as("rank"))
+        .join(ranks.select(col("id"), col("rank").as("prev")), "id")
+        .select(col("id"), col("rank"), abs(col("rank") - col("prev")).as("dr"))
+        .observe(obs, coalesce(sum(col("dr")), lit(0.0)).as("d"))
         .localCheckpoint()
-      val delta = next.select(col("id"), col("rank").as("next_rank"))
-        .join(ranks, "id")
-        .agg(round(coalesce(sum(abs(col("next_rank") - col("rank"))), lit(0.0)), 9)
-          .as("d"))
-        .head().getDouble(0)
-      ranks = next
+      val delta = BigDecimal(obs.get("d").asInstanceOf[Double])
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      ranks = next.select(col("id"), col("rank"))
       if (delta < tol) exitRound = r
     }
     adj.unpersist()
@@ -255,10 +262,14 @@ object GraphOps {
     * unrolled in SQL; its census reads the `maxRounds` table, which
     * equals the exit-round table because a fixpoint is invariant under
     * further hops — so engine-side early exit and oracle-side full
-    * unroll provably agree. Per-round cost: one O(V) change-count join
-    * between checkpointed frames + a 1-row scalar pull; `next` has
-    * three consumers (change count + the next round's two joins) ⇒
-    * per-round localCheckpoint cadence (the kcore rule).
+    * unroll provably agree. Per-round cost: the changed-label flag is
+    * FUSED into the propagation join itself (`nbr < label` falls out
+    * of the same row) and the change COUNT is an `observe()` metric of
+    * the checkpoint job — ONE action per round, no second job for
+    * detection (r10: the two-action form benched 2.76 s while fixed-8
+    * ran ~1.9 — a fixpoint loop that exits three rounds EARLIER must
+    * not bench slower); the count is an exact integer, so the exit
+    * decision is deterministic by construction.
     * Output: the component census + the exit round.
     */
   def graphComponentsConv(orders: DataFrame, lineitem: DataFrame,
@@ -273,14 +284,14 @@ object GraphOps {
         .select(explode(col("dsts")).as("nid"), col("label").as("nl"))
         .groupBy(col("nid"))
         .agg(min(col("nl")).as("nbr"))
+      val obs = org.apache.spark.sql.Observation(s"cc_chg_$r")
       val next = labels.join(nbrMin, col("id") === col("nid"))
-        .select(col("id"), least(col("label"), col("nbr")).as("label"))
+        .select(col("id"), least(col("label"), col("nbr")).as("label"),
+          (col("nbr") < col("label")).as("chg"))
+        .observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("n"))
         .localCheckpoint()
-      val changed = next.select(col("id"), col("label").as("next_label"))
-        .join(labels, "id")
-        .filter(col("next_label") =!= col("label"))
-        .count()
-      labels = next
+      val changed = obs.get("n").asInstanceOf[Long]
+      labels = next.select(col("id"), col("label"))
       if (changed == 0L) exitRound = r
     }
     adj.unpersist()
