@@ -449,6 +449,8 @@ object SparkEntry {
     "sink_knn_graph" -> ((s, d) => SimOps.sinkKnnGraph(s, embeddings(s, d), d)),
     "sink_knn_graph_incremental" -> ((s, d) =>
       SimOps.sinkKnnGraphIncremental(s, embeddings(s, d), d)),
+    "sink_knn_graph_refresh" -> ((s, d) =>
+      SimOps.sinkKnnGraphRefresh(s, embeddings(s, d), d)),
     "sim_knn_cluster_stored" -> ((s, d) =>
       SimOps.simKnnClusterStored(s, embeddings(s, d), d)),
     "pipeline_hard_negatives_stored" -> ((s, d) =>
@@ -2239,6 +2241,25 @@ object SparkEntry {
            round(min(cos), 6) AS min_cos,
            round(max(cos), 6) AS max_cos
          FROM g GROUP BY bucket ORDER BY bucket""",
+    // the refresh drift audit: the frozen-corpus-codebook graph (prefix
+    // z) and the fresh full-corpus-codebook graph, both unrolled in the
+    // same statement, FULL-JOINed on the edge key; churn cosine mass in
+    // exact integer micro-units (summation-order-proof)
+    "sink_knn_graph_refresh" ->
+      s"""WITH ${knnGraphCteP(
+        "vec_id < (SELECT count(*) * 9 // 10 FROM embeddings)", "z")},
+         ${knnGraphCteP("", "")}
+         SELECT coalesce(a.src, b.src) % 8 AS bucket,
+           CAST(count(*) FILTER (WHERE a.src IS NOT NULL AND b.src IS NOT NULL)
+             AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE a.src IS NULL) AS BIGINT) AS n_added,
+           CAST(count(*) FILTER (WHERE b.src IS NULL) AS BIGINT) AS n_dropped,
+           CAST(coalesce(sum(CAST(round(b.cos * 1000000) AS BIGINT))
+               FILTER (WHERE a.src IS NULL), 0)
+             - coalesce(sum(CAST(round(a.cos * 1000000) AS BIGINT))
+               FILTER (WHERE b.src IS NULL), 0) AS BIGINT) AS gain_micro
+         FROM zg a FULL JOIN g b ON a.src = b.src AND a.dst = b.dst
+         GROUP BY 1 ORDER BY 1""",
     // contrastive mining census over the same graph: positives at
     // cos >= 0.45, hard negatives = retained neighbors below it
     // identical census served from the stored kNN layout
@@ -4388,10 +4409,16 @@ object SparkEntry {
     * codebook shape the incremental kNN-graph maintainer runs. Empty
     * string reproduces the original SQL byte-for-byte.
     */
+  /** `px` (r10): a name prefix applied to EVERY CTE this chain emits
+    * (eq/eqt/k0/ka·/ku·/k·/kaf), so two independently-trained chains —
+    * e.g. the frozen-corpus codebook vs the refreshed full-corpus one —
+    * can coexist in a single WITH clause for drift-audit oracles.
+    * Empty prefix reproduces the established names.
+    */
   private def kmeansCte(k: Int, rounds: Int, dim: Int,
-      trainWhere: String = ""): String = {
-    val trainSrc = if (trainWhere.isEmpty) "eq" else "eqt"
-    def assign(name: String, cents: String, src: String = "eq") =
+      trainWhere: String = "", px: String = ""): String = {
+    val trainSrc = if (trainWhere.isEmpty) s"${px}eq" else s"${px}eqt"
+    def assign(name: String, cents: String, src: String = s"${px}eq") =
       s"""$name AS MATERIALIZED (SELECT vec_id, xq, cid AS cell FROM (
            SELECT $src.vec_id, $src.xq, c.cid, row_number() OVER (PARTITION BY $src.vec_id
              ORDER BY list_sum([($src.xq[i] - c.cvec[i]) * ($src.xq[i] - c.cvec[i])
@@ -4399,24 +4426,24 @@ object SparkEntry {
            FROM $src CROSS JOIN $cents c) WHERE rn = 1)"""
     val steps = (1 to rounds).map { r =>
       s""",
-         ${assign(s"ka$r", s"k${r - 1}", trainSrc)},
-         ku$r AS MATERIALIZED (SELECT cell, t.i AS i,
+         ${assign(s"${px}ka$r", s"${px}k${r - 1}", trainSrc)},
+         ${px}ku$r AS MATERIALIZED (SELECT cell, t.i AS i,
                   CAST(floor(sum(xq[t.i])::DOUBLE / count(*)) AS BIGINT) AS cq
-                FROM ka$r CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) t
+                FROM ${px}ka$r CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) t
                 GROUP BY cell, t.i),
-         k$r AS MATERIALIZED (SELECT p.cid, coalesce(u.cvec, p.cvec) AS cvec FROM k${r - 1} p
+         ${px}k$r AS MATERIALIZED (SELECT p.cid, coalesce(u.cvec, p.cvec) AS cvec FROM ${px}k${r - 1} p
                  LEFT JOIN (SELECT cell AS cid, list(cq ORDER BY i) AS cvec
-                            FROM ku$r GROUP BY cell) u USING (cid))"""
+                            FROM ${px}ku$r GROUP BY cell) u USING (cid))"""
     }.mkString
     val eqt =
       if (trainWhere.isEmpty) ""
       else s""",
-         eqt AS MATERIALIZED (SELECT vec_id, xq FROM eq WHERE $trainWhere)"""
-    s"""eq AS MATERIALIZED (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         ${px}eqt AS MATERIALIZED (SELECT vec_id, xq FROM ${px}eq WHERE $trainWhere)"""
+    s"""${px}eq AS MATERIALIZED (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
              x -> CAST(round(x * 1000) AS BIGINT)) AS xq FROM embeddings)$eqt,
-         k0 AS MATERIALIZED (SELECT CAST(vec_id AS INTEGER) AS cid, xq AS cvec
+         ${px}k0 AS MATERIALIZED (SELECT CAST(vec_id AS INTEGER) AS cid, xq AS cvec
                 FROM $trainSrc WHERE vec_id < $k)$steps,
-         ${assign("kaf", s"k$rounds")}"""
+         ${assign(s"${px}kaf", s"${px}k$rounds")}"""
   }
 
   /** Shared CTE chain for the kNN-graph entries: the unrolled integer
@@ -4435,29 +4462,37 @@ object SparkEntry {
     * every vector — the incremental maintainer's batch-equivalent.
     */
   private def knnGraphCteT(trainWhere: String): String =
-    s"""${kmeansCte(16, 2, 64, trainWhere)},
-         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         asn AS (SELECT a.vec_id, e.v, a.cell FROM kaf a JOIN e USING (vec_id)),
-         pr AS (SELECT vec_id, cell FROM (
+    knnGraphCteP(trainWhere, "")
+
+  /** Like `knnGraphCteT` but with every CTE name prefixed by `px`
+    * (r10), so two graphs built under DIFFERENT codebooks can be
+    * FULL-JOINed in one oracle query (the refresh drift audit). The
+    * graph table is `${px}g`.
+    */
+  private def knnGraphCteP(trainWhere: String, px: String): String =
+    s"""${kmeansCte(16, 2, 64, trainWhere, px)},
+         ${px}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ${px}asn AS (SELECT a.vec_id, e.v, a.cell FROM ${px}kaf a JOIN ${px}e e USING (vec_id)),
+         ${px}pr AS (SELECT vec_id, cell FROM (
              SELECT eq.vec_id, c.cid AS cell, row_number() OVER (PARTITION BY eq.vec_id
                ORDER BY list_sum([(eq.xq[i] - c.cvec[i]) * (eq.xq[i] - c.cvec[i])
                                   FOR i IN range(1, 65)]), c.cid) AS rn
-             FROM eq CROSS JOIN k2 c) WHERE rn <= 8),
-         probes AS (SELECT pr.vec_id AS src, e.v AS sv, pr.cell
-           FROM pr JOIN e ON pr.vec_id = e.vec_id),
-         cand AS (SELECT p.src, a.vec_id AS dst,
+             FROM ${px}eq eq CROSS JOIN ${px}k2 c) WHERE rn <= 8),
+         ${px}probes AS (SELECT pr.vec_id AS src, e.v AS sv, pr.cell
+           FROM ${px}pr pr JOIN ${px}e e ON pr.vec_id = e.vec_id),
+         ${px}cand AS (SELECT p.src, a.vec_id AS dst,
              round(list_dot_product(a.v, p.sv) /
                (sqrt(list_dot_product(a.v, a.v)) *
                 sqrt(list_dot_product(p.sv, p.sv))), 6) AS cos
-           FROM asn a JOIN probes p USING (cell)
+           FROM ${px}asn a JOIN ${px}probes p USING (cell)
            WHERE a.vec_id <> p.src),
-         cs AS (SELECT src, dst, cos FROM cand
+         ${px}cs AS (SELECT src, dst, cos FROM ${px}cand
                 UNION
-                SELECT dst AS src, src AS dst, cos FROM cand),
-         f AS (SELECT src, dst, cos, row_number() OVER
+                SELECT dst AS src, src AS dst, cos FROM ${px}cand),
+         ${px}f AS (SELECT src, dst, cos, row_number() OVER
              (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-           FROM cs WHERE cos >= 0.3),
-         g AS (SELECT src, dst, cos FROM f WHERE rn <= 3)"""
+           FROM ${px}cs WHERE cos >= 0.3),
+         ${px}g AS (SELECT src, dst, cos FROM ${px}f WHERE rn <= 3)"""
 
   /** SemDeDup cluster oracle: the shared kNN-graph CTE chain, edges cut
     * at `minCos`, symmetrized (UNION set-dedupe), then `rounds` unrolled

@@ -684,6 +684,72 @@ object SimOps {
       .orderBy("bucket")
   }
 
+  /** CODEBOOK REFRESH for the stored kNN graph — the PERIODIC op the
+    * incremental maintainer's contract defers to (its codebook stays
+    * frozen at corpus-training time; this is the op that un-freezes
+    * it). Retrains Lloyd on the FULL corpus (old corpus + absorbed
+    * deltas), rebuilds the graph under the fresh codebook, writes the
+    * refreshed layout back through parquet, and — the part a 100 TB
+    * operator actually needs — emits the DRIFT AUDIT: per bucket, how
+    * many edges the stale frozen-codebook graph kept / gained / lost
+    * against the refreshed one, and the net cosine mass of the churn
+    * (in exact integer micro-units, so the sum is summation-order-proof
+    * on both engines). A near-zero churn row says the frozen codebook
+    * is still serving well and the next refresh can wait; a fat
+    * `n_added` with positive `gain_micro` says cell boundaries have
+    * drifted and delta vectors are being probed against stale
+    * centroids. Cost is two batch graph builds + one O(E) full join —
+    * the amortized periodic shape, NOT an ingest-path cost (ingest
+    * stays O(delta) via `sinkKnnGraphIncremental`). Oracle: both
+    * codebook chains unrolled in one SQL statement (prefix-isolated
+    * CTEs) and FULL-JOINed on the edge key.
+    */
+  private[graft] def knnGraphRefreshFrames(
+      spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, sfDir: String,
+      k: Int = 3, nprobe: Int = 8): (DataFrame, DataFrame, DataFrame) = {
+    graft.plans.VectorFunctions.register(spark)
+    import graft.sources.EtlOps.freshDir
+    import org.apache.spark.sql.SaveMode
+    val cutoff = (embeddings.count() * 9L) / 10L
+    val eqAll = embeddings
+      .select(col("vec_id"), quantize1000(toVec(col("embedding"))).as("xq"))
+    // stale index: the frozen corpus-trained codebook applied to
+    // corpus + delta — exactly what incremental maintenance converges to
+    val centsFrozen = kmeansCentroids(eqAll.filter(col("vec_id") < cutoff), 16, 2)
+    val staleDir = freshDir(sfDir, "knn_refresh_stale").toString
+    knnGraphWithCodebook(embeddings, centsFrozen, k, nprobe)
+      .write.mode(SaveMode.Overwrite).parquet(staleDir)
+    // the refresh: retrain on everything, rebuild, write the new layout
+    val centsFresh = kmeansCentroids(eqAll, 16, 2)
+    val freshDirP = freshDir(sfDir, "knn_refresh_fresh").toString
+    knnGraphWithCodebook(embeddings, centsFresh, k, nprobe)
+      .write.mode(SaveMode.Overwrite).parquet(freshDirP)
+    val stale = spark.read.parquet(staleDir).select("src", "dst", "cos")
+    val fresh = spark.read.parquet(freshDirP).select("src", "dst", "cos")
+    val audit = stale.as("a")
+      .join(fresh.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") === col("b.dst"),
+        "full_outer")
+      .groupBy((coalesce(col("a.src"), col("b.src")) % 8).as("bucket"))
+      .agg(
+        count(when(col("a.src").isNotNull && col("b.src").isNotNull, 1)).as("n_kept"),
+        count(when(col("a.src").isNull, 1)).as("n_added"),
+        count(when(col("b.src").isNull, 1)).as("n_dropped"),
+        (coalesce(sum(when(col("a.src").isNull,
+            round(col("b.cos") * 1000000).cast("long"))), lit(0L))
+          - coalesce(sum(when(col("b.src").isNull,
+            round(col("a.cos") * 1000000).cast("long"))), lit(0L))).as("gain_micro"))
+      .orderBy("bucket")
+    (stale, fresh, audit)
+  }
+
+  /** The registry entry: run the refresh and return the drift audit. */
+  def sinkKnnGraphRefresh(
+      spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, sfDir: String): DataFrame =
+    knnGraphRefreshFrames(spark, embeddings, sfDir)._3
+
   /** SemDeDup clusters SERVED from the stored kNN graph (same oracle as
     * sim_knn_cluster) — the graph build becomes a once-per-ingest write.
     */

@@ -655,6 +655,37 @@ class LlmSpec extends SparkTestBase {
       "untouched corpus sources must keep their stored rows unchanged")
   }
 
+  test("sink_knn_graph_refresh: audit conserves edges and matches set-algebra churn") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val (stale, fresh, audit) =
+      operators.SimOps.knnGraphRefreshFrames(spark, embs, sf0001)
+    val rows = audit.collect()
+    val kept = rows.map(_.getLong(1)).sum
+    val added = rows.map(_.getLong(2)).sum
+    val dropped = rows.map(_.getLong(3)).sum
+    // conservation: every stale edge is kept or dropped, every fresh
+    // edge is kept or added — the full join loses nothing
+    assert(kept + dropped === stale.count(),
+      "audit must partition the stale graph into kept + dropped")
+    assert(kept + added === fresh.count(),
+      "audit must partition the fresh graph into kept + added")
+    // independent recomputation of the churn via set algebra: the
+    // full-join audit must agree with except() on both directions,
+    // including the integer-micro cosine mass
+    val addedE = fresh.exceptAll(stale)
+    val droppedE = stale.exceptAll(fresh)
+    assert(addedE.count() === added, "added-edge count disagrees with exceptAll")
+    assert(droppedE.count() === dropped, "dropped-edge count disagrees with exceptAll")
+    def micro(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(sum(round(col("cos") * 1000000).cast("long")), lit(0L)))
+        .head().getLong(0)
+    assert(micro(addedE) - micro(droppedE) === rows.map(_.getLong(4)).sum,
+      "gain_micro must equal added cosine mass minus dropped cosine mass")
+    // the fixture's delta is a tenth of the corpus: a refresh must not
+    // rewrite the world (most edges survive the codebook change)
+    assert(kept > dropped, s"refresh dropped more edges than it kept ($kept vs $dropped)")
+  }
+
   test("multimodal payload survives project/filter/join byte-identically") {
     val docs = Tables.documents(spark, sf0001)
     val embs = Tables.embeddings(spark, sf0001)
