@@ -84,6 +84,8 @@ object SparkEntry {
     "graph_modularity_stored" -> ((s, d) =>
       GraphOps.graphModularityStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_hits" -> ((s, d) => GraphOps.graphHits(orders(s, d), lineitem(s, d))),
+    "graph_hits_conv" -> ((s, d) =>
+      GraphOps.graphHitsConv(orders(s, d), lineitem(s, d))),
     "graph_hits_stored" -> ((s, d) =>
       GraphOps.graphHitsStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_kcore" -> ((s, d) => GraphOps.graphKcore(orders(s, d), lineitem(s, d))),
@@ -2169,6 +2171,7 @@ object SparkEntry {
     "graph_modularity_stored" -> modularityOracleSql(4),
     // two matvecs + L1 normalization per round, re-quantized each half
     "graph_hits" -> hitsOracleSql(6),
+    "graph_hits_conv" -> hitsConvOracleSql(10, 1e-6),
     // identical scores served from the stored bucketed layout
     "graph_hits_stored" -> hitsOracleSql(6),
     // peeling trajectory: per-round census of the >=k-degree active set
@@ -4808,6 +4811,50 @@ object SparkEntry {
     * decimals per half-round exactly as GraphOps.graphHits does — the
     * re-sync that stops float summation-order ulps from compounding.
     */
+  /** The HITS CONVERGENCE oracle: the same unrolled a/h chain as
+    * `hitsOracleSql` run to `maxRounds`, an authority L1-residual CTE
+    * per round from 2 on, the exit round derived in SQL as the first
+    * with residual < tol, and BOTH sides selected at that round — the
+    * pagerank_conv pattern applied to the mutually-recursive pair.
+    */
+  private def hitsConvOracleSql(maxRounds: Int, tol: Double): String = {
+    val steps = (1 to maxRounds).map { i =>
+      val resid = if (i < 2) "" else s""",
+         dd$i AS MATERIALIZED (SELECT round(sum(abs(a.score - b.score)), 9) AS delta
+                 FROM a$i a JOIN a${i - 1} b USING (id))"""
+      s""",
+         ar$i AS MATERIALIZED (SELECT e.dst AS id, sum(hp.score) AS s
+                 FROM edges e JOIN h${i - 1} hp ON hp.id = e.src GROUP BY e.dst),
+         a$i AS MATERIALIZED (SELECT id,
+                 round(s / (SELECT sum(s) FROM ar$i), 9) AS score FROM ar$i)$resid,
+         hr$i AS MATERIALIZED (SELECT e.src AS id, sum(ap.score) AS s
+                 FROM edges e JOIN a$i ap ON ap.id = e.dst GROUP BY e.src),
+         h$i AS MATERIALIZED (SELECT id,
+                 round(s / (SELECT sum(s) FROM hr$i), 9) AS score FROM hr$i)"""
+    }.mkString
+    val rr = (2 to maxRounds)
+      .map(i => s"SELECT $i AS r, (SELECT delta FROM dd$i) AS delta")
+      .mkString(" UNION ALL ")
+    val allA = (1 to maxRounds)
+      .map(i => s"SELECT $i AS r, id, score FROM a$i").mkString(" UNION ALL ")
+    val allH = (1 to maxRounds)
+      .map(i => s"SELECT $i AS r, id, score FROM h$i").mkString(" UNION ALL ")
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS MATERIALIZED (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs),
+         h0 AS MATERIALIZED (SELECT DISTINCT src AS id, 1.0 AS score FROM edges)$steps,
+         rr AS ($rr),
+         ex AS (SELECT CAST(min(r) AS BIGINT) AS er FROM rr WHERE delta < $tol),
+         alla AS ($allA), allh AS ($allH)
+         SELECT side, id, score, (SELECT er FROM ex) AS exit_round FROM (
+           (SELECT 'auth' AS side, id, round(score, 6) AS score FROM alla
+            WHERE r = (SELECT er FROM ex) ORDER BY score DESC, id LIMIT 10)
+           UNION ALL
+           (SELECT 'hub' AS side, id, round(score, 6) AS score FROM allh
+            WHERE r = (SELECT er FROM ex) ORDER BY score DESC, id LIMIT 10)) u
+         ORDER BY side, score DESC, id"""
+  }
+
   private def hitsOracleSql(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s""",

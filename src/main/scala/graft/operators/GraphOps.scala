@@ -725,6 +725,80 @@ object GraphOps {
     hitsLoop(spark.table(name).persist(), rounds)
   }
 
+  /** HITS with CONVERGENCE-DETECTED early exit — completing the
+    * convergence story for the costliest iterative loop (pagerank and
+    * components got their `_conv` forms first; HITS is the power
+    * iteration with the widest eigengap, so fixed-6 rounds OVERPAYS on
+    * every tested graph: measured authority L1 residuals drop ~100×
+    * per round and cross 1e-6 at round 4/5/5 on sf0.001/0.01/0.1 —
+    * the exit round grows with the graph, the fixed count doesn't).
+    * Exit rule: first round r ≥ 2 whose authority residual
+    * Σ|a_r − a_{r−1}| < tol (authorities determine hubs within the
+    * round, so one side's convergence is the pair's); residual is
+    * arithmetic over the 9-quantized scores on BOTH engines and tol
+    * sits ≥4.4× from the nearest measured residual — ulp-proof. The
+    * residual rides the authority checkpoint as an observe() metric
+    * (one action, the pagerank_conv economics); the hub matvec still
+    * runs on the exit round because the output needs both sides at r.
+    * Fail-loud maxRounds backstop; oracle unrolls to maxRounds,
+    * derives the exit round from the same residual CTEs, and selects
+    * BOTH sides at that round.
+    */
+  def graphHitsConv(orders: DataFrame, lineitem: DataFrame,
+      maxRounds: Int = 10, tol: Double = 1e-6): DataFrame = {
+    val (adjAll, _, _) = buildGraph(orders, lineitem)
+    val adj = adjAll.filter(col("src") % 2 === 0)
+    val custs = adj.select(col("src").as("id")).distinct()
+    var h = custs.select(col("id"), lit(1.0).as("score")).localCheckpoint()
+    var a: DataFrame = null
+    var exitRound = 0
+    var r = 0
+    while (exitRound == 0 && r < maxRounds) {
+      r += 1
+      val araw = adj.join(h, col("src") === col("id"))
+        .select(explode(col("dsts")).as("nid"), col("score"))
+        .groupBy(col("nid")).agg(sum(col("score")).as("s"))
+      val asum = araw.agg(sum(col("s")).as("t"))
+      val anorm = araw.crossJoin(broadcast(asum))
+        .select(col("nid").as("id"), round(col("s") / col("t"), 9).as("score"))
+      if (r == 1) {
+        // no predecessor vector yet — residuals start at round 2
+        a = anorm.localCheckpoint()
+      } else {
+        val obs = org.apache.spark.sql.Observation(s"hits_resid_$r")
+        val next = anorm
+          .join(a.select(col("id"), col("score").as("prev")), "id")
+          .select(col("id"), col("score"),
+            abs(col("score") - col("prev")).as("dr"))
+          .observe(obs, coalesce(sum(col("dr")), lit(0.0)).as("d"))
+          .localCheckpoint()
+        val delta = BigDecimal(obs.get("d").asInstanceOf[Double])
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        a = next.select(col("id"), col("score"))
+        if (delta < tol) exitRound = r
+      }
+      val hraw = adj
+        .select(col("src"), explode(col("dsts")).as("nid"))
+        .join(a.select(col("id").as("nid"), col("score")), "nid")
+        .groupBy(col("src")).agg(sum(col("score")).as("s"))
+      val hsum = hraw.agg(sum(col("s")).as("t"))
+      h = hraw.crossJoin(broadcast(hsum))
+        .select(col("src").as("id"), round(col("s") / col("t"), 9).as("score"))
+        .localCheckpoint()
+    }
+    adjAll.unpersist()
+    require(exitRound > 0,
+      s"HITS authority residual did not reach $tol within $maxRounds rounds — " +
+        "raise maxRounds or loosen tol; refusing to return an " +
+        "under-converged vector as converged")
+    def top(side: String, df: DataFrame): DataFrame = df
+      .select(lit(side).as("side"), col("id"),
+        round(col("score"), 6).as("score"), lit(exitRound.toLong).as("exit_round"))
+      .orderBy(desc("score"), asc("id")).limit(10)
+    top("auth", a).unionByName(top("hub", h))
+      .orderBy(col("side"), col("score").desc, col("id"))
+  }
+
   private def hitsLoop(adjAll: DataFrame, rounds: Int): DataFrame = {
     // directed half: customer (even id) → supplier (odd id)
     val adj = adjAll.filter(col("src") % 2 === 0)

@@ -362,6 +362,37 @@ class OperatorSpec extends SparkTestBase {
       "conv census must equal the fixed-round census (fixpoint invariance)")
   }
 
+  test("graph_hits_conv: immediate fixpoint exits at the minimum round, real data exits data-dependently") {
+    // single customer → two suppliers: the authority vector is uniform
+    // from round 1 (both suppliers receive the only hub's score), so
+    // a_2 = a_1, the residual is exactly 0, and the exit fires at the
+    // MINIMUM possible round (2 — residuals need a predecessor)
+    val orders = Seq((1L, 1L), (2L, 1L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((1L, 1L), (2L, 2L)).toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.graphHitsConv(orders, lineitem).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.forall(_._4 === 2L), s"star must exit at round 2: ${out.toSeq}")
+    val auth = out.filter(_._1 == "auth")
+    assert(auth.map(_._3).toSeq === Seq(0.5, 0.5),
+      s"star authorities must stay uniform: ${auth.toSeq}")
+    assert(out.filter(_._1 == "hub").map(_._3).toSeq === Seq(1.0),
+      "the sole hub must hold the whole normalized mass")
+    // real graph: exit round 4 at sf0.001 (measured residual crosses
+    // 1e-6 between rounds 3 and 4 with ≥4.4× margin) — and the exit
+    // must be DATA-dependent, i.e. later than the star's trivial 2
+    val o = Tables.orders(spark, sf0001)
+    val li = Tables.lineitem(spark, sf0001)
+    val real = GraphOps.graphHitsConv(o, li).collect()
+    assert(real.forall(_.getLong(3) === 4L),
+      s"sf0.001 must exit at round 4: ${real.map(_.getLong(3)).toSeq.distinct}")
+    // converged scores: the top-10 id sets per side agree with the
+    // fixed-6-round form (convergence ⇒ the cut is stable)
+    val fixed = GraphOps.graphHits(o, li).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(real.map(r => (r.getString(0), r.getLong(1))).toSet === fixed,
+      "converged top-10 id sets must match the fixed-round form")
+  }
+
   test("graph_pagerank_conv: exits at the analytic residual round, ranks match the fixed loop") {
     // 4-leaf star: the update is linear, so the L1 residual is exactly
     // geometric — delta_r = delta_1 * 0.85^(r-1) with delta_1 = 1.02
