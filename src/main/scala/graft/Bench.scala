@@ -103,6 +103,12 @@ object Bench {
     // pagerank; components run to fixpoint) — the at-scale iterative form
     "graph_pagerank_conv",
     "graph_components_conv",
+    "graph_hits_conv",      // r10: residual-watched HITS (exits before fixed-6)
+    // Round-10: the stored kNN graph's lifecycle ops — ingest-path
+    // incremental maintenance (O(delta)) and the periodic codebook
+    // refresh (two batch builds + drift audit) as first-class gates
+    "sink_knn_graph_incremental",
+    "sink_knn_graph_refresh",
   )
 
   def main(args: Array[String]): Unit = {
