@@ -351,6 +351,7 @@ object SparkEntry {
     "stream_session" -> ((s, d) => StreamOps.streamSession(s, d)),
     "stream_watermark" -> ((s, d) => StreamOps.streamWatermark(s, d)),
     "stream_dedup" -> ((s, d) => StreamOps.streamDedup(s, d)),
+    "stream_dedup_near" -> ((s, d) => StreamOps.streamDedupNear(s, d)),
     "stream_stateful" -> ((s, d) => StreamOps.streamStateful(s, d)),
     "stream_stateful_v2" -> ((s, d) => StreamOps.streamStatefulV2(s, d)),
     "stream_timer_sessions" -> ((s, d) => StreamOps.streamTimerSessions(s, d)),
@@ -3148,6 +3149,26 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_type, count(*) AS n, count(*) AS n_ids FROM events
          GROUP BY event_type ORDER BY event_type""",
+    // batch-equivalence replay of the streaming LSH state machine:
+    // bucket members = first-64-by-id per (band, sig) (arrival order IS
+    // id order by staging), pairs within a bucket at >= 20/32 matching
+    // minhash slots — signature-only verification, the streaming-state
+    // contract (state holds signatures, never shingle sets)
+    "stream_dedup_near" ->
+      s"""WITH ${nearDupBandCtes("documents")},
+         bm AS (SELECT b.doc_id, b.band, b.sig, m.mh,
+                row_number() OVER (PARTITION BY b.band, b.sig
+                  ORDER BY b.doc_id) AS rn
+              FROM b JOIN m USING (doc_id)),
+         mem AS (SELECT * FROM bm WHERE rn <= 64),
+         p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                list_sum(list_transform(range(1, 33),
+                  i -> CASE WHEN a.mh[i] = c.mh[i] THEN 1 ELSE 0 END)) AS n_match
+              FROM mem a JOIN mem c
+                ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id)
+         SELECT doc_a, doc_b, CAST(max(n_match) AS INTEGER) AS n_match
+         FROM p WHERE n_match >= 20
+         GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""",
     "stream_stateful" ->
       """SELECT user_id, count(*) AS n_events,
          round(max(value), 6) AS max_value,

@@ -216,6 +216,107 @@ object StreamOps {
       .orderBy("event_type")
   }
 
+  case class BandDoc(bkey: String, doc_id: Long, mh: Seq[String])
+  case class BucketMember(doc_id: Long, mh: Seq[String])
+  case class BucketState(members: Seq[BucketMember])
+  case class NearPair(doc_a: Long, doc_b: Long, n_match: Int)
+
+  /** Streaming NEAR-duplicate detection — the ingest-time form of
+    * `dedup_near`: at 100 TB you do not re-run batch LSH over the corpus
+    * per ingest, you hold the LSH index AS STREAMING STATE and flag
+    * near-dups the moment the second copy arrives. Documents stream in
+    * id order (four staged files, one per micro-batch — pairs provably
+    * form ACROSS batch boundaries); each doc fans out to its 8 LSH band
+    * buckets (the same shingle→minhash→band kernels as the batch entry,
+    * stateless stream-side projection), and `flatMapGroupsWithState`
+    * keyed by (band, sig) keeps the bucket's first-[[LshMaxBucket]]
+    * members (doc_id, signature). A new arrival compares its 32-slot
+    * signature against the bucket members and emits a pair at ≥ 20/32
+    * matching minhashes (estimated Jaccard ≥ 0.625 — signature-only
+    * verification, because streaming state must hold SIGNATURES, not
+    * shingle sets: 32 hashes vs unbounded text per doc; the batch
+    * entry's exact-Jaccard verify is the reconciliation pass).
+    *
+    * Determinism (the oracle contract): arrival order = doc_id order
+    * (staged files are id-ranged and drained in order; within a batch
+    * the group iterator is sorted), so the per-bucket cap keeps the
+    * LOWEST-id members and the emitted pair set is a pure function of
+    * the corpus — the DuckDB oracle replays it as rank-by-id ≤ cap,
+    * join within bucket, signature-match count ≥ 20. State is bounded:
+    * ≤ cap members × 8 bands per distinct signature bucket, each member
+    * 32 hashes — no shingle sets, no text, no unbounded growth.
+    */
+  def streamDedupNear(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.TextKernels.register(spark)
+    graft.plans.MinHashSig.register(spark)
+    val cap = graft.operators.LlmOps.LshMaxBucket
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val srcDir = scratch(sfDir, "stream_dedup_near_src")
+    val nDocs = docs.count()
+    val ranked = docs.withColumn("rn",
+      row_number().over(Window.orderBy("doc_id")))
+    for (i <- 0 until 4) {
+      val tmp = scratch(sfDir, s"stream_dedup_near_stage$i")
+      ranked.filter(col("rn") > i * nDocs / 4 && col("rn") <= (i + 1) * nDocs / 4)
+        .drop("rn").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, srcDir.resolve(s"quarter-$i.parquet"))
+    }
+    val schema = docs.schema
+    val banded = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .withColumn("mh",
+        graft.plans.MinHashSig.minhashSig(
+          graft.plans.TextKernels.shingleSet(col("text"))))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(7)),
+          b => struct(b.as("band"),
+            md5(array_join(slice(col("mh"), b * 4 + 1, lit(4)), "|")).as("sig")))).as("bs"),
+        col("mh"))
+      .select(
+        concat(col("bs.band").cast("string"), lit("|"), col("bs.sig")).as("bkey"),
+        col("doc_id"), col("mh"))
+      .as[BandDoc]
+    val pairs = banded
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[BandDoc], state: GroupState[BucketState]) => {
+          var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[NearPair]
+          // sort within the micro-batch: combined with id-ordered file
+          // arrival this makes processing order globally id-ascending
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            if (members.size < cap && !members.exists(_.doc_id == r.doc_id)) {
+              members.foreach { m =>
+                val n = m.mh.zip(r.mh).count { case (x, y) => x == y }
+                if (n >= 20)
+                  out += NearPair(math.min(m.doc_id, r.doc_id),
+                    math.max(m.doc_id, r.doc_id), n)
+              }
+              members = members :+ BucketMember(r.doc_id, r.mh)
+            }
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+        })
+    val perShard = spark.conf.getOption("spark.graft.stream.keysPerShard")
+      .map(_.toLong).getOrElse(250000L)
+    withStateShards(spark, stateShardsFor(nDocs * 8, perShard)) {
+      drain(pairs.toDF(), "graft_stream_dedup_near", "append")
+    }
+      // a pair can surface in several bands — collapse to one row
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("n_match")).as("n_match"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   case class Ev(user_id: Long, value: Double)
   case class UserAgg(user_id: Long, n_events: Long, max_value: Double, min_value: Double)
 

@@ -155,6 +155,56 @@ class StreamSpec extends SparkTestBase {
     assert(out === batch)
   }
 
+  test("stream_dedup_near: pairs form across micro-batches, equal the batch LSH replay") {
+    val out = StreamOps.streamDedupNear(spark, sf0001)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out.nonEmpty, "fixture must produce near-dup pairs")
+    // batch replay of the streaming state machine IN SPARK (independent
+    // of the DuckDB oracle): first-64-by-id bucket members, in-bucket
+    // pairs at >= 20/32 matching signature slots
+    graft.plans.TextKernels.register(spark)
+    graft.plans.MinHashSig.register(spark)
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val m = docs.withColumn("mh",
+      graft.plans.MinHashSig.minhashSig(
+        graft.plans.TextKernels.shingleSet(col("text"))))
+    val bm = m.select(col("doc_id"), col("mh"),
+        explode(transform(sequence(lit(0), lit(7)),
+          b => struct(b.as("band"),
+            md5(array_join(slice(col("mh"), b * 4 + 1, lit(4)), "|")).as("sig")))).as("bs"))
+      .select(col("doc_id"), col("mh"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "sig").orderBy("doc_id")))
+      .filter(col("rn") <= graft.operators.LlmOps.LshMaxBucket)
+    val nMatch = aggregate(
+      zip_with(col("a.mh"), col("c.mh"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, z) => acc + z)
+    val expect = bm.as("a").join(bm.as("c"),
+        col("a.band") === col("c.band") && col("a.sig") === col("c.sig") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
+        nMatch.as("n_match"))
+      .filter(col("n_match") >= 20)
+      .groupBy("doc_a", "doc_b").agg(max("n_match").as("n_match"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out === expect,
+      s"stream pairs != batch replay: onlyStream=${(out -- expect).take(3)} " +
+        s"onlyBatch=${(expect -- out).take(3)}")
+    // the staging splits the corpus into 4 id-ranged micro-batches;
+    // pairs spanning DIFFERENT quarters prove the LSH index lives in
+    // state across batch boundaries (18/28 pairs cross at this SF)
+    val n = docs.count()
+    val ranks = docs.select(col("doc_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+      .as[(Long, Int)].collect().toMap
+    def quarter(d: Long): Long = math.min(3L, (ranks(d) - 1L) * 4 / n)
+    assert(out.exists(p => quarter(p._1) != quarter(p._2)),
+      "no pair crossed a micro-batch boundary — state did not persist")
+  }
+
   test("stream_recovery: resume neither loses nor re-emits; idle restart is a no-op") {
     val base = StreamOps.streamRecovery(spark, sf0001).collect().toSeq
     // no duplicates: distinct ids == rows in every group
