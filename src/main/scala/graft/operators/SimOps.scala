@@ -315,15 +315,26 @@ object SimOps {
     // tested scale factors (V = 500 / 2000) on the fixed 16-cell codebook
     // the static SQL replicates; beyond it (the scale-probe regime and
     // up) the adaptive rule takes over.
-    val v = embeddings.count()
-    val cells = if (v <= 4000) 16 else math.max(16L, v / 125).toInt
     // 2 Lloyd rounds: at nprobe = 8 of 16 cells the audit measured recall
     // FLAT in codebook convergence (0.93 at rounds ∈ {2,3}; 0.97 at 1) —
     // cells only need to partition the space, not converge, so the graph
     // build pays for the cheapest non-degenerate codebook
-    val cents = kmeansCentroids(eq, k = cells, rounds = 2)
+    val cents = kmeansCentroids(eq, k = adaptiveCells(embeddings.count()), rounds = 2)
     knnGraphWithCodebook(embeddings, cents, k, nprobe)
   }
+
+  /** The cell-count rule shared by every kNN-graph codebook trainer
+    * (build, incremental maintenance, refresh): k ≈ V/125 so candidate
+    * volume stays ~V·nprobe·125 = O(V); the ≤4000 floor keeps the
+    * oracle-tested scale factors (V = 500/2000) on the fixed 16-cell
+    * codebook the static SQL replicates, and the adaptive rule takes
+    * over in the scale-probe regime and beyond. Factored out in r10
+    * after the ×10 probe caught the lifecycle entries hard-coding 16 —
+    * a fixed cell count is exactly the quadratic cliff the rule exists
+    * to prevent.
+    */
+  private[graft] def adaptiveCells(v: Long): Int =
+    if (v <= 4000) 16 else math.max(16L, v / 125).toInt
 
   /** The nprobe-nearest probe cells per source vector — exact integer
     * distances, cid tie-break; the window sorts O(cells) rows per
@@ -611,7 +622,7 @@ object SimOps {
     // ---- index build (amortized once per corpus in production) ----
     val eqC = corpusEmb
       .select(col("vec_id"), quantize1000(toVec(col("embedding"))).as("xq"))
-    val cents = kmeansCentroids(eqC, k = 16, rounds = 2)
+    val cents = kmeansCentroids(eqC, k = adaptiveCells(cutoff), rounds = 2)
     val graphDir = freshDir(sfDir, "knn_inc_graph").toString
     val asnDir = freshDir(sfDir, "knn_inc_asn").toString
     val probesDir = freshDir(sfDir, "knn_inc_probes").toString
@@ -711,17 +722,19 @@ object SimOps {
     graft.plans.VectorFunctions.register(spark)
     import graft.sources.EtlOps.freshDir
     import org.apache.spark.sql.SaveMode
-    val cutoff = (embeddings.count() * 9L) / 10L
+    val vAll = embeddings.count()
+    val cutoff = (vAll * 9L) / 10L
     val eqAll = embeddings
       .select(col("vec_id"), quantize1000(toVec(col("embedding"))).as("xq"))
     // stale index: the frozen corpus-trained codebook applied to
     // corpus + delta — exactly what incremental maintenance converges to
-    val centsFrozen = kmeansCentroids(eqAll.filter(col("vec_id") < cutoff), 16, 2)
+    val centsFrozen = kmeansCentroids(
+      eqAll.filter(col("vec_id") < cutoff), adaptiveCells(cutoff), 2)
     val staleDir = freshDir(sfDir, "knn_refresh_stale").toString
     knnGraphWithCodebook(embeddings, centsFrozen, k, nprobe)
       .write.mode(SaveMode.Overwrite).parquet(staleDir)
     // the refresh: retrain on everything, rebuild, write the new layout
-    val centsFresh = kmeansCentroids(eqAll, 16, 2)
+    val centsFresh = kmeansCentroids(eqAll, adaptiveCells(vAll), 2)
     val freshDirP = freshDir(sfDir, "knn_refresh_fresh").toString
     knnGraphWithCodebook(embeddings, centsFresh, k, nprobe)
       .write.mode(SaveMode.Overwrite).parquet(freshDirP)
