@@ -72,6 +72,10 @@ object SparkEntry {
     "graph_components_stored" -> ((s, d) =>
       GraphOps.graphComponentsStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_bfs" -> ((s, d) => GraphOps.graphBfs(orders(s, d), lineitem(s, d))),
+    "graph_betweenness" -> ((s, d) =>
+      GraphOps.graphBetweenness(orders(s, d), lineitem(s, d))),
+    "graph_betweenness_stored" -> ((s, d) =>
+      GraphOps.graphBetweennessStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_bfs_stored" -> ((s, d) =>
       GraphOps.graphBfsStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_degree_dist" -> ((s, d) => GraphOps.degreeDist(orders(s, d), lineitem(s, d))),
@@ -2295,6 +2299,8 @@ object SparkEntry {
          ORDER BY anchor""",
     // min-plus distance propagation, unrolled like the other two
     "graph_bfs" -> bfsOracleSql(6),
+    "graph_betweenness" -> betweennessOracleSql(64, 8, 6),
+    "graph_betweenness_stored" -> betweennessOracleSql(64, 8, 6),
     // identical rings served from the stored bucketed layout
     "graph_bfs_stored" -> bfsOracleSql(6),
     // same cap + same exact-percentile edge rule; each triangle counted
@@ -4899,6 +4905,59 @@ object SparkEntry {
            (SELECT 'hub' AS side, id, round(score, 6) AS score FROM h$rounds
             ORDER BY score DESC, id LIMIT 10)) u
          ORDER BY side, score DESC, id"""
+  }
+
+  /** The betweenness oracle: sampled-source Brandes unrolled — forward
+    * rings f1..fR accumulate (seed, id, dist, σ) with NOT-EXISTS
+    * settlement against the union-so-far; backward layers bR..b1 fold
+    * dependencies δ(v) = Σ σ(v)/σ(w)·(1+δ(w)) over one-ring-out
+    * successors, re-quantized to 9 per layer (mirroring the engine
+    * loop); bc = per-node Σ over seeds, rounded to 6 before the cut.
+    */
+  private def betweennessOracleSql(
+      seedMod: Int, nSeeds: Int, maxRounds: Int): String = {
+    val fwd = (1 to maxRounds).map { r =>
+      s""",
+         f$r AS MATERIALIZED (SELECT f.seed, e.dst AS id, $r AS dist,
+                 sum(f.sigma) AS sigma
+               FROM f${r - 1} f JOIN edges e ON e.src = f.id
+               WHERE NOT EXISTS (SELECT 1 FROM all${r - 1} a
+                                 WHERE a.seed = f.seed AND a.id = e.dst)
+               GROUP BY f.seed, e.dst),
+         all$r AS MATERIALIZED (SELECT * FROM all${r - 1}
+                 UNION ALL SELECT * FROM f$r)"""
+    }.mkString
+    val bwd = new StringBuilder(s""",
+         b$maxRounds AS MATERIALIZED (SELECT seed, id, 0.0 AS delta
+                 FROM all$maxRounds WHERE dist = $maxRounds)""")
+    for (r <- (maxRounds - 1) to 1 by -1) {
+      bwd.append(s""",
+         w$r AS MATERIALIZED (SELECT b.seed, e.src AS vid,
+                 (1 + b.delta) / a.sigma AS wterm
+               FROM b${r + 1} b
+               JOIN all$maxRounds a ON a.seed = b.seed AND a.id = b.id
+                 AND a.dist = ${r + 1}
+               JOIN edges e ON e.dst = b.id),
+         b$r AS MATERIALIZED (
+               SELECT v.seed, v.id,
+                 round(coalesce(sum(v.sigma * w.wterm), 0), 9) AS delta
+               FROM (SELECT * FROM all$maxRounds WHERE dist = $r) v
+               LEFT JOIN w$r w ON w.seed = v.seed AND w.vid = v.id
+               GROUP BY v.seed, v.id
+               UNION ALL SELECT seed, id, delta FROM b${r + 1})""")
+    }
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS MATERIALIZED (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
+                   UNION ALL SELECT supp * 2 + 1, cust * 2 FROM pairs),
+         nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+         seeds AS MATERIALIZED (SELECT id AS seed FROM nodes
+                 WHERE id % $seedMod = 0 ORDER BY id LIMIT $nSeeds),
+         f0 AS (SELECT seed, seed AS id, 0 AS dist, 1::BIGINT AS sigma FROM seeds),
+         all0 AS MATERIALIZED (SELECT * FROM f0)$fwd${bwd.toString}
+         SELECT id AS node_id, round(sum(delta), 6) AS bc
+         FROM b1 WHERE id NOT IN (SELECT seed FROM seeds)
+         GROUP BY id ORDER BY bc DESC, node_id LIMIT 50"""
   }
 
   /** The BFS oracle: d0 seeds the id%64 sources at distance 0 and every

@@ -429,6 +429,114 @@ object GraphOps {
       .orderBy("hops")
   }
 
+  /** BETWEENNESS centrality, sampled-source Brandes — the shortest-path
+    * centrality kernel (bridge/broker detection: which suppliers sit on
+    * the paths between market segments). Exact betweenness is O(V·E)
+    * and cannot ship at 100 TB; the standard estimator (Brandes 2001 §4
+    * pivots) runs the two-phase pass from a FIXED sample of sources and
+    * sums their dependency contributions — O(k·E) with k constant, so
+    * the cost scales with the corpus, not corpus², and the sample size
+    * is an explicit precision dial. Sources here are the `nSeeds`
+    * smallest ids ≡ 0 (mod `seedMod`) — deterministic, and the same
+    * id-class the BFS entry seeds, so the two entries share their scan
+    * pattern. Hops are bounded by `maxRounds` (the graphBfs
+    * "within-N-hops" semantics; the trade graph's diameter fits).
+    *
+    * Phase 1 (forward): per (seed, node), BFS distance and the
+    * shortest-path COUNT σ — σ is a sum over predecessor-frontier
+    * σ values, integer-exact, accumulated per ring with a left-anti
+    * join against the settled set (state is k·V rows, k constant).
+    * Phase 2 (backward): dependencies δ accumulate ring by ring from
+    * the deepest layer — δ(v) = Σ_w σ(v)/σ(w)·(1+δ(w)) over v's
+    * successors w one ring out; each layer is one edge join + one
+    * aggregate, and δ is RE-QUANTIZED to 9 decimals per layer on both
+    * engines (the HITS float-fixpoint discipline), so the layered sums
+    * can never diverge on ulps. Betweenness(v) = Σ_seeds δ_seed(v),
+    * rounded to 6 BEFORE the top-50 cut (round-before-cut). The oracle
+    * unrolls both phases as CTE chains — forward rings with NOT EXISTS
+    * settlement, backward layers from maxRounds down.
+    */
+  def graphBetweenness(orders: DataFrame, lineitem: DataFrame,
+      seedMod: Int = 64, nSeeds: Int = 8, maxRounds: Int = 6): DataFrame = {
+    val (adj, nodes, _) = buildGraph(orders, lineitem)
+    betweennessOf(adj, nodes, seedMod, nSeeds, maxRounds)
+  }
+
+  /** Betweenness served from the stored bucketed adjacency — the new
+    * family member keeps the invariant that EVERY iterative algorithm
+    * has a loop-only serving path off the one layout (same oracle as
+    * graph_betweenness).
+    */
+  def graphBetweennessStored(
+      spark: org.apache.spark.sql.SparkSession,
+      orders: DataFrame, lineitem: DataFrame, sfDir: String,
+      seedMod: Int = 64, nSeeds: Int = 8, maxRounds: Int = 6): DataFrame = {
+    val name = ensureAdjacencyTable(spark, orders, lineitem, sfDir)
+    val adj = spark.table(name).persist()
+    val nodes = adj.select(col("src").as("id")).distinct()
+    betweennessOf(adj, nodes, seedMod, nSeeds, maxRounds)
+  }
+
+  private def betweennessOf(adj: DataFrame, nodes: DataFrame,
+      seedMod: Int, nSeeds: Int, maxRounds: Int): DataFrame = {
+    val seeds = nodes.filter(col("id") % seedMod === 0)
+      .orderBy("id").limit(nSeeds).select(col("id").as("seed"))
+      .localCheckpoint()
+    // ---- forward: (seed, id, dist, sigma) rings ----
+    var all = seeds.select(col("seed"), col("seed").as("id"),
+      lit(0).as("dist"), lit(1L).as("sigma")).localCheckpoint()
+    var frontier = all
+    var r = 0
+    var exhausted = false
+    while (r < maxRounds && !exhausted) {
+      r += 1
+      val expanded = adj.join(frontier, col("src") === col("id"))
+        .select(col("seed"), explode(col("dsts")).as("nid"), col("sigma"))
+        .groupBy(col("seed"), col("nid"))
+        .agg(sum(col("sigma")).as("sigma"))
+      val settled = all.select(col("seed").as("s2"), col("id").as("n2"))
+      val ring = expanded.join(settled,
+          col("seed") === col("s2") && col("nid") === col("n2"), "left_anti")
+        .select(col("seed"), col("nid").as("id"), lit(r).as("dist"), col("sigma"))
+        .localCheckpoint()
+      if (ring.isEmpty) exhausted = true // graph ran out before the hop bound
+      else { all = all.unionByName(ring).localCheckpoint(); frontier = ring }
+    }
+    // ---- backward: dependency layers from the deepest ring in ----
+    val deepest = r // rings beyond the last non-empty one are vacuous
+    var layerAbove = all.filter(col("dist") === deepest)
+      .select(col("seed"), col("id"), lit(0.0).as("delta")).localCheckpoint()
+    var acc = layerAbove
+    val edges = adj.select(col("src"), explode(col("dsts")).as("dst"))
+    for (layer <- (deepest - 1) to 1 by -1) {
+      val wterm = layerAbove
+        .join(all.filter(col("dist") === layer + 1)
+          .select(col("seed"), col("id"), col("sigma").as("wsigma")),
+          Seq("seed", "id"))
+        .select(col("seed"), col("id").as("wid"),
+          ((lit(1.0) + col("delta")) / col("wsigma")).as("wterm"))
+      val contrib = edges.join(wterm, col("dst") === col("wid"))
+        .select(col("seed"), col("src").as("id"), col("wterm"))
+      val layerR = all.filter(col("dist") === layer)
+        .select(col("seed"), col("id"), col("sigma"))
+        .join(contrib, Seq("seed", "id"), "left")
+        .groupBy(col("seed"), col("id"))
+        .agg(round(coalesce(sum(col("sigma") * col("wterm")), lit(0.0)), 9)
+          .as("delta"))
+        .localCheckpoint()
+      acc = acc.unionByName(layerR)
+      layerAbove = layerR
+    }
+    adj.unpersist()
+    acc
+      .join(seeds.select(col("seed").as("seed_id")),
+        col("id") === col("seed_id"), "left_anti")
+      .groupBy(col("id").as("node_id"))
+      .agg(round(sum(col("delta")), 6).as("bc"))
+      .orderBy(col("bc").desc, col("node_id"))
+      .limit(50)
+  }
+
   /** Triangle counting over the supplier co-purchase graph — the second
     * classic iterative-analytics kernel (community density, spam/fraud
     * motifs) and a deliberately DIFFERENT join shape from PageRank: not a

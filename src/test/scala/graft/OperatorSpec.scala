@@ -362,6 +362,22 @@ class OperatorSpec extends SparkTestBase {
       "conv census must equal the fixed-round census (fixpoint invariance)")
   }
 
+  test("graph_betweenness: analytic Brandes dependencies on a path graph, both endpoints sampled") {
+    // path 64—3—66—5—128 (customers 32,33,64 → ids 64,66,128; suppliers
+    // 1,2 → ids 3,5); seeds = ids ≡ 0 mod 64 = {64, 128}, the two
+    // endpoints. All σ = 1, so dependencies are pure path-counting:
+    // from 64: δ(3)=3, δ(66)=2, δ(5)=1; from 128 the mirror — every
+    // interior node's betweenness is exactly 4, ties cut by id.
+    val orders = Seq((1L, 32L), (2L, 33L), (3L, 33L), (4L, 64L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.graphBetweenness(orders, lineitem).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq === Seq((3L, 4.0), (5L, 4.0), (66L, 4.0)),
+      s"got ${out.toSeq}")
+  }
+
   test("graph_hits_conv: immediate fixpoint exits at the minimum round, real data exits data-dependently") {
     // single customer → two suppliers: the authority vector is uniform
     // from round 1 (both suppliers receive the only hub's score), so
