@@ -482,10 +482,15 @@ object GraphOps {
     val seeds = nodes.filter(col("id") % seedMod === 0)
       .orderBy("id").limit(nSeeds).select(col("id").as("seed"))
       .localCheckpoint()
-    // ---- forward: (seed, id, dist, sigma) rings ----
-    var all = seeds.select(col("seed"), col("seed").as("id"),
+    // ---- forward: (seed, id, dist, sigma) rings, each checkpointed
+    // and kept ADDRESSABLE by distance — the backward phase reads
+    // exactly one ring per side of each layer join, so filtering a
+    // growing union would rescan every ring at every layer ----
+    val rings = scala.collection.mutable.Map[Int, DataFrame]()
+    rings(0) = seeds.select(col("seed"), col("seed").as("id"),
       lit(0).as("dist"), lit(1L).as("sigma")).localCheckpoint()
-    var frontier = all
+    var all = rings(0)
+    var frontier = rings(0)
     var r = 0
     var exhausted = false
     while (r < maxRounds && !exhausted) {
@@ -495,29 +500,41 @@ object GraphOps {
         .groupBy(col("seed"), col("nid"))
         .agg(sum(col("sigma")).as("sigma"))
       val settled = all.select(col("seed").as("s2"), col("id").as("n2"))
+      val obs = org.apache.spark.sql.Observation(s"btw_ring_$r")
       val ring = expanded.join(settled,
           col("seed") === col("s2") && col("nid") === col("n2"), "left_anti")
         .select(col("seed"), col("nid").as("id"), lit(r).as("dist"), col("sigma"))
+        .observe(obs, count(lit(1)).as("n")) // ring size rides the checkpoint
         .localCheckpoint()
-      if (ring.isEmpty) exhausted = true // graph ran out before the hop bound
-      else { all = all.unionByName(ring).localCheckpoint(); frontier = ring }
+      if (obs.get("n").asInstanceOf[Long] == 0L) {
+        exhausted = true // graph ran out before the hop bound
+      } else {
+        rings(r) = ring
+        // lazy union of per-ring checkpoints: each piece is already
+        // materialized; re-checkpointing the growing union would
+        // re-write all prior rings every round
+        all = all.unionByName(ring)
+        frontier = ring
+      }
     }
     // ---- backward: dependency layers from the deepest ring in ----
-    val deepest = r // rings beyond the last non-empty one are vacuous
-    var layerAbove = all.filter(col("dist") === deepest)
+    val deepest = if (exhausted) r - 1 else r
+    var layerAbove = rings(deepest)
       .select(col("seed"), col("id"), lit(0.0).as("delta")).localCheckpoint()
     var acc = layerAbove
+    // the O(E) edge fan-out feeds every layer join: materialize it once
     val edges = adj.select(col("src"), explode(col("dsts")).as("dst"))
+      .localCheckpoint()
     for (layer <- (deepest - 1) to 1 by -1) {
       val wterm = layerAbove
-        .join(all.filter(col("dist") === layer + 1)
+        .join(rings(layer + 1)
           .select(col("seed"), col("id"), col("sigma").as("wsigma")),
           Seq("seed", "id"))
         .select(col("seed"), col("id").as("wid"),
           ((lit(1.0) + col("delta")) / col("wsigma")).as("wterm"))
       val contrib = edges.join(wterm, col("dst") === col("wid"))
         .select(col("seed"), col("src").as("id"), col("wterm"))
-      val layerR = all.filter(col("dist") === layer)
+      val layerR = rings(layer)
         .select(col("seed"), col("id"), col("sigma"))
         .join(contrib, Seq("seed", "id"), "left")
         .groupBy(col("seed"), col("id"))
