@@ -109,6 +109,7 @@ object Bench {
     // refresh (two batch builds + drift audit) as first-class gates
     "sink_knn_graph_incremental",
     "sink_knn_graph_refresh",
+    "stream_dedup_near",    // r10: LSH index as streaming state
   )
 
   def main(args: Array[String]): Unit = {
