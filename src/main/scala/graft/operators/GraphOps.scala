@@ -149,6 +149,19 @@ object GraphOps {
     finish(ranks)
   }
 
+  /** Driver-side replica of Spark's `round(x, 9)` for an observed
+    * residual metric — the convergence loops compare their exit metric
+    * against tol on the DRIVER, so the rounding must match what the
+    * oracle's SQL `round(..., 9)` computed (BigDecimal HALF_UP over
+    * the double's shortest decimal form, which is exactly Spark's
+    * Round semantics). One definition so the pagerank/HITS exit-parity
+    * discipline cannot drift apart.
+    */
+  private def observedResidual9(
+      obs: org.apache.spark.sql.Observation, key: String): Double =
+    BigDecimal(obs.get(key).asInstanceOf[Double])
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** One superstep over the adjacency table, exposed for the PlanSpec
     * pin: join the rank vector on src (co-located against the cached
     * adjacency partitioning when the rank side arrives aligned), fan
@@ -233,8 +246,7 @@ object GraphOps {
         .select(col("id"), col("rank"), abs(col("rank") - col("prev")).as("dr"))
         .observe(obs, coalesce(sum(col("dr")), lit(0.0)).as("d"))
         .localCheckpoint()
-      val delta = BigDecimal(obs.get("d").asInstanceOf[Double])
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val delta = observedResidual9(obs, "d")
       ranks = next.select(col("id"), col("rank"))
       if (delta < tol) exitRound = r
     }
@@ -897,8 +909,7 @@ object GraphOps {
             abs(col("score") - col("prev")).as("dr"))
           .observe(obs, coalesce(sum(col("dr")), lit(0.0)).as("d"))
           .localCheckpoint()
-        val delta = BigDecimal(obs.get("d").asInstanceOf[Double])
-          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val delta = observedResidual9(obs, "d")
         a = next.select(col("id"), col("score"))
         if (delta < tol) exitRound = r
       }

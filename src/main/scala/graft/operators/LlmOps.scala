@@ -71,6 +71,22 @@ object LlmOps {
     */
   private[graft] val LshMaxBucket = 64
 
+  /** The LSH band fan-out (8 bands × 4 signature rows, md5 bucket key)
+    * over a 32-slot minhash column — ONE definition shared by the batch
+    * entries, the streaming near-dup state machine, and the spec replay,
+    * because the DuckDB side shares one `nearDupBandCtes` too: band
+    * geometry changed in one engine copy but not another would silently
+    * desynchronize an entry from its oracle. Explodes to rows of
+    * struct(band, sig).
+    */
+  private[graft] def lshBands(mh: Column): Column =
+    explode(
+      transform(
+        sequence(lit(0), lit(7)),
+        b => struct(
+          b.as("band"),
+          md5(array_join(slice(mh, b * 4 + 1, lit(4)), "|")).as("sig"))))
+
   /** Near-duplicate pairs via MinHash + LSH banding (8 bands × 4 rows over
     * the 32-value signature), exact-Jaccard-verified at ≥ 0.6.
     * Candidates come ONLY from the (band, sig) bucket equi-join — never a
@@ -120,14 +136,7 @@ object LlmOps {
     // materialized (doc_id, sh) table from every downstream branch
     val withSh = if (pruned) shingled.localCheckpoint(eager = false) else shingled
     val withSig = withSh.withColumn("mh", minhashSig(col("sh")))
-    val bands = withSig.select(
-      col("doc_id"),
-      explode(
-        transform(
-          sequence(lit(0), lit(7)),
-          b => struct(
-            b.as("band"),
-            md5(array_join(slice(col("mh"), b * 4 + 1, lit(4)), "|")).as("sig")))).as("bs"))
+    val bands = withSig.select(col("doc_id"), lshBands(col("mh")).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     // Bucket members via ONE aggregation on (band, sig) — a self-join would
     // evaluate the (CPU-heavy) signature pipeline once per side; this shape
@@ -264,10 +273,7 @@ object LlmOps {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val bands = spread
       .withColumn("mh", minhashSig(shingleSet(col("text"))))
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(0), lit(7)),
-          b => struct(b.as("band"),
-            md5(array_join(slice(col("mh"), b * 4 + 1, lit(4)), "|")).as("sig")))).as("bs"))
+      .select(col("doc_id"), lshBands(col("mh")).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     // index build (amortized in production): corpus buckets, capped
     bands.filter(!isDelta)

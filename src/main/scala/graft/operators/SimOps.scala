@@ -603,7 +603,7 @@ object SimOps {
   private[graft] def knnGraphIncrementalEdges(
       spark: org.apache.spark.sql.SparkSession,
       embeddings: DataFrame, sfDir: String,
-      k: Int = 3, nprobe: Int = 8): (DataFrame, DataFrame, DataFrame) = {
+      k: Int = 3, nprobe: Int = 8): (DataFrame, DataFrame, DataFrame, Long) = {
     graft.plans.VectorFunctions.register(spark)
     import graft.sources.EtlOps.freshDir
     import org.apache.spark.sql.SaveMode
@@ -672,7 +672,7 @@ object SimOps {
     val updated = graft.plans.TopKOps.topKPerGroup(
       stored.unionByName(sym).distinct(),
       Seq("src"), Seq(("cos", false), ("dst", true)), k)
-    (cd, stored, updated)
+    (cd, stored, updated, cutoff)
   }
 
   /** The registry entry: run the incremental maintenance and audit the
@@ -682,8 +682,7 @@ object SimOps {
   def sinkKnnGraphIncremental(
       spark: org.apache.spark.sql.SparkSession,
       embeddings: DataFrame, sfDir: String): DataFrame = {
-    val cutoff = (embeddings.count() * 9L) / 10L
-    val (_, _, updated) = knnGraphIncrementalEdges(spark, embeddings, sfDir)
+    val (_, _, updated, cutoff) = knnGraphIncrementalEdges(spark, embeddings, sfDir)
     updated
       .groupBy((col("src") % 8).as("bucket"))
       .agg(

@@ -265,7 +265,16 @@ object StreamOps {
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
         .findFirst().get()
-      Files.copy(part, srcDir.resolve(s"quarter-$i.parquet"))
+      val staged = srcDir.resolve(s"quarter-$i.parquet")
+      Files.copy(part, staged)
+      // FileStreamSource orders pending files by modification time with
+      // ties in undefined listing order; quick successive copies land on
+      // the same millisecond, which would let a later quarter ingest
+      // first and break the arrival-order-=-id-order contract the cap
+      // semantics (and the oracle's rank-by-id replay) depend on. Stamp
+      // strictly increasing mtimes so the order is pinned, not lucky.
+      Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
     }
     val schema = docs.schema
     val banded = spark.readStream.schema(schema)
@@ -274,9 +283,7 @@ object StreamOps {
         graft.plans.MinHashSig.minhashSig(
           graft.plans.TextKernels.shingleSet(col("text"))))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(7)),
-          b => struct(b.as("band"),
-            md5(array_join(slice(col("mh"), b * 4 + 1, lit(4)), "|")).as("sig")))).as("bs"),
+        graft.operators.LlmOps.lshBands(col("mh")).as("bs"),
         col("mh"))
       .select(
         concat(col("bs.band").cast("string"), lit("|"), col("bs.sig")).as("bkey"),

@@ -624,7 +624,7 @@ class LlmSpec extends SparkTestBase {
   test("sink_knn_graph_incremental: O(delta) candidates, batch identity, unaffected rows pass through") {
     val embs = Tables.embeddings(spark, sf0001)
     val cutoff = (embs.count() * 9L) / 10L
-    val (cand, stored, updated) =
+    val (cand, stored, updated, _) =
       operators.SimOps.knnGraphIncrementalEdges(spark, embs, sf0001)
     // O(delta): every ingest candidate has a delta endpoint by
     // construction — the ingest never generates corpus-corpus work

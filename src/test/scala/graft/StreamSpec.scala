@@ -169,9 +169,7 @@ class StreamSpec extends SparkTestBase {
       graft.plans.MinHashSig.minhashSig(
         graft.plans.TextKernels.shingleSet(col("text"))))
     val bm = m.select(col("doc_id"), col("mh"),
-        explode(transform(sequence(lit(0), lit(7)),
-          b => struct(b.as("band"),
-            md5(array_join(slice(col("mh"), b * 4 + 1, lit(4)), "|")).as("sig")))).as("bs"))
+        graft.operators.LlmOps.lshBands(col("mh")).as("bs"))
       .select(col("doc_id"), col("mh"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
