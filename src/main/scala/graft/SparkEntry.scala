@@ -76,6 +76,8 @@ object SparkEntry {
       GraphOps.graphBetweenness(orders(s, d), lineitem(s, d))),
     "graph_betweenness_stored" -> ((s, d) =>
       GraphOps.graphBetweennessStored(s, orders(s, d), lineitem(s, d), d)),
+    "graph_closeness" -> ((s, d) =>
+      GraphOps.graphCloseness(orders(s, d), lineitem(s, d))),
     "graph_bfs_stored" -> ((s, d) =>
       GraphOps.graphBfsStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_degree_dist" -> ((s, d) => GraphOps.degreeDist(orders(s, d), lineitem(s, d))),
@@ -2301,6 +2303,7 @@ object SparkEntry {
     "graph_bfs" -> bfsOracleSql(6),
     "graph_betweenness" -> betweennessOracleSql(64, 8, 6),
     "graph_betweenness_stored" -> betweennessOracleSql(64, 8, 6),
+    "graph_closeness" -> closenessOracleSql(64, 8, 6),
     // identical rings served from the stored bucketed layout
     "graph_bfs_stored" -> bfsOracleSql(6),
     // same cap + same exact-percentile edge rule; each triangle counted
@@ -4958,6 +4961,38 @@ object SparkEntry {
          SELECT id AS node_id, round(sum(delta), 6) AS bc
          FROM b1 WHERE id NOT IN (SELECT seed FROM seeds)
          GROUP BY id ORDER BY bc DESC, node_id LIMIT 50"""
+  }
+
+  /** The harmonic-closeness oracle: the betweenness forward chain
+    * (rings with NOT-EXISTS settlement), then Σ 1/dist per node over
+    * dist ≥ 1 plus the reaching-seed count.
+    */
+  private def closenessOracleSql(
+      seedMod: Int, nSeeds: Int, maxRounds: Int): String = {
+    val fwd = (1 to maxRounds).map { r =>
+      s""",
+         f$r AS MATERIALIZED (SELECT f.seed, e.dst AS id, $r AS dist,
+                 sum(f.sigma) AS sigma
+               FROM f${r - 1} f JOIN edges e ON e.src = f.id
+               WHERE NOT EXISTS (SELECT 1 FROM all${r - 1} a
+                                 WHERE a.seed = f.seed AND a.id = e.dst)
+               GROUP BY f.seed, e.dst),
+         all$r AS MATERIALIZED (SELECT * FROM all${r - 1}
+                 UNION ALL SELECT * FROM f$r)"""
+    }.mkString
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS MATERIALIZED (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
+                   UNION ALL SELECT supp * 2 + 1, cust * 2 FROM pairs),
+         nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+         seeds AS MATERIALIZED (SELECT id AS seed FROM nodes
+                 WHERE id % $seedMod = 0 ORDER BY id LIMIT $nSeeds),
+         f0 AS (SELECT seed, seed AS id, 0 AS dist, 1::BIGINT AS sigma FROM seeds),
+         all0 AS MATERIALIZED (SELECT * FROM f0)$fwd
+         SELECT id AS node_id, round(sum(1.0 / dist), 6) AS closeness,
+           count(*) AS n_reach
+         FROM all$maxRounds WHERE dist >= 1
+         GROUP BY id ORDER BY closeness DESC, node_id LIMIT 50"""
   }
 
   /** The BFS oracle: d0 seeds the id%64 sources at distance 0 and every

@@ -489,15 +489,48 @@ object GraphOps {
     betweennessOf(adj, nodes, seedMod, nSeeds, maxRounds)
   }
 
-  private def betweennessOf(adj: DataFrame, nodes: DataFrame,
-      seedMod: Int, nSeeds: Int, maxRounds: Int): DataFrame = {
+  /** HARMONIC closeness centrality from the sampled seeds — the other
+    * classic shortest-path centrality, sharing `forwardRings` with
+    * betweenness (one machinery, two centralities): C(v) = Σ_seeds
+    * 1/d(seed, v) over the seeds that reach v within the hop bound
+    * (harmonic rather than classic closeness because it is
+    * well-defined under partial reachability — unreached seeds
+    * contribute 0, no infinite-distance special case). `n_reach`
+    * (how many sampled seeds reach v) rides along as the estimator's
+    * per-node confidence audit. Same estimator economics as
+    * betweenness: O(k·E), k the precision dial.
+    */
+  def graphCloseness(orders: DataFrame, lineitem: DataFrame,
+      seedMod: Int = 64, nSeeds: Int = 8, maxRounds: Int = 6): DataFrame = {
+    val (adj, nodes, _) = buildGraph(orders, lineitem)
+    val (rings, deepest, _) =
+      forwardRings(adj, nodes, seedMod, nSeeds, maxRounds)
+    adj.unpersist()
+    if (deepest == 0) // seeds have no edges: nothing is reached
+      return rings(0).select(col("id").as("node_id"),
+        lit(0.0).as("closeness"), lit(0L).as("n_reach")).limit(0)
+    val reached = (1 to deepest).map(rings(_)).reduce(_ unionByName _)
+    reached
+      .groupBy(col("id").as("node_id"))
+      .agg(
+        round(sum(lit(1.0) / col("dist")), 6).as("closeness"),
+        count(lit(1)).as("n_reach"))
+      .orderBy(col("closeness").desc, col("node_id"))
+      .limit(50)
+  }
+
+  /** The forward phase shared by every sampled-seed path algorithm
+    * (betweenness' σ-counting pass and harmonic closeness): per
+    * (seed, node) BFS distance + shortest-path count, rings settled by
+    * anti-join, each ring checkpointed and ADDRESSABLE by distance.
+    * Returns (rings by distance, deepest non-empty distance, seeds).
+    */
+  private def forwardRings(adj: DataFrame, nodes: DataFrame,
+      seedMod: Int, nSeeds: Int, maxRounds: Int)
+      : (scala.collection.mutable.Map[Int, DataFrame], Int, DataFrame) = {
     val seeds = nodes.filter(col("id") % seedMod === 0)
       .orderBy("id").limit(nSeeds).select(col("id").as("seed"))
       .localCheckpoint()
-    // ---- forward: (seed, id, dist, sigma) rings, each checkpointed
-    // and kept ADDRESSABLE by distance — the backward phase reads
-    // exactly one ring per side of each layer join, so filtering a
-    // growing union would rescan every ring at every layer ----
     val rings = scala.collection.mutable.Map[Int, DataFrame]()
     rings(0) = seeds.select(col("seed"), col("seed").as("id"),
       lit(0).as("dist"), lit(1L).as("sigma")).localCheckpoint()
@@ -529,8 +562,14 @@ object GraphOps {
         frontier = ring
       }
     }
+    (rings, if (exhausted) r - 1 else r, seeds)
+  }
+
+  private def betweennessOf(adj: DataFrame, nodes: DataFrame,
+      seedMod: Int, nSeeds: Int, maxRounds: Int): DataFrame = {
+    val (rings, deepest, seeds) =
+      forwardRings(adj, nodes, seedMod, nSeeds, maxRounds)
     // ---- backward: dependency layers from the deepest ring in ----
-    val deepest = if (exhausted) r - 1 else r
     var layerAbove = rings(deepest)
       .select(col("seed"), col("id"), lit(0.0).as("delta")).localCheckpoint()
     var acc = layerAbove

@@ -376,6 +376,14 @@ class OperatorSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(out.toSeq === Seq((3L, 4.0), (5L, 4.0), (66L, 4.0)),
       s"got ${out.toSeq}")
+    // harmonic closeness over the same path and seeds: interior nodes
+    // sum 1/d from both ends (3: 1+1/3; 66: 1/2+1/2; 5: 1/3+1); each
+    // seed is reached only by the other, four hops away (1/4)
+    val cl = GraphOps.graphCloseness(orders, lineitem).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(cl.toSeq === Seq(
+      (3L, 1.333333, 2L), (5L, 1.333333, 2L), (66L, 1.0, 2L),
+      (64L, 0.25, 1L), (128L, 0.25, 1L)), s"got ${cl.toSeq}")
   }
 
   test("graph_hits_conv: immediate fixpoint exits at the minimum round, real data exits data-dependently") {
