@@ -78,6 +78,8 @@ object SparkEntry {
       GraphOps.graphBetweennessStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_closeness" -> ((s, d) =>
       GraphOps.graphCloseness(orders(s, d), lineitem(s, d))),
+    "graph_closeness_stored" -> ((s, d) =>
+      GraphOps.graphClosenessStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_bfs_stored" -> ((s, d) =>
       GraphOps.graphBfsStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_degree_dist" -> ((s, d) => GraphOps.degreeDist(orders(s, d), lineitem(s, d))),
@@ -2304,6 +2306,7 @@ object SparkEntry {
     "graph_betweenness" -> betweennessOracleSql(64, 8, 6),
     "graph_betweenness_stored" -> betweennessOracleSql(64, 8, 6),
     "graph_closeness" -> closenessOracleSql(64, 8, 6),
+    "graph_closeness_stored" -> closenessOracleSql(64, 8, 6),
     // identical rings served from the stored bucketed layout
     "graph_bfs_stored" -> bfsOracleSql(6),
     // same cap + same exact-percentile edge rule; each triangle counted

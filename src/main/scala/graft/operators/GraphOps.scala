@@ -503,6 +503,24 @@ object GraphOps {
   def graphCloseness(orders: DataFrame, lineitem: DataFrame,
       seedMod: Int = 64, nSeeds: Int = 8, maxRounds: Int = 6): DataFrame = {
     val (adj, nodes, _) = buildGraph(orders, lineitem)
+    closenessOf(adj, nodes, seedMod, nSeeds, maxRounds)
+  }
+
+  /** Closeness served from the stored bucketed adjacency — same oracle
+    * as graph_closeness (the stored-serving invariant).
+    */
+  def graphClosenessStored(
+      spark: org.apache.spark.sql.SparkSession,
+      orders: DataFrame, lineitem: DataFrame, sfDir: String,
+      seedMod: Int = 64, nSeeds: Int = 8, maxRounds: Int = 6): DataFrame = {
+    val name = ensureAdjacencyTable(spark, orders, lineitem, sfDir)
+    val adj = spark.table(name).persist()
+    val nodes = adj.select(col("src").as("id")).distinct()
+    closenessOf(adj, nodes, seedMod, nSeeds, maxRounds)
+  }
+
+  private def closenessOf(adj: DataFrame, nodes: DataFrame,
+      seedMod: Int, nSeeds: Int, maxRounds: Int): DataFrame = {
     val (rings, deepest, _) =
       forwardRings(adj, nodes, seedMod, nSeeds, maxRounds)
     adj.unpersist()
