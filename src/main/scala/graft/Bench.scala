@@ -104,6 +104,7 @@ object Bench {
     "graph_pagerank_conv",
     "graph_components_conv",
     "graph_hits_conv",      // r10: residual-watched HITS (exits before fixed-6)
+    "graph_label_prop_conv", // r10: period-2 orbit detection (bipartite LPA)
     // Round-10: the stored kNN graph's lifecycle ops — ingest-path
     // incremental maintenance (O(delta)) and the periodic codebook
     // refresh (two batch builds + drift audit) as first-class gates

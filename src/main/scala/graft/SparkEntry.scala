@@ -86,6 +86,8 @@ object SparkEntry {
     "graph_assortativity" ->
       ((s, d) => GraphOps.graphAssortativity(orders(s, d), lineitem(s, d))),
     "graph_label_prop" -> ((s, d) => GraphOps.graphLabelProp(orders(s, d), lineitem(s, d))),
+    "graph_label_prop_conv" -> ((s, d) =>
+      GraphOps.graphLabelPropConv(orders(s, d), lineitem(s, d))),
     "graph_label_prop_stored" -> ((s, d) =>
       GraphOps.graphLabelPropStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_modularity" -> ((s, d) => GraphOps.graphModularity(orders(s, d), lineitem(s, d))),
@@ -2149,6 +2151,7 @@ object SparkEntry {
     "graph_components_stored" -> componentsOracleSql(8),
     // mode-of-neighbors with smallest-label tie-break, unrolled rounds
     "graph_label_prop" -> labelPropOracleSql(4),
+    "graph_label_prop_conv" -> labelPropConvOracleSql(10),
     // Pearson over endpoint degrees — exact integer sums, fixed-order
     // closed form (bipartite graphs are disassortative by construction)
     "graph_assortativity" ->
@@ -4780,6 +4783,37 @@ object SparkEntry {
     s"""${lpaCtes(rounds)}
          SELECT label AS community, count(*) AS n_nodes, min(id) AS min_node
          FROM l$rounds GROUP BY label ORDER BY community"""
+
+  /** The LPA CONVERGENCE oracle: the same unrolled vote CTEs, a
+    * per-round labels(i)≠labels(i−2) count beside each (synchronous LPA
+    * on the bipartite trade graph settles into a period-2 ORBIT, never
+    * a fixpoint — GraphOps.graphLabelPropConv), the exit round derived
+    * in SQL as the first zero, and the census taken over the EXIT
+    * round's labels selected from the union of all rounds — the
+    * early-exit dynamics themselves are what's checked.
+    */
+  private def labelPropConvOracleSql(maxRounds: Int): String = {
+    val orbit = (2 to maxRounds).map { i =>
+      s""",
+         c$i AS MATERIALIZED (SELECT count(*) AS chg
+                 FROM l$i a JOIN l${i - 2} b USING (id)
+                 WHERE a.label <> b.label)"""
+    }.mkString
+    val rr = (2 to maxRounds)
+      .map(i => s"SELECT $i AS r, (SELECT chg FROM c$i) AS chg")
+      .mkString(" UNION ALL ")
+    val allR = (1 to maxRounds)
+      .map(i => s"SELECT $i AS r, id, label FROM l$i")
+      .mkString(" UNION ALL ")
+    s"""${lpaCtes(maxRounds)}$orbit,
+         rr AS ($rr),
+         ex AS (SELECT CAST(min(r) AS BIGINT) AS er FROM rr WHERE chg = 0),
+         allr AS ($allR)
+         SELECT label AS community, count(*) AS n_nodes, min(id) AS min_node,
+           (SELECT er FROM ex) AS exit_round
+         FROM allr WHERE r = (SELECT er FROM ex)
+         GROUP BY label ORDER BY community"""
+  }
 
   /** Modularity over the LPA labels: integer (intra, degree-mass) sums
     * per community, 2m recovered from the community table, fixed-order

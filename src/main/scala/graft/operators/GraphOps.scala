@@ -761,6 +761,21 @@ object GraphOps {
     labelPropLoop(adj, nodes, rounds)
   }
 
+  /** ONE synchronous mode-vote round: grouped in-neighbor label counts
+    * topped by max(struct(count, -label)) — the mode with smallest-label
+    * tie-break, one aggregate chain, no per-round window sort. Shared by
+    * the fixed-round loop and the convergence-detected form so the vote
+    * semantics cannot drift apart.
+    */
+  private def lpaVote(adj: DataFrame, labels: DataFrame): DataFrame =
+    adj.join(labels, col("src") === col("id"))
+      .select(explode(col("dsts")).as("nid"), col("label").as("nl"))
+      .groupBy(col("nid"), col("nl"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("nid"))
+      .agg(max(struct(col("c"), (-col("nl")).as("negl"))).as("t"))
+      .select(col("nid").as("id"), (-col("t.negl")).as("label"))
+
   /** The mode-vote loop alone — returns the final (id, label) frame;
     * shared by the census entries and the modularity scorer. The caller
     * owns the adjacency handle (unpersist after its last consumer).
@@ -769,18 +784,9 @@ object GraphOps {
       adj: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
     for (r <- 1 to rounds) {
-      val votes = adj.join(labels, col("src") === col("id"))
-        .select(explode(col("dsts")).as("nid"), col("label").as("nl"))
-        .groupBy(col("nid"), col("nl"))
-        .agg(count(lit(1)).as("c"))
-      // top-1 label per node: max over (count, -label) — one aggregate,
-      // no per-round window sort; -label inverts the tie to "smallest"
-      val top = votes.groupBy(col("nid"))
-        .agg(max(struct(col("c"), (-col("nl")).as("negl"))).as("t"))
-        .select(col("nid").as("id"), (-col("t.negl")).as("label"))
       // bidirectional edges ⇒ every node has in-neighbors ⇒ inner join
       // back covers all of them (the componentsLoop invariant)
-      labels = labels.select("id").join(top, "id")
+      labels = labels.select("id").join(lpaVote(adj, labels), "id")
       // per-ROUND checkpoint: `labels` has TWO consumers per round (the
       // vote join above and the alignment join back), so a lazy round
       // re-pays the whole two-aggregation vote chain per consumer — the
@@ -802,6 +808,73 @@ object GraphOps {
     labels
       .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_node"))
+      .orderBy("community")
+  }
+
+  /** Label propagation with CONVERGENCE-DETECTED early exit — completing
+    * the `_conv` family (pagerank/components/hits). The naive fixpoint
+    * test (zero labels changed, the components criterion) NEVER fires
+    * here: synchronous LPA on a bipartite graph settles into a PERIOD-2
+    * OSCILLATION, not a fixpoint — measured on the trade graph, the
+    * per-round change count is constant (160/1,600/~16k at sf0.001/
+    * 0.01/0.1) forever. The correct at-scale criterion is ORBIT
+    * detection: stop at the first round r where labels(r) == labels(r−2)
+    * element-wise — a period-≤2 orbit is invariant under two more votes,
+    * so the state can never change again (period 1, a true fixpoint, is
+    * the special case labels(r)==labels(r−1)⊆labels(r−2) chain). The
+    * exit is genuinely data-dependent — measured round 4/5/6 at
+    * sf0.001/0.01/0.1, growing with graph size, which is exactly why a
+    * fixed round count is wrong at 100× — and the compared quantity is
+    * an exact INTEGER count of differing labels, so the exit round is
+    * deterministic by construction on both engines (no float tolerance).
+    * Per-round cost: the vote is the shared `lpaVote` kernel; the
+    * labels(r)≠labels(r−2) flag falls out of one compact-key join
+    * against the r−2 frame and the COUNT is an `observe()` metric of
+    * the checkpoint action — ONE job per round, the conv-family floor.
+    * Fail-loud `maxRounds` backstop (exit 6 at sf0.1 vs backstop 10).
+    * Output: the census over the labeling AT the exit round plus the
+    * exit round itself — so the conv form run on a graph that exits at
+    * round E reproduces the fixed-round form run for E rounds exactly
+    * (the pagerank_conv identity discipline; the spec pins it). The
+    * orbit-MERGED alternative (least of the two phases per node) was
+    * probed and rejected: on the trade graph it collapses the whole
+    * census to the single min label — deterministic but structure-free.
+    * Oracle: the unrolled vote CTEs with per-round labels(i)≠labels(i−2)
+    * counts, the exit round derived IN SQL as the first zero, and the
+    * census taken over that round's labels selected from the union of
+    * all rounds — the early-exit dynamics are what's checked.
+    */
+  def graphLabelPropConv(orders: DataFrame, lineitem: DataFrame,
+      maxRounds: Int = 10): DataFrame = {
+    val (adj, nodes, _) = buildGraph(orders, lineitem)
+    var lPrev = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var lCur = lPrev.select("id").join(lpaVote(adj, lPrev), "id").localCheckpoint()
+    var exitRound = 0
+    var r = 1
+    while (exitRound == 0 && r < maxRounds) {
+      r += 1
+      val obs = org.apache.spark.sql.Observation(s"lpa_orbit_$r")
+      val next = lCur.select("id").join(lpaVote(adj, lCur), "id")
+        .join(lPrev.select(col("id"), col("label").as("old2")), "id")
+        .select(col("id"), col("label"),
+          (col("label") =!= col("old2")).as("chg"))
+        .observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("n"))
+        .localCheckpoint()
+      val changed = obs.get("n").asInstanceOf[Long]
+      lPrev = lCur
+      lCur = next.select(col("id"), col("label"))
+      if (changed == 0L) exitRound = r
+    }
+    adj.unpersist()
+    require(exitRound > 0,
+      s"label propagation did not reach a period-2 orbit within $maxRounds " +
+        "rounds — raise maxRounds; refusing to return a mid-oscillation " +
+        "labeling as converged")
+    lCur
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_node"))
+      .select(col("community"), col("n_nodes"), col("min_node"),
+        lit(exitRound.toLong).as("exit_round"))
       .orderBy("community")
   }
 

@@ -417,6 +417,34 @@ class OperatorSpec extends SparkTestBase {
       "converged top-10 id sets must match the fixed-round form")
   }
 
+  test("graph_label_prop_conv: star orbit exits at the analytic round, real data exits data-dependently") {
+    // 4-leaf star (hub = cust 1 → id 2; leaves = supps 1..4 → ids
+    // 3,5,7,9): synchronous LPA oscillates with period 2 — l1 =
+    // (hub 3, leaves 2), l2 = (hub 2, leaves 3), l3 = l1 — so the
+    // orbit test labels(3)==labels(1) fires at EXACTLY round 3, and
+    // the exit-round labeling l3 censuses as (community 2: the 4
+    // leaves, min id 3) + (community 3: the hub alone)
+    val orders = (1L to 4L).map(k => (k, 1L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = (1L to 4L).map(k => (k, k)).toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.graphLabelPropConv(orders, lineitem).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((2L, 4L, 3L, 3L), (3L, 1L, 2L, 3L)),
+      s"got ${out.toSeq}")
+    // real graph: orbit at round 4 on sf0.001 (the plain fixpoint
+    // test NEVER fires — the per-round change count is a constant 160
+    // forever, the bipartite oscillation this entry exists to handle);
+    // exit at round E must reproduce the fixed form run for E rounds
+    val o = Tables.orders(spark, sf0001)
+    val li = Tables.lineitem(spark, sf0001)
+    val real = GraphOps.graphLabelPropConv(o, li).collect()
+    assert(real.forall(_.getLong(3) === 4L),
+      s"sf0.001 must exit at round 4: ${real.map(_.getLong(3)).toSeq.distinct}")
+    val fixed4 = GraphOps.graphLabelProp(o, li, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(real.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === fixed4, "conv labeling at exit round E must equal fixed-E")
+  }
+
   test("graph_pagerank_conv: exits at the analytic residual round, ranks match the fixed loop") {
     // 4-leaf star: the update is linear, so the L1 residual is exactly
     // geometric — delta_r = delta_1 * 0.85^(r-1) with delta_1 = 1.02
