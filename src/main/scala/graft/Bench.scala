@@ -90,6 +90,7 @@ object Bench {
     "graph_label_prop_stored", // LPA served from the stored layout (steady state)
     "graph_kcore",          // peeling trajectory over the co-purchase graph
     "graph_kcore_stored",   // same trajectory served from the stored layout
+    "graph_ktruss_stored",  // r10: support-peel trajectory off the stored layout
     "text_perplexity_filter", // bigram-LM lowest-decile quarantine census
     "pipeline_curriculum",  // histogram-ranked curriculum staging
     "sim_knn_cluster_stored", // SemDeDup served from the stored kNN layout

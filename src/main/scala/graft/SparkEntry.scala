@@ -99,6 +99,9 @@ object SparkEntry {
     "graph_hits_stored" -> ((s, d) =>
       GraphOps.graphHitsStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_kcore" -> ((s, d) => GraphOps.graphKcore(orders(s, d), lineitem(s, d))),
+    "graph_ktruss" -> ((s, d) => GraphOps.graphKtruss(orders(s, d), lineitem(s, d))),
+    "graph_ktruss_stored" -> ((s, d) =>
+      GraphOps.graphKtrussStored(s, orders(s, d), lineitem(s, d), d)),
     "sink_copurchase_layout" -> ((s, d) =>
       GraphOps.sinkCopurchaseLayout(s, orders(s, d), lineitem(s, d), d)),
     "graph_kcore_stored" -> ((s, d) =>
@@ -2188,6 +2191,9 @@ object SparkEntry {
     "graph_hits_stored" -> hitsOracleSql(6),
     // peeling trajectory: per-round census of the >=k-degree active set
     "graph_kcore" -> kcoreOracleSql(0.90, 10, 5),
+    "graph_ktruss" -> ktrussOracleSql(0.90, 6, 5),
+    // identical trajectory served from the stored co-purchase layout
+    "graph_ktruss_stored" -> ktrussOracleSql(0.90, 6, 5),
     // identical trajectory served from the stored bucketed layout
     "graph_kcore_stored" -> kcoreOracleSql(0.90, 10, 5),
     // the triangles census at the LAYOUT's 0.90 operating point
@@ -4869,6 +4875,42 @@ object SparkEntry {
          edges AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM uedges
                    UNION ALL SELECT s2, s1 FROM uedges),
          a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)$steps
+         $census
+         ORDER BY round"""
+  }
+
+  /** The k-truss oracle: the kcore projection CTEs in canonical s1<s2
+    * form, then each peel round recomputes per-edge triangle SUPPORT
+    * (wedge self-join of the bidirectional survivors on the shared
+    * endpoint) and keeps edges with support ≥ k−2 — mirroring
+    * GraphOps.trussPeel's left-join + coalesce filter exactly; the
+    * output is the per-round edge-census trajectory.
+    */
+  private def ktrussOracleSql(pct: Double, k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s""",
+         b$i AS MATERIALIZED (SELECT src, dst FROM e${i - 1}
+                 UNION ALL SELECT dst, src FROM e${i - 1}),
+         s$i AS MATERIALIZED (SELECT x.src AS a, y.src AS b, count(*) AS supp
+                 FROM b$i x JOIN b$i y ON x.dst = y.dst AND x.src < y.src
+                 GROUP BY x.src, y.src),
+         e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+                 LEFT JOIN s$i s ON s.a = e.src AND s.b = e.dst
+                 WHERE coalesce(s.supp, 0) >= ${k - 2})"""
+    }.mkString
+    val census = (0 to rounds).map { i =>
+      s"SELECT $i AS round, count(*) AS n_edges, min(src) AS min_src FROM e$i"
+    }.mkString("\n         UNION ALL ")
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         sc AS MATERIALIZED (SELECT cust FROM pairs GROUP BY cust HAVING count(*) <= 256),
+         kept AS MATERIALIZED (SELECT p.cust, p.supp FROM pairs p JOIN sc USING (cust)),
+         co AS MATERIALIZED (SELECT a.supp AS s1, b.supp AS s2, count(*) AS shared
+                FROM kept a JOIN kept b ON a.cust = b.cust AND a.supp < b.supp
+                GROUP BY a.supp, b.supp),
+         thr AS MATERIALIZED (SELECT quantile_cont(shared, $pct) AS t FROM co),
+         e0 AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM co CROSS JOIN thr
+                 WHERE shared >= t)$steps
          $census
          ORDER BY round"""
   }

@@ -480,6 +480,34 @@ class OperatorSpec extends SparkTestBase {
     assert(out.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got ${out.toSeq}")
   }
 
+  test("graph_ktruss: diamond cascade peels in two rounds; stored twin replays the trajectory") {
+    // diamond = two triangles sharing edge BC (suppliers A..D = 1..4;
+    // edges AB,AC,BC,BD,CD, each seeded by 2 customers buying exactly
+    // that pair → all co-purchase shared=2 = the 0.90-percentile →
+    // every edge kept). 4-truss (support ≥ 2): round 1 keeps only BC
+    // (common neighbors {A,D}) — the four outer edges each close ONE
+    // triangle; round 2 removes BC (its support collapsed with its
+    // neighbors) — a real cascade, invisible to a one-shot filter
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val orders = (1L to 10L).map(k => (k, k)).toDF("o_orderkey", "o_custkey")
+    val lineitem = edges.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq((2 * i + 1L, u), (2 * i + 1L, v), (2 * i + 2L, u), (2 * i + 2L, v))
+    }.toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.graphKtruss(orders, lineitem, k = 4, rounds = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out.toSeq === Seq((0, 5L, 1L), (1, 1L, 2L), (2, 0L, -1L)),
+      s"got ${out.toSeq}")
+    // stored serving path: identical trajectory off the bucketed layout
+    val o = Tables.orders(spark, sf0001)
+    val li = Tables.lineitem(spark, sf0001)
+    val full = GraphOps.graphKtruss(o, li).collect().map(_.toString).toSeq
+    val stored = GraphOps.graphKtrussStored(spark, o, li, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(full === stored, s"stored twin diverged: $full vs $stored")
+  }
+
   test("win_attribution: last preceding click wins; organic and future clicks excluded") {
     def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
     val events = Seq(
