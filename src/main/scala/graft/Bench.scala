@@ -112,6 +112,7 @@ object Bench {
     "sink_knn_graph_incremental",
     "sink_knn_graph_refresh",
     "stream_dedup_near",    // r10: LSH index as streaming state
+    "stream_ann_search",    // r10: query stream probing the stored IVF index
   )
 
   def main(args: Array[String]): Unit = {

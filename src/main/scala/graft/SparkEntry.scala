@@ -379,6 +379,7 @@ object SparkEntry {
     "stream_upsert" -> ((s, d) => StreamOps.streamUpsert(s, d)),
     "stream_merge" -> ((s, d) => StreamOps.streamMerge(s, d)),
     "stream_ann_ingest" -> ((s, d) => SimOps.streamAnnIngest(s, d)),
+    "stream_ann_search" -> ((s, d) => SimOps.streamAnnSearch(s, d)),
     // §2.10 UDF / UDAF / UDTF extension surface
     "udf_scalar" -> ((s, d) => UdfOps.udfScalar(documents(s, d))),
     "udaf_aggregator" -> ((s, d) => UdfOps.udafAggregator(orders(s, d))),
@@ -3321,6 +3322,35 @@ object SparkEntry {
          asn AS (SELECT vec_id, cid AS cell FROM a WHERE rn = 1)
          SELECT cell, count(*) AS n, min(vec_id) AS min_vec, max(vec_id) AS max_vec
          FROM asn GROUP BY cell ORDER BY cell""",
+    // each query's answer depends only on itself, the frozen codebook,
+    // and the static store, so the streamed search equals the one-pass
+    // batch search: assignment + per-query probe + pruned exact top-10
+    "stream_ann_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         a AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY round(list_dot_product(v, cv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9)
+                   DESC, cid) AS rn
+               FROM e CROSS JOIN c),
+         asn AS (SELECT vec_id, cid AS cell FROM a WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+         p AS (SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid
+                 ORDER BY round(list_dot_product(cv, qv) /
+                   (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 9)
+                   DESC, cid) AS rn
+               FROM q CROSS JOIN c),
+         pr AS (SELECT qid, qv, cid AS cell FROM p WHERE rn <= 4),
+         cand AS (SELECT pr.qid, asn.vec_id,
+                 round(list_dot_product(e.v, pr.qv) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(pr.qv, pr.qv))), 6)
+                   AS cos
+               FROM asn JOIN pr USING (cell)
+               JOIN e ON e.vec_id = asn.vec_id),
+         top AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, vec_id) AS rnk FROM cand)
+         SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, vec_id, cos
+         FROM top WHERE rnk <= 10 ORDER BY query_id, rank""",
     // §2.10 UDF / UDAF / UDTF
     "udf_scalar" ->
       """SELECT doc_id, source || '/' || lang AS record_key,

@@ -1389,6 +1389,87 @@ object SimOps {
       .orderBy("cell")
   }
 
+  /** Streaming ANN-index SEARCH — the serving half of the lifecycle
+    * (`stream_ann_ingest` keeps the store fresh; this entry answers a
+    * continuous QUERY stream against it). Build once: every corpus
+    * vector assigned to its cell against the FROZEN 16-row codebook
+    * (the ingest stance — re-training is a batch job) and written
+    * `partitionBy(cell)`. Then queries arrive as two parity-split files
+    * (maxFilesPerTrigger=1 ⇒ ≥2 real micro-batches); per batch each
+    * query picks its nprobe=4 nearest cells from the broadcast codebook
+    * and joins the store ON THE PARTITION COLUMN — the scan reads only
+    * probed cells' files, so per-batch cost is (batch × codebook) +
+    * (probed fraction of the corpus), never a full scan. Per-query
+    * top-10 by exact cosine within probed cells (round-before-cut at 6;
+    * ties broken by vec_id). Each query's answer depends only on itself,
+    * the frozen codebook, and the static store ⇒ batch-boundary-
+    * independent, so the streamed result equals the one-pass batch
+    * search — the oracle runs the same assignment/probe/top-k in SQL
+    * over all 8 queries at once.
+    */
+  def streamAnnSearch(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    graft.plans.VectorFunctions.register(spark)
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val schema = all.schema
+    val e = all.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // the stored index: frozen-codebook assignment, cell-partitioned
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
+    val store = graft.sources.EtlOps.freshDir(sfDir, "ann_search_store").toString
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"),
+        round(cosine(col("v"), col("cv")), 9).as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(store)
+    val index = spark.read.parquet(store)
+    // the query backlog: vec_ids 0..7, staged as two parity files
+    val srcDir = graft.sources.EtlOps.freshDir(sfDir, "ann_search_src")
+    def stage(half: Int): Unit = {
+      val tmp = graft.sources.EtlOps.freshDir(sfDir, s"ann_search_stage$half")
+      all.filter(col("vec_id") < 8 && pmod(col("vec_id"), lit(2)) === half)
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, srcDir.resolve(s"queries-$half.parquet"))
+    }
+    stage(0); stage(1)
+    val results = graft.sources.EtlOps.freshDir(sfDir, "ann_search_out").toString
+    val run = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val q = batch.select(col("vec_id").as("qid"), toVec(col("embedding")).as("qv"))
+        val wProbe = Window.partitionBy("qid").orderBy(desc("ccos"), asc("cid"))
+        val probes = q.crossJoin(broadcast(cents))
+          .select(col("qid"), col("qv"), col("cid"),
+            round(cosine(col("cv"), col("qv")), 9).as("ccos"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 4)
+          .select(col("qid"), col("qv"), col("cid").as("cell"))
+        val wTop = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+        index.join(broadcast(probes), "cell") // prune: probed cells only
+          .select(col("qid"), col("vec_id"),
+            round(cosine(col("v"), col("qv")), 6).as("cos"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 10)
+          .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cos"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(results)
+        ()
+      }
+      .start()
+    run.processAllAvailable()
+    run.stop()
+    spark.read.parquet(results).orderBy("query_id", "rank")
+  }
+
   // `qSrc`: where the query vector lives — defaults to the corpus, but a
   // FILTERED search must still draw the query from the unfiltered table
   private def ivfScan(

@@ -261,6 +261,44 @@ class StreamSpec extends SparkTestBase {
     assert(cellDirs === out.size, s"expected ${out.size} cell= partitions, got $cellDirs")
   }
 
+  test("stream_ann_search: every query answers itself first; hits stay inside probed cells") {
+    val out = graft.operators.SimOps.streamAnnSearch(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // 8 queries x top-10, contiguous ranks per query
+    assert(out.map(_._1).distinct.sorted === (0L to 7L), s"queries: ${out.map(_._1).distinct}")
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted === (1L to 10L), s"query $q ranks: ${rows.map(_._2)}")
+      // the query vector is in the corpus, its own cell is always probed
+      // (ccos(self, cell) is maximal among... its assigned cell is its
+      // nearest centroid, which is also its top probe) => rank 1 = self
+      val r1 = rows.find(_._2 == 1L).get
+      assert(r1._3 === q && r1._4 === 1.0, s"query $q rank-1 must be itself: $r1")
+    }
+    // pruning is real: every returned hit's stored cell is one of its
+    // query's 4 probes (recomputed here from the same frozen codebook)
+    import org.apache.spark.sql.functions._
+    val all = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = all.filter(col("vec_id") < 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val vecs = all.filter(col("vec_id") < 8 || col("vec_id").isin(out.map(_._3): _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def nearestCells(v: Array[Double], n: Int): Seq[Long] = cents.toSeq
+      .map { case (cid, cv) =>
+        (BigDecimal(cos(v, cv)).setScale(9, BigDecimal.RoundingMode.HALF_UP), cid) }
+      .sortBy { case (c, cid) => (-c, cid) }.take(n).map(_._2)
+    out.foreach { case (q, _, hit, _) =>
+      val probes = nearestCells(vecs(q), 4)
+      val hitCell = nearestCells(vecs(hit), 1).head
+      assert(probes.contains(hitCell),
+        s"query $q hit $hit lives in cell $hitCell outside probes $probes")
+    }
+  }
+
   test("stream_merge tombstones: a delete survives an older upsert arriving later") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
     spark.sql("DROP TABLE IF EXISTS graftcat.spec.cdc")
