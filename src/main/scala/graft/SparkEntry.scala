@@ -83,6 +83,8 @@ object SparkEntry {
     "graph_bfs_stored" -> ((s, d) =>
       GraphOps.graphBfsStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_degree_dist" -> ((s, d) => GraphOps.degreeDist(orders(s, d), lineitem(s, d))),
+    "graph_random_walk" -> ((s, d) =>
+      GraphOps.graphRandomWalk(orders(s, d), lineitem(s, d))),
     "graph_assortativity" ->
       ((s, d) => GraphOps.graphAssortativity(orders(s, d), lineitem(s, d))),
     "graph_label_prop" -> ((s, d) => GraphOps.graphLabelProp(orders(s, d), lineitem(s, d))),
@@ -2156,6 +2158,7 @@ object SparkEntry {
     // mode-of-neighbors with smallest-label tie-break, unrolled rounds
     "graph_label_prop" -> labelPropOracleSql(4),
     "graph_label_prop_conv" -> labelPropConvOracleSql(10),
+    "graph_random_walk" -> randomWalkOracleSql(4),
     // Pearson over endpoint degrees — exact integer sums, fixed-order
     // closed form (bipartite graphs are disassortative by construction)
     "graph_assortativity" ->
@@ -4907,6 +4910,36 @@ object SparkEntry {
          a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)$steps
          $census
          ORDER BY round"""
+  }
+
+  /** The random-walk oracle: ranked edge list + per-step hop CTEs with
+    * the identical md5(start|t|cur) mod-outdeg draw — DuckDB and Spark
+    * compute the same digest over the same '|'-joined decimal string,
+    * so the walks match row for row (GraphOps.graphRandomWalk).
+    */
+  private def randomWalkOracleSql(steps: Int): String = {
+    val hops = (1 to steps).map { t =>
+      s""",
+         w$t AS MATERIALIZED (SELECT w.start, r.dst AS cur
+                 FROM w${t - 1} w
+                 JOIN deg d ON d.src = w.cur
+                 JOIN rk r ON r.src = w.cur AND r.rn =
+                   ('0x' || substring(md5(w.start || '|' || $t || '|' || w.cur), 1, 8))::BIGINT
+                     % d.outdeg + 1)"""
+    }.mkString
+    val corpus = (0 to steps).map { t =>
+      s"SELECT start, $t AS step, cur AS node FROM w$t"
+    }.mkString("\n         UNION ALL ")
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS MATERIALIZED (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
+                   UNION ALL SELECT supp * 2 + 1, cust * 2 FROM pairs),
+         deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         rk AS MATERIALIZED (SELECT src, dst, row_number() OVER
+                 (PARTITION BY src ORDER BY dst) AS rn FROM edges),
+         w0 AS MATERIALIZED (SELECT src AS start, src AS cur FROM deg)$hops
+         SELECT start AS start_id, step, node FROM ($corpus)
+         ORDER BY start_id, step"""
   }
 
   /** The k-truss oracle: the kcore projection CTEs in canonical s1<s2

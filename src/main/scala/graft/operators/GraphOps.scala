@@ -1269,6 +1269,68 @@ object GraphOps {
     trajectory.reduce(_ unionByName _).orderBy("round")
   }
 
+  /** Deterministic RANDOM WALKS over the trade graph — the walk-corpus
+    * generator graph-embedding pipelines (DeepWalk/node2vec) consume:
+    * one walker starts at EVERY node and takes `steps` uniform-random
+    * neighbor hops. Randomness is the repo's seeded-md5 coin (the
+    * sample_hash / MinHash discipline): at step t a walker at `cur`
+    * picks neighbor index md5(start|t|cur)[0,8) mod outdeg — both
+    * engines compute the identical digest, so the walks (not just their
+    * statistics) are oracle-checkable row for row, and a re-run is
+    * byte-identical (no RNG state, no collect).
+    *
+    * Shape: neighbor selection by RANK, not array indexing — the ranked
+    * edge list (src, rn, dst) with rn = row_number over (src, dst
+    * order) is materialized once; each step is then TWO compact-key
+    * equi-joins (walker⋈degree to compute the pick, walker⋈rankedEdges
+    * on (node, rank) to hop). No arrays means no hub-chunking hazard
+    * (adjacencyFrame chunks at 64 Ki neighbors) and the per-step cost
+    * is O(walkers), not O(Σ deg) — the join fans nothing out. Per-step
+    * localCheckpoint: the walk frontier is consumed twice (next hop +
+    * its output slice), the LPA barrier economics.
+    * Output: the full walk corpus (start_id, step, node), one row per
+    * walker-step, (start_id, step) a total order.
+    */
+  def graphRandomWalk(orders: DataFrame, lineitem: DataFrame,
+      steps: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+      .localCheckpoint() // feeds both direction branches
+    val edges = pairs
+      .select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
+      .unionByName(pairs
+        .select((col("supp") * 2 + 1).as("src"), (col("cust") * 2).as("dst")))
+    val ranked = edges
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("src").orderBy("dst")))
+      .localCheckpoint() // the walk's static side, built once
+    val deg = ranked.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    var cur = deg.select(col("src").as("start"), col("src").as("cur"))
+    val slices = scala.collection.mutable.ArrayBuffer(
+      cur.select(col("start"), lit(0).as("step"), col("cur").as("node")))
+    for (t <- 1 to steps) {
+      val drawn = cur
+        .join(deg.select(col("src").as("cur"), col("outdeg")), "cur")
+        .select(col("start"), col("cur"),
+          (conv(substring(
+              md5(concat_ws("|", col("start"), lit(t), col("cur"))), 1, 8),
+            16, 10).cast("long") % col("outdeg") + 1).cast("int").as("pick"))
+      cur = drawn
+        .join(ranked, drawn("cur") === ranked("src")
+          && drawn("pick") === ranked("rn"))
+        .select(col("start"), col("dst").as("cur"))
+        .localCheckpoint()
+      slices += cur.select(col("start"), lit(t).as("step"), col("cur").as("node"))
+    }
+    slices.reduce(_ unionByName _)
+      .select(col("start").as("start_id"), col("step"), col("node"))
+      .orderBy("start_id", "step")
+  }
+
   /** Degree ASSORTATIVITY — Pearson correlation of endpoint degrees over
     * the edges (do hubs link to hubs?): the one-number structure summary
     * read before choosing partition/skew strategy (disassortative graphs

@@ -508,6 +508,44 @@ class OperatorSpec extends SparkTestBase {
     assert(full === stored, s"stored twin diverged: $full vs $stored")
   }
 
+  test("graph_random_walk: walks follow edges, leaves must hop to the hub, rerun is identical") {
+    // 4-leaf star (hub 2; leaves 3,5,7,9): a leaf's only neighbor is
+    // the hub, so every walker AT a leaf hops to 2 regardless of the
+    // md5 draw (outdeg=1 ⇒ pick=1); a walker at the hub picks an
+    // md5-determined leaf. 5 walkers × (1+4 steps) = 25 rows.
+    val orders = (1L to 4L).map(k => (k, 1L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = (1L to 4L).map(k => (k, k)).toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.graphRandomWalk(orders, lineitem).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length === 25, s"expected 25 walker-steps, got ${out.length}")
+    val byWalker = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3))
+    byWalker.foreach { case (start, path) =>
+      assert(path.head === start, s"walker $start must start at itself")
+      path.toSeq.sliding(2).foreach { w =>
+        assert(w(0) == 2L ^ w(1) == 2L,
+          s"star walk must alternate hub/leaf: $start walked ${path.toSeq}")
+      }
+    }
+    // rerun determinism: the md5 coin has no RNG state
+    val again = GraphOps.graphRandomWalk(orders, lineitem).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === again.toSeq, "rerun must be byte-identical")
+    // real graph: every hop is a genuine edge (validity at sf0.001)
+    val o = Tables.orders(spark, sf0001)
+    val li = Tables.lineitem(spark, sf0001)
+    val walks = GraphOps.graphRandomWalk(o, li, steps = 2)
+    import org.apache.spark.sql.functions.{col, expr}
+    val pairsDf = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edgesDf = pairsDf.unionByName(pairsDf.select(col("dst").as("src"), col("src").as("dst")))
+    val hops = walks.as("a").join(walks.as("b"),
+        expr("a.start_id = b.start_id AND b.step = a.step + 1"))
+      .select(col("a.node").as("src"), col("b.node").as("dst"))
+    val bad = hops.join(edgesDf, Seq("src", "dst"), "left_anti").count()
+    assert(bad === 0L, s"$bad walk hops are not graph edges")
+  }
+
   test("win_attribution: last preceding click wins; organic and future clicks excluded") {
     def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
     val events = Seq(
