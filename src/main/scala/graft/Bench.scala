@@ -85,6 +85,7 @@ object Bench {
     "graph_pagerank_stored", // pagerank served from the stored layout
     "sim_knn_cluster",      // SemDeDup clusters over the kNN graph
     "q18_large_volume",     // aggregate-HAVING semi-join composite
+    "q21_waiting_supplier", // r10: EXISTS pair folded into one per-order aggregate
     // Round-8 continuation: the post-gate heavy families.
     "graph_label_prop",     // mode-of-neighbors LPA on the shared adjacency
     "graph_label_prop_stored", // LPA served from the stored layout (steady state)

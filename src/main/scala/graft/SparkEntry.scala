@@ -133,6 +133,9 @@ object SparkEntry {
       AuditQueries.q10ReturnedItems(customer(s, d), orders(s, d), lineitem(s, d), nation(s, d))),
     "q18_large_volume" -> ((s, d) =>
       AuditQueries.q18LargeVolume(customer(s, d), orders(s, d), lineitem(s, d))),
+    "q21_waiting_supplier" -> ((s, d) =>
+      AuditQueries.q21WaitingSupplier(supplier(s, d), nation(s, d),
+        orders(s, d), lineitem(s, d))),
     "q6_sql_revenue" -> ((s, d) => AuditQueries.q6SqlRevenue(s, lineitem(s, d))),
     "q_subquery_scalar" -> ((s, d) => AuditQueries.qSubqueryScalar(s, orders(s, d))),
     "q_subquery_exists" -> ((s, d) =>
@@ -930,6 +933,25 @@ object SparkEntry {
          FROM customer JOIN orders ON c_custkey = o_custkey
          JOIN big ON o_orderkey = l_orderkey
          ORDER BY price DESC, o_orderkey LIMIT 100""",
+    // the EXISTS/NOT-EXISTS pair folded into one per-order aggregate
+    // (nsupp / nlate) — the engine's scan-once formulation, mirrored
+    "q21_waiting_supplier" ->
+      """WITH f AS (SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'),
+         os AS (SELECT l_orderkey FROM (
+             SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsupp,
+               count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate
+             FROM f GROUP BY l_orderkey) s
+           WHERE nsupp >= 2 AND nlate = 1),
+         sole AS (SELECT DISTINCT f.l_orderkey, f.l_suppkey
+           FROM f JOIN os USING (l_orderkey) WHERE f.late),
+         agg AS (SELECT l_suppkey, count(*) AS numwait FROM sole GROUP BY l_suppkey)
+         SELECT s_name, n_name, numwait
+         FROM agg JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY numwait DESC, s_name LIMIT 100""",
     "q_funnel" ->
       """WITH f AS (SELECT user_id,
              min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,

@@ -102,6 +102,48 @@ object AuditQueries {
       .limit(100)
   }
 
+  /** Q21 shape (r10) — suppliers who kept the order waiting: for
+    * finished orders, the suppliers that were the ONLY late supplier on
+    * a multi-supplier order ("late" adapted to this schema: shipped
+    * more than 60 days after the order date — the fixtures carry no
+    * commit/receipt dates, reference README.md:22's transform surface).
+    *
+    * The textbook form is EXISTS + NOT EXISTS self-joins on lineitem;
+    * the 100 TB form used here REPLACES both with one per-order
+    * aggregate: n_distinct suppliers and n_distinct LATE suppliers per
+    * order (map-side partial, one shuffle on the order key), then an
+    * order qualifies for supplier s iff s is late on it, nsupp ≥ 2 and
+    * nlate = 1 — the two correlated subqueries become two columns of
+    * the same groupBy, and the fact table is scanned once. Supplier
+    * and nation join in LAST, broadcast (bounded dims).
+    */
+  def q21WaitingSupplier(
+      supplier: DataFrame, nation: DataFrame,
+      orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val f = lineitem
+      .join(orders.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .as("late"))
+      .localCheckpoint() // feeds the per-order stats AND the late pairs
+    val ostat = f.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"))
+      .filter(col("nsupp") >= 2 && col("nlate") === 1)
+      .select(col("l_orderkey"))
+    f.filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .join(ostat, "l_orderkey")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"), col("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(100)
+  }
+
   /** Funnel analysis over the event stream: users who signed up, then
     * clicked, then purchased IN THAT ORDER — first-occurrence timestamps
     * per (user, stage) from one conditional aggregation (no joins, no

@@ -480,6 +480,35 @@ class OperatorSpec extends SparkTestBase {
     assert(out.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got ${out.toSeq}")
   }
 
+  test("q21_waiting_supplier: sole-late on multi-supplier F orders only; dims broadcast") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val day0 = "2024-01-01"
+    def late = ts("2024-06-01"); def ontime = ts("2024-01-15")
+    val orders = Seq(
+      (1L, 1L, "F", 1.0, ts(day0), "p"),  // 2 supps, supp 1 late alone → counts
+      (2L, 1L, "F", 1.0, ts(day0), "p"),  // 1 supp late → nsupp<2, excluded
+      (3L, 1L, "F", 1.0, ts(day0), "p"),  // 2 supps BOTH late → nlate=2, excluded
+      (4L, 1L, "O", 1.0, ts(day0), "p"))  // open order → excluded
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val lineitem = Seq(
+      (1L, 1L, late), (1L, 2L, ontime),
+      (2L, 1L, late),
+      (3L, 1L, late), (3L, 2L, late),
+      (4L, 1L, late), (4L, 2L, ontime))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val supplier = Seq((1L, "supp#1", 0), (2L, "supp#2", 0))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nation = Seq((0, "N0", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val q = AuditQueries.q21WaitingSupplier(supplier, nation, orders, lineitem)
+    val out = q.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("supp#1", "N0", 1L)), s"got ${out.toSeq}")
+    // both dims enter as broadcast joins (bounded tables never shuffle)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected both dim joins broadcast:\n$plan")
+  }
+
   test("graph_ktruss: diamond cascade peels in two rounds; stored twin replays the trajectory") {
     // diamond = two triangles sharing edge BC (suppliers A..D = 1..4;
     // edges AB,AC,BC,BD,CD, each seeded by 2 customers buying exactly
