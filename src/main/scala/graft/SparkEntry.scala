@@ -85,6 +85,8 @@ object SparkEntry {
     "graph_degree_dist" -> ((s, d) => GraphOps.degreeDist(orders(s, d), lineitem(s, d))),
     "graph_random_walk" -> ((s, d) =>
       GraphOps.graphRandomWalk(orders(s, d), lineitem(s, d))),
+    "graph_random_walk_biased" -> ((s, d) =>
+      GraphOps.graphRandomWalkBiased(orders(s, d), lineitem(s, d))),
     "graph_assortativity" ->
       ((s, d) => GraphOps.graphAssortativity(orders(s, d), lineitem(s, d))),
     "graph_label_prop" -> ((s, d) => GraphOps.graphLabelProp(orders(s, d), lineitem(s, d))),
@@ -2181,6 +2183,7 @@ object SparkEntry {
     "graph_label_prop" -> labelPropOracleSql(4),
     "graph_label_prop_conv" -> labelPropConvOracleSql(10),
     "graph_random_walk" -> randomWalkOracleSql(4),
+    "graph_random_walk_biased" -> randomWalkBiasedOracleSql(4, 2.0, 0.5),
     // Pearson over endpoint degrees — exact integer sums, fixed-order
     // closed form (bipartite graphs are disassortative by construction)
     "graph_assortativity" ->
@@ -4960,6 +4963,52 @@ object SparkEntry {
          rk AS MATERIALIZED (SELECT src, dst, row_number() OVER
                  (PARTITION BY src ORDER BY dst) AS rn FROM edges),
          w0 AS MATERIALIZED (SELECT src AS start, src AS cur FROM deg)$hops
+         SELECT start AS start_id, step, node FROM ($corpus)
+         ORDER BY start_id, step"""
+  }
+
+  /** The BIASED-walk oracle: ranked first-order step, then per step one
+    * candidate CTE (fanout + LEFT membership join for the triangle
+    * test, CASE weights) and one selection CTE (ordered cumulative /
+    * total window sums, the md5 uniform u, inverse-CDF pick by min c
+    * with cum > u·W) — every number dyadic, so the windows replay the
+    * engine exactly (GraphOps.graphRandomWalkBiased).
+    */
+  private def randomWalkBiasedOracleSql(
+      steps: Int, retP: Double, outQ: Double): String = {
+    val wRet = 1.0 / retP
+    val wOut = 1.0 / outQ
+    val hops = (2 to steps).map { t =>
+      s""",
+         c$t AS MATERIALIZED (SELECT s.start, s.prev, s.cur, e.dst AS c,
+                 CASE WHEN e.dst = s.prev THEN $wRet
+                      WHEN m.src IS NOT NULL THEN 1.0 ELSE $wOut END AS w
+                 FROM s${t - 1} s JOIN edges e ON e.src = s.cur
+                 LEFT JOIN edges m ON m.src = s.prev AND m.dst = e.dst),
+         s$t AS MATERIALIZED (SELECT start, min(cur) AS prev, min(c) AS cur
+                 FROM (SELECT start, cur, c,
+                     sum(w) OVER (PARTITION BY start ORDER BY c
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(w) OVER (PARTITION BY start) AS tot,
+                     ('0x' || substring(md5(start || '|' || $t || '|' || prev || '|' || cur), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+                   FROM c$t) x
+                 WHERE cum > u * tot GROUP BY start)"""
+    }.mkString
+    val corpus = (s"SELECT start, 0 AS step, start AS node FROM s1" +:
+      (1 to steps).map(t => s"SELECT start, $t AS step, cur AS node FROM s$t"))
+      .mkString("\n         UNION ALL ")
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS MATERIALIZED (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
+                   UNION ALL SELECT supp * 2 + 1, cust * 2 FROM pairs),
+         deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         rk AS MATERIALIZED (SELECT src, dst, row_number() OVER
+                 (PARTITION BY src ORDER BY dst) AS rn FROM edges),
+         s1 AS MATERIALIZED (SELECT d.src AS start, d.src AS prev, r.dst AS cur
+                 FROM deg d JOIN rk r ON r.src = d.src AND r.rn =
+                   ('0x' || substring(md5(d.src || '|' || 1 || '|' || d.src), 1, 8))::BIGINT
+                     % d.outdeg + 1)$hops
          SELECT start AS start_id, step, node FROM ($corpus)
          ORDER BY start_id, step"""
   }

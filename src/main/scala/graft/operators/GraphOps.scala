@@ -1341,6 +1341,95 @@ object GraphOps {
       .orderBy("start_id", "step")
   }
 
+  /** node2vec-style BIASED random walks — the second-order kernel on
+    * top of `graphRandomWalk`: at step t a walker that came from `prev`
+    * and sits at `cur` weights each candidate neighbor c by
+    *   1/p  if c = prev          (return),
+    *   1    if c ∈ N(prev)       (triangle — stay local),
+    *   1/q  otherwise            (explore outward),
+    * and draws by inverse CDF: the smallest c (dst order) whose
+    * cumulative weight exceeds u·W, u = md5(start|t|prev|cur)[0,8)/2³²
+    * (the seeded-md5 coin). Determinism across engines is ARITHMETIC,
+    * not just procedural: with the default p=2, q=0.5 every weight is a
+    * dyadic rational (0.5/1/2), so the ordered cumulative sums, the
+    * total W, and the product u·W (32-bit dyadic × small dyadic, <53
+    * mantissa bits) are all EXACT doubles — the comparison cum > u·W
+    * can never diverge on rounding, and the oracle replays the same
+    * windows in SQL row for row.
+    *
+    * Per step: one equi-join fanning each walker over N(cur) (the
+    * O(Σdeg) superstep cost PageRank also pays), one LEFT membership
+    * join against the edge set on (prev, c) for the triangle test, two
+    * window sums partitioned by walker, one min-aggregate. Step 1 has
+    * no prev and uses the first-order uniform pick — byte-identical to
+    * `graphRandomWalk`'s step 1 (spec-pinned). Output: the walk corpus
+    * (start_id, step, node).
+    */
+  def graphRandomWalkBiased(orders: DataFrame, lineitem: DataFrame,
+      steps: Int = 4, retP: Double = 2.0, outQ: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+      .localCheckpoint()
+    val edges = pairs
+      .select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
+      .unionByName(pairs
+        .select((col("supp") * 2 + 1).as("src"), (col("cust") * 2).as("dst")))
+      .localCheckpoint() // fanout AND membership side of every step
+    val ranked = edges
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("src").orderBy("dst")))
+      .localCheckpoint()
+    val deg = ranked.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    // step 1: first-order uniform (no prev yet) — the graphRandomWalk pick
+    val s1 = deg.select(col("src").as("start"), col("src").as("cur"))
+      .join(deg.select(col("src").as("cur"), col("outdeg")), "cur")
+      .select(col("start"), col("cur"),
+        (conv(substring(
+            md5(concat_ws("|", col("start"), lit(1), col("cur"))), 1, 8),
+          16, 10).cast("long") % col("outdeg") + 1).cast("int").as("pick"))
+    var state = s1.join(ranked, s1("cur") === ranked("src")
+        && s1("pick") === ranked("rn"))
+      .select(col("start"), col("cur").as("prev"), col("dst").as("cur"))
+      .localCheckpoint()
+    val slices = scala.collection.mutable.ArrayBuffer(
+      deg.select(col("src").as("start"), lit(0).as("step"), col("src").as("node")),
+      state.select(col("start"), lit(1).as("step"), col("cur").as("node")))
+    val wCum = Window.partitionBy("start").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("start")
+    for (t <- 2 to steps) {
+      val cand = state
+        .join(edges.select(col("src").as("cur"), col("dst").as("c")), "cur")
+        .join(edges.select(col("src").as("mp"), col("dst").as("mc"),
+          lit(1).as("tri")),
+          col("prev") === col("mp") && col("c") === col("mc"), "left")
+        .select(col("start"), col("prev"), col("cur"), col("c"),
+          when(col("c") === col("prev"), lit(1.0 / retP))
+            .when(col("tri").isNotNull, lit(1.0))
+            .otherwise(lit(1.0 / outQ)).as("w"))
+      val next = cand
+        .withColumn("cum", sum(col("w")).over(wCum))
+        .withColumn("tot", sum(col("w")).over(wTot))
+        .withColumn("u", conv(substring(md5(concat_ws("|",
+            col("start"), lit(t), col("prev"), col("cur"))), 1, 8), 16, 10)
+          .cast("long").cast("double") / lit(4294967296.0))
+        .filter(col("cum") > col("u") * col("tot"))
+        .groupBy(col("start"))
+        .agg(min(col("cur")).as("nprev"), min(col("c")).as("ncur"))
+      state = next
+        .select(col("start"), col("nprev").as("prev"), col("ncur").as("cur"))
+        .localCheckpoint()
+      slices += state.select(col("start"), lit(t).as("step"), col("cur").as("node"))
+    }
+    slices.reduce(_ unionByName _)
+      .select(col("start").as("start_id"), col("step"), col("node"))
+      .orderBy("start_id", "step")
+  }
+
   /** Degree ASSORTATIVITY — Pearson correlation of endpoint degrees over
     * the edges (do hubs link to hubs?): the one-number structure summary
     * read before choosing partition/skew strategy (disassortative graphs

@@ -575,6 +575,35 @@ class OperatorSpec extends SparkTestBase {
     assert(bad === 0L, s"$bad walk hops are not graph edges")
   }
 
+  test("graph_random_walk_biased: no-backtrack bias holds at extreme p; step 1 matches the uniform walk") {
+    // star: with 1/p ~ 0 a walker at the hub must never return to the
+    // leaf it came from — the return weight is crushed while the other
+    // three leaves carry 1/q each. (From a leaf the hub is the ONLY
+    // candidate, so the walk still alternates.)
+    val orders = (1L to 4L).map(k => (k, 1L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = (1L to 4L).map(k => (k, k)).toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.graphRandomWalkBiased(orders, lineitem,
+        steps = 6, retP = 1e9, outQ = 0.5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val paths = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    paths.foreach { case (start, path) =>
+      path.toSeq.sliding(3).foreach { w =>
+        if (w.length == 3 && w(1) == 2L)
+          assert(w(0) != w(2),
+            s"hub must not backtrack at p=1e9: $start walked ${path.toSeq}")
+      }
+    }
+    // steps 0–1 are the first-order uniform pick — byte-identical to
+    // graph_random_walk's (same md5 seed string, same rank join)
+    val o = Tables.orders(spark, sf0001)
+    val li = Tables.lineitem(spark, sf0001)
+    val bi = GraphOps.graphRandomWalkBiased(o, li, steps = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).filter(_._2 <= 1).sorted
+    val un = GraphOps.graphRandomWalk(o, li, steps = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(bi.toSeq === un.toSeq, "biased steps 0-1 must equal the uniform walk")
+  }
+
   test("win_attribution: last preceding click wins; organic and future clicks excluded") {
     def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
     val events = Seq(
