@@ -87,6 +87,8 @@ object SparkEntry {
       GraphOps.graphRandomWalk(orders(s, d), lineitem(s, d))),
     "graph_random_walk_biased" -> ((s, d) =>
       GraphOps.graphRandomWalkBiased(orders(s, d), lineitem(s, d))),
+    "graph_walk_pairs" -> ((s, d) =>
+      GraphOps.graphWalkPairs(orders(s, d), lineitem(s, d))),
     "graph_assortativity" ->
       ((s, d) => GraphOps.graphAssortativity(orders(s, d), lineitem(s, d))),
     "graph_label_prop" -> ((s, d) => GraphOps.graphLabelProp(orders(s, d), lineitem(s, d))),
@@ -2184,6 +2186,16 @@ object SparkEntry {
     "graph_label_prop_conv" -> labelPropConvOracleSql(10),
     "graph_random_walk" -> randomWalkOracleSql(4),
     "graph_random_walk_biased" -> randomWalkBiasedOracleSql(4, 2.0, 0.5),
+    // the walk corpus self-joined within the window band, pair census
+    "graph_walk_pairs" -> {
+      val base = randomWalkOracleSql(4)
+      val corpus = base.substring(0, base.lastIndexOf("ORDER BY"))
+      s"""WITH w AS MATERIALIZED ($corpus)
+         SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+         FROM w a JOIN w b ON a.start_id = b.start_id
+           AND a.step <> b.step AND abs(a.step - b.step) <= 2
+         GROUP BY a.node, b.node ORDER BY center, context"""
+    },
     // Pearson over endpoint degrees — exact integer sums, fixed-order
     // closed form (bipartite graphs are disassortative by construction)
     "graph_assortativity" ->

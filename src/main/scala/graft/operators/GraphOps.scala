@@ -1430,6 +1430,30 @@ object GraphOps {
       .orderBy("start_id", "step")
   }
 
+  /** Skip-gram PAIR generation over the walk corpus — the step that
+    * turns `graphRandomWalk`'s output into graph-embedding training
+    * data (DeepWalk's actual trainer input): for every walk, emit
+    * (center, context) for all positions within `window` of each other
+    * (both directions, excluding distance 0). One self-equi-join of the
+    * walk corpus on the walker key with a bounded band predicate — the
+    * per-walker frame is `steps+1` rows, so the join fans out
+    * O(walkers · steps · window), never corpus². Output: the distinct
+    * (center, context) pair census with occurrence counts — what a
+    * negative-sampling trainer consumes as its positive distribution.
+    */
+  def graphWalkPairs(orders: DataFrame, lineitem: DataFrame,
+      steps: Int = 4, window: Int = 2): DataFrame = {
+    val walks = graphRandomWalk(orders, lineitem, steps).localCheckpoint()
+    val a = walks.select(col("start_id"), col("step").as("i"), col("node").as("center"))
+    val b = walks.select(col("start_id"), col("step").as("j"), col("node").as("context"))
+    a.join(b, Seq("start_id"))
+      .filter(col("i") =!= col("j")
+        && abs(col("i") - col("j")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("center", "context")
+  }
+
   /** Degree ASSORTATIVITY — Pearson correlation of endpoint degrees over
     * the edges (do hubs link to hubs?): the one-number structure summary
     * read before choosing partition/skew strategy (disassortative graphs

@@ -604,6 +604,22 @@ class OperatorSpec extends SparkTestBase {
     assert(bi.toSeq === un.toSeq, "biased steps 0-1 must equal the uniform walk")
   }
 
+  test("graph_walk_pairs: band self-join yields 14 pairs per walker, census is symmetric") {
+    // star, 5 walkers, 4 steps, window 2: positions within distance<=2
+    // of each other = 7 unordered position pairs x 2 directions = 14
+    // pair instances per walker, 70 total; emitting both directions
+    // makes the (center, context) census exactly symmetric
+    val orders = (1L to 4L).map(k => (k, 1L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = (1L to 4L).map(k => (k, k)).toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.graphWalkPairs(orders, lineitem).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out.values.sum === 70L, s"expected 70 pair instances: $out")
+    out.foreach { case ((c, x), n) =>
+      assert(out.getOrElse((x, c), 0L) === n,
+        s"census must be symmetric: ($c,$x)=$n vs reverse ${out.get((x, c))}")
+    }
+  }
+
   test("win_attribution: last preceding click wins; organic and future clicks excluded") {
     def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
     val events = Seq(
