@@ -114,6 +114,12 @@ object Bench {
     "sink_knn_graph_refresh",
     "stream_dedup_near",    // r10: LSH index as streaming state
     "stream_ann_search",    // r10: query stream probing the stored IVF index
+    // graph_random_walk_biased is deliberately NOT a headline entry: its
+    // cost is 3 supersteps x (fanout + membership join + 2 windows) over
+    // per-walker frames — the betweenness adjudication (stage overhead at
+    // sf0.1, corpus-proportional at scale; x10 ratio 5.0 < 10, BASELINE
+    // r10); graph_walk_pairs below exercises the walk kernel end-to-end
+    "graph_walk_pairs",     // r10: uniform walks -> skip-gram pair census
   )
 
   def main(args: Array[String]): Unit = {
