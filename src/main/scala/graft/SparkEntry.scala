@@ -328,6 +328,8 @@ object SparkEntry {
     "scan_observed" -> ((s, d) => EtlOps.scanObserved(s, d)),
     "scan_text" -> ((s, d) => EtlOps.scanText(s, d)),
     "source_api_paginated" -> ((s, d) => EtlOps.sourceApiPaginated(s, d)),
+    "source_api_circuit_breaker" -> ((s, d) =>
+      EtlOps.sourceApiCircuitBreaker(s, d)),
     "source_api_retry" -> ((s, d) => EtlOps.sourceApiRetry(s, d)),
     "source_api_v2" -> ((s, d) => EtlOps.sourceApiV2(s, d)),
     "source_env_config" -> ((s, d) => EtlOps.sourceConfigured(s, d)),
@@ -2617,6 +2619,13 @@ object SparkEntry {
          true AS p50_ok, true AS p95_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "source_api_paginated" ->
+      """SELECT event_type, count(*) AS n,
+         min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // identical on purpose: an outage ridden out through the breaker
+    // (short-circuits, half-open probes, deferred pages) must be
+    // invisible in the data — no dropped or duplicated page
+    "source_api_circuit_breaker" ->
       """SELECT event_type, count(*) AS n,
          min(event_id) AS min_id, max(event_id) AS max_id
          FROM events GROUP BY event_type ORDER BY event_type""",

@@ -617,6 +617,69 @@ object EtlOps {
       .orderBy("event_type")
   }
 
+  /** Paginated source behind a CIRCUIT BREAKER — the hard-down fault
+    * class (README.md:12, 32): the endpoint is out for its first
+    * `outageCalls` REAL calls, and per-page retry alone would hammer it
+    * attempts × pages times while every page eats the full failure
+    * latency. The breaker fails fast instead: 3 consecutive failures
+    * trip it OPEN, deferred pages short-circuit WITHOUT touching the
+    * endpoint, a half-open probe after the cooldown re-tests (first
+    * probe lands inside the outage and re-opens; the second closes),
+    * then the backlog drains. The timeline is a VIRTUAL tick clock —
+    * no wall sleeps (improving on the ratelimit entry's 25 ms refill),
+    * and the whole trace is deterministic: the spec pins the exact
+    * transition sequence and that the endpoint saw ZERO calls while
+    * open. Fail-loud attempt budget (a breaker that never closes must
+    * kill the job, not spin). The census must equal the clean paginated
+    * read — an outage ridden out through the breaker is not data loss.
+    */
+  def sourceApiCircuitBreaker(spark: SparkSession, sfDir: String): DataFrame =
+    sourceApiCircuitBreakerWith(spark, sfDir, outageCalls = 4)._1
+
+  private[graft] def sourceApiCircuitBreakerWith(
+      spark: SparkSession, sfDir: String, outageCalls: Int):
+      (DataFrame, CircuitBreaker, Long) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val pagesDir = freshDir(sfDir, "api_pages_breaker")
+    val nPages = 5
+    events
+      .withColumn("page", pmod(col("event_id"), lit(nPages)))
+      .write.mode(SaveMode.Overwrite).partitionBy("page").json(pagesDir.toString)
+    var tick = 0L
+    val breaker = new CircuitBreaker(
+      failThreshold = 3, cooldownMs = 5L, clock = () => tick)
+    var realCalls = 0L
+    val fetched = scala.collection.mutable.Map.empty[Int, DataFrame]
+    val pending = scala.collection.mutable.Queue(0 until nPages: _*)
+    var attempts = 0
+    while (pending.nonEmpty) {
+      attempts += 1
+      require(attempts <= 64,
+        "circuit breaker never closed within the attempt budget — " +
+          "endpoint still down; refusing to spin (and silently dropping " +
+          "pages would be data loss)")
+      val p = pending.dequeue()
+      try fetched(p) = breaker.call {
+        realCalls += 1
+        if (realCalls <= outageCalls)
+          throw new RuntimeException(s"simulated 503 (outage) on page $p")
+        spark.read.json(s"$pagesDir/page=$p")
+      } catch { case _: Throwable => pending.enqueue(p) }
+      tick += 1
+    }
+    val census = (0 until nPages).map(fetched)
+      .reduce(_ unionByName _)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+    (census, breaker, realCalls)
+  }
+
   /** Paginated source, offline file-paged form (README.md:11–12): pages of
     * JSON records are fetched one per driver-loop iteration (the
     * reference's pagination loop) and unioned BY NAME into one frame. The

@@ -154,6 +154,38 @@ class EtlTextSpec extends SparkTestBase {
     assert(endpoint2.servedCount === 2L, "only the burst is ever served")
   }
 
+  test("source_api_circuit_breaker: exact transition trace, zero calls while open, lossless census") {
+    // outage = first 4 real calls. Deterministic trace on the tick
+    // clock: 3 fails trip OPEN at tick 2; ticks 3-6 short-circuit;
+    // the tick-7 half-open probe is real call 4 (still in the outage)
+    // and RE-OPENS; ticks 8-11 short-circuit; the tick-12 probe is
+    // call 5 (healthy) and CLOSES; 4 drains follow → 9 real calls, 8
+    // short-circuits. The endpoint never sees a call while open — the
+    // breaker's whole point (9 = 3 trips + 2 probes + 4 drains).
+    val (census, breaker, realCalls) =
+      EtlOps.sourceApiCircuitBreakerWith(spark, sf0001, outageCalls = 4)
+    val out = census.collect()
+    assert(breaker.transitions.toList === List(
+      ("open", 2L), ("half_open", 7L), ("open", 7L),
+      ("half_open", 12L), ("closed", 12L)),
+      s"got ${breaker.transitions}")
+    assert(breaker.shortCircuitCount === 8L)
+    assert(realCalls === 9L, "endpoint must see only trips, probes, drains")
+    val plain = spark.read.parquet(s"$sf0001/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy("event_type").collect()
+    assert(out.toSeq === plain.toSeq, "an outage ridden out is not data loss")
+
+    // an endpoint that never recovers must kill the job inside the
+    // attempt budget — spinning forever or dropping pages are both worse
+    val dead = intercept[IllegalArgumentException] {
+      EtlOps.sourceApiCircuitBreakerWith(spark, sf0001, outageCalls = 100000)
+    }
+    assert(dead.getMessage.contains("never closed"))
+  }
+
   test("sql_merge_into: all three MERGE verbs apply; plan is group-based ReplaceData") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
     spark.sql("DROP TABLE IF EXISTS graftcat.spec.t")
