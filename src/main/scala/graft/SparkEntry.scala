@@ -85,6 +85,8 @@ object SparkEntry {
     "graph_degree_dist" -> ((s, d) => GraphOps.degreeDist(orders(s, d), lineitem(s, d))),
     "graph_random_walk" -> ((s, d) =>
       GraphOps.graphRandomWalk(orders(s, d), lineitem(s, d))),
+    "graph_random_walk_stored" -> ((s, d) =>
+      GraphOps.graphRandomWalkStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_random_walk_biased" -> ((s, d) =>
       GraphOps.graphRandomWalkBiased(orders(s, d), lineitem(s, d))),
     "graph_walk_pairs" -> ((s, d) =>
@@ -2187,6 +2189,8 @@ object SparkEntry {
     "graph_label_prop" -> labelPropOracleSql(4),
     "graph_label_prop_conv" -> labelPropConvOracleSql(10),
     "graph_random_walk" -> randomWalkOracleSql(4),
+    // identical walks served from the stored bucketed layout
+    "graph_random_walk_stored" -> randomWalkOracleSql(4),
     "graph_random_walk_biased" -> randomWalkBiasedOracleSql(4, 2.0, 0.5),
     // the walk corpus self-joined within the window band, pair census
     "graph_walk_pairs" -> {

@@ -1317,6 +1317,35 @@ object GraphOps {
       .withColumn("rn",
         row_number().over(Window.partitionBy("src").orderBy("dst")))
       .localCheckpoint() // the walk's static side, built once
+    walkLoop(ranked, steps)
+  }
+
+  /** Uniform walks SERVED from the stored bucketed adjacency — the walk
+    * family's member of the stored-serving invariant (same oracle as
+    * graph_random_walk): the ranked edge list is derived by exploding
+    * the stored dsts arrays, and row_number over (src, dst order) gives
+    * the GLOBAL neighbor rank even when a 64 Ki-chunked hub spans
+    * several stored rows — the explode flattens all chunks first.
+    */
+  def graphRandomWalkStored(
+      spark: org.apache.spark.sql.SparkSession,
+      orders: DataFrame, lineitem: DataFrame, sfDir: String,
+      steps: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val name = ensureAdjacencyTable(spark, orders, lineitem, sfDir)
+    val ranked = spark.table(name)
+      .select(col("src"), explode(col("dsts")).as("dst"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("src").orderBy("dst")))
+      .localCheckpoint()
+    walkLoop(ranked, steps)
+  }
+
+  /** The draw-and-hop loop shared by the in-query and stored walk
+    * forms: per step, one join against the degree table to compute the
+    * md5 pick, one (node, rank) equi-join to hop.
+    */
+  private def walkLoop(ranked: DataFrame, steps: Int): DataFrame = {
     val deg = ranked.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg")).localCheckpoint()
     var cur = deg.select(col("src").as("start"), col("src").as("cur"))
