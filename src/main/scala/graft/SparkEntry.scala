@@ -389,6 +389,7 @@ object SparkEntry {
     "stream_outer_join" -> ((s, d) => StreamOps.streamOuterJoin(s, d)),
     "stream_throttled" -> ((s, d) => StreamOps.streamThrottled(s, d)),
     "stream_recovery" -> ((s, d) => StreamOps.streamRecovery(s, d)),
+    "stream_state_inspect" -> ((s, d) => StreamOps.streamStateInspect(s, d)),
     "stream_upsert" -> ((s, d) => StreamOps.streamUpsert(s, d)),
     "stream_merge" -> ((s, d) => StreamOps.streamMerge(s, d)),
     "stream_ann_ingest" -> ((s, d) => SimOps.streamAnnIngest(s, d)),
@@ -3292,6 +3293,12 @@ object SparkEntry {
          FROM events GROUP BY event_type ORDER BY event_type""",
     // checkpoint recovery: resumed query neither re-emits the committed
     // half (n_ids = n would break) nor skips the new half (n would break)
+    // no watermark => nothing evicts: the final state IS the full
+    // aggregate, so the state-store read must equal the batch groupBy
+    "stream_state_inspect" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(user_id) AS BIGINT) AS total
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_recovery" ->
       """SELECT event_type, count(*) AS n,
          count(DISTINCT event_id) AS n_ids,

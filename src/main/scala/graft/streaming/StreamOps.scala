@@ -1033,6 +1033,52 @@ object StreamOps {
   /** Fresh scratch dir (mirrors EtlOps.freshDir; local to keep packages
     * independent).
     */
+  /** STATE-STORE INSPECTION — Spark 4's state data source read back as
+    * a batch DataFrame: the ops surface for debugging a stateful query
+    * at scale (is state growing? which keys dominate? did eviction
+    * run?) without instrumenting the query itself. The entry runs a
+    * checkpointed per-type count/sum aggregation over the staged
+    * two-half backlog (≥2 real micro-batches), stops it, then opens the
+    * CHECKPOINT with `spark.read.format("statestore")` and censuses the
+    * state rows. With no watermark nothing evicts, so the final state
+    * IS the full aggregate — the oracle is the plain batch groupBy
+    * over events, which also proves the state survived the micro-batch
+    * boundary exactly (a lost or double-counted batch would show in
+    * the sums). At 100 TB the same read pattern inspects a production
+    * query's state store partition-parallel, no stop-the-world dump.
+    */
+  def streamStateInspect(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val schema = events.schema
+    val srcDir = scratch(sfDir, "state_inspect_src")
+    val ckpt = scratch(sfDir, "state_inspect_ckpt").toString
+    def arrive(half: Int): Unit = {
+      val tmp = scratch(sfDir, s"state_inspect_stage$half")
+      events.filter(pmod(col("event_id"), lit(2)) === half)
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, srcDir.resolve(s"load-$half.parquet"))
+    }
+    arrive(0); arrive(1)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("total"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) => b.count(); () }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.format("statestore").load(ckpt)
+      .select(col("key.event_type").as("event_type"),
+        col("value.count").as("n"), col("value.sum").as("total"))
+      .orderBy("event_type")
+  }
+
   private def scratch(sfDir: String, tag: String): Path = {
     val p = Paths.get(
       sys.props("java.io.tmpdir"), "graft_stream",
