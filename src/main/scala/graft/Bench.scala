@@ -120,6 +120,8 @@ object Bench {
     // sf0.1, corpus-proportional at scale; x10 ratio 5.0 < 10, BASELINE
     // r10); graph_walk_pairs below exercises the walk kernel end-to-end
     "graph_walk_pairs",     // r10: uniform walks -> skip-gram pair census
+    "graph_random_walk_stored", // r10: walk kernel served off the stored layout
+    "stream_state_inspect", // r10: state data source read of a checkpointed agg
   )
 
   def main(args: Array[String]): Unit = {
