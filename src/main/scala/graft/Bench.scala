@@ -299,7 +299,9 @@ object Bench {
         val sorted = results.toSeq
           .map { case (k, r) =>
             (k, if (r.exists(_ < 0)) -1.0 else math.rint(r.min * 1000) / 1000) }
-          .sortBy { case (_, v) => -v }
+          // errors (-1) first so truncation can never silently drop a
+          // FAILED query from the compact line, then slowest-first
+          .sortBy { case (_, v) => if (v < 0) Double.NegativeInfinity else -v }
         val frame = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":{},"queries_omitted":${sorted.size},"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"heap_mb":$heapMb,"detail":"$detailPath"}"""
         val budget = 1900 - frame.length
         val kept = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -420,7 +420,7 @@ object SparkEntry {
     // [EXT] dedup & similarity variants
     "dedup_simhash" -> ((s, d) => SimOps.dedupSimhash(documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => SimOps.dedupNgramJaccard(documents(s, d))),
-    "dedup_embedding" -> ((s, d) => SimOps.dedupEmbedding(embeddings(s, d))),
+    "dedup_embedding" -> ((s, d) => SimOps.dedupEmbedding(SimOps.plantNearDups(embeddings(s, d)))),
     "sim_ivf" -> ((s, d) => SimOps.simIvf(embeddings(s, d))),
     "sim_ann_filtered" -> ((s, d) => SimOps.simAnnFiltered(embeddings(s, d))),
     "sim_bitext" -> ((s, d) => SimOps.simBitext(embeddings(s, d))),
@@ -433,7 +433,7 @@ object SparkEntry {
     "sim_ivf_kmeans" -> ((s, d) => SimOps.simIvfKmeans(embeddings(s, d))),
     "sink_ann_index" -> ((s, d) => SimOps.sinkAnnIndex(s, d)),
     "sim_kmeans" -> ((s, d) => SimOps.simKmeans(embeddings(s, d))),
-    "dedup_semantic" -> ((s, d) => SimOps.dedupSemantic(embeddings(s, d))),
+    "dedup_semantic" -> ((s, d) => SimOps.dedupSemantic(SimOps.plantNearDups(embeddings(s, d)))),
     "pipeline_pretrain" -> ((s, d) => LlmOps.pipelinePretrain(documents(s, d))),
     "pipeline_pretrain_v2" -> ((s, d) => PipelineOps.pipelinePretrainV2(documents(s, d))),
     "pipeline_pack" -> ((s, d) => PipelineOps.pipelinePack(documents(s, d))),
@@ -780,7 +780,9 @@ object SparkEntry {
          ORDER BY c_custkey""",
     "join_left_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
     "join_cross" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
@@ -1286,7 +1288,7 @@ object SparkEntry {
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n,
          count(DISTINCT user_id) AS n_users
          FROM events
-         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-03-01' AND DATE '2024-03-31'
+         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-31'
          GROUP BY 1 ORDER BY 1""",
     // z-order is a LAYOUT move — the 2-D box query must return exactly
     // what the unsorted table returns
@@ -3781,8 +3783,8 @@ object SparkEntry {
          ORDER BY probe, w""",
     // multiprobe: every vector posts to its block + the 8 single-bit flips
     "dedup_embedding" ->
-      """WITH e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
-                    FROM embeddings),
+      s"""WITH e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM $plantedEmbSrc),
          b AS (SELECT doc_id, v, CAST(list_sum([CASE WHEN v[i] > 0
                  THEN (1 << (i-1)) ELSE 0 END for i in range(1, 9)]) AS INT) AS block
                FROM e),
@@ -4126,8 +4128,8 @@ object SparkEntry {
     // the full SemDeDup pipeline replicated: kmeans chain → within-cell
     // pairs → exact cosine verify
     "dedup_semantic" ->
-      s"""WITH ${kmeansCte(16, 3, 64)},
-         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH ${kmeansCte(16, 3, 64, src = plantedEmbSrc)},
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $plantedEmbSrc),
          cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
                   FROM kaf a JOIN kaf b
                   ON a.cell = b.cell AND a.vec_id < b.vec_id),
@@ -4550,8 +4552,22 @@ object SparkEntry {
     * can coexist in a single WITH clause for drift-audit oracles.
     * Empty prefix reproduces the established names.
     */
+  /** The planted near-dup corpus — SQL twin of `SimOps.plantNearDups`
+    * (see its Scaladoc): every vec_id % 100 == 7 vector copied to
+    * vec_id + 1e6 with 1-based dimension 33 zeroed, all in FLOAT so the
+    * engine-side float→double widening is replayed bit-exactly.
+    */
+  private val plantedEmbSrc =
+    """(SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               [CASE WHEN i = 33 THEN CAST(0.0 AS FLOAT) ELSE embedding[i] END
+                FOR i IN range(1, 65)] AS embedding
+        FROM embeddings WHERE vec_id % 100 = 7)"""
+
   private def kmeansCte(k: Int, rounds: Int, dim: Int,
-      trainWhere: String = "", px: String = ""): String = {
+      trainWhere: String = "", px: String = "",
+      src: String = "embeddings"): String = {
     val trainSrc = if (trainWhere.isEmpty) s"${px}eq" else s"${px}eqt"
     def assign(name: String, cents: String, src: String = s"${px}eq") =
       s"""$name AS MATERIALIZED (SELECT vec_id, xq, cid AS cell FROM (
@@ -4575,7 +4591,7 @@ object SparkEntry {
       else s""",
          ${px}eqt AS MATERIALIZED (SELECT vec_id, xq FROM ${px}eq WHERE $trainWhere)"""
     s"""${px}eq AS MATERIALIZED (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-             x -> CAST(round(x * 1000) AS BIGINT)) AS xq FROM embeddings)$eqt,
+             x -> CAST(round(x * 1000) AS BIGINT)) AS xq FROM $src)$eqt,
          ${px}k0 AS MATERIALIZED (SELECT CAST(vec_id AS INTEGER) AS cid, xq AS cvec
                 FROM $trainSrc WHERE vec_id < $k)$steps,
          ${assign(s"${px}kaf", s"${px}k$rounds")}"""

@@ -104,14 +104,21 @@ object JoinOps {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy("c_custkey")
 
-  /** Left anti — NOT EXISTS: customers with no orders; the core of
-    * idempotent re-ingestion (only NEW records pass, README.md:28).
+  /** Left anti — NOT EXISTS: customers with no URGENT order; the core of
+    * idempotent re-ingestion (only NEW records pass, README.md:28). The
+    * right side is filtered to one priority class so the unmatched set is
+    * non-empty at every fixture SF (every customer has SOME order, so the
+    * unfiltered form compared empty-vs-empty — a vacuous oracle check).
+    * The filter sits under the anti-join, so Catalyst pushes it into the
+    * right-side scan before the shuffle.
     */
-  def leftAnti(customer: DataFrame, orders: DataFrame): DataFrame =
+  def leftAnti(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
     customer
-      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .join(urgent, customer("c_custkey") === urgent("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy("c_custkey")
+  }
 
   /** Cartesian product of two bounded dims (building block for all-pairs
     * similarity — never used with two large sides).

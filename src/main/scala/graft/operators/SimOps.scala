@@ -173,6 +173,30 @@ object SimOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Seeded near-duplicate PLANTING for the embedding-dedup entries. The
+    * fixture embeddings are near-orthogonal random vectors (max pairwise
+    * cosine ≈ 0.51 at the oracle SFs), so any dedup entry holding the
+    * canonical 0.95 operating point compared empty-vs-empty — a vacuous
+    * oracle check (the r10 verdict's top item). Rather than move the
+    * operating point to a value nobody ships, the corpus gets a
+    * deterministic twist the oracle replays verbatim: every vector with
+    * vec_id % 100 == 7 is copied to vec_id + 1_000_000 with its 33rd
+    * dimension zeroed. cos(v, v') = sqrt(1 − v₃₃²/‖v‖²) ≈ 0.992 for a
+    * typical 64-dim vector, so each planted copy is a genuine near-dup
+    * that must survive blocking AND the 0.95 verify. Float arithmetic is
+    * exact on both engines (float→double widening + one element set to
+    * 0), so the hash compare holds.
+    */
+  def plantNearDups(embeddings: DataFrame): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val planted = base
+      .filter(col("vec_id") % 100 === 7)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 32, lit(0.0f)).otherwise(x)).as("embedding"))
+    base.unionByName(planted)
+  }
+
   private def toVec(c: Column): Column = c.cast("array<double>")
 
   // Native codegen'd dot product — see graft.plans.VectorDot (bit-identical
@@ -1444,7 +1468,7 @@ object SimOps {
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val q = batch.select(col("vec_id").as("qid"), toVec(col("embedding")).as("qv"))
         val wProbe = Window.partitionBy("qid").orderBy(desc("ccos"), asc("cid"))
         val probes = q.crossJoin(broadcast(cents))
@@ -1461,13 +1485,21 @@ object SimOps {
           .filter(col("rank") <= 10)
           .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
             col("vec_id"), col("cos"))
-          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(results)
+          // IDEMPOTENT sink: each micro-batch owns a batchId-named
+          // subdirectory written with Overwrite, so a re-executed batch
+          // (post-failure replay) replaces its own output instead of
+          // appending duplicates — the exactly-once discipline a plain
+          // Append sink lacks.
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$results/batch=$batchId")
         ()
       }
       .start()
     run.processAllAvailable()
     run.stop()
-    spark.read.parquet(results).orderBy("query_id", "rank")
+    spark.read.parquet(results)
+      .select("query_id", "rank", "vec_id", "cos")
+      .orderBy("query_id", "rank")
   }
 
   // `qSrc`: where the query vector lives — defaults to the corpus, but a

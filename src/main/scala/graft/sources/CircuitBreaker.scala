@@ -39,6 +39,10 @@ final class CircuitBreaker(
   private var state: String = "closed"
   private var consecFails: Int = 0
   private var openedAt: Long = 0L
+  // True while the single half-open probe is in flight: further callers
+  // short-circuit until it resolves, so "exactly ONE probe" holds under
+  // concurrency too (not just for the single-threaded driver loops).
+  private var probing: Boolean = false
   private val log = scala.collection.mutable.ArrayBuffer[(String, Long)]()
   private var shorted: Long = 0L
 
@@ -61,10 +65,18 @@ final class CircuitBreaker(
           throw new CircuitOpenException(cooldownMs - (now - openedAt))
         }
       }
+      if (state == "half_open") {
+        if (probing) { // a probe is already in flight — reject, don't pile on
+          shorted += 1
+          throw new CircuitOpenException(0L)
+        }
+        probing = true
+      }
     }
     try {
       val r = f
       synchronized {
+        probing = false
         consecFails = 0
         if (state == "half_open") moveTo("closed", clock())
       }
@@ -72,6 +84,7 @@ final class CircuitBreaker(
     } catch {
       case e: Throwable =>
         synchronized {
+          probing = false
           val now = clock()
           if (state == "half_open") {
             openedAt = now

@@ -666,7 +666,14 @@ object EtlOps {
         if (realCalls <= outageCalls)
           throw new RuntimeException(s"simulated 503 (outage) on page $p")
         spark.read.json(s"$pagesDir/page=$p")
-      } catch { case _: Throwable => pending.enqueue(p) }
+      } catch {
+        // Deferred faults only: the simulated outage and the breaker's
+        // short-circuit both re-enqueue the page; fatal errors (OOM,
+        // interrupts) propagate instead of being retried as if they were
+        // the outage until the attempt budget trips with a misleading
+        // "breaker never closed" message.
+        case scala.util.control.NonFatal(_) => pending.enqueue(p)
+      }
       tick += 1
     }
     val census = (0 until nPages).map(fetched)
@@ -973,7 +980,7 @@ object EtlOps {
       .withColumn("event_date", col("ts").cast("date"))
       .write.mode(SaveMode.Overwrite).partitionBy("event_date").parquet(raw)
     spark.read.parquet(raw)
-      .filter(col("event_date").between("2024-03-01", "2024-03-31"))
+      .filter(col("event_date").between("2024-01-01", "2024-01-31"))
       .groupBy(col("event_date"))
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
       .select(col("event_date").cast("string").as("day"), col("n"), col("n_users"))

@@ -1030,9 +1030,6 @@ object StreamOps {
       .orderBy("event_type")
   }
 
-  /** Fresh scratch dir (mirrors EtlOps.freshDir; local to keep packages
-    * independent).
-    */
   /** STATE-STORE INSPECTION — Spark 4's state data source read back as
     * a batch DataFrame: the ops surface for debugging a stateful query
     * at scale (is state growing? which keys dominate? did eviction
@@ -1079,6 +1076,9 @@ object StreamOps {
       .orderBy("event_type")
   }
 
+  /** Fresh scratch dir (mirrors EtlOps.freshDir; local to keep packages
+    * independent).
+    */
   private def scratch(sfDir: String, tag: String): Path = {
     val p = Paths.get(
       sys.props("java.io.tmpdir"), "graft_stream",

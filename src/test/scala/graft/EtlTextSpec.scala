@@ -186,6 +186,32 @@ class EtlTextSpec extends SparkTestBase {
     assert(dead.getMessage.contains("never closed"))
   }
 
+  test("circuit breaker: exactly ONE half-open probe passes under concurrency") {
+    var tick = 0L
+    val br = new graft.sources.CircuitBreaker(
+      failThreshold = 1, cooldownMs = 5L, clock = () => tick)
+    intercept[RuntimeException] {
+      br.call { throw new RuntimeException("boom") } // trips OPEN at tick 0
+    }
+    tick = 10L // cooldown elapsed: next caller becomes THE half-open probe
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val probe = new Thread(() =>
+      br.call { entered.countDown(); release.await(); "ok" })
+    probe.start()
+    entered.await() // probe is in flight inside the dependency
+    // a second caller arriving mid-probe must be rejected WITHOUT touching
+    // the dependency (pre-fix it passed through — several probes at once)
+    var touched = false
+    intercept[graft.sources.CircuitOpenException] { br.call { touched = true } }
+    assert(!touched, "concurrent caller must not reach the dependency")
+    release.countDown()
+    probe.join()
+    assert(br.currentState === "closed", "successful probe closes the breaker")
+    // and once closed, callers flow again
+    assert(br.call("through") === "through")
+  }
+
   test("sql_merge_into: all three MERGE verbs apply; plan is group-based ReplaceData") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
     spark.sql("DROP TABLE IF EXISTS graftcat.spec.t")

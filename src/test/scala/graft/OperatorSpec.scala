@@ -73,11 +73,15 @@ class OperatorSpec extends SparkTestBase {
       (5L, None)))    // no click at-or-after
   }
 
-  test("left_anti keeps only unmatched keys") {
-    val c = Seq((1L, "a", "S1"), (2L, "b", "S2")).toDF("c_custkey", "c_name", "c_mktsegment")
-    val o = Seq((10L, 1L)).toDF("o_orderkey", "o_custkey")
+  test("left_anti keeps only keys unmatched in the urgent subset") {
+    val c = Seq((1L, "a", "S1"), (2L, "b", "S2"), (3L, "c", "S3"))
+      .toDF("c_custkey", "c_name", "c_mktsegment")
+    // customer 1 has an urgent order; customer 3 has only a LOW order,
+    // which the anti-join's right-side filter must exclude -> 3 survives
+    val o = Seq((10L, 1L, "1-URGENT"), (11L, 3L, "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
     val out = JoinOps.leftAnti(c, o).select("c_custkey").as[Long].collect()
-    assert(out.toSeq === Seq(2L))
+    assert(out.toSeq === Seq(2L, 3L))
   }
 
   // ---- §2.4 aggregations ----
