@@ -378,6 +378,7 @@ object SparkEntry {
     "stream_watermark" -> ((s, d) => StreamOps.streamWatermark(s, d)),
     "stream_dedup" -> ((s, d) => StreamOps.streamDedup(s, d)),
     "stream_dedup_near" -> ((s, d) => StreamOps.streamDedupNear(s, d)),
+    "stream_dedup_near_verified" -> ((s, d) => StreamOps.streamDedupNearVerified(s, d)),
     "stream_stateful" -> ((s, d) => StreamOps.streamStateful(s, d)),
     "stream_stateful_v2" -> ((s, d) => StreamOps.streamStatefulV2(s, d)),
     "stream_timer_sessions" -> ((s, d) => StreamOps.streamTimerSessions(s, d)),
@@ -3247,6 +3248,32 @@ object SparkEntry {
          SELECT doc_a, doc_b, CAST(max(n_match) AS INTEGER) AS n_match
          FROM p WHERE n_match >= 20
          GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""",
+    // the reconciliation pass: the streaming replay above joined back to
+    // the exact shingle sets — every signature-evidence pair re-scored
+    // with true Jaccard, flagged at the batch 0.6 operating point
+    "stream_dedup_near_verified" ->
+      s"""WITH ${nearDupBandCtes("documents")},
+         bm AS (SELECT b.doc_id, b.band, b.sig, m.mh,
+                row_number() OVER (PARTITION BY b.band, b.sig
+                  ORDER BY b.doc_id) AS rn
+              FROM b JOIN m USING (doc_id)),
+         mem AS (SELECT * FROM bm WHERE rn <= 64),
+         p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                list_sum(list_transform(range(1, 33),
+                  i -> CASE WHEN a.mh[i] = c.mh[i] THEN 1 ELSE 0 END)) AS n_match
+              FROM mem a JOIN mem c
+                ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id),
+         sp AS (SELECT doc_a, doc_b, CAST(max(n_match) AS INTEGER) AS n_match
+                FROM p WHERE n_match >= 20 GROUP BY doc_a, doc_b),
+         v AS (SELECT sp.doc_a, sp.doc_b, sp.n_match,
+                 round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                   (len(sa.sh) + len(sb.sh)
+                    - len(list_intersect(sa.sh, sb.sh))), 6) AS jac
+               FROM sp JOIN s sa ON sa.doc_id = sp.doc_a
+                       JOIN s sb ON sb.doc_id = sp.doc_b)
+         SELECT doc_a, doc_b, n_match, jac,
+           CAST(CASE WHEN jac >= 0.6 THEN 1 ELSE 0 END AS INTEGER) AS verified
+         FROM v ORDER BY doc_a, doc_b""",
     "stream_stateful" ->
       """SELECT user_id, count(*) AS n_events,
          round(max(value), 6) AS max_value,

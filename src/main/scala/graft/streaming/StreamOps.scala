@@ -324,6 +324,48 @@ object StreamOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** RECONCILIATION pass for [[streamDedupNear]] — the exact-Jaccard
+    * verify its Scaladoc names, composed in-engine. The streaming form
+    * emits on SIGNATURE evidence alone (≥ 20/32 minhash slots — state
+    * must hold signatures, never shingle sets), so a user shipping it
+    * inherits LSH false positives: two documents whose signatures
+    * collide above threshold while their true shingle Jaccard sits
+    * below the batch entry's 0.6 operating point (the spec seeds
+    * exactly such a pair and pins it `verified = 0`). This entry joins
+    * the streamed pair set back to the exact shingle sets — candidate
+    * docs only, broadcast-semi pruned (the dedupNearPruned shape:
+    * streamed pairs are collision-bounded and tiny, so the verify
+    * shuffle carries candidates, not the corpus) — and emits each pair
+    * with its exact Jaccard and a 0/1 `verified` flag at the batch
+    * threshold. At 100 TB this is the standing audit query over the
+    * stream's output table: state bounded (the stream), exactness
+    * restored (this pass), corpus never rescanned beyond candidates.
+    */
+  def streamDedupNearVerified(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.TextKernels.register(spark)
+    val streamed = streamDedupNear(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        graft.plans.TextKernels.shingleSet(col("text")).as("sh"))
+    val candIds = streamed
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val pruned = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val sa = pruned.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = pruned.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = inter.cast("double") /
+      (size(col("sh_a")) + size(col("sh_b")) - inter)
+    streamed
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        round(jac, 6).as("jac"))
+      // flag from the ROUNDED value (round-before-cut house rule), so
+      // the 0.6 boundary decides identically on both engines
+      .withColumn("verified", when(col("jac") >= 0.6, 1).otherwise(0))
+      .orderBy("doc_a", "doc_b")
+  }
+
   case class Ev(user_id: Long, value: Double)
   case class UserAgg(user_id: Long, n_events: Long, max_value: Double, min_value: Double)
 

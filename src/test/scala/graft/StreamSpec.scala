@@ -203,6 +203,37 @@ class StreamSpec extends SparkTestBase {
       "no pair crossed a micro-batch boundary — state did not persist")
   }
 
+  test("stream_dedup_near_verified: exact-Jaccard reconciliation flags a signature-only false positive") {
+    // Crafted pair (searched offline over the exact shingle/minhash/band
+    // kernels): 22/32 minhash slots match AND a full LSH band collides,
+    // so the streaming form emits it on signature evidence — but the
+    // true 3-shingle Jaccard is 5/9 ≈ 0.5556 < 0.6. The reconciliation
+    // pass must surface it with verified = 0.
+    val fpA = "golf delta sierra yankee one papa kilo uniform uniform"
+    val fpB = "golf delta sierra yankee one papa kilo seven uniform"
+    val dupA = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, fpA), (2L, dupA), (3L, fpB), (4L, dupA),
+      (5L, "completely unrelated filler text one two"),
+      (6L, "another unrelated document with different words entirely"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdnv").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = StreamOps.streamDedupNearVerified(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getDouble(3), r.getInt(4)))).toMap
+    val fp = out((1L, 3L))
+    assert(fp._1 >= 20, s"crafted pair must carry signature evidence: $fp")
+    assert(fp._2 < 0.6 && fp._3 === 0,
+      s"signature-only false positive must be flagged verified=0: $fp")
+    // the quartered staging puts docs 1 and 3 in DIFFERENT micro-batches,
+    // so the flagged pair also proves cross-batch state; the identical
+    // pair (2,4) is the control: full signature match AND exact match
+    val dup = out((2L, 4L))
+    assert(dup._1 === 32 && dup._2 === 1.0 && dup._3 === 1,
+      s"true duplicate must verify: $dup")
+  }
+
   test("stream_recovery: resume neither loses nor re-emits; idle restart is a no-op") {
     val base = StreamOps.streamRecovery(spark, sf0001).collect().toSeq
     // no duplicates: distinct ids == rows in every group
