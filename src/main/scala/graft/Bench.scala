@@ -114,14 +114,18 @@ object Bench {
     "sink_knn_graph_refresh",
     "stream_dedup_near",    // r10: LSH index as streaming state
     "stream_ann_search",    // r10: query stream probing the stored IVF index
-    // graph_random_walk_biased is deliberately NOT a headline entry: its
-    // cost is 3 supersteps x (fanout + membership join + 2 windows) over
-    // per-walker frames — the betweenness adjudication (stage overhead at
-    // sf0.1, corpus-proportional at scale; x10 ratio 5.0 < 10, BASELINE
-    // r10); graph_walk_pairs below exercises the walk kernel end-to-end
+    // graph_random_walk_biased (in-query) is deliberately NOT a headline
+    // entry: its cost is 3 supersteps x (fanout + membership join + 2
+    // windows) over per-walker frames — the betweenness adjudication
+    // (stage overhead at sf0.1, corpus-proportional at scale; x10 ratio
+    // 5.0 < 10, BASELINE r10). Its STORED twin below is the recurring
+    // accountability number (r10 verdict item 4): same oracle, kernel
+    // cost only — no in-query projection build riding the reading.
     "graph_walk_pairs",     // r10: uniform walks -> skip-gram pair census
     "graph_random_walk_stored", // r10: walk kernel served off the stored layout
+    "graph_random_walk_biased_stored", // r11: 2nd-order kernel off the stored layout
     "stream_state_inspect", // r10: state data source read of a checkpointed agg
+    "stream_dedup_near_verified", // r11: streamed pairs + exact-Jaccard reconcile
   )
 
   def main(args: Array[String]): Unit = {
@@ -266,10 +270,70 @@ object Bench {
           s""""$fam":{"full":$full,"from_stored_layout":$stored,"build_est":$build}"""
         }
       }
-    val breakdownAll =
-      if (familySplits.isEmpty) breakdownJson
+    // kNN-lifecycle build/serve splits (r10 verdict item 5): both
+    // entries publish build-dominated totals (the incremental entry
+    // times a full index build + one delta ingest; the refresh IS two
+    // builds + an audit), so their decade ratios would read as ingest
+    // regressions forever. The split times the serving path alone —
+    // ingest_only re-runs the O(delta) ingest against an already-built
+    // index; audit_only re-runs the O(E) drift audit over already-built
+    // layouts — under the headline protocol (untimed warmup, min of 2).
+    // Subset runs skip (the familySplits precedent).
+    val knnSplits: Seq[String] = if (only.nonEmpty) Seq.empty[String] else {
+      val resMap = results.toMap
+      def minOf2(body: => Unit): Double = {
+        body // warmup
+        Vector.fill(2) {
+          System.gc()
+          val t0 = System.nanoTime()
+          body
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val inc = resMap.get("sink_knn_graph_incremental").map(_.min)
+        .filter(_ >= 0).flatMap { full =>
+          try {
+            val idx = operators.SimOps.buildKnnIncIndex(spark, emb, sfDir)
+            val ingest = minOf2 {
+              val (_, _, updated) =
+                operators.SimOps.knnGraphIngestDelta(spark, emb, idx)
+              operators.SimOps.knnIncrementalCensus(updated, idx.cutoff).count()
+              ()
+            }
+            System.err.println(f"[bench] sink_knn_graph_incremental split: " +
+              f"full $full%.3f s, ingest_only $ingest%.3f s")
+            Some(s""""sink_knn_graph_incremental":{"full":$full,"ingest_only":$ingest,"build_est":${math.max(0.0, full - ingest)}}""")
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] knn incremental split FAILED: ${e.getMessage}")
+            None
+          }
+        }
+      val ref = resMap.get("sink_knn_graph_refresh").map(_.min)
+        .filter(_ >= 0).flatMap { full =>
+          try {
+            val (staleDir, freshDir) =
+              operators.SimOps.buildRefreshLayouts(spark, emb, sfDir)
+            val audit = minOf2 {
+              operators.SimOps.knnRefreshAudit(spark, staleDir, freshDir).count()
+              ()
+            }
+            System.err.println(f"[bench] sink_knn_graph_refresh split: " +
+              f"full $full%.3f s, audit_only $audit%.3f s")
+            Some(s""""sink_knn_graph_refresh":{"full":$full,"audit_only":$audit,"build_est":${math.max(0.0, full - audit)}}""")
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] knn refresh split FAILED: ${e.getMessage}")
+            None
+          }
+        }
+      (inc.toSeq ++ ref.toSeq)
+    }
+    val breakdownAll = {
+      val parts = familySplits ++ knnSplits
+      if (parts.isEmpty) breakdownJson
       else breakdownJson.stripSuffix("}") +
-        (if (breakdownJson == "{}") "" else ",") + familySplits.mkString(",") + "}"
+        (if (breakdownJson == "{}") "" else ",") + parts.mkString(",") + "}"
+    }
     // Full metric JSON (reps, breakdowns) goes to a FILE; stdout carries a
     // compact line. Round-6/7 artifacts of record came back head-truncated
     // ("parsed": null) because the single stdout line outgrew the driver's

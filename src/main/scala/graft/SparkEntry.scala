@@ -89,6 +89,8 @@ object SparkEntry {
       GraphOps.graphRandomWalkStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_random_walk_biased" -> ((s, d) =>
       GraphOps.graphRandomWalkBiased(orders(s, d), lineitem(s, d))),
+    "graph_random_walk_biased_stored" -> ((s, d) =>
+      GraphOps.graphRandomWalkBiasedStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_walk_pairs" -> ((s, d) =>
       GraphOps.graphWalkPairs(orders(s, d), lineitem(s, d))),
     "graph_assortativity" ->
@@ -700,16 +702,33 @@ object SparkEntry {
     "scan_parquet" ->
       """SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal
          FROM supplier WHERE s_acctbal > 0 ORDER BY s_suppkey""",
+    // the BMP decode replayed closed-form: header fields from the id
+    // rule, pixel statistics from the mod-256 fill — the engine side
+    // must parse REAL bytes (magic, offsets, bottom-up rows, padding)
+    // to land on the same integers
     "multimodal_decode" ->
-      """WITH t AS (SELECT doc_id, hex(encode(text)) AS h,
-                 octet_length(encode(text)) AS n FROM documents),
-         s AS (SELECT doc_id, n,
-                 CAST(list_sum([('0x' || substr(h, 2 * i - 1, 2))::INT
-                                for i in range(1, n + 1)]) AS BIGINT) AS bs
-               FROM t)
-         SELECT doc_id, CAST(n AS INT) AS n_bytes, bs AS byte_sum,
-           round(bs::DOUBLE / n, 6) AS mean_byte,
-           CAST(n % 640 AS INT) AS fake_width
+      """WITH d AS (SELECT doc_id,
+               CAST(doc_id % 8 + 2 AS BIGINT) AS w,
+               CAST(doc_id % 6 + 2 AS BIGINT) AS h,
+               CASE WHEN doc_id % 13 = 5 THEN 'bad_magic'
+                    WHEN doc_id % 13 = 9 THEN 'truncated'
+                    ELSE 'ok' END AS status
+             FROM documents),
+         s AS (SELECT doc_id, status, w, h,
+                 CAST(list_sum(list_transform(range(0, w * h * 3),
+                   j -> (doc_id * 31 + 7 * j) % 256)) AS BIGINT) AS px_sum,
+                 CAST(list_sum(list_transform(range(0, w * h),
+                   p -> (doc_id * 31 + 21 * p) % 256)) AS BIGINT) AS bl_sum,
+                 CAST(list_sum(list_transform(range((h - 1) * w * 3, (h - 1) * w * 3 + 3),
+                   j -> (doc_id * 31 + 7 * j) % 256)) AS INT) AS tl_sum
+               FROM d)
+         SELECT doc_id, status,
+           CAST(CASE WHEN status = 'bad_magic' THEN 0 ELSE w END AS INT) AS width,
+           CAST(CASE WHEN status = 'bad_magic' THEN 0 ELSE h END AS INT) AS height,
+           CAST(CASE WHEN status = 'ok' THEN w * h ELSE 0 END AS INT) AS n_pixels,
+           CAST(CASE WHEN status = 'ok' THEN px_sum ELSE 0 END AS BIGINT) AS pixel_sum,
+           CAST(CASE WHEN status = 'ok' THEN bl_sum ELSE 0 END AS BIGINT) AS blue_sum,
+           CAST(CASE WHEN status = 'ok' THEN tl_sum ELSE 0 END AS INT) AS topleft_sum
          FROM s ORDER BY doc_id""",
     // pure frame-index arithmetic — integer-exact in both engines
     "multimodal_framesample" ->
@@ -2196,6 +2215,8 @@ object SparkEntry {
     // identical walks served from the stored bucketed layout
     "graph_random_walk_stored" -> randomWalkOracleSql(4),
     "graph_random_walk_biased" -> randomWalkBiasedOracleSql(4, 2.0, 0.5),
+    // identical biased walks served from the stored bucketed layout
+    "graph_random_walk_biased_stored" -> randomWalkBiasedOracleSql(4, 2.0, 0.5),
     // the walk corpus self-joined within the window band, pair census
     "graph_walk_pairs" -> {
       val base = randomWalkOracleSql(4)

@@ -1411,6 +1411,42 @@ object GraphOps {
       .withColumn("rn",
         row_number().over(Window.partitionBy("src").orderBy("dst")))
       .localCheckpoint()
+    biasedWalkLoop(edges, ranked, steps, retP, outQ)
+  }
+
+  /** Biased walks SERVED from the stored bucketed adjacency — the walk
+    * family's stored-serving invariant applied to the second-order
+    * kernel (same oracle as graph_random_walk_biased): edges come from
+    * exploding the stored dsts arrays, the rank derivation is the
+    * graphRandomWalkStored shape. This is the entry's recurring
+    * ACCOUNTABILITY number (r10 verdict item 4): the in-query form's
+    * gate reading mixed the one-time projection build with per-step
+    * cost and swung 12–22 s with stage-scheduling noise; the stored
+    * form times the walk kernel alone each round.
+    */
+  def graphRandomWalkBiasedStored(
+      spark: org.apache.spark.sql.SparkSession,
+      orders: DataFrame, lineitem: DataFrame, sfDir: String,
+      steps: Int = 4, retP: Double = 2.0, outQ: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val name = ensureAdjacencyTable(spark, orders, lineitem, sfDir)
+    val edges = spark.table(name)
+      .select(col("src"), explode(col("dsts")).as("dst"))
+      .localCheckpoint()
+    val ranked = edges
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("src").orderBy("dst")))
+      .localCheckpoint()
+    biasedWalkLoop(edges, ranked, steps, retP, outQ)
+  }
+
+  /** The second-order draw loop shared by the in-query and stored
+    * biased-walk forms (the `walkLoop` precedent — one kernel, two
+    * edge-list providers, so the forms cannot drift).
+    */
+  private def biasedWalkLoop(edges: DataFrame, ranked: DataFrame,
+      steps: Int, retP: Double, outQ: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val deg = ranked.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg")).localCheckpoint()
     // step 1: first-order uniform (no prev yet) — the graphRandomWalk pick

@@ -686,6 +686,37 @@ class LlmSpec extends SparkTestBase {
     assert(kept > dropped, s"refresh dropped more edges than it kept ($kept vs $dropped)")
   }
 
+  test("multimodal_decode: payloads are real BMPs (ImageIO-readable); corrupt ones quarantine") {
+    // independent decoder: the JDK's own ImageIO must parse the bytes —
+    // proof the payload is a genuine BMP, not a private format our own
+    // decoder happens to round-trip
+    val id = 7L // 7 % 13 ∉ {5, 9} → clean payload
+    val bytes = LlmOps.encodeBmp(id)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not parse the generated BMP")
+    assert(img.getWidth === (id % 8 + 2).toInt && img.getHeight === (id % 6 + 2).toInt)
+    // and our decoder must agree with ImageIO pixel for pixel
+    var blue = 0L
+    var total = 0L
+    for (yy <- 0 until img.getHeight; xx <- 0 until img.getWidth) {
+      val rgb = img.getRGB(xx, yy)
+      blue += rgb & 0xff
+      total += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
+    val dec = LlmOps.decodeBmp(id, bytes)
+    assert(dec.status === "ok" && dec.pixel_sum === total && dec.blue_sum === blue,
+      s"decoder disagrees with ImageIO: $dec vs total=$total blue=$blue")
+    val tl = img.getRGB(0, 0) // top-left = LAST stored row (bottom-up)
+    assert(dec.topleft_sum === ((tl >> 16) & 0xff) + ((tl >> 8) & 0xff) + (tl & 0xff))
+    // fault discipline: corruption quarantines with a status, never throws
+    assert(LlmOps.decodeBmp(5L,
+      LlmOps.corruptBmpFor(5L, LlmOps.encodeBmp(5L))).status === "bad_magic")
+    val t = LlmOps.decodeBmp(9L, LlmOps.corruptBmpFor(9L, LlmOps.encodeBmp(9L)))
+    assert(t.status === "truncated" && t.width === (9 % 8 + 2).toInt
+      && t.height === (9 % 6 + 2).toInt,
+      s"truncated payload must keep its parseable header fields: $t")
+  }
+
   test("multimodal payload survives project/filter/join byte-identically") {
     val docs = Tables.documents(spark, sf0001)
     val embs = Tables.embeddings(spark, sf0001)
