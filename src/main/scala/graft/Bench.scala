@@ -126,6 +126,7 @@ object Bench {
     "graph_random_walk_biased_stored", // r11: 2nd-order kernel off the stored layout
     "stream_state_inspect", // r10: state data source read of a checkpointed agg
     "stream_dedup_near_verified", // r11: streamed pairs + exact-Jaccard reconcile
+    "pipeline_node_embed",  // r11: SGNS over walk pairs (walks->pairs->embeddings)
   )
 
   def main(args: Array[String]): Unit = {

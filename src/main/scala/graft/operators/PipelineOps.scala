@@ -847,6 +847,136 @@ object PipelineOps {
       .orderBy("source", "lang")
   }
 
+  /** In-engine NODE-EMBEDDING training (DeepWalk's trainer stage,
+    * closing the walks → pairs → embeddings chain the walk entries
+    * opened): skip-gram with negative sampling over the
+    * `graph_walk_pairs` census, as BATCH gradient descent — the
+    * distributed form of SGNS (per-sample SGD is sequential by
+    * construction; batch rounds are the Lloyd/quality-classifier
+    * shape, and each round is ONE join + ONE grouped aggregate + ONE
+    * update join, all on compact keys).
+    *
+    * Determinism is engineered exactly like `pipelineQualityClassifier`
+    * (the precedent the unrolled DuckDB oracle needs):
+    *   - the squashing function is the ALGEBRAIC sigmoid
+    *     0.5 + z/(2(1+|z|)) — identical IEEE arithmetic on every
+    *     engine, no libm exp();
+    *   - the model STATE is integer micro-units end to end (the
+    *     kmeans-xq quantization applied to the embedding table): every
+    *     per-example gradient contribution is quantized BEFORE the
+    *     per-node sum, the per-round update step is re-quantized to an
+    *     integer, and the output is the raw micro-unit integers — no
+    *     scale-6 float rounding anywhere, because round(x, 6) is the
+    *     one op whose decimal-vs-binary path CAN diverge across
+    *     engines on accumulated values (measured: 7 of 64k values
+    *     straddled a 6th-decimal midpoint at sf0.1 under float state);
+    *   - negatives are the seeded-md5 coin: for each positive
+    *     (center, context) pair, ONE negative node drawn by hash rank
+    *     over the vocabulary (fixed across rounds — a deterministic
+    *     noise distribution the oracle replays; a draw may collide
+    *     with the true context, which standard SGNS tolerates);
+    *   - init embeddings are a pure integer function of (node, dim).
+    * Examples are weighted by the pair census count, so the census IS
+    * the positive distribution (no pair-row explosion back to walk
+    * scale). Per-node updates normalize by the node's own example
+    * weight (per-parameter step size, the practical SGNS scaling).
+    *
+    * Scale: the model lives DISTRIBUTED (node-keyed embedding table,
+    * never collected); per round the example set joins it on center
+    * and context keys — two compact-key shuffles — and the gradient
+    * aggregate is map-side combinable. 100 TB of walks reduce to a
+    * pair census first (`graph_walk_pairs`), so training cost is
+    * O(distinct pairs), not O(walk corpus).
+    */
+  def pipelineNodeEmbed(orders: DataFrame, lineitem: DataFrame,
+      steps: Int = 4, window: Int = 2, dim: Int = 4,
+      rounds: Int = 2, lr: Double = 0.5): DataFrame =
+    nodeEmbedWithLoss(orders, lineitem, steps, window, dim, rounds, lr,
+      lossTrace = false)._1
+
+  /** The trainer with an optional per-round LOSS trace (quantized
+    * squared error, exact integer micro-units — one extra 1-row
+    * aggregate pull per round, spec-only: the registry entry skips it
+    * so the bench number is pure training).
+    */
+  private[graft] def nodeEmbedWithLoss(orders: DataFrame, lineitem: DataFrame,
+      steps: Int, window: Int, dim: Int, rounds: Int, lr: Double,
+      lossTrace: Boolean): (DataFrame, Seq[Double]) = {
+    val pairsW = GraphOps.graphWalkPairs(orders, lineitem, steps, window)
+      .localCheckpoint()
+    val nodes = pairsW.select(col("center").as("node")).distinct()
+    val v = nodes.count() // scalar vocabulary size (1-row aggregate pull)
+    val ranked = nodes.withColumn("rnk",
+      row_number().over(Window.orderBy("node"))).localCheckpoint()
+    val negRank = conv(substring(
+        md5(concat_ws("|", col("center"), col("context"))), 1, 8), 16, 10)
+      .cast("long") % lit(v) + 1
+    val pos = pairsW.select(col("center"), col("context"),
+      col("n_pairs"), lit(1.0).as("label"))
+    val negs = pairsW.select(col("center"), negRank.as("rnk"), col("n_pairs"))
+      .join(ranked, "rnk")
+      .select(col("center"), col("node").as("context"),
+        col("n_pairs"), lit(0.0).as("label"))
+    val ex = pos.unionByName(negs).localCheckpoint()
+    // integer micro-unit init: e = ((node·37 + i·101) mod 2001 − 1000)/1000,
+    // stored ×1e6 — an exact long
+    def initCol(i: Int): Column =
+      ((col("node") * 37 + lit(i * 101)) % 2001 - 1000) * 1000
+    var emb = ranked.select(
+      col("node") +: (1 to dim).map(i => initCol(i).as(s"e$i")): _*)
+      .localCheckpoint()
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to rounds) {
+      val u = emb.select(
+        col("node").as("center") +: (1 to dim).map(i => col(s"e$i").as(s"u$i")): _*)
+      val vv = emb.select(
+        col("node").as("context") +: (1 to dim).map(i => col(s"e$i").as(s"v$i")): _*)
+      val j = ex.join(u, "center").join(vv, "context")
+      def du(i: Int): Column = col(s"u$i").cast("double") / lit(1e6)
+      def dv(i: Int): Column = col(s"v$i").cast("double") / lit(1e6)
+      val z = (1 to dim).map(i => du(i) * dv(i)).reduce(_ + _)
+      val p = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+      if (lossTrace) {
+        // weighted squared error in exact micro-units (order-proof sum)
+        val l = j.agg(sum(round((p - col("label")) * (p - col("label"))
+          * col("n_pairs") * lit(1e6)).cast("long")).as("l")).head().getLong(0)
+        losses += l / 1e6
+      }
+      val err = (p - col("label")) * col("n_pairs")
+      val contrib = j.select(
+        Seq(col("center"), col("context"), col("n_pairs")) ++
+          (1 to dim).map(i =>
+            round(err * dv(i) * lit(1e6)).cast("long").as(s"gc$i")) ++
+          (1 to dim).map(i =>
+            round(err * du(i) * lit(1e6)).cast("long").as(s"go$i")): _*)
+      val gcen = contrib.select(
+        Seq(col("center").as("node"), col("n_pairs").as("nw")) ++
+          (1 to dim).map(i => col(s"gc$i").as(s"g$i")): _*)
+      val gctx = contrib.select(
+        Seq(col("context").as("node"), col("n_pairs").as("nw")) ++
+          (1 to dim).map(i => col(s"go$i").as(s"g$i")): _*)
+      val aggs = sum(col("nw")).as("nw") +:
+        (1 to dim).map(i => sum(col(s"g$i")).as(s"g$i"))
+      val grad = gcen.unionByName(gctx).groupBy("node")
+        .agg(aggs.head, aggs.tail: _*)
+      // integer update: δ_micro = round(lr·g/nw) — 0.5·g is an exact
+      // halving, the division is one deterministic IEEE op, and the
+      // scale-0 round agrees across engines (no decimal re-scaling)
+      emb = emb.join(grad, Seq("node"), "left")
+        .select(col("node") +: (1 to dim).map(i =>
+          when(col("nw").isNull, col(s"e$i"))
+            .otherwise(col(s"e$i") - round(lit(lr)
+              * col(s"g$i").cast("double")
+              / col("nw").cast("double")).cast("long")).as(s"e$i")): _*)
+        .localCheckpoint()
+    }
+    // raw micro-unit integers out — the whole result hash-compares exactly
+    val out = emb.select(
+      col("node") +: (1 to dim).map(i => col(s"e$i")): _*)
+      .orderBy("node")
+    (out, losses.toSeq)
+  }
+
   /** Dataset-card census — the per-(source, lang) summary table a
     * released training corpus ships with (doc/token counts, length
     * quantiles, short-doc fraction). ONE map-side labeling pass + ONE

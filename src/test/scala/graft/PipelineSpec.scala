@@ -12,6 +12,28 @@ import graft.Tables._
 class PipelineSpec extends SparkTestBase {
   import spark.implicits._
 
+
+  test("pipeline_node_embed: SGNS loss decreases over rounds; embeddings move") {
+    val (out, losses) = PipelineOps.nodeEmbedWithLoss(
+      orders(spark, sf0001), lineitem(spark, sf0001),
+      steps = 4, window = 2, dim = 4, rounds = 3, lr = 0.5, lossTrace = true)
+    assert(losses.length === 3)
+    // weighted squared error must strictly decrease round over round --
+    // the training signal is real, not a deterministic no-op
+    assert(losses(1) < losses(0) && losses(2) < losses(1),
+      s"loss must decrease monotonically: $losses")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // the model actually moved off its init for at least some nodes
+    val moved = rows.count { r =>
+      val node = r.getLong(0)
+      (1 to 4).exists { i =>
+        r.getLong(i) != ((node * 37 + i * 101) % 2001 - 1000) * 1000
+      }
+    }
+    assert(moved > 0, "no embedding moved off its init -- no training happened")
+  }
+
   test("pipeline_pack: offsets are gapless per source and sequence spans are arithmetic") {
     val out = PipelineOps.pipelinePack(documents(spark, sf0001)).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
