@@ -320,6 +320,7 @@ object SparkEntry {
     "dedup_binary" -> ((s, d) =>
       LlmOps.dedupBinary(documents(s, d), embeddings(s, d))),
     "multimodal_decode" -> ((s, d) => LlmOps.multimodalDecode(documents(s, d))),
+    "multimodal_decode_wav" -> ((s, d) => LlmOps.multimodalDecodeWav(documents(s, d))),
     "multimodal_framesample" -> ((s, d) => LlmOps.multimodalFramesample(documents(s, d))),
     "multimodal_resize" -> ((s, d) => LlmOps.multimodalResize(documents(s, d))),
     "text_containment" -> ((s, d) => SimOps.textContainment(documents(s, d))),
@@ -731,6 +732,33 @@ object SparkEntry {
            CAST(CASE WHEN status = 'ok' THEN px_sum ELSE 0 END AS BIGINT) AS pixel_sum,
            CAST(CASE WHEN status = 'ok' THEN bl_sum ELSE 0 END AS BIGINT) AS blue_sum,
            CAST(CASE WHEN status = 'ok' THEN tl_sum ELSE 0 END AS INT) AS topleft_sum
+         FROM s ORDER BY doc_id""",
+    // the WAV decode replayed closed-form (the BMP stance for audio):
+    // sample statistics from the mod-4001 PCM fill, status from the
+    // fault-rule residues — the engine must walk real RIFF chunks
+    // (junk LIST chunk included) to land on the same integers
+    "multimodal_decode_wav" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 50 + 20 AS BIGINT) AS n,
+             CASE WHEN doc_id % 11 = 3 THEN 'bad_magic'
+                  WHEN doc_id % 11 = 7 THEN 'truncated'
+                  ELSE 'ok' END AS status
+           FROM documents),
+         s AS (SELECT doc_id, status, n,
+                 CAST(list_sum(list_transform(range(0, n),
+                   k -> (doc_id * 131 + 17 * k) % 4001 - 2000)) AS BIGINT) AS ssum,
+                 CAST(list_sum(list_transform(range(0, n),
+                   k -> ((doc_id * 131 + 17 * k) % 4001 - 2000)
+                        * ((doc_id * 131 + 17 * k) % 4001 - 2000))) AS BIGINT) AS sq,
+                 CAST(list_max(list_transform(range(0, n),
+                   k -> abs((doc_id * 131 + 17 * k) % 4001 - 2000))) AS INT) AS pk
+               FROM d)
+         SELECT doc_id, status,
+           CAST(CASE WHEN status = 'bad_magic' THEN 0 ELSE 8000 END AS INT) AS sample_rate,
+           CAST(CASE WHEN status = 'ok' THEN n ELSE 0 END AS INT) AS n_samples,
+           CAST(CASE WHEN status = 'ok' THEN ssum ELSE 0 END AS BIGINT) AS sample_sum,
+           CAST(CASE WHEN status = 'ok' THEN sq ELSE 0 END AS BIGINT) AS sq_sum,
+           CAST(CASE WHEN status = 'ok' THEN pk ELSE 0 END AS INT) AS peak
          FROM s ORDER BY doc_id""",
     // pure frame-index arithmetic — integer-exact in both engines
     "multimodal_framesample" ->

@@ -738,6 +738,126 @@ object LlmOps {
       u8(tl) + u8(tl + 1) + u8(tl + 2))
   }
 
+  final case class WavDecoded(
+      doc_id: Long, status: String, sample_rate: Int, n_samples: Int,
+      sample_sum: Long, sq_sum: Long, peak: Int)
+
+  /** Deterministic PCM WAV payload — the audio sibling of [[encodeBmp]]:
+    * a real RIFF/WAVE container (fmt chunk: mono 16-bit PCM @ 8 kHz,
+    * data chunk of n = id%50+20 little-endian signed samples, sample k =
+    * ((id·131 + 17k) mod 4001) − 2000). Every id ≡ 2 (mod 7) also gets
+    * a LIST junk chunk BETWEEN fmt and data, so a decoder that assumes
+    * the canonical fixed 44-byte layout (instead of walking chunks)
+    * reads garbage — chunk traversal is the part of a RIFF parser that
+    * is actually load-bearing.
+    */
+  private[graft] def encodeWav(docId: Long): Array[Byte] = {
+    val n = (docId % 50 + 20).toInt
+    val dataLen = n * 2
+    val junk = docId % 7 == 2
+    val junkLen = if (junk) 8 + 6 else 0 // "LIST" + len + 6 payload bytes
+    val riffLen = 4 + 24 + junkLen + 8 + dataLen
+    val buf = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    if (junk) {
+      buf.put("LIST".getBytes("US-ASCII")).putInt(6)
+      var i = 0
+      while (i < 6) { buf.put(0x55.toByte); i += 1 }
+    }
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var k = 0
+    while (k < n) {
+      buf.putShort((((docId * 131 + 17L * k) % 4001) - 2000).toShort)
+      k += 1
+    }
+    buf.array()
+  }
+
+  /** Fault rule for the WAV path (a different residue system from the
+    * BMP one, so the two corruption populations don't coincide).
+    */
+  private[graft] def corruptWavFor(docId: Long, bytes: Array[Byte]): Array[Byte] =
+    if (docId % 11 == 3) {
+      val c = bytes.clone(); c(0) = 'X'.toByte; c(1) = 'X'.toByte; c
+    } else if (docId % 11 == 7) bytes.dropRight(8)
+    else bytes
+
+  /** REAL in-JVM WAV decode: validates RIFF/WAVE, WALKS the chunk list
+    * (fmt may not be adjacent to data — see the junk chunk in
+    * [[encodeWav]]), reads the PCM format fields, and folds the signed
+    * 16-bit samples into exact integer statistics (sum, sum of squares,
+    * peak |amplitude|). A data chunk shorter than its declared length
+    * quarantines as truncated with the parseable header fields kept.
+    */
+  private[graft] def decodeWav(id: Long, b: Array[Byte]): WavDecoded = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def i32(i: Int): Int = u8(i) | u8(i + 1) << 8 | u8(i + 2) << 16 | u8(i + 3) << 24
+    def tag(i: Int): String =
+      if (i + 4 > b.length) "" else new String(b, i, 4, "US-ASCII")
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return WavDecoded(id, "bad_magic", 0, 0, 0L, 0L, 0)
+    var pos = 12
+    var rate = 0
+    var bits = 0
+    var ok = true
+    var dataAt = -1
+    var dataLen = 0
+    while (ok && dataAt < 0) {
+      if (pos + 8 > b.length) ok = false
+      else {
+        val t = tag(pos)
+        val len = i32(pos + 4)
+        if (t == "fmt " && pos + 8 + 16 <= b.length) {
+          rate = i32(pos + 12)
+          bits = u8(pos + 22) | u8(pos + 23) << 8
+        } else if (t == "data") {
+          dataAt = pos + 8
+          dataLen = len
+        }
+        pos += 8 + len + (len & 1) // RIFF chunks are word-aligned
+      }
+    }
+    if (!ok || rate == 0 || bits != 16)
+      return WavDecoded(id, "bad_header", rate, 0, 0L, 0L, 0)
+    if (dataAt + dataLen > b.length)
+      return WavDecoded(id, "truncated", rate, 0, 0L, 0L, 0)
+    val n = dataLen / 2
+    var sum = 0L
+    var sq = 0L
+    var peak = 0
+    var k = 0
+    while (k < n) {
+      val s = ((u8(dataAt + 2 * k) | u8(dataAt + 2 * k + 1) << 8).toShort).toInt
+      sum += s
+      sq += s.toLong * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      k += 1
+    }
+    WavDecoded(id, "ok", rate, n, sum, sq, peak)
+  }
+
+  /** The audio decode entry — [[multimodalDecode]]'s WAV sibling: real
+    * RIFF bytes per doc (junk-chunk variants force genuine chunk
+    * traversal), the same per-partition imperative parse, the same
+    * quarantine discipline, the same closed-form exact-integer oracle.
+    */
+  def multimodalDecodeWav(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id")).as[Long]
+      .map(id => (id, corruptWavFor(id, encodeWav(id))))
+      .toDF("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeWav(id, payload) })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Multimodal decode — a REAL self-describing image format decoded
     * in-engine (r10 verdict item 6: the stub graduated). Payloads are
     * genuine 24-bit BMPs (built deterministically per doc — see

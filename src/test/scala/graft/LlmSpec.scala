@@ -717,6 +717,42 @@ class LlmSpec extends SparkTestBase {
       s"truncated payload must keep its parseable header fields: $t")
   }
 
+  test("multimodal_decode_wav: payloads are real WAVs (AudioSystem-readable); chunk walk is real") {
+    // independent decoder: the JDK's own javax.sound must parse the bytes
+    val id = 2L // 2 % 7 == 2 → carries the junk LIST chunk; 2 % 11 ∉ {3, 7}
+    val bytes = LlmOps.encodeWav(id)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate === 8000f && fmt.getChannels === 1
+      && fmt.getSampleSizeInBits === 16,
+      s"AudioSystem read a different format: $fmt")
+    assert(ais.getFrameLength === (id % 50 + 20),
+      "AudioSystem frame count must equal the encoded sample count")
+    // our decoder agrees with AudioSystem sample for sample
+    val raw = ais.readAllBytes()
+    var sum = 0L
+    var k = 0
+    while (k < raw.length / 2) {
+      sum += ((raw(2 * k) & 0xff) | raw(2 * k + 1) << 8).toShort
+      k += 1
+    }
+    val dec = LlmOps.decodeWav(id, bytes)
+    assert(dec.status === "ok" && dec.n_samples === (id % 50 + 20).toInt
+      && dec.sample_sum === sum,
+      s"decoder disagrees with AudioSystem: $dec vs sum=$sum")
+    // a fixed-44-byte-offset reader would misread this payload (junk
+    // chunk sits between fmt and data) — prove the chunk walk matters
+    assert(new String(bytes, 36, 4, "US-ASCII") === "LIST",
+      "fixture must place a junk chunk where naive readers expect data")
+    // fault discipline: both corruption classes quarantine, never throw
+    assert(LlmOps.decodeWav(3L,
+      LlmOps.corruptWavFor(3L, LlmOps.encodeWav(3L))).status === "bad_magic")
+    val t = LlmOps.decodeWav(7L, LlmOps.corruptWavFor(7L, LlmOps.encodeWav(7L)))
+    assert(t.status === "truncated" && t.sample_rate === 8000,
+      s"truncated payload must keep its parseable format fields: $t")
+  }
+
   test("multimodal payload survives project/filter/join byte-identically") {
     val docs = Tables.documents(spark, sf0001)
     val embs = Tables.embeddings(spark, sf0001)
