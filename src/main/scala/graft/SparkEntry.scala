@@ -95,6 +95,8 @@ object SparkEntry {
       GraphOps.graphWalkPairs(orders(s, d), lineitem(s, d))),
     "pipeline_node_embed" -> ((s, d) =>
       PipelineOps.pipelineNodeEmbed(orders(s, d), lineitem(s, d))),
+    "pipeline_node_embed_topk" -> ((s, d) =>
+      PipelineOps.pipelineNodeEmbedTopk(orders(s, d), lineitem(s, d))),
     "graph_assortativity" ->
       ((s, d) => GraphOps.graphAssortativity(orders(s, d), lineitem(s, d))),
     "graph_label_prop" -> ((s, d) => GraphOps.graphLabelProp(orders(s, d), lineitem(s, d))),
@@ -609,6 +611,67 @@ object SparkEntry {
              FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)"""
 
   private val nearDupCte: String = "WITH " + nearDupCtes("documents")
+
+  /** The SGNS training chain as a reusable WITH-body (walk corpus →
+    * pair census → md5-rank negatives → integer micro-unit init → two
+    * unrolled batch-GD rounds; final table `m2`). Shared by the
+    * training entry and its top-k serving consumer so the two oracles
+    * cannot drift.
+    */
+  private lazy val nodeEmbedOracleCtes: String = {
+      val base = randomWalkOracleSql(4)
+      val corpus = base.substring(0, base.lastIndexOf("ORDER BY"))
+      val dims = 1 to 4
+      val trainRounds = (1 to 2).map { r =>
+        s""",
+         j$r AS MATERIALIZED (SELECT ex.center, ex.context, ex.n_pairs, ex.label,
+             ${dims.map(i => s"u.e$i::DOUBLE / 1000000.0 AS u$i").mkString(", ")},
+             ${dims.map(i => s"v.e$i::DOUBLE / 1000000.0 AS v$i").mkString(", ")}
+           FROM ex JOIN m${r - 1} u ON u.node = ex.center
+                   JOIN m${r - 1} v ON v.node = ex.context),
+         q$r AS MATERIALIZED (SELECT center, context, n_pairs,
+             ${dims.map(i => s"CAST(round(err * v$i * 1000000.0) AS BIGINT) AS gc$i").mkString(", ")},
+             ${dims.map(i => s"CAST(round(err * u$i * 1000000.0) AS BIGINT) AS go$i").mkString(", ")}
+           FROM (SELECT *,
+                   (0.5 + z / (2.0 * (1.0 + abs(z))) - label) * n_pairs AS err
+                 FROM (SELECT *, ${dims.map(i => s"u$i * v$i").mkString(" + ")} AS z
+                       FROM j$r))),
+         g$r AS MATERIALIZED (SELECT node, sum(nw) AS nw,
+             ${dims.map(i => s"sum(g$i) AS g$i").mkString(", ")}
+           FROM (SELECT center AS node, n_pairs AS nw,
+                   ${dims.map(i => s"gc$i AS g$i").mkString(", ")} FROM q$r
+                 UNION ALL
+                 SELECT context, n_pairs,
+                   ${dims.map(i => s"go$i").mkString(", ")} FROM q$r)
+           GROUP BY node),
+         m$r AS MATERIALIZED (SELECT m.node,
+             ${dims.map(i =>
+               s"CASE WHEN g.node IS NULL THEN m.e$i ELSE m.e$i - CAST(round(0.5 * g.g$i::DOUBLE / g.nw::DOUBLE) AS BIGINT) END AS e$i")
+               .mkString(", ")}
+           FROM m${r - 1} m LEFT JOIN g$r g ON g.node = m.node)"""
+      }.mkString
+      s"""w AS MATERIALIZED ($corpus),
+         prs AS MATERIALIZED (SELECT a.node AS center, b.node AS context,
+             count(*) AS n_pairs
+           FROM w a JOIN w b ON a.start_id = b.start_id
+             AND a.step <> b.step AND abs(a.step - b.step) <= 2
+           GROUP BY a.node, b.node),
+         nd AS MATERIALIZED (SELECT DISTINCT center AS node FROM prs),
+         rkd AS MATERIALIZED (SELECT node, row_number() OVER (ORDER BY node) AS rnk
+           FROM nd),
+         vc AS (SELECT count(*) AS v FROM nd),
+         ex AS MATERIALIZED (
+           SELECT center, context, n_pairs, 1.0 AS label FROM prs
+           UNION ALL
+           SELECT p.center, r.node, p.n_pairs, 0.0
+           FROM prs p CROSS JOIN vc
+           JOIN rkd r ON r.rnk =
+             ('0x' || substring(md5(p.center || '|' || p.context), 1, 8))::BIGINT
+               % vc.v + 1),
+         m0 AS MATERIALIZED (SELECT node,
+           ${dims.map(i => s"CAST(((node * 37 + ${i * 101}) % 2001 - 1000) * 1000 AS BIGINT) AS e$i").mkString(", ")}
+           FROM nd)$trainRounds"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2261,62 +2324,30 @@ object SparkEntry {
     // two batch-GD rounds over the node-keyed embedding table — the
     // quality-classifier discipline (algebraic sigmoid, per-example
     // integer micro-unit gradients) makes every round bit-replayable
-    "pipeline_node_embed" -> {
-      val base = randomWalkOracleSql(4)
-      val corpus = base.substring(0, base.lastIndexOf("ORDER BY"))
-      val dims = 1 to 4
-      val trainRounds = (1 to 2).map { r =>
-        s""",
-         j$r AS MATERIALIZED (SELECT ex.center, ex.context, ex.n_pairs, ex.label,
-             ${dims.map(i => s"u.e$i::DOUBLE / 1000000.0 AS u$i").mkString(", ")},
-             ${dims.map(i => s"v.e$i::DOUBLE / 1000000.0 AS v$i").mkString(", ")}
-           FROM ex JOIN m${r - 1} u ON u.node = ex.center
-                   JOIN m${r - 1} v ON v.node = ex.context),
-         q$r AS MATERIALIZED (SELECT center, context, n_pairs,
-             ${dims.map(i => s"CAST(round(err * v$i * 1000000.0) AS BIGINT) AS gc$i").mkString(", ")},
-             ${dims.map(i => s"CAST(round(err * u$i * 1000000.0) AS BIGINT) AS go$i").mkString(", ")}
-           FROM (SELECT *,
-                   (0.5 + z / (2.0 * (1.0 + abs(z))) - label) * n_pairs AS err
-                 FROM (SELECT *, ${dims.map(i => s"u$i * v$i").mkString(" + ")} AS z
-                       FROM j$r))),
-         g$r AS MATERIALIZED (SELECT node, sum(nw) AS nw,
-             ${dims.map(i => s"sum(g$i) AS g$i").mkString(", ")}
-           FROM (SELECT center AS node, n_pairs AS nw,
-                   ${dims.map(i => s"gc$i AS g$i").mkString(", ")} FROM q$r
-                 UNION ALL
-                 SELECT context, n_pairs,
-                   ${dims.map(i => s"go$i").mkString(", ")} FROM q$r)
-           GROUP BY node),
-         m$r AS MATERIALIZED (SELECT m.node,
-             ${dims.map(i =>
-               s"CASE WHEN g.node IS NULL THEN m.e$i ELSE m.e$i - CAST(round(0.5 * g.g$i::DOUBLE / g.nw::DOUBLE) AS BIGINT) END AS e$i")
-               .mkString(", ")}
-           FROM m${r - 1} m LEFT JOIN g$r g ON g.node = m.node)"""
-      }.mkString
-      s"""WITH w AS MATERIALIZED ($corpus),
-         prs AS MATERIALIZED (SELECT a.node AS center, b.node AS context,
-             count(*) AS n_pairs
-           FROM w a JOIN w b ON a.start_id = b.start_id
-             AND a.step <> b.step AND abs(a.step - b.step) <= 2
-           GROUP BY a.node, b.node),
-         nd AS MATERIALIZED (SELECT DISTINCT center AS node FROM prs),
-         rkd AS MATERIALIZED (SELECT node, row_number() OVER (ORDER BY node) AS rnk
-           FROM nd),
-         vc AS (SELECT count(*) AS v FROM nd),
-         ex AS MATERIALIZED (
-           SELECT center, context, n_pairs, 1.0 AS label FROM prs
-           UNION ALL
-           SELECT p.center, r.node, p.n_pairs, 0.0
-           FROM prs p CROSS JOIN vc
-           JOIN rkd r ON r.rnk =
-             ('0x' || substring(md5(p.center || '|' || p.context), 1, 8))::BIGINT
-               % vc.v + 1),
-         m0 AS MATERIALIZED (SELECT node,
-           ${dims.map(i => s"CAST(((node * 37 + ${i * 101}) % 2001 - 1000) * 1000 AS BIGINT) AS e$i").mkString(", ")}
-           FROM nd)$trainRounds
-         SELECT node, ${dims.map(i => s"CAST(e$i AS BIGINT) AS e$i").mkString(", ")}
-         FROM m2 ORDER BY node"""
-    },
+    "pipeline_node_embed" ->
+      s"""WITH $nodeEmbedOracleCtes
+         SELECT node, ${(1 to 4).map(i => s"CAST(e$i AS BIGINT) AS e$i").mkString(", ")}
+         FROM m2 ORDER BY node""",
+    // the chain's consumer: nearest nodes by TRAINED-embedding cosine
+    // (link prediction off the learned space) — integer micro-unit dot
+    // products, round-before-cut top-k per probe
+    "pipeline_node_embed_topk" ->
+      s"""WITH $nodeEmbedOracleCtes,
+         en AS (SELECT node, ${(1 to 4).map(i => s"e$i").mkString(", ")},
+                  ${(1 to 4).map(i => s"e$i * e$i").mkString(" + ")} AS nrm2
+                FROM m2),
+         pr AS (SELECT node AS probe, ${(1 to 4).map(i => s"e$i AS p$i").mkString(", ")},
+                  nrm2 AS pn FROM en WHERE node % 64 = 0),
+         sc AS (SELECT pr.probe, en.node,
+                  round((${(1 to 4).map(i => s"en.e$i * pr.p$i").mkString(" + ")})::DOUBLE
+                    / (sqrt(en.nrm2::DOUBLE) * sqrt(pr.pn::DOUBLE)), 6) AS cos
+                FROM en CROSS JOIN pr
+                WHERE en.node <> pr.probe AND en.nrm2 > 0 AND pr.pn > 0),
+         rk AS (SELECT probe, node, cos, row_number() OVER
+                  (PARTITION BY probe ORDER BY cos DESC, node) AS rnk
+                FROM sc)
+         SELECT probe, CAST(rnk AS INT) AS rank, node, cos
+         FROM rk WHERE rnk <= 3 ORDER BY probe, rank""",
     // Pearson over endpoint degrees — exact integer sums, fixed-order
     // closed form (bipartite graphs are disassortative by construction)
     "graph_assortativity" ->

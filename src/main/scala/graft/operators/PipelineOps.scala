@@ -977,6 +977,44 @@ object PipelineOps {
     (out, losses.toSeq)
   }
 
+  /** Nearest nodes by TRAINED embedding — the DeepWalk chain's
+    * consumer (link prediction / node similarity off the learned
+    * space): per probe node (every 64th id — present at every fixture
+    * SF), the top-k other nodes by cosine over the SGNS embeddings.
+    * The dot products and squared norms are EXACT integer arithmetic
+    * in micro-unit space (values < 2^44 — no float accumulation at
+    * all until the single final division), so the only doubles are one
+    * division + two sqrts per candidate on identical integer inputs —
+    * nothing order-sensitive for the oracle to diverge on. Probes are
+    * broadcast (tiny by the mod rule); the corpus side streams — the
+    * sim_topk serving shape over a learned table instead of a stored
+    * one.
+    */
+  def pipelineNodeEmbedTopk(orders: DataFrame, lineitem: DataFrame,
+      steps: Int = 4, window: Int = 2, dim: Int = 4, rounds: Int = 2,
+      lr: Double = 0.5, probeMod: Int = 64, k: Int = 3): DataFrame = {
+    val emb = nodeEmbedWithLoss(orders, lineitem, steps, window, dim,
+      rounds, lr, lossTrace = false)._1.localCheckpoint()
+    val nrm2 = (1 to dim).map(i => col(s"e$i") * col(s"e$i")).reduce(_ + _)
+    val en = emb.withColumn("nrm2", nrm2)
+    val probes = en.filter(col("node") % probeMod === 0)
+      .select(col("node").as("probe") +:
+        ((1 to dim).map(i => col(s"e$i").as(s"p$i")) :+ col("nrm2").as("pn")): _*)
+    val dot = (1 to dim).map(i => col(s"e$i") * col(s"p$i")).reduce(_ + _)
+    val w = Window.partitionBy("probe").orderBy(desc("cos"), asc("node"))
+    en.crossJoin(broadcast(probes))
+      .filter(col("node") =!= col("probe")
+        && col("nrm2") > 0 && col("pn") > 0)
+      .select(col("probe"), col("node"),
+        round(dot.cast("double")
+          / (sqrt(col("nrm2").cast("double")) * sqrt(col("pn").cast("double"))),
+          6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe"), col("rank"), col("node"), col("cos"))
+      .orderBy("probe", "rank")
+  }
+
   /** Dataset-card census — the per-(source, lang) summary table a
     * released training corpus ships with (doc/token counts, length
     * quantiles, short-doc fraction). ONE map-side labeling pass + ONE
