@@ -2337,7 +2337,8 @@ object SparkEntry {
                   ${(1 to 4).map(i => s"e$i * e$i").mkString(" + ")} AS nrm2
                 FROM m2),
          pr AS (SELECT node AS probe, ${(1 to 4).map(i => s"e$i AS p$i").mkString(", ")},
-                  nrm2 AS pn FROM en WHERE node % 64 = 0),
+                  nrm2 AS pn FROM en WHERE node % 64 = 0
+                ORDER BY node LIMIT 32),
          sc AS (SELECT pr.probe, en.node,
                   round((${(1 to 4).map(i => s"en.e$i * pr.p$i").mkString(" + ")})::DOUBLE
                     / (sqrt(en.nrm2::DOUBLE) * sqrt(pr.pn::DOUBLE)), 6) AS cos

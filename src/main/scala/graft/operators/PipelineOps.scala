@@ -986,18 +986,24 @@ object PipelineOps {
     * all until the single final division), so the only doubles are one
     * division + two sqrts per candidate on identical integer inputs —
     * nothing order-sensitive for the oracle to diverge on. Probes are
-    * broadcast (tiny by the mod rule); the corpus side streams — the
-    * sim_topk serving shape over a learned table instead of a stored
-    * one.
+    * the first `nProbes` nodes of the mod class (the betweenness
+    * nSeeds discipline): a mod rule ALONE makes the probe count scale
+    * with the corpus and the brute-force scan quadratic — the ×10
+    * probe measured the uncapped form at 24× for 10× data; capped, the
+    * cost is O(corpus) per fixed probe budget. Probes broadcast; the
+    * corpus side streams — the sim_topk serving shape over a learned
+    * table instead of a stored one.
     */
   def pipelineNodeEmbedTopk(orders: DataFrame, lineitem: DataFrame,
       steps: Int = 4, window: Int = 2, dim: Int = 4, rounds: Int = 2,
-      lr: Double = 0.5, probeMod: Int = 64, k: Int = 3): DataFrame = {
+      lr: Double = 0.5, probeMod: Int = 64, nProbes: Int = 32,
+      k: Int = 3): DataFrame = {
     val emb = nodeEmbedWithLoss(orders, lineitem, steps, window, dim,
       rounds, lr, lossTrace = false)._1.localCheckpoint()
     val nrm2 = (1 to dim).map(i => col(s"e$i") * col(s"e$i")).reduce(_ + _)
     val en = emb.withColumn("nrm2", nrm2)
     val probes = en.filter(col("node") % probeMod === 0)
+      .orderBy("node").limit(nProbes)
       .select(col("node").as("probe") +:
         ((1 to dim).map(i => col(s"e$i").as(s"p$i")) :+ col("nrm2").as("pn")): _*)
     val dot = (1 to dim).map(i => col(s"e$i") * col(s"p$i")).reduce(_ + _)
