@@ -97,6 +97,8 @@ object SparkEntry {
       PipelineOps.pipelineNodeEmbed(orders(s, d), lineitem(s, d))),
     "pipeline_node_embed_topk" -> ((s, d) =>
       PipelineOps.pipelineNodeEmbedTopk(orders(s, d), lineitem(s, d))),
+    "pipeline_node_embed_audit" -> ((s, d) =>
+      PipelineOps.pipelineNodeEmbedAudit(orders(s, d), lineitem(s, d))),
     "graph_assortativity" ->
       ((s, d) => GraphOps.graphAssortativity(orders(s, d), lineitem(s, d))),
     "graph_label_prop" -> ((s, d) => GraphOps.graphLabelProp(orders(s, d), lineitem(s, d))),
@@ -2349,6 +2351,41 @@ object SparkEntry {
                 FROM sc)
          SELECT probe, CAST(rnk AS INT) AS rank, node, cos
          FROM rk WHERE rnk <= 3 ORDER BY probe, rank""",
+    // embedding-quality audit: per true edge, one md5-rank non-edge
+    // partner; both pairs scored by trained cosine in integer
+    // micro-units (round-before-sum and round-before-compare) — a
+    // paired ranking statistic the oracle replays exactly
+    "pipeline_node_embed_audit" ->
+      s"""WITH $nodeEmbedOracleCtes,
+         en2 AS (SELECT node, ${(1 to 4).map(i => s"e$i").mkString(", ")},
+                  ${(1 to 4).map(i => s"e$i * e$i").mkString(" + ")} AS nrm2
+                FROM m2
+                WHERE ${(1 to 4).map(i => s"e$i * e$i").mkString(" + ")} > 0),
+         rk2 AS (SELECT node, row_number() OVER (ORDER BY node) AS rnk FROM m2),
+         vc2 AS (SELECT count(*) AS v FROM m2),
+         eg AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         wn AS (SELECT eg.a, eg.b, r.node AS bneg
+                FROM eg CROSS JOIN vc2
+                JOIN rk2 r ON r.rnk =
+                  ('0x' || substring(md5(eg.a || '|' || eg.b), 1, 8))::BIGINT
+                    % vc2.v + 1),
+         sc AS (SELECT wn.a,
+                  CAST(round((${(1 to 4).map(i => s"ea.e$i * eb.e$i").mkString(" + ")})::DOUBLE
+                    / (sqrt(ea.nrm2::DOUBLE) * sqrt(eb.nrm2::DOUBLE))
+                    * 1000000.0) AS BIGINT) AS edge_micro,
+                  CAST(round((${(1 to 4).map(i => s"ea.e$i * ng.e$i").mkString(" + ")})::DOUBLE
+                    / (sqrt(ea.nrm2::DOUBLE) * sqrt(ng.nrm2::DOUBLE))
+                    * 1000000.0) AS BIGINT) AS neg_micro
+                FROM wn JOIN en2 ea ON ea.node = wn.a
+                        JOIN en2 eb ON eb.node = wn.b
+                        JOIN en2 ng ON ng.node = wn.bneg)
+         SELECT a % 8 AS bucket, count(*) AS n_edges,
+           CAST(sum(edge_micro) AS BIGINT) AS edge_mass_micro,
+           CAST(sum(neg_micro) AS BIGINT) AS neg_mass_micro,
+           CAST(sum(CASE WHEN edge_micro > neg_micro THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_edge_wins
+         FROM sc GROUP BY 1 ORDER BY bucket""",
     // Pearson over endpoint degrees — exact integer sums, fixed-order
     // closed form (bipartite graphs are disassortative by construction)
     "graph_assortativity" ->

@@ -1021,6 +1021,70 @@ object PipelineOps {
       .orderBy("probe", "rank")
   }
 
+  /** Embedding-QUALITY audit — the recall-audit stance (dedup_near_recall,
+    * sim_ivf_recall) applied to the trained node embeddings: does the
+    * learned space actually encode the graph? For every true edge
+    * (a, b) of the trade graph, draw one md5-rank NON-edge partner b′
+    * and score both pairs by trained-embedding cosine (exact integer
+    * micro-units — the rounded micro value is what sums and compares,
+    * so the aggregate is order-proof). Per bucket: edge count, mean
+    * edge/negative cosine mass, and how often the true edge outranks
+    * its sampled negative — a paired ranking statistic (the AUC
+    * estimator's per-pair form). A healthy embedding shows
+    * edge mass ≫ negative mass; a collapsed or untrained one shows
+    * parity — the audit that tells an operator whether to ship the
+    * table, run more rounds, or investigate, without exporting
+    * anything. Cost: one edge scan + three vec_id-keyed joins against
+    * the embedding table (the negative draw may collide with a true
+    * neighbor of a — standard for sampled-negative audits; the md5
+    * rank is uniform over the vocabulary).
+    */
+  def pipelineNodeEmbedAudit(orders: DataFrame, lineitem: DataFrame,
+      steps: Int = 4, window: Int = 2, dim: Int = 4, rounds: Int = 2,
+      lr: Double = 0.5): DataFrame = {
+    val emb = nodeEmbedWithLoss(orders, lineitem, steps, window, dim,
+      rounds, lr, lossTrace = false)._1.localCheckpoint()
+    val nrm2 = (1 to dim).map(i => col(s"e$i") * col(s"e$i")).reduce(_ + _)
+    val en = emb.withColumn("nrm2", nrm2).filter(col("nrm2") > 0)
+    val v = emb.count()
+    val ranked = emb.select(col("node")).withColumn("rnk",
+      row_number().over(Window.orderBy("node"))).localCheckpoint()
+    val pairs = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val edges = pairs.select((col("cust") * 2).as("a"), (col("supp") * 2 + 1).as("b"))
+    val negRank = conv(substring(
+        md5(concat_ws("|", col("a"), col("b"))), 1, 8), 16, 10)
+      .cast("long") % lit(v) + 1
+    val withNeg = edges
+      .join(ranked.select(col("rnk"), col("node").as("bneg")),
+        negRank === col("rnk"))
+      .select(col("a"), col("b"), col("bneg"))
+    def side(tag: String): DataFrame = en.select(
+      col("node").as(tag) +:
+        ((1 to dim).map(i => col(s"e$i").as(s"$tag$i")) :+ col("nrm2").as(s"${tag}n")): _*)
+    def cosMicro(x: String, y: String): Column = {
+      val dot = (1 to dim).map(i => col(s"$x$i") * col(s"$y$i")).reduce(_ + _)
+      round(dot.cast("double")
+        / (sqrt(col(s"${x}n").cast("double")) * sqrt(col(s"${y}n").cast("double")))
+        * lit(1e6)).cast("long")
+    }
+    withNeg
+      .join(side("a"), "a").join(side("b"), "b")
+      .join(side("bneg"), "bneg")
+      .select(col("a"), cosMicro("a", "b").as("edge_micro"),
+        cosMicro("a", "bneg").as("neg_micro"))
+      .groupBy((col("a") % 8).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("edge_micro")).as("edge_mass_micro"),
+        sum(col("neg_micro")).as("neg_mass_micro"),
+        sum(when(col("edge_micro") > col("neg_micro"), 1L).otherwise(0L))
+          .as("n_edge_wins"))
+      .orderBy("bucket")
+  }
+
   /** Dataset-card census — the per-(source, lang) summary table a
     * released training corpus ships with (doc/token counts, length
     * quantiles, short-doc fraction). ONE map-side labeling pass + ONE

@@ -13,6 +13,23 @@ class PipelineSpec extends SparkTestBase {
   import spark.implicits._
 
 
+
+  test("pipeline_node_embed_audit: trained edges outscore sampled non-edges") {
+    val rows = PipelineOps.pipelineNodeEmbedAudit(
+      orders(spark, sf0001), lineitem(spark, sf0001)).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getLong(1)).sum
+    val edgeMass = rows.map(_.getLong(2)).sum
+    val negMass = rows.map(_.getLong(3)).sum
+    val wins = rows.map(_.getLong(4)).sum
+    // the learned space must separate structure from noise: true edges
+    // carry more cosine mass than hash-sampled non-edges, and the true
+    // edge outranks its paired negative more often than not
+    assert(edgeMass > negMass,
+      s"edge mass $edgeMass must exceed negative mass $negMass")
+    assert(wins * 2 > n, s"edge must win the paired comparison > half: $wins of $n")
+  }
+
   test("pipeline_node_embed: SGNS loss decreases over rounds; embeddings move") {
     val (out, losses) = PipelineOps.nodeEmbedWithLoss(
       orders(spark, sf0001), lineitem(spark, sf0001),
