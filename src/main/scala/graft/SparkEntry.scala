@@ -325,6 +325,7 @@ object SparkEntry {
       LlmOps.dedupBinary(documents(s, d), embeddings(s, d))),
     "multimodal_decode" -> ((s, d) => LlmOps.multimodalDecode(documents(s, d))),
     "multimodal_decode_wav" -> ((s, d) => LlmOps.multimodalDecodeWav(documents(s, d))),
+    "multimodal_decode_ppm" -> ((s, d) => LlmOps.multimodalDecodePpm(documents(s, d))),
     "multimodal_framesample" -> ((s, d) => LlmOps.multimodalFramesample(documents(s, d))),
     "multimodal_resize" -> ((s, d) => LlmOps.multimodalResize(documents(s, d))),
     "text_containment" -> ((s, d) => SimOps.textContainment(documents(s, d))),
@@ -824,6 +825,33 @@ object SparkEntry {
            CAST(CASE WHEN status = 'ok' THEN ssum ELSE 0 END AS BIGINT) AS sample_sum,
            CAST(CASE WHEN status = 'ok' THEN sq ELSE 0 END AS BIGINT) AS sq_sum,
            CAST(CASE WHEN status = 'ok' THEN pk ELSE 0 END AS INT) AS peak
+         FROM s ORDER BY doc_id""",
+    // the PPM decode replayed closed-form: dimensions and the mod-256
+    // RGB fill from the id rule — the engine must tokenize a real ASCII
+    // header (comment lines included) to land on the same integers
+    "multimodal_decode_ppm" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 7 + 2 AS BIGINT) AS w,
+             CAST(doc_id % 5 + 2 AS BIGINT) AS h,
+             CASE WHEN doc_id % 17 = 6 THEN 'bad_magic'
+                  WHEN doc_id % 17 = 11 THEN 'truncated'
+                  ELSE 'ok' END AS status
+           FROM documents),
+         s AS (SELECT doc_id, status, w, h,
+                 CAST(list_sum(list_transform(range(0, w * h * 3),
+                   j -> (doc_id * 53 + 11 * j) % 256)) AS BIGINT) AS px_sum,
+                 CAST(list_sum(list_transform(range(0, w * h),
+                   p -> (doc_id * 53 + 33 * p) % 256)) AS BIGINT) AS rd_sum,
+                 CAST(list_sum(list_transform(range(w * h * 3 - 3, w * h * 3),
+                   j -> (doc_id * 53 + 11 * j) % 256)) AS INT) AS br_sum
+               FROM d)
+         SELECT doc_id, status,
+           CAST(CASE WHEN status = 'ok' OR status = 'truncated' THEN w ELSE 0 END AS INT) AS width,
+           CAST(CASE WHEN status = 'ok' OR status = 'truncated' THEN h ELSE 0 END AS INT) AS height,
+           CAST(CASE WHEN status = 'ok' OR status = 'truncated' THEN 255 ELSE 0 END AS INT) AS maxval,
+           CAST(CASE WHEN status = 'ok' THEN px_sum ELSE 0 END AS BIGINT) AS pixel_sum,
+           CAST(CASE WHEN status = 'ok' THEN rd_sum ELSE 0 END AS BIGINT) AS red_sum,
+           CAST(CASE WHEN status = 'ok' THEN br_sum ELSE 0 END AS INT) AS bottomright_sum
          FROM s ORDER BY doc_id""",
     // pure frame-index arithmetic — integer-exact in both engines
     "multimodal_framesample" ->

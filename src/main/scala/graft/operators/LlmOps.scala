@@ -858,6 +858,112 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  final case class PpmDecoded(
+      doc_id: Long, status: String, width: Int, height: Int,
+      maxval: Int, pixel_sum: Long, red_sum: Long, bottomright_sum: Int)
+
+  /** Deterministic binary PPM (P6) payload — the third of the
+    * self-describing formats (BMP little-endian binary header, WAV
+    * chunked RIFF, PPM ASCII header + raw payload — three genuinely
+    * different parser classes). Header: "P6\n<w> <h>\n255\n" with a
+    * `#`-comment line injected for every id ≡ 4 (mod 9) — PPM allows
+    * comments anywhere in the header, and a reader that assumes a
+    * fixed token layout misparses exactly there. Pixels are top-down
+    * RGB (no padding — the inverse of BMP's traps): byte j =
+    * (id·53 + 11j) mod 256, w = id%7+2, h = id%5+2.
+    */
+  private[graft] def encodePpm(docId: Long): Array[Byte] = {
+    val w = (docId % 7 + 2).toInt
+    val h = (docId % 5 + 2).toInt
+    val comment = if (docId % 9 == 4) "# synthetic fixture\n" else ""
+    val header = s"P6\n$comment$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var j = 0
+    while (j < w * h * 3) {
+      out(header.length + j) = ((docId * 53 + 11L * j) % 256).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Fault rule for the PPM path (its own residue system). */
+  private[graft] def corruptPpmFor(docId: Long, bytes: Array[Byte]): Array[Byte] =
+    if (docId % 17 == 6) {
+      val c = bytes.clone(); c(0) = 'Q'.toByte; c
+    } else if (docId % 17 == 11) bytes.dropRight(5)
+    else bytes
+
+  /** REAL in-JVM PPM decode: tokenizes the ASCII header (whitespace-
+    * separated tokens, `#` comments skipped to end of line — the part
+    * a fixed-offset reader gets wrong), validates the P6 magic and
+    * maxval, then folds the raw RGB payload into exact integer
+    * statistics: total byte sum, the red channel (RGB order — red
+    * leads), and the BOTTOM-RIGHT pixel sum (top-down layout — the
+    * inverse anchor of BMP's bottom-up top-left probe).
+    */
+  private[graft] def decodePpm(id: Long, b: Array[Byte]): PpmDecoded = {
+    if (b.length < 2 || b(0) != 'P'.toByte || b(1) != '6'.toByte)
+      return PpmDecoded(id, "bad_magic", 0, 0, 0, 0L, 0L, 0)
+    var pos = 2
+    def nextInt(): Int = {
+      // skip whitespace and '#' comments, then read a decimal token
+      var inComment = false
+      while (pos < b.length &&
+        (inComment || b(pos) == ' ' || b(pos) == '\n' || b(pos) == '\t'
+          || b(pos) == '\r' || b(pos) == '#')) {
+        if (b(pos) == '#') inComment = true
+        else if (b(pos) == '\n') inComment = false
+        pos += 1
+      }
+      var v = 0
+      var any = false
+      while (pos < b.length && b(pos) >= '0'.toByte && b(pos) <= '9'.toByte) {
+        v = v * 10 + (b(pos) - '0'.toByte); any = true; pos += 1
+      }
+      if (!any) -1 else v
+    }
+    val w = nextInt()
+    val h = nextInt()
+    val maxval = nextInt()
+    if (w <= 0 || h <= 0 || maxval != 255 || pos >= b.length)
+      return PpmDecoded(id, "bad_header", 0, 0, 0, 0L, 0L, 0)
+    pos += 1 // exactly ONE whitespace byte separates maxval from payload
+    val need = w * h * 3
+    if (b.length < pos + need)
+      return PpmDecoded(id, "truncated", w, h, maxval, 0L, 0L, 0)
+    var sum = 0L
+    var red = 0L
+    var j = 0
+    while (j < need) {
+      val v = b(pos + j) & 0xff
+      sum += v
+      if (j % 3 == 0) red += v
+      j += 1
+    }
+    val br = pos + need - 3
+    PpmDecoded(id, "ok", w, h, maxval, sum, red,
+      (b(br) & 0xff) + (b(br + 1) & 0xff) + (b(br + 2) & 0xff))
+  }
+
+  /** The PPM decode entry — completes the image/audio/portable-pixmap
+    * triple: same per-partition imperative parse, same quarantine
+    * discipline, same closed-form exact-integer oracle; the comment-
+    * bearing headers make the ASCII tokenizer load-bearing.
+    */
+  def multimodalDecodePpm(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id")).as[Long]
+      .map(id => (id, corruptPpmFor(id, encodePpm(id))))
+      .toDF("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodePpm(id, payload) })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Multimodal decode — a REAL self-describing image format decoded
     * in-engine (r10 verdict item 6: the stub graduated). Payloads are
     * genuine 24-bit BMPs (built deterministically per doc — see

@@ -753,6 +753,34 @@ class LlmSpec extends SparkTestBase {
       s"truncated payload must keep its parseable format fields: $t")
   }
 
+
+  test("multimodal_decode_ppm: comment-bearing ASCII headers tokenize; corrupt ones quarantine") {
+    // id 4 carries a '#' comment line in the header (4 % 9 == 4) — a
+    // fixed-token-layout reader misparses exactly this variant
+    val id = 4L
+    val bytes = LlmOps.encodePpm(id)
+    assert(new String(bytes, 0, 2, "US-ASCII") === "P6")
+    assert(new String(bytes, "US-ASCII").contains("# synthetic fixture"),
+      "fixture must carry the header comment")
+    val dec = LlmOps.decodePpm(id, bytes)
+    val w = (id % 7 + 2).toInt
+    val h = (id % 5 + 2).toInt
+    assert(dec.status === "ok" && dec.width === w && dec.height === h)
+    // hand-computed expectation from the fill rule
+    val expSum = (0 until w * h * 3).map(j => (id * 53 + 11L * j) % 256).sum
+    assert(dec.pixel_sum === expSum, s"tokenizer misread the header: $dec")
+    // an uncommented id decodes under the same rule (both header shapes)
+    val d7 = LlmOps.decodePpm(7L, LlmOps.encodePpm(7L))
+    assert(d7.status === "ok" && d7.width === (7 % 7 + 2).toInt)
+    // fault discipline
+    assert(LlmOps.decodePpm(6L,
+      LlmOps.corruptPpmFor(6L, LlmOps.encodePpm(6L))).status === "bad_magic")
+    val t = LlmOps.decodePpm(11L, LlmOps.corruptPpmFor(11L, LlmOps.encodePpm(11L)))
+    assert(t.status === "truncated" && t.width === (11 % 7 + 2).toInt
+      && t.maxval === 255,
+      s"truncated payload must keep its parsed header fields: $t")
+  }
+
   test("multimodal payload survives project/filter/join byte-identically") {
     val docs = Tables.documents(spark, sf0001)
     val embs = Tables.embeddings(spark, sf0001)
