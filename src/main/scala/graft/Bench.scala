@@ -127,6 +127,8 @@ object Bench {
     "stream_state_inspect", // r10: state data source read of a checkpointed agg
     "stream_dedup_near_verified", // r11: streamed pairs + exact-Jaccard reconcile
     "pipeline_node_embed",  // r11: SGNS over walk pairs (walks->pairs->embeddings)
+    "pipeline_node_embed_served", // r12: trained embeddings through the ANN layout
+    "multimodal_ingest_decode",   // r12: real files -> binaryFile -> 3 decoders
   )
 
   def main(args: Array[String]): Unit = {
@@ -329,8 +331,62 @@ object Bench {
         }
       (inc.toSeq ++ ref.toSeq)
     }
+    // SGNS splits (r11 verdict item 6 + item 4): train_r1/train_r2 make
+    // the linear-in-rounds claim a recurring number instead of a design
+    // note, and serve_only times the partition-pruned probe join alone
+    // against an already-written cell layout (the knnSplits protocol:
+    // untimed warmup, min of 2; subset runs skip).
+    val nodeEmbedSplits: Seq[String] = if (only.nonEmpty) Seq.empty[String] else {
+      val resMap = results.toMap
+      def minOf2(body: => Unit): Double = {
+        body // warmup
+        Vector.fill(2) {
+          System.gc()
+          val t0 = System.nanoTime()
+          body
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val ords = Tables.orders(spark, sfDir)
+      val li = Tables.lineitem(spark, sfDir)
+      val train = resMap.get("pipeline_node_embed").map(_.min)
+        .filter(_ >= 0).flatMap { full =>
+          try {
+            val r1 = minOf2 {
+              operators.PipelineOps.nodeEmbedWithLoss(
+                ords, li, 4, 2, 4, 1, 0.5, lossTrace = false)._1.count(); ()
+            }
+            val r2 = minOf2 {
+              operators.PipelineOps.nodeEmbedWithLoss(
+                ords, li, 4, 2, 4, 2, 0.5, lossTrace = false)._1.count(); ()
+            }
+            System.err.println(f"[bench] pipeline_node_embed split: " +
+              f"full $full%.3f s, train_r1 $r1%.3f s, train_r2 $r2%.3f s")
+            Some(s""""pipeline_node_embed":{"full":$full,"train_r1":$r1,"train_r2":$r2,"round2_marginal":${math.max(0.0, r2 - r1)}}""")
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] node_embed train split FAILED: ${e.getMessage}")
+            None
+          }
+        }
+      val served = resMap.get("pipeline_node_embed_served").map(_.min)
+        .filter(_ >= 0).flatMap { full =>
+          try {
+            val dir = operators.PipelineOps.nodeEmbedIndexBuild(spark, sfDir)
+            val serve = minOf2 {
+              operators.PipelineOps.nodeEmbedIndexServe(spark, dir).count(); ()
+            }
+            System.err.println(f"[bench] pipeline_node_embed_served split: " +
+              f"full $full%.3f s, serve_only $serve%.3f s")
+            Some(s""""pipeline_node_embed_served":{"full":$full,"serve_only":$serve,"build_est":${math.max(0.0, full - serve)}}""")
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] node_embed serve split FAILED: ${e.getMessage}")
+            None
+          }
+        }
+      train.toSeq ++ served.toSeq
+    }
     val breakdownAll = {
-      val parts = familySplits ++ knnSplits
+      val parts = familySplits ++ knnSplits ++ nodeEmbedSplits
       if (parts.isEmpty) breakdownJson
       else breakdownJson.stripSuffix("}") +
         (if (breakdownJson == "{}") "" else ",") + parts.mkString(",") + "}"

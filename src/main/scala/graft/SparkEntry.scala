@@ -99,6 +99,8 @@ object SparkEntry {
       PipelineOps.pipelineNodeEmbedTopk(orders(s, d), lineitem(s, d))),
     "pipeline_node_embed_audit" -> ((s, d) =>
       PipelineOps.pipelineNodeEmbedAudit(orders(s, d), lineitem(s, d))),
+    "pipeline_node_embed_served" -> ((s, d) =>
+      PipelineOps.pipelineNodeEmbedServed(s, d)),
     "graph_assortativity" ->
       ((s, d) => GraphOps.graphAssortativity(orders(s, d), lineitem(s, d))),
     "graph_label_prop" -> ((s, d) => GraphOps.graphLabelProp(orders(s, d), lineitem(s, d))),
@@ -326,6 +328,7 @@ object SparkEntry {
     "multimodal_decode" -> ((s, d) => LlmOps.multimodalDecode(documents(s, d))),
     "multimodal_decode_wav" -> ((s, d) => LlmOps.multimodalDecodeWav(documents(s, d))),
     "multimodal_decode_ppm" -> ((s, d) => LlmOps.multimodalDecodePpm(documents(s, d))),
+    "multimodal_ingest_decode" -> ((s, d) => LlmOps.multimodalIngestDecode(s, d)),
     "multimodal_framesample" -> ((s, d) => LlmOps.multimodalFramesample(documents(s, d))),
     "multimodal_resize" -> ((s, d) => LlmOps.multimodalResize(documents(s, d))),
     "text_containment" -> ((s, d) => SimOps.textContainment(documents(s, d))),
@@ -622,8 +625,7 @@ object SparkEntry {
     * cannot drift.
     */
   private lazy val nodeEmbedOracleCtes: String = {
-      val base = randomWalkOracleSql(4)
-      val corpus = base.substring(0, base.lastIndexOf("ORDER BY"))
+      val corpus = randomWalkOracleBody(4)
       val dims = 1 to 4
       val trainRounds = (1 to 2).map { r =>
         s""",
@@ -853,6 +855,70 @@ object SparkEntry {
            CAST(CASE WHEN status = 'ok' THEN rd_sum ELSE 0 END AS BIGINT) AS red_sum,
            CAST(CASE WHEN status = 'ok' THEN br_sum ELSE 0 END AS INT) AS bottomright_sum
          FROM s ORDER BY doc_id""",
+    // the ingest → decode composition censused per (format, status):
+    // statuses from the three fault-rule residue systems, file sizes
+    // from the closed-form encoded lengths (truncation shrinks the
+    // file ON DISK — the binaryFile `length` column must agree), stat
+    // and anchor sums from the per-format fill rules over ok files only
+    "multimodal_ingest_decode" ->
+      """WITH bmp AS (SELECT doc_id,
+             CAST(doc_id % 8 + 2 AS BIGINT) AS w,
+             CAST(doc_id % 6 + 2 AS BIGINT) AS h,
+             CASE WHEN doc_id % 13 = 5 THEN 'bad_magic'
+                  WHEN doc_id % 13 = 9 THEN 'truncated'
+                  ELSE 'ok' END AS status
+           FROM documents),
+         bmp2 AS (SELECT 'bmp' AS fmt, status,
+             54 + (w * 3 + (4 - (w * 3) % 4) % 4) * h
+               - CASE WHEN status = 'truncated' THEN 10 ELSE 0 END AS len,
+             CASE WHEN status = 'ok' THEN CAST(list_sum(list_transform(
+               range(0, w * h * 3), j -> (doc_id * 31 + 7 * j) % 256)) AS BIGINT)
+               ELSE 0 END AS stat,
+             CASE WHEN status = 'ok' THEN CAST(list_sum(list_transform(
+               range((h - 1) * w * 3, (h - 1) * w * 3 + 3),
+               j -> (doc_id * 31 + 7 * j) % 256)) AS BIGINT)
+               ELSE 0 END AS anchor
+           FROM bmp),
+         wav AS (SELECT doc_id, CAST(doc_id % 50 + 20 AS BIGINT) AS n,
+             CASE WHEN doc_id % 11 = 3 THEN 'bad_magic'
+                  WHEN doc_id % 11 = 7 THEN 'truncated'
+                  ELSE 'ok' END AS status
+           FROM documents),
+         wav2 AS (SELECT 'wav' AS fmt, status,
+             44 + CASE WHEN doc_id % 7 = 2 THEN 14 ELSE 0 END + 2 * n
+               - CASE WHEN status = 'truncated' THEN 8 ELSE 0 END AS len,
+             CASE WHEN status = 'ok' THEN CAST(list_sum(list_transform(
+               range(0, n), k -> (doc_id * 131 + 17 * k) % 4001 - 2000)) AS BIGINT)
+               ELSE 0 END AS stat,
+             CASE WHEN status = 'ok' THEN CAST(list_max(list_transform(
+               range(0, n), k -> abs((doc_id * 131 + 17 * k) % 4001 - 2000))) AS BIGINT)
+               ELSE 0 END AS anchor
+           FROM wav),
+         ppm AS (SELECT doc_id,
+             CAST(doc_id % 7 + 2 AS BIGINT) AS w,
+             CAST(doc_id % 5 + 2 AS BIGINT) AS h,
+             CASE WHEN doc_id % 17 = 6 THEN 'bad_magic'
+                  WHEN doc_id % 17 = 11 THEN 'truncated'
+                  ELSE 'ok' END AS status
+           FROM documents),
+         ppm2 AS (SELECT 'ppm' AS fmt, status,
+             11 + CASE WHEN doc_id % 9 = 4 THEN 20 ELSE 0 END + 3 * w * h
+               - CASE WHEN status = 'truncated' THEN 5 ELSE 0 END AS len,
+             CASE WHEN status = 'ok' THEN CAST(list_sum(list_transform(
+               range(0, w * h * 3), j -> (doc_id * 53 + 11 * j) % 256)) AS BIGINT)
+               ELSE 0 END AS stat,
+             CASE WHEN status = 'ok' THEN CAST(list_sum(list_transform(
+               range(w * h * 3 - 3, w * h * 3),
+               j -> (doc_id * 53 + 11 * j) % 256)) AS BIGINT)
+               ELSE 0 END AS anchor
+           FROM ppm),
+         u AS (SELECT * FROM bmp2 UNION ALL SELECT * FROM wav2
+               UNION ALL SELECT * FROM ppm2)
+         SELECT fmt, status, count(*) AS n_files,
+           CAST(sum(len) AS BIGINT) AS bytes_total,
+           CAST(sum(stat) AS BIGINT) AS stat_sum,
+           CAST(sum(anchor) AS BIGINT) AS anchor_sum
+         FROM u GROUP BY fmt, status ORDER BY fmt, status""",
     // pure frame-index arithmetic — integer-exact in both engines
     "multimodal_framesample" ->
       """WITH d AS (SELECT doc_id,
@@ -2342,8 +2408,7 @@ object SparkEntry {
     "graph_random_walk_biased_stored" -> randomWalkBiasedOracleSql(4, 2.0, 0.5),
     // the walk corpus self-joined within the window band, pair census
     "graph_walk_pairs" -> {
-      val base = randomWalkOracleSql(4)
-      val corpus = base.substring(0, base.lastIndexOf("ORDER BY"))
+      val corpus = randomWalkOracleBody(4)
       s"""WITH w AS MATERIALIZED ($corpus)
          SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
          FROM w a JOIN w b ON a.start_id = b.start_id
@@ -2374,6 +2439,41 @@ object SparkEntry {
                     / (sqrt(en.nrm2::DOUBLE) * sqrt(pr.pn::DOUBLE)), 6) AS cos
                 FROM en CROSS JOIN pr
                 WHERE en.node <> pr.probe AND en.nrm2 > 0 AND pr.pn > 0),
+         rk AS (SELECT probe, node, cos, row_number() OVER
+                  (PARTITION BY probe ORDER BY cos DESC, node) AS rnk
+                FROM sc)
+         SELECT probe, CAST(rnk AS INT) AS rank, node, cos
+         FROM rk WHERE rnk <= 3 ORDER BY probe, rank""",
+    // the SERVED twin: sign-byte cells (bit i set iff e_i > 0), probes
+    // rank cells by the exact integer score Σ±p_i and read only their 4
+    // best — candidates restricted to probed cells, cosine identical to
+    // the brute-force twin's micro-unit arithmetic
+    "pipeline_node_embed_served" ->
+      s"""WITH $nodeEmbedOracleCtes,
+         en AS (SELECT node, ${(1 to 4).map(i => s"e$i").mkString(", ")},
+                  ${(1 to 4).map(i => s"e$i * e$i").mkString(" + ")} AS nrm2,
+                  ${(1 to 4).map(i =>
+                    s"(CASE WHEN e$i > 0 THEN ${1 << (i - 1)} ELSE 0 END)")
+                    .mkString(" + ")} AS cell
+                FROM m2),
+         pr AS (SELECT node AS probe, ${(1 to 4).map(i => s"e$i AS p$i").mkString(", ")},
+                  nrm2 AS pn FROM en WHERE node % 64 = 0
+                ORDER BY node LIMIT 32),
+         pc AS (SELECT probe, cell FROM (
+                  SELECT probe, cell, row_number() OVER
+                    (PARTITION BY probe ORDER BY score DESC, cell) AS rn
+                  FROM (SELECT p.probe, c.cell,
+                          ${(1 to 4).map(i =>
+                            s"(CASE WHEN (c.cell & ${1 << (i - 1)}) = ${1 << (i - 1)} THEN p.p$i ELSE -p.p$i END)")
+                            .mkString(" + ")} AS score
+                        FROM pr p CROSS JOIN (SELECT unnest(range(0, 16)) AS cell) c))
+                WHERE rn <= 4),
+         sc AS (SELECT p.probe, e.node,
+                  round((${(1 to 4).map(i => s"e.e$i * p.p$i").mkString(" + ")})::DOUBLE
+                    / (sqrt(e.nrm2::DOUBLE) * sqrt(p.pn::DOUBLE)), 6) AS cos
+                FROM pc JOIN en e ON e.cell = pc.cell
+                        JOIN pr p ON p.probe = pc.probe
+                WHERE e.node <> p.probe AND e.nrm2 > 0 AND p.pn > 0),
          rk AS (SELECT probe, node, cos, row_number() OVER
                   (PARTITION BY probe ORDER BY cos DESC, node) AS rnk
                 FROM sc)
@@ -5225,7 +5325,15 @@ object SparkEntry {
     * compute the same digest over the same '|'-joined decimal string,
     * so the walks match row for row (GraphOps.graphRandomWalk).
     */
-  private def randomWalkOracleSql(steps: Int): String = {
+  /** The walk oracle WITHOUT its trailing total-order sort — the form
+    * consumers embed as a CTE (graph_walk_pairs, the SGNS chain append
+    * their own clauses). Standalone walk entries use
+    * [[randomWalkOracleSql]], which adds the ORDER BY back. Exposing
+    * the two parts separately replaces the old
+    * `lastIndexOf("ORDER BY")` slicing, which would silently mis-slice
+    * if an inner window/subquery ever followed the final sort.
+    */
+  private def randomWalkOracleBody(steps: Int): String = {
     val hops = (1 to steps).map { t =>
       s""",
          w$t AS MATERIALIZED (SELECT w.start, r.dst AS cur
@@ -5246,9 +5354,11 @@ object SparkEntry {
          rk AS MATERIALIZED (SELECT src, dst, row_number() OVER
                  (PARTITION BY src ORDER BY dst) AS rn FROM edges),
          w0 AS MATERIALIZED (SELECT src AS start, src AS cur FROM deg)$hops
-         SELECT start AS start_id, step, node FROM ($corpus)
-         ORDER BY start_id, step"""
+         SELECT start AS start_id, step, node FROM ($corpus)"""
   }
+
+  private def randomWalkOracleSql(steps: Int): String =
+    randomWalkOracleBody(steps) + "\n         ORDER BY start_id, step"
 
   /** The BIASED-walk oracle: ranked first-order step, then per step one
     * candidate CTE (fanout + LEFT membership join for the triangle

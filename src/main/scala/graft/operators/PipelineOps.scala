@@ -894,6 +894,38 @@ object PipelineOps {
     nodeEmbedWithLoss(orders, lineitem, steps, window, dim, rounds, lr,
       lossTrace = false)._1
 
+  /** Dense 1..V rank of a compact non-negative id column WITHOUT a
+    * single-partition corpus window — the `pipelineCurriculum`
+    * histogram-rank machinery applied to the id domain. The id range is
+    * cut into ≤1024 CONTIGUOUS buckets (width from one max-id scalar
+    * pull, so the bucket count is fixed regardless of vocabulary size);
+    * the running count below each bucket comes from the bucket-count
+    * HISTOGRAM (≤1024 rows — the only unpartitioned window here runs
+    * over that bounded aggregate, the house rule), and the intra-bucket
+    * tie-break is a window PARTITIONED by bucket (~V/1024 rows per
+    * task). Because buckets are contiguous id ranges, below + rn is
+    * bit-identical to `row_number() OVER (ORDER BY id)` — the oracle
+    * keeps the plain spelling. At 100 TB graph scale (billions of
+    * nodes) every stage stays parallel: no corpus-scaled relation ever
+    * passes through a single task.
+    */
+  private[graft] def denseRankById(ids: DataFrame, idCol: String = "node",
+      buckets: Int = 1024): DataFrame = {
+    val maxId = ids.agg(max(col(idCol)).cast("long")).head().getLong(0)
+    val width = maxId / buckets + 1 // ids are non-negative compact longs
+    val bucketed = ids.withColumn("bkt",
+      floor(col(idCol) / width).cast("long"))
+    val below = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(sum(col("c")).over(below), lit(0L)))
+      .select("bkt", "below")
+    bucketed.join(broadcast(cum), "bkt")
+      .withColumn("rnk", col("below") +
+        row_number().over(Window.partitionBy("bkt").orderBy(idCol)))
+      .select(col(idCol), col("rnk"))
+  }
+
   /** The trainer with an optional per-round LOSS trace (quantized
     * squared error, exact integer micro-units — one extra 1-row
     * aggregate pull per round, spec-only: the registry entry skips it
@@ -906,8 +938,7 @@ object PipelineOps {
       .localCheckpoint()
     val nodes = pairsW.select(col("center").as("node")).distinct()
     val v = nodes.count() // scalar vocabulary size (1-row aggregate pull)
-    val ranked = nodes.withColumn("rnk",
-      row_number().over(Window.orderBy("node"))).localCheckpoint()
+    val ranked = denseRankById(nodes).localCheckpoint()
     val negRank = conv(substring(
         md5(concat_ws("|", col("center"), col("context"))), 1, 8), 16, 10)
       .cast("long") % lit(v) + 1
@@ -1021,6 +1052,92 @@ object PipelineOps {
       .orderBy("probe", "rank")
   }
 
+  /** Build half of the SERVED node-embedding index (r11 verdict item
+    * 4): train the SGNS embeddings, assign every node to its SIGN-BYTE
+    * cell (bit i set ⟺ e_i > 0 — the dedup_embedding blocking rule,
+    * exactly replayable in SQL, no learned codebook needed for a
+    * 4-dim space), and write the table `partitionBy(cell)` — the
+    * `sink_ann_index` stance: the directory tree IS the inverted file.
+    * Returns the layout dir for [[nodeEmbedIndexServe]] / Bench's
+    * serve-only split.
+    */
+  private[graft] def nodeEmbedIndexBuild(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      steps: Int = 4, window: Int = 2, dim: Int = 4, rounds: Int = 2,
+      lr: Double = 0.5): String = {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val emb = nodeEmbedWithLoss(orders, lineitem, steps, window, dim,
+      rounds, lr, lossTrace = false)._1
+    val cell = (1 to dim).map(i =>
+      when(col(s"e$i") > 0, lit(1 << (i - 1))).otherwise(lit(0)))
+      .reduce(_ + _)
+    val dir = graft.sources.EtlOps.freshDir(sfDir, "node_embed_index").toString
+    emb.withColumn("cell", cell.cast("int"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(dir)
+    dir
+  }
+
+  /** Serve half: top-k nearest nodes per probe OFF THE STORED LAYOUT.
+    * Probes (every `probeMod`-th node, capped at `nProbes` — the
+    * quadratic-guard cap the ×10 probe forced on the brute-force twin)
+    * rank the 16 sign cells by the exact integer score Σ±p_i (the
+    * cell's sign pattern dotted with the probe) and read only their
+    * `nprobeCells` best cells: the broadcast join on the partition
+    * column prunes at FILE level, so serving cost is
+    * O(probes · probed-cell bytes), insensitive to how many cells the
+    * corpus has grown — the stream_ann_search precedent. Candidates
+    * are duplicate-free by construction (each node lives in exactly
+    * one cell); cosine is the integer micro-unit arithmetic of
+    * [[pipelineNodeEmbedTopk]], one double division at the end.
+    */
+  private[graft] def nodeEmbedIndexServe(
+      spark: org.apache.spark.sql.SparkSession, dir: String, dim: Int = 4,
+      probeMod: Int = 64, nProbes: Int = 32, nprobeCells: Int = 4,
+      k: Int = 3): DataFrame = {
+    val index = spark.read.parquet(dir)
+    val nrm2 = (1 to dim).map(i => col(s"e$i") * col(s"e$i")).reduce(_ + _)
+    val probes = index
+      .filter(col("node") % probeMod === 0).orderBy("node").limit(nProbes)
+      .select(col("node").as("probe") +:
+        ((1 to dim).map(i => col(s"e$i").as(s"p$i")) :+ nrm2.as("pn")): _*)
+    val cells = spark.range(1 << dim).select(col("id").cast("int").as("cell"))
+    val score = (1 to dim).map(i =>
+      when(col("cell").bitwiseAND(lit(1 << (i - 1))) =!= 0, col(s"p$i"))
+        .otherwise(-col(s"p$i"))).reduce(_ + _)
+    val wP = Window.partitionBy("probe").orderBy(desc("score"), asc("cell"))
+    val probeCells = probes.crossJoin(broadcast(cells))
+      .withColumn("score", score)
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= nprobeCells)
+      .select(col("cell") +: col("probe") +:
+        ((1 to dim).map(i => col(s"p$i")) :+ col("pn")): _*)
+    val dot = (1 to dim).map(i => col(s"e$i") * col(s"p$i")).reduce(_ + _)
+    val wC = Window.partitionBy("probe").orderBy(desc("cos"), asc("node"))
+    index.join(broadcast(probeCells), "cell")
+      .withColumn("nrm2", nrm2)
+      .filter(col("node") =!= col("probe")
+        && col("nrm2") > 0 && col("pn") > 0)
+      .select(col("probe"), col("node"),
+        round(dot.cast("double")
+          / (sqrt(col("nrm2").cast("double")) * sqrt(col("pn").cast("double"))),
+          6).as("cos"))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+      .select(col("probe"), col("rank"), col("node"), col("cos"))
+      .orderBy("probe", "rank")
+  }
+
+  /** The graph-embedding chain UNIFIED with the vector-serving family:
+    * train → cell-partitioned stored layout → partition-pruned top-k
+    * serve, end to end. Build cost is once, amortized over every
+    * query; the serve path never touches unprobed cells' bytes.
+    */
+  def pipelineNodeEmbedServed(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    nodeEmbedIndexServe(spark, nodeEmbedIndexBuild(spark, sfDir))
+
   /** Embedding-QUALITY audit — the recall-audit stance (dedup_near_recall,
     * sim_ivf_recall) applied to the trained node embeddings: does the
     * learned space actually encode the graph? For every true edge
@@ -1047,8 +1164,7 @@ object PipelineOps {
     val nrm2 = (1 to dim).map(i => col(s"e$i") * col(s"e$i")).reduce(_ + _)
     val en = emb.withColumn("nrm2", nrm2).filter(col("nrm2") > 0)
     val v = emb.count()
-    val ranked = emb.select(col("node")).withColumn("rnk",
-      row_number().over(Window.orderBy("node"))).localCheckpoint()
+    val ranked = denseRankById(emb.select(col("node"))).localCheckpoint()
     val pairs = orders
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))

@@ -56,6 +56,14 @@ final class CircuitBreaker(
   }
 
   def call[T](f: => T): T = {
+    // Whether THIS call was admitted as the half-open probe. Only the
+    // probe may clear `probing` and drive the half_open → closed/open
+    // transitions: a straggler admitted while CLOSED that resolves
+    // after the breaker trips must not reset another thread's
+    // in-flight probe flag (a second probe could then pass) or settle
+    // the half-open verdict with a stale result — it only updates the
+    // consecutive-failure streak.
+    var admittedAsProbe = false
     synchronized {
       val now = clock()
       if (state == "open") {
@@ -71,24 +79,29 @@ final class CircuitBreaker(
           throw new CircuitOpenException(0L)
         }
         probing = true
+        admittedAsProbe = true
       }
     }
     try {
       val r = f
       synchronized {
-        probing = false
         consecFails = 0
-        if (state == "half_open") moveTo("closed", clock())
+        if (admittedAsProbe) {
+          probing = false
+          if (state == "half_open") moveTo("closed", clock())
+        }
       }
       r
     } catch {
       case e: Throwable =>
         synchronized {
-          probing = false
           val now = clock()
-          if (state == "half_open") {
-            openedAt = now
-            moveTo("open", now)
+          if (admittedAsProbe) {
+            probing = false
+            if (state == "half_open") {
+              openedAt = now
+              moveTo("open", now)
+            }
           } else {
             consecFails += 1
             if (state == "closed" && consecFails >= failThreshold) {

@@ -781,6 +781,120 @@ class LlmSpec extends SparkTestBase {
       s"truncated payload must keep its parsed header fields: $t")
   }
 
+  test("multimodal_ingest_decode: real files cross the binaryFile boundary; census ties out") {
+    val out = LlmOps.multimodalIngestDecode(spark, sf0001).collect()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(out.map(_.getAs[Long]("n_files")).sum === 3 * nDocs,
+      "every (doc, format) must arrive as exactly one ingested file")
+    // bytes ON DISK per format must equal the encoder's output sizes —
+    // the file-boundary proof (truncated corruptions are shorter files)
+    val ids = Tables.documents(spark, sf0001)
+      .select("doc_id").as[Long].collect()
+    def expBytes(enc: Long => Array[Byte]): Long = ids.map(_.toLong).map {
+      id => enc(id).length.toLong }.sum
+    val byFmt = out.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getAs[Long]("bytes_total")).sum).toMap
+    assert(byFmt("bmp") === expBytes(id => LlmOps.corruptBmpFor(id, LlmOps.encodeBmp(id))))
+    assert(byFmt("wav") === expBytes(id => LlmOps.corruptWavFor(id, LlmOps.encodeWav(id))))
+    assert(byFmt("ppm") === expBytes(id => LlmOps.corruptPpmFor(id, LlmOps.encodePpm(id))))
+    // corrupt files quarantine through the SAME path: both fault
+    // residues of every format surface as census groups
+    for (fmt <- Seq("bmp", "wav", "ppm"); st <- Seq("ok", "bad_magic", "truncated"))
+      assert(out.exists(r => r.getString(0) == fmt && r.getString(1) == st),
+        s"missing census group ($fmt, $st)")
+  }
+
+  test("ppm payloads verified by an INDEPENDENT reference reader (never decodePpm)") {
+    // r11 verdict item 7: the BMP/WAV fixtures are cross-checked by JDK
+    // ImageIO/AudioSystem; PPM has no JDK reader, so this minimal
+    // string/regex-based P6 reader is the independent implementation —
+    // different algorithm (text regex over the latin-1 view), zero
+    // shared code with the production byte tokenizer
+    def refRead(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+      val s = new String(bytes, "ISO-8859-1")
+      val m = """(?s)^P6\s*(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s*(?:#[^\n]*\n\s*)*(\d+)\s"""
+        .r.findPrefixMatchOf(s).get
+      val (w, h, mv) = (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
+      val payload = bytes.drop(m.end)
+      (w, h, mv, payload.take(w * h * 3).map(b => (b & 0xff).toLong).sum)
+    }
+    // every well-formed fixture id (comment-bearing ids included) must
+    // agree with the production decoder field for field
+    for (id <- 0L to 40L if id % 17 != 6 && id % 17 != 11) {
+      val bytes = LlmOps.encodePpm(id)
+      val (w, h, mv, sum) = refRead(bytes)
+      val d = LlmOps.decodePpm(id, bytes)
+      assert(d.status === "ok", s"id $id: $d")
+      assert((w, h, mv, sum) === ((d.width, d.height, d.maxval, d.pixel_sum)),
+        s"id $id: independent reader disagrees with decodePpm")
+    }
+  }
+
+  test("decoders quarantine ADVERSARIAL headers: hostile lengths/dims never crash or loop") {
+    // the quarantine-never-crash contract for REAL corpus bytes, not
+    // just the fixture's two corruption residues: negative / huge
+    // declared sizes must come back as a status, within bounded time
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // WAV: a chunk between fmt and data declaring a NEGATIVE length —
+    // the old walk rewound pos (infinite loop); now bad_header
+    val wavNeg = {
+      val b = LlmOps.encodeWav(0L) // id 0: canonical layout, no junk chunk
+      val c = java.util.Arrays.copyOf(b, b.length)
+      // turn "data" into an unknown chunk with len = -16 so the walk
+      // must step OVER it using the hostile length
+      c(36) = 'j'.toByte; c(37) = 'u'.toByte; c(38) = 'n'.toByte; c(39) = 'k'.toByte
+      System.arraycopy(le32(-16), 0, c, 40, 4)
+      c
+    }
+    assert(LlmOps.decodeWav(0L, wavNeg).status === "bad_header")
+    // WAV: a near-Int.MaxValue length must not overflow pos past the
+    // bounds check
+    val wavHuge = {
+      val b = LlmOps.encodeWav(0L)
+      val c = java.util.Arrays.copyOf(b, b.length)
+      c(36) = 'j'.toByte; c(37) = 'u'.toByte; c(38) = 'n'.toByte; c(39) = 'k'.toByte
+      System.arraycopy(le32(Int.MaxValue - 4), 0, c, 40, 4)
+      c
+    }
+    assert(LlmOps.decodeWav(0L, wavHuge).status === "bad_header")
+    // WAV: data chunk declaring a negative payload length → quarantine,
+    // not a silent 0-sample "ok"
+    val wavNegData = {
+      val b = LlmOps.encodeWav(0L)
+      val c = java.util.Arrays.copyOf(b, b.length)
+      System.arraycopy(le32(-2), 0, c, 40, 4) // "data" len field
+      c
+    }
+    assert(LlmOps.decodeWav(0L, wavNegData).status !== "ok")
+    // BMP: dims whose row×height product overflows Int must be
+    // bad_header/truncated, never an out-of-bounds pixel walk
+    val bmpHuge = {
+      val b = LlmOps.encodeBmp(0L)
+      val c = java.util.Arrays.copyOf(b, b.length)
+      System.arraycopy(le32(0x40000000), 0, c, 18, 4) // width
+      System.arraycopy(le32(0x40000000), 0, c, 22, 4) // height
+      c
+    }
+    assert(LlmOps.decodeBmp(0L, bmpHuge).status === "bad_header")
+    val bmpOffPastEnd = {
+      val b = LlmOps.encodeBmp(0L)
+      val c = java.util.Arrays.copyOf(b, b.length)
+      System.arraycopy(le32(Int.MaxValue - 7), 0, c, 10, 4) // pixel offset
+      c
+    }
+    assert(LlmOps.decodeBmp(0L, bmpOffPastEnd).status === "bad_header")
+    // PPM: a hostile digit run (overflowing Int) and an Int-overflowing
+    // w×h product both quarantine
+    val ppmHugeDims =
+      ("P6\n99999999999999999999 3\n255\n" + "x" * 32).getBytes("US-ASCII")
+    assert(LlmOps.decodePpm(0L, ppmHugeDims).status === "bad_header")
+    val ppmOverflowProduct =
+      ("P6\n1000000 1000000\n255\n" + "x" * 32).getBytes("US-ASCII")
+    assert(LlmOps.decodePpm(0L, ppmOverflowProduct).status === "truncated")
+  }
+
   test("multimodal payload survives project/filter/join byte-identically") {
     val docs = Tables.documents(spark, sf0001)
     val embs = Tables.embeddings(spark, sf0001)

@@ -51,6 +51,32 @@ class PipelineSpec extends SparkTestBase {
     assert(moved > 0, "no embedding moved off its init -- no training happened")
   }
 
+  test("pipeline_node_embed_served: probed-cell candidates agree with the brute-force twin") {
+    val served = PipelineOps.pipelineNodeEmbedServed(spark, sf0001).collect()
+    assert(served.nonEmpty, "served twin returned no rows")
+    // per probe: at most k rows, ranks contiguous from 1, cos non-increasing
+    served.groupBy(_.getLong(0)).foreach { case (probe, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.length <= 3 && byRank.head.getInt(1) === 1)
+      assert(byRank.map(_.getInt(1)).toSeq === (1 to byRank.length),
+        s"probe $probe ranks not contiguous")
+      val cs = byRank.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"probe $probe cos not non-increasing: ${cs.toSeq}")
+    }
+    // every served (probe, node) cosine must equal the brute-force
+    // twin's number for that pair EXACTLY — same integer micro-unit
+    // arithmetic, the layout only restricts the candidate set
+    val brute = PipelineOps.pipelineNodeEmbedTopk(
+      orders(spark, sf0001), lineitem(spark, sf0001), k = 1600).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    served.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(brute.get(key).contains(r.getDouble(3)),
+        s"served cos for $key diverges from the brute-force arithmetic")
+    }
+  }
+
   test("pipeline_pack: offsets are gapless per source and sequence spans are arithmetic") {
     val out = PipelineOps.pipelinePack(documents(spark, sf0001)).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

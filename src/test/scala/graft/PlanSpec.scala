@@ -41,6 +41,27 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), "histogram aggregate missing")
   }
 
+  test("node_embed denseRankById: corpus rank is bucket-partitioned, equals the single-partition spelling") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the SGNS vocab rank must never push a corpus-scaled relation
+    // through one task: the row_number window is PARTITIONED by the
+    // contiguous id bucket; the only unpartitioned window runs over the
+    // ≤1024-row bucket histogram (the bounded-histogram exemption)
+    val nodes = orders(spark, sf0001)
+      .select((col("o_custkey") * 2).as("node")).distinct()
+    val df = PipelineOps.denseRankById(nodes)
+    val p = plan(df)
+    val rn = p.linesIterator
+      .filter(w => w.contains("Window ") && w.contains("row_number")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("bkt")),
+      s"corpus row_number window must be partitioned by bkt:\n$p")
+    val expected = nodes.withColumn("rnk",
+      row_number().over(Window.orderBy("node")))
+    assert(df.except(expected).isEmpty && expected.except(df).isEmpty,
+      "histogram rank must be bit-identical to ORDER BY row_number")
+  }
+
   test("sim_maxsim: pure broadcast scan into TakeOrderedAndProject, native dot kernel") {
     val p = plan(SimOps.simMaxSim(Tables.embeddings(spark, sf0001)))
     assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
@@ -241,6 +262,18 @@ class PlanSpec extends SparkTestBase {
       s"index scan is not dynamically partition-pruned:\n$p")
     // (the 1-row query-vector broadcast legitimately plans as a nested-
     // loop join — bounded; only an unbounded cartesian would be a defect)
+    assert(!p.contains("CartesianProduct"),
+      s"serving path plans a cartesian product:\n$p")
+  }
+
+  test("pipeline_node_embed_served: serving scan is partition-pruned to the probed cells") {
+    val dir = PipelineOps.nodeEmbedIndexBuild(spark, sf0001)
+    val p = plan(PipelineOps.nodeEmbedIndexServe(spark, dir))
+    // the join on the cell partition column must become a file-level
+    // prune — unprobed cells' bytes are never read (the sink_ann_index
+    // contract carried over to the learned node space)
+    assert(p.contains("dynamicpruning"),
+      s"node-embed index scan is not dynamically partition-pruned:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"serving path plans a cartesian product:\n$p")
   }
