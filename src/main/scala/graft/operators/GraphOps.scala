@@ -1484,7 +1484,13 @@ object GraphOps {
       state.select(col("start"), lit(1).as("step"), col("cur").as("node")))
     val wCum = Window.partitionBy("start").orderBy("c")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy("start")
+    // same (partition, order) spec as wCum with an unbounded frame, so
+    // BOTH sums evaluate in ONE WindowExec pass (one exchange + one
+    // sort, two frames) — the r11 A/B shaved the second Window operator
+    // per step; the value is the same full-partition total (dyadic
+    // weights, order-proof)
+    val wTot = Window.partitionBy("start").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     for (t <- 2 to steps) {
       val cand = state
         .join(edges.select(col("src").as("cur"), col("dst").as("c")), "cur")
