@@ -256,12 +256,19 @@ object StreamOps {
       .select(col("doc_id"), col("text"))
     val srcDir = scratch(sfDir, "stream_dedup_near_src")
     val nDocs = docs.count()
-    val ranked = docs.withColumn("rn",
-      row_number().over(Window.orderBy("doc_id")))
+    // id-contiguous VALUE-RANGE quarters off one (min, max) scalar pull
+    // — no corpus-wide row_number (r11 verdict tidy): the arrival-order
+    // = id-order contract needs CONTIGUITY, not exact population
+    // counts, so each stage write is a partition-local filter and the
+    // split rule is a hash-free closed form at any corpus size
+    val mm = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .head()
+    val (lo, span) = (mm.getLong(0), mm.getLong(1) - mm.getLong(0) + 1)
     for (i <- 0 until 4) {
       val tmp = scratch(sfDir, s"stream_dedup_near_stage$i")
-      ranked.filter(col("rn") > i * nDocs / 4 && col("rn") <= (i + 1) * nDocs / 4)
-        .drop("rn").coalesce(1)
+      docs.filter(col("doc_id") >= lo + span * i / 4
+          && col("doc_id") < lo + span * (i + 1) / 4)
+        .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
         .findFirst().get()
