@@ -101,6 +101,8 @@ object SparkEntry {
       PipelineOps.pipelineNodeEmbedAudit(orders(s, d), lineitem(s, d))),
     "pipeline_node_embed_served" -> ((s, d) =>
       PipelineOps.pipelineNodeEmbedServed(s, d)),
+    "pipeline_node_embed_recall" -> ((s, d) =>
+      PipelineOps.pipelineNodeEmbedRecall(s, d)),
     "graph_assortativity" ->
       ((s, d) => GraphOps.graphAssortativity(orders(s, d), lineitem(s, d))),
     "graph_label_prop" -> ((s, d) => GraphOps.graphLabelProp(orders(s, d), lineitem(s, d))),
@@ -677,6 +679,39 @@ object SparkEntry {
            ${dims.map(i => s"CAST(((node * 37 + ${i * 101}) % 2001 - 1000) * 1000 AS BIGINT) AS e$i").mkString(", ")}
            FROM nd)$trainRounds"""
   }
+
+  /** The sign-cell SERVING chain as a reusable WITH-body fragment
+    * (appended after [[nodeEmbedOracleCtes]]): embeddings with norms
+    * and sign-byte cells (`en`), the capped probe set (`pr`), the
+    * per-probe 4 best cells by exact integer score (`pc`), and the
+    * probed-cell candidate scores (`sc`). Shared by the served entry
+    * and the recall audit so the two oracles cannot drift.
+    */
+  private lazy val nodeEmbedServeCtes: String =
+    s"""en AS (SELECT node, ${(1 to 4).map(i => s"e$i").mkString(", ")},
+              ${(1 to 4).map(i => s"e$i * e$i").mkString(" + ")} AS nrm2,
+              ${(1 to 4).map(i =>
+                s"(CASE WHEN e$i > 0 THEN ${1 << (i - 1)} ELSE 0 END)")
+                .mkString(" + ")} AS cell
+            FROM m2),
+     pr AS (SELECT node AS probe, ${(1 to 4).map(i => s"e$i AS p$i").mkString(", ")},
+              nrm2 AS pn FROM en WHERE node % 64 = 0
+            ORDER BY node LIMIT 32),
+     pc AS (SELECT probe, cell FROM (
+              SELECT probe, cell, row_number() OVER
+                (PARTITION BY probe ORDER BY score DESC, cell) AS rn
+              FROM (SELECT p.probe, c.cell,
+                      ${(1 to 4).map(i =>
+                        s"(CASE WHEN (c.cell & ${1 << (i - 1)}) = ${1 << (i - 1)} THEN p.p$i ELSE -p.p$i END)")
+                        .mkString(" + ")} AS score
+                    FROM pr p CROSS JOIN (SELECT unnest(range(0, 16)) AS cell) c))
+            WHERE rn <= 4),
+     sc AS (SELECT p.probe, e.node,
+              round((${(1 to 4).map(i => s"e.e$i * p.p$i").mkString(" + ")})::DOUBLE
+                / (sqrt(e.nrm2::DOUBLE) * sqrt(p.pn::DOUBLE)), 6) AS cos
+            FROM pc JOIN en e ON e.cell = pc.cell
+                    JOIN pr p ON p.probe = pc.probe
+            WHERE e.node <> p.probe AND e.nrm2 > 0 AND p.pn > 0)"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2450,35 +2485,41 @@ object SparkEntry {
     // the brute-force twin's micro-unit arithmetic
     "pipeline_node_embed_served" ->
       s"""WITH $nodeEmbedOracleCtes,
-         en AS (SELECT node, ${(1 to 4).map(i => s"e$i").mkString(", ")},
-                  ${(1 to 4).map(i => s"e$i * e$i").mkString(" + ")} AS nrm2,
-                  ${(1 to 4).map(i =>
-                    s"(CASE WHEN e$i > 0 THEN ${1 << (i - 1)} ELSE 0 END)")
-                    .mkString(" + ")} AS cell
-                FROM m2),
-         pr AS (SELECT node AS probe, ${(1 to 4).map(i => s"e$i AS p$i").mkString(", ")},
-                  nrm2 AS pn FROM en WHERE node % 64 = 0
-                ORDER BY node LIMIT 32),
-         pc AS (SELECT probe, cell FROM (
-                  SELECT probe, cell, row_number() OVER
-                    (PARTITION BY probe ORDER BY score DESC, cell) AS rn
-                  FROM (SELECT p.probe, c.cell,
-                          ${(1 to 4).map(i =>
-                            s"(CASE WHEN (c.cell & ${1 << (i - 1)}) = ${1 << (i - 1)} THEN p.p$i ELSE -p.p$i END)")
-                            .mkString(" + ")} AS score
-                        FROM pr p CROSS JOIN (SELECT unnest(range(0, 16)) AS cell) c))
-                WHERE rn <= 4),
-         sc AS (SELECT p.probe, e.node,
-                  round((${(1 to 4).map(i => s"e.e$i * p.p$i").mkString(" + ")})::DOUBLE
-                    / (sqrt(e.nrm2::DOUBLE) * sqrt(p.pn::DOUBLE)), 6) AS cos
-                FROM pc JOIN en e ON e.cell = pc.cell
-                        JOIN pr p ON p.probe = pc.probe
-                WHERE e.node <> p.probe AND e.nrm2 > 0 AND p.pn > 0),
+         $nodeEmbedServeCtes,
          rk AS (SELECT probe, node, cos, row_number() OVER
                   (PARTITION BY probe ORDER BY cos DESC, node) AS rnk
                 FROM sc)
          SELECT probe, CAST(rnk AS INT) AS rank, node, cos
          FROM rk WHERE rnk <= 3 ORDER BY probe, rank""",
+    // recall audit of the served layout vs the exhaustive scan over the
+    // SAME stored table: per rank — probes compared, layout hits, exact
+    // node agreement, summed cosine gap in micro-units
+    "pipeline_node_embed_recall" ->
+      s"""WITH $nodeEmbedOracleCtes,
+         $nodeEmbedServeCtes,
+         sv AS (SELECT probe, rnk AS rank, node, cos FROM
+                  (SELECT probe, node, cos, row_number() OVER
+                    (PARTITION BY probe ORDER BY cos DESC, node) AS rnk
+                   FROM sc)
+                WHERE rnk <= 3),
+         bsc AS (SELECT pr.probe, en.node,
+                  round((${(1 to 4).map(i => s"en.e$i * pr.p$i").mkString(" + ")})::DOUBLE
+                    / (sqrt(en.nrm2::DOUBLE) * sqrt(pr.pn::DOUBLE)), 6) AS cos
+                FROM en CROSS JOIN pr
+                WHERE en.node <> pr.probe AND en.nrm2 > 0 AND pr.pn > 0),
+         bt AS (SELECT probe, rnk AS rank, node, cos FROM
+                  (SELECT probe, node, cos, row_number() OVER
+                    (PARTITION BY probe ORDER BY cos DESC, node) AS rnk
+                   FROM bsc)
+                WHERE rnk <= 3)
+         SELECT CAST(bt.rank AS INT) AS rank, count(*) AS n_probes,
+           CAST(sum(CASE WHEN sv.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_served,
+           CAST(sum(CASE WHEN sv.node = bt.node THEN 1 ELSE 0 END) AS BIGINT) AS n_same_node,
+           CAST(sum(CASE WHEN sv.cos IS NOT NULL
+             THEN CAST(round((bt.cos - sv.cos) * 1000000.0) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS cos_gap_micro
+         FROM bt LEFT JOIN sv ON sv.probe = bt.probe AND sv.rank = bt.rank
+         GROUP BY bt.rank ORDER BY rank""",
     // embedding-quality audit: per true edge, one md5-rank non-edge
     // partner; both pairs scored by trained cosine in integer
     // micro-units (round-before-sum and round-before-compare) — a

@@ -1031,6 +1031,18 @@ object PipelineOps {
       k: Int = 3): DataFrame = {
     val emb = nodeEmbedWithLoss(orders, lineitem, steps, window, dim,
       rounds, lr, lossTrace = false)._1.localCheckpoint()
+    embedTopk(emb, dim, probeMod, nProbes, k)
+  }
+
+  /** The brute-force scoring kernel of [[pipelineNodeEmbedTopk]] over
+    * any (node, e1..eN) micro-unit table — shared with the recall
+    * audit so the exhaustive reference and the consumer entry cannot
+    * drift.
+    */
+  private[graft] def embedTopk(embIn: DataFrame, dim: Int, probeMod: Int,
+      nProbes: Int, k: Int): DataFrame = {
+    val emb = embIn.select(
+      col("node") +: (1 to dim).map(i => col(s"e$i")): _*)
     val nrm2 = (1 to dim).map(i => col(s"e$i") * col(s"e$i")).reduce(_ + _)
     val en = emb.withColumn("nrm2", nrm2)
     val probes = en.filter(col("node") % probeMod === 0)
@@ -1137,6 +1149,40 @@ object PipelineOps {
   def pipelineNodeEmbedServed(
       spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
     nodeEmbedIndexServe(spark, nodeEmbedIndexBuild(spark, sfDir))
+
+  /** RECALL audit of the served layout — the `sim_ivf_recall` stance
+    * applied to the learned node space: how much does restricting
+    * candidates to 4 probed sign cells cost against the exhaustive
+    * scan? One index build feeds BOTH sides (the brute reference runs
+    * [[embedTopk]] over the same stored table, so the two arms share
+    * every scoring constant); per rank: probes compared, candidates the
+    * layout found at all, exact node agreement, and the summed cosine
+    * gap in micro-units (round-before-sum — order-proof). The number an
+    * operator reads before trusting the served path with production
+    * traffic, computed in-engine with no export.
+    */
+  def pipelineNodeEmbedRecall(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val dir = nodeEmbedIndexBuild(spark, sfDir)
+    val index = spark.read.parquet(dir).localCheckpoint()
+    val brute = embedTopk(index, dim = 4, probeMod = 64, nProbes = 32, k = 3)
+      .select(col("probe"), col("rank"),
+        col("node").as("b_node"), col("cos").as("b_cos"))
+    val served = nodeEmbedIndexServe(spark, dir)
+      .select(col("probe"), col("rank"),
+        col("node").as("s_node"), col("cos").as("s_cos"))
+    brute.join(served, Seq("probe", "rank"), "left")
+      .groupBy(col("rank"))
+      .agg(
+        count(lit(1)).as("n_probes"),
+        sum(when(col("s_node").isNotNull, 1L).otherwise(0L)).as("n_served"),
+        sum(when(col("s_node") === col("b_node"), 1L).otherwise(0L))
+          .as("n_same_node"),
+        sum(when(col("s_cos").isNotNull,
+            round((col("b_cos") - col("s_cos")) * lit(1e6)).cast("long"))
+          .otherwise(lit(0L))).as("cos_gap_micro"))
+      .orderBy("rank")
+  }
 
   /** Embedding-QUALITY audit — the recall-audit stance (dedup_near_recall,
     * sim_ivf_recall) applied to the trained node embeddings: does the

@@ -77,6 +77,21 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("pipeline_node_embed_recall: gap non-negative, agreement bounded, some recall") {
+    val rows = PipelineOps.pipelineNodeEmbedRecall(spark, sf0001).collect()
+    assert(rows.length === 3, "one row per rank 1..3")
+    rows.foreach { r =>
+      val (n, served, same, gap) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(same <= served && served <= n,
+        s"agreement must be bounded by hits by probes: $r")
+      // a subset top-k can never beat the exhaustive scan at the same rank
+      assert(gap >= 0L, s"negative cosine gap: $r")
+    }
+    assert(rows.map(_.getLong(3)).sum > 0,
+      "the probed-cell layout should agree with brute force somewhere")
+  }
+
   test("pipeline_pack: offsets are gapless per source and sequence spans are arithmetic") {
     val out = PipelineOps.pipelinePack(documents(spark, sf0001)).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
