@@ -509,6 +509,14 @@ object SparkEntry {
     "sim_pq_kmeans" -> ((s, d) => SimOps.simPqKmeans(embeddings(s, d))),
     "sim_radius" -> ((s, d) => SimOps.simRadius(embeddings(s, d))),
     "dedup_substring" -> ((s, d) => LlmOps.dedupSubstring(documents(s, d))),
+    // [EXT] data-quality / validation suite (r12): expectations, profile
+    // diff, distribution drift, freshness — the reference's validation
+    // stage (README.md:31-33) as declarative audits
+    "quality_expectations" -> ((s, d) =>
+      QualityOps.qualityExpectations(orders(s, d), customer(s, d), lineitem(s, d))),
+    "quality_profile_diff" -> ((s, d) => QualityOps.qualityProfileDiff(orders(s, d))),
+    "quality_drift_psi" -> ((s, d) => QualityOps.qualityDriftPsi(orders(s, d))),
+    "quality_freshness" -> ((s, d) => QualityOps.qualityFreshness(events(s, d))),
   )
 
   /** The sim_ivf ranking in DuckDB — shared verbatim by the sim_ivf
@@ -4906,6 +4914,132 @@ object SparkEntry {
          FROM enc CROSS JOIN qt
          ORDER BY adc_dist ASC, vec_id LIMIT 10""",
     "sim_pq_kmeans" -> pqKmeansOracleSql(8, 8, 16, 3),
+    // quality suite: each expectation is a conditional aggregate over one
+    // scan; DuckDB sum(int) is HUGEINT so every count casts to BIGINT
+    "quality_expectations" ->
+      """WITH o AS (SELECT count(*) AS n,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS f_notnull,
+             count(*) - count(DISTINCT o_orderkey) AS f_unique,
+             sum(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), FALSE)
+                 THEN 0 ELSE 1 END) AS f_accepted,
+             sum(CASE WHEN o_totalprice IS NULL OR o_totalprice > 400000.0
+                 THEN 1 ELSE 0 END) AS f_maxval
+           FROM orders),
+         l AS (SELECT count(*) AS n,
+             sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS f_disc,
+             sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
+                 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS f_qty,
+             sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS f_ship
+           FROM lineitem),
+         ri AS (SELECT count(*) AS n,
+             sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS f
+           FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o.o_custkey = c.c_custkey),
+         rows_ AS (
+           SELECT 'not_null' AS expectation, 'orders.o_custkey' AS target,
+                  n, f_notnull AS f FROM o
+           UNION ALL SELECT 'unique', 'orders.o_orderkey', n, f_unique FROM o
+           UNION ALL SELECT 'accepted_values', 'orders.o_orderstatus', n,
+                  f_accepted FROM o
+           UNION ALL SELECT 'max_value', 'orders.o_totalprice', n, f_maxval FROM o
+           UNION ALL SELECT 'range', 'lineitem.l_discount', n, f_disc FROM l
+           UNION ALL SELECT 'range', 'lineitem.l_quantity', n, f_qty FROM l
+           UNION ALL SELECT 'not_null', 'lineitem.l_shipdate', n, f_ship FROM l
+           UNION ALL SELECT 'ref_integrity', 'orders.o_custkey->customer', n, f
+                  FROM ri)
+         SELECT expectation, target, CAST(n AS BIGINT) AS n_checked,
+           CAST(f AS BIGINT) AS n_failed,
+           CASE WHEN f = 0 THEN 1 ELSE 0 END AS pass
+         FROM rows_ ORDER BY expectation, target""",
+    // profile diff: both snapshots' profiles from ONE scan via filtered
+    // aggregates, unpivoted to (column, metric, a, b, delta)
+    "quality_profile_diff" ->
+      """WITH p AS (SELECT
+             CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-07-01' THEN 1
+                 ELSE 0 END) AS DOUBLE) AS a_rows,
+             CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01' THEN 1
+                 ELSE 0 END) AS DOUBLE) AS b_rows,
+             CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+                 AND o_totalprice IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS a_tp_nulls,
+             CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01'
+                 AND o_totalprice IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS b_tp_nulls,
+             CAST(count(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+                 THEN o_totalprice END) AS DOUBLE) AS a_tp_distinct,
+             CAST(count(DISTINCT CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01'
+                 THEN o_totalprice END) AS DOUBLE) AS b_tp_distinct,
+             round(min(CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+                 THEN o_totalprice END), 2) AS a_tp_min,
+             round(min(CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01'
+                 THEN o_totalprice END), 2) AS b_tp_min,
+             round(max(CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+                 THEN o_totalprice END), 2) AS a_tp_max,
+             round(max(CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01'
+                 THEN o_totalprice END), 2) AS b_tp_max,
+             round(avg(CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+                 THEN o_totalprice END), 2) AS a_tp_mean,
+             round(avg(CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01'
+                 THEN o_totalprice END), 2) AS b_tp_mean,
+             CAST(count(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+                 THEN o_orderstatus END) AS DOUBLE) AS a_st_distinct,
+             CAST(count(DISTINCT CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01'
+                 THEN o_orderstatus END) AS DOUBLE) AS b_st_distinct,
+             CAST(count(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+                 THEN o_orderpriority END) AS DOUBLE) AS a_pr_distinct,
+             CAST(count(DISTINCT CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01'
+                 THEN o_orderpriority END) AS DOUBLE) AS b_pr_distinct
+           FROM orders),
+         rows_ AS (
+           SELECT '_table' AS col_name, 'row_count' AS metric,
+                  a_rows AS a, b_rows AS b FROM p
+           UNION ALL SELECT 'o_totalprice', 'null_count', a_tp_nulls, b_tp_nulls FROM p
+           UNION ALL SELECT 'o_totalprice', 'n_distinct', a_tp_distinct, b_tp_distinct FROM p
+           UNION ALL SELECT 'o_totalprice', 'min', a_tp_min, b_tp_min FROM p
+           UNION ALL SELECT 'o_totalprice', 'max', a_tp_max, b_tp_max FROM p
+           UNION ALL SELECT 'o_totalprice', 'mean', a_tp_mean, b_tp_mean FROM p
+           UNION ALL SELECT 'o_orderstatus', 'n_distinct', a_st_distinct, b_st_distinct FROM p
+           UNION ALL SELECT 'o_orderpriority', 'n_distinct', a_pr_distinct, b_pr_distinct FROM p)
+         SELECT col_name, metric, a, b, round(b - a, 2) AS delta
+         FROM rows_ ORDER BY col_name, metric""",
+    // PSI drift: same closed-form buckets, Laplace (+1/+10) smoothing;
+    // per-bucket terms in integer micro-units so the summary row's sum is
+    // summation-order-proof (round-before-sum, the house contract)
+    "quality_drift_psi" ->
+      """WITH c AS (SELECT
+             CAST(least(floor(o_totalprice / 50000.0), 9.0) AS INTEGER) AS bucket,
+             o_orderdate < TIMESTAMP '1998-07-01' AS in_a
+           FROM orders),
+         g AS (SELECT bucket,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+           FROM c GROUP BY bucket),
+         t AS (SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS tot_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS tot_b
+           FROM c),
+         spine AS (SELECT CAST(range AS INTEGER) AS bucket FROM range(0, 10)),
+         pb AS (SELECT s.bucket,
+             coalesce(g.n_a, 0) AS n_a, coalesce(g.n_b, 0) AS n_b,
+             (coalesce(g.n_a, 0) + 1.0) / (t.tot_a + 10.0) AS p_a,
+             (coalesce(g.n_b, 0) + 1.0) / (t.tot_b + 10.0) AS p_b
+           FROM spine s LEFT JOIN g ON s.bucket = g.bucket CROSS JOIN t),
+         pu AS (SELECT bucket, n_a, n_b, p_a, p_b,
+             CAST(round((p_a - p_b) * ln(p_a / p_b) * 1e6) AS BIGINT) AS psi_u
+           FROM pb)
+         SELECT bucket, n_a, n_b, round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+           psi_u / 1000000.0 AS psi FROM pu
+         UNION ALL
+         SELECT -1, CAST(sum(n_a) AS BIGINT), CAST(sum(n_b) AS BIGINT),
+           NULL, NULL, CAST(sum(psi_u) AS BIGINT) / 1000000.0 FROM pu
+         ORDER BY bucket""",
+    "quality_freshness" ->
+      """WITH p AS (SELECT event_type, count(*) AS n_events,
+             max(epoch_us(ts)) AS last_seen_us
+           FROM events GROUP BY event_type),
+         g AS (SELECT max(last_seen_us) AS gmax FROM p)
+         SELECT event_type, CAST(n_events AS BIGINT) AS n_events, last_seen_us,
+           g.gmax - last_seen_us AS lag_us,
+           CASE WHEN g.gmax - last_seen_us > 1200000000 THEN 1 ELSE 0 END AS stale
+         FROM p CROSS JOIN g ORDER BY event_type""",
   )
 
   /** The k-means oracle CTE chain, generated: k0 is the first-k codebook

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality / validation operators — the reference's validation stage
+  * (/root/reference/README.md:31-33: schema checks, timestamps, audit
+  * counts) generalized into the declarative expectation suites a 100 TB
+  * ingest actually runs: expectations (not-null / unique / accepted-values
+  * / range / referential integrity), snapshot profile diffs, distribution
+  * drift (PSI), and freshness lag.
+  *
+  * Scale shape, shared by every operator here: ONE pass over each fact
+  * table computing all of its checks as conditional aggregates (the scan
+  * dominates at 100 TB, so checks must share it), plus at most one
+  * broadcast-able join (the RI probe, the scalar global-max). Outputs are
+  * audit-sized (one row per expectation / bucket / column / type), never
+  * corpus-sized — the pattern that lets the suite run on every ingest
+  * batch without becoming the pipeline's own bottleneck.
+  */
+object QualityOps {
+
+  /** Declarative expectation suite over the orders/lineitem ingest:
+    * each expectation reports (n_checked, n_failed, pass). The suite
+    * deliberately mixes passing checks with a tight `max_value` SLA bound
+    * that FAILS on real rows — a validation harness that cannot show a
+    * failure is untested by construction.
+    *
+    * One aggregate pass per table (conditional sums share the scan), one
+    * broadcast join for referential integrity. The result is
+    * expectation-count-sized.
+    */
+  def qualityExpectations(
+      orders: DataFrame, customer: DataFrame, lineitem: DataFrame): DataFrame = {
+    // orders-side checks: one scan, every check a conditional aggregate
+    val o = orders.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("f_notnull"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("f_unique"),
+      sum(when(coalesce(col("o_orderstatus").isin("O", "F", "P"), lit(false)),
+        0L).otherwise(1L)).as("f_accepted"),
+      sum(when(col("o_totalprice").isNull || col("o_totalprice") > 400000.0,
+        1L).otherwise(0L)).as("f_maxval"))
+    val oRows = o.selectExpr(
+      """stack(4,
+           'not_null',        'orders.o_custkey',     n, f_notnull,
+           'unique',          'orders.o_orderkey',    n, f_unique,
+           'accepted_values', 'orders.o_orderstatus', n, f_accepted,
+           'max_value',       'orders.o_totalprice',  n, f_maxval)
+         AS (expectation, target, n_checked, n_failed)""")
+    // lineitem-side checks: same one-scan shape
+    val l = lineitem.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_discount").isNull ||
+        col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L).otherwise(0L))
+        .as("f_disc"),
+      sum(when(col("l_quantity").isNull ||
+        col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L).otherwise(0L))
+        .as("f_qty"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("f_ship"))
+    val lRows = l.selectExpr(
+      """stack(3,
+           'range',    'lineitem.l_discount', n, f_disc,
+           'range',    'lineitem.l_quantity', n, f_qty,
+           'not_null', 'lineitem.l_shipdate', n, f_ship)
+         AS (expectation, target, n_checked, n_failed)""")
+    // referential integrity: orphan count via one broadcast LEFT probe of
+    // the (distinct) key side — at 100 TB the dim keys broadcast, the
+    // fact table is never shuffled
+    val ri = orders
+      .join(broadcast(customer.select(col("c_custkey")).distinct()),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(
+        count(lit(1)).as("n_checked"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_failed"))
+      .select(
+        lit("ref_integrity").as("expectation"),
+        lit("orders.o_custkey->customer").as("target"),
+        col("n_checked"), col("n_failed"))
+    oRows.unionByName(lRows).unionByName(ri)
+      .withColumn("pass", (col("n_failed") === 0L).cast("int"))
+      .orderBy("expectation", "target")
+  }
+
+  /** Column-profile diff between two ingest snapshots (here: the orders
+    * halves either side of 1998-07-01 — a stand-in for yesterday's vs
+    * today's batch). Per column and metric: value in A, value in B, delta.
+    * ONE scan computes both snapshots' profiles as filtered aggregates —
+    * never two scans, never a self-join.
+    */
+  def qualityProfileDiff(orders: DataFrame): DataFrame = {
+    val inA = col("o_orderdate") < lit("1998-07-01").cast("timestamp")
+    def cnt(cond: org.apache.spark.sql.Column) =
+      sum(when(cond, 1L).otherwise(0L)).cast("double")
+    val prof = orders.agg(
+      cnt(inA).as("a_rows"), cnt(!inA).as("b_rows"),
+      cnt(inA && col("o_totalprice").isNull).as("a_tp_nulls"),
+      cnt(!inA && col("o_totalprice").isNull).as("b_tp_nulls"),
+      countDistinct(when(inA, col("o_totalprice"))).cast("double").as("a_tp_distinct"),
+      countDistinct(when(!inA, col("o_totalprice"))).cast("double").as("b_tp_distinct"),
+      round(min(when(inA, col("o_totalprice"))), 2).as("a_tp_min"),
+      round(min(when(!inA, col("o_totalprice"))), 2).as("b_tp_min"),
+      round(max(when(inA, col("o_totalprice"))), 2).as("a_tp_max"),
+      round(max(when(!inA, col("o_totalprice"))), 2).as("b_tp_max"),
+      round(avg(when(inA, col("o_totalprice"))), 2).as("a_tp_mean"),
+      round(avg(when(!inA, col("o_totalprice"))), 2).as("b_tp_mean"),
+      countDistinct(when(inA, col("o_orderstatus"))).cast("double").as("a_st_distinct"),
+      countDistinct(when(!inA, col("o_orderstatus"))).cast("double").as("b_st_distinct"),
+      countDistinct(when(inA, col("o_orderpriority"))).cast("double").as("a_pr_distinct"),
+      countDistinct(when(!inA, col("o_orderpriority"))).cast("double").as("b_pr_distinct"))
+    prof.selectExpr(
+      """stack(8,
+           '_table',          'row_count', a_rows,        b_rows,
+           'o_totalprice',    'null_count', a_tp_nulls,   b_tp_nulls,
+           'o_totalprice',    'n_distinct', a_tp_distinct, b_tp_distinct,
+           'o_totalprice',    'min',        a_tp_min,      b_tp_min,
+           'o_totalprice',    'max',        a_tp_max,      b_tp_max,
+           'o_totalprice',    'mean',       a_tp_mean,     b_tp_mean,
+           'o_orderstatus',   'n_distinct', a_st_distinct, b_st_distinct,
+           'o_orderpriority', 'n_distinct', a_pr_distinct, b_pr_distinct)
+         AS (col_name, metric, a, b)""")
+      .withColumn("delta", round(col("b") - col("a"), 2))
+      .orderBy("col_name", "metric")
+  }
+
+  /** Population Stability Index — the standard distribution-drift score
+    * between two snapshots, per bucket plus the summary row (bucket = -1).
+    * Fixed closed-form bucket edges (width 50k, capped at bucket 9) so the
+    * bucketing is map-side arithmetic with no quantile pass; Laplace
+    * smoothing (+1 / +10) keeps empty buckets finite. The summary PSI sums
+    * per-bucket terms in integer micro-units (round-before-sum) so the
+    * total is summation-order-proof across engines. The only shuffle is a
+    * 10-group aggregate.
+    */
+  def qualityDriftPsi(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val inA = col("o_orderdate") < lit("1998-07-01").cast("timestamp")
+    val bucket = least(floor(col("o_totalprice") / 50000.0), lit(9.0)).cast("int")
+    val counts = orders
+      .select(bucket.as("bucket"), inA.as("in_a"))
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("n_b"))
+    val totals = orders.agg(
+      cntIf(inA).as("tot_a"), cntIf(!inA).as("tot_b"))
+    // bucket spine 0..9: absent buckets must still appear (smoothed)
+    val spine = spark.range(10).select(col("id").cast("int").as("bucket"))
+    val perBucket = spine
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bucket"), col("n_a"), col("n_b"),
+        ((col("n_a") + 1.0) / (col("tot_a") + 10.0)).as("p_a"),
+        ((col("n_b") + 1.0) / (col("tot_b") + 10.0)).as("p_b"))
+      .withColumn("psi_u",
+        round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")) * 1e6)
+          .cast("long"))
+    val summary = perBucket.agg(
+      sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"),
+      sum(col("psi_u")).as("psi_u"))
+      .select(lit(-1).as("bucket"), col("n_a"), col("n_b"),
+        lit(null).cast("double").as("p_a"), lit(null).cast("double").as("p_b"),
+        col("psi_u"))
+    perBucket.unionByName(summary)
+      .select(
+        col("bucket"), col("n_a"), col("n_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        (col("psi_u") / 1e6).as("psi"))
+      .orderBy("bucket")
+  }
+
+  private def cntIf(cond: org.apache.spark.sql.Column) =
+    sum(when(cond, 1L).otherwise(0L))
+
+  /** Freshness audit: per event type, event count, last-seen timestamp
+    * (epoch micros — the cross-engine timestamp contract), lag behind the
+    * freshest type, and a stale flag at a 20-minute SLA. The global max
+    * is a 1-row aggregate broadcast back (the house scalar-broadcast
+    * pattern) — per-type state is type-count-sized, never event-sized.
+    */
+  def qualityFreshness(events: DataFrame): DataFrame = {
+    val staleUs = 20L * 60L * 1000000L
+    val perType = events.groupBy("event_type").agg(
+      count(lit(1)).as("n_events"),
+      max(unix_micros(col("ts"))).as("last_seen_us"))
+    val globalMax = perType.agg(max(col("last_seen_us")).as("global_max_us"))
+    perType.crossJoin(broadcast(globalMax))
+      .select(
+        col("event_type"), col("n_events"), col("last_seen_us"),
+        (col("global_max_us") - col("last_seen_us")).as("lag_us"),
+        ((col("global_max_us") - col("last_seen_us")) > staleUs).cast("int")
+          .as("stale"))
+      .orderBy("event_type")
+  }
+}

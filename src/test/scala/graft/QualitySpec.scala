@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.QualityOps
+
+/** QualityOps — planted-violation fixtures: a validation suite is only
+  * trustworthy if it demonstrably CATCHES each failure class it claims
+  * to check, so every expectation here gets a row built to fail it.
+  */
+class QualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("quality_expectations counts each planted violation class") {
+    val orders = Seq(
+      (1L, Option(10L), "O", 100.0, ts("1997-01-01 00:00:00")),
+      (1L, Option(11L), "F", 500000.0, ts("1999-01-01 00:00:00")), // dup key + >400k
+      (2L, None, "X", 50.0, ts("1998-01-01 00:00:00")), // null custkey + bad status
+      (3L, Option(99L), "P", 60.0, ts("2000-01-01 00:00:00"))) // orphan custkey
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val customer = Seq((10L, "a"), (11L, "b")).toDF("c_custkey", "c_name")
+    val lineitem = Seq(
+      (1L, 1.0, 0.05, Option(ts("1997-02-01 00:00:00"))),
+      (2L, 99.0, 0.5, None)) // qty out of range + discount out of range + null date
+      .toDF("l_orderkey", "l_quantity", "l_discount", "l_shipdate")
+    val got = QualityOps.qualityExpectations(orders, customer, lineitem)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(got(("unique", "orders.o_orderkey")) === ((4L, 1L, 0)))
+    assert(got(("not_null", "orders.o_custkey")) === ((4L, 1L, 0)))
+    assert(got(("accepted_values", "orders.o_orderstatus")) === ((4L, 1L, 0)))
+    assert(got(("max_value", "orders.o_totalprice")) === ((4L, 1L, 0)))
+    // orphan: custkey 99 has no customer; the NULL custkey also fails RI
+    assert(got(("ref_integrity", "orders.o_custkey->customer")) === ((4L, 2L, 0)))
+    assert(got(("range", "lineitem.l_discount")) === ((2L, 1L, 0)))
+    assert(got(("range", "lineitem.l_quantity")) === ((2L, 1L, 0)))
+    assert(got(("not_null", "lineitem.l_shipdate")) === ((2L, 1L, 0)))
+  }
+
+  test("quality_expectations passes a clean suite on the real corpus checks") {
+    val d = sf0001
+    val got = QualityOps.qualityExpectations(
+      Tables.orders(spark, d), Tables.customer(spark, d), Tables.lineitem(spark, d))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(4)).toMap
+    // structural checks hold on the fixture; the tight SLA bound fails by
+    // design (the suite must be able to show a failure)
+    assert(got(("unique", "orders.o_orderkey")) === 1)
+    assert(got(("ref_integrity", "orders.o_custkey->customer")) === 1)
+    assert(got(("max_value", "orders.o_totalprice")) === 0)
+  }
+
+  test("quality_profile_diff reports per-column metric deltas from one scan") {
+    val orders = Seq(
+      (1L, "O", "1-URGENT", 100.0, ts("1997-01-01 00:00:00")),
+      (2L, "F", "2-HIGH", 200.0, ts("1997-06-01 00:00:00")),
+      (3L, "O", "1-URGENT", 400.0, ts("1999-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice",
+        "o_orderdate")
+    val got = QualityOps.qualityProfileDiff(orders)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(("_table", "row_count")) === ((2.0, 1.0, -1.0)))
+    assert(got(("o_totalprice", "mean")) === ((150.0, 400.0, 250.0)))
+    assert(got(("o_orderstatus", "n_distinct")) === ((2.0, 1.0, -1.0)))
+  }
+
+  test("quality_drift_psi: identical halves score exactly zero, shift scores > 0") {
+    // same bucket histogram on both sides of the date split -> every
+    // p_a == p_b exactly -> every micro-unit term is 0
+    val same = Seq(
+      (1L, 10000.0, ts("1997-01-01 00:00:00")),
+      (2L, 10000.0, ts("1999-01-01 00:00:00")),
+      (3L, 260000.0, ts("1997-01-01 00:00:00")),
+      (4L, 260000.0, ts("1999-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val psiSame = QualityOps.qualityDriftPsi(same)
+      .filter(col("bucket") === -1).select("psi").as[Double].head()
+    assert(psiSame === 0.0)
+    // all mass moves buckets across the split -> positive drift
+    val shifted = Seq(
+      (1L, 10000.0, ts("1997-01-01 00:00:00")),
+      (2L, 490000.0, ts("1999-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val psiShift = QualityOps.qualityDriftPsi(shifted)
+      .filter(col("bucket") === -1).select("psi").as[Double].head()
+    assert(psiShift > 0.0)
+  }
+
+  test("quality_drift_psi emits the full 10-bucket spine even for sparse data") {
+    val sparse = Seq((1L, 10000.0, ts("1997-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val rows = QualityOps.qualityDriftPsi(sparse)
+    assert(rows.count() === 11) // 10 buckets + summary
+    assert(rows.filter(col("bucket") >= 0).count() === 10)
+  }
+
+  test("quality_freshness flags types beyond the 20-minute SLA") {
+    val events = Seq(
+      (1L, ts("2024-01-30 23:00:00"), "stale_type"),
+      (2L, ts("2024-01-30 23:55:00"), "fresh_type"),
+      (3L, ts("2024-01-30 23:59:00"), "freshest"))
+      .toDF("event_id", "ts", "event_type")
+    val got = QualityOps.qualityFreshness(events)
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getInt(4)))).toMap
+    assert(got("freshest") === ((0L, 0)))
+    assert(got("fresh_type") === ((4L * 60L * 1000000L, 0)))
+    assert(got("stale_type") === ((59L * 60L * 1000000L, 1)))
+  }
+}
