@@ -517,6 +517,12 @@ object SparkEntry {
     "quality_profile_diff" -> ((s, d) => QualityOps.qualityProfileDiff(orders(s, d))),
     "quality_drift_psi" -> ((s, d) => QualityOps.qualityDriftPsi(orders(s, d))),
     "quality_freshness" -> ((s, d) => QualityOps.qualityFreshness(events(s, d))),
+    // [EXT] r12: BM25 retrieval scoring, weighted reservoir sampling,
+    // JL random projection + its neighbor-preservation audit
+    "text_bm25" -> ((s, d) => TextOps.textBm25(documents(s, d))),
+    "sample_weighted" -> ((s, d) => RelationalOps.sampleWeighted(orders(s, d))),
+    "sim_random_projection" -> ((s, d) => SimOps.simRandomProjection(embeddings(s, d))),
+    "sim_rp_recall" -> ((s, d) => SimOps.simRpRecall(embeddings(s, d))),
   )
 
   /** The sim_ivf ranking in DuckDB — shared verbatim by the sim_ivf
@@ -5040,7 +5046,106 @@ object SparkEntry {
            g.gmax - last_seen_us AS lag_us,
            CASE WHEN g.gmax - last_seen_us > 1200000000 THEN 1 ELSE 0 END AS stale
          FROM p CROSS JOIN g ORDER BY event_type""",
+    // BM25 with k1=1.2, b=0.75; query terms = vocabulary ranks 10-12 by
+    // (df DESC, token) — same tie-break and same double constants (1.2+1
+    // and the literal 2.2 are the same IEEE double) on both sides
+    "text_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token
+                       FROM documents),
+         tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM tk GROUP BY doc_id, token),
+         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                FROM tk GROUP BY doc_id),
+         dfq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM tk GROUP BY token),
+         top12 AS (SELECT token, df FROM dfq ORDER BY df DESC, token LIMIT 12),
+         qt AS (SELECT token, df FROM (SELECT token, df,
+                  row_number() OVER (ORDER BY df DESC, token) AS r FROM top12)
+                WHERE r >= 10),
+         sc AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+                FROM documents),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS tot_toks FROM tk),
+         scored AS (SELECT tf.token AS term, tf.doc_id, tf.tf, dl.dl,
+             round(ln(1.0 + (sc.n_docs - qt.df + 0.5) / (qt.df + 0.5)) *
+               (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl /
+                 (CAST(tt.tot_toks AS DOUBLE) / sc.n_docs))), 6) AS score
+           FROM tf JOIN qt ON tf.token = qt.token
+           JOIN dl ON tf.doc_id = dl.doc_id
+           CROSS JOIN sc CROSS JOIN tt),
+         r AS (SELECT term, doc_id, tf, dl, score,
+             row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id)
+               AS rnk FROM scored)
+         SELECT term, CAST(rnk AS INTEGER) AS rnk, doc_id, tf, dl, score
+         FROM r WHERE rnk <= 10 ORDER BY term, rnk""",
+    // A-ES weighted sampling: same md5 coin, same ln(u)/w key rounded at
+    // 1e-12, same (skey DESC, key) rank on both sides
+    "sample_weighted" ->
+      """WITH k AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             round(ln((('0x' || substring(md5('ws|' || CAST(o_orderkey AS VARCHAR)),
+                        1, 8))::BIGINT + 0.5) / 4294967296.0)
+                   / o_totalprice, 12) AS skey
+           FROM orders WHERE o_totalprice > 0),
+         r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY skey DESC, o_orderkey) AS rnk FROM k)
+         SELECT o_orderpriority, CAST(rnk AS INTEGER) AS rnk, o_orderkey,
+           o_totalprice, skey
+         FROM r WHERE rnk <= 5 ORDER BY o_orderpriority, rnk""",
+    "sim_random_projection" -> simRandomProjectionOracleSql,
+    "sim_rp_recall" -> simRpRecallOracleSql,
   )
+
+  /** DuckDB literal for one row of the JL sign matrix — the matrix is
+    * plan-time model state shared verbatim by both engines.
+    */
+  private def rpArrayLit(j: Int): String =
+    operators.SimOps.rpSigns(j).map(x => if (x > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]")
+
+  private val simRandomProjectionOracleSql: String = {
+    val arms = (0 until 8).map(j =>
+      s"SELECT vec_id, $j AS dim, round(list_dot_product(v, ${rpArrayLit(j)}), 6) AS value FROM e")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        $arms ORDER BY vec_id, dim"""
+  }
+
+  private val simRpRecallOracleSql: String = {
+    val pList = (0 until 8)
+      .map(j => s"round(list_dot_product(v, ${rpArrayLit(j)}), 6)")
+      .mkString("[", ", ", "]")
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       pl AS (SELECT vec_id + 1000000 AS vec_id,
+           [CASE WHEN i = 33 THEN 0.0 ELSE v[i] END FOR i IN range(1, 65)] AS v
+         FROM b WHERE vec_id % 100 = 0),
+       e AS (SELECT * FROM b UNION ALL SELECT * FROM pl),
+       p AS (SELECT vec_id, $pList AS pv FROM e),
+       pe AS (SELECT vec_id AS probe_id, v AS qv FROM e
+              WHERE vec_id % 100 = 0 AND vec_id < 1000000),
+       et AS (SELECT probe_id, vec_id FROM (
+         SELECT pe.probe_id, e.vec_id, row_number() OVER (PARTITION BY pe.probe_id
+             ORDER BY round(list_dot_product(e.v, pe.qv) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(pe.qv, pe.qv))), 6)
+               DESC, e.vec_id) AS rn
+         FROM e CROSS JOIN pe WHERE e.vec_id <> pe.probe_id) WHERE rn <= 10),
+       pp AS (SELECT vec_id AS probe_id, pv AS qp FROM p
+              WHERE vec_id % 100 = 0 AND vec_id < 1000000),
+       pt AS (SELECT probe_id, vec_id FROM (
+         SELECT pp.probe_id, p.vec_id, row_number() OVER (PARTITION BY pp.probe_id
+             ORDER BY round(list_dot_product(p.pv, pp.qp) /
+               (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(pp.qp, pp.qp))), 6)
+               DESC, p.vec_id) AS rn
+         FROM p CROSS JOIN pp WHERE p.vec_id <> pp.probe_id) WHERE rn <= 10)
+       SELECT et.probe_id, CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(sum(CASE WHEN pt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_overlap,
+         CAST(max(CASE WHEN et.vec_id = et.probe_id + 1000000
+               AND pt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS planted_found
+       FROM et LEFT JOIN pt
+         ON et.probe_id = pt.probe_id AND et.vec_id = pt.vec_id
+       GROUP BY et.probe_id ORDER BY et.probe_id"""
+  }
 
   /** The k-means oracle CTE chain, generated: k0 is the first-k codebook
     * in the milli-unit integer domain, each round is one assign CTE (exact

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core relational transforms — the reference's "Transform: clean or
@@ -230,4 +231,36 @@ object RelationalOps {
       .groupBy("l_returnflag")
       .agg(sum("l_quantity").as("sum_qty"))
       .orderBy("l_returnflag")
+
+  /** Weighted sampling without replacement per group (Efraimidis–Spirakis
+    * A-ES): each row draws u ∈ (0,1) from an md5-seeded coin and competes
+    * on key = ln(u)/w — the top-k keys per group are a weight-proportional
+    * sample. The importance-sampling primitive of corpus mixing (sample
+    * documents ∝ quality score).
+    *
+    * Scale shape: the key is map-side arithmetic; the per-group cut is
+    * the NATIVE TopKPerGroup operator, so candidates reduce to k rows per
+    * group map-side before the group exchange — one scan, one k·|groups|
+    * shuffle, no full sort. Key rounded at 1e-12 (keys space ~1e-8 apart;
+    * see the spec's collision audit) so both engines rank identical
+    * values; md5 coins are the house cross-engine randomness contract.
+    */
+  def sampleWeighted(orders: DataFrame, k: Int = 5): DataFrame = {
+    val u = (conv(substring(
+      md5(concat(lit("ws|"), col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+      .cast("bigint").cast("double") + 0.5) / 4294967296.0
+    val keyed = orders
+      .filter(col("o_totalprice") > 0)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        round(log(u) / col("o_totalprice"), 12).as("skey"))
+    val cut = graft.plans.TopKOps.topKPerGroup(
+      keyed, Seq("o_orderpriority"), Seq(("skey", false), ("o_orderkey", true)), k)
+    // rank over the already-cut k rows per group (k·|groups| input only)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(desc("skey"), asc("o_orderkey"))
+    cut.withColumn("rnk", row_number().over(w))
+      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+        col("o_totalprice"), col("skey"))
+      .orderBy("o_orderpriority", "rnk")
+  }
 }

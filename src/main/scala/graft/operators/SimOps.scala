@@ -199,6 +199,91 @@ object SimOps {
 
   private def toVec(c: Column): Column = c.cast("array<double>")
 
+  /** Deterministic ±1 sign matrix for the Johnson–Lindenstrauss random
+    * projection (8 output dims × 64 input dims): sign(j,i) = top bit of
+    * md5("rp|j|i"). Computed once at class-init in plain Scala and baked
+    * as LITERALS into both the Spark plan and the DuckDB oracle — the
+    * projection matrix is model state, not data, so it ships with the
+    * plan (broadcast-free) and the two engines share it by construction.
+    */
+  private[graft] val rpSigns: Seq[Seq[Double]] =
+    (0 until 8).map { j =>
+      (0 until 64).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp|$j|$i".getBytes("UTF-8"))
+        if ((h(0) & 0x80) == 0) 1.0 else -1.0
+      }
+    }
+
+  /** JL random projection 64 → 8 dims: each output dim is a codegen'd
+    * dot product against a literal sign row — pure map-side compute, zero
+    * shuffles, the standard cheapening step BEFORE LSH/IVF at 100 TB
+    * (8× less vector I/O for every downstream stage). Output is long-form
+    * (vec_id, dim, value) — the driver contract can't hash arrays.
+    */
+  def simRandomProjection(embeddings: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val projs = rpSigns.zipWithIndex.map { case (s, j) =>
+      round(graft.plans.VectorFunctions.vectorDot(col("v"), typedLit(s)), 6)
+        .as(s"p$j")
+    }
+    e.select(col("vec_id") +: projs: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until 8).map(j => col(s"p$j")): _*)))
+      .select(col("vec_id"), col("pos").cast("int").as("dim"),
+        col("col").as("value"))
+      .orderBy("vec_id", "dim")
+  }
+
+  /** Recall audit of the projection: per probe, how many of the exact
+    * cosine top-10 survive in the PROJECTED-space cosine top-10, and
+    * whether a PLANTED near-dup partner (the probe with dim 32 zeroed,
+    * cos ≈ 0.99 — the dedup_embedding de-vacuation precedent) is found.
+    * The synthetic corpus is isotropic (background neighbors are barely
+    * separated, so background overlap floors by construction); the
+    * planted partner is the real signal a projection must keep, and the
+    * audit measures both. Both arms are the capped-probe broadcast scan
+    * (`sim_join`'s shape); projected vectors are the ROUNDED 6-decimal
+    * sketches so both engines rank identical values.
+    */
+  def simRpRecall(embeddings: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val base = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val planted = base.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"),
+          (x, i) => when(i === 32, lit(0.0)).otherwise(x)).as("v"))
+    val e = base.unionByName(planted)
+    val p = e.select(col("vec_id"),
+      array(rpSigns.map(s =>
+        round(graft.plans.VectorFunctions.vectorDot(col("v"), typedLit(s)), 6)): _*)
+        .as("p"))
+    def topNbrs(vecs: DataFrame, vcol: String): DataFrame = {
+      val probes = vecs
+        .filter(col("vec_id") % 100 === 0 && col("vec_id") < 1000000L)
+        .select(col("vec_id").as("probe_id"), col(vcol).as("pv"))
+      val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+      vecs.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(col(vcol), col("pv")), 6).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("probe_id", "vec_id")
+    }
+    val exactTop = topNbrs(e, "v")
+    val projTop = topNbrs(p, "p").withColumn("hit", lit(1L))
+    exactTop.join(projTop, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
+        max(when(col("vec_id") === col("probe_id") + 1000000L,
+          coalesce(col("hit"), lit(0L))).otherwise(lit(0L)))
+          .as("planted_found"))
+      .orderBy("probe_id")
+  }
+
   // Native codegen'd dot product — see graft.plans.VectorDot (bit-identical
   // to the higher-order fold, so oracles are unaffected).
   private def cosine(a: Column, b: Column): Column = LlmOps.cosine(a, b)

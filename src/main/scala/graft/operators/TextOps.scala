@@ -488,4 +488,55 @@ object TextOps {
       .topKPerGroup(counts, Seq("lang"), Seq(("tf", false), ("token", true)), k)
       .orderBy(asc("lang"), desc("tf"), asc("token"))
   }
+
+  /** BM25 ranking (k1 = 1.2, b = 0.75) — the standard retrieval scorer a
+    * RAG/decontamination pipeline runs after tf-idf. Query terms are
+    * drawn FROM the corpus deterministically (vocabulary ranks 10–12 by
+    * document frequency — past the stopword head, still high-df enough to
+    * rank many candidates); per term, the top-10 documents by score.
+    *
+    * Scale shape: tf / dl / df are the same three hash aggregates tf-idf
+    * runs (one token explode feeds all three); the query-term cut is a
+    * TakeOrderedAndProject top-12 of the df AGGREGATE (never a full
+    * vocabulary sort); query terms and the two corpus scalars broadcast;
+    * the only post-aggregate shuffle is the per-term top-k window over
+    * candidate rows. At 100 TB the candidate table is |terms|-bounded per
+    * doc, not corpus-quadratic.
+    */
+  def textBm25(documents: DataFrame): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val toks = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfreq = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val qterms = dfreq.orderBy(desc("df"), asc("token")).limit(12)
+      .withColumn("r",
+        row_number().over(Window.orderBy(desc("df"), asc("token")))) // 12-row window
+      .filter(col("r") >= 10)
+      .select(col("token"), col("df"))
+    val scalars = documents.agg(countDistinct(col("doc_id")).as("n_docs"))
+      .crossJoin(toks.agg(count(lit(1)).as("tot_toks")))
+    val scored = tf.join(broadcast(qterms), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scalars))
+      .withColumn("avgdl", col("tot_toks").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("score", round(
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+    val w = Window.partitionBy("term").orderBy(desc("score"), asc("doc_id"))
+    scored
+      .select(col("token").as("term"), col("doc_id"), col("tf"), col("dl"),
+        col("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("term"), col("rnk"), col("doc_id"), col("tf"), col("dl"),
+        col("score"))
+      .orderBy("term", "rnk")
+  }
 }
