@@ -523,6 +523,7 @@ object SparkEntry {
     "sample_weighted" -> ((s, d) => RelationalOps.sampleWeighted(orders(s, d))),
     "sim_random_projection" -> ((s, d) => SimOps.simRandomProjection(embeddings(s, d))),
     "sim_rp_recall" -> ((s, d) => SimOps.simRpRecall(embeddings(s, d))),
+    "stream_quality" -> ((s, d) => StreamOps.streamQuality(s, d)),
   )
 
   /** The sim_ivf ranking in DuckDB — shared verbatim by the sim_ivf
@@ -5093,6 +5094,29 @@ object SparkEntry {
          FROM r WHERE rnk <= 5 ORDER BY o_orderpriority, rnk""",
     "sim_random_projection" -> simRandomProjectionOracleSql,
     "sim_rp_recall" -> simRpRecallOracleSql,
+    // batch-equivalence of the streaming validation counters: the slice
+    // key is closed-form integer arithmetic on the row, so the final
+    // complete-mode state is a plain GROUP BY replay
+    "stream_quality" ->
+      """WITH mm AS (SELECT min(event_id) AS lo,
+             max(event_id) - min(event_id) + 1 AS span FROM events),
+         q AS (SELECT CAST(((event_id - mm.lo) * 4) // mm.span AS INTEGER) AS qtr,
+                 user_id, event_type, value
+               FROM events CROSS JOIN mm)
+         SELECT qtr, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS f_null_user,
+           CAST(sum(CASE WHEN coalesce(event_type IN
+               ('click','view','purchase','signup','error'), FALSE)
+               THEN 0 ELSE 1 END) AS BIGINT) AS f_bad_type,
+           CAST(sum(CASE WHEN value IS NULL OR value > 90.0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS f_over_sla,
+           CASE WHEN sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) +
+                     sum(CASE WHEN coalesce(event_type IN
+                       ('click','view','purchase','signup','error'), FALSE)
+                       THEN 0 ELSE 1 END) = 0
+                THEN 1 ELSE 0 END AS structural_pass
+         FROM q GROUP BY qtr ORDER BY qtr""",
   )
 
   /** DuckDB literal for one row of the JL sign matrix — the matrix is

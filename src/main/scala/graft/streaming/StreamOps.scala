@@ -1128,6 +1128,63 @@ object StreamOps {
   /** Fresh scratch dir (mirrors EtlOps.freshDir; local to keep packages
     * independent).
     */
+  /** Streaming validation: the quality-expectation suite maintained
+    * INCREMENTALLY as data arrives — per arriving slice (value-range
+    * quarters of event_id, the c929070 closed-form split), counters for
+    * not-null user_id, accepted event_type values, and a value ≤ 90 SLA
+    * (which FAILS on real rows — a validator that cannot show a failure
+    * is untested). The slice key is closed-form arithmetic on the row
+    * itself, so the final complete-mode state is a pure function of the
+    * corpus and the DuckDB oracle replays it as a batch GROUP BY.
+    *
+    * Scale shape: state is |slices| × 4 counters — bytes, not rows; the
+    * validation ride-along costs one map-side conditional-sum per batch.
+    * This is the ingest-gate pattern: bad batches surface while the
+    * pipeline runs, not in a nightly audit.
+    */
+  def streamQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.read.parquet(s"$sfDir/events.parquet")
+    val srcDir = scratch(sfDir, "stream_quality_src")
+    val mm = src.agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+      .head()
+    val (lo, span) = (mm.getLong(0), mm.getLong(1) - mm.getLong(0) + 1)
+    // one shared closed-form slice rule for staging, streaming agg and
+    // oracle — integer arithmetic so all three agree exactly
+    val qtrExpr = expr(s"CAST(((event_id - ${lo}L) * 4) DIV ${span}L AS INT)")
+    for (i <- 0 until 4) {
+      val tmp = scratch(sfDir, s"stream_quality_stage$i")
+      src.filter(qtrExpr === i)
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val staged = srcDir.resolve(s"quarter-$i.parquet")
+      Files.copy(part, staged)
+      Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+    }
+    val schema = src.schema
+    val counters = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .select(qtrExpr.as("qtr"), col("user_id"), col("event_type"), col("value"))
+      .groupBy("qtr")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("f_null_user"),
+        sum(when(coalesce(
+          col("event_type").isin("click", "view", "purchase", "signup", "error"),
+          lit(false)), 0L).otherwise(1L)).as("f_bad_type"),
+        sum(when(col("value").isNull || col("value") > 90.0, 1L).otherwise(0L))
+          .as("f_over_sla"))
+    withStateShards(spark, 4) {
+      drain(counters, "graft_stream_quality", "complete") }
+      .select(col("qtr"), col("n_rows"), col("f_null_user"), col("f_bad_type"),
+        col("f_over_sla"),
+        (col("f_null_user") + col("f_bad_type") === 0L).cast("int")
+          .as("structural_pass"))
+      .orderBy("qtr")
+  }
+
   private def scratch(sfDir: String, tag: String): Path = {
     val p = Paths.get(
       sys.props("java.io.tmpdir"), "graft_stream",

@@ -418,4 +418,16 @@ class StreamSpec extends SparkTestBase {
     val shards = samples.map(StreamOps.stateShardsFor(_))
     assert(shards === shards.sorted, s"rule not monotone: $shards")
   }
+
+  test("stream_quality: slices partition the corpus; SLA failures surface") {
+    val got = StreamOps.streamQuality(spark, sf0001).collect()
+    assert(got.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
+    val total = Tables.events(spark, sf0001).count()
+    assert(got.map(_.getLong(1)).sum === total,
+      "quarter counters must partition the corpus exactly")
+    // structural checks hold on the fixture; the tight value SLA fails
+    // on real rows in every quarter (the validator demonstrably fires)
+    assert(got.forall(_.getInt(5) === 1))
+    assert(got.forall(_.getLong(4) > 0L))
+  }
 }
