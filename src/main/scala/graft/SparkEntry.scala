@@ -524,6 +524,9 @@ object SparkEntry {
     "sim_random_projection" -> ((s, d) => SimOps.simRandomProjection(embeddings(s, d))),
     "sim_rp_recall" -> ((s, d) => SimOps.simRpRecall(embeddings(s, d))),
     "stream_quality" -> ((s, d) => StreamOps.streamQuality(s, d)),
+    "pipeline_unigram_lm" -> ((s, d) => PipelineOps.pipelineUnigramLm(documents(s, d))),
+    "pipeline_unigram_fertility" -> ((s, d) =>
+      PipelineOps.pipelineUnigramFertility(documents(s, d))),
   )
 
   /** The sim_ivf ranking in DuckDB — shared verbatim by the sim_ivf
@@ -572,6 +575,77 @@ object SparkEntry {
        SELECT doc_id, count(*) AS n_ws, CAST(sum(n_sym) AS BIGINT) AS n_bpe
        FROM d JOIN v USING (w) WHERE len(w) > 0
        GROUP BY doc_id ORDER BY doc_id"""
+
+  /** One DuckDB Viterbi pass of the unigram-LM trainer — the SAME
+    * string-encoded DP fold as PipelineOps.uniViterbi: states are
+    * '%020d-cost|seg' so lexicographic list_min IS (cost, seg) order,
+    * identical to the Spark side's array_min by construction. The fold
+    * iterates via the prepend-the-init trick (the house list_reduce
+    * convention, see text_fingerprint): element 1 is the init state
+    * list, the remaining len(w) empty lists are position markers, and
+    * the current position is len(acc).
+    */
+  private def uniDpBody(psCte: String): String =
+    s"""(SELECT w, n, list_reduce(
+           [[printf('%020d', 0) || '|']] ||
+             [CAST([] AS VARCHAR[]) for i in range(1, len(w) + 1)],
+           (acc, x) -> list_append(acc, list_min([
+             printf('%020d',
+               CAST(substring(acc[p.st0 + 1], 1, 20) AS BIGINT) + p.c)
+               || '|' || substring(acc[p.st0 + 1], 22) || ' ' || p.p
+             for p in ps if p.e = len(acc)]))) AS dp
+         FROM $psCte)"""
+
+  /** The full unigram train loop (seed → score → Viterbi → hard-EM
+    * re-score → Viterbi) as a CTE chain ending in seg1/seg2 — shared by
+    * pipeline_unigram_lm and the fertility census.
+    */
+  private val uniCtes: String =
+    s"""WITH wr AS (SELECT w, count(*)::BIGINT AS n FROM
+         (SELECT unnest(str_split(text, ' ')) AS w FROM documents) t
+         WHERE len(w) > 0 GROUP BY w),
+       sub AS (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM
+           (SELECT n, unnest(flatten(
+              [[substring(w, st, ln)
+                for ln in range(1, least(4, len(w) - st + 1) + 1)]
+               for st in range(1, len(w) + 1)])) AS piece FROM wr) t
+         GROUP BY piece),
+       topv AS (SELECT piece, cnt FROM sub ORDER BY cnt DESC, piece LIMIT 48),
+       voc AS (SELECT piece, max(cnt) AS cnt FROM
+           (SELECT * FROM topv UNION ALL
+            SELECT piece, cnt FROM sub WHERE len(piece) = 1) t GROUP BY piece),
+       c1 AS (SELECT piece,
+           CAST(round(-ln(CAST(cnt AS DOUBLE) / t.tot) * 1e6) AS BIGINT) AS c
+         FROM voc CROSS JOIN
+           (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM voc) t),
+       occ0 AS (SELECT w, n, unnest(flatten(
+           [[{'e': st + ln - 1, 'st0': st - 1, 'p': substring(w, st, ln)}
+             for ln in range(1, least(4, len(w) - st + 1) + 1)]
+            for st in range(1, len(w) + 1)])) AS o
+         FROM wr),
+       ps1 AS (SELECT occ0.w, occ0.n,
+           list({'e': o.e, 'st0': o.st0, 'c': c1.c, 'p': o.p}) AS ps
+         FROM occ0 JOIN c1 ON o.p = c1.piece GROUP BY occ0.w, occ0.n),
+       dp1 AS ${uniDpBody("ps1")},
+       seg1 AS (SELECT w, n,
+           CAST(substring(dp[len(w) + 1], 1, 20) AS BIGINT) AS cost_u,
+           trim(substring(dp[len(w) + 1], 22)) AS seg FROM dp1),
+       u2 AS (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM
+           (SELECT n, unnest(str_split(seg, ' ')) AS piece FROM seg1) t
+         GROUP BY piece),
+       v2 AS (SELECT voc.piece, coalesce(u2.cnt, 0) AS cnt
+              FROM voc LEFT JOIN u2 ON voc.piece = u2.piece),
+       c2 AS (SELECT piece,
+           CAST(round(-ln((cnt + 1.0) / (t.tot + t.v)) * 1e6) AS BIGINT) AS c
+         FROM v2 CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+             count(*) AS v FROM v2) t),
+       ps2 AS (SELECT occ0.w, occ0.n,
+           list({'e': o.e, 'st0': o.st0, 'c': c2.c, 'p': o.p}) AS ps
+         FROM occ0 JOIN c2 ON o.p = c2.piece GROUP BY occ0.w, occ0.n),
+       dp2 AS ${uniDpBody("ps2")},
+       seg2 AS (SELECT w, n,
+           CAST(substring(dp[len(w) + 1], 1, 20) AS BIGINT) AS cost_u,
+           trim(substring(dp[len(w) + 1], 22)) AS seg FROM dp2)"""
 
   private def bpeCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
@@ -5117,6 +5191,23 @@ object SparkEntry {
                        THEN 0 ELSE 1 END) = 0
                 THEN 1 ELSE 0 END AS structural_pass
          FROM q GROUP BY qtr ORDER BY qtr""",
+    "pipeline_unigram_lm" ->
+      s"""$uniCtes
+         SELECT 1 AS round, w, n, cost_u,
+           CAST(len(str_split(seg, ' ')) AS INTEGER) AS n_pieces, seg FROM seg1
+         UNION ALL
+         SELECT 2, w, n, cost_u,
+           CAST(len(str_split(seg, ' ')) AS INTEGER), seg FROM seg2
+         ORDER BY round, w""",
+    "pipeline_unigram_fertility" ->
+      s"""$uniCtes,
+         v AS (SELECT w, CAST(len(str_split(seg, ' ')) AS BIGINT) AS n_pc
+               FROM seg2),
+         d AS (SELECT lang, unnest(str_split(text, ' ')) AS w FROM documents)
+         SELECT lang, count(*) AS n_ws, CAST(sum(n_pc) AS BIGINT) AS n_uni,
+           round(CAST(sum(n_pc) AS DOUBLE) / count(*), 6) AS fertility
+         FROM d JOIN v USING (w) WHERE len(w) > 0
+         GROUP BY lang ORDER BY lang""",
   )
 
   /** DuckDB literal for one row of the JL sign matrix — the matrix is

@@ -1271,4 +1271,143 @@ object PipelineOps {
           .as("short_frac"))
       .orderBy("source", "lang")
   }
+
+  // ---- unigram-LM tokenizer (SentencePiece-style, Kudo 2018) ----------
+
+  private val UniMaxPiece = 4
+  private val UniVocabTop = 48
+
+  /** In-engine UNIGRAM-LM TOKENIZER TRAINING (Kudo 2018 — the
+    * SentencePiece recipe, the other public tokenizer-training family
+    * next to BPE): seed a candidate vocabulary from weighted substring
+    * counts, score pieces by -ln p in integer micro-units, Viterbi-
+    * segment every distinct word, re-estimate piece scores from the
+    * hard-EM usage counts (Laplace-smoothed over the full vocabulary so
+    * unused pieces stay finite and single chars keep every word
+    * segmentable), and segment again. Output: both rounds' per-word
+    * optimal segmentation, cost and piece count.
+    *
+    * Scale anatomy (the same as `pipelineBpeTrain`): the ONLY
+    * corpus-sized stage is the word count — one distinct-shuffle;
+    * seeding, scoring, and both Viterbi passes run on the VOCAB-sized
+    * word table with the piece table broadcast. The per-word DP is pure
+    * map-side expression arithmetic.
+    *
+    * Determinism: every DP state is the STRING `%020d-cost|seg` — the
+    * zero-padded integer cost prefix makes lexicographic `array_min`
+    * equal to (cost, then segmentation-string) order, and the DuckDB
+    * oracle folds the IDENTICAL encoding, so tie-breaking cannot drift
+    * between engines. Costs are integer micro-units (round-before-sum).
+    */
+  def pipelineUnigramLm(documents: DataFrame): DataFrame = {
+    val (seg1, seg2) = unigramLoop(documents)
+    def shape(r: Int, s: DataFrame) = s.select(
+      lit(r).as("round"), col("w"), col("n"), col("cost_u"),
+      size(split(col("seg"), " ")).cast("int").as("n_pieces"), col("seg"))
+    shape(1, seg1).unionByName(shape(2, seg2)).orderBy("round", "w")
+  }
+
+  /** Fertility of the unigram tokenizer per language — the apply-side
+    * census `pipelineFertility` runs for BPE, over the round-2 unigram
+    * segmentation. One explode + one broadcast-sized join + one hash
+    * aggregate on the corpus side.
+    */
+  def pipelineUnigramFertility(documents: DataFrame): DataFrame = {
+    val (_, seg2) = unigramLoop(documents)
+    val vocab = seg2.select(col("w"),
+      size(split(col("seg"), " ")).cast("long").as("n_pc"))
+    documents.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(vocab, "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_ws"), sum(col("n_pc")).as("n_uni"))
+      .select(col("lang"), col("n_ws"), col("n_uni"),
+        round(col("n_uni").cast("double") / col("n_ws").cast("double"), 6)
+          .as("fertility"))
+      .orderBy("lang")
+  }
+
+  /** Shared train loop: (round-1 segmentation, round-2 segmentation),
+    * each (w, n, cost_u, seg) with seg trimmed. See [[pipelineUnigramLm]].
+    */
+  private def unigramLoop(documents: DataFrame): (DataFrame, DataFrame) = {
+    val words = documents.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    // candidate pieces: every substring of length 1..4 at every position,
+    // weighted by word frequency (each occurrence counts)
+    val subs = words
+      .select(col("n"), explode(flatten(
+        transform(sequence(lit(1), length(col("w"))), st =>
+          transform(
+            sequence(lit(1), least(lit(UniMaxPiece), length(col("w")) - st + 1)),
+            ln => col("w").substr(st, ln))))).as("piece"))
+      .groupBy("piece").agg(sum(col("n")).as("cnt"))
+    val top = subs.orderBy(desc("cnt"), asc("piece")).limit(UniVocabTop)
+    // single chars always kept: the segmentability floor
+    val vocab = top.unionByName(subs.filter(length(col("piece")) === 1))
+      .groupBy("piece").agg(max(col("cnt")).as("cnt"))
+      .localCheckpoint(eager = false)
+    val c1 = vocab.crossJoin(broadcast(
+        vocab.agg(sum(col("cnt")).as("tot"))))
+      .select(col("piece"),
+        round(-log(col("cnt").cast("double") / col("tot")) * 1e6)
+          .cast("long").as("c"))
+    val seg1 = uniViterbi(words, c1)
+    // hard-EM re-estimation: usage counts from the round-1 segmentation,
+    // Laplace +1 over the FULL vocabulary
+    val usage = seg1
+      .select(col("n"), explode(split(col("seg"), " ")).as("piece"))
+      .groupBy("piece").agg(sum(col("n")).as("cnt"))
+    val v2 = vocab.select("piece")
+      .join(usage, Seq("piece"), "left").na.fill(0L, Seq("cnt"))
+    val c2 = v2.crossJoin(broadcast(
+        v2.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))))
+      .select(col("piece"),
+        round(-log((col("cnt") + 1.0) / (col("tot") + col("v"))) * 1e6)
+          .cast("long").as("c"))
+    (seg1, uniViterbi(words, c2))
+  }
+
+  /** One Viterbi pass: per word, the min-cost segmentation under the
+    * piece costs, with the string-encoded DP state (see
+    * [[pipelineUnigramLm]]'s determinism note). Returns
+    * (w, n, cost_u, seg) with seg trimmed.
+    */
+  private def uniViterbi(words: DataFrame, costs: DataFrame): DataFrame = {
+    // per word: all in-vocab substring occurrences as
+    // (e = end pos, st0 = 0-based dp index of the start, c, p)
+    val occ = words
+      .select(col("w"), col("n"), explode(flatten(
+        transform(sequence(lit(1), length(col("w"))), st =>
+          transform(
+            sequence(lit(1), least(lit(UniMaxPiece), length(col("w")) - st + 1)),
+            ln => struct(
+              (st + ln - 1).as("e"), (st - 1).as("st0"),
+              col("w").substr(st, ln).as("p")))))).as("o"))
+      .select(col("w"), col("n"), col("o.e").as("e"), col("o.st0").as("st0"),
+        col("o.p").as("p"))
+      .join(broadcast(costs), col("p") === col("piece"))
+      .groupBy(col("w"), col("n"))
+      .agg(collect_list(struct(col("e"), col("st0"), col("c"), col("p")))
+        .as("ps"))
+    val dp = aggregate(
+      sequence(lit(1), length(col("w"))),
+      array(concat(format_string("%020d", lit(0L)), lit("|"))),
+      (acc: Column, e: Column) => concat(acc, array(array_min(transform(
+        filter(col("ps"), p => p.getField("e") === e),
+        p => concat(
+          format_string("%020d",
+            substring(element_at(acc, p.getField("st0") + 1), 1, 20)
+              .cast("long") + p.getField("c")),
+          lit("|"),
+          substring(element_at(acc, p.getField("st0") + 1), 22, 1000000),
+          lit(" "), p.getField("p")))))))
+    occ.select(col("w"), col("n"),
+        element_at(dp, length(col("w")) + 1).as("st"))
+      .select(col("w"), col("n"),
+        substring(col("st"), 1, 20).cast("long").as("cost_u"),
+        trim(substring(col("st"), 22, 1000000)).as("seg"))
+  }
 }

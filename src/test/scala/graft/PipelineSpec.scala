@@ -365,4 +365,46 @@ class PipelineSpec extends SparkTestBase {
     assert(r.getLong(3) === 2L)
     assert(r.getDouble(4) === 0.5 && r.getLong(5) === 3L)
   }
+
+  test("pipeline_unigram_lm: segmentations reconstruct their words exactly") {
+    val out = PipelineOps.pipelineUnigramLm(Tables.documents(spark, sf0001))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, seg, nPieces) = (r.getString(1), r.getString(5), r.getInt(4))
+      assert(seg.replace(" ", "") === w,
+        s"seg '$seg' must concatenate back to '$w'")
+      assert(seg.split(" ").length === nPieces)
+      assert(r.getLong(3) > 0L, "cost must be positive")
+    }
+  }
+
+  test("pipeline_unigram_lm: hard-EM re-scoring flips a seed-inflated piece") {
+    import spark.implicits._
+    // 'ab' is substring-frequent via 'zabz' (seed count 61) but never
+    // USED in round-1 segmentations except by the word 'ab' itself
+    // (zabz keeps the whole-word piece) -> its usage count collapses to
+    // 1, round-2 cost rises above cost(a)+cost(b), and the segmentation
+    // of 'ab' must flip from the single piece to 'a b'
+    def rep(w: String, n: Int) = Seq.fill(n)(w)
+    val text = (rep("zabz", 60) ++ rep("za", 40) ++ rep("bz", 40) ++
+      rep("ab", 1) ++ rep("a", 30) ++ rep("b", 30)).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val segs = PipelineOps.pipelineUnigramLm(docs)
+      .filter(col("w") === "ab")
+      .collect().map(r => r.getInt(0) -> r.getString(5)).toMap
+    assert(segs(1) === "ab", "round 1 rides the seed-inflated count")
+    assert(segs(2) === "a b", "round 2 must re-segment from usage counts")
+  }
+
+  test("pipeline_unigram_fertility: per-lang averages are piece-per-word exact") {
+    val f = PipelineOps.pipelineUnigramFertility(Tables.documents(spark, sf0001))
+      .collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      assert(r.getDouble(3) >= 1.0, "every word is at least one piece")
+      assert(r.getLong(2) >= r.getLong(1),
+        "unigram pieces can never undercut whitespace words")
+    }
+  }
 }
