@@ -129,6 +129,12 @@ object Bench {
     "pipeline_node_embed",  // r11: SGNS over walk pairs (walks->pairs->embeddings)
     "pipeline_node_embed_served", // r12: trained embeddings through the ANN layout
     "multimodal_ingest_decode",   // r12: real files -> binaryFile -> 3 decoders
+    // r12 session 2: the new first-class families get recurring numbers
+    "quality_expectations", // validation suite: conditional-agg scan sharing
+    "quality_drift_psi",    // PSI drift: closed-form buckets + micro-unit sum
+    "stream_quality",       // streaming validation counters over staged quarters
+    "pipeline_unigram_lm",  // unigram-LM tokenizer trainer (Viterbi hard-EM x2)
+    "text_bm25",            // BM25 scoring + per-term top-k
   )
 
   def main(args: Array[String]): Unit = {

@@ -517,6 +517,7 @@ object SparkEntry {
     "quality_profile_diff" -> ((s, d) => QualityOps.qualityProfileDiff(orders(s, d))),
     "quality_drift_psi" -> ((s, d) => QualityOps.qualityDriftPsi(orders(s, d))),
     "quality_freshness" -> ((s, d) => QualityOps.qualityFreshness(events(s, d))),
+    "quality_anomaly" -> ((s, d) => QualityOps.qualityAnomaly(events(s, d))),
     // [EXT] r12: BM25 retrieval scoring, weighted reservoir sampling,
     // JL random projection + its neighbor-preservation audit
     "text_bm25" -> ((s, d) => TextOps.textBm25(documents(s, d))),
@@ -5121,6 +5122,27 @@ object SparkEntry {
            g.gmax - last_seen_us AS lag_us,
            CASE WHEN g.gmax - last_seen_us > 1200000000 THEN 1 ELSE 0 END AS stale
          FROM p CROSS JOIN g ORDER BY event_type""",
+    // robust z over the day histogram: median/MAD are exact
+    // half-integers (quantile_cont = percentile), the z statistic is
+    // the exact integer rational z_num/z_den (z = 0.6745*z_num/z_den),
+    // and the outlier flag is an integer cross-multiplication — no
+    // float rounding anywhere
+    "quality_anomaly" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+           FROM events GROUP BY 1),
+         sp AS (SELECT DATE '2024-03-01' AS day,
+             (SELECT max(n) * 8 FROM daily) AS n),
+         d AS (SELECT * FROM daily UNION ALL SELECT * FROM sp),
+         s1 AS (SELECT quantile_cont(n, 0.5) AS med FROM d),
+         s2 AS (SELECT quantile_cont(abs(n - s1.med), 0.5) AS mad FROM d, s1)
+         SELECT strftime(day, '%Y-%m-%d') AS day, n, med, mad,
+           CAST(n * 2 - CAST(med * 2 AS BIGINT) AS BIGINT) AS z_num,
+           CAST(mad * 2 AS BIGINT) AS z_den,
+           CASE WHEN mad = 0 THEN 0
+                WHEN abs(n * 2 - CAST(med * 2 AS BIGINT)) * 6745 >
+                     CAST(mad * 2 AS BIGINT) * 35000 THEN 1 ELSE 0 END
+             AS outlier
+         FROM d CROSS JOIN s1 CROSS JOIN s2 ORDER BY day""",
     // BM25 with k1=1.2, b=0.75; query terms = vocabulary ranks 10-12 by
     // (df DESC, token) — same tie-break and same double constants (1.2+1
     // and the literal 2.2 are the same IEEE double) on both sides

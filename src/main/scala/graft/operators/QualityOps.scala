@@ -174,6 +174,45 @@ object QualityOps {
   private def cntIf(cond: org.apache.spark.sql.Column) =
     sum(when(cond, 1L).otherwise(0L))
 
+  /** Metric anomaly detection: robust z-scores (Iglewicz–Hoaglin,
+    * 0.6745·(x−median)/MAD, |z| > 3.5) over the daily event-count series
+    * — the volume-burst alarm every ingest pipeline runs. A synthetic
+    * 8×-max burst day is PLANTED (the textPiiMask convention: the corpus
+    * carries no anomaly, so the detector's firing path must bring its
+    * own) and the detector must flag it.
+    *
+    * Scale shape: the day histogram is one corpus aggregate and is
+    * CALENDAR-bounded (days, not rows) — the median/MAD pass over it is
+    * the house bounded-histogram exemption; both scalars broadcast back.
+    */
+  def qualityAnomaly(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spike = daily.agg(max(col("n")).as("m"))
+      .select(lit("2024-03-01").cast("date").as("day"), (col("m") * 8L).as("n"))
+    val d = daily.unionByName(spike)
+    val med = d.agg(expr("percentile(n, 0.5)").as("med"))
+    val withMed = d.crossJoin(broadcast(med))
+    val mad = withMed.agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
+    // median/MAD of integer counts are exact half-integers: carry the
+    // z statistic as the exact integer rational z_num/z_den
+    // (z = 0.6745·z_num/z_den) and decide |z| > 3.5 by integer
+    // cross-multiplication — no float rounding anywhere, so no
+    // half-way-boundary drift between engines (the 0.6745·k/8 lesson)
+    val zNum = (col("n") * 2L - (col("med") * 2.0).cast("long")).as("z_num")
+    val zDen = (col("mad") * 2.0).cast("long")
+    withMed.crossJoin(broadcast(mad))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("med"), col("mad"),
+        zNum, zDen.as("z_den"),
+        when(zDen === 0L, lit(0))
+          .otherwise((abs(col("n") * 2L - (col("med") * 2.0).cast("long"))
+            * 6745L > zDen * 35000L).cast("int")).as("outlier"))
+      .orderBy("day")
+  }
+
   /** Freshness audit: per event type, event count, last-seen timestamp
     * (epoch micros — the cross-engine timestamp contract), lag behind the
     * freshest type, and a stale flag at a 20-minute SLA. The global max

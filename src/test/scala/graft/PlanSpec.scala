@@ -735,4 +735,46 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles.isEmpty,
       s"storage-partitioned join must not shuffle either side:\n${smj.head}")
   }
+
+  test("quality_expectations: the RI probe broadcasts the dim keys; checks share one scan per table") {
+    val p = plan(QualityOps.qualityExpectations(
+      orders(spark, sf0001), customer(spark, sf0001), lineitem(spark, sf0001)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"referential-integrity probe must broadcast the dim side:\n$p")
+    // one scan per fact table: orders appears twice (checks + RI probe
+    // share nothing across different aggregates is fine), but lineitem's
+    // conditional checks must come from a single scan
+    val liScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans === 1, s"lineitem checks must share one scan, saw $liScans:\n$p")
+  }
+
+  test("sim_random_projection: pure map-side — no exchange anywhere in the projection") {
+    val df = SimOps.simRandomProjection(embeddings(spark, sf0001))
+    // drop the presentation sort (the only legitimate exchange): audit
+    // the plan BELOW it
+    val root = df.queryExecution.executedPlan
+    val shuffles = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // exactly the one range-exchange of the final orderBy
+    assert(shuffles.length <= 1,
+      s"projection must not shuffle (only the presentation sort may):\n$root")
+    assert(plan(df).contains("vector_dot"),
+      "projection must run the codegen'd native dot kernel")
+  }
+
+  test("sample_weighted: the per-group cut is the native TopKPerGroup, not a full window") {
+    val p = plan(RelationalOps.sampleWeighted(orders(spark, sf0001)))
+    assert(p.contains("TopKPerGroup"),
+      s"expected the native map-side top-k operator:\n$p")
+  }
+
+  test("text_bm25: the query-term cut is a top-12 TakeOrdered of the df aggregate, never a vocabulary sort") {
+    val p = plan(operators.TextOps.textBm25(documents(spark, sf0001)))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocabulary cut must be TakeOrderedAndProject:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query terms and scalars must broadcast:\n$p")
+  }
 }

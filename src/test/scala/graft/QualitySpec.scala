@@ -95,6 +95,26 @@ class QualitySpec extends SparkTestBase {
     assert(rows.filter(col("bucket") >= 0).count() === 10)
   }
 
+  test("quality_anomaly: planted burst flagged, hand-computed median/MAD/z") {
+    // five real days with counts 3,4,4,5,6 plus the planted 8x-max spike
+    // day (48): median of [3,4,4,5,6,48] = 4.5, MAD =
+    // median(1.5,0.5,0.5,0.5,1.5,43.5) = 1.0
+    val counts = Seq(3, 4, 4, 5, 6)
+    val rows = counts.zipWithIndex.flatMap { case (k, d0) =>
+      (1 to k).map(i => ((d0 + 1) * 100L + i, ts(f"2024-01-0${d0 + 1} 12:00:$i%02d")))
+    }
+    val events = rows.toDF("event_id", "ts")
+    val got = QualityOps.qualityAnomaly(events)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5),
+          r.getInt(6)))).toMap
+    assert(got("2024-03-01") === ((4.5, 1.0, 87L, 2L, 1)),
+      "the planted 8x burst must be flagged")
+    assert(got("2024-01-05") === ((4.5, 1.0, 3L, 2L, 0)),
+      "a mild above-median day must not be flagged")
+    assert(got("2024-01-01")._5 === 0)
+  }
+
   test("quality_freshness flags types beyond the 20-minute SLA") {
     val events = Seq(
       (1L, ts("2024-01-30 23:00:00"), "stale_type"),
