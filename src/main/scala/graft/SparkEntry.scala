@@ -528,6 +528,7 @@ object SparkEntry {
     "pipeline_unigram_lm" -> ((s, d) => PipelineOps.pipelineUnigramLm(documents(s, d))),
     "pipeline_unigram_fertility" -> ((s, d) =>
       PipelineOps.pipelineUnigramFertility(documents(s, d))),
+    "sink_quality_gate" -> ((s, d) => EtlOps.sinkQualityGate(s, d)),
   )
 
   /** The sim_ivf ranking in DuckDB — shared verbatim by the sim_ivf
@@ -5230,6 +5231,32 @@ object SparkEntry {
            round(CAST(sum(n_pc) AS DOUBLE) / count(*), 6) AS fertility
          FROM d JOIN v USING (w) WHERE len(w) > 0
          GROUP BY lang ORDER BY lang""",
+    // replay the gate's LOGIC (per-batch bad count decides the route),
+    // never its outcome — the planted corruption is the same closed form
+    "sink_quality_gate" ->
+      """WITH mm AS (SELECT min(event_id) AS lo,
+             max(event_id) - min(event_id) + 1 AS span FROM events),
+         q AS (SELECT CAST(((event_id - mm.lo) * 4) // mm.span AS INTEGER)
+                 AS batch_qtr,
+               event_id, user_id, event_type, value
+               FROM events CROSS JOIN mm),
+         b AS (SELECT batch_qtr, event_id, event_type, value,
+               CASE WHEN batch_qtr = 2 AND event_id % 10 = 0 THEN NULL
+                    ELSE user_id END AS user_id
+               FROM q),
+         r AS (SELECT batch_qtr,
+               CASE WHEN sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) +
+                         sum(CASE WHEN coalesce(event_type IN
+                           ('click','view','purchase','signup','error'), FALSE)
+                           THEN 0 ELSE 1 END) = 0
+                    THEN 'clean' ELSE 'quarantine' END AS tbl
+               FROM b GROUP BY batch_qtr)
+         SELECT r.tbl, b.batch_qtr, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_user,
+           round(sum(b.value), 2) AS sum_value
+         FROM b JOIN r USING (batch_qtr)
+         GROUP BY r.tbl, b.batch_qtr ORDER BY r.tbl, b.batch_qtr""",
   )
 
   /** DuckDB literal for one row of the JL sign matrix — the matrix is

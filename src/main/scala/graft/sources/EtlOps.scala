@@ -1682,4 +1682,60 @@ object EtlOps {
     upserted.write.mode(SaveMode.Overwrite).parquet(dir)
     spark.read.parquet(dir).orderBy("o_orderkey")
   }
+
+  /** Quality-GATED ingest: every arriving batch is validated by the
+    * expectation checks BEFORE commit — a clean batch appends to the
+    * serving table, a failing batch quarantines WHOLE (the
+    * all-or-nothing contract a curated corpus needs: nulls in a key
+    * column signal upstream corruption, and letting the batch's clean
+    * half through would make the failure invisible downstream). This is
+    * `quality_expectations` composed with the sink path — the
+    * multimodal_ingest_decode sequencing-proof stance applied to
+    * validation.
+    *
+    * One batch arrives CORRUPTED by construction (every 10th row's
+    * user_id nulled — a planted upstream join regression), so both
+    * routes demonstrably carry rows. The audit reads BOTH tables back
+    * from disk. Per batch the gate costs one conditional-aggregate scan
+    * (a 1-row scalar pull — the house in-loop allowance) before the
+    * write; at 100 TB the check shares the write's scan pass via
+    * observe() metrics, which `scan_observed` already exercises.
+    */
+  def sinkQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = graft.Tables.events(spark, sfDir)
+    val mm = events.agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+      .head()
+    val (lo, span) = (mm.getLong(0), mm.getLong(1) - mm.getLong(0) + 1)
+    val qtrExpr = expr(s"CAST(((event_id - ${lo}L) * 4) DIV ${span}L AS INT)")
+    val clean = freshDir(sfDir, "gate_clean").toString
+    val quarantine = freshDir(sfDir, "gate_quarantine").toString
+    val okTypes = Seq("click", "view", "purchase", "signup", "error")
+    for (i <- 0 until 4) {
+      val arrived = events.filter(qtrExpr === i)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val batch =
+        if (i == 2)
+          arrived.withColumn("user_id",
+            when(col("event_id") % 10 === 0, lit(null).cast("long"))
+              .otherwise(col("user_id")))
+        else arrived
+      val nBad = batch.agg(
+        (sum(when(col("user_id").isNull, 1L).otherwise(0L)) +
+          sum(when(coalesce(col("event_type").isin(okTypes.map(lit): _*),
+            lit(false)), 0L).otherwise(1L))).as("bad"))
+        .head().getLong(0)
+      batch.withColumn("batch_qtr", lit(i))
+        .write.mode(SaveMode.Append)
+        .parquet(if (nBad == 0L) clean else quarantine)
+    }
+    val readBack = spark.read.parquet(clean).withColumn("tbl", lit("clean"))
+      .unionByName(
+        spark.read.parquet(quarantine).withColumn("tbl", lit("quarantine")))
+    readBack.groupBy(col("tbl"), col("batch_qtr"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_null_user"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("tbl", "batch_qtr")
+  }
 }

@@ -115,6 +115,19 @@ class QualitySpec extends SparkTestBase {
     assert(got("2024-01-01")._5 === 0)
   }
 
+  test("sink_quality_gate routes the corrupted batch whole; clean batches stay clean") {
+    val got = graft.sources.EtlOps.sinkQualityGate(spark, sf0001).collect()
+    assert(got.length === 4)
+    val quarantined = got.filter(_.getString(0) === "quarantine")
+    assert(quarantined.map(_.getInt(1)).toSeq === Seq(2),
+      "exactly the planted batch must quarantine")
+    assert(quarantined.head.getLong(3) > 0L,
+      "the quarantined batch must carry the planted nulls")
+    got.filter(_.getString(0) === "clean").foreach { r =>
+      assert(r.getLong(3) === 0L, s"clean table leaked nulls: $r")
+    }
+  }
+
   test("quality_freshness flags types beyond the 20-minute SLA") {
     val events = Seq(
       (1L, ts("2024-01-30 23:00:00"), "stale_type"),
