@@ -605,7 +605,7 @@ object SparkEntry {
   private val uniCtes: String =
     s"""WITH wr AS (SELECT w, count(*)::BIGINT AS n FROM
          (SELECT unnest(str_split(text, ' ')) AS w FROM documents) t
-         WHERE len(w) > 0 GROUP BY w),
+         WHERE len(w) > 0 AND len(w) <= 32 GROUP BY w),
        sub AS (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM
            (SELECT n, unnest(flatten(
               [[substring(w, st, ln)

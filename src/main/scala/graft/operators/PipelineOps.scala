@@ -1331,8 +1331,11 @@ object PipelineOps {
     * each (w, n, cost_u, seg) with seg trimmed. See [[pipelineUnigramLm]].
     */
   private def unigramLoop(documents: DataFrame): (DataFrame, DataFrame) = {
+    // 32-char word cap (the SentencePiece max-sentencepiece-length
+    // convention): bounds the per-word substring collect at 4·32 rows
+    // by CONSTRUCTION — a megabyte "word" is corruption, not vocabulary
     val words = documents.select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
+      .filter(length(col("w")) > 0 && length(col("w")) <= 32)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .localCheckpoint(eager = false)
     // candidate pieces: every substring of length 1..4 at every position,

@@ -97,7 +97,12 @@ class CollectGuardSpec extends SparkTestBase {
     // the HOF product fold consumes one array per ORDER of that order's
     // line quantities — bounded by lines-per-order (≤ 17 in the fixture,
     // a 7-line cap in the TPC-H spec), the agg_collect dim-bound rule
-    "agg_product"
+    "agg_product",
+    // r12 unigram trainer: the group is ONE word's in-vocab substring
+    // occurrences, ≤ 4·len(w) ≤ 128 by the 32-char word cap the loop
+    // enforces structurally (PipelineOps.unigramLoop) — the per-doc
+    // bound rule, one level finer
+    "pipeline_unigram_lm", "pipeline_unigram_fertility"
   )
 
   test("guard catches an uncapped collect_list (deliberately-bad fixture)") {
