@@ -529,6 +529,7 @@ object SparkEntry {
     "pipeline_unigram_fertility" -> ((s, d) =>
       PipelineOps.pipelineUnigramFertility(documents(s, d))),
     "sink_quality_gate" -> ((s, d) => EtlOps.sinkQualityGate(s, d)),
+    "sim_rp_rerank" -> ((s, d) => SimOps.simRpRerank(embeddings(s, d))),
   )
 
   /** The sim_ivf ranking in DuckDB — shared verbatim by the sim_ivf
@@ -5191,6 +5192,7 @@ object SparkEntry {
          FROM r WHERE rnk <= 5 ORDER BY o_orderpriority, rnk""",
     "sim_random_projection" -> simRandomProjectionOracleSql,
     "sim_rp_recall" -> simRpRecallOracleSql,
+    "sim_rp_rerank" -> simRpRerankOracleSql,
     // batch-equivalence of the streaming validation counters: the slice
     // key is closed-form integer arithmetic on the row, so the final
     // complete-mode state is a plain GROUP BY replay
@@ -5272,6 +5274,39 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         $arms ORDER BY vec_id, dim"""
+  }
+
+  private val simRpRerankOracleSql: String = {
+    val pList = (0 until 8)
+      .map(j => s"round(list_dot_product(v, ${rpArrayLit(j)}), 6)")
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       p AS (SELECT vec_id, $pList AS pv FROM e),
+       pp AS (SELECT vec_id AS probe_id, pv AS qp FROM p WHERE vec_id % 100 = 0),
+       cand AS (SELECT probe_id, vec_id, cos_p FROM (
+         SELECT pp.probe_id, p.vec_id,
+           round(list_dot_product(p.pv, pp.qp) /
+             (sqrt(list_dot_product(p.pv, p.pv)) *
+              sqrt(list_dot_product(pp.qp, pp.qp))), 6) AS cos_p,
+           row_number() OVER (PARTITION BY pp.probe_id
+             ORDER BY round(list_dot_product(p.pv, pp.qp) /
+               (sqrt(list_dot_product(p.pv, p.pv)) *
+                sqrt(list_dot_product(pp.qp, pp.qp))), 6) DESC, p.vec_id) AS rn
+         FROM p CROSS JOIN pp WHERE p.vec_id <> pp.probe_id) t WHERE rn <= 20),
+       pe AS (SELECT vec_id AS probe_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       rr AS (SELECT cand.probe_id, cand.vec_id, cand.cos_p,
+           round(list_dot_product(e.v, pe.qv) /
+             (sqrt(list_dot_product(e.v, e.v)) *
+              sqrt(list_dot_product(pe.qv, pe.qv))), 6) AS cos,
+           row_number() OVER (PARTITION BY cand.probe_id
+             ORDER BY round(list_dot_product(e.v, pe.qv) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(pe.qv, pe.qv))), 6) DESC, cand.vec_id)
+             AS rnk
+         FROM cand JOIN e ON cand.vec_id = e.vec_id
+         JOIN pe ON cand.probe_id = pe.probe_id)
+       SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, vec_id, cos_p, cos
+       FROM rr WHERE rnk <= 5 ORDER BY probe_id, rnk"""
   }
 
   private val simRpRecallOracleSql: String = {

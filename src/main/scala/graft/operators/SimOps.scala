@@ -247,6 +247,16 @@ object SimOps {
     * (`sim_join`'s shape); projected vectors are the ROUNDED 6-decimal
     * sketches so both engines rank identical values.
     */
+  /** The rounded 8-dim sketch table of a (vec_id, v) frame — shared by
+    * the recall audit and the two-stage rerank so the sketches cannot
+    * drift between the audit and the serving path.
+    */
+  private def rpSketch(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      array(rpSigns.map(s =>
+        round(graft.plans.VectorFunctions.vectorDot(col("v"), typedLit(s)), 6)): _*)
+        .as("p"))
+
   def simRpRecall(embeddings: DataFrame): DataFrame = {
     graft.plans.VectorFunctions.register(embeddings.sparkSession)
     val base = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
@@ -255,10 +265,7 @@ object SimOps {
         transform(col("v"),
           (x, i) => when(i === 32, lit(0.0)).otherwise(x)).as("v"))
     val e = base.unionByName(planted)
-    val p = e.select(col("vec_id"),
-      array(rpSigns.map(s =>
-        round(graft.plans.VectorFunctions.vectorDot(col("v"), typedLit(s)), 6)): _*)
-        .as("p"))
+    val p = rpSketch(e)
     def topNbrs(vecs: DataFrame, vcol: String): DataFrame = {
       val probes = vecs
         .filter(col("vec_id") % 100 === 0 && col("vec_id") < 1000000L)
@@ -282,6 +289,43 @@ object SimOps {
           coalesce(col("hit"), lit(0L))).otherwise(lit(0L)))
           .as("planted_found"))
       .orderBy("probe_id")
+  }
+
+  /** Two-stage ANN through the JL sketch — the serving shape the
+    * projection exists for: stage 1 scans the 8-dim sketches for top-20
+    * candidates per probe (8× less vector I/O than the full table at
+    * 100 TB), stage 2 computes exact 64-dim cosine on those 20 rows
+    * only and keeps the top-5. The `sim_rerank` int8-prefilter pattern
+    * with the JL sketch as the cheap stage; sketches come from the same
+    * `rpSketch` the recall audit measures.
+    */
+  def simRpRerank(embeddings: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val p = rpSketch(e)
+    val probesP = p.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("p").as("pp"))
+    val wP = Window.partitionBy("probe_id").orderBy(desc("cos_p"), asc("vec_id"))
+    val candidates = p.crossJoin(broadcast(probesP))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("p"), col("pp")), 6).as("cos_p"))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= 20)
+      .select("probe_id", "vec_id", "cos_p")
+    // exact rerank touches ONLY the 20 candidates per probe
+    val probesE = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val wE = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    candidates
+      .join(e, "vec_id")
+      .join(broadcast(probesE), "probe_id")
+      .select(col("probe_id"), col("vec_id"), col("cos_p"),
+        round(cosine(col("v"), col("pv")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(wE))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), col("cos_p"), col("cos"))
+      .orderBy("probe_id", "rnk")
   }
 
   // Native codegen'd dot product — see graft.plans.VectorDot (bit-identical

@@ -80,6 +80,19 @@ class RetrievalSamplingSpec extends SparkTestBase {
     assert(got.toSeq === want)
   }
 
+  test("sim_rp_rerank: 5 exact-reranked rows per probe, scores descending") {
+    val rows = SimOps.simRpRerank(Tables.embeddings(spark, sf0001)).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.nonEmpty)
+    byProbe.foreach { case (_, rs) =>
+      assert(rs.length === 5)
+      val cos = rs.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
+        "exact rerank must emit descending exact cosine")
+      assert(cos.forall(c => c >= -1.0 && c <= 1.0))
+    }
+  }
+
   test("sim_rp_recall finds every planted near-dup partner through the sketch") {
     val r = SimOps.simRpRecall(Tables.embeddings(spark, sf0001))
       .select("planted_found").as[Long].collect()
