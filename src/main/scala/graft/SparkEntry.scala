@@ -530,6 +530,8 @@ object SparkEntry {
       PipelineOps.pipelineUnigramFertility(documents(s, d))),
     "sink_quality_gate" -> ((s, d) => EtlOps.sinkQualityGate(s, d)),
     "sim_rp_rerank" -> ((s, d) => SimOps.simRpRerank(embeddings(s, d))),
+    "pipeline_unigram_apply" -> ((s, d) =>
+      PipelineOps.pipelineUnigramApply(documents(s, d))),
   )
 
   /** The sim_ivf ranking in DuckDB — shared verbatim by the sim_ivf
@@ -5224,6 +5226,14 @@ object SparkEntry {
          SELECT 2, w, n, cost_u,
            CAST(len(str_split(seg, ' ')) AS INTEGER), seg FROM seg2
          ORDER BY round, w""",
+    "pipeline_unigram_apply" ->
+      s"""$uniCtes,
+         v AS (SELECT w, CAST(len(str_split(seg, ' ')) AS BIGINT) AS n_pc
+               FROM seg2),
+         d AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+         SELECT doc_id, count(*) AS n_ws, CAST(sum(n_pc) AS BIGINT) AS n_uni
+         FROM d JOIN v USING (w) WHERE len(w) > 0
+         GROUP BY doc_id ORDER BY doc_id""",
     "pipeline_unigram_fertility" ->
       s"""$uniCtes,
          v AS (SELECT w, CAST(len(str_split(seg, ' ')) AS BIGINT) AS n_pc

@@ -1307,6 +1307,24 @@ object PipelineOps {
     shape(1, seg1).unionByName(shape(2, seg2)).orderBy("round", "w")
   }
 
+  /** Tokenize WITH the trained unigram model — per-document whitespace
+    * vs unigram piece counts, the `pipelineBpeApply` census for the
+    * other tokenizer family (a packing budget needs BOTH tokenizers'
+    * counts to choose between them). Corpus side: one explode + one
+    * broadcast-sized join against the segmented word table.
+    */
+  def pipelineUnigramApply(documents: DataFrame): DataFrame = {
+    val (_, seg2) = unigramLoop(documents)
+    val vocab = seg2.select(col("w"),
+      size(split(col("seg"), " ")).cast("long").as("n_pc"))
+    documents.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(vocab, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws"), sum(col("n_pc")).as("n_uni"))
+      .orderBy("doc_id")
+  }
+
   /** Fertility of the unigram tokenizer per language — the apply-side
     * census `pipelineFertility` runs for BPE, over the round-2 unigram
     * segmentation. One explode + one broadcast-sized join + one hash

@@ -102,7 +102,8 @@ class CollectGuardSpec extends SparkTestBase {
     // occurrences, ≤ 4·len(w) ≤ 128 by the 32-char word cap the loop
     // enforces structurally (PipelineOps.unigramLoop) — the per-doc
     // bound rule, one level finer
-    "pipeline_unigram_lm", "pipeline_unigram_fertility"
+    "pipeline_unigram_lm", "pipeline_unigram_fertility",
+    "pipeline_unigram_apply"
   )
 
   test("guard catches an uncapped collect_list (deliberately-bad fixture)") {
