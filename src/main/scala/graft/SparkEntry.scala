@@ -257,6 +257,7 @@ object SparkEntry {
     "win_sessionize" -> ((s, d) => WindowOps.sessionize(events(s, d))),
     "win_streak" -> ((s, d) => WindowOps.winStreak(events(s, d))),
     "win_gap_fill" -> ((s, d) => WindowOps.gapFill(events(s, d))),
+    "win_interpolate" -> ((s, d) => WindowOps.winInterpolate(events(s, d))),
     "win_pct_change" -> ((s, d) => WindowOps.pctChange(events(s, d))),
     "win_rolling_regression" ->
       ((s, d) => WindowOps.winRollingRegression(events(s, d))),
@@ -5226,6 +5227,42 @@ object SparkEntry {
          SELECT 2, w, n, cost_u,
            CAST(len(str_split(seg, ' ')) AS INTEGER), seg FROM seg2
          ORDER BY round, w""",
+    // same masked series, same two-neighbor lookup, same rounded-input
+    // arithmetic in the same operation order — the interp double is
+    // bit-identical before its round(4)
+    "win_interpolate" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             round(value, 4) AS v_true,
+             CASE WHEN event_id % 3 = 0 THEN round(value, 4) END AS v_sparse
+           FROM events),
+         w AS (SELECT *,
+             last_value(v_sparse IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v_sparse IS NOT NULL THEN ts_us END
+               IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(v_sparse IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v_sparse IS NOT NULL THEN ts_us END
+               IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+           FROM b),
+         i AS (SELECT user_id, event_id, v_sparse, v_true,
+             round(CASE WHEN v_sparse IS NOT NULL THEN v_sparse
+                   WHEN pv IS NULL THEN nv
+                   WHEN nv IS NULL THEN pv
+                   WHEN nt = pt THEN pv
+                   ELSE pv + (nv - pv) *
+                     (CAST(ts_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+                   END, 4) AS v_interp
+           FROM w)
+         SELECT user_id, event_id, v_sparse, v_interp,
+           round(abs(v_interp - v_true), 4) AS abs_err
+         FROM i ORDER BY user_id, event_id""",
     "pipeline_unigram_apply" ->
       s"""$uniCtes,
          v AS (SELECT w, CAST(len(str_split(seg, ' ')) AS BIGINT) AS n_pc

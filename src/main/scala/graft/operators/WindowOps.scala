@@ -349,6 +349,47 @@ object WindowOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** Linear interpolation over a masked per-user series — the resample
+    * step a time-series feature pipeline runs where `gapFill` would
+    * smear stale values: every 3rd event keeps its value (gapFill's
+    * sparsity rule), the rest interpolate linearly in EVENT TIME between
+    * the nearest kept neighbors; edges clamp to the nearest kept value.
+    * The masked truth is known, so the entry emits its own absolute
+    * error — self-auditing interpolation.
+    *
+    * Shape: four frame-bounded values from TWO window specs sharing one
+    * (partition, order) — one exchange + one sort total, arithmetic
+    * map-side.
+    */
+  def winInterpolate(events: DataFrame): DataFrame = {
+    val wB = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val keptTs = when(col("v_sparse").isNotNull, col("ts_us"))
+    val interp =
+      when(col("v_sparse").isNotNull, col("v_sparse"))
+        .when(col("pv").isNull, col("nv"))
+        .when(col("nv").isNull, col("pv"))
+        .when(col("nt") === col("pt"), col("pv"))
+        .otherwise(col("pv") + (col("nv") - col("pv")) *
+          ((col("ts_us") - col("pt")).cast("double") /
+            (col("nt") - col("pt")).cast("double")))
+    events
+      .select(
+        col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        round(col("value"), 4).as("v_true"),
+        when(col("event_id") % 3 === 0, round(col("value"), 4)).as("v_sparse"))
+      .withColumn("pv", last(col("v_sparse"), ignoreNulls = true).over(wB))
+      .withColumn("pt", last(keptTs, ignoreNulls = true).over(wB))
+      .withColumn("nv", first(col("v_sparse"), ignoreNulls = true).over(wF))
+      .withColumn("nt", first(keptTs, ignoreNulls = true).over(wF))
+      .withColumn("v_interp", round(interp, 4))
+      .withColumn("abs_err", round(abs(col("v_interp") - col("v_true")), 4))
+      .select("user_id", "event_id", "v_sparse", "v_interp", "abs_err")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Top-k per group: 3 highest-value orders per customer. Keyed window +
     * rank filter — the per-group analogue of TakeOrderedAndProject (which
     * only exists for GLOBAL top-k). Tie-broken on the unique orderkey.

@@ -1418,4 +1418,23 @@ class OperatorSpec extends SparkTestBase {
     assert(out.map(_.getLong(1)).sum === in1996,
       "per-month order counts must partition the 1996 orders exactly")
   }
+
+  test("win_interpolate: hand-computed linear fill, edges clamp to nearest kept") {
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    // kept rows are event_id % 3 == 0: values 10 @ t=1s and 20 @ t=11s
+    val events = Seq(
+      (1L, 2L, ts(0), 99.0),  // before first kept -> clamps to 10
+      (1L, 3L, ts(1), 10.0),  // kept
+      (1L, 4L, ts(5), 77.0),  // masked: 10 + (20-10)*(4/10) = 14
+      (1L, 6L, ts(11), 20.0), // kept
+      (1L, 7L, ts(15), 5.0))  // after last kept -> clamps to 20
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = WindowOps.winInterpolate(events)
+      .collect().map(r => r.getLong(1) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(2L) === ((10.0, 89.0)))
+    assert(got(3L) === ((10.0, 0.0)))
+    assert(got(4L) === ((14.0, 63.0)))
+    assert(got(6L) === ((20.0, 0.0)))
+    assert(got(7L) === ((20.0, 15.0)))
+  }
 }
