@@ -258,6 +258,9 @@ object SparkEntry {
     "win_streak" -> ((s, d) => WindowOps.winStreak(events(s, d))),
     "win_gap_fill" -> ((s, d) => WindowOps.gapFill(events(s, d))),
     "win_interpolate" -> ((s, d) => WindowOps.winInterpolate(events(s, d))),
+    "stream_anomaly" -> ((s, d) => StreamOps.streamAnomaly(s, d)),
+    "quality_report" -> ((s, d) => QualityOps.qualityReport(
+      orders(s, d), customer(s, d), lineitem(s, d), events(s, d))),
     "win_pct_change" -> ((s, d) => WindowOps.pctChange(events(s, d))),
     "win_rolling_regression" ->
       ((s, d) => WindowOps.winRollingRegression(events(s, d))),
@@ -581,6 +584,96 @@ object SparkEntry {
        SELECT doc_id, count(*) AS n_ws, CAST(sum(n_sym) AS BIGINT) AS n_bpe
        FROM d JOIN v USING (w) WHERE len(w) > 0
        GROUP BY doc_id ORDER BY doc_id"""
+
+  private val qualityDriftPsiOracleSql: String =
+    """WITH c AS (SELECT
+             CAST(least(floor(o_totalprice / 50000.0), 9.0) AS INTEGER) AS bucket,
+             o_orderdate < TIMESTAMP '1998-07-01' AS in_a
+           FROM orders),
+         g AS (SELECT bucket,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+           FROM c GROUP BY bucket),
+         t AS (SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS tot_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS tot_b
+           FROM c),
+         spine AS (SELECT CAST(range AS INTEGER) AS bucket FROM range(0, 10)),
+         pb AS (SELECT s.bucket,
+             coalesce(g.n_a, 0) AS n_a, coalesce(g.n_b, 0) AS n_b,
+             (coalesce(g.n_a, 0) + 1.0) / (t.tot_a + 10.0) AS p_a,
+             (coalesce(g.n_b, 0) + 1.0) / (t.tot_b + 10.0) AS p_b
+           FROM spine s LEFT JOIN g ON s.bucket = g.bucket CROSS JOIN t),
+         pu AS (SELECT bucket, n_a, n_b, p_a, p_b,
+             CAST(round((p_a - p_b) * ln(p_a / p_b) * 1e6) AS BIGINT) AS psi_u
+           FROM pb)
+         SELECT bucket, n_a, n_b, round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+           psi_u / 1000000.0 AS psi FROM pu
+         UNION ALL
+         SELECT -1, CAST(sum(n_a) AS BIGINT), CAST(sum(n_b) AS BIGINT),
+           NULL, NULL, CAST(sum(psi_u) AS BIGINT) / 1000000.0 FROM pu
+         ORDER BY bucket"""
+  private val qualityFreshnessOracleSql: String =
+    """WITH p AS (SELECT event_type, count(*) AS n_events,
+             max(epoch_us(ts)) AS last_seen_us
+           FROM events GROUP BY event_type),
+         g AS (SELECT max(last_seen_us) AS gmax FROM p)
+         SELECT event_type, CAST(n_events AS BIGINT) AS n_events, last_seen_us,
+           g.gmax - last_seen_us AS lag_us,
+           CASE WHEN g.gmax - last_seen_us > 1200000000 THEN 1 ELSE 0 END AS stale
+         FROM p CROSS JOIN g ORDER BY event_type"""
+  private val qualityAnomalyOracleSql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+           FROM events GROUP BY 1),
+         sp AS (SELECT DATE '2024-03-01' AS day,
+             (SELECT max(n) * 8 FROM daily) AS n),
+         d AS (SELECT * FROM daily UNION ALL SELECT * FROM sp),
+         s1 AS (SELECT quantile_cont(n, 0.5) AS med FROM d),
+         s2 AS (SELECT quantile_cont(abs(n - s1.med), 0.5) AS mad FROM d, s1)
+         SELECT strftime(day, '%Y-%m-%d') AS day, n, med, mad,
+           CAST(n * 2 - CAST(med * 2 AS BIGINT) AS BIGINT) AS z_num,
+           CAST(mad * 2 AS BIGINT) AS z_den,
+           CASE WHEN mad = 0 THEN 0
+                WHEN abs(n * 2 - CAST(med * 2 AS BIGINT)) * 6745 >
+                     CAST(mad * 2 AS BIGINT) * 35000 THEN 1 ELSE 0 END
+             AS outlier
+         FROM d CROSS JOIN s1 CROSS JOIN s2 ORDER BY day"""
+
+  private val qualityExpectationsOracleSql: String =
+    """WITH o AS (SELECT count(*) AS n,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS f_notnull,
+             count(*) - count(DISTINCT o_orderkey) AS f_unique,
+             sum(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), FALSE)
+                 THEN 0 ELSE 1 END) AS f_accepted,
+             sum(CASE WHEN o_totalprice IS NULL OR o_totalprice > 400000.0
+                 THEN 1 ELSE 0 END) AS f_maxval
+           FROM orders),
+         l AS (SELECT count(*) AS n,
+             sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS f_disc,
+             sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
+                 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS f_qty,
+             sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS f_ship
+           FROM lineitem),
+         ri AS (SELECT count(*) AS n,
+             sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS f
+           FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o.o_custkey = c.c_custkey),
+         rows_ AS (
+           SELECT 'not_null' AS expectation, 'orders.o_custkey' AS target,
+                  n, f_notnull AS f FROM o
+           UNION ALL SELECT 'unique', 'orders.o_orderkey', n, f_unique FROM o
+           UNION ALL SELECT 'accepted_values', 'orders.o_orderstatus', n,
+                  f_accepted FROM o
+           UNION ALL SELECT 'max_value', 'orders.o_totalprice', n, f_maxval FROM o
+           UNION ALL SELECT 'range', 'lineitem.l_discount', n, f_disc FROM l
+           UNION ALL SELECT 'range', 'lineitem.l_quantity', n, f_qty FROM l
+           UNION ALL SELECT 'not_null', 'lineitem.l_shipdate', n, f_ship FROM l
+           UNION ALL SELECT 'ref_integrity', 'orders.o_custkey->customer', n, f
+                  FROM ri)
+         SELECT expectation, target, CAST(n AS BIGINT) AS n_checked,
+           CAST(f AS BIGINT) AS n_failed,
+           CASE WHEN f = 0 THEN 1 ELSE 0 END AS pass
+         FROM rows_ ORDER BY expectation, target"""
 
   /** One DuckDB Viterbi pass of the unigram-LM trainer — the SAME
     * string-encoded DP fold as PipelineOps.uniViterbi: states are
@@ -5003,42 +5096,7 @@ object SparkEntry {
     "sim_pq_kmeans" -> pqKmeansOracleSql(8, 8, 16, 3),
     // quality suite: each expectation is a conditional aggregate over one
     // scan; DuckDB sum(int) is HUGEINT so every count casts to BIGINT
-    "quality_expectations" ->
-      """WITH o AS (SELECT count(*) AS n,
-             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS f_notnull,
-             count(*) - count(DISTINCT o_orderkey) AS f_unique,
-             sum(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), FALSE)
-                 THEN 0 ELSE 1 END) AS f_accepted,
-             sum(CASE WHEN o_totalprice IS NULL OR o_totalprice > 400000.0
-                 THEN 1 ELSE 0 END) AS f_maxval
-           FROM orders),
-         l AS (SELECT count(*) AS n,
-             sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
-                 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS f_disc,
-             sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
-                 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS f_qty,
-             sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS f_ship
-           FROM lineitem),
-         ri AS (SELECT count(*) AS n,
-             sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS f
-           FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
-             ON o.o_custkey = c.c_custkey),
-         rows_ AS (
-           SELECT 'not_null' AS expectation, 'orders.o_custkey' AS target,
-                  n, f_notnull AS f FROM o
-           UNION ALL SELECT 'unique', 'orders.o_orderkey', n, f_unique FROM o
-           UNION ALL SELECT 'accepted_values', 'orders.o_orderstatus', n,
-                  f_accepted FROM o
-           UNION ALL SELECT 'max_value', 'orders.o_totalprice', n, f_maxval FROM o
-           UNION ALL SELECT 'range', 'lineitem.l_discount', n, f_disc FROM l
-           UNION ALL SELECT 'range', 'lineitem.l_quantity', n, f_qty FROM l
-           UNION ALL SELECT 'not_null', 'lineitem.l_shipdate', n, f_ship FROM l
-           UNION ALL SELECT 'ref_integrity', 'orders.o_custkey->customer', n, f
-                  FROM ri)
-         SELECT expectation, target, CAST(n AS BIGINT) AS n_checked,
-           CAST(f AS BIGINT) AS n_failed,
-           CASE WHEN f = 0 THEN 1 ELSE 0 END AS pass
-         FROM rows_ ORDER BY expectation, target""",
+    "quality_expectations" -> qualityExpectationsOracleSql,
     // profile diff: both snapshots' profiles from ONE scan via filtered
     // aggregates, unpivoted to (column, metric, a, b, delta)
     "quality_profile_diff" ->
@@ -5091,63 +5149,38 @@ object SparkEntry {
     // PSI drift: same closed-form buckets, Laplace (+1/+10) smoothing;
     // per-bucket terms in integer micro-units so the summary row's sum is
     // summation-order-proof (round-before-sum, the house contract)
-    "quality_drift_psi" ->
-      """WITH c AS (SELECT
-             CAST(least(floor(o_totalprice / 50000.0), 9.0) AS INTEGER) AS bucket,
-             o_orderdate < TIMESTAMP '1998-07-01' AS in_a
-           FROM orders),
-         g AS (SELECT bucket,
-             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
-           FROM c GROUP BY bucket),
-         t AS (SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS tot_a,
-             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS tot_b
-           FROM c),
-         spine AS (SELECT CAST(range AS INTEGER) AS bucket FROM range(0, 10)),
-         pb AS (SELECT s.bucket,
-             coalesce(g.n_a, 0) AS n_a, coalesce(g.n_b, 0) AS n_b,
-             (coalesce(g.n_a, 0) + 1.0) / (t.tot_a + 10.0) AS p_a,
-             (coalesce(g.n_b, 0) + 1.0) / (t.tot_b + 10.0) AS p_b
-           FROM spine s LEFT JOIN g ON s.bucket = g.bucket CROSS JOIN t),
-         pu AS (SELECT bucket, n_a, n_b, p_a, p_b,
-             CAST(round((p_a - p_b) * ln(p_a / p_b) * 1e6) AS BIGINT) AS psi_u
-           FROM pb)
-         SELECT bucket, n_a, n_b, round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
-           psi_u / 1000000.0 AS psi FROM pu
-         UNION ALL
-         SELECT -1, CAST(sum(n_a) AS BIGINT), CAST(sum(n_b) AS BIGINT),
-           NULL, NULL, CAST(sum(psi_u) AS BIGINT) / 1000000.0 FROM pu
-         ORDER BY bucket""",
-    "quality_freshness" ->
-      """WITH p AS (SELECT event_type, count(*) AS n_events,
-             max(epoch_us(ts)) AS last_seen_us
-           FROM events GROUP BY event_type),
-         g AS (SELECT max(last_seen_us) AS gmax FROM p)
-         SELECT event_type, CAST(n_events AS BIGINT) AS n_events, last_seen_us,
-           g.gmax - last_seen_us AS lag_us,
-           CASE WHEN g.gmax - last_seen_us > 1200000000 THEN 1 ELSE 0 END AS stale
-         FROM p CROSS JOIN g ORDER BY event_type""",
+    "quality_drift_psi" -> qualityDriftPsiOracleSql,
+    "quality_freshness" -> qualityFreshnessOracleSql,
     // robust z over the day histogram: median/MAD are exact
     // half-integers (quantile_cont = percentile), the z statistic is
     // the exact integer rational z_num/z_den (z = 0.6745*z_num/z_den),
     // and the outlier flag is an integer cross-multiplication — no
     // float rounding anywhere
-    "quality_anomaly" ->
-      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
-           FROM events GROUP BY 1),
-         sp AS (SELECT DATE '2024-03-01' AS day,
-             (SELECT max(n) * 8 FROM daily) AS n),
-         d AS (SELECT * FROM daily UNION ALL SELECT * FROM sp),
-         s1 AS (SELECT quantile_cont(n, 0.5) AS med FROM d),
-         s2 AS (SELECT quantile_cont(abs(n - s1.med), 0.5) AS mad FROM d, s1)
-         SELECT strftime(day, '%Y-%m-%d') AS day, n, med, mad,
-           CAST(n * 2 - CAST(med * 2 AS BIGINT) AS BIGINT) AS z_num,
-           CAST(mad * 2 AS BIGINT) AS z_den,
-           CASE WHEN mad = 0 THEN 0
-                WHEN abs(n * 2 - CAST(med * 2 AS BIGINT)) * 6745 >
-                     CAST(mad * 2 AS BIGINT) * 35000 THEN 1 ELSE 0 END
-             AS outlier
-         FROM d CROSS JOIN s1 CROSS JOIN s2 ORDER BY day""",
+    "quality_anomaly" -> qualityAnomalyOracleSql,
+    // streaming twin maintains the day histogram incrementally and scores
+    // the drained state with the same kernel -> identical output, same oracle
+    "stream_anomaly" -> qualityAnomalyOracleSql,
+    // the card wraps the four audit oracles as CTEs VERBATIM — the report
+    // cannot drift from the audits it summarizes
+    "quality_report" ->
+      s"""WITH ex AS ($qualityExpectationsOracleSql),
+         dr AS ($qualityDriftPsiOracleSql),
+         fr AS ($qualityFreshnessOracleSql),
+         an AS ($qualityAnomalyOracleSql),
+         r AS (
+           SELECT 'expectations' AS section, 'n_failing_checks' AS metric,
+             CAST(sum(CASE WHEN n_failed > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS value FROM ex
+           UNION ALL SELECT 'expectations', 'total_failed_rows',
+             CAST(sum(n_failed) AS DOUBLE) FROM ex
+           UNION ALL SELECT 'drift', 'psi_total', psi FROM dr WHERE bucket = -1
+           UNION ALL SELECT 'freshness', 'n_stale_types',
+             CAST(sum(stale) AS DOUBLE) FROM fr
+           UNION ALL SELECT 'freshness', 'max_lag_us',
+             CAST(max(lag_us) AS DOUBLE) FROM fr
+           UNION ALL SELECT 'anomaly', 'n_outlier_days',
+             CAST(sum(outlier) AS DOUBLE) FROM an)
+         SELECT section, metric, value FROM r ORDER BY section, metric""",
     // BM25 with k1=1.2, b=0.75; query terms = vocabulary ranks 10-12 by
     // (df DESC, token) — same tie-break and same double constants (1.2+1
     // and the literal 2.2 are the same IEEE double) on both sides

@@ -174,6 +174,40 @@ object QualityOps {
   private def cntIf(cond: org.apache.spark.sql.Column) =
     sum(when(cond, 1L).otherwise(0L))
 
+  /** The one-call dataset-quality CARD (the `pipeline_dataset_card`
+    * stance applied to validation): every audit family reduced to its
+    * headline numbers in one (section, metric, value) table — what a
+    * release pipeline stores per ingest run. Composes the four audits
+    * verbatim (shared operators, shared oracle CTEs — the report cannot
+    * drift from the audits it summarizes); each section's input is
+    * already audit-sized, so the report costs the audits plus arithmetic.
+    */
+  def qualityReport(
+      orders: DataFrame, customer: DataFrame, lineitem: DataFrame,
+      events: DataFrame): DataFrame = {
+    val ex = qualityExpectations(orders, customer, lineitem).agg(
+      sum(when(col("n_failed") > 0, 1L).otherwise(0L)).cast("double").as("a"),
+      sum(col("n_failed")).cast("double").as("b"))
+      .selectExpr("""stack(2,
+          'expectations', 'n_failing_checks', a,
+          'expectations', 'total_failed_rows', b) AS (section, metric, value)""")
+    val dr = qualityDriftPsi(orders).filter(col("bucket") === -1)
+      .select(lit("drift").as("section"), lit("psi_total").as("metric"),
+        col("psi").as("value"))
+    val fr = qualityFreshness(events).agg(
+      sum(col("stale")).cast("double").as("a"),
+      max(col("lag_us")).cast("double").as("b"))
+      .selectExpr("""stack(2,
+          'freshness', 'n_stale_types', a,
+          'freshness', 'max_lag_us', b) AS (section, metric, value)""")
+    val an = qualityAnomaly(events)
+      .agg(sum(col("outlier")).cast("double").as("v"))
+      .select(lit("anomaly").as("section"), lit("n_outlier_days").as("metric"),
+        col("v").as("value"))
+    ex.unionByName(dr).unionByName(fr).unionByName(an)
+      .orderBy("section", "metric")
+  }
+
   /** Metric anomaly detection: robust z-scores (Iglewicz–Hoaglin,
     * 0.6745·(x−median)/MAD, |z| > 3.5) over the daily event-count series
     * — the volume-burst alarm every ingest pipeline runs. A synthetic
@@ -185,10 +219,16 @@ object QualityOps {
     * CALENDAR-bounded (days, not rows) — the median/MAD pass over it is
     * the house bounded-histogram exemption; both scalars broadcast back.
     */
-  def qualityAnomaly(events: DataFrame): DataFrame = {
-    val daily = events
+  def qualityAnomaly(events: DataFrame): DataFrame =
+    anomalyScore(events
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The robust-z scorer over a (day, n) histogram — shared by the batch
+    * entry and the streaming twin (`StreamOps.streamAnomaly`), which
+    * maintains the histogram incrementally and scores the drained state.
+    */
+  private[graft] def anomalyScore(daily: DataFrame): DataFrame = {
     val spike = daily.agg(max(col("n")).as("m"))
       .select(lit("2024-03-01").cast("date").as("day"), (col("m") * 8L).as("n"))
     val d = daily.unionByName(spike)

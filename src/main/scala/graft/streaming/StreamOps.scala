@@ -1185,6 +1185,45 @@ object StreamOps {
       .orderBy("qtr")
   }
 
+  /** The anomaly detector's streaming twin: the DAY histogram — the
+    * detector's only state, calendar-bounded — is maintained as an
+    * incremental streaming aggregate over the arriving quarters; the
+    * robust-z scoring (shared `QualityOps.anomalyScore` kernel, planted
+    * spike included) runs on the drained state, so the output is
+    * bit-identical to the batch entry and shares its oracle. The
+    * monitoring deployment shape: counts update per micro-batch, the
+    * scalar median/MAD pass reruns on a histogram of DAYS, not rows.
+    */
+  def streamAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.read.parquet(s"$sfDir/events.parquet")
+    val srcDir = scratch(sfDir, "stream_anomaly_src")
+    val mm = src.agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+      .head()
+    val (lo, span) = (mm.getLong(0), mm.getLong(1) - mm.getLong(0) + 1)
+    val qtrExpr = expr(s"CAST(((event_id - ${lo}L) * 4) DIV ${span}L AS INT)")
+    for (i <- 0 until 4) {
+      val tmp = scratch(sfDir, s"stream_anomaly_stage$i")
+      src.filter(qtrExpr === i)
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val staged = srcDir.resolve(s"quarter-$i.parquet")
+      Files.copy(part, staged)
+      Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+    }
+    val schema = src.schema
+    val daily = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .transform(graft.Tables.normalizeTs)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val drained = withStateShards(spark, 4) {
+      drain(daily, "graft_stream_anomaly", "complete") }
+    graft.operators.QualityOps.anomalyScore(drained)
+  }
+
   private def scratch(sfDir: String, tag: String): Path = {
     val p = Paths.get(
       sys.props("java.io.tmpdir"), "graft_stream",

@@ -128,6 +128,20 @@ class QualitySpec extends SparkTestBase {
     }
   }
 
+  test("quality_report: six headline metrics, planted signals surface") {
+    val d = sf0001
+    val got = QualityOps.qualityReport(
+      Tables.orders(spark, d), Tables.customer(spark, d),
+      Tables.lineitem(spark, d), Tables.events(spark, d))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.size === 6)
+    assert(got(("expectations", "n_failing_checks")) >= 1.0,
+      "the deliberately-tight SLA bound must surface in the card")
+    assert(got(("anomaly", "n_outlier_days")) >= 1.0,
+      "the planted burst day must surface in the card")
+    assert(got(("drift", "psi_total")) >= 0.0)
+  }
+
   test("quality_freshness flags types beyond the 20-minute SLA") {
     val events = Seq(
       (1L, ts("2024-01-30 23:00:00"), "stale_type"),

@@ -419,6 +419,14 @@ class StreamSpec extends SparkTestBase {
     assert(shards === shards.sorted, s"rule not monotone: $shards")
   }
 
+  test("stream_anomaly output is bit-identical to the batch detector") {
+    val streamed = StreamOps.streamAnomaly(spark, sf0001).collect().toSeq
+    val batch = graft.operators.QualityOps.qualityAnomaly(
+      Tables.events(spark, sf0001)).collect().toSeq
+    assert(streamed === batch,
+      "incremental histogram + shared scorer must equal the batch entry")
+  }
+
   test("stream_quality: slices partition the corpus; SLA failures surface") {
     val got = StreamOps.streamQuality(spark, sf0001).collect()
     assert(got.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
