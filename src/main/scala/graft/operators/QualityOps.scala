@@ -20,6 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object QualityOps {
 
+  /** The event-stream structural checks as shared column expressions —
+    * ONE definition consumed by the streaming validator
+    * (`StreamOps.streamQuality`), the gated sink
+    * (`EtlOps.sinkQualityGate`), and their oracles' spelling, so the
+    * three surfaces cannot drift (the pretrain-funnel convention).
+    */
+  private[graft] val eventOkTypes: Seq[String] =
+    Seq("click", "view", "purchase", "signup", "error")
+
+  private[graft] def eventNullUserFail: org.apache.spark.sql.Column =
+    sum(when(col("user_id").isNull, 1L).otherwise(0L))
+
+  private[graft] def eventBadTypeFail: org.apache.spark.sql.Column =
+    sum(when(coalesce(col("event_type").isin(eventOkTypes.map(lit): _*),
+      lit(false)), 0L).otherwise(1L))
+
   /** Declarative expectation suite over the orders/lineitem ingest:
     * each expectation reports (n_checked, n_failed, pass). The suite
     * deliberately mixes passing checks with a tight `max_value` SLA bound

@@ -1709,7 +1709,6 @@ object EtlOps {
     val qtrExpr = expr(s"CAST(((event_id - ${lo}L) * 4) DIV ${span}L AS INT)")
     val clean = freshDir(sfDir, "gate_clean").toString
     val quarantine = freshDir(sfDir, "gate_quarantine").toString
-    val okTypes = Seq("click", "view", "purchase", "signup", "error")
     for (i <- 0 until 4) {
       val arrived = events.filter(qtrExpr === i)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -1719,10 +1718,11 @@ object EtlOps {
             when(col("event_id") % 10 === 0, lit(null).cast("long"))
               .otherwise(col("user_id")))
         else arrived
+      // the SHARED structural checks (QualityOps) — one definition across
+      // the batch suite, the streaming validator, and this gate
       val nBad = batch.agg(
-        (sum(when(col("user_id").isNull, 1L).otherwise(0L)) +
-          sum(when(coalesce(col("event_type").isin(okTypes.map(lit): _*),
-            lit(false)), 0L).otherwise(1L))).as("bad"))
+        (graft.operators.QualityOps.eventNullUserFail +
+          graft.operators.QualityOps.eventBadTypeFail).as("bad"))
         .head().getLong(0)
       batch.withColumn("batch_qtr", lit(i))
         .write.mode(SaveMode.Append)

@@ -1170,10 +1170,8 @@ object StreamOps {
       .groupBy("qtr")
       .agg(
         count(lit(1)).as("n_rows"),
-        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("f_null_user"),
-        sum(when(coalesce(
-          col("event_type").isin("click", "view", "purchase", "signup", "error"),
-          lit(false)), 0L).otherwise(1L)).as("f_bad_type"),
+        graft.operators.QualityOps.eventNullUserFail.as("f_null_user"),
+        graft.operators.QualityOps.eventBadTypeFail.as("f_bad_type"),
         sum(when(col("value").isNull || col("value") > 90.0, 1L).otherwise(0L))
           .as("f_over_sla"))
     withStateShards(spark, 4) {
