@@ -261,6 +261,7 @@ object SparkEntry {
     "stream_anomaly" -> ((s, d) => StreamOps.streamAnomaly(s, d)),
     "quality_report" -> ((s, d) => QualityOps.qualityReport(
       orders(s, d), customer(s, d), lineitem(s, d), events(s, d))),
+    "sim_rp_width_sweep" -> ((s, d) => SimOps.simRpWidthSweep(embeddings(s, d))),
     "win_pct_change" -> ((s, d) => WindowOps.pctChange(events(s, d))),
     "win_rolling_regression" ->
       ((s, d) => WindowOps.winRollingRegression(events(s, d))),
@@ -5229,6 +5230,7 @@ object SparkEntry {
     "sim_random_projection" -> simRandomProjectionOracleSql,
     "sim_rp_recall" -> simRpRecallOracleSql,
     "sim_rp_rerank" -> simRpRerankOracleSql,
+    "sim_rp_width_sweep" -> simRpWidthSweepOracleSql,
     // batch-equivalence of the streaming validation counters: the slice
     // key is closed-form integer arithmetic on the row, so the final
     // complete-mode state is a plain GROUP BY replay
@@ -5389,16 +5391,21 @@ object SparkEntry {
        FROM rr WHERE rnk <= 5 ORDER BY probe_id, rnk"""
   }
 
-  private val simRpRecallOracleSql: String = {
-    val pList = (0 until 8)
+  /** DuckDB sketch list at the given width — nested prefixes of the
+    * 16-row sign matrix, matching SimOps.rpSketch.
+    */
+  private def rpPList(width: Int): String =
+    (0 until width)
       .map(j => s"round(list_dot_product(v, ${rpArrayLit(j)}), 6)")
       .mkString("[", ", ", "]")
-    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+
+  /** Shared planted-corpus + exact-arm CTEs of the projection audits. */
+  private val rpAuditCtes: String =
+    s"""b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        pl AS (SELECT vec_id + 1000000 AS vec_id,
            [CASE WHEN i = 33 THEN 0.0 ELSE v[i] END FOR i IN range(1, 65)] AS v
          FROM b WHERE vec_id % 100 = 0),
        e AS (SELECT * FROM b UNION ALL SELECT * FROM pl),
-       p AS (SELECT vec_id, $pList AS pv FROM e),
        pe AS (SELECT vec_id AS probe_id, v AS qv FROM e
               WHERE vec_id % 100 = 0 AND vec_id < 1000000),
        et AS (SELECT probe_id, vec_id FROM (
@@ -5406,15 +5413,23 @@ object SparkEntry {
              ORDER BY round(list_dot_product(e.v, pe.qv) /
                (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(pe.qv, pe.qv))), 6)
                DESC, e.vec_id) AS rn
-         FROM e CROSS JOIN pe WHERE e.vec_id <> pe.probe_id) WHERE rn <= 10),
-       pp AS (SELECT vec_id AS probe_id, pv AS qp FROM p
-              WHERE vec_id % 100 = 0 AND vec_id < 1000000),
-       pt AS (SELECT probe_id, vec_id FROM (
+         FROM e CROSS JOIN pe WHERE e.vec_id <> pe.probe_id) WHERE rn <= 10)"""
+
+  /** The projected-arm top-10 table at the given width, as a subquery. */
+  private def rpProjTopSql(width: Int): String =
+    s"""(SELECT probe_id, vec_id FROM (
          SELECT pp.probe_id, p.vec_id, row_number() OVER (PARTITION BY pp.probe_id
              ORDER BY round(list_dot_product(p.pv, pp.qp) /
                (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(pp.qp, pp.qp))), 6)
                DESC, p.vec_id) AS rn
-         FROM p CROSS JOIN pp WHERE p.vec_id <> pp.probe_id) WHERE rn <= 10)
+         FROM (SELECT vec_id, ${rpPList(width)} AS pv FROM e) p
+         CROSS JOIN (SELECT vec_id AS probe_id, ${rpPList(width)} AS qp FROM e
+                     WHERE vec_id % 100 = 0 AND vec_id < 1000000) pp
+         WHERE p.vec_id <> pp.probe_id) t WHERE rn <= 10)"""
+
+  private val simRpRecallOracleSql: String =
+    s"""WITH $rpAuditCtes,
+       pt AS (SELECT * FROM ${rpProjTopSql(8)} t0)
        SELECT et.probe_id, CAST(count(*) AS BIGINT) AS n_exact,
          CAST(sum(CASE WHEN pt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_overlap,
@@ -5424,6 +5439,19 @@ object SparkEntry {
        FROM et LEFT JOIN pt
          ON et.probe_id = pt.probe_id AND et.vec_id = pt.vec_id
        GROUP BY et.probe_id ORDER BY et.probe_id"""
+
+  private val simRpWidthSweepOracleSql: String = {
+    val arms = Seq(4, 8, 16).map { w =>
+      s"""SELECT $w AS width, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(CASE WHEN pt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_overlap,
+          CAST(sum(CASE WHEN et.vec_id = et.probe_id + 1000000
+                AND pt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_planted_found
+        FROM et LEFT JOIN ${rpProjTopSql(w)} pt
+          ON et.probe_id = pt.probe_id AND et.vec_id = pt.vec_id"""
+    }.mkString(" UNION ALL ")
+    s"""WITH $rpAuditCtes $arms ORDER BY width"""
   }
 
   /** The k-means oracle CTE chain, generated: k0 is the first-k codebook

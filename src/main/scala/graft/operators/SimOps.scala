@@ -207,13 +207,16 @@ object SimOps {
     * plan (broadcast-free) and the two engines share it by construction.
     */
   private[graft] val rpSigns: Seq[Seq[Double]] =
-    (0 until 8).map { j =>
+    (0 until 16).map { j =>
       (0 until 64).map { i =>
         val h = java.security.MessageDigest.getInstance("MD5")
           .digest(s"rp|$j|$i".getBytes("UTF-8"))
         if ((h(0) & 0x80) == 0) 1.0 else -1.0
       }
     }
+  // widths are PREFIXES of one 16-row matrix (the matryoshka stance):
+  // the 8-dim production sketch is rows 0..7, the width sweep reads
+  // nested prefixes so widening never re-hashes what's already stored
 
   /** JL random projection 64 → 8 dims: each output dim is a codegen'd
     * dot product against a literal sign row — pure map-side compute, zero
@@ -224,7 +227,7 @@ object SimOps {
   def simRandomProjection(embeddings: DataFrame): DataFrame = {
     graft.plans.VectorFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
-    val projs = rpSigns.zipWithIndex.map { case (s, j) =>
+    val projs = rpSigns.take(8).zipWithIndex.map { case (s, j) =>
       round(graft.plans.VectorFunctions.vectorDot(col("v"), typedLit(s)), 6)
         .as(s"p$j")
     }
@@ -251,36 +254,46 @@ object SimOps {
     * the recall audit and the two-stage rerank so the sketches cannot
     * drift between the audit and the serving path.
     */
-  private def rpSketch(e: DataFrame): DataFrame =
+  private def rpSketch(e: DataFrame, width: Int = 8): DataFrame =
     e.select(col("vec_id"),
-      array(rpSigns.map(s =>
+      array(rpSigns.take(width).map(s =>
         round(graft.plans.VectorFunctions.vectorDot(col("v"), typedLit(s)), 6)): _*)
         .as("p"))
 
-  def simRpRecall(embeddings: DataFrame): DataFrame = {
-    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+  /** The planted-partner corpus the projection audits run over: every
+    * probe gets a dim-32-zeroed near-dup twin at vec_id + 1e6.
+    */
+  private def rpPlantedCorpus(embeddings: DataFrame): DataFrame = {
     val base = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
     val planted = base.filter(col("vec_id") % 100 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("v"),
           (x, i) => when(i === 32, lit(0.0)).otherwise(x)).as("v"))
-    val e = base.unionByName(planted)
-    val p = rpSketch(e)
-    def topNbrs(vecs: DataFrame, vcol: String): DataFrame = {
-      val probes = vecs
-        .filter(col("vec_id") % 100 === 0 && col("vec_id") < 1000000L)
-        .select(col("vec_id").as("probe_id"), col(vcol).as("pv"))
-      val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
-      vecs.crossJoin(broadcast(probes))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id"),
-          round(cosine(col(vcol), col("pv")), 6).as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
-        .select("probe_id", "vec_id")
-    }
-    val exactTop = topNbrs(e, "v")
-    val projTop = topNbrs(p, "p").withColumn("hit", lit(1L))
+    base.unionByName(planted)
+  }
+
+  /** Capped-probe top-10 cosine neighbors in the given vector column —
+    * the shared arm of the recall audit and the width sweep.
+    */
+  private def rpTopNbrs(vecs: DataFrame, vcol: String): DataFrame = {
+    val probes = vecs
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") < 1000000L)
+      .select(col("vec_id").as("probe_id"), col(vcol).as("pv"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    vecs.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col(vcol), col("pv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("probe_id", "vec_id")
+  }
+
+  def simRpRecall(embeddings: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val e = rpPlantedCorpus(embeddings)
+    val exactTop = rpTopNbrs(e, "v")
+    val projTop = rpTopNbrs(rpSketch(e), "p").withColumn("hit", lit(1L))
     exactTop.join(projTop, Seq("probe_id", "vec_id"), "left")
       .groupBy("probe_id")
       .agg(count(lit(1)).as("n_exact"),
@@ -289,6 +302,34 @@ object SimOps {
           coalesce(col("hit"), lit(0L))).otherwise(lit(0L)))
           .as("planted_found"))
       .orderBy("probe_id")
+  }
+
+  /** Sketch-WIDTH tuning sweep (the `dedup_threshold_sweep` stance
+    * applied to the projection): per width 4/8/16, the corpus-level
+    * recall aggregate — background top-10 overlap and planted partners
+    * found. Widths are nested PREFIXES of one 16-row sign matrix (the
+    * matryoshka property: widening a stored sketch appends dims, never
+    * re-hashes), so the sweep measures exactly the widths a deployment
+    * could switch between. The exact arm is width-independent and
+    * computed once.
+    */
+  def simRpWidthSweep(embeddings: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val e = rpPlantedCorpus(embeddings)
+    val exactTop = rpTopNbrs(e, "v")
+    Seq(4, 8, 16).map { width =>
+      val projTop = rpTopNbrs(rpSketch(e, width), "p")
+        .withColumn("hit", lit(1L))
+      exactTop.join(projTop, Seq("probe_id", "vec_id"), "left")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
+          sum(when(col("vec_id") === col("probe_id") + 1000000L,
+            coalesce(col("hit"), lit(0L))).otherwise(lit(0L)))
+            .as("n_planted_found"))
+        .select(lit(width).as("width"), col("n_pairs"), col("n_overlap"),
+          col("n_planted_found"))
+    }.reduce(_ unionByName _).orderBy("width")
   }
 
   /** Two-stage ANN through the JL sketch — the serving shape the

@@ -93,6 +93,18 @@ class RetrievalSamplingSpec extends SparkTestBase {
     }
   }
 
+  test("sim_rp_width_sweep: overlap is monotone in width, planted found at every width") {
+    val rows = SimOps.simRpWidthSweep(Tables.embeddings(spark, sf0001))
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq === Seq(4, 8, 16))
+    val overlaps = rows.map(_.getLong(2))
+    assert(overlaps.zip(overlaps.tail).forall { case (a, b) => a <= b },
+      s"background overlap should not shrink as the sketch widens: ${overlaps.toSeq}")
+    val probes = rows.head.getLong(1) / 10
+    assert(rows.forall(_.getLong(3) === probes),
+      "every width must keep every planted near-dup partner")
+  }
+
   test("sim_rp_recall finds every planted near-dup partner through the sketch") {
     val r = SimOps.simRpRecall(Tables.embeddings(spark, sf0001))
       .select("planted_found").as[Long].collect()
