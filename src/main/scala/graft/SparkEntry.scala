@@ -262,6 +262,7 @@ object SparkEntry {
     "quality_report" -> ((s, d) => QualityOps.qualityReport(
       orders(s, d), customer(s, d), lineitem(s, d), events(s, d))),
     "sim_rp_width_sweep" -> ((s, d) => SimOps.simRpWidthSweep(embeddings(s, d))),
+    "agg_histogram_quantile" -> ((s, d) => AggOps.aggHistogramQuantile(orders(s, d))),
     "win_pct_change" -> ((s, d) => WindowOps.pctChange(events(s, d))),
     "win_rolling_regression" ->
       ((s, d) => WindowOps.winRollingRegression(events(s, d))),
@@ -5231,6 +5232,31 @@ object SparkEntry {
     "sim_rp_recall" -> simRpRecallOracleSql,
     "sim_rp_rerank" -> simRpRerankOracleSql,
     "sim_rp_width_sweep" -> simRpWidthSweepOracleSql,
+    // Prometheus-style histogram_quantile next to quantile_cont; error
+    // columns compare the ROUNDED estimates so the audit arithmetic is
+    // cross-engine exact
+    "agg_histogram_quantile" -> {
+      val arms = Seq(0.5, 0.95, 0.99).map { q =>
+        s"""SELECT $q AS q,
+            round(bucket * 5000.0 + ($q * t.n - below) / cnt * 5000.0, 4) AS est,
+            (SELECT round(quantile_cont(o_totalprice, $q), 4) FROM orders)
+              AS exact
+          FROM c CROSS JOIN t
+          WHERE below < $q * t.n AND $q * t.n <= below + cnt"""
+      }.mkString(" UNION ALL ")
+      s"""WITH h AS (SELECT CAST(least(floor(o_totalprice / 5000.0), 99.0)
+               AS INTEGER) AS bucket, count(*)::BIGINT AS cnt
+             FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+         c AS (SELECT bucket, cnt,
+             sum(cnt) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS below
+           FROM h),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+         r AS ($arms)
+         SELECT q, est, exact, round(abs(est - exact), 4) AS abs_err,
+           round(abs(est - exact) / exact, 6) AS rel_err
+         FROM r ORDER BY q"""
+    },
     // batch-equivalence of the streaming validation counters: the slice
     // key is closed-form integer arithmetic on the row, so the final
     // complete-mode state is a plain GROUP BY replay

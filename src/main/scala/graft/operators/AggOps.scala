@@ -974,4 +974,41 @@ object AggOps {
         aggregate(collect_list(col("q")), lit(1L), (acc, x) => acc * x)
           .as("qty_product"))
       .orderBy("l_orderkey")
+
+  /** Histogram-quantile estimation WITH its error audited in-row — the
+    * Prometheus `histogram_quantile` recipe (fixed-width buckets, linear
+    * interpolation within the target bucket) next to the exact
+    * percentile it approximates. At 100 TB the histogram is the only
+    * mergeable per-partition state (100 longs) and the exact pass is
+    * the expensive thing being replaced — shipping the estimator WITH
+    * its measured error is what makes the trade auditable. The
+    * cumulative window runs over the 100-row bucket histogram (the
+    * bounded-histogram exemption); errors compare the ROUNDED columns
+    * so the audit arithmetic is cross-engine exact.
+    */
+  def aggHistogramQuantile(orders: DataFrame): DataFrame = {
+    val width = 5000.0
+    val bucket = least(floor(col("o_totalprice") / width), lit(99.0)).cast("int")
+    val hist = orders.filter(col("o_totalprice").isNotNull)
+      .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("below", sum(col("cnt")).over(w) - col("cnt"))
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    Seq(0.5, 0.95, 0.99).map { q =>
+      val rank = lit(q) * col("n")
+      val est = cum.crossJoin(broadcast(tot))
+        .filter(col("below") < rank && rank <= col("below") + col("cnt"))
+        .select(round(
+          col("bucket") * width +
+            (rank - col("below")) / col("cnt") * width, 4).as("est"))
+      val exact = orders.agg(
+        round(expr(s"percentile(o_totalprice, $q)"), 4).as("exact"))
+      est.crossJoin(broadcast(exact))
+        .select(lit(q).as("q"), col("est"), col("exact"),
+          round(abs(col("est") - col("exact")), 4).as("abs_err"),
+          round(abs(col("est") - col("exact")) / col("exact"), 6).as("rel_err"))
+    }.reduce(_ unionByName _).orderBy("q")
+  }
 }

@@ -142,6 +142,19 @@ class QualitySpec extends SparkTestBase {
     assert(got(("drift", "psi_total")) >= 0.0)
   }
 
+  test("agg_histogram_quantile: hand-computed interpolation and exact-arm parity") {
+    // two values in adjacent buckets: the p50 estimate lands exactly on
+    // the exact percentile (both 5000); p95 interpolates 90% into
+    // bucket 1 while the exact arm lerps between the two raw values
+    val orders = Seq((1L, 2500.0), (2L, 7500.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val got = graft.operators.AggOps.aggHistogramQuantile(orders)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(0.5) === ((5000.0, 5000.0, 0.0)))
+    assert(got(0.95) === ((9500.0, 7250.0, 2250.0)))
+  }
+
   test("quality_freshness flags types beyond the 20-minute SLA") {
     val events = Seq(
       (1L, ts("2024-01-30 23:00:00"), "stale_type"),
