@@ -263,6 +263,8 @@ object SparkEntry {
       orders(s, d), customer(s, d), lineitem(s, d), events(s, d))),
     "sim_rp_width_sweep" -> ((s, d) => SimOps.simRpWidthSweep(embeddings(s, d))),
     "agg_histogram_quantile" -> ((s, d) => AggOps.aggHistogramQuantile(orders(s, d))),
+    "agg_histogram_quantile_grouped" -> ((s, d) =>
+      AggOps.aggHistogramQuantileGrouped(orders(s, d))),
     "win_pct_change" -> ((s, d) => WindowOps.pctChange(events(s, d))),
     "win_rolling_regression" ->
       ((s, d) => WindowOps.winRollingRegression(events(s, d))),
@@ -5256,6 +5258,28 @@ object SparkEntry {
          SELECT q, est, exact, round(abs(est - exact), 4) AS abs_err,
            round(abs(est - exact) / exact, 6) AS rel_err
          FROM r ORDER BY q"""
+    },
+    "agg_histogram_quantile_grouped" -> {
+      val arms = Seq(0.5, 0.95).map { q =>
+        s"""SELECT c.prio, $q AS q,
+            round(bucket * 5000.0 + ($q * t.n - below) / cnt * 5000.0, 4) AS est,
+            (SELECT round(quantile_cont(o_totalprice, $q), 4) FROM orders
+             WHERE o_orderpriority = c.prio) AS exact
+          FROM c JOIN t ON c.prio = t.prio
+          WHERE below < $q * t.n AND $q * t.n <= below + cnt"""
+      }.mkString(" UNION ALL ")
+      s"""WITH h AS (SELECT o_orderpriority AS prio,
+             CAST(least(floor(o_totalprice / 5000.0), 99.0) AS INTEGER) AS bucket,
+             count(*)::BIGINT AS cnt
+           FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
+         c AS (SELECT prio, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY prio ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS below
+           FROM h),
+         t AS (SELECT prio, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY prio),
+         r AS ($arms)
+         SELECT prio, q, est, exact, round(abs(est - exact), 4) AS abs_err
+         FROM r ORDER BY prio, q"""
     },
     // batch-equivalence of the streaming validation counters: the slice
     // key is closed-form integer arithmetic on the row, so the final

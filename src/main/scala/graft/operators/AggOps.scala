@@ -986,6 +986,39 @@ object AggOps {
     * bounded-histogram exemption); errors compare the ROUNDED columns
     * so the audit arithmetic is cross-engine exact.
     */
+  /** The GROUPED form — per-group quantiles from per-group histograms in
+    * ONE aggregate pass, which is the actual reason histograms replace
+    * exact percentiles at 100 TB: exact per-group percentiles re-sort
+    * every group, the histogram form is a plain mergeable hash aggregate
+    * of |groups|·100 longs. The cumulative window is partitioned by
+    * group over the bounded bucket spine. Error vs the exact arm audited
+    * per (group, q), same rounded-column arithmetic as the global form.
+    */
+  def aggHistogramQuantileGrouped(orders: DataFrame): DataFrame = {
+    val width = 5000.0
+    val bucket = least(floor(col("o_totalprice") / width), lit(99.0)).cast("int")
+    val hist = orders.filter(col("o_totalprice").isNotNull)
+      .groupBy(col("o_orderpriority").as("prio"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("prio").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("below", sum(col("cnt")).over(w) - col("cnt"))
+    val tot = hist.groupBy("prio").agg(sum(col("cnt")).as("n"))
+    val exact = orders.groupBy(col("o_orderpriority").as("prio")).agg(
+      round(expr("percentile(o_totalprice, 0.5)"), 4).as("e50"),
+      round(expr("percentile(o_totalprice, 0.95)"), 4).as("e95"))
+    Seq((0.5, "e50"), (0.95, "e95")).map { case (q, ec) =>
+      val rank = lit(q) * col("n")
+      cum.join(tot, "prio")
+        .filter(col("below") < rank && rank <= col("below") + col("cnt"))
+        .select(col("prio"), lit(q).as("q"), round(
+          col("bucket") * width + (rank - col("below")) / col("cnt") * width, 4)
+          .as("est"))
+        .join(exact.select(col("prio"), col(ec).as("exact")), "prio")
+        .withColumn("abs_err", round(abs(col("est") - col("exact")), 4))
+    }.reduce(_ unionByName _).orderBy("prio", "q")
+  }
+
   def aggHistogramQuantile(orders: DataFrame): DataFrame = {
     val width = 5000.0
     val bucket = least(floor(col("o_totalprice") / width), lit(99.0)).cast("int")
