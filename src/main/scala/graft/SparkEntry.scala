@@ -529,6 +529,7 @@ object SparkEntry {
     // [EXT] r12: BM25 retrieval scoring, weighted reservoir sampling,
     // JL random projection + its neighbor-preservation audit
     "text_bm25" -> ((s, d) => TextOps.textBm25(documents(s, d))),
+    "text_hashing_trick" -> ((s, d) => TextOps.textHashingTrick(documents(s, d))),
     "sample_weighted" -> ((s, d) => RelationalOps.sampleWeighted(orders(s, d))),
     "sim_random_projection" -> ((s, d) => SimOps.simRandomProjection(embeddings(s, d))),
     "sim_rp_recall" -> ((s, d) => SimOps.simRpRecall(embeddings(s, d))),
@@ -5217,6 +5218,16 @@ object SparkEntry {
                AS rnk FROM scored)
          SELECT term, CAST(rnk AS INTEGER) AS rnk, doc_id, tf, dl, score
          FROM r WHERE rnk <= 10 ORDER BY term, rnk""",
+    // same md5-derived bucket on both sides; both operands nonnegative so
+    // pmod == %
+    "text_hashing_trick" ->
+      """SELECT doc_id,
+           CAST((('0x' || substring(md5(token), 1, 8))::BIGINT % 64) AS INTEGER)
+             AS feature,
+           count(*)::BIGINT AS cnt
+         FROM (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token
+               FROM documents)
+         WHERE token <> '' GROUP BY 1, 2 ORDER BY doc_id, feature""",
     // A-ES weighted sampling: same md5 coin, same ln(u)/w key rounded at
     // 1e-12, same (skey DESC, key) rank on both sides
     "sample_weighted" ->

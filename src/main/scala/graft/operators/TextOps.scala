@@ -489,6 +489,27 @@ object TextOps {
       .orderBy(asc("lang"), desc("tf"), asc("token"))
   }
 
+  /** Feature HASHING (the hashing trick / hashing vectorizer): tokens
+    * map straight to a fixed-width feature space via md5 % 64 — NO
+    * vocabulary pass, NO dictionary broadcast, which is what makes it
+    * the featurizer of choice when the vocabulary itself is too large
+    * or too fast-moving to materialize at 100 TB. Pure map-side hash +
+    * one (doc, feature) aggregate; collisions are the accepted price
+    * and the 64-bucket width is the dial. The md5 coin is the house
+    * cross-engine randomness contract, so the oracle replays the exact
+    * bucket assignment.
+    */
+  def textHashingTrick(documents: DataFrame, buckets: Int = 64): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).cast("int").as("feature"))
+      .groupBy("doc_id", "feature")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "feature")
+
   /** BM25 ranking (k1 = 1.2, b = 0.75) — the standard retrieval scorer a
     * RAG/decontamination pipeline runs after tf-idf. Query terms are
     * drawn FROM the corpus deterministically (vocabulary ranks 10–12 by

@@ -44,6 +44,19 @@ class RetrievalSamplingSpec extends SparkTestBase {
     }
   }
 
+  test("text_hashing_trick: buckets match an independent md5 computation") {
+    val docs = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+    val got = TextOps.textHashingTrick(docs)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    def bucket(tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 64).toInt
+    }
+    assert(got === Map(bucket("alpha") -> 2L, bucket("beta") -> 1L))
+  }
+
   test("sample_weighted: deterministic, k per group, keys descending") {
     val orders = Tables.orders(spark, sf0001)
     val s1 = RelationalOps.sampleWeighted(orders).collect()
