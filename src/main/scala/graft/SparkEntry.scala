@@ -599,9 +599,9 @@ object SparkEntry {
              CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
              CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
            FROM c GROUP BY bucket),
-         t AS (SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS tot_a,
-             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS tot_b
-           FROM c),
+         t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+             CAST(sum(n_b) AS BIGINT) AS tot_b
+           FROM g),
          spine AS (SELECT CAST(range AS INTEGER) AS bucket FROM range(0, 10)),
          pb AS (SELECT s.bucket,
              coalesce(g.n_a, 0) AS n_a, coalesce(g.n_b, 0) AS n_b,
@@ -629,7 +629,7 @@ object SparkEntry {
   private val qualityAnomalyOracleSql: String =
     """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
            FROM events GROUP BY 1),
-         sp AS (SELECT DATE '2024-03-01' AS day,
+         sp AS (SELECT (SELECT max(day) + 30 FROM daily) AS day,
              (SELECT max(n) * 8 FROM daily) AS n),
          d AS (SELECT * FROM daily UNION ALL SELECT * FROM sp),
          s1 AS (SELECT quantile_cont(n, 0.5) AS med FROM d),
@@ -646,7 +646,7 @@ object SparkEntry {
   private val qualityExpectationsOracleSql: String =
     """WITH o AS (SELECT count(*) AS n,
              sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS f_notnull,
-             count(*) - count(DISTINCT o_orderkey) AS f_unique,
+             count(o_orderkey) - count(DISTINCT o_orderkey) AS f_unique,
              sum(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), FALSE)
                  THEN 0 ELSE 1 END) AS f_accepted,
              sum(CASE WHEN o_totalprice IS NULL OR o_totalprice > 400000.0

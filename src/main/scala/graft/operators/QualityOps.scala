@@ -52,7 +52,11 @@ object QualityOps {
     val o = orders.agg(
       count(lit(1)).as("n"),
       sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("f_notnull"),
-      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("f_unique"),
+      // uniqueness over NON-NULL keys (count(col) ignores nulls, matching
+      // countDistinct): a null key is a not-null violation, not a
+      // uniqueness one — conflating them double-counts the same bad row
+      (count(col("o_orderkey")) - countDistinct(col("o_orderkey")))
+        .as("f_unique"),
       sum(when(coalesce(col("o_orderstatus").isin("O", "F", "P"), lit(false)),
         0L).otherwise(1L)).as("f_accepted"),
       sum(when(col("o_totalprice").isNull || col("o_totalprice") > 400000.0,
@@ -158,8 +162,15 @@ object QualityOps {
       .agg(
         sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(col("in_a"), 0L).otherwise(1L)).as("n_b"))
-    val totals = orders.agg(
-      cntIf(inA).as("tot_a"), cntIf(!inA).as("tot_b"))
+      // feeds BOTH the per-bucket rows and the totals below — pinned so
+      // the totals really do come from this one scan instead of Spark
+      // re-running the aggregate per consumer
+      .localCheckpoint()
+    // totals derived from the bucket counts (null-price rows land in the
+    // null-bucket group, so the sums cover every order) — no second scan
+    // of the fact table; the scan-sharing contract in the header holds
+    val totals = counts.agg(
+      sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
     // bucket spine 0..9: absent buckets must still appear (smoothed)
     val spine = spark.range(10).select(col("id").cast("int").as("bucket"))
     val perBucket = spine
@@ -186,9 +197,6 @@ object QualityOps {
         (col("psi_u") / 1e6).as("psi"))
       .orderBy("bucket")
   }
-
-  private def cntIf(cond: org.apache.spark.sql.Column) =
-    sum(when(cond, 1L).otherwise(0L))
 
   /** The one-call dataset-quality CARD (the `pipeline_dataset_card`
     * stance applied to validation): every audit family reduced to its
@@ -245,8 +253,13 @@ object QualityOps {
     * maintains the histogram incrementally and scores the drained state.
     */
   private[graft] def anomalyScore(daily: DataFrame): DataFrame = {
-    val spike = daily.agg(max(col("n")).as("m"))
-      .select(lit("2024-03-01").cast("date").as("day"), (col("m") * 8L).as("n"))
+    // spike day DERIVED from the series (max day + 30) so it can never
+    // collide with a real day key regardless of the fixture's date span —
+    // a hard-coded calendar date would order nondeterministically against
+    // a genuine row on that date and break the row-for-row oracle hash
+    val spike = daily.agg(max(col("n")).as("m"),
+        date_add(max(col("day")), 30).as("day"))
+      .select(col("day"), (col("m") * 8L).as("n"))
     val d = daily.unionByName(spike)
     val med = d.agg(expr("percentile(n, 0.5)").as("med"))
     val withMed = d.crossJoin(broadcast(med))

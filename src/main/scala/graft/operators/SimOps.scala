@@ -854,9 +854,23 @@ object SimOps {
     val sym = cd.unionByName(
       cd.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
     val stored = spark.read.parquet(graphDir).select("src", "dst", "cos")
-    val updated = graft.plans.TopKOps.topKPerGroup(
-      stored.unionByName(sym).distinct(),
+    // O(delta) merge (r13): only srcs that gained a candidate re-enter the
+    // top-k cut; every other stored row passes through a map-side broadcast
+    // anti-join WITHOUT being shuffled. The affected-src set is bounded by
+    // the delta batch's probe fan-out (O(|delta|·nprobe·cellsize) srcs),
+    // an ingest-batch-sized relation, so the broadcast is safe where a
+    // full-graph distinct+window (the pre-r13 spelling) would re-shuffle
+    // all V·k edges per batch. Pass-through is bit-identical to the old
+    // global cut: unaffected srcs hold ≤k distinct rows by construction
+    // (the stored graph is itself a topKPerGroup output), so top-k over
+    // them is the identity.
+    val affected = sym.select(col("src")).distinct()
+    val recut = graft.plans.TopKOps.topKPerGroup(
+      stored.join(broadcast(affected), Seq("src"), "left_semi")
+        .unionByName(sym).distinct(),
       Seq("src"), Seq(("cos", false), ("dst", true)), k)
+    val updated = stored.join(broadcast(affected), Seq("src"), "left_anti")
+      .unionByName(recut)
     (cd, stored, updated)
   }
 

@@ -294,14 +294,36 @@ object TextOps {
       .select(col("doc_id"),
         round(col("avg_logp") * 1e6).cast("long").as("k"))
       .localCheckpoint()
-    val upto = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
-    val cum = sk.groupBy(col("k")).agg(count(lit(1)).as("c"))
-      .withColumn("upto", sum(col("c")).over(upto)) // bounded-histogram window
-    val n = sk.agg(count(lit(1)).as("n"))
-    // nearest-rank decile: the smallest grid value whose running count
-    // reaches ceil(q·n) — pure integer selection, identical on the oracle
-    val thr = cum.crossJoin(broadcast(n))
-      .filter(col("upto") >= ceil(col("n") * q).cast("long"))
+    // The micro-log grid admits up to ~10⁷ distinct k at extreme corpus
+    // diversity — too wide for the bounded-histogram window exemption. So
+    // the nearest-rank selection runs TWO-LEVEL (the denseRankById
+    // machinery applied to a value grid): cut the k-range into ≤1024
+    // contiguous buckets (width from one scalar pull), run the only
+    // unpartitioned window over the ≤1024-row bucket histogram, locate
+    // the single bucket where the target rank lands, and finish with a
+    // window PARTITIONED by that bucket (~|grid|/1024 rows per task).
+    // Contiguous buckets make below+intra-cum equal the flat cumulative
+    // count, so the oracle keeps the plain one-window spelling.
+    val hist = sk.groupBy(col("k")).agg(count(lit(1)).as("c")).localCheckpoint()
+    val b = hist.agg(min(col("k")), max(col("k")), sum(col("c"))).head()
+    val n = if (b.isNullAt(2)) 0L else b.getLong(2)
+    val kLo = if (b.isNullAt(0)) 0L else b.getLong(0)
+    val width = (if (b.isNullAt(1)) 0L else b.getLong(1)).-(kLo) / 1024L + 1L
+    val target = math.ceil(n * q).toLong // same IEEE double ceil as the oracle
+    val bucketed = hist.withColumn("bkt",
+      expr(s"CAST((k - (${kLo}L)) DIV ${width}L AS LONG)"))
+    val below = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val bcum = bucketed.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
+      .withColumn("below", coalesce(sum(col("bc")).over(below), lit(0L)))
+    // exactly the bucket whose running count first reaches the target rank
+    val tb = bcum
+      .filter(col("below") < target && col("below") + col("bc") >= target)
+      .select(col("bkt"), col("below"))
+    val intra = Window.partitionBy("bkt").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val thr = bucketed.join(broadcast(tb), "bkt")
+      .withColumn("upto", col("below") + sum(col("c")).over(intra))
+      .filter(col("upto") >= target)
       .agg(min(col("k")).as("thr_k"))
     documents
       .select(col("doc_id"), col("source"),

@@ -41,6 +41,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), "histogram aggregate missing")
   }
 
+  test("text_perplexity_filter: k-grid cum window is bucket-partitioned (unpartitioned only over the bucket histogram)") {
+    // the micro-log grid can reach ~10⁷ distinct values — the nearest-rank
+    // threshold must never push it through one task: any window ordered by
+    // the k grid has to be PARTITIONED by the contiguous bucket; the only
+    // unpartitioned window runs over the ≤1024-row bucket histogram
+    val p = plan(TextOps.textPerplexityFilter(documents(spark, sf0001)))
+    val wins = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(wins.nonEmpty, s"expected window operators in the plan:\n$p")
+    val unpartitionedOverK = wins.filter(w => w.contains("k#") && !w.contains("bkt"))
+    assert(unpartitionedOverK.isEmpty,
+      s"k-grid window must be partitioned by bkt:\n${unpartitionedOverK.mkString("\n")}")
+  }
+
   test("node_embed denseRankById: corpus rank is bucket-partitioned, equals the single-partition spelling") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -97,8 +97,8 @@ class QualitySpec extends SparkTestBase {
 
   test("quality_anomaly: planted burst flagged, hand-computed median/MAD/z") {
     // five real days with counts 3,4,4,5,6 plus the planted 8x-max spike
-    // day (48): median of [3,4,4,5,6,48] = 4.5, MAD =
-    // median(1.5,0.5,0.5,0.5,1.5,43.5) = 1.0
+    // day (48) DERIVED as max(day)+30 = 2024-02-04: median of
+    // [3,4,4,5,6,48] = 4.5, MAD = median(1.5,0.5,0.5,0.5,1.5,43.5) = 1.0
     val counts = Seq(3, 4, 4, 5, 6)
     val rows = counts.zipWithIndex.flatMap { case (k, d0) =>
       (1 to k).map(i => ((d0 + 1) * 100L + i, ts(f"2024-01-0${d0 + 1} 12:00:$i%02d")))
@@ -108,11 +108,27 @@ class QualitySpec extends SparkTestBase {
       .collect().map(r => r.getString(0) ->
         ((r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5),
           r.getInt(6)))).toMap
-    assert(got("2024-03-01") === ((4.5, 1.0, 87L, 2L, 1)),
+    assert(got("2024-02-04") === ((4.5, 1.0, 87L, 2L, 1)),
       "the planted 8x burst must be flagged")
     assert(got("2024-01-05") === ((4.5, 1.0, 3L, 2L, 0)),
       "a mild above-median day must not be flagged")
     assert(got("2024-01-01")._5 === 0)
+  }
+
+  test("quality_anomaly: spike day never collides with a real day key") {
+    // the r12 ADVICE scenario — a fixture spanning the spike's would-be
+    // calendar date. With the derived max(day)+30 spike, every day key in
+    // the output is distinct regardless of the fixture's date span.
+    val events = Seq(
+      (1L, ts("2024-02-28 10:00:00")), (2L, ts("2024-03-01 10:00:00")),
+      (3L, ts("2024-03-01 11:00:00")), (4L, ts("2024-03-02 10:00:00")))
+      .toDF("event_id", "ts")
+    val days = QualityOps.qualityAnomaly(events)
+      .select("day").as[String].collect().toSeq
+    assert(days.distinct.size === days.size,
+      s"duplicate day key in the anomaly output: $days")
+    assert(days.contains("2024-04-01"), // 2024-03-02 + 30
+      s"derived spike day missing: $days")
   }
 
   test("sink_quality_gate routes the corrupted batch whole; clean batches stay clean") {
