@@ -171,6 +171,14 @@ object SparkEntry {
     "q_null_ordering" -> ((s, d) => AuditQueries.qNullOrdering(s, orders(s, d))),
     "q17_small_qty" ->
       ((s, d) => AuditQueries.q17SmallQty(s, lineitem(s, d), part(s, d))),
+    "q2_min_cost_supplier" ->
+      ((s, d) => AuditQueries.q2MinCostSupplier(s, part(s, d), supplier(s, d),
+        lineitem(s, d), nation(s, d), region(s, d))),
+    "q20_excess_shipments" ->
+      ((s, d) => AuditQueries.q20ExcessShipments(s, supplier(s, d),
+        lineitem(s, d), part(s, d), nation(s, d), region(s, d))),
+    "q22_global_sales" ->
+      ((s, d) => AuditQueries.q22GlobalSales(s, customer(s, d), orders(s, d))),
     "q_cte" -> ((s, d) => AuditQueries.qCte(s, orders(s, d), customer(s, d))),
     "q_recursive_cte" -> ((s, d) => AuditQueries.qRecursiveCte(s, orders(s, d))),
     "q_window_sql" -> ((s, d) => AuditQueries.qWindowSql(s, customer(s, d))),
@@ -1572,6 +1580,51 @@ object SparkEntry {
            AND l_quantity < (SELECT 0.2 * avg(l_quantity)
                              FROM lineitem l2
                              WHERE l2.l_partkey = p_partkey)""",
+    // Q2 shape: correlated scalar min over the repeated multi-join
+    "q2_min_cost_supplier" ->
+      """SELECT DISTINCT round(s.s_acctbal, 2) AS s_acctbal, s.s_name,
+           n.n_name, p.p_partkey, p.p_name,
+           round(l.l_extendedprice, 2) AS min_price
+         FROM part p, supplier s, lineitem l, nation n, region r
+         WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+           AND p.p_size <= 15 AND s.s_nationkey = n.n_nationkey
+           AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+           AND l.l_extendedprice = (
+             SELECT min(l2.l_extendedprice)
+             FROM lineitem l2, supplier s2, nation n2, region r2
+             WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+               AND s2.s_nationkey = n2.n_nationkey
+               AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    // Q20 shape: nested IN chain + correlated sum via the derived alias
+    "q20_excess_shipments" ->
+      """SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                               WHERE r_name IN ('ASIA', 'EUROPE'))
+           AND s_suppkey IN (
+             SELECT g.l_suppkey
+             FROM (SELECT l_suppkey, l_partkey, sum(l_quantity) AS sum_qty
+                   FROM lineitem
+                   WHERE l_partkey IN (SELECT p_partkey FROM part
+                                       WHERE p_name LIKE 'small%')
+                   GROUP BY l_suppkey, l_partkey) g
+             WHERE g.sum_qty > (SELECT 0.2 * sum(l2.l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = g.l_partkey))
+         ORDER BY s_name""",
+    // Q22 shape: scalar-average gate + NOT EXISTS anti-join
+    "q22_global_sales" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_custs,
+           round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+             AS total_acctbal
+         FROM customer c
+         WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                              WHERE c2.c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // the executed text is an ordinary query — oracle is its inline form
     "q_execute_immediate" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -840,6 +840,106 @@ object AuditQueries {
     * distributed overhead — the oracle is the same query with the
     * closed-form constant inlined.
     */
+  /** TPC-H Q2 shape — minimum-cost supplier: the correlated scalar MIN
+    * over a MULTI-join (the subquery repeats the supplier→nation→region
+    * chain, correlated on the part key). The classic decorrelation
+    * stress: Catalyst must rewrite the per-part subplan into ONE
+    * aggregate over the same join, re-joined on p_partkey — PlanSpec
+    * pins that no per-row subquery survives. lineitem stands in for
+    * partsupp (the fixture has no partsupp table): the "supply cost" is
+    * the stored l_extendedprice, compared EXACTLY (min returns a stored
+    * double; no arithmetic on the compared value, the q_subquery_scalar
+    * convention). DISTINCT collapses repeat shipments to the
+    * one-row-per-(part, supplier) shape Q2 reads from partsupp. The
+    * LIMIT ties are safe: rows tied on the full sort key are identical
+    * in every projected column.
+    */
+  def q2MinCostSupplier(spark: SparkSession, part: DataFrame,
+      supplier: DataFrame, lineitem: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame = {
+    part.createOrReplaceTempView("part_q2")
+    supplier.createOrReplaceTempView("supplier_q2")
+    lineitem.createOrReplaceTempView("lineitem_q2")
+    nation.createOrReplaceTempView("nation_q2")
+    region.createOrReplaceTempView("region_q2")
+    spark.sql(
+      """SELECT DISTINCT round(s.s_acctbal, 2) AS s_acctbal, s.s_name,
+           n.n_name, p.p_partkey, p.p_name,
+           round(l.l_extendedprice, 2) AS min_price
+         FROM part_q2 p, supplier_q2 s, lineitem_q2 l, nation_q2 n, region_q2 r
+         WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+           AND p.p_size <= 15 AND s.s_nationkey = n.n_nationkey
+           AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+           AND l.l_extendedprice = (
+             SELECT min(l2.l_extendedprice)
+             FROM lineitem_q2 l2, supplier_q2 s2, nation_q2 n2, region_q2 r2
+             WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+               AND s2.s_nationkey = n2.n_nationkey
+               AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")
+  }
+
+  /** TPC-H Q20 shape — excess shipments: the NESTED IN-chain (supplier
+    * IN (grouped subquery over lineitem, itself filtered by part IN
+    * (...)), with a correlated scalar aggregate gating each group). The
+    * correlation goes through a derived-table alias (`g.l_partkey`) —
+    * the unqualified spelling silently rebinds to the inner lineitem
+    * scope in BOTH engines and vacuously empties the result (measured;
+    * kept as a comment so nobody "simplifies" it back). Each IN level
+    * must plan as a semi join and the correlated sum must decorrelate
+    * into one per-part aggregate — no per-group subplans.
+    */
+  def q20ExcessShipments(spark: SparkSession, supplier: DataFrame,
+      lineitem: DataFrame, part: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame = {
+    supplier.createOrReplaceTempView("supplier_q20")
+    lineitem.createOrReplaceTempView("lineitem_q20")
+    part.createOrReplaceTempView("part_q20")
+    nation.createOrReplaceTempView("nation_q20")
+    region.createOrReplaceTempView("region_q20")
+    spark.sql(
+      """SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+         FROM supplier_q20 JOIN nation_q20 ON s_nationkey = n_nationkey
+         WHERE n_regionkey IN (SELECT r_regionkey FROM region_q20
+                               WHERE r_name IN ('ASIA', 'EUROPE'))
+           AND s_suppkey IN (
+             SELECT g.l_suppkey
+             FROM (SELECT l_suppkey, l_partkey, sum(l_quantity) AS sum_qty
+                   FROM lineitem_q20
+                   WHERE l_partkey IN (SELECT p_partkey FROM part_q20
+                                       WHERE p_name LIKE 'small%')
+                   GROUP BY l_suppkey, l_partkey) g
+             WHERE g.sum_qty > (SELECT 0.2 * sum(l2.l_quantity)
+                                FROM lineitem_q20 l2
+                                WHERE l2.l_partkey = g.l_partkey))
+         ORDER BY s_name""")
+  }
+
+  /** TPC-H Q22 shape — global sales opportunity: the anti-join +
+    * scalar-average pair (customers above the positive-balance average
+    * with NO urgent orders — the fixture gives every customer orders, so
+    * the anti-join targets the urgent subset to stay non-vacuous). The
+    * NOT EXISTS must plan as an anti join against the filtered orders,
+    * the average as one decorrelated scalar; balances aggregate in
+    * integer cents (round-before-sum, the cross-engine float law).
+    */
+  def q22GlobalSales(spark: SparkSession, customer: DataFrame,
+      orders: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("customer_q22")
+    orders.createOrReplaceTempView("orders_q22")
+    spark.sql(
+      """SELECT c_mktsegment AS segment, count(*) AS n_custs,
+           round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0D, 2)
+             AS total_acctbal
+         FROM customer_q22 c
+         WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_q22 c2
+                              WHERE c2.c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders_q22 o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
   def qSqlScripting(spark: SparkSession, orders: DataFrame): DataFrame = {
     orders.createOrReplaceTempView("orders_script_v")
     spark.conf.set("spark.sql.scripting.enabled", "true")

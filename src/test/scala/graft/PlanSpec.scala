@@ -489,6 +489,35 @@ class PlanSpec extends SparkTestBase {
     assert(pi.contains("LeftSemi"), s"IN subquery did not plan as a semi join:\n$pi")
   }
 
+  test("q2/q20/q22 decorrelation stress shapes: no per-row subplans, semi/anti joins, fixture values") {
+    // Q2: correlated scalar MIN over the repeated multi-join must become
+    // one aggregate joined back on p_partkey
+    val q2 = AuditQueries.q2MinCostSupplier(spark, part(spark, sf0001),
+      supplier(spark, sf0001), lineitem(spark, sf0001),
+      nation(spark, sf0001), region(spark, sf0001))
+    val o2 = q2.queryExecution.optimizedPlan.toString
+    assert(!o2.contains("scalar-subquery"), s"q2 scalar subquery survived:\n$o2")
+    val p2 = plan(q2)
+    assert(!p2.contains("Subquery"), s"q2 re-runs a subplan per row:\n$p2")
+    assert(q2.count() === 74L) // fixture-pinned (DuckDB cross-check)
+    // Q20: every IN level a semi join; the correlated sum decorrelated
+    val q20 = AuditQueries.q20ExcessShipments(spark, supplier(spark, sf0001),
+      lineitem(spark, sf0001), part(spark, sf0001),
+      nation(spark, sf0001), region(spark, sf0001))
+    val p20 = plan(q20)
+    assert(p20.contains("LeftSemi"), s"q20 IN chain did not plan semi joins:\n$p20")
+    assert(!p20.contains("Subquery"), s"q20 re-runs a subplan per group:\n$p20")
+    assert(q20.collect().map(_.getString(0)).toSeq ===
+      Seq("Supplier#000000002", "Supplier#000000005", "Supplier#000000007"))
+    // Q22: NOT EXISTS an anti join, the average one decorrelated scalar
+    val q22 = AuditQueries.q22GlobalSales(spark, customer(spark, sf0001),
+      orders(spark, sf0001))
+    val p22 = plan(q22)
+    assert(p22.contains("LeftAnti"), s"q22 NOT EXISTS not an anti join:\n$p22")
+    assert(q22.agg(org.apache.spark.sql.functions.sum("n_custs"))
+      .head().getLong(0) === 5L) // 5 no-urgent above-avg customers at sf0.001
+  }
+
   test("q_window_sql: three window functions share ONE Window operator (one shuffle+sort)") {
     val p = plan(AuditQueries.qWindowSql(spark, customer(spark, sf0001)))
     val windows = p.linesIterator.count(_.matches(""".*[+*]- Window \[.*"""))
