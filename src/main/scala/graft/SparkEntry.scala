@@ -465,6 +465,10 @@ object SparkEntry {
     "sim_ivf_kmeans" -> ((s, d) => SimOps.simIvfKmeans(embeddings(s, d))),
     "sink_ann_index" -> ((s, d) => SimOps.sinkAnnIndex(s, d)),
     "sim_kmeans" -> ((s, d) => SimOps.simKmeans(embeddings(s, d))),
+    "sim_pca_train" -> ((s, d) => SimOps.simPcaTrain(embeddings(s, d))),
+    "sim_eval_rank" -> ((s, d) => SimOps.simEvalRank(embeddings(s, d))),
+    "sim_pca_project" -> ((s, d) => SimOps.simPcaProject(embeddings(s, d))),
+    "sim_pca_explained" -> ((s, d) => SimOps.simPcaExplained(embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => SimOps.dedupSemantic(SimOps.plantNearDups(embeddings(s, d)))),
     "pipeline_pretrain" -> ((s, d) => LlmOps.pipelinePretrain(documents(s, d))),
     "pipeline_pretrain_v2" -> ((s, d) => PipelineOps.pipelinePretrainV2(documents(s, d))),
@@ -4423,6 +4427,52 @@ object SparkEntry {
     // Lloyd rounds unrolled like the pagerank oracle; everything integer-
     // exact, so even the learned centroids hash-match
     "sim_kmeans" -> kmeansOracleSql(16, 3, 64),
+    "sim_pca_train" -> pcaTrainOracleSql,
+    "sim_eval_rank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         a AS (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY round(list_dot_product(v, cv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9)
+                   DESC, cid) AS rn
+               FROM e CROSS JOIN c),
+         asn AS (SELECT vec_id, v, cid AS cell FROM a WHERE rn = 1),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         p AS (SELECT cid AS cell FROM c CROSS JOIN q
+               ORDER BY round(list_dot_product(cv, qv) /
+                 (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 9)
+                 DESC, cid LIMIT 4),
+         ann AS (SELECT vec_id, round(list_dot_product(v, qv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+               AS cos
+             FROM asn JOIN p USING(cell) CROSS JOIN q
+             WHERE vec_id <> 0
+             ORDER BY cos DESC, vec_id LIMIT 10),
+         ar AS (SELECT vec_id,
+               row_number() OVER (ORDER BY cos DESC, vec_id) AS arank FROM ann),
+         ex AS (SELECT vec_id, round(list_dot_product(v, qv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 9)
+               AS c9
+             FROM e CROSS JOIN q WHERE vec_id <> 0
+             ORDER BY c9 DESC, vec_id LIMIT 10),
+         er AS (SELECT vec_id,
+               row_number() OVER (ORDER BY c9 DESC, vec_id) AS erank FROM ex),
+         rels AS (SELECT ar.arank, coalesce(11 - er.erank, 0) AS rel
+                  FROM ar LEFT JOIN er USING (vec_id)),
+         dcg AS (SELECT CAST(sum(CAST(round(rel * 1e6 /
+                   (ln(arank + 1) / ln(2))) AS BIGINT)) AS BIGINT) AS dcg_u
+                 FROM rels),
+         idcg AS (SELECT CAST(sum(CAST(round((11 - erank) * 1e6 /
+                    (ln(erank + 1) / ln(2))) AS BIGINT)) AS BIGINT) AS idcg_u
+                  FROM er),
+         mrr AS (SELECT CAST(coalesce(1000000 // min(ar.arank), 0) AS BIGINT)
+                   AS mrr_u
+                 FROM er JOIN ar USING (vec_id) WHERE er.erank = 1)
+         SELECT (SELECT count(*) FROM er) AS k_eval, mrr_u, dcg_u, idcg_u,
+           CAST((dcg_u * 1000000) // idcg_u AS BIGINT) AS ndcg_u
+         FROM mrr CROSS JOIN dcg CROSS JOIN idcg""",
+    "sim_pca_project" -> pcaProjectOracleSql,
+    "sim_pca_explained" -> pcaExplainedOracleSql,
     // exact-integer 2-sigma tail: (d2*n - S2) > 0 and its square > 4*(n*S4 - S2^2)
     "sim_ood_detect" ->
       s"""WITH ${kmeansCte(16, 3, 64)},
@@ -5706,6 +5756,81 @@ object SparkEntry {
          SELECT label AS cluster, count(*) AS n_members, max(id) AS max_member
          FROM c$rounds GROUP BY label HAVING count(*) >= 2 ORDER BY cluster"""
   }
+
+  /** Exact-integer PCA power-iteration chain — the DuckDB replica of
+    * SimOps.pcaComponent (scatter matrix → ×10⁶ rescale → matvec rounds →
+    * sign flip). 1-based list indices internally; the per-entry SELECTs
+    * re-base to the Spark side's 0-based dim_idx.
+    */
+  private def pcaCtes(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val pv = s"v${r - 1}"
+      s""",
+         w$r AS (SELECT mm.i AS i, CAST(sum(mm.m * $pv.v) AS BIGINT) AS w
+                 FROM mm JOIN $pv ON mm.j = $pv.i GROUP BY mm.i),
+         d$r AS (SELECT max(abs(w)) // 1000000 + 1 AS d FROM w$r),
+         v$r AS (SELECT i, CAST(CASE WHEN w < 0 THEN -(abs(w) // d$r.d)
+                                ELSE w // d$r.d END AS BIGINT) AS v
+                 FROM w$r CROSS JOIN d$r)"""
+    }.mkString
+    s"""eq AS MATERIALIZED (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(round(x * 1000) AS BIGINT)) AS xq FROM embeddings),
+         nn AS (SELECT count(*)::BIGINT AS n FROM eq),
+         dims AS (SELECT unnest(range(1, 65)) AS i),
+         s1 AS MATERIALIZED (SELECT dims.i AS i,
+                  CAST(sum(xq[dims.i]) AS BIGINT) AS sx
+                FROM eq CROSS JOIN dims GROUP BY dims.i),
+         s2 AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+                  CAST(sum(xq[a.i] * xq[b.i]) AS BIGINT) AS s2
+                FROM eq CROSS JOIN dims a CROSS JOIN dims b GROUP BY a.i, b.i),
+         m0 AS (SELECT s2.i, s2.j, nn.n * s2.s2 - sa.sx * sb.sx AS bigm
+                FROM s2 JOIN s1 sa ON s2.i = sa.i JOIN s1 sb ON s2.j = sb.i
+                CROSS JOIN nn),
+         msc AS (SELECT max(abs(bigm)) // 1000000 + 1 AS d FROM m0),
+         mm AS MATERIALIZED (SELECT i, j, CAST(CASE WHEN bigm < 0
+                  THEN -(abs(bigm) // msc.d) ELSE bigm // msc.d END AS BIGINT) AS m
+                FROM m0 CROSS JOIN msc),
+         v0 AS (SELECT i, CAST(1000000 - (i - 1) * 1000 AS BIGINT) AS v
+                FROM dims)$steps,
+         lead_ AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS flip
+                   FROM v$rounds ORDER BY abs(v) DESC, i LIMIT 1),
+         vf AS MATERIALIZED (SELECT i, CAST(v * lead_.flip AS BIGINT) AS v
+                FROM v$rounds CROSS JOIN lead_)"""
+  }
+
+  private val pcaTrainOracleSql: String =
+    s"""WITH ${pcaCtes(8)}
+         SELECT CAST(i - 1 AS INTEGER) AS dim_idx, v AS loading_u
+         FROM vf ORDER BY dim_idx"""
+
+  private val pcaProjectOracleSql: String =
+    s"""WITH ${pcaCtes(8)},
+         varr AS (SELECT list(v ORDER BY i) AS vv FROM vf),
+         sc AS MATERIALIZED (SELECT vec_id,
+             CAST(list_sum([xq[k] * vv[k] FOR k IN range(1, 65)]) AS BIGINT)
+               AS score_u
+           FROM eq CROSS JOIN varr),
+         bnd AS (SELECT min(score_u) AS lo, max(score_u) AS hi FROM sc)
+         SELECT CAST(least((score_u - lo) * 10 // (hi - lo + 1), 9) AS BIGINT)
+             AS bucket,
+           count(*) AS n_vecs, min(score_u) AS lo_u, max(score_u) AS hi_u
+         FROM sc CROSS JOIN bnd GROUP BY 1 ORDER BY 1"""
+
+  private val pcaExplainedOracleSql: String =
+    s"""WITH ${pcaCtes(8)},
+         vk AS (SELECT i, CAST(CASE WHEN v < 0 THEN -(abs(v) // 1000)
+                                    ELSE v // 1000 END AS BIGINT) AS vk FROM vf),
+         nm AS (SELECT CAST(sum(a.vk * mm.m * b.vk) AS BIGINT) AS num
+                FROM mm JOIN vk a ON mm.i = a.i JOIN vk b ON mm.j = b.i),
+         dn AS (SELECT CAST(sum(vk * vk) AS BIGINT) AS den FROM vk),
+         tr AS (SELECT CAST(sum(m) AS BIGINT) AS tr FROM mm WHERE i = j),
+         res AS (SELECT num // den AS rayleigh_scaled, tr.tr AS trace_scaled,
+                   ((num // den) * 1000000) // tr.tr AS explained_ratio_u
+                 FROM nm CROSS JOIN dn CROSS JOIN tr)
+         SELECT 'explained_ratio_u' AS metric, explained_ratio_u AS value FROM res
+         UNION ALL SELECT 'rayleigh_scaled', rayleigh_scaled FROM res
+         UNION ALL SELECT 'trace_scaled', trace_scaled FROM res
+         ORDER BY metric"""
 
   private def kmeansOracleSql(k: Int, rounds: Int, dim: Int): String =
     s"""WITH ${kmeansCte(k, rounds, dim)}

@@ -1748,10 +1748,12 @@ object SimOps {
   }
 
   // `qSrc`: where the query vector lives — defaults to the corpus, but a
-  // FILTERED search must still draw the query from the unfiltered table
+  // FILTERED search must still draw the query from the unfiltered table.
+  // `excludeQueryId`: drop the query's own row BEFORE the top-k cut (the
+  // ranking-metrics audit wants k real neighbors, not the self hit).
   private def ivfScan(
       e: DataFrame, cents: DataFrame, qSrc: Option[DataFrame] = None,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, excludeQueryId: Option[Long] = None): DataFrame = {
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
     val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cid"),
@@ -1766,12 +1768,61 @@ object SimOps {
       .orderBy(desc("ccos"), asc("cid"))
       .limit(nprobe)
       .select(col("cid").as("cell"))
-    assigned
+    val pruned = assigned
       .join(broadcast(probes), "cell") // prune: scan only probed cells
       .crossJoin(broadcast(q))
       .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos"))
+    excludeQueryId.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(10)
+  }
+
+  /** Rank-aware retrieval evaluation — MRR and nDCG@10 of the IVF-pruned
+    * scan against the exact cosine ranking (the metrics a retrieval
+    * deployment actually reports; `sim_ivf_recall` counts set overlap,
+    * this scores ORDER). Relevance is graded by exact rank (rel = k+1 −
+    * exact_rank, 0 off-list); both lists exclude the query's own row so
+    * the self-hit can't inflate either metric. All metrics land as exact
+    * integer micro-units: per-term round-before-sum for DCG/IDCG (log2
+    * spelled ln(x)/ln(2) in both engines), integer division for MRR and
+    * the final nDCG ratio. Cost: the two k-row rankings (one pruned scan,
+    * one exact scan — a query-sample audit in production) plus k-row
+    * joins; every window runs on a k-row frame.
+    */
+  def simEvalRank(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val exact = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 9).as("c9"))
+      .orderBy(desc("c9"), asc("vec_id")).limit(k)
+    val er = exact
+      .withColumn("erank",
+        row_number().over(Window.orderBy(desc("c9"), asc("vec_id"))))
+      .select(col("vec_id"), col("erank"))
+      .localCheckpoint() // k-row frame feeds three consumers
+    val ar = ivfScan(e, cents, excludeQueryId = Some(0L))
+      .withColumn("arank",
+        row_number().over(Window.orderBy(desc("cos"), asc("vec_id"))))
+      .select(col("vec_id"), col("arank"))
+      .localCheckpoint()
+    def log2(c: Column): Column = log(c) / log(lit(2.0))
+    val rels = ar.join(er, Seq("vec_id"), "left")
+      .select(col("arank"),
+        coalesce(lit(k + 1) - col("erank"), lit(0)).as("rel"))
+    val dcg = rels.agg(sum(round(col("rel") * lit(1e6) /
+      log2(col("arank") + 1)).cast("long")).as("dcg_u"))
+    val idcg = er.agg(sum(round((lit(k + 1) - col("erank")) * lit(1e6) /
+      log2(col("erank") + 1)).cast("long")).as("idcg_u"))
+    val mrr = er.filter(col("erank") === 1).join(ar, Seq("vec_id"))
+      .agg(min(col("arank")).as("ma"))
+      .select(coalesce(expr("1000000 DIV ma"), lit(0L)).as("mrr_u"))
+    er.agg(count(lit(1)).as("k_eval"))
+      .crossJoin(mrr).crossJoin(dcg).crossJoin(idcg)
+      .select(col("k_eval"), col("mrr_u"), col("dcg_u"), col("idcg_u"),
+        expr("(dcg_u * 1000000) DIV idcg_u").as("ndcg_u"))
   }
 
   /** Milli-unit integer quantization: round(x·1000) as a long. k-means
@@ -2211,5 +2262,150 @@ object SimOps {
       .filter(col("ip") >= lit(tau))
       .select(col("vec_id"), round(col("ip"), 6).as("ip"))
       .orderBy(desc("ip"), asc("vec_id"))
+  }
+
+  /** LEARNED linear projection — top principal component of the embedding
+    * corpus via deterministic INTEGER power iteration, the data-aware
+    * sibling of the JL random projection above (random projection needs
+    * no training pass but is direction-blind; PCA spends one corpus scan
+    * to learn where the variance actually lives — the classic
+    * dimensionality-reduction pair every embedding pipeline chooses
+    * between).
+    *
+    * Exact-integer end to end (the kmeans/SGNS parity discipline):
+    *  - second moments from ONE corpus scan: each row's 64×64 outer
+    *    product flattens into a 4096-long array and partial aggregation
+    *    accumulates it per partition (the declarative spelling of "keep a
+    *    local scatter matrix per task, merge 4096-long states") — the
+    *    only corpus-sized stage, map-side combined, compact-key shuffle;
+    *  - the scatter matrix is the exact integer M = n·Σxxᵀ − (Σx)(Σx)ᵀ
+    *    over the ×1000-quantized embeddings (no division, no float mean;
+    *    exact up to ~2M rows in 64 dims — beyond that the quantized-
+    *    division variant applies, same shape);
+    *  - M rescales once to ≤10⁶ magnitude by integer division and the
+    *    8-round power iteration runs on the 4096-row table: matvec =
+    *    one broadcast join + 64-group aggregate per round, renormalized
+    *    to ≤10⁶ by sign·(|w| DIV (max|w| DIV 10⁶ + 1)) — all divisions
+    *    on non-negative operands so Spark DIV and DuckDB // agree by
+    *    construction;
+    *  - sign convention: flip so the largest-|component| dim (tie →
+    *    smallest index) is positive — a total-order rule both engines
+    *    replay.
+    * Convergence is NOT part of the contract — the output is defined as
+    * "8 rounds of this iteration", bit-identical on both engines; the
+    * explained-variance audit is what tells a user whether 8 sufficed.
+    * Returns (scaled scatter table m(i,j,m), component v(i,v), quantized
+    * corpus eq).
+    */
+  private[graft] def pcaComponent(embeddings: DataFrame, rounds: Int = 8)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
+    val eq = embeddings
+      .select(col("vec_id"), quantize1000(toVec(col("embedding"))).as("xq"))
+      .localCheckpoint()
+    val s2 = eq.select(posexplode(flatten(transform(col("xq"), xi =>
+        transform(col("xq"), xj => xi * xj)))).as(Seq("pos", "p")))
+      .groupBy(col("pos")).agg(sum(col("p")).as("s2"))
+      .select(expr("pos DIV 64").cast("int").as("i"),
+        expr("pos % 64").cast("int").as("j"), col("s2"))
+    val s1 = eq.select(posexplode(col("xq")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(sum(col("x")).as("sx"))
+    val nRow = eq.agg(count(lit(1)).as("n"))
+    val m0 = s2
+      .join(broadcast(s1.select(col("i"), col("sx").as("sx_i"))), "i")
+      .join(broadcast(s1.select(col("i").as("j"), col("sx").as("sx_j"))), "j")
+      .crossJoin(broadcast(nRow))
+      .select(col("i"), col("j"),
+        (col("n") * col("s2") - col("sx_i") * col("sx_j")).as("bigm"))
+    val mScale = m0.agg(max(abs(col("bigm"))).as("mx"))
+      .select((expr("mx DIV 1000000") + lit(1L)).as("d"))
+    val m = m0.crossJoin(broadcast(mScale))
+      .select(col("i"), col("j"),
+        (when(col("bigm") < 0, -1L).otherwise(1L) *
+          expr("abs(bigm) DIV d")).as("m"))
+      .localCheckpoint()
+    var v = spark.range(64).select(col("id").cast("int").as("i"),
+      (lit(1000000L) - col("id") * 1000L).as("v")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val w = m.join(broadcast(v.withColumnRenamed("i", "j")), "j")
+        .groupBy(col("i")).agg(sum(col("m") * col("v")).as("w"))
+      val d = w.agg(max(abs(col("w"))).as("mw"))
+        .select((expr("mw DIV 1000000") + lit(1L)).as("d"))
+      v = w.crossJoin(broadcast(d))
+        .select(col("i"), (when(col("w") < 0, -1L).otherwise(1L) *
+          expr("abs(w) DIV d")).as("v"))
+        .localCheckpoint()
+    }
+    val lead = v.orderBy(abs(col("v")).desc, col("i")).limit(1)
+      .select(when(col("v") < 0, -1L).otherwise(1L).as("flip"))
+    val vf = v.crossJoin(broadcast(lead))
+      .select(col("i"), (col("v") * col("flip")).as("v"))
+    (m, vf, eq)
+  }
+
+  /** The trained-component entry: 64 rows of (dim_idx, loading_u) —
+    * integer micro-unit loadings under the deterministic sign convention.
+    */
+  def simPcaTrain(embeddings: DataFrame): DataFrame = {
+    val (_, vf, _) = pcaComponent(embeddings)
+    vf.select(col("i").as("dim_idx"), col("v").as("loading_u"))
+      .orderBy("dim_idx")
+  }
+
+  /** Project the corpus onto the learned component and report the 1-D
+    * score distribution as a 10-bucket equal-width histogram (bucket,
+    * count, score extrema) — the audit a deployment reads before storing
+    * the reduced column. Scoring is one broadcast + codegen'd vector_dot
+    * per row (integers ≤ 3.2e10, exact in the double kernel); histogram
+    * edges are closed-form integer arithmetic off one min/max scalar row.
+    */
+  def simPcaProject(embeddings: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val (_, vf, eq) = pcaComponent(embeddings)
+    val varr = vf.groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
+        s => s.getField("v").cast("double")).as("vv"))
+    val scored = eq.crossJoin(broadcast(varr))
+      .select(col("vec_id"),
+        graft.plans.VectorFunctions.vectorDot(
+          col("xq").cast("array<double>"), col("vv")).cast("long").as("score_u"))
+    val bounds = scored.agg(min(col("score_u")).as("lo"), max(col("score_u")).as("hi"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("score_u"),
+        expr("least((score_u - lo) * 10 DIV (hi - lo + 1), 9)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("score_u")).as("lo_u"), max(col("score_u")).as("hi_u"))
+      .orderBy("bucket")
+  }
+
+  /** The explained-variance audit: Rayleigh quotient of the learned
+    * component against the scatter trace, all in exact scaled integers
+    * (÷1000 loadings keep every product within long range; divisions on
+    * non-negative operands only). `explained_ratio_u` is micro-units of
+    * the fraction of total variance the single component captures — the
+    * number that says whether 1-D (or the 8-round budget) was enough.
+    */
+  def simPcaExplained(embeddings: DataFrame): DataFrame = {
+    val (m, vf, _) = pcaComponent(embeddings)
+    val vk = vf.select(col("i"),
+      (when(col("v") < 0, -1L).otherwise(1L) * expr("abs(v) DIV 1000")).as("vk"))
+    val num = m
+      .join(broadcast(vk.select(col("i"), col("vk").as("vki"))), "i")
+      .join(broadcast(vk.select(col("i").as("j"), col("vk").as("vkj"))), "j")
+      .agg(sum(col("vki") * col("m") * col("vkj")).as("num"))
+    val den = vk.agg(sum(col("vk") * col("vk")).as("den"))
+    val tr = m.filter(col("i") === col("j")).agg(sum(col("m")).as("tr"))
+    num.crossJoin(broadcast(den)).crossJoin(broadcast(tr))
+      .select(
+        expr("num DIV den").as("rayleigh_scaled"),
+        col("tr").as("trace_scaled"),
+        expr("((num DIV den) * 1000000) DIV tr").as("explained_ratio_u"))
+      .selectExpr(
+        """stack(3,
+             'rayleigh_scaled', rayleigh_scaled,
+             'trace_scaled', trace_scaled,
+             'explained_ratio_u', explained_ratio_u) AS (metric, value)""")
+      .orderBy("metric")
   }
 }

@@ -83,6 +83,10 @@ class CollectGuardSpec extends SparkTestBase {
     // is ONE document's own segments, bounded by document length — the
     // same per-doc bound every text operator already carries
     "dedup_paragraph", "text_boilerplate",
+    // the PCA component fold (SimOps.simPcaProject): the collected array
+    // is the 64-loading principal component — the dim count is a plan
+    // constant, never a data-dependent group size
+    "sim_pca_project",
     // centroid/codebook assembly across the kmeans family: arrays of
     // k (≤16) centroids or 8 sub-codebooks — algorithm constants chosen
     // at plan time, not data-dependent group sizes

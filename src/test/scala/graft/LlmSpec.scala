@@ -904,4 +904,63 @@ class LlmSpec extends SparkTestBase {
     assert(new String(row.getAs[Array[Byte]]("payload"), "UTF-8") === doc0text)
     assert(row.getAs[Int]("payload_bytes") === doc0text.getBytes("UTF-8").length)
   }
+
+  test("sim_eval_rank: off-probe neighbor zeroes MRR and degrades nDCG; IDCG closed form") {
+    def unit(i: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(i) = 1.0f; a
+    }
+    // centroids 0..15 = basis vectors; query = vec 0 = x0; the query
+    // probes cells {0,1,2,3} (cos ties broken by cid). vec 17 is the BEST
+    // real neighbor (cos 0.6) but lives in cell 9 — never probed, so the
+    // pruned scan must miss it: MRR 0, nDCG strictly below 1.
+    val cents = (0 until 16).map(i => (i.toLong, unit(i)))
+    val planted = {
+      val a = Array.fill(64)(0.0f); a(9) = 0.8f; a(0) = 0.6f; (17L, a)
+    }
+    val bg = (18 until 40).map { id => // weak probed-cell neighbors, cos≈0.0995
+      val a = Array.fill(64)(0.0f); a(0) = 0.1f; a(20 + id % 5) = 1.0f
+      (id.toLong, a)
+    }
+    val df = ((cents :+ planted) ++ bg).toDF("vec_id", "embedding")
+    val row = operators.SimOps.simEvalRank(df).collect()(0)
+    assert(row.getLong(0) === 10L, s"k_eval: $row")
+    assert(row.getLong(1) === 0L, s"missed best neighbor must zero MRR: $row")
+    assert(row.getLong(4) > 0L && row.getLong(4) < 1000000L,
+      s"nDCG must degrade but not vanish: $row")
+    // IDCG@10 is corpus-independent once 10 items rank: pin the per-term
+    // round-before-sum constant exactly
+    val idcgExpected = (1 to 10)
+      .map(i => math.round((11 - i) * 1e6 / (math.log(i + 1.0) / math.log(2.0))))
+      .sum
+    assert(row.getLong(3) === idcgExpected, s"IDCG closed form: $row")
+  }
+
+  test("sim_pca: planted dominant direction recovered, sign convention, explained ratio") {
+    // 200 synthetic vectors where dim 7 carries ~4 orders of magnitude
+    // more variance than every other dim — the top principal component
+    // must land on it, positive under the sign convention, and the
+    // 1-D explained-variance ratio must read ~1.
+    val embs = (0 until 200).map { id =>
+      val v = (0 until 64).map { i =>
+        if (i == 7) ((id % 41) - 20) / 10.0f
+        else (((id * 31 + i * 7) % 21) - 10) / 1000.0f
+      }.toArray
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val loadings = operators.SimOps.simPcaTrain(embs).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (leadDim, leadV) = loadings.maxBy { case (_, v) => math.abs(v) }
+    assert(leadDim === 7, s"dominant dim not recovered: lead=$leadDim")
+    assert(leadV > 0L, "sign convention must make the lead loading positive")
+    val othersMax = loadings.filter(_._1 != 7).values.map(math.abs).max
+    assert(othersMax * 10 <= math.abs(leadV),
+      s"planted direction must dominate 10x: lead=$leadV others<=$othersMax")
+    val expl = operators.SimOps.simPcaExplained(embs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(expl("explained_ratio_u") > 900000L,
+      s"planted 1-D corpus must be ~fully explained: $expl")
+    // the projection histogram covers every vector exactly once
+    val hist = operators.SimOps.simPcaProject(embs)
+    assert(hist.agg(sum("n_vecs")).head().getLong(0) === 200L)
+  }
 }

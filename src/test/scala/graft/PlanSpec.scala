@@ -75,6 +75,16 @@ class PlanSpec extends SparkTestBase {
       "histogram rank must be bit-identical to ORDER BY row_number")
   }
 
+  test("sim_pca: no shuffle join anywhere — model state broadcasts, corpus only scans") {
+    // train: the 64-row component joins only via broadcast; project: the
+    // folded component broadcasts into a map-side vector_dot scan
+    val pt = plan(SimOps.simPcaTrain(Tables.embeddings(spark, sf0001)))
+    assert(!pt.contains("SortMergeJoin"), s"PCA train shuffle-joined:\n$pt")
+    val pp = plan(SimOps.simPcaProject(Tables.embeddings(spark, sf0001)))
+    assert(!pp.contains("SortMergeJoin"), s"PCA project shuffle-joined:\n$pp")
+    assert(pp.contains("vector_dot"), s"projection not the native kernel:\n$pp")
+  }
+
   test("sim_maxsim: pure broadcast scan into TakeOrderedAndProject, native dot kernel") {
     val p = plan(SimOps.simMaxSim(Tables.embeddings(spark, sf0001)))
     assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
