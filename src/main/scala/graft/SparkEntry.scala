@@ -538,6 +538,9 @@ object SparkEntry {
     "quality_drift_psi" -> ((s, d) => QualityOps.qualityDriftPsi(orders(s, d))),
     "quality_freshness" -> ((s, d) => QualityOps.qualityFreshness(events(s, d))),
     "quality_anomaly" -> ((s, d) => QualityOps.qualityAnomaly(events(s, d))),
+    "ts_seasonal_decompose" ->
+      ((s, d) => QualityOps.tsSeasonalDecompose(events(s, d))),
+    "q_pareto_skyline" -> ((s, d) => SortSetOps.paretoSkyline(orders(s, d))),
     // [EXT] r12: BM25 retrieval scoring, weighted reservoir sampling,
     // JL random projection + its neighbor-preservation audit
     "text_bm25" -> ((s, d) => TextOps.textBm25(documents(s, d))),
@@ -5265,6 +5268,28 @@ object SparkEntry {
     // and the outlier flag is an integer cross-multiplication — no
     // float rounding anywhere
     "quality_anomaly" -> qualityAnomalyOracleSql,
+    "ts_seasonal_decompose" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+             FROM events GROUP BY 1),
+         d2 AS (SELECT day, n, CAST(dayofweek(day) AS INTEGER) AS dow FROM daily),
+         s AS (SELECT dow, CAST((sum(n) * 1000000) // count(*) AS BIGINT)
+                 AS seasonal_u
+               FROM d2 GROUP BY dow)
+         SELECT strftime(day, '%Y-%m-%d') AS day, dow, n, seasonal_u,
+           CAST(n * 1000000 - seasonal_u AS BIGINT) AS residual_u
+         FROM d2 JOIN s USING (dow) ORDER BY day""",
+    // the oracle keeps the naive quadratic dominance spelling the
+    // bucketed-cummax plan must equal
+    "q_pareto_skyline" ->
+      """WITH p AS (SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dt
+           FROM orders)
+         SELECT k, price_c, dt FROM p a
+         WHERE NOT EXISTS (SELECT 1 FROM p b
+           WHERE b.price_c <= a.price_c AND b.dt >= a.dt
+             AND (b.price_c < a.price_c OR b.dt > a.dt))
+         ORDER BY price_c, dt, k""",
     // streaming twin maintains the day histogram incrementally and scores
     // the drained state with the same kernel -> identical output, same oracle
     "stream_anomaly" -> qualityAnomalyOracleSql,

@@ -282,6 +282,31 @@ object QualityOps {
       .orderBy("day")
   }
 
+  /** Weekday SEASONAL DECOMPOSITION of the daily event-volume series —
+    * the deseasonalizing sibling of [[qualityAnomaly]]: a Monday dip that
+    * is NORMAL for Mondays should not page anyone, so the monitor needs
+    * observed = seasonal (per-weekday mean) + residual. Integer-exact:
+    * the seasonal component is (sum·10⁶) DIV count per weekday (both
+    * engines truncate identically on non-negative counts), residual in
+    * the same micro-units. Scale shape: the day histogram is the one
+    * corpus aggregate; the weekday table is 7 rows broadcast back —
+    * everything downstream is calendar-bounded.
+    */
+  def tsSeasonalDecompose(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast("int"))
+    val seasonal = daily.groupBy(col("dow"))
+      .agg(expr("(sum(n) * 1000000) DIV count(*)").as("seasonal_u"))
+    daily.join(broadcast(seasonal), "dow")
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dow"), col("n"), col("seasonal_u"),
+        (col("n") * 1000000L - col("seasonal_u")).as("residual_u"))
+      .orderBy("day")
+  }
+
   /** Freshness audit: per event type, event count, last-seen timestamp
     * (epoch micros — the cross-engine timestamp contract), lag behind the
     * freshest type, and a stale flag at a 20-minute SLA. The global max

@@ -132,4 +132,49 @@ object SortSetOps {
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_common"))
       .orderBy("o_custkey")
   }
+
+  /** PARETO SKYLINE (dominance) — orders no other order beats on BOTH
+    * dials at once (minimize price, maximize recency; strict somewhere).
+    * A new operator class for the registry: dominance is a quadratic
+    * NOT-EXISTS theta-join spelled naively (the oracle keeps that
+    * spelling), but on a 2-D skyline it collapses to a CUMULATIVE MAX
+    * along the price order — a point survives iff no strictly-cheaper
+    * point is at least as recent and no equal-price point is strictly
+    * more recent. The cumulative max itself would be an unpartitioned
+    * corpus window, so it runs TWO-LEVEL (the denseRankById machinery a
+    * third time): ≤1024 contiguous price buckets (lower bucket ⇒
+    * strictly smaller price, so the running bucket-max is exactly "max
+    * recency among cheaper buckets"), the only unpartitioned window on
+    * the ≤1024-row bucket frame, and the intra-bucket strict-price
+    * cummax as a RANGE frame PARTITIONED by bucket. Prices compare in
+    * exact cents, dates in exact epoch days — no float anywhere.
+    */
+  def paretoSkyline(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = orders.select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"),
+      datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("dt"))
+    val b = pts.agg(min(col("price_c")), max(col("price_c"))).head()
+    val lo = b.getLong(0)
+    val width = (b.getLong(1) - lo) / 1024L + 1L
+    val bucketed = pts.withColumn("bkt",
+      expr(s"CAST((price_c - (${lo}L)) DIV ${width}L AS LONG)"))
+    val below = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val bmax = bucketed.groupBy(col("bkt")).agg(max(col("dt")).as("bmx"))
+      .withColumn("below_mx", max(col("bmx")).over(below)) // ≤1024-row window
+      .select(col("bkt"), col("below_mx"))
+    val strictLess = Window.partitionBy("bkt").orderBy("price_c")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val samePrice = Window.partitionBy("price_c")
+    val flagged = bucketed.join(broadcast(bmax), "bkt")
+      .withColumn("less_mx",
+        greatest(coalesce(col("below_mx"), lit(Long.MinValue)),
+          coalesce(max(col("dt")).over(strictLess), lit(Long.MinValue))))
+      .withColumn("same_mx", max(col("dt")).over(samePrice))
+      .filter(!(col("less_mx") >= col("dt") || col("same_mx") > col("dt")))
+    flagged.select(col("k"), col("price_c"), col("dt"))
+      .orderBy("price_c", "dt", "k")
+  }
 }

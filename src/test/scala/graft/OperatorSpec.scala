@@ -1437,4 +1437,55 @@ class OperatorSpec extends SparkTestBase {
     assert(got(6L) === ((20.0, 0.0)))
     assert(got(7L) === ((20.0, 15.0)))
   }
+
+  test("q_pareto_skyline: crafted dominance cases + brute-force equality on the fixture") {
+    import java.sql.Timestamp
+    def ts(s: String): Timestamp = Timestamp.valueOf(s + " 00:00:00")
+    // hand-crafted: duplicates survive together (no strict dominance),
+    // equal-price-newer dominates, equal-date-cheaper dominates
+    val crafted = Seq(
+      (1L, 100.00, ts("1995-01-10")), // dominated by 2 (same price, newer)
+      (2L, 100.00, ts("1995-03-10")), // skyline
+      (3L, 150.00, ts("1995-02-01")), // dominated by 2 (cheaper AND newer)
+      (4L, 150.00, ts("1995-06-01")), // skyline (newest)
+      (5L, 90.00, ts("1995-01-01")),  // skyline (cheapest)
+      (6L, 90.00, ts("1995-01-01")),  // duplicate of 5 — both survive
+      (7L, 200.00, ts("1995-06-01"))  // dominated by 4 (cheaper, same date)
+    ).toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val got = SortSetOps.paretoSkyline(crafted).select("k").as[Long].collect().toSet
+    assert(got === Set(2L, 4L, 5L, 6L), s"crafted skyline wrong: $got")
+    // property: the bucketed-cummax plan equals the naive quadratic
+    // dominance anti-join on the real fixture
+    val orders = Tables.orders(spark, sf0001)
+    val pts = orders.select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"),
+      datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("dt"))
+    val a = pts.as("a")
+    val b = pts.select(col("price_c").as("bp"), col("dt").as("bd"))
+    val brute = a.join(b,
+        col("bp") <= col("price_c") && col("bd") >= col("dt") &&
+          (col("bp") < col("price_c") || col("bd") > col("dt")), "left_anti")
+      .select("k").as[Long].collect().toSet
+    val fast = SortSetOps.paretoSkyline(orders).select("k").as[Long].collect().toSet
+    assert(fast === brute, s"bucketed skyline != brute force: " +
+      s"onlyFast=${(fast -- brute).take(5)} onlyBrute=${(brute -- fast).take(5)}")
+  }
+
+  test("ts_seasonal_decompose: hand-computed weekday means and residuals") {
+    import java.sql.Timestamp
+    // 2024-01-01 and 2024-01-08 are Mondays (counts 3, 5 → mean 4);
+    // 2024-01-02 a Tuesday (count 2 → mean 2, residual 0)
+    val rows =
+      (1 to 3).map(i => (100L + i, Timestamp.valueOf(s"2024-01-01 10:00:0$i"))) ++
+      (1 to 5).map(i => (200L + i, Timestamp.valueOf(s"2024-01-08 10:00:0$i"))) ++
+      (1 to 2).map(i => (300L + i, Timestamp.valueOf(s"2024-01-02 10:00:0$i")))
+    val events = rows.toDF("event_id", "ts")
+    val got = QualityOps.tsSeasonalDecompose(events).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got("2024-01-01") === ((1, 3L, 4000000L, -1000000L)))
+    assert(got("2024-01-08") === ((1, 5L, 4000000L, 1000000L)))
+    assert(got("2024-01-02") === ((2, 2L, 2000000L, 0L)))
+  }
 }

@@ -54,6 +54,17 @@ class PlanSpec extends SparkTestBase {
       s"k-grid window must be partitioned by bkt:\n${unpartitionedOverK.mkString("\n")}")
   }
 
+  test("q_pareto_skyline: price cummax windows are bucket-partitioned, no quadratic join") {
+    val p = plan(SortSetOps.paretoSkyline(orders(spark, sf0001)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline degraded to a quadratic join:\n$p")
+    val overPrice = p.linesIterator
+      .filter(w => w.contains("Window ") && w.contains("price_c#")
+        && w.contains("ASC") && !w.contains("bkt")).toSeq
+    assert(overPrice.isEmpty,
+      s"price-ORDERED window must be partitioned by bkt:\n${overPrice.mkString("\n")}")
+  }
+
   test("node_embed denseRankById: corpus rank is bucket-partitioned, equals the single-partition spelling") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
