@@ -475,6 +475,8 @@ object SparkEntry {
     "pipeline_pack" -> ((s, d) => PipelineOps.pipelinePack(documents(s, d))),
     "pipeline_quality_classifier" ->
       ((s, d) => PipelineOps.pipelineQualityClassifier(documents(s, d))),
+    "pipeline_classifier_calibration" ->
+      ((s, d) => PipelineOps.pipelineClassifierCalibration(documents(s, d))),
     "pipeline_mix" -> ((s, d) => PipelineOps.pipelineMix(documents(s, d))),
     "pipeline_split" -> ((s, d) => PipelineOps.pipelineSplit(documents(s, d))),
     "pipeline_length_buckets" ->
@@ -3961,44 +3963,30 @@ object SparkEntry {
     // training replayed exactly: algebraic sigmoid (no exp — identical
     // IEEE arithmetic on both engines) + integer-microunit gradient
     // quantization make each unrolled round bit-reproducible
-    "pipeline_quality_classifier" -> {
-      def round_(w: (String, String, String), i: Int): String = {
-        val (a, b, c) = w
-        s"""p$i AS (SELECT x1, x2, y,
-              0.5 + ($a + $b * x1 + $c * x2) /
-                (2.0 * (1.0 + abs($a + $b * x1 + $c * x2))) AS sig
-            FROM f, w${i - 1}),
-         g$i AS (SELECT
-              sum(round((sig - y) * 1e6)::BIGINT) AS s0,
-              sum(round((sig - y) * x1 * 1e6)::BIGINT) AS s1,
-              sum(round((sig - y) * x2 * 1e6)::BIGINT) AS s2,
-              count(*) AS n
-            FROM p$i),
-         w$i AS (SELECT a - 0.5 * (s0 / 1000000.0) / n AS a,
-                        b - 0.5 * (s1 / 1000000.0) / n AS b,
-                        c - 0.5 * (s2 / 1000000.0) / n AS c
-                 FROM w${i - 1}, g$i)"""
-      }
-      val w = ("a", "b", "c")
-      s"""WITH f AS (SELECT doc_id,
-              length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
-                / length(text) AS x1,
-              len(list_intersect(list_distinct(str_split(text, ' ')),
-                  ['the','and','of','to','in','a','is','it']))::DOUBLE / 8.0 AS x2,
-              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-            FROM documents),
-         w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c),
-         ${round_(w, 1)},
-         ${round_(w, 2)},
-         ${round_(w, 3)}
-         SELECT doc_id, round(sig, 6) AS score, sig >= 0.5 AS pred_en,
-           y = 1.0 AS is_en
-         FROM (SELECT doc_id, y,
-                 0.5 + (a + b * x1 + c * x2) /
-                   (2.0 * (1.0 + abs(a + b * x1 + c * x2))) AS sig
-               FROM f, w3)
-         ORDER BY doc_id"""
-    },
+    "pipeline_quality_classifier" ->
+      s"""WITH $classifierScoredCtes
+         SELECT doc_id, score, pred_en, is_en FROM scored ORDER BY doc_id""",
+    // reliability bins + ECE over the SAME scored chain (shared CTEs —
+    // the audit cannot drift from the classifier it audits)
+    "pipeline_classifier_calibration" ->
+      s"""WITH $classifierScoredCtes,
+         b AS (SELECT CAST(least(CAST(floor(score * 10) AS BIGINT), 9)
+                 AS INTEGER) AS bin,
+               CAST(round(score * 1e6) AS BIGINT) AS score_u,
+               CAST(CASE WHEN is_en THEN 1 ELSE 0 END AS BIGINT) AS pos
+             FROM scored),
+         bins AS (SELECT bin, count(*) AS n,
+               CAST(sum(score_u) // count(*) AS BIGINT) AS mean_score_u,
+               CAST((sum(pos) * 1000000) // count(*) AS BIGINT) AS pos_rate_u
+             FROM b GROUP BY bin),
+         g AS (SELECT bin, n, mean_score_u, pos_rate_u,
+                 CAST(abs(mean_score_u - pos_rate_u) AS BIGINT) AS gap_u
+               FROM bins)
+         SELECT bin, n, mean_score_u, pos_rate_u, gap_u FROM g
+         UNION ALL
+         SELECT -1, CAST(sum(n) AS BIGINT), NULL, NULL,
+           CAST(sum(n * gap_u) // sum(n) AS BIGINT) FROM g
+         ORDER BY bin""",
     // per-vector cell assignment depends only on the frozen codebook, so
     // the streamed, partitioned store equals the one-pass batch
     // assignment (same a/asn CTEs as the sim_ivf oracle)
@@ -5780,6 +5768,47 @@ object SparkEntry {
          c0 AS MATERIALIZED (SELECT vec_id AS id, vec_id AS label FROM e)$steps
          SELECT label AS cluster, count(*) AS n_members, max(id) AS max_member
          FROM c$rounds GROUP BY label HAVING count(*) >= 2 ORDER BY cluster"""
+  }
+
+  /** The trained quality-classifier scoring chain (3 unrolled GD rounds,
+    * the algebraic sigmoid, micro-unit gradients) ending in
+    * `scored(doc_id, score, pred_en, is_en)` — shared by the classifier
+    * entry and the calibration audit so the audit replays EXACTLY the
+    * model it audits.
+    */
+  private val classifierScoredCtes: String = {
+    def round_(i: Int): String =
+      s"""p$i AS (SELECT x1, x2, y,
+              0.5 + (a + b * x1 + c * x2) /
+                (2.0 * (1.0 + abs(a + b * x1 + c * x2))) AS sig
+            FROM f, w${i - 1}),
+         g$i AS (SELECT
+              sum(round((sig - y) * 1e6)::BIGINT) AS s0,
+              sum(round((sig - y) * x1 * 1e6)::BIGINT) AS s1,
+              sum(round((sig - y) * x2 * 1e6)::BIGINT) AS s2,
+              count(*) AS n
+            FROM p$i),
+         w$i AS (SELECT a - 0.5 * (s0 / 1000000.0) / n AS a,
+                        b - 0.5 * (s1 / 1000000.0) / n AS b,
+                        c - 0.5 * (s2 / 1000000.0) / n AS c
+                 FROM w${i - 1}, g$i)"""
+    s"""f AS (SELECT doc_id,
+              length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+                / length(text) AS x1,
+              len(list_intersect(list_distinct(str_split(text, ' ')),
+                  ['the','and','of','to','in','a','is','it']))::DOUBLE / 8.0 AS x2,
+              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+            FROM documents),
+         w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c),
+         ${round_(1)},
+         ${round_(2)},
+         ${round_(3)},
+         scored AS (SELECT doc_id, round(sig, 6) AS score, sig >= 0.5 AS pred_en,
+             y = 1.0 AS is_en
+           FROM (SELECT doc_id, y,
+                   0.5 + (a + b * x1 + c * x2) /
+                     (2.0 * (1.0 + abs(a + b * x1 + c * x2))) AS sig
+                 FROM f, w3))"""
   }
 
   /** Exact-integer PCA power-iteration chain — the DuckDB replica of

@@ -528,6 +528,42 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** CALIBRATION audit of the trained quality classifier — the 10-bin
+    * reliability table (mean predicted probability vs empirical positive
+    * rate per score bin, exact integer micro-units) plus the Expected
+    * Calibration Error summary row (bin −1, the drift_psi summary
+    * convention). A filter threshold is only meaningful if the scores
+    * are calibrated — a classifier that says 0.9 and is right 60% of the
+    * time quarantines the wrong documents — so the audit ships WITH the
+    * trainer (composes `pipelineQualityClassifier` verbatim; the oracle
+    * shares the scored CTE chain, so audit and model cannot drift).
+    * Scale: one pass over the scored corpus into a ≤10-row bin table;
+    * ECE is integer arithmetic on that table.
+    */
+  def pipelineClassifierCalibration(documents: DataFrame): DataFrame = {
+    val scored = pipelineQualityClassifier(documents)
+    val b = scored.select(
+      least(floor(col("score") * 10).cast("long"), lit(9L)).cast("int").as("bin"),
+      round(col("score") * 1e6).cast("long").as("score_u"),
+      when(col("is_en"), 1L).otherwise(0L).as("pos"))
+    val bins = b.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"),
+      expr("sum(score_u) DIV count(1)").as("mean_score_u"),
+      expr("(sum(pos) * 1000000) DIV count(1)").as("pos_rate_u"))
+      .withColumn("gap_u", abs(col("mean_score_u") - col("pos_rate_u")))
+      .localCheckpoint() // ≤10 rows feed both the table and the summary
+    val summary = bins.agg(
+      sum(col("n")).as("n"),
+      expr("sum(n * gap_u) DIV sum(n)").as("ece_u"))
+      .select(lit(-1).as("bin"), col("n"),
+        lit(null).cast("long").as("mean_score_u"),
+        lit(null).cast("long").as("pos_rate_u"),
+        col("ece_u").as("gap_u"))
+    bins.select("bin", "n", "mean_score_u", "pos_rate_u", "gap_u")
+      .unionByName(summary)
+      .orderBy("bin")
+  }
+
   def pipelinePretrainV2(documents: DataFrame): DataFrame = {
     val base = documents.select(col("doc_id"), col("text"))
     // duplicate-trigram fraction, the text_repetition construction —

@@ -347,6 +347,34 @@ class PipelineSpec extends SparkTestBase {
     assert(rerun === out)
   }
 
+  test("pipeline_classifier_calibration: bin accounting, ECE identity, spread corpus fills bins") {
+    import spark.implicits._
+    // crafted spread: strongly-English docs (all-lowercase + every
+    // stopword) vs symbol-heavy non-English — after 3 GD rounds the two
+    // classes score far enough apart to land in different bins
+    val docs = (0 until 60).map { i =>
+      if (i % 2 == 0)
+        (i.toLong, "the and of to in a is it words here more lowercase text", "en")
+      else
+        (i.toLong, "ZZZZ 9999 #### XXXX 0000 @@@@ YYYY 8888 $$$$ WWWW", "xx")
+    }.toDF("doc_id", "text", "lang")
+    val out = PipelineOps.pipelineClassifierCalibration(docs).collect()
+    val binRows = out.filter(_.getInt(0) >= 0)
+    val summary = out.filter(_.getInt(0) === -1).head
+    assert(binRows.length >= 2, s"spread corpus must fill >=2 bins: ${out.toSeq}")
+    // accounting: bin populations sum to the corpus; summary repeats it
+    assert(binRows.map(_.getLong(1)).sum === 60L)
+    assert(summary.getLong(1) === 60L)
+    // every rate/mean stays in [0, 1e6] micro-units
+    binRows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L, s"mean: $r")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L, s"rate: $r")
+    }
+    // the ECE identity: summary gap = sum(n·gap) DIV sum(n) of the bins
+    val ece = binRows.map(r => r.getLong(1) * r.getLong(4)).sum / 60L
+    assert(summary.getLong(4) === ece, s"ECE mismatch: ${summary.getLong(4)} vs $ece")
+  }
+
   test("pipeline_preference_pairs: argmax/argmin picks, tie-break, and degenerate-group drop") {
     import spark.implicits._
     val docs = Seq(
