@@ -135,6 +135,9 @@ object Bench {
     "stream_quality",       // streaming validation counters over staged quarters
     "pipeline_unigram_lm",  // unigram-LM tokenizer trainer (Viterbi hard-EM x2)
     "text_bm25",            // BM25 scoring + per-term top-k
+    // r13: the learned-projection family's heaviest form (scatter scan +
+    // two deflated power iterations) joins the gate
+    "sim_pca_train2",
   )
 
   def main(args: Array[String]): Unit = {

@@ -267,6 +267,7 @@ object SparkEntry {
     "win_gap_fill" -> ((s, d) => WindowOps.gapFill(events(s, d))),
     "win_interpolate" -> ((s, d) => WindowOps.winInterpolate(events(s, d))),
     "stream_anomaly" -> ((s, d) => StreamOps.streamAnomaly(s, d)),
+    "stream_seasonal" -> ((s, d) => StreamOps.streamSeasonal(s, d)),
     "quality_report" -> ((s, d) => QualityOps.qualityReport(
       orders(s, d), customer(s, d), lineitem(s, d), events(s, d))),
     "sim_rp_width_sweep" -> ((s, d) => SimOps.simRpWidthSweep(embeddings(s, d))),
@@ -467,6 +468,7 @@ object SparkEntry {
     "sim_kmeans" -> ((s, d) => SimOps.simKmeans(embeddings(s, d))),
     "sim_pca_train" -> ((s, d) => SimOps.simPcaTrain(embeddings(s, d))),
     "sim_eval_rank" -> ((s, d) => SimOps.simEvalRank(embeddings(s, d))),
+    "sim_pca_train2" -> ((s, d) => SimOps.simPcaTrain2(embeddings(s, d))),
     "sim_pca_project" -> ((s, d) => SimOps.simPcaProject(embeddings(s, d))),
     "sim_pca_explained" -> ((s, d) => SimOps.simPcaExplained(embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => SimOps.dedupSemantic(SimOps.plantNearDups(embeddings(s, d)))),
@@ -643,6 +645,17 @@ object SparkEntry {
            g.gmax - last_seen_us AS lag_us,
            CASE WHEN g.gmax - last_seen_us > 1200000000 THEN 1 ELSE 0 END AS stale
          FROM p CROSS JOIN g ORDER BY event_type"""
+  private val tsSeasonalOracleSql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+           FROM events GROUP BY 1),
+       d2 AS (SELECT day, n, CAST(dayofweek(day) AS INTEGER) AS dow FROM daily),
+       s AS (SELECT dow, CAST((sum(n) * 1000000) // count(*) AS BIGINT)
+               AS seasonal_u
+             FROM d2 GROUP BY dow)
+       SELECT strftime(day, '%Y-%m-%d') AS day, dow, n, seasonal_u,
+         CAST(n * 1000000 - seasonal_u AS BIGINT) AS residual_u
+       FROM d2 JOIN s USING (dow) ORDER BY day"""
+
   private val qualityAnomalyOracleSql: String =
     """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
            FROM events GROUP BY 1),
@@ -4463,6 +4476,14 @@ object SparkEntry {
            CAST((dcg_u * 1000000) // idcg_u AS BIGINT) AS ndcg_u
          FROM mrr CROSS JOIN dcg CROSS JOIN idcg""",
     "sim_pca_project" -> pcaProjectOracleSql,
+    "sim_pca_train2" ->
+      s"""WITH ${pcaCtes(8)},
+         ${pca2Ctes(8)}
+         SELECT 1 AS component, CAST(i - 1 AS INTEGER) AS dim_idx,
+           v AS loading_u FROM vf
+         UNION ALL
+         SELECT 2, CAST(i - 1 AS INTEGER), v FROM vf2
+         ORDER BY component, dim_idx""",
     "sim_pca_explained" -> pcaExplainedOracleSql,
     // exact-integer 2-sigma tail: (d2*n - S2) > 0 and its square > 4*(n*S4 - S2^2)
     "sim_ood_detect" ->
@@ -5256,16 +5277,10 @@ object SparkEntry {
     // and the outlier flag is an integer cross-multiplication — no
     // float rounding anywhere
     "quality_anomaly" -> qualityAnomalyOracleSql,
-    "ts_seasonal_decompose" ->
-      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
-             FROM events GROUP BY 1),
-         d2 AS (SELECT day, n, CAST(dayofweek(day) AS INTEGER) AS dow FROM daily),
-         s AS (SELECT dow, CAST((sum(n) * 1000000) // count(*) AS BIGINT)
-                 AS seasonal_u
-               FROM d2 GROUP BY dow)
-         SELECT strftime(day, '%Y-%m-%d') AS day, dow, n, seasonal_u,
-           CAST(n * 1000000 - seasonal_u AS BIGINT) AS residual_u
-         FROM d2 JOIN s USING (dow) ORDER BY day""",
+    "ts_seasonal_decompose" -> tsSeasonalOracleSql,
+    // batch-equivalence: the streaming twin drains the same day
+    // histogram and scores it with the shared kernel
+    "stream_seasonal" -> tsSeasonalOracleSql,
     // the oracle keeps the naive quadratic dominance spelling the
     // bucketed-cummax plan must equal
     "q_pareto_skyline" ->
@@ -5850,6 +5865,38 @@ object SparkEntry {
                    FROM v$rounds ORDER BY abs(v) DESC, i LIMIT 1),
          vf AS MATERIALIZED (SELECT i, CAST(v * lead_.flip AS BIGINT) AS v
                 FROM v$rounds CROSS JOIN lead_)"""
+  }
+
+  /** The deflated second-component chain — appended after pcaCtes; each
+    * round renormalizes the matvec then subtracts the integer-quantized
+    * projection onto the first component (signed // ≡ Spark DIV).
+    */
+  private def pca2Ctes(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s""",
+         w2_$r AS MATERIALIZED (SELECT mm.i AS i,
+                   CAST(sum(mm.m * u2_${r - 1}.v) AS BIGINT) AS w
+                 FROM mm JOIN u2_${r - 1} ON mm.j = u2_${r - 1}.i GROUP BY mm.i),
+         e2_$r AS (SELECT max(abs(w)) // 1000000 + 1 AS d FROM w2_$r),
+         p2_$r AS MATERIALIZED (SELECT i,
+                   CAST(CASE WHEN w < 0 THEN -(abs(w) // e2_$r.d)
+                                ELSE w // e2_$r.d END AS BIGINT) AS v
+                 FROM w2_$r CROSS JOIN e2_$r),
+         q2_$r AS (SELECT CAST(t.r // denk.denk AS BIGINT) AS q
+                 FROM (SELECT CAST(sum(p.v * vf.v) AS BIGINT) AS r
+                       FROM p2_$r p JOIN vf ON p.i = vf.i) t CROSS JOIN denk),
+         u2_$r AS MATERIALIZED (SELECT p.i,
+                   CAST(p.v - (q2_$r.q * vf.v) // 1000000 AS BIGINT) AS v
+                 FROM p2_$r p JOIN vf ON p.i = vf.i CROSS JOIN q2_$r)"""
+    }.mkString
+    s"""denk AS (SELECT CAST(sum(v * v) AS BIGINT) // 1000000 + 1 AS denk FROM vf),
+         u2_0 AS (SELECT i,
+                CAST(1000000 - ((i - 1) * 7919) % 64 * 1000 AS BIGINT) AS v
+              FROM dims)$steps,
+         lead2_ AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS flip
+                   FROM u2_$rounds ORDER BY abs(v) DESC, i LIMIT 1),
+         vf2 AS (SELECT i, CAST(v * lead2_.flip AS BIGINT) AS v
+                FROM u2_$rounds CROSS JOIN lead2_)"""
   }
 
   private val pcaTrainOracleSql: String =

@@ -292,14 +292,21 @@ object QualityOps {
     * corpus aggregate; the weekday table is 7 rows broadcast back —
     * everything downstream is calendar-bounded.
     */
-  def tsSeasonalDecompose(events: DataFrame): DataFrame = {
-    val daily = events
+  def tsSeasonalDecompose(events: DataFrame): DataFrame =
+    seasonalScore(events
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("dow", (dayofweek(col("day")) - 1).cast("int"))
-    val seasonal = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The weekday decomposition over a (day, n) histogram — shared by the
+    * batch entry and the streaming twin (`StreamOps.streamSeasonal`),
+    * which maintains the histogram incrementally and decomposes the
+    * drained state (the anomalyScore sharing pattern).
+    */
+  private[graft] def seasonalScore(daily: DataFrame): DataFrame = {
+    val dowed = daily.withColumn("dow", (dayofweek(col("day")) - 1).cast("int"))
+    val seasonal = dowed.groupBy(col("dow"))
       .agg(expr("(sum(n) * 1000000) DIV count(*)").as("seasonal_u"))
-    daily.join(broadcast(seasonal), "dow")
+    dowed.join(broadcast(seasonal), "dow")
       .select(
         date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("dow"), col("n"), col("seasonal_u"),

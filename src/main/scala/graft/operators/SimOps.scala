@@ -2343,6 +2343,63 @@ object SimOps {
     (m, vf, eq)
   }
 
+  /** SECOND principal component via DEFLATED power iteration: each round
+    * renormalizes the matvec, then subtracts the (integer-quantized)
+    * projection onto the first component — q = (u·v₁) DIV (|v₁|²
+    * DIV 10⁶ + 1) ≈ 10⁶·(u·v₁)/|v₁|², u ← u − (q·v₁) DIV 10⁶. Signed
+    * integer division is safe cross-engine (measured: DuckDB `//`
+    * truncates toward zero exactly like Spark DIV). Truncation makes the
+    * orthogonality APPROXIMATE by construction — the spec audits the
+    * residual cos² instead of assuming it. Init differs from the first
+    * component's (7919-stride permutation) so the iteration doesn't
+    * start parallel to v₁.
+    */
+  private[graft] def pcaSecondComponent(m: DataFrame, vf: DataFrame,
+      rounds: Int = 8): DataFrame = {
+    val spark = m.sparkSession
+    val v1 = vf.select(col("i"), col("v").as("v1")).localCheckpoint()
+    val denk = v1.agg(sum(col("v1") * col("v1")).as("den"))
+      .select((expr("den DIV 1000000") + lit(1L)).as("denk"))
+      .localCheckpoint()
+    var u = spark.range(64).select(col("id").cast("int").as("i"),
+      (lit(1000000L) - ((col("id") * 7919) % 64) * 1000L).as("v"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val w = m.join(broadcast(u.select(col("i").as("j"), col("v").as("uv"))), "j")
+        .groupBy(col("i")).agg(sum(col("m") * col("uv")).as("w"))
+      val d = w.agg(max(abs(col("w"))).as("mw"))
+        .select((expr("mw DIV 1000000") + lit(1L)).as("d"))
+      val p = w.crossJoin(broadcast(d))
+        .select(col("i"), (when(col("w") < 0, -1L).otherwise(1L) *
+          expr("abs(w) DIV d")).as("v"))
+      val q = p.join(broadcast(v1), "i")
+        .agg(sum(col("v") * col("v1")).as("r"))
+        .crossJoin(broadcast(denk))
+        .select(expr("r DIV denk").as("q"))
+      u = p.join(broadcast(v1), "i")
+        .crossJoin(broadcast(q))
+        .select(col("i"), (col("v") - expr("(q * v1) DIV 1000000")).as("v"))
+        .localCheckpoint()
+    }
+    val lead = u.orderBy(abs(col("v")).desc, col("i")).limit(1)
+      .select(when(col("v") < 0, -1L).otherwise(1L).as("flip"))
+    u.crossJoin(broadcast(lead))
+      .select(col("i"), (col("v") * col("flip")).as("v"))
+  }
+
+  /** Both learned components in long form: (component 1|2, dim_idx,
+    * loading_u) — the 2-D reduction a downstream store would persist.
+    */
+  def simPcaTrain2(embeddings: DataFrame): DataFrame = {
+    val (m, vf, _) = pcaComponent(embeddings)
+    val v2 = pcaSecondComponent(m, vf)
+    vf.select(lit(1).as("component"), col("i").as("dim_idx"),
+        col("v").as("loading_u"))
+      .unionByName(v2.select(lit(2).as("component"), col("i").as("dim_idx"),
+        col("v").as("loading_u")))
+      .orderBy("component", "dim_idx")
+  }
+
   /** The trained-component entry: 64 rows of (dim_idx, loading_u) —
     * integer micro-unit loadings under the deterministic sign convention.
     */

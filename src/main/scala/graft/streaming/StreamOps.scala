@@ -1192,16 +1192,35 @@ object StreamOps {
     * monitoring deployment shape: counts update per micro-batch, the
     * scalar median/MAD pass reruns on a histogram of DAYS, not rows.
     */
-  def streamAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamAnomaly(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.QualityOps.anomalyScore(
+      drainedDailyHistogram(spark, sfDir, "stream_anomaly"))
+
+  /** The seasonal decomposition's streaming twin (the streamAnomaly
+    * sharing pattern): same incrementally-maintained day histogram, the
+    * SHARED `QualityOps.seasonalScore` kernel on the drained state —
+    * bit-identical to the batch entry, same oracle.
+    */
+  def streamSeasonal(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.QualityOps.seasonalScore(
+      drainedDailyHistogram(spark, sfDir, "stream_seasonal"))
+
+  /** The calendar-bounded DAY histogram maintained as an incremental
+    * streaming aggregate over the staged event quarters, drained in
+    * complete mode — the shared state-building half of the streaming
+    * monitoring twins (anomaly, seasonal).
+    */
+  private def drainedDailyHistogram(
+      spark: SparkSession, sfDir: String, tag: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = spark.read.parquet(s"$sfDir/events.parquet")
-    val srcDir = scratch(sfDir, "stream_anomaly_src")
+    val srcDir = scratch(sfDir, s"${tag}_src")
     val mm = src.agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
       .head()
     val (lo, span) = (mm.getLong(0), mm.getLong(1) - mm.getLong(0) + 1)
     val qtrExpr = expr(s"CAST(((event_id - ${lo}L) * 4) DIV ${span}L AS INT)")
     for (i <- 0 until 4) {
-      val tmp = scratch(sfDir, s"stream_anomaly_stage$i")
+      val tmp = scratch(sfDir, s"${tag}_stage$i")
       src.filter(qtrExpr === i)
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
@@ -1217,9 +1236,8 @@ object StreamOps {
       .transform(graft.Tables.normalizeTs)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
-    val drained = withStateShards(spark, 4) {
-      drain(daily, "graft_stream_anomaly", "complete") }
-    graft.operators.QualityOps.anomalyScore(drained)
+    withStateShards(spark, 4) {
+      drain(daily, s"graft_$tag", "complete") }
   }
 
   private def scratch(sfDir: String, tag: String): Path = {

@@ -963,4 +963,34 @@ class LlmSpec extends SparkTestBase {
     val hist = operators.SimOps.simPcaProject(embs)
     assert(hist.agg(sum("n_vecs")).head().getLong(0) === 200L)
   }
+
+  test("sim_pca_train2: second planted direction recovered, near-orthogonal to the first") {
+    // dim 7 dominant (±2 range), dim 13 second (±0.8), everything else
+    // ±0.01 noise — deflation must route component 2 to dim 13
+    val embs = (0 until 200).map { id =>
+      val v = (0 until 64).map { i =>
+        if (i == 7) ((id % 41) - 20) / 10.0f
+        else if (i == 13) (((id * 13) % 33) - 16) / 20.0f
+        else (((id * 31 + i * 7) % 21) - 10) / 1000.0f
+      }.toArray
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val out = operators.SimOps.simPcaTrain2(embs).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def comp(c: Int): Map[Int, Long] =
+      out.collect { case ((`c`, d), v) => d -> v }
+    val (c1, c2) = (comp(1), comp(2))
+    assert(c1.maxBy { case (_, v) => math.abs(v) }._1 === 7,
+      s"component 1 must stay on the dominant dim")
+    val lead2 = c2.maxBy { case (_, v) => math.abs(v) }
+    assert(lead2._1 === 13, s"component 2 must land on dim 13: $lead2")
+    assert(lead2._2 > 0L, "sign convention on component 2")
+    // integer-truncated deflation: orthogonality is approximate by
+    // construction — audit the residual cos² instead of assuming it
+    val dot = BigInt((0 until 64).map(i => c1(i) * c2(i)).sum)
+    val n1 = BigInt((0 until 64).map(i => c1(i) * c1(i)).sum)
+    val n2 = BigInt((0 until 64).map(i => c2(i) * c2(i)).sum)
+    val cos2u = (dot * dot * 1000000) / (n1 * n2)
+    assert(cos2u < 10000, s"components must be near-orthogonal: cos²·1e6 = $cos2u")
+  }
 }

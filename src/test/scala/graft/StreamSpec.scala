@@ -427,6 +427,14 @@ class StreamSpec extends SparkTestBase {
       "incremental histogram + shared scorer must equal the batch entry")
   }
 
+  test("stream_seasonal output is bit-identical to the batch decomposition") {
+    val streamed = StreamOps.streamSeasonal(spark, sf0001).collect().toSeq
+    val batch = graft.operators.QualityOps.tsSeasonalDecompose(
+      Tables.events(spark, sf0001)).collect().toSeq
+    assert(streamed === batch,
+      "incremental histogram + shared kernel must equal the batch entry")
+  }
+
   test("stream_quality: slices partition the corpus; SLA failures surface") {
     val got = StreamOps.streamQuality(spark, sf0001).collect()
     assert(got.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
