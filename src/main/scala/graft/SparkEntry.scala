@@ -544,6 +544,7 @@ object SparkEntry {
     "quality_anomaly" -> ((s, d) => QualityOps.qualityAnomaly(events(s, d))),
     "ts_seasonal_decompose" ->
       ((s, d) => QualityOps.tsSeasonalDecompose(events(s, d))),
+    "quality_cusum" -> ((s, d) => QualityOps.qualityCusum(events(s, d))),
     "q_pareto_skyline" -> ((s, d) => SortSetOps.paretoSkyline(orders(s, d))),
     // [EXT] r12: BM25 retrieval scoring, weighted reservoir sampling,
     // JL random projection + its neighbor-preservation audit
@@ -5278,6 +5279,34 @@ object SparkEntry {
     // float rounding anywhere
     "quality_anomaly" -> qualityAnomalyOracleSql,
     "ts_seasonal_decompose" -> tsSeasonalOracleSql,
+    "quality_cusum" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+             FROM events GROUP BY 1),
+         mx AS (SELECT max(day) AS md, max(n) AS mn FROM daily),
+         shift AS (SELECT md + CAST(k AS INTEGER) AS day,
+                 CAST(mn * 2 AS BIGINT) AS n
+               FROM mx CROSS JOIN (SELECT unnest(range(1, 6)) AS k)),
+         d AS (SELECT * FROM daily UNION ALL SELECT * FROM shift),
+         st AS (SELECT CAST((sum(n) * 1000000) // count(*) AS BIGINT) AS mu_u
+               FROM d),
+         f AS (SELECT day, n,
+               CAST(n * 1000000 - st.mu_u - st.mu_u // 10 AS BIGINT) AS inc_u,
+               st.mu_u
+             FROM d CROSS JOIN st),
+         g AS (SELECT day, n, mu_u,
+               CAST(sum(inc_u) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS p_u
+             FROM f),
+         h AS (SELECT day, n, mu_u, p_u,
+               CAST(min(p_u) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS m_u
+             FROM g)
+         SELECT strftime(day, '%Y-%m-%d') AS day, n,
+           CAST(p_u - least(m_u, 0) AS BIGINT) AS cusum_u,
+           CASE WHEN p_u - least(m_u, 0) > mu_u THEN 1 ELSE 0 END AS alarm
+         FROM h ORDER BY day""",
     // batch-equivalence: the streaming twin drains the same day
     // histogram and scores it with the shared kernel
     "stream_seasonal" -> tsSeasonalOracleSql,

@@ -314,6 +314,43 @@ object QualityOps {
       .orderBy("day")
   }
 
+  /** CUSUM level-shift detection over the daily volume series — the
+    * classic sequential change detector (S_t = max(0, S_{t−1} + x_t − μ
+    * − κ), alarm when S_t > h): a sustained small shift accumulates
+    * where the robust-z detector only sees single-day bursts. The
+    * recursive clamp is NOT a window function, but the reflection
+    * identity S_t = P_t − min(0, min_{j≤t} P_j) turns it into a prefix
+    * sum + running min — two plain windows over the calendar-bounded day
+    * histogram (the bounded-histogram exemption), no sequential fold.
+    * All integer micro-units: μ from one aggregate, slack κ = μ/10,
+    * threshold h = μ. A ×2 level shift is PLANTED on five synthetic days
+    * after max(day) (the derived-spike convention — no collision with
+    * real day keys) and the alarm must fire inside the shifted window.
+    */
+  def qualityCusum(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val shift = daily.agg(max(col("day")).as("md"), max(col("n")).as("mn"))
+      .select(explode(sequence(lit(1), lit(5))).as("k"), col("md"), col("mn"))
+      .select(date_add(col("md"), col("k")).as("day"), (col("mn") * 2L).as("n"))
+    val d = daily.unionByName(shift)
+    val stats = d.agg(expr("(sum(n) * 1000000) DIV count(*)").as("mu_u"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val cusum = (col("p_u") - least(col("m_u"), lit(0L)))
+    d.crossJoin(broadcast(stats))
+      .withColumn("inc_u",
+        col("n") * 1000000L - col("mu_u") - expr("mu_u DIV 10"))
+      .withColumn("p_u", sum(col("inc_u")).over(w))
+      .withColumn("m_u", min(col("p_u")).over(w))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        cusum.as("cusum_u"),
+        (cusum > col("mu_u")).cast("int").as("alarm"))
+      .orderBy("day")
+  }
+
   /** Freshness audit: per event type, event count, last-seen timestamp
     * (epoch micros — the cross-engine timestamp contract), lag behind the
     * freshest type, and a stale flag at a 20-minute SLA. The global max

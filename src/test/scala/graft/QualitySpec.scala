@@ -131,6 +131,29 @@ class QualitySpec extends SparkTestBase {
       s"derived spike day missing: $days")
   }
 
+  test("quality_cusum: reflection identity equals the recursive fold; planted shift alarms") {
+    // 10 flat days at n=100; the operator itself plants 5 days at 2×max
+    val rows = (1 to 10).flatMap(d =>
+      (1 to 100).map(i => ((d * 1000 + i).toLong, ts(f"2024-01-$d%02d 10:00:00"))))
+    val events = rows.toDF("event_id", "ts")
+    val got = QualityOps.qualityCusum(events).collect()
+    assert(got.length === 15, "10 real + 5 planted days")
+    // replay the RECURSIVE definition S_t = max(0, S_{t-1} + n·1e6 − μ − κ)
+    // over the same day order — the window form must match it exactly
+    val mu = got.map(_.getLong(1)).sum * 1000000L / 15L
+    val kap = mu / 10L
+    var s = 0L
+    val recursive = got.map { r =>
+      s = math.max(0L, s + r.getLong(1) * 1000000L - mu - kap); s
+    }
+    assert(got.map(_.getLong(2)).toSeq === recursive.toSeq,
+      "prefix-sum − running-min must equal the recursive CUSUM")
+    // no alarm on the flat prefix; the planted shift must alarm
+    assert(got.take(10).forall(_.getInt(3) === 0), s"false alarm: ${got.toSeq}")
+    assert(got.takeRight(5).exists(_.getInt(3) === 1),
+      s"planted level shift not detected: ${got.toSeq}")
+  }
+
   test("sink_quality_gate routes the corrupted batch whole; clean batches stay clean") {
     val got = graft.sources.EtlOps.sinkQualityGate(spark, sf0001).collect()
     assert(got.length === 4)
