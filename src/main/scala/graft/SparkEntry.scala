@@ -469,6 +469,7 @@ object SparkEntry {
     "sim_pca_train" -> ((s, d) => SimOps.simPcaTrain(embeddings(s, d))),
     "sim_eval_rank" -> ((s, d) => SimOps.simEvalRank(embeddings(s, d))),
     "sim_pca_train2" -> ((s, d) => SimOps.simPcaTrain2(embeddings(s, d))),
+    "sink_pca_layout" -> ((s, d) => SimOps.sinkPcaLayout(s, embeddings(s, d), d)),
     "sim_pca_project" -> ((s, d) => SimOps.simPcaProject(embeddings(s, d))),
     "sim_pca_explained" -> ((s, d) => SimOps.simPcaExplained(embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => SimOps.dedupSemantic(SimOps.plantNearDups(embeddings(s, d)))),
@@ -4477,6 +4478,23 @@ object SparkEntry {
            CAST((dcg_u * 1000000) // idcg_u AS BIGINT) AS ndcg_u
          FROM mrr CROSS JOIN dcg CROSS JOIN idcg""",
     "sim_pca_project" -> pcaProjectOracleSql,
+    // the stored layout serves the same banded census the project entry
+    // histograms — bands 4–5 replayed without the partition store
+    "sink_pca_layout" ->
+      s"""WITH ${pcaCtes(8)},
+         varr AS (SELECT list(v ORDER BY i) AS vv FROM vf),
+         sc AS MATERIALIZED (SELECT vec_id,
+             CAST(list_sum([xq[k] * vv[k] FOR k IN range(1, 65)]) AS BIGINT)
+               AS score_u
+           FROM eq CROSS JOIN varr),
+         bnd AS (SELECT min(score_u) AS lo, max(score_u) AS hi FROM sc),
+         banded AS (SELECT score_u,
+             CAST(least((score_u - lo) * 10 // (hi - lo + 1), 9) AS INTEGER)
+               AS band
+           FROM sc CROSS JOIN bnd)
+         SELECT band, count(*) AS n_vecs,
+           min(score_u) AS lo_u, max(score_u) AS hi_u
+         FROM banded WHERE band IN (4, 5) GROUP BY band ORDER BY band""",
     "sim_pca_train2" ->
       s"""WITH ${pcaCtes(8)},
          ${pca2Ctes(8)}

@@ -2436,6 +2436,45 @@ object SimOps {
       .orderBy("bucket")
   }
 
+  /** STORED layout for the learned projection — the sink_ann_index
+    * pattern applied to PCA: score every vector on the trained component
+    * once, write the corpus PARTITIONED BY score band (the project
+    * entry's 10 equal-width buckets), then serve a score-range query by
+    * reading ONLY the overlapping bands (plan-pinned PartitionFilters —
+    * at 100 TB a range probe touches 2/10 of the files instead of the
+    * corpus). Build is the one-time amortized cost; the served census
+    * (bands 4–5, the mid-density slice) is the recurring read. Bands are
+    * the exact integer bucketing the project entry uses, so the layout
+    * and the histogram audit can never disagree.
+    */
+  def sinkPcaLayout(spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, sfDir: String): DataFrame = {
+    import graft.sources.EtlOps.freshDir
+    val (_, vf, eq) = pcaComponent(embeddings)
+    graft.plans.VectorFunctions.register(spark)
+    val varr = vf.groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
+        s => s.getField("v").cast("double")).as("vv"))
+    val scored = eq.crossJoin(broadcast(varr))
+      .select(col("vec_id"),
+        graft.plans.VectorFunctions.vectorDot(
+          col("xq").cast("array<double>"), col("vv")).cast("long").as("score_u"))
+    val b = scored.agg(min(col("score_u")), max(col("score_u"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val dir = freshDir(sfDir, "pca_layout").toString
+    scored
+      .withColumn("band",
+        expr(s"CAST(least((score_u - (${lo}L)) * 10 DIV (${hi}L - ${lo}L + 1), 9) AS INT)"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("band").parquet(dir)
+    spark.read.parquet(dir)
+      .filter(col("band").isin(4, 5)) // literal bands → partition pruning
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("score_u")).as("lo_u"), max(col("score_u")).as("hi_u"))
+      .orderBy("band")
+  }
+
   /** The explained-variance audit: Rayleigh quotient of the learned
     * component against the scatter trace, all in exact scaled integers
     * (÷1000 loadings keep every product within long range; divisions on

@@ -96,6 +96,14 @@ class PlanSpec extends SparkTestBase {
     assert(pp.contains("vector_dot"), s"projection not the native kernel:\n$pp")
   }
 
+  test("sink_pca_layout: the served range read prunes to the queried bands") {
+    val p = plan(SimOps.sinkPcaLayout(spark, Tables.embeddings(spark, sf0001), sf0001))
+    assert(p.contains("PartitionFilters: [") && p.contains("band"),
+      s"band range must prune partitions at the scan:\n$p")
+    assert(!p.contains("PushedFilters: [In(band"), // band is a PARTITION col
+      s"band must be a partition column, not a data filter:\n$p")
+  }
+
   test("sim_maxsim: pure broadcast scan into TakeOrderedAndProject, native dot kernel") {
     val p = plan(SimOps.simMaxSim(Tables.embeddings(spark, sf0001)))
     assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
