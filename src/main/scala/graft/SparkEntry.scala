@@ -268,6 +268,7 @@ object SparkEntry {
     "win_interpolate" -> ((s, d) => WindowOps.winInterpolate(events(s, d))),
     "stream_anomaly" -> ((s, d) => StreamOps.streamAnomaly(s, d)),
     "stream_seasonal" -> ((s, d) => StreamOps.streamSeasonal(s, d)),
+    "stream_cusum" -> ((s, d) => StreamOps.streamCusum(s, d)),
     "quality_report" -> ((s, d) => QualityOps.qualityReport(
       orders(s, d), customer(s, d), lineitem(s, d), events(s, d))),
     "sim_rp_width_sweep" -> ((s, d) => SimOps.simRpWidthSweep(embeddings(s, d))),
@@ -470,6 +471,7 @@ object SparkEntry {
     "sim_eval_rank" -> ((s, d) => SimOps.simEvalRank(embeddings(s, d))),
     "sim_pca_train2" -> ((s, d) => SimOps.simPcaTrain2(embeddings(s, d))),
     "sink_pca_layout" -> ((s, d) => SimOps.sinkPcaLayout(s, embeddings(s, d), d)),
+    "sim_pca_project2d" -> ((s, d) => SimOps.simPcaProject2d(embeddings(s, d))),
     "sim_pca_project" -> ((s, d) => SimOps.simPcaProject(embeddings(s, d))),
     "sim_pca_explained" -> ((s, d) => SimOps.simPcaExplained(embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => SimOps.dedupSemantic(SimOps.plantNearDups(embeddings(s, d)))),
@@ -647,6 +649,35 @@ object SparkEntry {
            g.gmax - last_seen_us AS lag_us,
            CASE WHEN g.gmax - last_seen_us > 1200000000 THEN 1 ELSE 0 END AS stale
          FROM p CROSS JOIN g ORDER BY event_type"""
+  private val qualityCusumOracleSql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+           FROM events GROUP BY 1),
+       mx AS (SELECT max(day) AS md, max(n) AS mn FROM daily),
+       shift AS (SELECT md + CAST(k AS INTEGER) AS day,
+               CAST(mn * 2 AS BIGINT) AS n
+             FROM mx CROSS JOIN (SELECT unnest(range(1, 6)) AS k)),
+       d AS (SELECT * FROM daily UNION ALL SELECT * FROM shift),
+       st AS (SELECT CAST((sum(n) * 1000000) // count(*) AS BIGINT) AS mu_u
+             FROM d),
+       f AS (SELECT day, n,
+             CAST(n * 1000000 - st.mu_u - st.mu_u // 10 AS BIGINT) AS inc_u,
+             st.mu_u
+           FROM d CROSS JOIN st),
+       g AS (SELECT day, n, mu_u,
+             CAST(sum(inc_u) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS p_u
+           FROM f),
+       h AS (SELECT day, n, mu_u, p_u,
+             CAST(min(p_u) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS m_u
+           FROM g)
+       SELECT strftime(day, '%Y-%m-%d') AS day, n,
+         CAST(p_u - least(m_u, 0) AS BIGINT) AS cusum_u,
+         CASE WHEN p_u - least(m_u, 0) > mu_u THEN 1 ELSE 0 END AS alarm
+       FROM h ORDER BY day"""
+
   private val tsSeasonalOracleSql: String =
     """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
            FROM events GROUP BY 1),
@@ -4503,6 +4534,24 @@ object SparkEntry {
          UNION ALL
          SELECT 2, CAST(i - 1 AS INTEGER), v FROM vf2
          ORDER BY component, dim_idx""",
+    "sim_pca_project2d" ->
+      s"""WITH ${pcaCtes(8)},
+         ${pca2Ctes(8)},
+         varr AS (SELECT a.vv1, b.vv2 FROM
+             (SELECT list(v ORDER BY i) AS vv1 FROM vf) a CROSS JOIN
+             (SELECT list(v ORDER BY i) AS vv2 FROM vf2) b),
+         sc AS MATERIALIZED (SELECT vec_id,
+             CAST(list_sum([xq[k] * vv1[k] FOR k IN range(1, 65)]) AS BIGINT)
+               AS s1,
+             CAST(list_sum([xq[k] * vv2[k] FOR k IN range(1, 65)]) AS BIGINT)
+               AS s2
+           FROM eq CROSS JOIN varr),
+         bnd AS (SELECT min(s1) AS lo1, max(s1) AS hi1,
+                 min(s2) AS lo2, max(s2) AS hi2 FROM sc)
+         SELECT CAST(least((s1 - lo1) * 8 // (hi1 - lo1 + 1), 7) AS BIGINT) AS gx,
+           CAST(least((s2 - lo2) * 8 // (hi2 - lo2 + 1), 7) AS BIGINT) AS gy,
+           count(*) AS n_vecs
+         FROM sc CROSS JOIN bnd GROUP BY 1, 2 ORDER BY 1, 2""",
     "sim_pca_explained" -> pcaExplainedOracleSql,
     // exact-integer 2-sigma tail: (d2*n - S2) > 0 and its square > 4*(n*S4 - S2^2)
     "sim_ood_detect" ->
@@ -5297,34 +5346,10 @@ object SparkEntry {
     // float rounding anywhere
     "quality_anomaly" -> qualityAnomalyOracleSql,
     "ts_seasonal_decompose" -> tsSeasonalOracleSql,
-    "quality_cusum" ->
-      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
-             FROM events GROUP BY 1),
-         mx AS (SELECT max(day) AS md, max(n) AS mn FROM daily),
-         shift AS (SELECT md + CAST(k AS INTEGER) AS day,
-                 CAST(mn * 2 AS BIGINT) AS n
-               FROM mx CROSS JOIN (SELECT unnest(range(1, 6)) AS k)),
-         d AS (SELECT * FROM daily UNION ALL SELECT * FROM shift),
-         st AS (SELECT CAST((sum(n) * 1000000) // count(*) AS BIGINT) AS mu_u
-               FROM d),
-         f AS (SELECT day, n,
-               CAST(n * 1000000 - st.mu_u - st.mu_u // 10 AS BIGINT) AS inc_u,
-               st.mu_u
-             FROM d CROSS JOIN st),
-         g AS (SELECT day, n, mu_u,
-               CAST(sum(inc_u) OVER (ORDER BY day
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                 AS p_u
-             FROM f),
-         h AS (SELECT day, n, mu_u, p_u,
-               CAST(min(p_u) OVER (ORDER BY day
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                 AS m_u
-             FROM g)
-         SELECT strftime(day, '%Y-%m-%d') AS day, n,
-           CAST(p_u - least(m_u, 0) AS BIGINT) AS cusum_u,
-           CASE WHEN p_u - least(m_u, 0) > mu_u THEN 1 ELSE 0 END AS alarm
-         FROM h ORDER BY day""",
+    "quality_cusum" -> qualityCusumOracleSql,
+    // batch-equivalence: the twin drains the same histogram into the
+    // shared cusumScore kernel
+    "stream_cusum" -> qualityCusumOracleSql,
     // batch-equivalence: the streaming twin drains the same day
     // histogram and scores it with the shared kernel
     "stream_seasonal" -> tsSeasonalOracleSql,

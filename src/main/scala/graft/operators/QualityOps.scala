@@ -327,11 +327,17 @@ object QualityOps {
     * after max(day) (the derived-spike convention — no collision with
     * real day keys) and the alarm must fire inside the shifted window.
     */
-  def qualityCusum(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = events
+  def qualityCusum(events: DataFrame): DataFrame =
+    cusumScore(events
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The CUSUM scorer over a (day, n) histogram — shared by the batch
+    * entry and the streaming twin (`StreamOps.streamCusum`), the third
+    * monitoring kernel on the shared drained-histogram state.
+    */
+  private[graft] def cusumScore(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val shift = daily.agg(max(col("day")).as("md"), max(col("n")).as("mn"))
       .select(explode(sequence(lit(1), lit(5))).as("k"), col("md"), col("mn"))
       .select(date_add(col("md"), col("k")).as("day"), (col("mn") * 2L).as("n"))

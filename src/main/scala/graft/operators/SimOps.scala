@@ -2436,6 +2436,40 @@ object SimOps {
       .orderBy("bucket")
   }
 
+  /** 2-D census over BOTH learned components — the density grid a
+    * curation UI reads (where does the corpus mass live in the learned
+    * plane?): each vector scores against components 1 and 2 (two
+    * codegen'd vector_dots per row, one scan), then lands in an 8×8
+    * equal-width grid cell. Closed-form integer grid off one min/max
+    * row; output ≤64 cells.
+    */
+  def simPcaProject2d(embeddings: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val (m, vf, eq) = pcaComponent(embeddings)
+    val v2 = pcaSecondComponent(m, vf)
+    def fold(v: DataFrame, name: String): DataFrame = v.groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
+        s => s.getField("v").cast("double")).as(name))
+    val scored = eq
+      .crossJoin(broadcast(fold(vf, "vv1")))
+      .crossJoin(broadcast(fold(v2, "vv2")))
+      .select(col("vec_id"),
+        graft.plans.VectorFunctions.vectorDot(
+          col("xq").cast("array<double>"), col("vv1")).cast("long").as("s1"),
+        graft.plans.VectorFunctions.vectorDot(
+          col("xq").cast("array<double>"), col("vv2")).cast("long").as("s2"))
+    val bounds = scored.agg(
+      min(col("s1")).as("lo1"), max(col("s1")).as("hi1"),
+      min(col("s2")).as("lo2"), max(col("s2")).as("hi2"))
+    scored.crossJoin(broadcast(bounds))
+      .select(
+        expr("least((s1 - lo1) * 8 DIV (hi1 - lo1 + 1), 7)").as("gx"),
+        expr("least((s2 - lo2) * 8 DIV (hi2 - lo2 + 1), 7)").as("gy"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("gx", "gy")
+  }
+
   /** STORED layout for the learned projection — the sink_ann_index
     * pattern applied to PCA: score every vector on the trained component
     * once, write the corpus PARTITIONED BY score band (the project

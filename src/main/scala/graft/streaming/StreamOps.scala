@@ -1205,6 +1205,14 @@ object StreamOps {
     graft.operators.QualityOps.seasonalScore(
       drainedDailyHistogram(spark, sfDir, "stream_seasonal"))
 
+  /** The CUSUM detector's streaming twin — the third monitoring kernel
+    * (anomaly, seasonal, cusum) over the SAME incrementally-maintained
+    * day histogram; bit-identical to the batch entry, same oracle.
+    */
+  def streamCusum(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.QualityOps.cusumScore(
+      drainedDailyHistogram(spark, sfDir, "stream_cusum"))
+
   /** The calendar-bounded DAY histogram maintained as an incremental
     * streaming aggregate over the staged event quarters, drained in
     * complete mode — the shared state-building half of the streaming

@@ -83,10 +83,11 @@ class CollectGuardSpec extends SparkTestBase {
     // is ONE document's own segments, bounded by document length — the
     // same per-doc bound every text operator already carries
     "dedup_paragraph", "text_boilerplate",
-    // the PCA component fold (SimOps.simPcaProject): the collected array
-    // is the 64-loading principal component — the dim count is a plan
-    // constant, never a data-dependent group size
-    "sim_pca_project",
+    // the PCA component folds (SimOps.simPcaProject/Project2d,
+    // sinkPcaLayout): the collected arrays are 64-loading principal
+    // components — the dim count is a plan constant, never a
+    // data-dependent group size
+    "sim_pca_project", "sim_pca_project2d", "sink_pca_layout",
     // centroid/codebook assembly across the kmeans family: arrays of
     // k (≤16) centroids or 8 sub-codebooks — algorithm constants chosen
     // at plan time, not data-dependent group sizes

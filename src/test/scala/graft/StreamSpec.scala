@@ -435,6 +435,14 @@ class StreamSpec extends SparkTestBase {
       "incremental histogram + shared kernel must equal the batch entry")
   }
 
+  test("stream_cusum output is bit-identical to the batch detector") {
+    val streamed = StreamOps.streamCusum(spark, sf0001).collect().toSeq
+    val batch = graft.operators.QualityOps.qualityCusum(
+      Tables.events(spark, sf0001)).collect().toSeq
+    assert(streamed === batch,
+      "incremental histogram + shared CUSUM kernel must equal the batch entry")
+  }
+
   test("stream_quality: slices partition the corpus; SLA failures surface") {
     val got = StreamOps.streamQuality(spark, sf0001).collect()
     assert(got.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
