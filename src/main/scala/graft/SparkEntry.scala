@@ -548,6 +548,7 @@ object SparkEntry {
     "ts_seasonal_decompose" ->
       ((s, d) => QualityOps.tsSeasonalDecompose(events(s, d))),
     "quality_cusum" -> ((s, d) => QualityOps.qualityCusum(events(s, d))),
+    "text_zipf_audit" -> ((s, d) => TextOps.textZipfAudit(documents(s, d))),
     "q_pareto_skyline" -> ((s, d) => SortSetOps.paretoSkyline(orders(s, d))),
     // [EXT] r12: BM25 retrieval scoring, weighted reservoir sampling,
     // JL random projection + its neighbor-preservation audit
@@ -5347,6 +5348,26 @@ object SparkEntry {
     "quality_anomaly" -> qualityAnomalyOracleSql,
     "ts_seasonal_decompose" -> tsSeasonalOracleSql,
     "quality_cusum" -> qualityCusumOracleSql,
+    "text_zipf_audit" ->
+      """WITH wc AS (SELECT w, count(*)::BIGINT AS cnt FROM
+             (SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents) t
+           WHERE w <> '' GROUP BY w),
+         top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank
+               FROM (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 100)),
+         xy AS (SELECT ln(rank::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM top),
+         s AS (SELECT count(*)::BIGINT AS n_top,
+             CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(round(y * 1e6) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(round(x * y * 1e6) AS BIGINT)) AS BIGINT) AS sxy,
+             CAST(sum(CAST(round(x * x * 1e6) AS BIGINT)) AS BIGINT) AS sxx
+           FROM xy)
+         SELECT n_top,
+           CAST(((n_top * sxy - (sx * sy) // 1000000) * 1000000)
+             // (n_top * sxx - (sx * sx) // 1000000) AS BIGINT) AS slope_u,
+           CAST((sy - (((n_top * sxy - (sx * sy) // 1000000) * 1000000)
+             // (n_top * sxx - (sx * sx) // 1000000) * sx) // 1000000)
+             // n_top AS BIGINT) AS intercept_u
+         FROM s""",
     // batch-equivalence: the twin drains the same histogram into the
     // shared cusumScore kernel
     "stream_cusum" -> qualityCusumOracleSql,

@@ -582,4 +582,38 @@ object TextOps {
         col("score"))
       .orderBy("term", "rnk")
   }
+
+  /** ZIPF-law audit — fit ln(freq) vs ln(rank) over the top-k vocabulary
+    * by least squares: natural text reads slope ≈ −1; a corpus that
+    * drifts far off (synthetic spam, template floods, truncated crawls)
+    * shows up as a slope/shape break before any downstream model does.
+    * Scale shape: one corpus word count (the only corpus-sized stage,
+    * map-side combined), a TakeOrdered top-k cut, and the regression on
+    * the k-row frame — ln terms quantized to micro-units BEFORE the sum
+    * (round-before-sum) so summation order cannot perturb the fit; the
+    * slope/intercept close in integer division (signed DIV ≡ DuckDB //).
+    */
+  def textZipfAudit(documents: DataFrame, k: Int = 100): DataFrame = {
+    val words = documents
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val top = words.orderBy(desc("cnt"), asc("w")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("cnt"), asc("w")))) // k-row frame
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    top.agg(
+      count(lit(1)).as("n_top"),
+      sum(round(col("x") * 1e6).cast("long")).as("sx"),
+      sum(round(col("y") * 1e6).cast("long")).as("sy"),
+      sum(round(col("x") * col("y") * 1e6).cast("long")).as("sxy"),
+      sum(round(col("x") * col("x") * 1e6).cast("long")).as("sxx"))
+      .select(col("n_top"),
+        expr("""((n_top * sxy - (sx * sy) DIV 1000000) * 1000000)
+                 DIV (n_top * sxx - (sx * sx) DIV 1000000)""").as("slope_u"),
+        expr("""(sy - (((n_top * sxy - (sx * sy) DIV 1000000) * 1000000)
+                 DIV (n_top * sxx - (sx * sx) DIV 1000000) * sx) DIV 1000000)
+                 DIV n_top""").as("intercept_u"))
+  }
 }

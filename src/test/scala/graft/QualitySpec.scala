@@ -154,6 +154,26 @@ class QualitySpec extends SparkTestBase {
       s"planted level shift not detected: ${got.toSeq}")
   }
 
+  test("text_zipf_audit: a crafted 1/rank corpus fits slope ≈ −1; a flat corpus ≈ 0") {
+    // word_i appears floor(2000/i) times for i = 1..40 — exact Zipf
+    val zipf = (1 to 40).flatMap { i =>
+      Seq.fill(2000 / i)(s"w$i")
+    }.grouped(50).zipWithIndex.map { case (ws, id) =>
+      (id.toLong, ws.mkString(" "))
+    }.toSeq.toDF("doc_id", "text")
+    val z = graft.operators.TextOps.textZipfAudit(zipf).head()
+    assert(z.getLong(0) === 40L)
+    assert(z.getLong(1) > -1100000L && z.getLong(1) < -900000L,
+      s"Zipf corpus must fit slope ≈ −1e6: ${z.getLong(1)}")
+    // flat corpus: every word equally frequent → slope ≈ 0
+    val flat = (1 to 40).flatMap(i => Seq.fill(50)(s"w$i"))
+      .grouped(50).zipWithIndex.map { case (ws, id) => (id.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val f = graft.operators.TextOps.textZipfAudit(flat).head()
+    assert(math.abs(f.getLong(1)) < 50000L,
+      s"flat corpus must fit slope ≈ 0: ${f.getLong(1)}")
+  }
+
   test("sink_quality_gate routes the corrupted batch whole; clean batches stay clean") {
     val got = graft.sources.EtlOps.sinkQualityGate(spark, sf0001).collect()
     assert(got.length === 4)
