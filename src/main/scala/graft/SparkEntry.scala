@@ -472,6 +472,7 @@ object SparkEntry {
     "sim_pca_train2" -> ((s, d) => SimOps.simPcaTrain2(embeddings(s, d))),
     "sink_pca_layout" -> ((s, d) => SimOps.sinkPcaLayout(s, embeddings(s, d), d)),
     "sim_pca_project2d" -> ((s, d) => SimOps.simPcaProject2d(embeddings(s, d))),
+    "pipeline_coreset" -> ((s, d) => SimOps.simCoreset(embeddings(s, d))),
     "sim_pca_project" -> ((s, d) => SimOps.simPcaProject(embeddings(s, d))),
     "sim_pca_explained" -> ((s, d) => SimOps.simPcaExplained(embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => SimOps.dedupSemantic(SimOps.plantNearDups(embeddings(s, d)))),
@@ -4535,6 +4536,22 @@ object SparkEntry {
          UNION ALL
          SELECT 2, CAST(i - 1 AS INTEGER), v FROM vf2
          ORDER BY component, dim_idx""",
+    "pipeline_coreset" ->
+      s"""WITH ${kmeansCte(16, 2, 64)},
+         q AS (SELECT cell, CAST(ceil(count(*) * 0.1) AS BIGINT) AS quota
+               FROM kaf GROUP BY cell),
+         r AS (SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY
+                 ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                 vec_id) AS rn
+             FROM kaf),
+         sel AS (SELECT r.cell, r.vec_id,
+                 CASE WHEN r.rn <= q.quota THEN 1 ELSE 0 END AS sel
+               FROM r JOIN q ON r.cell = q.cell)
+         SELECT cell, count(*)::BIGINT AS n_cell,
+           CAST(sum(sel) AS BIGINT) AS n_selected,
+           min(CASE WHEN sel = 1 THEN vec_id END) AS first_pick
+         FROM sel GROUP BY cell ORDER BY cell""",
     "sim_pca_project2d" ->
       s"""WITH ${pcaCtes(8)},
          ${pca2Ctes(8)},

@@ -2436,6 +2436,41 @@ object SimOps {
       .orderBy("bucket")
   }
 
+  /** Cluster-balanced CORESET selection — diversity-preserving data
+    * selection for training corpora (the D4/cluster-balanced-sampling
+    * family, public): pick ~frac of the corpus such that every region of
+    * embedding space keeps PROPORTIONAL representation — a uniform
+    * sample over-draws dense regions and starves rare ones, which is
+    * exactly what curation must not do. Per-cell quota = ceil(n_cell ·
+    * frac); members drawn by md5 hash rank (the cross-engine coin — a
+    * deterministic "random" subset both engines replay). The rank window
+    * is PARTITIONED by cell and cells grow as V/125 (the adaptiveCells
+    * rule), so per-group frames stay ~125 rows at any corpus size —
+    * never a corpus-scaled window. Output: per-cell census.
+    */
+  def simCoreset(embeddings: DataFrame, frac: Double = 0.1): DataFrame = {
+    graft.plans.VectorFunctions.register(embeddings.sparkSession)
+    val v = embeddings.count()
+    val kEff = if (v <= 4000) 16 else math.max(16L, v / 125).toInt
+    val eq = embeddings.select(col("vec_id"),
+      quantize1000(toVec(col("embedding"))).as("xq"))
+    val cells = assignCells(eq, kmeansCentroids(eq, kEff, rounds = 2))
+      .select(col("vec_id"), col("cell"))
+    val quotas = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+      .select(col("cell"), ceil(col("n_cell") * frac).cast("long").as("quota"))
+    val hr = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("cell").orderBy(asc("hr"), asc("vec_id"))
+    cells.withColumn("hr", hr)
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas), "cell")
+      .withColumn("sel", (col("rn") <= col("quota")).cast("long"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_cell"), sum(col("sel")).as("n_selected"),
+        min(when(col("sel") === 1L, col("vec_id"))).as("first_pick"))
+      .orderBy("cell")
+  }
+
   /** 2-D census over BOTH learned components — the density grid a
     * curation UI reads (where does the corpus mass live in the learned
     * plane?): each vector scores against components 1 and 2 (two

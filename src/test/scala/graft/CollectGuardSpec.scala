@@ -88,6 +88,8 @@ class CollectGuardSpec extends SparkTestBase {
     // components — the dim count is a plan constant, never a
     // data-dependent group size
     "sim_pca_project", "sim_pca_project2d", "sink_pca_layout",
+    // coreset rides the same k-cell codebook fold (algorithm constant)
+    "pipeline_coreset",
     // centroid/codebook assembly across the kmeans family: arrays of
     // k (≤16) centroids or 8 sub-codebooks — algorithm constants chosen
     // at plan time, not data-dependent group sizes

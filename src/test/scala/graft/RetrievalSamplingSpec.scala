@@ -123,4 +123,21 @@ class RetrievalSamplingSpec extends SparkTestBase {
       .select("planted_found").as[Long].collect()
     assert(r.nonEmpty && r.forall(_ === 1L))
   }
+
+  test("pipeline_coreset: per-cell proportional quotas hold exactly; total ≈ frac") {
+    val out = SimOps.simCoreset(Tables.embeddings(spark, sf0001)).collect()
+    // every cell keeps ceil(n_cell·0.1) members — proportional
+    // representation is the operator's whole contract
+    out.foreach { r =>
+      val expected = math.ceil(r.getLong(1) * 0.1).toLong
+      assert(r.getLong(2) === expected,
+        s"cell ${r.getInt(0)}: selected ${r.getLong(2)} != ceil(${r.getLong(1)}·0.1)")
+      assert(!r.isNullAt(3), s"cell ${r.getInt(0)} selected rows but no first pick")
+    }
+    val (total, selected) = (out.map(_.getLong(1)).sum, out.map(_.getLong(2)).sum)
+    assert(total === 500L)
+    // ceil per cell over-draws by < 1 per cell
+    assert(selected >= 50L && selected <= 50L + out.length,
+      s"total selection off: $selected of $total")
+  }
 }
