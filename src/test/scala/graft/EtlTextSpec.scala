@@ -212,6 +212,45 @@ class EtlTextSpec extends SparkTestBase {
     assert(br.call("through") === "through")
   }
 
+  test("circuit breaker: a straggler finishing after the trip cannot steal or reset the probe") {
+    // the r12-verdict interleaving: a call admitted while CLOSED that
+    // completes after the breaker trips must neither clear another
+    // thread's in-flight probe flag (admitting a second probe) nor drive
+    // the half_open transition itself — only the call ADMITTED AS the
+    // probe may do either
+    var tick = 0L
+    val br = new graft.sources.CircuitBreaker(
+      failThreshold = 1, cooldownMs = 5L, clock = () => tick)
+    val stragglerIn = new java.util.concurrent.CountDownLatch(1)
+    val stragglerGo = new java.util.concurrent.CountDownLatch(1)
+    val straggler = new Thread(() =>
+      br.call { stragglerIn.countDown(); stragglerGo.await(); "late-ok" })
+    straggler.start()
+    stragglerIn.await() // admitted while CLOSED, still in flight
+    intercept[RuntimeException] {
+      br.call { throw new RuntimeException("boom") } // trips OPEN
+    }
+    tick = 10L // cooldown elapsed
+    val probeIn = new java.util.concurrent.CountDownLatch(1)
+    val probeGo = new java.util.concurrent.CountDownLatch(1)
+    val probe = new Thread(() =>
+      br.call { probeIn.countDown(); probeGo.await(); "ok" })
+    probe.start()
+    probeIn.await() // THE half-open probe is in flight
+    stragglerGo.countDown()
+    straggler.join() // straggler completes (successfully) MID-probe
+    // the probe slot must still be held: a fresh caller is rejected
+    // without touching the dependency, and the state hasn't settled
+    var touched = false
+    intercept[graft.sources.CircuitOpenException] { br.call { touched = true } }
+    assert(!touched, "straggler freed the probe slot: a second probe was admitted")
+    assert(br.currentState !== "closed",
+      "straggler must not drive the half_open transition")
+    probeGo.countDown()
+    probe.join()
+    assert(br.currentState === "closed", "the true probe drives the close")
+  }
+
   test("sql_merge_into: all three MERGE verbs apply; plan is group-based ReplaceData") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.plans.MergeableCatalog")
     spark.sql("DROP TABLE IF EXISTS graftcat.spec.t")
