@@ -295,12 +295,18 @@ object Bench {
       val resMap = results.toMap
       def minOf2(body: => Unit): Double = {
         body // warmup
-        Vector.fill(2) {
+        val reps = Vector.fill(2) {
           System.gc()
           val t0 = System.nanoTime()
           body
           (System.nanoTime() - t0) / 1e9
-        }.min
+        }
+        // both reps to stderr: the r12 drift adjudication had only the
+        // min, which hid whether a hot reading was one outlier rep or a
+        // consistent shift — record the spread for the next arbiter
+        System.err.println(
+          f"[bench] split reps: ${reps.map(r => f"$r%.3f").mkString(", ")} s")
+        reps.min
       }
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val inc = resMap.get("sink_knn_graph_incremental").map(_.min)
@@ -349,12 +355,18 @@ object Bench {
       val resMap = results.toMap
       def minOf2(body: => Unit): Double = {
         body // warmup
-        Vector.fill(2) {
+        val reps = Vector.fill(2) {
           System.gc()
           val t0 = System.nanoTime()
           body
           (System.nanoTime() - t0) / 1e9
-        }.min
+        }
+        // both reps to stderr: the r12 drift adjudication had only the
+        // min, which hid whether a hot reading was one outlier rep or a
+        // consistent shift — record the spread for the next arbiter
+        System.err.println(
+          f"[bench] split reps: ${reps.map(r => f"$r%.3f").mkString(", ")} s")
+        reps.min
       }
       val ords = Tables.orders(spark, sfDir)
       val li = Tables.lineitem(spark, sfDir)
