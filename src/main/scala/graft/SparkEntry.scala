@@ -179,6 +179,25 @@ object SparkEntry {
         lineitem(s, d), part(s, d), nation(s, d), region(s, d))),
     "q22_global_sales" ->
       ((s, d) => AuditQueries.q22GlobalSales(s, customer(s, d), orders(s, d))),
+    "q4_order_priority" ->
+      ((s, d) => AuditQueries.q4OrderPriority(s, orders(s, d), lineitem(s, d))),
+    "q13_customer_distribution" ->
+      ((s, d) => AuditQueries.q13CustomerDistribution(s, customer(s, d),
+        orders(s, d))),
+    "q19_disjunctive_revenue" ->
+      ((s, d) => AuditQueries.q19DisjunctiveRevenue(s, lineitem(s, d),
+        part(s, d))),
+    "q7_volume_shipping" ->
+      ((s, d) => AuditQueries.q7VolumeShipping(s, supplier(s, d),
+        lineitem(s, d), orders(s, d), customer(s, d), nation(s, d),
+        region(s, d))),
+    "q8_market_share" ->
+      ((s, d) => AuditQueries.q8MarketShare(s, part(s, d), lineitem(s, d),
+        supplier(s, d), orders(s, d), customer(s, d), nation(s, d),
+        region(s, d))),
+    "q15_top_supplier" ->
+      ((s, d) => AuditQueries.q15TopSupplier(s, lineitem(s, d),
+        supplier(s, d))),
     "q_cte" -> ((s, d) => AuditQueries.qCte(s, orders(s, d), customer(s, d))),
     "q_recursive_cte" -> ((s, d) => AuditQueries.qRecursiveCte(s, orders(s, d))),
     "q_window_sql" -> ((s, d) => AuditQueries.qWindowSql(s, customer(s, d))),
@@ -1670,6 +1689,96 @@ object SparkEntry {
                                 FROM lineitem l2
                                 WHERE l2.l_partkey = g.l_partkey))
          ORDER BY s_name""",
+    // Q4 shape: EXISTS-gated priority census (semi join)
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND CAST(l_shipdate AS DATE) >
+                             CAST(o_orderdate AS DATE) + 90)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // Q13 shape: outer-join count histogram (filter in the JOIN condition)
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+           FROM customer c LEFT JOIN orders o
+             ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+           GROUP BY c.c_custkey) t
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    // Q19 shape: disjunctive multi-predicate join, integer-cent revenue
+    "q19_disjunctive_revenue" ->
+      """SELECT round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT)) / 100.0, 2) AS revenue,
+           count(*) AS n_rows
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                AND l_quantity BETWEEN 20 AND 50)""",
+    // Q7 shape: 6-way join, double nation decode, partner-pair census
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+           round(sum(CAST(round(volume * 100) AS BIGINT)) / 100.0, 2)
+             AS revenue,
+           count(*) AS n_rows
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+               FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+                 JOIN orders o ON o.o_orderkey = l.l_orderkey
+                 JOIN customer c ON c.c_custkey = o.o_custkey
+                 JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+                 JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+                 JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+                 JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+               WHERE r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'
+                 AND n1.n_name <> n2.n_name
+                 AND CAST(l_shipdate AS DATE)
+                     BETWEEN DATE '1995-01-01' AND DATE '1996-12-31') t
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+    // Q8 shape: market-share ratio of integer-cent conditional sums
+    "q8_market_share" ->
+      """SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_region = 'EUROPE' THEN vol_c
+                               ELSE 0 END) AS DOUBLE) / sum(vol_c), 6)
+             AS mkt_share,
+           count(*) AS n_rows
+         FROM (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                   AS vol_c,
+                 r2.r_name AS supp_region
+               FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+                 JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                 JOIN orders o ON o.o_orderkey = l.l_orderkey
+                 JOIN customer c ON c.c_custkey = o.o_custkey
+                 JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+                 JOIN region r ON n1.n_regionkey = r.r_regionkey
+                 JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+                 JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+               WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+                 AND CAST(o_orderdate AS DATE)
+                     BETWEEN DATE '1995-01-01' AND DATE '1996-12-31') t
+         GROUP BY o_year ORDER BY o_year""",
+    // Q15 shape: revenue view consumed twice + uncorrelated scalar max
+    "q15_top_supplier" ->
+      """WITH revenue AS (SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS total_c
+           FROM lineitem
+           WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+             AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, round(total_c / 100.0, 2) AS total_revenue
+         FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         WHERE total_c = (SELECT max(total_c) FROM revenue)
+         ORDER BY s_suppkey""",
     // Q22 shape: scalar-average gate + NOT EXISTS anti-join
     "q22_global_sales" ->
       """SELECT c_mktsegment AS segment, count(*) AS n_custs,

@@ -940,6 +940,174 @@ object AuditQueries {
          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   }
 
+  /** TPC-H Q4 shape — order-priority census gated by an EXISTS probe
+    * (orders with at least one late-shipping line in the quarter; the
+    * fixture has no commit/receipt dates, so "late" = shipped more than
+    * 90 days after ordering). The EXISTS must plan as ONE semi join, not
+    * a per-order subplan.
+    */
+  def q4OrderPriority(spark: SparkSession, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_q4")
+    lineitem.createOrReplaceTempView("lineitem_q4")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders_q4
+         WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem_q4
+                       WHERE l_orderkey = o_orderkey
+                         AND CAST(l_shipdate AS DATE) >
+                             date_add(CAST(o_orderdate AS DATE), 90))
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution: the OUTER-join
+    * histogram (how many customers placed 0, 1, 2, … qualifying orders).
+    * The filter lives in the JOIN CONDITION, not the WHERE — moving it
+    * would silently drop zero-order customers, which is the semantic the
+    * shape exists to test. Two-level aggregation: per-customer count,
+    * then the count-of-counts histogram (bounded by max orders/customer).
+    */
+  def q13CustomerDistribution(spark: SparkSession, customer: DataFrame,
+      orders: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("customer_q13")
+    orders.createOrReplaceTempView("orders_q13")
+    spark.sql(
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+           FROM customer_q13 c LEFT JOIN orders_q13 o
+             ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+           GROUP BY c.c_custkey) t
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")
+  }
+
+  /** TPC-H Q19 shape — disjunctive multi-predicate join (three brand /
+    * size / quantity bands OR-ed together): the optimizer stress where
+    * per-side conjuncts must still reach both scans even though the top
+    * predicate is a disjunction. Revenue accumulates in integer cents
+    * (round-before-sum — the cross-engine float law).
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, lineitem: DataFrame,
+      part: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("lineitem_q19")
+    part.createOrReplaceTempView("part_q19")
+    spark.sql(
+      """SELECT round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT)) / 100.0D, 2) AS revenue,
+           count(*) AS n_rows
+         FROM lineitem_q19 JOIN part_q19 ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                AND l_quantity BETWEEN 20 AND 50)""")
+  }
+
+  /** TPC-H Q7 shape — volume shipping between trade partners: the 6-way
+    * join with the DOUBLE nation decode (supplier's nation and
+    * customer's nation both resolve through the same dim — the
+    * self-join-on-a-dim shape) grouped by partner pair and ship year.
+    * Adapted to region-level pairs (ASIA suppliers → EUROPE customers)
+    * so the fixture's 10-supplier scale stays non-degenerate. Revenue in
+    * integer cents.
+    */
+  def q7VolumeShipping(spark: SparkSession, supplier: DataFrame,
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    supplier.createOrReplaceTempView("supplier_q7")
+    lineitem.createOrReplaceTempView("lineitem_q7")
+    orders.createOrReplaceTempView("orders_q7")
+    customer.createOrReplaceTempView("customer_q7")
+    nation.createOrReplaceTempView("nation_q7")
+    region.createOrReplaceTempView("region_q7")
+    spark.sql(
+      """SELECT supp_nation, cust_nation, l_year,
+           round(sum(CAST(round(volume * 100) AS BIGINT)) / 100.0D, 2)
+             AS revenue,
+           count(*) AS n_rows
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(CAST(l_shipdate AS DATE)) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+               FROM supplier_q7 s JOIN lineitem_q7 l ON s.s_suppkey = l.l_suppkey
+                 JOIN orders_q7 o ON o.o_orderkey = l.l_orderkey
+                 JOIN customer_q7 c ON c.c_custkey = o.o_custkey
+                 JOIN nation_q7 n1 ON s.s_nationkey = n1.n_nationkey
+                 JOIN nation_q7 n2 ON c.c_nationkey = n2.n_nationkey
+                 JOIN region_q7 r1 ON n1.n_regionkey = r1.r_regionkey
+                 JOIN region_q7 r2 ON n2.n_regionkey = r2.r_regionkey
+               WHERE r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'
+                 AND n1.n_name <> n2.n_name
+                 AND CAST(l_shipdate AS DATE)
+                     BETWEEN DATE '1995-01-01' AND DATE '1996-12-31') t
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""")
+  }
+
+  /** TPC-H Q8 shape — market share: what fraction of a market's volume
+    * came from one supplier group, per year. The RATIO-of-conditional-sum
+    * over an 8-way join; both sums accumulate in integer cents so the
+    * final share is one double division of exact integers.
+    */
+  def q8MarketShare(spark: SparkSession, part: DataFrame,
+      lineitem: DataFrame, supplier: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
+    part.createOrReplaceTempView("part_q8")
+    lineitem.createOrReplaceTempView("lineitem_q8")
+    supplier.createOrReplaceTempView("supplier_q8")
+    orders.createOrReplaceTempView("orders_q8")
+    customer.createOrReplaceTempView("customer_q8")
+    nation.createOrReplaceTempView("nation_q8")
+    region.createOrReplaceTempView("region_q8")
+    spark.sql(
+      """SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_region = 'EUROPE' THEN vol_c
+                               ELSE 0 END) AS DOUBLE) / sum(vol_c), 6)
+             AS mkt_share,
+           count(*) AS n_rows
+         FROM (SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                   AS vol_c,
+                 r2.r_name AS supp_region
+               FROM part_q8 p JOIN lineitem_q8 l ON p.p_partkey = l.l_partkey
+                 JOIN supplier_q8 s ON s.s_suppkey = l.l_suppkey
+                 JOIN orders_q8 o ON o.o_orderkey = l.l_orderkey
+                 JOIN customer_q8 c ON c.c_custkey = o.o_custkey
+                 JOIN nation_q8 n1 ON c.c_nationkey = n1.n_nationkey
+                 JOIN region_q8 r ON n1.n_regionkey = r.r_regionkey
+                 JOIN nation_q8 n2 ON s.s_nationkey = n2.n_nationkey
+                 JOIN region_q8 r2 ON n2.n_regionkey = r2.r_regionkey
+               WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+                 AND CAST(o_orderdate AS DATE)
+                     BETWEEN DATE '1995-01-01' AND DATE '1996-12-31') t
+         GROUP BY o_year ORDER BY o_year""")
+  }
+
+  /** TPC-H Q15 shape — top supplier: a revenue view consumed twice (once
+    * for the rows, once for the scalar max that selects the winner) —
+    * the CTE-reuse + uncorrelated-scalar pattern. Integer-cent totals
+    * make the max comparison exact.
+    */
+  def q15TopSupplier(spark: SparkSession, lineitem: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("lineitem_q15")
+    supplier.createOrReplaceTempView("supplier_q15")
+    spark.sql(
+      """WITH revenue AS (SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS total_c
+           FROM lineitem_q15
+           WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+             AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, round(total_c / 100.0D, 2) AS total_revenue
+         FROM supplier_q15 JOIN revenue ON s_suppkey = supplier_no
+         WHERE total_c = (SELECT max(total_c) FROM revenue)
+         ORDER BY s_suppkey""")
+  }
+
   def qSqlScripting(spark: SparkSession, orders: DataFrame): DataFrame = {
     orders.createOrReplaceTempView("orders_script_v")
     spark.conf.set("spark.sql.scripting.enabled", "true")

@@ -547,6 +547,35 @@ class PlanSpec extends SparkTestBase {
       .head().getLong(0) === 5L) // 5 no-urgent above-avg customers at sf0.001
   }
 
+  test("q4/q13/q19 shapes: semi join, preserved outer join, disjunction reaches both scans") {
+    // Q4: the EXISTS gate is one semi join, no per-order subplan
+    val q4 = AuditQueries.q4OrderPriority(spark, orders(spark, sf0001),
+      lineitem(spark, sf0001))
+    val p4 = plan(q4)
+    assert(p4.contains("LeftSemi"), s"q4 EXISTS not a semi join:\n$p4")
+    assert(!p4.contains("Subquery"), s"q4 re-runs a subplan per row:\n$p4")
+    assert(q4.agg(org.apache.spark.sql.functions.sum("order_count"))
+      .head().getLong(0) === 58L) // DuckDB cross-check at sf0.001
+    // Q13: the join-condition filter must NOT collapse the outer join —
+    // zero-order customers stay (the c_count = 0 bucket exists)
+    val q13 = AuditQueries.q13CustomerDistribution(spark,
+      customer(spark, sf0001), orders(spark, sf0001))
+    val p13 = plan(q13)
+    assert(p13.contains("LeftOuter"), s"q13 outer join collapsed:\n$p13")
+    assert(q13.agg(org.apache.spark.sql.functions.sum("custdist"))
+      .head().getLong(0) === 150L) // every customer lands in one bucket
+    // Q19: disjunctive predicates — no cartesian blowup; the part side
+    // still broadcasts and part-only conjuncts reach the part scan
+    val q19 = AuditQueries.q19DisjunctiveRevenue(spark,
+      lineitem(spark, sf0001), part(spark, sf0001))
+    val p19 = plan(q19)
+    assert(!p19.contains("CartesianProduct") &&
+      !p19.contains("BroadcastNestedLoopJoin"),
+      s"q19 disjunction degraded the join:\n$p19")
+    assert(p19.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p19")
+    assert(q19.head().getLong(1) === 171L) // qualifying rows, DuckDB cross-check
+  }
+
   test("q_window_sql: three window functions share ONE Window operator (one shuffle+sort)") {
     val p = plan(AuditQueries.qWindowSql(spark, customer(spark, sf0001)))
     val windows = p.linesIterator.count(_.matches(""".*[+*]- Window \[.*"""))
