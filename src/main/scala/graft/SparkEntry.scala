@@ -488,6 +488,8 @@ object SparkEntry {
     "sim_kmeans" -> ((s, d) => SimOps.simKmeans(embeddings(s, d))),
     "sim_pca_train" -> ((s, d) => SimOps.simPcaTrain(embeddings(s, d))),
     "sim_eval_rank" -> ((s, d) => SimOps.simEvalRank(embeddings(s, d))),
+    "sim_eval_rank_sweep" ->
+      ((s, d) => SimOps.simEvalRankSweep(embeddings(s, d))),
     "sim_pca_train2" -> ((s, d) => SimOps.simPcaTrain2(embeddings(s, d))),
     "sink_pca_layout" -> ((s, d) => SimOps.sinkPcaLayout(s, embeddings(s, d), d)),
     "sim_pca_project2d" -> ((s, d) => SimOps.simPcaProject2d(embeddings(s, d))),
@@ -4576,6 +4578,57 @@ object SparkEntry {
     // exact, so even the learned centroids hash-match
     "sim_kmeans" -> kmeansOracleSql(16, 3, 64),
     "sim_pca_train" -> pcaTrainOracleSql,
+    "sim_eval_rank_sweep" -> {
+      def at(np: Int): String =
+        s"""p_$np AS (SELECT cid AS cell FROM c CROSS JOIN q
+               ORDER BY round(list_dot_product(cv, qv) /
+                 (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 9)
+                 DESC, cid LIMIT $np),
+           ann_$np AS (SELECT vec_id, round(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+                 AS cos
+               FROM asn JOIN p_$np USING(cell) CROSS JOIN q WHERE vec_id <> 0
+               ORDER BY cos DESC, vec_id LIMIT 10),
+           ar_$np AS (SELECT vec_id,
+                 row_number() OVER (ORDER BY cos DESC, vec_id) AS arank
+               FROM ann_$np),
+           rels_$np AS (SELECT ar_$np.arank, coalesce(11 - er.erank, 0) AS rel
+                FROM ar_$np LEFT JOIN er USING (vec_id)),
+           dcg_$np AS (SELECT CAST(sum(CAST(round(rel * 1e6 /
+                 (ln(arank + 1) / ln(2))) AS BIGINT)) AS BIGINT) AS dcg_u
+               FROM rels_$np),
+           mrr_$np AS (SELECT CAST(coalesce(1000000 // min(ar_$np.arank), 0)
+                 AS BIGINT) AS mrr_u
+               FROM er JOIN ar_$np USING (vec_id) WHERE er.erank = 1)"""
+      def row(np: Int): String =
+        s"""SELECT $np AS nprobe, (SELECT count(*) FROM er) AS k_eval,
+             mrr_u, dcg_u, idcg.idcg_u,
+             CAST((dcg_u * 1000000) // idcg.idcg_u AS BIGINT) AS ndcg_u
+           FROM mrr_$np CROSS JOIN dcg_$np CROSS JOIN idcg"""
+      val nps = Seq(1, 2, 4, 8)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         a AS (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY round(list_dot_product(v, cv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9)
+                   DESC, cid) AS rn
+               FROM e CROSS JOIN c),
+         asn AS MATERIALIZED (SELECT vec_id, v, cid AS cell FROM a WHERE rn = 1),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         ex AS (SELECT vec_id, round(list_dot_product(v, qv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 9)
+               AS c9
+             FROM e CROSS JOIN q WHERE vec_id <> 0
+             ORDER BY c9 DESC, vec_id LIMIT 10),
+         er AS MATERIALIZED (SELECT vec_id,
+               row_number() OVER (ORDER BY c9 DESC, vec_id) AS erank FROM ex),
+         idcg AS (SELECT CAST(sum(CAST(round((11 - erank) * 1e6 /
+                    (ln(erank + 1) / ln(2))) AS BIGINT)) AS BIGINT) AS idcg_u
+                  FROM er),
+         ${nps.map(at).mkString(",\n         ")}
+         ${nps.map(row).mkString("\n         UNION ALL ")}
+         ORDER BY nprobe"""
+    },
     "sim_eval_rank" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

@@ -1789,7 +1789,26 @@ object SimOps {
     * one exact scan — a query-sample audit in production) plus k-row
     * joins; every window runs on a k-row frame.
     */
-  def simEvalRank(embeddings: DataFrame, k: Int = 10): DataFrame = {
+  /** The rank-metric SWEEP along the probe dial: MRR/nDCG@10 at nprobe ∈
+    * {1,2,4,8} in one audit (the simIvfNprobeSweep stance applied to
+    * ORDER-aware metrics) — the curve that says how many cells a serving
+    * deployment must probe before ranking quality, not just set recall,
+    * holds. The exact arm computes once; each sweep point re-runs only
+    * the pruned scan.
+    */
+  def simEvalRankSweep(embeddings: DataFrame,
+      probeCounts: Seq[Int] = Seq(1, 2, 4, 8), k: Int = 10): DataFrame =
+    probeCounts.map { np =>
+      simEvalRankAt(embeddings, k, np)
+        .select(lit(np).as("nprobe"), col("k_eval"), col("mrr_u"),
+          col("dcg_u"), col("idcg_u"), col("ndcg_u"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+
+  def simEvalRank(embeddings: DataFrame, k: Int = 10): DataFrame =
+    simEvalRankAt(embeddings, k, nprobe = 4)
+
+  private def simEvalRankAt(embeddings: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
     graft.plans.VectorFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), toVec(col("embedding")).as("v"))
     val cents = e.filter(col("vec_id") < 16)
@@ -1803,7 +1822,7 @@ object SimOps {
         row_number().over(Window.orderBy(desc("c9"), asc("vec_id"))))
       .select(col("vec_id"), col("erank"))
       .localCheckpoint() // k-row frame feeds three consumers
-    val ar = ivfScan(e, cents, excludeQueryId = Some(0L))
+    val ar = ivfScan(e, cents, nprobe = nprobe, excludeQueryId = Some(0L))
       .withColumn("arank",
         row_number().over(Window.orderBy(desc("cos"), asc("vec_id"))))
       .select(col("vec_id"), col("arank"))
