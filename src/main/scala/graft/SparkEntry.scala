@@ -233,6 +233,7 @@ object SparkEntry {
     "agg_percentile_approx" -> ((s, d) => AggOps.aggPercentileApprox(lineitem(s, d))),
     "agg_sketch_rollup" -> ((s, d) => AggOps.aggSketchRollup(events(s, d))),
     "agg_retention" -> ((s, d) => AggOps.aggRetention(events(s, d))),
+    "events_funnel" -> ((s, d) => AggOps.eventsFunnel(events(s, d))),
     "agg_rolling_distinct" -> ((s, d) => AggOps.aggRollingDistinct(events(s, d))),
     "agg_ewma" -> ((s, d) => AggOps.aggEwma(events(s, d))),
     "agg_bitmap_distinct" -> ((s, d) => AggOps.aggBitmapDistinct(lineitem(s, d))),
@@ -288,6 +289,7 @@ object SparkEntry {
     "stream_anomaly" -> ((s, d) => StreamOps.streamAnomaly(s, d)),
     "stream_seasonal" -> ((s, d) => StreamOps.streamSeasonal(s, d)),
     "stream_cusum" -> ((s, d) => StreamOps.streamCusum(s, d)),
+    "stream_holt" -> ((s, d) => StreamOps.streamHolt(s, d)),
     "quality_report" -> ((s, d) => QualityOps.qualityReport(
       orders(s, d), customer(s, d), lineitem(s, d), events(s, d))),
     "sim_rp_width_sweep" -> ((s, d) => SimOps.simRpWidthSweep(embeddings(s, d))),
@@ -366,6 +368,10 @@ object SparkEntry {
       LlmOps.dedupBinary(documents(s, d), embeddings(s, d))),
     "multimodal_decode" -> ((s, d) => LlmOps.multimodalDecode(documents(s, d))),
     "multimodal_decode_wav" -> ((s, d) => LlmOps.multimodalDecodeWav(documents(s, d))),
+    "multimodal_audio_features" ->
+      ((s, d) => LlmOps.multimodalAudioFeatures(documents(s, d))),
+    "multimodal_image_features" ->
+      ((s, d) => LlmOps.multimodalImageFeatures(documents(s, d))),
     "multimodal_decode_ppm" -> ((s, d) => LlmOps.multimodalDecodePpm(documents(s, d))),
     "multimodal_ingest_decode" -> ((s, d) => LlmOps.multimodalIngestDecode(s, d)),
     "multimodal_framesample" -> ((s, d) => LlmOps.multimodalFramesample(documents(s, d))),
@@ -502,6 +508,7 @@ object SparkEntry {
     "pipeline_pack" -> ((s, d) => PipelineOps.pipelinePack(documents(s, d))),
     "pipeline_quality_classifier" ->
       ((s, d) => PipelineOps.pipelineQualityClassifier(documents(s, d))),
+    "pipeline_dsir" -> ((s, d) => PipelineOps.pipelineDsir(documents(s, d))),
     "pipeline_classifier_calibration" ->
       ((s, d) => PipelineOps.pipelineClassifierCalibration(documents(s, d))),
     "pipeline_mix" -> ((s, d) => PipelineOps.pipelineMix(documents(s, d))),
@@ -531,6 +538,10 @@ object SparkEntry {
       ((s, d) => PipelineOps.pipelineBpeApply(documents(s, d))),
     "pipeline_fertility" ->
       ((s, d) => PipelineOps.pipelineFertility(documents(s, d))),
+    "pipeline_wordpiece_train" ->
+      ((s, d) => PipelineOps.pipelineWordpieceTrain(documents(s, d))),
+    "pipeline_wordpiece_apply" ->
+      ((s, d) => PipelineOps.pipelineWordpieceApply(documents(s, d))),
     "text_chunk" -> ((s, d) => PipelineOps.textChunk(documents(s, d))),
     "dedup_url" -> ((s, d) => PipelineOps.dedupUrl(documents(s, d))),
     "sim_mips" -> ((s, d) => SimOps.simMips(embeddings(s, d))),
@@ -570,6 +581,11 @@ object SparkEntry {
     "ts_seasonal_decompose" ->
       ((s, d) => QualityOps.tsSeasonalDecompose(events(s, d))),
     "quality_cusum" -> ((s, d) => QualityOps.qualityCusum(events(s, d))),
+    "ts_holt" -> ((s, d) => QualityOps.tsHolt(events(s, d))),
+    "events_funnel_summary" ->
+      ((s, d) => AggOps.eventsFunnelSummary(events(s, d))),
+    "events_funnel_sweep" ->
+      ((s, d) => AggOps.eventsFunnelSweep(events(s, d))),
     "text_zipf_audit" -> ((s, d) => TextOps.textZipfAudit(documents(s, d))),
     "q_pareto_skyline" -> ((s, d) => SortSetOps.paretoSkyline(orders(s, d))),
     // [EXT] r12: BM25 retrieval scoring, weighted reservoir sampling,
@@ -636,6 +652,62 @@ object SparkEntry {
        FROM d JOIN v USING (w) WHERE len(w) > 0
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** WordPiece CTE chain: the BPE chain with a per-round symbol-count
+    * CTE (y$r) and the likelihood argmax (cnt·10¹²) // (cₐ·c_b) — the
+    * same integer quotient the engine computes, same (score desc, a, b)
+    * tie-break.
+    */
+  private def wpCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT p.a AS a, p.b AS b, sum(n)::BIGINT AS cnt FROM
+           (SELECT n, unnest([{'a': li[i], 'b': li[i+1]}
+              for i in range(1, len(li))]) AS p
+            FROM (SELECT n, str_split(trim(seq), ' ') AS li FROM s${r - 1}) t0) t
+         GROUP BY 1, 2),
+         y$r AS MATERIALIZED (SELECT sym, sum(n)::BIGINT AS c FROM
+           (SELECT n, unnest(str_split(trim(seq), ' ')) AS sym FROM s${r - 1}) t
+         GROUP BY sym),
+         b$r AS MATERIALIZED (SELECT p.a AS a, p.b AS b, cnt,
+                 CAST((cnt * 1000000000000) // (ca.c * cb.c) AS BIGINT)
+                   AS score_u,
+                 ' ' || p.a || ' ' || p.b || ' ' AS pat,
+                 ' ' || p.a || p.b || ' ' AS rep
+               FROM p$r p JOIN y$r ca ON p.a = ca.sym
+                 JOIN y$r cb ON p.b = cb.sym
+               ORDER BY score_u DESC, p.a, p.b LIMIT 1),
+         r$r AS (SELECT w, n, seq, pat FROM s${r - 1} CROSS JOIN b$r
+           UNION ALL
+           SELECT w, n, regexp_replace(seq, pat, (SELECT rep FROM b$r)), pat
+           FROM r$r WHERE contains(seq, pat)),
+         s$r AS MATERIALIZED (SELECT w, n, seq FROM r$r WHERE NOT contains(seq, pat))"""
+    }.mkString(",\n")
+    // each round reads s${r-1} THREE times (pairs, symbol counts, the
+    // rewrite seed) — without MATERIALIZED the chain re-inlines 3^rounds
+    // copies of the corpus scan (measured: fd exhaustion at 6 rounds)
+    s"""WITH RECURSIVE words AS MATERIALIZED (SELECT w, count(*)::BIGINT AS n FROM
+         (SELECT unnest(str_split(text, ' ')) AS w FROM documents) t
+       WHERE len(w) > 0 GROUP BY w),
+       s0 AS MATERIALIZED (SELECT w, n,
+           ' ' || array_to_string(str_split(w, ''), ' ') || ' ' AS seq
+         FROM words),
+       $roundCtes"""
+  }
+
+  private def wpOracle(rounds: Int): String =
+    s"""${wpCtes(rounds)}
+       ${(1 to rounds).map(r =>
+        s"SELECT $r AS round, a AS sym_a, b AS sym_b, a || b AS merged, cnt, score_u FROM b$r")
+        .mkString("\n UNION ALL ")} ORDER BY round"""
+
+  private def wpApplyOracle(rounds: Int): String =
+    s"""${wpCtes(rounds)},
+       v AS (SELECT w, len(str_split(trim(seq), ' '))::BIGINT AS n_sym
+             FROM s$rounds),
+       d AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+       SELECT doc_id, count(*) AS n_ws, CAST(sum(n_sym) AS BIGINT) AS n_wp
+       FROM d JOIN v USING (w) WHERE len(w) > 0
+       GROUP BY doc_id ORDER BY doc_id"""
+
   private val qualityDriftPsiOracleSql: String =
     """WITH c AS (SELECT
              CAST(least(floor(o_totalprice / 50000.0), 9.0) AS INTEGER) AS bucket,
@@ -672,6 +744,26 @@ object SparkEntry {
            g.gmax - last_seen_us AS lag_us,
            CASE WHEN g.gmax - last_seen_us > 1200000000 THEN 1 ELSE 0 END AS stale
          FROM p CROSS JOIN g ORDER BY event_type"""
+  /** Holt recurrence replayed as a recursive CTE over the day index —
+    * the same IEEE operation order as the engine's array fold, so the
+    * doubles match bit-for-bit (the agg_ewma convention). Shared by the
+    * batch entry and the streaming twin.
+    */
+  private val tsHoltOracleSql: String =
+    """WITH RECURSIVE daily AS (SELECT CAST(ts AS DATE) AS day,
+             count(*)::BIGINT AS n FROM events GROUP BY 1),
+       d AS (SELECT day, n, row_number() OVER (ORDER BY day) AS i FROM daily),
+       h AS (
+         SELECT i, day, n, n::DOUBLE AS l, 0.0::DOUBLE AS b FROM d WHERE i = 1
+         UNION ALL
+         SELECT d.i, d.day, d.n,
+           0.5 * d.n + 0.5 * (h.l + h.b),
+           0.3 * ((0.5 * d.n + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b
+         FROM h JOIN d ON d.i = h.i + 1)
+       SELECT CAST(day AS VARCHAR) AS day, n, round(l, 6) AS level,
+         round(b, 6) AS trend
+       FROM h ORDER BY day"""
+
   private val qualityCusumOracleSql: String =
     """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
            FROM events GROUP BY 1),
@@ -2723,6 +2815,29 @@ object SparkEntry {
            count(*) AS n_users
          FROM d JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // first-touch funnel: every step is a conditional MIN in exact epoch
+    // micros, so both engines bind each step to the identical event
+    "events_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+         s1 AS (SELECT user_id, min(tsu) AS t1_us,
+                  min(tsu) + 172800000000 AS dl_us
+                FROM ev WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(tsu) AS t2_us
+                FROM ev e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND tsu > t1_us AND tsu <= dl_us
+                GROUP BY e.user_id),
+         s12 AS (SELECT s1.user_id, t1_us, dl_us, t2_us
+                 FROM s1 LEFT JOIN s2 USING (user_id)),
+         s3 AS (SELECT e.user_id, min(tsu) AS t3_us
+                FROM ev e JOIN s12 USING (user_id)
+                WHERE event_type = 'purchase' AND t2_us IS NOT NULL
+                  AND tsu > t2_us AND tsu <= dl_us
+                GROUP BY e.user_id)
+         SELECT s12.user_id, t1_us, t2_us, t3_us,
+           CAST(1 + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END AS INTEGER)
+             AS level
+         FROM s12 LEFT JOIN s3 USING (user_id) ORDER BY user_id""",
     // same sequential IEEE fold (seeded 0.0) — doubles match bit-for-bit
     "agg_ewma" ->
       """SELECT user_id, count(*) AS n_events,
@@ -4119,6 +4234,35 @@ object SparkEntry {
          SELECT user_id, round(value, 6) AS value, epoch_us(ts) AS ts_us
          FROM r WHERE rn = 1 AND op <> 'D'
          ORDER BY user_id""",
+    // DSIR importance weights: same md5 bucket coin as hashing_trick,
+    // per-token ln ratios micro-rounded BEFORE the per-doc sum so the
+    // integer doc score is order-invariant on both engines
+    "pipeline_dsir" ->
+      """WITH toks AS (SELECT doc_id, lang,
+             CAST((('0x' || substring(md5(token), 1, 8))::BIGINT % 1024)
+               AS BIGINT) AS b
+           FROM (SELECT doc_id, lang, unnest(str_split(lower(text), ' '))
+                   AS token FROM documents)
+           WHERE token <> ''),
+         raw AS (SELECT b, count(*)::BIGINT AS n_raw FROM toks GROUP BY b),
+         tgt AS (SELECT b, count(*)::BIGINT AS n_tgt FROM toks
+                 WHERE lang = 'en' GROUP BY b),
+         cnts AS (SELECT raw.b, n_raw, coalesce(n_tgt, 0) AS n_tgt
+                  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+         tot AS (SELECT sum(n_raw)::BIGINT AS tot_raw,
+                        sum(n_tgt)::BIGINT AS tot_tgt,
+                        count(*)::BIGINT AS nb FROM cnts),
+         lw AS (SELECT b,
+             CAST(round((ln((n_tgt + 1.0) / (tot_tgt + nb)) -
+                         ln((n_raw + 1.0) / (tot_raw + nb))) * 1e6)
+               AS BIGINT) AS lw_u
+           FROM cnts, tot)
+         SELECT t.doc_id, count(*)::BIGINT AS n_feats,
+           sum(lw_u)::BIGINT AS logw_u,
+           CAST(CASE WHEN sum(lw_u) > 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS selected
+         FROM toks t JOIN lw ON t.b = lw.b
+         GROUP BY t.doc_id ORDER BY doc_id""",
     // training replayed exactly: algebraic sigmoid (no exp — identical
     // IEEE arithmetic on both engines) + integer-microunit gradient
     // quantization make each unrolled round bit-reproducible
@@ -4866,6 +5010,8 @@ object SparkEntry {
                 - floor(start_tok / 64.0) + 1 AS BIGINT) AS n_seqs
          FROM w ORDER BY source, doc_id""",
     "pipeline_bpe_train" -> bpeOracle(6),
+    "pipeline_wordpiece_train" -> wpOracle(6),
+    "pipeline_wordpiece_apply" -> wpApplyOracle(6),
     "pipeline_bpe_apply" -> bpeApplyOracle(6),
     // the apply chain aggregated per language instead of per doc
     "pipeline_fertility" ->
@@ -5527,6 +5673,133 @@ object SparkEntry {
     "quality_anomaly" -> qualityAnomalyOracleSql,
     "ts_seasonal_decompose" -> tsSeasonalOracleSql,
     "quality_cusum" -> qualityCusumOracleSql,
+    "ts_holt" -> tsHoltOracleSql,
+    // batch-equivalence: the twin drains the same day histogram into the
+    // shared holtScore kernel
+    "stream_holt" -> tsHoltOracleSql,
+    // the report aggregates the SAME funnel CTE chain (conversion in
+    // exact ppm, latencies in integer micros — all integer division)
+    "events_funnel_summary" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+         s1 AS (SELECT user_id, min(tsu) AS t1_us,
+                  min(tsu) + 172800000000 AS dl_us
+                FROM ev WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(tsu) AS t2_us
+                FROM ev e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND tsu > t1_us AND tsu <= dl_us
+                GROUP BY e.user_id),
+         s12 AS (SELECT s1.user_id, t1_us, dl_us, t2_us
+                 FROM s1 LEFT JOIN s2 USING (user_id)),
+         s3 AS (SELECT e.user_id, min(tsu) AS t3_us
+                FROM ev e JOIN s12 USING (user_id)
+                WHERE event_type = 'purchase' AND t2_us IS NOT NULL
+                  AND tsu > t2_us AND tsu <= dl_us
+                GROUP BY e.user_id),
+         f AS (SELECT s12.user_id, t1_us, t2_us, t3_us
+               FROM s12 LEFT JOIN s3 USING (user_id)),
+         a AS (SELECT count(*)::BIGINT AS n1, count(t2_us)::BIGINT AS n2,
+                 count(t3_us)::BIGINT AS n3,
+                 coalesce(sum(t2_us - t1_us), 0)::BIGINT AS d2,
+                 coalesce(sum(t3_us - t1_us), 0)::BIGINT AS d3
+               FROM f)
+         SELECT * FROM (
+           SELECT 1 AS step, n1 AS n_reached,
+             CASE WHEN n1 = 0 THEN 0 ELSE 1000000 END::BIGINT AS conv_ppm,
+             0::BIGINT AS avg_us_from_entry FROM a
+           UNION ALL SELECT 2, n2,
+             CASE WHEN n1 = 0 THEN 0 ELSE (n2 * 1000000) // n1 END,
+             CASE WHEN n2 = 0 THEN 0 ELSE d2 // n2 END FROM a
+           UNION ALL SELECT 3, n3,
+             CASE WHEN n1 = 0 THEN 0 ELSE (n3 * 1000000) // n1 END,
+             CASE WHEN n3 = 0 THEN 0 ELSE d3 // n3 END FROM a)
+         ORDER BY step""",
+    // closed-form replay of the BMP pixel rule: non-pad byte j =
+    // (id·31+7j) mod 256 row-major; channel = j mod 3; gradient only
+    // within rows (x ≥ 3), padding excluded exactly as in the decode
+    "multimodal_image_features" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 8 + 2 AS BIGINT) AS w,
+             CAST(doc_id % 6 + 2 AS BIGINT) AS h,
+             CASE WHEN doc_id % 13 = 5 THEN 'bad_magic'
+                  WHEN doc_id % 13 = 9 THEN 'truncated'
+                  ELSE 'ok' END AS status
+           FROM documents),
+         px AS (SELECT doc_id, status, w * 3 AS rb, w * 3 * h AS nb,
+             list_transform(range(0, w * 3 * h),
+               j -> (doc_id * 31 + 7 * j) % 256) AS v
+           FROM d)
+         SELECT doc_id, status,
+           CAST(CASE WHEN status = 'ok' THEN
+               list_sum(list_transform(list_filter(range(0, nb),
+                 j -> j % 3 = 1), j -> v[j + 1]))
+             ELSE 0 END AS BIGINT) AS green_sum,
+           CAST(CASE WHEN status = 'ok' THEN
+               list_sum(list_transform(list_filter(range(0, nb),
+                 j -> j % 3 = 2), j -> v[j + 1]))
+             ELSE 0 END AS BIGINT) AS red_sum,
+           CAST(CASE WHEN status = 'ok' THEN
+               list_sum(list_transform(list_filter(range(0, nb),
+                 j -> j % rb >= 3), j -> abs(v[j + 1] - v[j - 2])))
+             ELSE 0 END AS BIGINT) AS grad_sum,
+           CAST(CASE WHEN status = 'ok' THEN list_max(v) ELSE 0 END
+             AS INTEGER) AS max_px
+         FROM px ORDER BY doc_id""",
+    // window-independent (t1, c, p) triple computed once; the sweep is
+    // pure arithmetic over it — first-touch bindings don't move with W
+    "events_funnel_sweep" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+         s1 AS (SELECT user_id, min(tsu) AS t1 FROM ev
+                WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(tsu) AS c FROM ev e JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND tsu > t1 GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(tsu) AS p FROM ev e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND tsu > c GROUP BY e.user_id),
+         base AS (SELECT s1.user_id, t1, c.c AS c, p.p AS p
+                  FROM s1 LEFT JOIN c USING (user_id)
+                    LEFT JOIN p USING (user_id)),
+         x AS (SELECT t1, c, p, unnest([6, 24, 48, 168]) AS window_hours
+               FROM base),
+         a AS (SELECT window_hours, count(*)::BIGINT AS n1,
+             coalesce(sum(CASE WHEN c <= t1 + window_hours::BIGINT * 3600000000
+               THEN 1 ELSE 0 END), 0)::BIGINT AS n2,
+             coalesce(sum(CASE WHEN c <= t1 + window_hours::BIGINT * 3600000000
+               AND p <= t1 + window_hours::BIGINT * 3600000000
+               THEN 1 ELSE 0 END), 0)::BIGINT AS n3
+           FROM x GROUP BY window_hours)
+         SELECT CAST(window_hours AS INTEGER) AS window_hours, n1, n2, n3,
+           CASE WHEN n1 = 0 THEN 0 ELSE (n2 * 1000000) // n1 END AS conv2_ppm,
+           CASE WHEN n1 = 0 THEN 0 ELSE (n3 * 1000000) // n1 END AS conv3_ppm
+         FROM a ORDER BY window_hours""",
+    // closed-form replay of the synthetic PCM rule: frame energies,
+    // strict-sign-flip crossings, fixed activity gate — the imperative
+    // parser and this SQL must agree to the bit
+    "multimodal_audio_features" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 50 + 20 AS BIGINT) AS n,
+             CASE WHEN doc_id % 11 = 3 THEN 'bad_magic'
+                  WHEN doc_id % 11 = 7 THEN 'truncated'
+                  ELSE 'ok' END AS status
+           FROM documents),
+         sm AS (SELECT doc_id, status, n,
+             list_transform(range(0, n),
+               k -> (doc_id * 131 + 17 * k) % 4001 - 2000) AS s FROM d),
+         fe AS (SELECT doc_id, status, n, s,
+             CAST(n // 16 AS INTEGER) AS nf,
+             list_transform(range(0, n // 16),
+               f -> list_sum(list_transform(range(0, 16),
+                 j -> s[f*16 + j + 1] * s[f*16 + j + 1]))) AS es
+           FROM sm)
+         SELECT doc_id, status,
+           CAST(CASE WHEN status = 'ok' THEN nf ELSE 0 END AS INTEGER)
+             AS n_frames,
+           CAST(CASE WHEN status = 'ok' THEN
+               len(list_filter(range(0, n - 1), k -> s[k+1] * s[k+2] < 0))
+             ELSE 0 END AS INTEGER) AS zero_crossings,
+           CAST(CASE WHEN status = 'ok' THEN list_max(es) ELSE 0 END
+             AS BIGINT) AS max_frame_energy,
+           CAST(CASE WHEN status = 'ok' THEN
+               len(list_filter(es, e -> e >= 21000000))
+             ELSE 0 END AS INTEGER) AS n_active
+         FROM fe ORDER BY doc_id""",
     "text_zipf_audit" ->
       """WITH wc AS (SELECT w, count(*)::BIGINT AS cnt FROM
              (SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents) t

@@ -425,6 +425,121 @@ object AggOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Ordered event FUNNEL (the windowFunnel of event analytics): for
+    * every user who entered at step 1 (first `view`), the first `click`
+    * strictly after it, and the first `purchase` strictly after that
+    * click — all inside a fixed window anchored at the entry event.
+    * First-touch semantics: each step binds to its EARLIEST qualifying
+    * event, so the result is deterministic and every step timestamp is
+    * a plain conditional MIN. `level` is how deep the user got (1–3).
+    *
+    * Scale shape: funnel steps are inherently sequential (step k's time
+    * bound depends on step k−1), so the operator is one events pass PER
+    * STEP — each a filter + join against the USER-sized previous-step
+    * table (shuffle keyed on user_id, the natural partitioning; no
+    * collected per-user history, so a power-user with millions of
+    * events costs nothing extra). Timestamps travel as epoch micros —
+    * exact integer arithmetic on both engines.
+    */
+  def eventsFunnel(events: DataFrame, windowHours: Int = 48): DataFrame = {
+    val ev = events.select(
+      col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t1_us"))
+      .withColumn("dl_us", col("t1_us") + lit(windowHours * 3600L * 1000000L))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("tsu") > col("t1_us") && col("tsu") <= col("dl_us"))
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t2_us"))
+    val s12 = s1.join(s2, Seq("user_id"), "left")
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s12.filter(col("t2_us").isNotNull)
+        .select(col("user_id"), col("t2_us"), col("dl_us")), "user_id")
+      .filter(col("tsu") > col("t2_us") && col("tsu") <= col("dl_us"))
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t3_us"))
+    s12.join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        (lit(1) + col("t2_us").isNotNull.cast("int")
+          + col("t3_us").isNotNull.cast("int")).as("level"))
+      .orderBy("user_id")
+  }
+
+  /** Conversion along the WINDOW dial — the tuning-curve stance
+    * (nprobe_sweep, rp_width_sweep) applied to the funnel: how much
+    * conversion does a tighter attribution window cost? The key
+    * identity making this ONE pass instead of one funnel per window:
+    * with first-touch semantics the bound events don't move — t1 = min
+    * view, c = first click after t1, p = first purchase after c are
+    * window-INDEPENDENT; a window W then only asks whether c (resp.
+    * c and p) landed inside t1+W. So the engine computes the
+    * user-sized (t1, c, p) triple once and the whole sweep is
+    * arithmetic over it — 4 windows cost the same as 1.
+    */
+  def eventsFunnelSweep(
+      events: DataFrame,
+      windowsHours: Seq[Int] = Seq(6, 24, 48, 168)): DataFrame = {
+    val ev = events.select(
+      col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("tsu") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("c"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("tsu") > col("c"))
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("p"))
+    val base = s1.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+    val wus = col("window_hours").cast("long") * 3600L * 1000000L
+    base
+      .select(col("t1"), col("c"), col("p"),
+        explode(array(windowsHours.map(h => lit(h)): _*)).as("window_hours"))
+      .groupBy(col("window_hours"))
+      .agg(
+        count(lit(1)).as("n1"),
+        coalesce(sum(when(col("c") <= col("t1") + wus, 1L)), lit(0L)).as("n2"),
+        coalesce(sum(when(col("c") <= col("t1") + wus &&
+          col("p") <= col("t1") + wus, 1L)), lit(0L)).as("n3"))
+      .select(col("window_hours"), col("n1"), col("n2"), col("n3"),
+        when(col("n1") === 0, lit(0L))
+          .otherwise(expr("(n2 * 1000000) DIV n1")).as("conv2_ppm"),
+        when(col("n1") === 0, lit(0L))
+          .otherwise(expr("(n3 * 1000000) DIV n1")).as("conv3_ppm"))
+      .orderBy("window_hours")
+  }
+
+  /** The funnel REPORT off [[eventsFunnel]]: per step, how many users
+    * reached it, conversion from entry in exact ppm, and the mean
+    * time-from-entry among reachers in exact integer micros (sums and
+    * counts close in integer division — no float drift). ONE aggregate
+    * over the user-sized funnel frame, exploded to the 3-row report;
+    * all zero-denominator cases guarded identically in both engines.
+    */
+  def eventsFunnelSummary(events: DataFrame): DataFrame = {
+    val one = eventsFunnel(events).agg(
+      count(lit(1)).as("n1"),
+      count(col("t2_us")).as("n2"),
+      count(col("t3_us")).as("n3"),
+      coalesce(sum(col("t2_us") - col("t1_us")), lit(0L)).as("d2"),
+      coalesce(sum(col("t3_us") - col("t1_us")), lit(0L)).as("d3"))
+    one.select(explode(array(
+        struct(lit(1).as("step"), col("n1").as("n_reached"),
+          when(col("n1") === 0, lit(0L)).otherwise(lit(1000000L)).as("conv_ppm"),
+          lit(0L).as("avg_us_from_entry")),
+        struct(lit(2).as("step"), col("n2").as("n_reached"),
+          when(col("n1") === 0, lit(0L))
+            .otherwise(expr("(n2 * 1000000) DIV n1")).as("conv_ppm"),
+          when(col("n2") === 0, lit(0L))
+            .otherwise(expr("d2 DIV n2")).as("avg_us_from_entry")),
+        struct(lit(3).as("step"), col("n3").as("n_reached"),
+          when(col("n1") === 0, lit(0L))
+            .otherwise(expr("(n3 * 1000000) DIV n1")).as("conv_ppm"),
+          when(col("n3") === 0, lit(0L))
+            .otherwise(expr("d3 DIV n3")).as("avg_us_from_entry")))).as("s"))
+      .select(col("s.step").as("step"), col("s.n_reached").as("n_reached"),
+        col("s.conv_ppm").as("conv_ppm"),
+        col("s.avg_us_from_entry").as("avg_us_from_entry"))
+      .orderBy("step")
+  }
+
   /** Per-key EWMA (exponentially weighted moving average) — the
     * RECURSIVE ordered aggregate no window function expresses (each
     * value depends on the full prefix, not a frame). The batch shape:

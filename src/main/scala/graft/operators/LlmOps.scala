@@ -702,12 +702,16 @@ object LlmOps {
     * integers, so the oracle pins genuine structure awareness. Corrupt
     * payloads quarantine with a status instead of throwing.
     */
-  private[graft] def decodeBmp(id: Long, b: Array[Byte]): BmpDecoded = {
+  /** Shared BMP header walk behind [[decodeBmp]] and
+    * [[decodeBmpFeatures]]: (status, width, height, pixel-array offset);
+    * "ok" guarantees the padded pixel array is in bounds.
+    */
+  private def bmpWalk(b: Array[Byte]): (String, Int, Int, Int) = {
     def u8(i: Int): Int = b(i) & 0xff
     def i32(i: Int): Int = u8(i) | u8(i + 1) << 8 | u8(i + 2) << 16 | u8(i + 3) << 24
     def i16(i: Int): Int = u8(i) | u8(i + 1) << 8
     if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte)
-      return BmpDecoded(id, "bad_magic", 0, 0, 0, 0L, 0L, 0)
+      return ("bad_magic", 0, 0, -1)
     val off = i32(10)
     val w = i32(18)
     val h = i32(22)
@@ -717,11 +721,24 @@ object LlmOps {
     // slip past the truncation check into an out-of-bounds walk
     if (bpp != 24 || w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)
         || off < 54 || off > b.length)
-      return BmpDecoded(id, "bad_header", 0, 0, 0, 0L, 0L, 0)
+      ("bad_header", 0, 0, -1)
+    else {
+      val rowBytes = w * 3
+      val pad = (4 - rowBytes % 4) % 4
+      if (b.length < off.toLong + (rowBytes.toLong + pad) * h)
+        ("truncated", w, h, -1)
+      else ("ok", w, h, off)
+    }
+  }
+
+  private[graft] def decodeBmp(id: Long, b: Array[Byte]): BmpDecoded = {
+    def u8(i: Int): Int = b(i) & 0xff
+    val (st, w, h, off) = bmpWalk(b)
+    if (st == "bad_magic" || st == "bad_header")
+      return BmpDecoded(id, st, 0, 0, 0, 0L, 0L, 0)
+    if (st == "truncated") return BmpDecoded(id, st, w, h, 0, 0L, 0L, 0)
     val rowBytes = w * 3
     val pad = (4 - rowBytes % 4) % 4
-    if (b.length < off.toLong + (rowBytes.toLong + pad) * h)
-      return BmpDecoded(id, "truncated", w, h, 0, 0L, 0L, 0)
     var pixelSum = 0L
     var blueSum = 0L
     var j = 0
@@ -740,6 +757,64 @@ object LlmOps {
     val tl = off + (h - 1) * (rowBytes + pad)
     BmpDecoded(id, "ok", w, h, w * h, pixelSum, blueSum,
       u8(tl) + u8(tl + 1) + u8(tl + 2))
+  }
+
+  final case class BmpFeatures(
+      doc_id: Long, status: String, green_sum: Long, red_sum: Long,
+      grad_sum: Long, max_px: Int)
+
+  /** Pixel-level feature extraction off the decoded BMP — the image
+    * sibling of [[decodeWavFeatures]]: per-channel sums
+    * (green/red — blue already ships in the decode entry), the
+    * horizontal same-channel gradient magnitude Σ|v(x)−v(x−3)| per row
+    * (an edge-energy proxy — the cheap blur/flat-image screen an image
+    * corpus pipeline runs before expensive models), and the peak byte.
+    * Padding bytes are excluded exactly as in the decode (a
+    * padding-naive reader inflates the gradient at every row seam).
+    */
+  private[graft] def decodeBmpFeatures(id: Long, b: Array[Byte]): BmpFeatures = {
+    val (st, w, h, off) = bmpWalk(b)
+    if (st != "ok") return BmpFeatures(id, st, 0L, 0L, 0L, 0)
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    var green = 0L
+    var red = 0L
+    var grad = 0L
+    var maxPx = 0
+    var j = 0
+    var y = 0
+    while (y < h) {
+      val rowStart = off + y * (rowBytes + pad)
+      var x = 0
+      while (x < rowBytes) {
+        val v = b(rowStart + x) & 0xff
+        if (j % 3 == 1) green += v
+        if (j % 3 == 2) red += v
+        if (x >= 3) grad += math.abs(v - (b(rowStart + x - 3) & 0xff))
+        if (v > maxPx) maxPx = v
+        j += 1; x += 1
+      }
+      y += 1
+    }
+    BmpFeatures(id, "ok", green, red, grad, maxPx)
+  }
+
+  /** The image-features entry — same real BMP bytes as
+    * [[multimodalDecode]], parsed by the same shared header walk, folded
+    * into per-channel and edge-energy features. Map-side imperative
+    * compute, closed-form exact-integer oracle.
+    */
+  def multimodalImageFeatures(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id")).as[Long]
+      .map(id => (id, corruptBmpFor(id, encodeBmp(id))))
+      .toDF("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeBmpFeatures(id, payload) })
+      .toDF()
+      .orderBy("doc_id")
   }
 
   final case class WavDecoded(
@@ -798,12 +873,33 @@ object LlmOps {
     * quarantines as truncated with the parseable header fields kept.
     */
   private[graft] def decodeWav(id: Long, b: Array[Byte]): WavDecoded = {
+    val (st, rate, dataAt, n) = wavWalk(b)
+    if (st != "ok") return WavDecoded(id, st, rate, 0, 0L, 0L, 0)
+    var sum = 0L
+    var sq = 0L
+    var peak = 0
+    var k = 0
+    while (k < n) {
+      val s = wavSample(b, dataAt, k)
+      sum += s
+      sq += s.toLong * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      k += 1
+    }
+    WavDecoded(id, "ok", rate, n, sum, sq, peak)
+  }
+
+  /** The shared RIFF chunk walk behind [[decodeWav]] and
+    * [[decodeWavFeatures]]: returns (status, sample_rate, data offset,
+    * sample count); status "ok" guarantees the data span is in bounds.
+    */
+  private def wavWalk(b: Array[Byte]): (String, Int, Int, Int) = {
     def u8(i: Int): Int = b(i) & 0xff
     def i32(i: Int): Int = u8(i) | u8(i + 1) << 8 | u8(i + 2) << 16 | u8(i + 3) << 24
     def tag(i: Int): String =
       if (i + 4 > b.length) "" else new String(b, i, 4, "US-ASCII")
     if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
-      return WavDecoded(id, "bad_magic", 0, 0, 0L, 0L, 0)
+      return ("bad_magic", 0, -1, 0)
     var pos = 12
     var rate = 0
     var bits = 0
@@ -832,23 +928,76 @@ object LlmOps {
         }
       }
     }
-    if (!ok || rate == 0 || bits != 16)
-      return WavDecoded(id, "bad_header", rate, 0, 0L, 0L, 0)
-    if (dataAt.toLong + dataLen > b.length)
-      return WavDecoded(id, "truncated", rate, 0, 0L, 0L, 0)
-    val n = dataLen / 2
-    var sum = 0L
-    var sq = 0L
-    var peak = 0
+    if (!ok || rate == 0 || bits != 16) ("bad_header", rate, -1, 0)
+    else if (dataAt.toLong + dataLen > b.length) ("truncated", rate, -1, 0)
+    else ("ok", rate, dataAt, dataLen / 2)
+  }
+
+  private def wavSample(b: Array[Byte], dataAt: Int, k: Int): Int =
+    (((b(dataAt + 2 * k) & 0xff) |
+      (b(dataAt + 2 * k + 1) & 0xff) << 8).toShort).toInt
+
+  final case class WavFeatures(
+      doc_id: Long, status: String, n_frames: Int, zero_crossings: Int,
+      max_frame_energy: Long, n_active: Int)
+
+  private val WavFrameLen = 16
+  private val WavActiveThreshold = 21000000L
+
+  /** Frame-level feature extraction over the decoded PCM stream — the
+    * VAD-ish stage an audio corpus pipeline runs right after decode:
+    * full-signal zero-crossing count (strict sign flips), 16-sample
+    * frame energies (Σs² in exact longs), the peak frame energy, and
+    * the count of frames above a fixed activity gate. Same quarantine
+    * discipline as the decode: non-ok files emit zeroed features, never
+    * crash the scan.
+    */
+  private[graft] def decodeWavFeatures(id: Long, b: Array[Byte]): WavFeatures = {
+    val (st, _, dataAt, n) = wavWalk(b)
+    if (st != "ok") return WavFeatures(id, st, 0, 0, 0L, 0)
+    var zc = 0
     var k = 0
-    while (k < n) {
-      val s = ((u8(dataAt + 2 * k) | u8(dataAt + 2 * k + 1) << 8).toShort).toInt
-      sum += s
-      sq += s.toLong * s
-      if (math.abs(s) > peak) peak = math.abs(s)
+    while (k < n - 1) {
+      if (wavSample(b, dataAt, k) * wavSample(b, dataAt, k + 1) < 0) zc += 1
       k += 1
     }
-    WavDecoded(id, "ok", rate, n, sum, sq, peak)
+    val nf = n / WavFrameLen
+    var maxE = 0L
+    var active = 0
+    var f = 0
+    while (f < nf) {
+      var e = 0L
+      var j = 0
+      while (j < WavFrameLen) {
+        val s = wavSample(b, dataAt, f * WavFrameLen + j)
+        e += s.toLong * s
+        j += 1
+      }
+      if (e > maxE) maxE = e
+      if (e >= WavActiveThreshold) active += 1
+      f += 1
+    }
+    WavFeatures(id, "ok", nf, zc, maxE, active)
+  }
+
+  /** The audio-features entry — [[multimodalDecodeWav]]'s downstream
+    * sibling: the same real RIFF bytes, parsed by the same shared chunk
+    * walk, then framed into DSP features instead of whole-file moments.
+    * Map-side per-partition compute, zero shuffles before the output
+    * sort; the oracle replays the synthetic sample rule closed-form, so
+    * the imperative parser and the SQL arithmetic must agree to the bit.
+    */
+  def multimodalAudioFeatures(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id")).as[Long]
+      .map(id => (id, corruptWavFor(id, encodeWav(id))))
+      .toDF("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeWavFeatures(id, payload) })
+      .toDF()
+      .orderBy("doc_id")
   }
 
   /** The audio decode entry — [[multimodalDecode]]'s WAV sibling: real

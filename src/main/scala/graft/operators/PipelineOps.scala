@@ -750,17 +750,98 @@ object PipelineOps {
           col("cnt"))
         if (merges == null) row else merges.unionAll(row)
       }
-      seqs = seqs.crossJoin(broadcast(best.select(col("a"), col("b"))))
-        .select(col("w"), col("n"),
-          aggregate(col("syms"), array().cast("array<string>"),
-            (acc, x) => when(
-                get(acc, size(acc) - 1) === col("a") && x === col("b"),
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(concat(col("a"), col("b")))))
-              .otherwise(concat(acc, array(x)))).as("syms"))
-        .localCheckpoint(eager = false)
+      seqs = applyMerge(seqs, best)
     }
     (merges, seqs)
+  }
+
+  /** Greedy leftmost-first application of one learned merge to every
+    * word's symbol sequence (shared by the BPE and WordPiece loops) —
+    * the winning pair arrives as a 1-row broadcast, application is a
+    * left fold over the vocab-sized symbol table.
+    */
+  private def applyMerge(seqs: DataFrame, best: DataFrame): DataFrame =
+    seqs.crossJoin(broadcast(best.select(col("a"), col("b"))))
+      .select(col("w"), col("n"),
+        aggregate(col("syms"), array().cast("array<string>"),
+          (acc, x) => when(
+              get(acc, size(acc) - 1) === col("a") && x === col("b"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(col("a"), col("b")))))
+            .otherwise(concat(acc, array(x)))).as("syms"))
+      .localCheckpoint(eager = false)
+
+  /** WORDPIECE training loop (Schuster & Nakajima 2012 — the BERT
+    * tokenizer's objective): identical merge machinery to BPE, but the
+    * round winner maximizes the LIKELIHOOD gain
+    * score(a,b) = count(ab) / (count(a)·count(b)) instead of raw pair
+    * frequency — a merge of two already-common symbols must pay for
+    * itself, so WordPiece prefers cohesive units over frequent ones.
+    * The score is the integer quotient (cnt·10¹²) DIV (cₐ·c_b) — exact
+    * and identical under Spark DIV and DuckDB // (valid while
+    * cnt < ~9·10⁶, i.e. far past these fixtures; a 100 TB train would
+    * hold the same expression in DECIMAL(38), which both engines carry).
+    *
+    * Scale shape: the corpus-sized stage is still ONE word count; per
+    * round the pair table AND the symbol-count table are vocab-sized
+    * aggregates off the symbol sequences, the argmax is a 1-row
+    * TakeOrdered, and merge application is the shared vocab-sized fold.
+    */
+  private def wpLoop(documents: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    val words = documents.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    var seqs = words
+      .select(col("w"), col("n"),
+        array_remove(split(col("w"), "(?!^)"), "").as("syms"))
+      .localCheckpoint(eager = false)
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      val pairs = seqs.select(col("n"),
+          explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+      val syms = seqs.select(col("n"), explode(col("syms")).as("s"))
+        .groupBy(col("s")).agg(sum(col("n")).as("c"))
+      val best = pairs
+        .join(syms.select(col("s").as("a"), col("c").as("ca")), "a")
+        .join(syms.select(col("s").as("b"), col("c").as("cb")), "b")
+        .withColumn("score_u",
+          expr("(cnt * 1000000000000) DIV (ca * cb)"))
+        .orderBy(desc("score_u"), asc("a"), asc("b")).limit(1)
+        .localCheckpoint()
+      merges = {
+        val row = best.select(lit(r).as("round"), col("a").as("sym_a"),
+          col("b").as("sym_b"), concat(col("a"), col("b")).as("merged"),
+          col("cnt"), col("score_u"))
+        if (merges == null) row else merges.unionAll(row)
+      }
+      seqs = applyMerge(seqs, best)
+    }
+    (merges, seqs)
+  }
+
+  /** The learned WordPiece merge table — see [[wpLoop]]. */
+  def pipelineWordpieceTrain(documents: DataFrame, rounds: Int = 6): DataFrame =
+    wpLoop(documents, rounds)._1.orderBy("round")
+
+  /** Tokenize with the learned WordPiece merges: per-document whitespace
+    * vs post-merge piece counts — same one-explode-one-broadcast-join
+    * census as [[pipelineBpeApply]], so the two tokenizers' compression
+    * is directly comparable per document.
+    */
+  def pipelineWordpieceApply(documents: DataFrame, rounds: Int = 6): DataFrame = {
+    val (_, seqs) = wpLoop(documents, rounds)
+    val vocab = seqs.select(col("w"), size(col("syms")).cast("long").as("n_sym"))
+    documents.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(vocab, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws"), sum(col("n_sym")).as("n_wp"))
+      .orderBy("doc_id")
   }
 
   /** Training-export SHARD MANIFEST — the reproducibility artifact a
@@ -1466,5 +1547,62 @@ object PipelineOps {
       .select(col("w"), col("n"),
         substring(col("st"), 1, 20).cast("long").as("cost_u"),
         trim(substring(col("st"), 22, 1000000)).as("seg"))
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * the public hashed-n-gram importance-weighting recipe): score every
+    * document by how much more likely its token bag is under a TARGET
+    * distribution (here the `lang = 'en'` slice — the usual "formal
+    * text" proxy) than under the raw corpus, using hashed unigram bucket
+    * frequencies as the feature space. A document's log importance
+    * weight is Σ_tokens [ln p̂_target(bucket) − ln p̂_raw(bucket)] with
+    * add-one smoothing; `selected` keeps the docs whose bag is
+    * target-leaning (log weight > 0). The published method then
+    * resamples by weight — the md5 Gumbel coin `sample_weighted`
+    * already ships is that step; this operator is the weighing room.
+    *
+    * Determinism: per-token ln ratios are micro-quantized BEFORE the
+    * per-doc sum (round-before-sum, the zipf-audit convention), so the
+    * doc score is an order-invariant integer sum; the bucket hash is
+    * the md5→conv cross-engine coin.
+    *
+    * Scale shape: ONE corpus-sized token explode feeds both bucket
+    * histograms (target is a filtered re-aggregation of the same scan),
+    * the weight table is `buckets`-sized (1024 rows — broadcast), and
+    * per-doc scoring is a map-side broadcast join + one hash aggregate
+    * on doc_id. Nothing wider than the corpus scan itself; at 100 TB
+    * this is the same one-pass funnel shape as `text_quality`.
+    */
+  def pipelineDsir(documents: DataFrame, buckets: Int = 1024): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("n_raw"))
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("n_tgt"))
+    val counts = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("n_tgt"))
+    // add-one smoothing over the OBSERVED bucket support (nb), not the
+    // full hash range: with a vocabulary much smaller than `buckets`,
+    // smoothing over empty buckets biases every token by
+    // ln((tot_raw+B)/(tot_tgt+B)) − ln(tot_raw/tot_tgt) < 0 and drowns
+    // the signal (measured: all-negative scores on the fixture corpus)
+    val totals = counts.agg(
+      sum(col("n_raw")).as("tot_raw"), sum(col("n_tgt")).as("tot_tgt"),
+      count(lit(1)).as("nb"))
+    val lw = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round((log((col("n_tgt") + 1.0) / (col("tot_tgt") + col("nb"))) -
+          log((col("n_raw") + 1.0) / (col("tot_raw") + col("nb")))) * 1e6)
+          .cast("long").as("lw_u"))
+    toks.join(broadcast(lw), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lw_u")).as("logw_u"))
+      .select(col("doc_id"), col("n_feats"), col("logw_u"),
+        (col("logw_u") > 0).cast("int").as("selected"))
+      .orderBy("doc_id")
   }
 }

@@ -314,6 +314,53 @@ object QualityOps {
       .orderBy("day")
   }
 
+  /** Holt LINEAR exponential smoothing over the daily volume series —
+    * the level+trend forecaster (Holt 1957) completing the monitoring
+    * family: anomaly flags bursts, cusum flags sustained shifts,
+    * seasonal removes the weekday shape, Holt tracks where the series
+    * is HEADING (l_t = αy_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}; zero-trend init).
+    */
+  def tsHolt(events: DataFrame): DataFrame =
+    holtScore(events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The Holt recurrence over a (day, n) histogram — shared by the batch
+    * entry and the streaming twin, like seasonalScore/cusumScore. The
+    * recurrence is a genuine sequential fold (each state needs the full
+    * prefix), run as an array fold over the calendar-bounded day series
+    * (the bounded-histogram exemption — state is days, never corpus) in
+    * EXACTLY the IEEE operation order the oracle's recursive CTE uses,
+    * so doubles match bit-for-bit (the agg_ewma convention).
+    */
+  private[graft] def holtScore(
+      daily: DataFrame, alpha: Double = 0.5, beta: Double = 0.3): DataFrame = {
+    val ser = daily
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("s"))
+    val acc0 = array().cast("array<struct<day:date,n:bigint,l:double,b:double>>")
+    val folded = ser.select(aggregate(col("s"), acc0, (acc, x) => {
+      val yt = x.getField("n").cast("double")
+      val prev = element_at(acc, -1)
+      val lNew = lit(alpha) * yt +
+        lit(1 - alpha) * (prev.getField("l") + prev.getField("b"))
+      when(size(acc) === 0,
+        array(struct(x.getField("day").as("day"), x.getField("n").as("n"),
+          yt.as("l"), lit(0.0).as("b"))))
+        .otherwise(concat(acc, array(struct(
+          x.getField("day").as("day"), x.getField("n").as("n"),
+          lNew.as("l"),
+          (lit(beta) * (lNew - prev.getField("l")) +
+            lit(1 - beta) * prev.getField("b")).as("b")))))
+    }).as("tr"))
+    folded.select(explode(col("tr")).as("r"))
+      .select(date_format(col("r.day"), "yyyy-MM-dd").as("day"),
+        col("r.n").as("n"),
+        round(col("r.l"), 6).as("level"),
+        round(col("r.b"), 6).as("trend"))
+      .orderBy("day")
+  }
+
   /** CUSUM level-shift detection over the daily volume series — the
     * classic sequential change detector (S_t = max(0, S_{t−1} + x_t − μ
     * − κ), alarm when S_t > h): a sustained small shift accumulates

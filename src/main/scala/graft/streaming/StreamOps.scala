@@ -1213,6 +1213,14 @@ object StreamOps {
     graft.operators.QualityOps.cusumScore(
       drainedDailyHistogram(spark, sfDir, "stream_cusum"))
 
+  /** The Holt level+trend tracker's streaming twin — the FOURTH
+    * monitoring kernel over the same incrementally-maintained day
+    * histogram; bit-identical to the batch entry, same oracle.
+    */
+  def streamHolt(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.QualityOps.holtScore(
+      drainedDailyHistogram(spark, sfDir, "stream_holt"))
+
   /** The calendar-bounded DAY histogram maintained as an incremental
     * streaming aggregate over the staged event quarters, drained in
     * complete mode — the shared state-building half of the streaming

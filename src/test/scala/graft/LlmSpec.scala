@@ -754,6 +754,55 @@ class LlmSpec extends SparkTestBase {
   }
 
 
+  test("multimodal_audio_features: framed energy/ZCR agree with a functional recomputation") {
+    // independent path: recompute the features FUNCTIONALLY from the
+    // closed-form sample rule (the oracle's arithmetic) and require the
+    // imperative byte-walking parser to land on the same integers
+    for (id <- 0L to 60L) {
+      val got = LlmOps.decodeWavFeatures(id, LlmOps.corruptWavFor(id, LlmOps.encodeWav(id)))
+      if (id % 11 == 3) assert(got.status === "bad_magic" && got.n_frames === 0)
+      else if (id % 11 == 7) assert(got.status === "truncated" && got.n_frames === 0)
+      else {
+        val n = (id % 50 + 20).toInt
+        val s = (0 until n).map(k => ((id * 131 + 17L * k) % 4001 - 2000).toInt)
+        val zc = (0 until n - 1).count(k => s(k) * s(k + 1) < 0)
+        val es = (0 until n / 16)
+          .map(f => (0 until 16).map(j => s(f * 16 + j).toLong * s(f * 16 + j)).sum)
+        assert(got.status === "ok", s"id=$id: $got")
+        assert(got.n_frames === n / 16 && got.zero_crossings === zc
+          && got.max_frame_energy === es.max
+          && got.n_active === es.count(_ >= 21000000L),
+          s"id=$id: $got vs zc=$zc es=$es")
+      }
+    }
+    // quarantine-never-crash extends to the feature path (shared walk)
+    assert(LlmOps.decodeWavFeatures(0L, Array[Byte](1, 2, 3)).status === "bad_magic")
+  }
+
+  test("multimodal_image_features: channel sums and row-local gradient agree with the pixel rule") {
+    for (id <- 0L to 60L) {
+      val got = LlmOps.decodeBmpFeatures(id, LlmOps.corruptBmpFor(id, LlmOps.encodeBmp(id)))
+      if (id % 13 == 5) assert(got.status === "bad_magic" && got.grad_sum === 0L)
+      else if (id % 13 == 9) assert(got.status === "truncated" && got.grad_sum === 0L)
+      else {
+        val w = (id % 8 + 2).toInt
+        val h = (id % 6 + 2).toInt
+        val rb = w * 3
+        val v = (0 until rb * h).map(j => ((id * 31 + 7L * j) % 256).toInt)
+        val green = v.indices.filter(_ % 3 == 1).map(v(_).toLong).sum
+        val red = v.indices.filter(_ % 3 == 2).map(v(_).toLong).sum
+        val grad = v.indices.filter(_ % rb >= 3)
+          .map(j => math.abs(v(j) - v(j - 3)).toLong).sum
+        assert(got.status === "ok", s"id=$id: $got")
+        assert(got.green_sum === green && got.red_sum === red
+          && got.grad_sum === grad && got.max_px === v.max,
+          s"id=$id: $got vs green=$green red=$red grad=$grad max=${v.max}")
+      }
+    }
+    // the shared walk keeps the quarantine-never-crash contract
+    assert(LlmOps.decodeBmpFeatures(0L, Array[Byte](9, 9)).status === "bad_magic")
+  }
+
   test("multimodal_decode_ppm: comment-bearing ASCII headers tokenize; corrupt ones quarantine") {
     // id 4 carries a '#' comment line in the header (4 % 9 == 4) — a
     // fixed-token-layout reader misparses exactly this variant

@@ -1488,4 +1488,110 @@ class OperatorSpec extends SparkTestBase {
     assert(got("2024-01-08") === ((1, 5L, 4000000L, 1000000L)))
     assert(got("2024-01-02") === ((2, 2L, 2000000L, 0L)))
   }
+
+  test("ts_holt: hand-computed level/trend recurrence on a 3-day series") {
+    import java.sql.Timestamp
+    // counts 10/20/30 with alpha=.5, beta=.3, zero-trend init:
+    // d1: l=10, b=0; d2: l=15, b=1.5; d3: l=.5*30+.5*16.5=23.25,
+    // b=.3*8.25+.7*1.5=3.525
+    val rows =
+      (1 to 10).map(i => (100L + i, Timestamp.valueOf(s"2024-01-01 10:00:${10 + i}"))) ++
+      (1 to 20).map(i => (200L + i, Timestamp.valueOf(s"2024-01-02 10:00:${10 + i}"))) ++
+      (1 to 30).map(i => (300L + i, Timestamp.valueOf(s"2024-01-03 10:00:${10 + i}")))
+    val events = rows.toDF("event_id", "ts")
+    val got = QualityOps.tsHolt(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got("2024-01-01") === ((10L, 10.0, 0.0)))
+    assert(got("2024-01-02") === ((20L, 15.0, 1.5)))
+    assert(got("2024-01-03") === ((30L, 23.25, 3.525)))
+  }
+
+  test("events_funnel_summary: reached counts, ppm conversion, exact mean latency") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val t0 = "2024-01-01 00:00:00"
+    // same population as the events_funnel spec: 5 entrants, 3 reach
+    // click (at +1h, +1h, +3h from entry), 1 reaches purchase (+2h)
+    val rows = Seq(
+      (1L, "view", ts(t0)), (1L, "click", ts("2024-01-01 01:00:00")),
+      (1L, "purchase", ts("2024-01-01 02:00:00")),
+      (2L, "view", ts(t0)), (2L, "click", ts("2024-01-03 00:00:01")),
+      (3L, "view", ts(t0)), (3L, "purchase", ts("2024-01-01 01:00:00")),
+      (4L, "click", ts(t0)),
+      (5L, "view", ts(t0)), (5L, "purchase", ts("2024-01-01 00:30:00")),
+      (5L, "click", ts("2024-01-01 01:00:00")),
+      (6L, "click", ts("2023-12-31 23:00:00")), (6L, "view", ts(t0)),
+      (6L, "click", ts("2024-01-01 03:00:00")))
+    val events = rows.toDF("user_id", "event_type", "ts")
+    val got = AggOps.eventsFunnelSummary(events).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val h = 3600L * 1000000L
+    assert(got(1) === ((5L, 1000000L, 0L)))
+    assert(got(2) === ((3L, 600000L, 5 * h / 3)), "mean of +1h,+1h,+3h")
+    assert(got(3) === ((1L, 200000L, 2 * h)))
+  }
+
+  test("events_funnel_sweep: one-pass window dial is monotone and matches the 48h funnel") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val t0 = "2024-01-01 00:00:00"
+    val rows = Seq(
+      (1L, "view", ts(t0)), (1L, "click", ts("2024-01-01 01:00:00")),
+      (1L, "purchase", ts("2024-01-01 02:00:00")),
+      (2L, "view", ts(t0)), (2L, "click", ts("2024-01-03 00:00:01")),
+      (3L, "view", ts(t0)), (3L, "purchase", ts("2024-01-01 01:00:00")),
+      (4L, "click", ts(t0)),
+      (5L, "view", ts(t0)), (5L, "purchase", ts("2024-01-01 00:30:00")),
+      (5L, "click", ts("2024-01-01 01:00:00")),
+      (6L, "click", ts("2023-12-31 23:00:00")), (6L, "view", ts(t0)),
+      (6L, "click", ts("2024-01-01 03:00:00")))
+    val events = rows.toDF("user_id", "event_type", "ts")
+    val got = AggOps.eventsFunnelSweep(events).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // u2's click lands at +48h1s: outside every window up to 48 h,
+    // inside the 168 h one — the dial must show exactly that step
+    assert(got(6) === ((5L, 3L, 1L)))
+    assert(got(24) === ((5L, 3L, 1L)))
+    assert(got(48) === ((5L, 3L, 1L)), "48h sweep row must match the funnel")
+    assert(got(168) === ((5L, 4L, 1L)))
+  }
+
+  test("events_funnel: first-touch binding, strict ordering, window cut") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val t0 = "2024-01-01 00:00:00"
+    val rows = Seq(
+      // u1: clean 3-step conversion inside the window
+      (1L, "view", ts(t0)), (1L, "click", ts("2024-01-01 01:00:00")),
+      (1L, "purchase", ts("2024-01-01 02:00:00")),
+      // u2: click lands past the 48 h deadline → level 1
+      (2L, "view", ts(t0)), (2L, "click", ts("2024-01-03 00:00:01")),
+      // u3: purchase but NO click — step 3 needs step 2 → level 1
+      (3L, "view", ts(t0)), (3L, "purchase", ts("2024-01-01 01:00:00")),
+      // u4: never entered (no view) → absent from the funnel
+      (4L, "click", ts(t0)),
+      // u5: purchase BEFORE the click binds → level 2 (strictly-after)
+      (5L, "view", ts(t0)), (5L, "purchase", ts("2024-01-01 00:30:00")),
+      (5L, "click", ts("2024-01-01 01:00:00")),
+      // u6: pre-view click ignored; the post-view click binds
+      (6L, "click", ts("2023-12-31 23:00:00")), (6L, "view", ts(t0)),
+      (6L, "click", ts("2024-01-01 03:00:00")))
+    val events = rows.toDF("user_id", "event_type", "ts")
+    val got = AggOps.eventsFunnel(events).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(4), Option(r.get(2)), Option(r.get(3)))))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 5L, 6L))
+    assert(got(1L)._1 === 3)
+    assert(got(2L) === ((1, None, None)))
+    assert(got(3L) === ((1, None, None)))
+    assert(got(5L)._1 === 2)
+    val hourUs = 3600L * 1000000L
+    assert(got(6L)._1 === 2)
+    assert(got(6L)._2.get.asInstanceOf[Long] ===
+      Timestamp.valueOf(t0).getTime * 1000L + 3 * hourUs,
+      "step 2 must bind to the first click AFTER the view, not before")
+  }
 }

@@ -435,4 +435,62 @@ class PipelineSpec extends SparkTestBase {
         "unigram pieces can never undercut whitespace words")
     }
   }
+
+  test("pipeline_wordpiece_train: likelihood argmax diverges from BPE's frequency argmax") {
+    import spark.implicits._
+    // (x,y) is the FREQUENT pair (50 joint, but x and y each appear 150
+    // times) while (q,z) is the COHESIVE pair (20 joint, q and z occur
+    // nowhere else): BPE must pick xy, WordPiece must pick qz —
+    // score(x,y) = 50e12/(150·150) ≈ 2.2e9 < score(q,z) = 20e12/400 = 5e10
+    def rep(w: String, k: Int) = Seq.fill(k)(w)
+    val text = (rep("xy", 50) ++ rep("x", 100) ++ rep("y", 100) ++
+      rep("qz", 20)).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val wp = PipelineOps.pipelineWordpieceTrain(docs, rounds = 1).collect()
+    assert(wp.length === 1)
+    assert((wp(0).getString(1), wp(0).getString(2)) === (("q", "z")),
+      s"WordPiece round 1 must pick the cohesive pair: ${wp(0)}")
+    assert(wp(0).getLong(4) === 20L && wp(0).getLong(5) === 50000000000L)
+    val bpe = PipelineOps.pipelineBpeTrain(docs, rounds = 1).collect()
+    assert((bpe(0).getString(1), bpe(0).getString(2)) === (("x", "y")),
+      s"BPE round 1 must pick the frequent pair: ${bpe(0)}")
+    // apply: after the qz merge, the word qz is ONE piece, xy still two
+    val ap = PipelineOps.pipelineWordpieceApply(docs, rounds = 1).collect()
+    assert(ap.length === 1)
+    // 270 whitespace words; xy contributes 2 pieces ×50, x/y 1 ×200, qz 1 ×20
+    assert(ap(0).getLong(1) === 270L && ap(0).getLong(2) === 320L)
+  }
+
+  test("pipeline_dsir: selection follows token content, not the lang label") {
+    import spark.implicits._
+    // target slice (en) speaks alpha/beta; the rest speaks gamma/delta.
+    // doc 7 is LABELED de but WRITTEN in target vocabulary — DSIR scores
+    // the bag, so it must come out selected while the gamma/delta docs
+    // must not (the content-vs-metadata distinction is the whole point
+    // of importance resampling over hashed features).
+    val docs = Seq(
+      (1L, "alpha alpha beta", "en"), (2L, "alpha beta beta", "en"),
+      (3L, "beta alpha alpha", "en"), (4L, "gamma gamma delta", "de"),
+      (5L, "gamma delta delta", "de"), (6L, "delta gamma gamma", "de"),
+      (7L, "alpha beta alpha", "de")
+    ).toDF("doc_id", "text", "lang")
+    // the observed-support smoothing is what lets this tiny fixture
+    // carry signal at the default 1024 buckets (add-one over the full
+    // hash range would drown 21 tokens); the four planted tokens are
+    // collision-free mod 1024 (checked against md5 directly)
+    val out = PipelineOps.pipelineDsir(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out.size === 7)
+    // feature count = token occurrences (bag semantics)
+    assert(out(1)._1 === 3L && out(4)._1 === 3L)
+    Seq(1L, 2L, 3L, 7L).foreach { id =>
+      assert(out(id)._2 > 0L && out(id)._3 === 1,
+        s"target-vocabulary doc $id must be selected: ${out(id)}")
+    }
+    Seq(4L, 5L, 6L).foreach { id =>
+      assert(out(id)._2 < 0L && out(id)._3 === 0,
+        s"off-target doc $id must be rejected: ${out(id)}")
+    }
+  }
 }
