@@ -459,6 +459,8 @@ object SparkEntry {
     "udtf_generator" -> ((s, d) => UdfOps.udtfGenerator(documents(s, d))),
     // [EXT] training-pipeline text analysis
     "text_langid" -> ((s, d) => TextOps.textLangid(documents(s, d))),
+    "text_langid_confusion" ->
+      ((s, d) => TextOps.textLangidConfusion(documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(documents(s, d))),
     "text_tokens_regex" -> ((s, d) => TextOps.textTokensRegex(documents(s, d))),
     "text_tfidf" -> ((s, d) => TextOps.textTfidf(documents(s, d))),
@@ -509,6 +511,8 @@ object SparkEntry {
     "pipeline_quality_classifier" ->
       ((s, d) => PipelineOps.pipelineQualityClassifier(documents(s, d))),
     "pipeline_dsir" -> ((s, d) => PipelineOps.pipelineDsir(documents(s, d))),
+    "pipeline_dsir_resample" ->
+      ((s, d) => PipelineOps.pipelineDsirResample(documents(s, d))),
     "pipeline_classifier_calibration" ->
       ((s, d) => PipelineOps.pipelineClassifierCalibration(documents(s, d))),
     "pipeline_mix" -> ((s, d) => PipelineOps.pipelineMix(documents(s, d))),
@@ -542,6 +546,8 @@ object SparkEntry {
       ((s, d) => PipelineOps.pipelineWordpieceTrain(documents(s, d))),
     "pipeline_wordpiece_apply" ->
       ((s, d) => PipelineOps.pipelineWordpieceApply(documents(s, d))),
+    "pipeline_wordpiece_fertility" ->
+      ((s, d) => PipelineOps.pipelineWordpieceFertility(documents(s, d))),
     "text_chunk" -> ((s, d) => PipelineOps.textChunk(documents(s, d))),
     "dedup_url" -> ((s, d) => PipelineOps.dedupUrl(documents(s, d))),
     "sim_mips" -> ((s, d) => SimOps.simMips(embeddings(s, d))),
@@ -744,6 +750,36 @@ object SparkEntry {
            g.gmax - last_seen_us AS lag_us,
            CASE WHEN g.gmax - last_seen_us > 1200000000 THEN 1 ELSE 0 END AS stale
          FROM p CROSS JOIN g ORDER BY event_type"""
+  /** The DSIR weighing room as CTEs — hashed-unigram bucket histograms
+    * (target = lang 'en' vs raw), add-one smoothing over the OBSERVED
+    * bucket support, per-token micro-rounded ln ratios summed per doc.
+    * Shared by the threshold-selection entry and the Gumbel resampler.
+    */
+  private val dsirScoreCtes: String =
+    """toks AS (SELECT doc_id, lang,
+             CAST((('0x' || substring(md5(token), 1, 8))::BIGINT % 1024)
+               AS BIGINT) AS b
+           FROM (SELECT doc_id, lang, unnest(str_split(lower(text), ' '))
+                   AS token FROM documents)
+           WHERE token <> ''),
+         raw AS (SELECT b, count(*)::BIGINT AS n_raw FROM toks GROUP BY b),
+         tgt AS (SELECT b, count(*)::BIGINT AS n_tgt FROM toks
+                 WHERE lang = 'en' GROUP BY b),
+         cnts AS (SELECT raw.b, n_raw, coalesce(n_tgt, 0) AS n_tgt
+                  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+         tot AS (SELECT sum(n_raw)::BIGINT AS tot_raw,
+                        sum(n_tgt)::BIGINT AS tot_tgt,
+                        count(*)::BIGINT AS nb FROM cnts),
+         lw AS (SELECT b,
+             CAST(round((ln((n_tgt + 1.0) / (tot_tgt + nb)) -
+                         ln((n_raw + 1.0) / (tot_raw + nb))) * 1e6)
+               AS BIGINT) AS lw_u
+           FROM cnts, tot),
+         sc AS (SELECT t.doc_id, count(*)::BIGINT AS n_feats,
+                  sum(lw_u)::BIGINT AS logw_u
+                FROM toks t JOIN lw ON t.b = lw.b
+                GROUP BY t.doc_id)"""
+
   /** Holt recurrence replayed as a recursive CTE over the day index —
     * the same IEEE operation order as the engine's array fold, so the
     * doubles match bit-for-bit (the agg_ewma convention). Shared by the
@@ -4238,31 +4274,29 @@ object SparkEntry {
     // per-token ln ratios micro-rounded BEFORE the per-doc sum so the
     // integer doc score is order-invariant on both engines
     "pipeline_dsir" ->
-      """WITH toks AS (SELECT doc_id, lang,
-             CAST((('0x' || substring(md5(token), 1, 8))::BIGINT % 1024)
-               AS BIGINT) AS b
-           FROM (SELECT doc_id, lang, unnest(str_split(lower(text), ' '))
-                   AS token FROM documents)
-           WHERE token <> ''),
-         raw AS (SELECT b, count(*)::BIGINT AS n_raw FROM toks GROUP BY b),
-         tgt AS (SELECT b, count(*)::BIGINT AS n_tgt FROM toks
-                 WHERE lang = 'en' GROUP BY b),
-         cnts AS (SELECT raw.b, n_raw, coalesce(n_tgt, 0) AS n_tgt
-                  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
-         tot AS (SELECT sum(n_raw)::BIGINT AS tot_raw,
-                        sum(n_tgt)::BIGINT AS tot_tgt,
-                        count(*)::BIGINT AS nb FROM cnts),
-         lw AS (SELECT b,
-             CAST(round((ln((n_tgt + 1.0) / (tot_tgt + nb)) -
-                         ln((n_raw + 1.0) / (tot_raw + nb))) * 1e6)
-               AS BIGINT) AS lw_u
-           FROM cnts, tot)
-         SELECT t.doc_id, count(*)::BIGINT AS n_feats,
-           sum(lw_u)::BIGINT AS logw_u,
-           CAST(CASE WHEN sum(lw_u) > 0 THEN 1 ELSE 0 END AS INTEGER)
+      s"""WITH $dsirScoreCtes
+         SELECT doc_id, n_feats, logw_u,
+           CAST(CASE WHEN logw_u > 0 THEN 1 ELSE 0 END AS INTEGER)
              AS selected
-         FROM toks t JOIN lw ON t.b = lw.b
-         GROUP BY t.doc_id ORDER BY doc_id""",
+         FROM sc ORDER BY doc_id""",
+    // Gumbel-top-k over the SAME scored chain (shared CTEs — selection
+    // and resampling cannot drift): key = logw + round(−ln(−ln u)·1e6)
+    "pipeline_dsir_resample" ->
+      s"""WITH $dsirScoreCtes,
+         g AS (SELECT doc_id, n_feats, logw_u,
+             CAST(round(-ln(-ln(
+                 (('0x' || substring(md5('dr|' || CAST(doc_id AS VARCHAR)),
+                    1, 8))::BIGINT + 0.5) / 4294967296.0)) * 1e6)
+               AS BIGINT) AS gumbel_u
+           FROM sc),
+         r AS (SELECT doc_id, n_feats, logw_u, gumbel_u,
+                 logw_u + gumbel_u AS key_u FROM g),
+         k AS (SELECT CAST(row_number() OVER (ORDER BY key_u DESC, doc_id)
+                 AS INTEGER) AS rnk,
+               doc_id, n_feats, logw_u, gumbel_u, key_u
+               FROM r ORDER BY key_u DESC, doc_id LIMIT 64)
+         SELECT rnk, doc_id, n_feats, logw_u, gumbel_u, key_u
+         FROM k ORDER BY rnk""",
     // training replayed exactly: algebraic sigmoid (no exp — identical
     // IEEE arithmetic on both engines) + integer-microunit gradient
     // quantization make each unrolled round bit-reproducible
@@ -4366,6 +4400,22 @@ object SparkEntry {
                FROM t)
          SELECT doc_id, lang_meta, CAST(best.s AS INTEGER) AS best_score, best.l AS lang_pred
          FROM m ORDER BY doc_id""",
+    // the langid scoring CTEs aggregated to the (meta × predicted)
+    // confusion matrix — the audit shares the classifier's expression
+    "text_langid_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS vocab
+                    FROM documents),
+         m AS (SELECT doc_id, lang AS lang_meta, list_max([
+           {'s': len(list_intersect(vocab, ['der','die','und','das','ist','nicht'])), 'l': 'de'},
+           {'s': len(list_intersect(vocab, ['the','and','of','to','in','is'])), 'l': 'en'},
+           {'s': len(list_intersect(vocab, ['el','la','de','que','y','los'])), 'l': 'es'},
+           {'s': len(list_intersect(vocab, ['le','la','les','et','des','une'])), 'l': 'fr'},
+           {'s': len(list_intersect(vocab, ['de','shi','bu','wo','le','ren'])), 'l': 'zh'}]) AS best
+               FROM t)
+         SELECT lang_meta, best.l AS lang_pred, count(*)::BIGINT AS n,
+           CAST(CASE WHEN lang_meta = best.l THEN 1 ELSE 0 END AS INTEGER)
+             AS is_correct
+         FROM m GROUP BY 1, 2, 4 ORDER BY 1, 2""",
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents),
          r AS (SELECT doc_id,
@@ -5012,6 +5062,17 @@ object SparkEntry {
     "pipeline_bpe_train" -> bpeOracle(6),
     "pipeline_wordpiece_train" -> wpOracle(6),
     "pipeline_wordpiece_apply" -> wpApplyOracle(6),
+    // the WordPiece apply chain aggregated per language — the third
+    // fertility table next to the BPE and unigram ones
+    "pipeline_wordpiece_fertility" ->
+      s"""${wpCtes(6)},
+         v AS (SELECT w, len(str_split(trim(seq), ' '))::BIGINT AS n_sym
+               FROM s6),
+         d AS (SELECT lang, unnest(str_split(text, ' ')) AS w FROM documents)
+         SELECT lang, count(*) AS n_ws, CAST(sum(n_sym) AS BIGINT) AS n_wp,
+           round(CAST(sum(n_sym) AS DOUBLE) / count(*), 6) AS fertility
+         FROM d JOIN v USING (w) WHERE len(w) > 0
+         GROUP BY lang ORDER BY lang""",
     "pipeline_bpe_apply" -> bpeApplyOracle(6),
     // the apply chain aggregated per language instead of per doc
     "pipeline_fertility" ->

@@ -844,6 +844,26 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Per-language WordPiece fertility — [[pipelineFertility]]'s (BPE)
+    * and [[pipelineUnigramFertility]]'s third sibling, completing the
+    * tokenizer-equity comparison across all three training objectives:
+    * join the per-lang rows of the three entries and the mix planner
+    * reads which tokenizer taxes which language least.
+    */
+  def pipelineWordpieceFertility(documents: DataFrame, rounds: Int = 6): DataFrame = {
+    val (_, seqs) = wpLoop(documents, rounds)
+    val vocab = seqs.select(col("w"), size(col("syms")).cast("long").as("n_sym"))
+    documents.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(vocab, "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_ws"), sum(col("n_sym")).as("n_wp"))
+      .select(col("lang"), col("n_ws"), col("n_wp"),
+        round(col("n_wp").cast("double") / col("n_ws").cast("double"), 6)
+          .as("fertility"))
+      .orderBy("lang")
+  }
+
   /** Training-export SHARD MANIFEST — the reproducibility artifact a
     * corpus release ships alongside its shards: per shard, the doc and
     * token counts, the id range, and an ORDER-INVARIANT content
@@ -1573,7 +1593,18 @@ object PipelineOps {
     * on doc_id. Nothing wider than the corpus scan itself; at 100 TB
     * this is the same one-pass funnel shape as `text_quality`.
     */
-  def pipelineDsir(documents: DataFrame, buckets: Int = 1024): DataFrame = {
+  def pipelineDsir(documents: DataFrame, buckets: Int = 1024): DataFrame =
+    dsirScores(documents, buckets)
+      .select(col("doc_id"), col("n_feats"), col("logw_u"),
+        (col("logw_u") > 0).cast("int").as("selected"))
+      .orderBy("doc_id")
+
+  /** The shared DSIR weighing room: per doc, feature count and the
+    * order-invariant integer log importance weight. See [[pipelineDsir]]
+    * for the design notes; [[pipelineDsirResample]] reuses this frame so
+    * threshold selection and resampling cannot drift apart.
+    */
+  private def dsirScores(documents: DataFrame, buckets: Int): DataFrame = {
     val toks = documents
       .select(col("doc_id"), col("lang"),
         explode(split(lower(col("text")), " ")).as("token"))
@@ -1601,8 +1632,30 @@ object PipelineOps {
     toks.join(broadcast(lw), "b")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("lw_u")).as("logw_u"))
-      .select(col("doc_id"), col("n_feats"), col("logw_u"),
-        (col("logw_u") > 0).cast("int").as("selected"))
-      .orderBy("doc_id")
+  }
+
+  /** The RESAMPLING half of DSIR — draw k docs ∝ exp(logw) without
+    * replacement via the Gumbel-top-k identity (Kool et al. 2019):
+    * argtop-k of (logw + Gumbel noise) IS a weighted sample, entirely in
+    * the log domain (no exp — the weights span e⁻⁵ to e⁵ and beyond at
+    * corpus scale, but their LOGS stay small integers). Noise is the
+    * house md5 coin: u = (h+0.5)/2³², g = −ln(−ln u), micro-rounded so
+    * both engines rank identical integer keys. One TakeOrdered top-k of
+    * the shared [[dsirScores]] frame — never a full corpus sort.
+    */
+  def pipelineDsirResample(
+      documents: DataFrame, buckets: Int = 1024, k: Int = 64): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("dr|"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") + 0.5) /
+      4294967296.0
+    val keyed = dsirScores(documents, buckets)
+      .withColumn("gumbel_u", round(-log(-log(u)) * 1e6).cast("long"))
+      .withColumn("key_u", col("logw_u") + col("gumbel_u"))
+    keyed.orderBy(desc("key_u"), asc("doc_id")).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("key_u"), asc("doc_id")))) // k-row frame
+      .select(col("rnk"), col("doc_id"), col("n_feats"), col("logw_u"),
+        col("gumbel_u"), col("key_u"))
+      .orderBy("rnk")
   }
 }

@@ -43,6 +43,21 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Language-ID CONFUSION census — the audit that tells you whether the
+    * classifier is good enough to route on: the (metadata lang ×
+    * predicted lang) matrix with per-cell counts, off the IDENTICAL
+    * scoring expression [[textLangid]] ships (one definition — the
+    * audit cannot drift from the classifier it audits). The matrix is
+    * |langs|²-bounded regardless of corpus size.
+    */
+  def textLangidConfusion(documents: DataFrame): DataFrame =
+    textLangid(documents)
+      .groupBy(col("lang_meta"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang_meta"), col("lang_pred"), col("n"),
+        (col("lang_meta") === col("lang_pred")).cast("int").as("is_correct"))
+      .orderBy("lang_meta", "lang_pred")
+
   /** The composite quality score as a reusable column expression, so the
     * scoring query (`textQuality`) and the corpus funnel
     * (`LlmOps.pipelinePretrain`) filter on byte-identical arithmetic.

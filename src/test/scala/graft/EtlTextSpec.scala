@@ -653,6 +653,23 @@ class EtlTextSpec extends SparkTestBase {
     assert(pred === "zh") // es, fr(no), zh all score 1 via 'de'; zh sorts last
   }
 
+  test("text_langid_confusion: planted marker docs land on the diagonal; mislabels off it") {
+    val docs = Seq(
+      (1L, "the and of something", "en"), (2L, "the and of more", "en"),
+      (3L, "der die und was", "de"),
+      // labeled en but written in de markers — must land in the
+      // (en, de) off-diagonal cell, which is the audit's whole point
+      (4L, "der die und nicht", "en")
+    ).toDF("doc_id", "text", "lang")
+    val cells = TextOps.textLangidConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(cells(("en", "en")) === ((2L, 1)))
+    assert(cells(("de", "de")) === ((1L, 1)))
+    assert(cells(("en", "de")) === ((1L, 0)))
+    assert(cells.size === 3)
+  }
+
   test("fn_json yields nulls (not errors) for missing keys and malformed JSON") {
     val ev = Seq(
       (1L, """{"k": 5}"""),

@@ -461,6 +461,40 @@ class PipelineSpec extends SparkTestBase {
     assert(ap(0).getLong(1) === 270L && ap(0).getLong(2) === 320L)
   }
 
+  test("pipeline_wordpiece_fertility: per-lang averages are piece-per-word exact") {
+    val f = PipelineOps.pipelineWordpieceFertility(Tables.documents(spark, sf0001))
+      .collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      assert(r.getDouble(3) >= 1.0, "every word is at least one piece")
+      assert(r.getLong(2) >= r.getLong(1),
+        "pieces can never undercut whitespace words")
+    }
+  }
+
+  test("pipeline_dsir_resample: overwhelming weight always drawn first; k caps the draw") {
+    import spark.implicits._
+    // doc 1 is pure target vocabulary repeated — its log weight dwarfs
+    // the ±few-unit Gumbel noise, so rank 1 is deterministic (the
+    // sample_weighted overwhelming-weight convention); 5 docs with k=3
+    // must yield exactly 3 rows
+    def rep(w: String, k: Int) = Seq.fill(k)(w).mkString(" ")
+    val docs = Seq(
+      (1L, rep("alpha", 40) + " " + rep("beta", 40), "en"),
+      (2L, rep("gamma", 40), "de"), (3L, rep("delta", 40), "de"),
+      (4L, rep("gamma", 20) + " " + rep("delta", 20), "de"),
+      (5L, "alpha gamma", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = PipelineOps.pipelineDsirResample(docs, k = 3).collect()
+    assert(out.length === 3)
+    assert(out(0).getInt(0) === 1 && out(0).getLong(1) === 1L,
+      s"the overwhelming-weight doc must be drawn first: ${out.toSeq}")
+    // ranks are 1..3 and keys strictly follow the rank order
+    assert(out.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    val keys = out.map(_.getLong(5))
+    assert(keys(0) >= keys(1) && keys(1) >= keys(2))
+  }
+
   test("pipeline_dsir: selection follows token content, not the lang label") {
     import spark.implicits._
     // target slice (en) speaks alpha/beta; the rest speaks gamma/delta.
