@@ -234,6 +234,9 @@ object SparkEntry {
     "agg_sketch_rollup" -> ((s, d) => AggOps.aggSketchRollup(events(s, d))),
     "agg_retention" -> ((s, d) => AggOps.aggRetention(events(s, d))),
     "events_funnel" -> ((s, d) => AggOps.eventsFunnel(events(s, d))),
+    "events_transitions" -> ((s, d) => AggOps.eventsTransitions(events(s, d))),
+    "events_rfm" -> ((s, d) => AggOps.eventsRfm(events(s, d))),
+    "text_novelty" -> ((s, d) => TextOps.textNovelty(documents(s, d))),
     "agg_rolling_distinct" -> ((s, d) => AggOps.aggRollingDistinct(events(s, d))),
     "agg_ewma" -> ((s, d) => AggOps.aggEwma(events(s, d))),
     "agg_bitmap_distinct" -> ((s, d) => AggOps.aggBitmapDistinct(lineitem(s, d))),
@@ -2851,6 +2854,47 @@ object SparkEntry {
            count(*) AS n_users
          FROM d JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // per-user lead over (ts, event_id) — the same total order both
+    // engines; the matrix and ppm probabilities close in integers
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS tsu FROM events),
+         l AS (SELECT event_type AS from_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY tsu, event_id) AS to_type
+           FROM e),
+         tr AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM l
+                WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_type, sum(n)::BIGINT AS tot FROM tr GROUP BY 1)
+         SELECT tr.from_type, to_type, n,
+           CAST((n * 1000000) // tot AS BIGINT) AS p_ppm
+         FROM tr JOIN tot USING (from_type)
+         ORDER BY from_type, to_type""",
+    // engine ntile = bounded-histogram rank + front-loaded closed form,
+    // bit-equal to this plain ntile over (metric, user_id)
+    "events_rfm" ->
+      """WITH pur AS (SELECT user_id, epoch_us(ts) AS tsu,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         per AS (SELECT user_id, max(tsu) AS last_us,
+             count(*)::BIGINT AS freq, sum(cents)::BIGINT AS mon_c
+           FROM pur GROUP BY user_id),
+         ref AS (SELECT max(last_us) AS ref_us FROM per),
+         b AS (SELECT user_id, (ref_us - last_us) // 86400000000 AS rec_days,
+             freq, mon_c, mon_c // 1000 AS mon_b FROM per, ref),
+         t AS (SELECT user_id, rec_days, freq, mon_c,
+             ntile(5) OVER (ORDER BY rec_days, user_id) AS rt,
+             ntile(5) OVER (ORDER BY freq, user_id) AS ft,
+             ntile(5) OVER (ORDER BY mon_b, user_id) AS mt
+           FROM b)
+         SELECT user_id, rec_days, freq, mon_c,
+           CAST(6 - rt AS INTEGER) AS r_score, CAST(ft AS INTEGER) AS f_score,
+           CAST(mt AS INTEGER) AS m_score,
+           CASE WHEN 6 - rt >= 4 AND ft >= 4 THEN 'champion'
+                WHEN 6 - rt <= 2 AND ft >= 4 THEN 'at_risk'
+                WHEN 6 - rt >= 4 AND ft <= 2 THEN 'new'
+                ELSE 'regular' END AS segment
+         FROM t ORDER BY user_id""",
     // first-touch funnel: every step is a conditional MIN in exact epoch
     // micros, so both engines bind each step to the identical event
     "events_funnel" ->
@@ -4400,6 +4444,24 @@ object SparkEntry {
                FROM t)
          SELECT doc_id, lang_meta, CAST(best.s AS INTEGER) AS best_score, best.l AS lang_pred
          FROM m ORDER BY doc_id""",
+    // first-occurrence 3-gram novelty: inclusive list slice tk[i:i+2]
+    // is exactly Spark's slice(tk, i, 3); grams travel as the shared
+    // 60-bit md5 digest; ratios close in integers
+    "text_novelty" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(
+               [('0x' || substring(md5(array_to_string(tk[i:i+2], ' ')),
+                   1, 15))::BIGINT
+                for i in range(1, len(tk) - 1)])) AS gram
+           FROM t WHERE len(tk) >= 3),
+         f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+         SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+             AS n_novel,
+           CAST((sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             * 1000000) // count(*) AS BIGINT) AS novelty_ppm
+         FROM g JOIN f USING (gram)
+         GROUP BY g.doc_id ORDER BY doc_id""",
     // the langid scoring CTEs aggregated to the (meta × predicted)
     // confusion matrix — the audit shares the classifier's expression
     "text_langid_confusion" ->

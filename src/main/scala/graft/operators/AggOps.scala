@@ -425,6 +425,88 @@ object AggOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Event-type TRANSITION census (the first-order Markov view of the
+    * event stream): per user the events order by (ts, event_id), each
+    * consecutive pair is one (from → to) transition, and the output is
+    * the |types|²-bounded matrix with counts and per-source transition
+    * probability in exact ppm. One shuffle on user_id (the lead window's
+    * natural partitioning), then a tiny matrix aggregate.
+    */
+  def eventsTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+    val tr = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    tr.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) DIV tot").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** RFM segmentation (recency / frequency / monetary — the classic
+    * customer-value quintile scoring): per purchasing user, days since
+    * last purchase vs the freshest purchase, purchase count, and spend
+    * in exact cents; each metric ntile(5)-scored and folded into the
+    * usual segment labels. The ntile is NOT a corpus window: each
+    * metric's rank comes from the bounded value histogram + a
+    * value-partitioned tie-break (the pipeline_curriculum machinery;
+    * metrics are deliberately quantized — days, $10 spend buckets — so
+    * the histograms stay domain-bounded), and the front-loaded closed
+    * form reproduces plain ntile bit-for-bit, which is exactly what the
+    * oracle spells.
+    */
+  def eventsRfm(events: DataFrame, k: Int = 5): DataFrame = {
+    val pur = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val per = pur.groupBy(col("user_id")).agg(
+      max(col("tsu")).as("last_us"), count(lit(1)).as("freq"),
+      sum(col("cents")).as("mon_c"))
+    val ref = per.agg(max(col("last_us")).as("ref_us"))
+    // feeds the three rank passes — materialized once
+    val base = per.crossJoin(broadcast(ref))
+      .withColumn("rec_days", expr("(ref_us - last_us) DIV 86400000000"))
+      .withColumn("mon_b", expr("mon_c DIV 1000"))
+      .localCheckpoint()
+    def tileBy(c: String): DataFrame = {
+      val below = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
+      val cum = base.groupBy(col(c)).agg(count(lit(1)).as("cc"))
+        .withColumn("below", coalesce(sum(col("cc")).over(below), lit(0L)))
+        .select(col(c), col("below"))
+      val total = base.agg(count(lit(1)).as("n"))
+      val ranked = base.select(col("user_id"), col(c))
+        .join(broadcast(cum), c)
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(c).orderBy("user_id")))
+        .withColumn("rnk", col("below") + col("rn"))
+        .crossJoin(broadcast(total))
+      val q = floor(col("n") / k).cast("long")
+      val r = col("n") % k
+      val t = when(col("rnk") <= r * (q + 1),
+          floor((col("rnk") + q) / (q + 1)).cast("long"))
+        .otherwise(r + floor((col("rnk") - r * (q + 1) + q - 1) / q).cast("long"))
+      ranked.select(col("user_id"), t.cast("int").as(s"${c}_tile"))
+    }
+    base
+      .join(tileBy("rec_days"), "user_id")
+      .join(tileBy("freq"), "user_id")
+      .join(tileBy("mon_b"), "user_id")
+      .select(col("user_id"), col("rec_days"), col("freq"), col("mon_c"),
+        (lit(k + 1) - col("rec_days_tile")).as("r_score"),
+        col("freq_tile").as("f_score"), col("mon_b_tile").as("m_score"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+          .otherwise("regular"))
+      .orderBy("user_id")
+  }
+
   /** Ordered event FUNNEL (the windowFunnel of event analytics): for
     * every user who entered at step 1 (first `view`), the first `click`
     * strictly after it, and the first `purchase` strictly after that

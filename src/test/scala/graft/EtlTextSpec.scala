@@ -653,6 +653,20 @@ class EtlTextSpec extends SparkTestBase {
     assert(pred === "zh") // es, fr(no), zh all score 1 via 'de'; zh sorts last
   }
 
+  test("text_novelty: a verbatim copy scores zero; a half-new doc splits exactly") {
+    val docs = Seq(
+      (1L, "a b c d e"),          // 3 grams, all first-seen → ppm 1e6
+      (2L, "a b c d e"),          // verbatim copy → 0 novel
+      (3L, "a b c x y z")         // grams: abc (seen), bcx, cxy, xyz → 3/4
+    ).toDF("doc_id", "text")
+    val got = TextOps.textNovelty(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((3L, 3L, 1000000L)))
+    assert(got(2L) === ((3L, 0L, 0L)))
+    assert(got(3L) === ((4L, 3L, 750000L)))
+  }
+
   test("text_langid_confusion: planted marker docs land on the diagonal; mislabels off it") {
     val docs = Seq(
       (1L, "the and of something", "en"), (2L, "the and of more", "en"),

@@ -1489,6 +1489,49 @@ class OperatorSpec extends SparkTestBase {
     assert(got("2024-01-02") === ((2, 2L, 2000000L, 0L)))
   }
 
+  test("events_transitions: hand-built streams yield the exact matrix and ppm rows") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1: view→click→view ; u2: view→click — transitions:
+    // view→click ×2, click→view ×1; no cross-user transition may appear
+    val rows = Seq(
+      (10L, 1L, "view", ts("2024-01-01 00:00:00")),
+      (11L, 1L, "click", ts("2024-01-01 00:01:00")),
+      (12L, 1L, "view", ts("2024-01-01 00:02:00")),
+      (20L, 2L, "view", ts("2024-01-01 00:00:30")),
+      (21L, 2L, "click", ts("2024-01-01 00:01:30")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = AggOps.eventsTransitions(rows).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size === 2)
+    assert(got(("view", "click")) === ((2L, 1000000L)))
+    assert(got(("click", "view")) === ((1L, 1000000L)))
+  }
+
+  test("events_rfm: five distinct users land one per quintile with the right segments") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // users 1..5: user i purchases i times, each of value 10·i, last
+    // purchase on day 10+i — so freq, monetary, and recency ranks all
+    // align: user 5 is freshest+heaviest (champion), user 1 the
+    // opposite; with 5 users and k=5 every tile is a single user
+    val rows = (1 to 5).flatMap { i =>
+      (1 to i).map(j =>
+        (i * 100L + j, i.toLong, "purchase",
+          ts(f"2024-01-${10 + i}%02d 0$j:00:00"), 10.0 * i))
+    }.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = AggOps.eventsRfm(rows).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5), r.getInt(6),
+          r.getString(7)))).toMap
+    assert(got(5L) === ((5L, 5 * 5000L, 5, 5, 5, "champion")))
+    assert(got(1L) === ((1L, 1000L, 1, 1, 1, "regular")))
+    // user 4: freq 4 → f=4; recency rank 2nd freshest → r=4 ⇒ champion
+    assert(got(4L)._6 === "champion")
+    assert(got(2L)._4 === 2 && got(3L)._4 === 3, "freq quintiles follow counts")
+  }
+
   test("ts_holt: hand-computed level/trend recurrence on a 3-day series") {
     import java.sql.Timestamp
     // counts 10/20/30 with alpha=.5, beta=.3, zero-trend init:
