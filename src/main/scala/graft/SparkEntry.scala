@@ -128,6 +128,8 @@ object SparkEntry {
       GraphOps.graphKcoreStored(s, orders(s, d), lineitem(s, d), d)),
     "graph_triangles_stored" -> ((s, d) =>
       GraphOps.graphTrianglesStored(s, orders(s, d), lineitem(s, d), d)),
+    "graph_clustering_coef" -> ((s, d) =>
+      GraphOps.graphClusteringCoef(s, orders(s, d), lineitem(s, d), d)),
     "graph_jaccard" -> ((s, d) => GraphOps.graphJaccard(orders(s, d), lineitem(s, d))),
     // native custom operator (logical node + strategy + partial/final exec)
     "topk_per_group_native" -> ((s, d) =>
@@ -236,6 +238,7 @@ object SparkEntry {
     "events_funnel" -> ((s, d) => AggOps.eventsFunnel(events(s, d))),
     "events_transitions" -> ((s, d) => AggOps.eventsTransitions(events(s, d))),
     "events_rfm" -> ((s, d) => AggOps.eventsRfm(events(s, d))),
+    "agg_bootstrap_ci" -> ((s, d) => AggOps.aggBootstrapCi(orders(s, d))),
     "text_novelty" -> ((s, d) => TextOps.textNovelty(documents(s, d))),
     "agg_rolling_distinct" -> ((s, d) => AggOps.aggRollingDistinct(events(s, d))),
     "agg_ewma" -> ((s, d) => AggOps.aggEwma(events(s, d))),
@@ -2870,6 +2873,38 @@ object SparkEntry {
            CAST((n * 1000000) // tot AS BIGINT) AS p_ppm
          FROM tr JOIN tot USING (from_type)
          ORDER BY from_type, to_type""",
+    // Poisson bootstrap with the md5 coin through literal inverse-CDF
+    // thresholds — same doubles, same comparisons, same replica sums;
+    // CI = nearest-rank order statistics of the 32 replica means
+    "agg_bootstrap_ci" ->
+      """WITH r AS (SELECT unnest(range(0, 32)) AS rep),
+         c AS (SELECT rep, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             (('0x' || substring(md5('bs' || CAST(rep AS VARCHAR) || '|' ||
+                 CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+               / 4294967296.0 AS u
+           FROM orders CROSS JOIN r),
+         kk AS (SELECT rep, cents,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  ELSE 6 END AS k
+           FROM c),
+         m AS (SELECT rep,
+             CASE WHEN sum(k) = 0 THEN 0
+                  ELSE CAST((sum(k * cents) * 100) // sum(k) AS BIGINT)
+             END AS mean_cc
+           FROM kk GROUP BY rep),
+         arr AS (SELECT list_sort(list(mean_cc)) AS ms FROM m),
+         t AS (SELECT count(*)::BIGINT AS n,
+             CAST((sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 100)
+               // count(*) AS BIGINT) AS mean_point_cc
+           FROM orders)
+         SELECT CAST(32 AS INTEGER) AS n_replicas, n, mean_point_cc,
+           ms[1] AS boot_p025_cc, ms[32] AS boot_p975_cc
+         FROM t CROSS JOIN arr""",
     // engine ntile = bounded-histogram rank + front-loaded closed form,
     // bit-equal to this plain ntile over (metric, user_id)
     "events_rfm" ->
@@ -3224,6 +3259,32 @@ object SparkEntry {
          SELECT supp_id, count(*) AS n_triangles
          FROM nodes GROUP BY supp_id
          ORDER BY n_triangles DESC, supp_id LIMIT 10""",
+    // per-node coefficient over the same stored-layout edge set: wedge +
+    // EXISTS close, degrees off the both-directions table, exact-ppm ratio
+    "graph_clustering_coef" ->
+      """WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         sc AS MATERIALIZED (SELECT cust FROM pairs GROUP BY cust HAVING count(*) <= 256),
+         kept AS MATERIALIZED (SELECT p.cust, p.supp FROM pairs p JOIN sc USING (cust)),
+         co AS MATERIALIZED (SELECT a.supp AS s1, b.supp AS s2, count(*) AS shared
+                FROM kept a JOIN kept b ON a.cust = b.cust AND a.supp < b.supp
+                GROUP BY a.supp, b.supp),
+         thr AS MATERIALIZED (SELECT quantile_cont(shared, 0.90) AS t FROM co),
+         edges AS MATERIALIZED (SELECT s1, s2 FROM co CROSS JOIN thr WHERE shared >= t),
+         bi AS (SELECT s1 AS src FROM edges UNION ALL SELECT s2 FROM edges),
+         deg AS (SELECT src AS supp_id, count(*)::BIGINT AS deg FROM bi GROUP BY src),
+         wedges AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+                    FROM edges e1 JOIN edges e2 ON e1.s2 = e2.s1),
+         tri AS (SELECT a, b, c FROM wedges w
+                 WHERE EXISTS (SELECT 1 FROM edges e WHERE e.s1 = w.a AND e.s2 = w.c)),
+         tpn AS (SELECT supp_id, count(*)::BIGINT AS n_tri FROM
+                   (SELECT unnest([a, b, c]) AS supp_id FROM tri)
+                 GROUP BY supp_id)
+         SELECT d.supp_id, deg, coalesce(n_tri, 0)::BIGINT AS n_tri,
+           CAST((coalesce(n_tri, 0) * 2 * 1000000) // (deg * (deg - 1))
+             AS BIGINT) AS coef_ppm
+         FROM deg d LEFT JOIN tpn USING (supp_id)
+         WHERE deg >= 2 ORDER BY supp_id""",
     // layout CONTENT census per logical bucket (physical bucketing is
     // Spark-internal hash, deliberately not replicated)
     "sink_copurchase_layout" ->

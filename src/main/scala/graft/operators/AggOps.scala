@@ -425,6 +425,49 @@ object AggOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** POISSON BOOTSTRAP confidence interval for the mean order value —
+    * the bootstrap that actually works on distributed data (each row
+    * draws its replica multiplicity k ~ Poisson(1) independently, so no
+    * global resample pass exists; the classic large-scale variant of
+    * Efron's bootstrap). Deterministic: k comes from the md5 coin
+    * through the Poisson(1) inverse CDF with literal double thresholds
+    * (both engines parse the same decimal strings to the same IEEE
+    * doubles, u is exactly representable, so every comparison lands
+    * identically). ONE scan computes all B replicas as conditional
+    * sums; replica means close in integer division at 0.01-cent
+    * resolution (×100, not ×1e6 — headroom to ~10⁹ rows before the
+    * long sum nears 2⁶³); the CI bounds are the nearest-rank (ceil(p·B))
+    * order statistics of the B-value replica array.
+    */
+  def aggBootstrapCi(orders: DataFrame, b: Int = 32): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183)
+    def kOf(i: Int): Column = {
+      val u = (conv(substring(md5(concat(lit(s"bs$i|"),
+        col("o_orderkey").cast("string"))), 1, 8), 16, 10).cast("long")
+        + 0.5) / 4294967296.0
+      cdf.zipWithIndex.foldLeft(when(u < cdf.head, 0L)) {
+        case (acc, (c, j)) if j > 0 => acc.when(u < c, j.toLong)
+        case (acc, _) => acc
+      }.otherwise(6L)
+    }
+    val aggs = (0 until b).flatMap { i =>
+      val k = kOf(i)
+      Seq(sum(k * cents).as(s"kc$i"), sum(k).as(s"kn$i"))
+    } ++ Seq(sum(cents).as("tot_c"), count(lit(1)).as("n"))
+    val one = orders.agg(aggs.head, aggs.tail: _*)
+    val ms = sort_array(array((0 until b).map(i =>
+      expr(s"CASE WHEN kn$i = 0 THEN 0 ELSE (kc$i * 100) DIV kn$i END")): _*))
+    one.select(
+      lit(b).as("n_replicas"), col("n"),
+      expr("(tot_c * 100) DIV n").as("mean_point_cc"),
+      element_at(ms, math.max(1, math.ceil(0.025 * b).toInt))
+        .as("boot_p025_cc"),
+      element_at(ms, math.ceil(0.975 * b).toInt).as("boot_p975_cc"))
+  }
+
   /** Event-type TRANSITION census (the first-order Markov view of the
     * event stream): per user the events order by (ts, event_id), each
     * consecutive pair is one (from → to) transition, and the output is

@@ -1784,4 +1784,39 @@ object GraphOps {
       .orderBy(desc("n_triangles"), asc("supp_id"))
       .limit(10)
   }
+
+  /** Per-node LOCAL CLUSTERING COEFFICIENT off the stored co-purchase
+    * layout — the neighborhood-density number (Watts & Strogatz 1998)
+    * next to the census graph_triangles_stored already ships:
+    * c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) in exact ppm, for every node
+    * with deg ≥ 2. Same oriented wedge+semi-join anatomy (no triangle
+    * counted twice, no all-pairs stage); degrees read straight off the
+    * both-directions stored table; the ratio closes in integer division.
+    */
+  def graphClusteringCoef(
+      spark: org.apache.spark.sql.SparkSession,
+      orders: DataFrame, lineitem: DataFrame, sfDir: String): DataFrame = {
+    val name = ensureCoPurchaseTable(spark, orders, lineitem, sfDir)
+    val stored = spark.table(name)
+    val deg = stored.groupBy(col("src").as("supp_id"))
+      .agg(count(lit(1)).as("deg"))
+    val edges = stored
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("s1"), col("dst").as("s2"))
+      .localCheckpoint() // feeds both wedge sides + the closing semi-join
+    val wedges = edges.select(col("s1").as("a"), col("s2").as("b"))
+      .join(edges.select(col("s1").as("b"), col("s2").as("c")), Seq("b"))
+    val tri = wedges.join(
+      edges.select(col("s1").as("a"), col("s2").as("c")),
+      Seq("a", "c"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("supp_id"))
+      .groupBy(col("supp_id"))
+      .agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("supp_id"), "left").na.fill(0L, Seq("n_tri"))
+      .filter(col("deg") >= 2)
+      .select(col("supp_id"), col("deg"), col("n_tri"),
+        expr("(n_tri * 2 * 1000000) DIV (deg * (deg - 1))").as("coef_ppm"))
+      .orderBy("supp_id")
+  }
 }

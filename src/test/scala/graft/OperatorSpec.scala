@@ -1489,6 +1489,46 @@ class OperatorSpec extends SparkTestBase {
     assert(got("2024-01-02") === ((2, 2L, 2000000L, 0L)))
   }
 
+  test("agg_bootstrap_ci: constant column collapses the interval; real data brackets the point") {
+    import java.sql.Date
+    // constant values: every Poisson-weighted replica mean IS the value,
+    // so the interval must collapse to the point exactly
+    val const = (1 to 400)
+      .map(i => (i.toLong, 50.0, "O", Date.valueOf("1995-01-01")))
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate")
+    val c = AggOps.aggBootstrapCi(const).collect()(0)
+    assert(c.getInt(0) === 32 && c.getLong(1) === 400L)
+    assert(c.getLong(2) === 500000L && c.getLong(3) === 500000L
+      && c.getLong(4) === 500000L, s"constant data must collapse the CI: $c")
+    // real data: lo <= point <= hi and the interval is non-degenerate
+    val r = AggOps.aggBootstrapCi(Tables.orders(spark, sf0001)).collect()(0)
+    assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(4),
+      s"point estimate must sit inside the bootstrap interval: $r")
+    assert(r.getLong(3) < r.getLong(4), "interval must be non-degenerate")
+  }
+
+  test("graph_clustering_coef: coefficients bounded; triangle counts match the stored census") {
+    val coef = GraphOps.graphClusteringCoef(spark,
+      Tables.orders(spark, sf0001), Tables.lineitem(spark, sf0001), sf0001)
+      .collect()
+    assert(coef.nonEmpty)
+    coef.foreach { r =>
+      val (deg, nTri, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(deg >= 2)
+      assert(nTri <= deg * (deg - 1) / 2, s"triangles exceed wedge bound: $r")
+      assert(ppm >= 0 && ppm <= 1000000L, s"coefficient out of [0,1]: $r")
+    }
+    // the per-node counts must agree with the stored triangle census
+    val census = GraphOps.graphTrianglesStored(spark,
+      Tables.orders(spark, sf0001), Tables.lineitem(spark, sf0001), sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byNode = coef.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    census.foreach { case (node, n) =>
+      assert(byNode.getOrElse(node, 0L) === n,
+        s"node $node: census says $n triangles, coef entry says ${byNode.get(node)}")
+    }
+  }
+
   test("events_transitions: hand-built streams yield the exact matrix and ppm rows") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
