@@ -289,6 +289,10 @@ object SparkEntry {
     "win_topk_per_group" -> ((s, d) => WindowOps.topkPerGroup(orders(s, d))),
     "win_value_fns" -> ((s, d) => WindowOps.valueFns(part(s, d))),
     "win_sessionize" -> ((s, d) => WindowOps.sessionize(events(s, d))),
+    "win_session_gap_sweep" ->
+      ((s, d) => WindowOps.winSessionGapSweep(events(s, d))),
+    "agg_bootstrap_ci_grouped" ->
+      ((s, d) => AggOps.aggBootstrapCiGrouped(orders(s, d))),
     "win_streak" -> ((s, d) => WindowOps.winStreak(events(s, d))),
     "win_gap_fill" -> ((s, d) => WindowOps.gapFill(events(s, d))),
     "win_interpolate" -> ((s, d) => WindowOps.winInterpolate(events(s, d))),
@@ -2905,6 +2909,67 @@ object SparkEntry {
          SELECT CAST(32 AS INTEGER) AS n_replicas, n, mean_point_cc,
            ms[1] AS boot_p025_cc, ms[32] AS boot_p975_cc
          FROM t CROSS JOIN arr""",
+    // same replica fold GROUPED by priority — kernel shared, not forked
+    "agg_bootstrap_ci_grouped" ->
+      """WITH r AS (SELECT unnest(range(0, 32)) AS rep),
+         c AS (SELECT rep, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             (('0x' || substring(md5('bs' || CAST(rep AS VARCHAR) || '|' ||
+                 CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+               / 4294967296.0 AS u
+           FROM orders CROSS JOIN r),
+         kk AS (SELECT rep, o_orderpriority, cents,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  ELSE 6 END AS k
+           FROM c),
+         m AS (SELECT o_orderpriority, rep,
+             CASE WHEN sum(k) = 0 THEN 0
+                  ELSE CAST((sum(k * cents) * 100) // sum(k) AS BIGINT)
+             END AS mean_cc
+           FROM kk GROUP BY 1, 2),
+         arr AS (SELECT o_orderpriority, list_sort(list(mean_cc)) AS ms
+                 FROM m GROUP BY 1),
+         t AS (SELECT o_orderpriority, count(*)::BIGINT AS n,
+             CAST((sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 100)
+               // count(*) AS BIGINT) AS mean_point_cc
+           FROM orders GROUP BY 1)
+         SELECT t.o_orderpriority, CAST(32 AS INTEGER) AS n_replicas, n,
+           mean_point_cc, ms[1] AS boot_p025_cc, ms[32] AS boot_p975_cc
+         FROM t JOIN arr USING (o_orderpriority)
+         ORDER BY o_orderpriority""",
+    // ONE lag window; every gap is a conditional count over the same
+    // delta stream — boundaries don't move with the dial
+    "win_session_gap_sweep" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         d AS (SELECT user_id, ts_us, lag(ts_us, 1) OVER (
+                 PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+               FROM e),
+         a AS (SELECT count(*)::BIGINT AS n_events,
+             count(DISTINCT user_id)::BIGINT AS n_users,
+             coalesce(sum(CASE WHEN prev_us IS NOT NULL
+               AND ts_us - prev_us > 300000000 THEN 1 ELSE 0 END), 0)::BIGINT
+               AS b5,
+             coalesce(sum(CASE WHEN prev_us IS NOT NULL
+               AND ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END), 0)::BIGINT
+               AS b30,
+             coalesce(sum(CASE WHEN prev_us IS NOT NULL
+               AND ts_us - prev_us > 7200000000 THEN 1 ELSE 0 END), 0)::BIGINT
+               AS b120
+           FROM d)
+         SELECT * FROM (
+           SELECT 5 AS gap_min, n_users + b5 AS n_sessions,
+             (n_events * 1000) // (n_users + b5) AS events_per_session_milli
+           FROM a
+           UNION ALL SELECT 30, n_users + b30,
+             (n_events * 1000) // (n_users + b30) FROM a
+           UNION ALL SELECT 120, n_users + b120,
+             (n_events * 1000) // (n_users + b120) FROM a)
+         ORDER BY gap_min""",
     // engine ntile = bounded-histogram rank + front-loaded closed form,
     // bit-equal to this plain ntile over (metric, user_id)
     "events_rfm" ->

@@ -439,7 +439,18 @@ object AggOps {
     * long sum nears 2⁶³); the CI bounds are the nearest-rank (ceil(p·B))
     * order statistics of the B-value replica array.
     */
-  def aggBootstrapCi(orders: DataFrame, b: Int = 32): DataFrame = {
+  def aggBootstrapCi(orders: DataFrame, b: Int = 32): DataFrame =
+    bootstrapCi(orders, b, None)
+
+  /** Per-group twin: one bootstrap interval per order priority — the
+    * same one-scan replica fold, grouped (the histogram_quantile_grouped
+    * convention: group twins share the kernel, never fork it).
+    */
+  def aggBootstrapCiGrouped(orders: DataFrame, b: Int = 32): DataFrame =
+    bootstrapCi(orders, b, Some("o_orderpriority"))
+
+  private def bootstrapCi(
+      orders: DataFrame, b: Int, group: Option[String]): DataFrame = {
     val cents = round(col("o_totalprice") * 100).cast("long")
     val cdf = Seq(0.36787944117144233, 0.7357588823428847,
       0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
@@ -457,15 +468,19 @@ object AggOps {
       val k = kOf(i)
       Seq(sum(k * cents).as(s"kc$i"), sum(k).as(s"kn$i"))
     } ++ Seq(sum(cents).as("tot_c"), count(lit(1)).as("n"))
-    val one = orders.agg(aggs.head, aggs.tail: _*)
+    val base = group match {
+      case Some(g) => orders.groupBy(col(g)).agg(aggs.head, aggs.tail: _*)
+      case None => orders.agg(aggs.head, aggs.tail: _*)
+    }
     val ms = sort_array(array((0 until b).map(i =>
       expr(s"CASE WHEN kn$i = 0 THEN 0 ELSE (kc$i * 100) DIV kn$i END")): _*))
-    one.select(
+    val out = base.select(group.map(col).toSeq ++ Seq(
       lit(b).as("n_replicas"), col("n"),
       expr("(tot_c * 100) DIV n").as("mean_point_cc"),
       element_at(ms, math.max(1, math.ceil(0.025 * b).toInt))
         .as("boot_p025_cc"),
-      element_at(ms, math.ceil(0.975 * b).toInt).as("boot_p975_cc"))
+      element_at(ms, math.ceil(0.975 * b).toInt).as("boot_p975_cc")): _*)
+    group.fold(out)(g => out.orderBy(g))
   }
 
   /** Event-type TRANSITION census (the first-order Markov view of the

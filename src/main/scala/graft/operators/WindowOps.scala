@@ -273,6 +273,37 @@ object WindowOps {
       .orderBy("user_id")
   }
 
+  /** Session count along the GAP dial — the tuning-curve stance applied
+    * to sessionization (the gap threshold is the one free parameter
+    * every sessionizer ships, and the dial answers "how much does the
+    * choice matter"). The one-pass identity: session boundaries at gap g
+    * are exactly the inter-event deltas > g, and deltas don't move with
+    * g — so ONE lag window computes the per-user delta stream and every
+    * gap is a conditional count over it; 3 gaps cost the same as 1.
+    * n_sessions(g) = n_users + #(delta > g).
+    */
+  def winSessionGapSweep(
+      events: DataFrame, gapsMin: Seq[Int] = Seq(5, 30, 120)): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val deltas = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+    val aggs = gapsMin.map { g =>
+      (coalesce(sum(when(col("prev_us").isNotNull &&
+        col("ts_us") - col("prev_us") > g * 60L * 1000000L, 1L)), lit(0L)) +
+        countDistinct(col("user_id"))).as(s"s$g")
+    } ++ Seq(count(lit(1)).as("n_events"))
+    val one = deltas.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(gapsMin.map(g => struct(
+        lit(g).as("gap_min"), col(s"s$g").as("n_sessions"),
+        expr(s"(n_events * 1000) DIV s$g").as("events_per_session_milli"))): _*))
+        .as("r"))
+      .select(col("r.gap_min").as("gap_min"),
+        col("r.n_sessions").as("n_sessions"),
+        col("r.events_per_session_milli").as("events_per_session_milli"))
+      .orderBy("gap_min")
+  }
+
   def sessionize(events: DataFrame): DataFrame = {
     val gapUs = 30L * 60 * 1000000
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")

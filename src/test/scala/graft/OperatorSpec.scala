@@ -1489,6 +1489,26 @@ class OperatorSpec extends SparkTestBase {
     assert(got("2024-01-02") === ((2, 2L, 2000000L, 0L)))
   }
 
+  test("win_session_gap_sweep: 30m row equals sessionize's session count; dial is monotone") {
+    val ev = Tables.events(spark, sf0001)
+    val sweep = WindowOps.winSessionGapSweep(ev).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sessions = WindowOps.sessionize(ev).count()
+    assert(sweep(30) === sessions,
+      s"the 30m sweep row must equal the sessionize census: ${sweep(30)} vs $sessions")
+    assert(sweep(5) >= sweep(30) && sweep(30) >= sweep(120),
+      s"tighter gaps can only split sessions: $sweep")
+  }
+
+  test("agg_bootstrap_ci_grouped: every priority's interval brackets its point") {
+    val rows = AggOps.aggBootstrapCiGrouped(Tables.orders(spark, sf0001)).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3) && r.getLong(3) <= r.getLong(5),
+        s"group ${r.getString(0)}: point outside interval: $r")
+    }
+  }
+
   test("agg_bootstrap_ci: constant column collapses the interval; real data brackets the point") {
     import java.sql.Date
     // constant values: every Poisson-weighted replica mean IS the value,
