@@ -138,6 +138,11 @@ object Bench {
     // r13: the learned-projection family's heaviest form (scatter scan +
     // two deflated power iterations) joins the gate
     "sim_pca_train2",
+    // r13 session 2: the new heavy families get recurring numbers
+    "pipeline_dsir",          // hashed-feature importance weighing (1 scan)
+    "pipeline_wordpiece_train", // likelihood-argmax merge learning (3rd trainer)
+    "events_funnel",          // 3-pass sequential first-touch funnel
+    "text_novelty",           // first-occurrence gram census (digest join)
   )
 
   def main(args: Array[String]): Unit = {

@@ -237,6 +237,8 @@ object SparkEntry {
     "agg_retention" -> ((s, d) => AggOps.aggRetention(events(s, d))),
     "events_funnel" -> ((s, d) => AggOps.eventsFunnel(events(s, d))),
     "events_transitions" -> ((s, d) => AggOps.eventsTransitions(events(s, d))),
+    "events_markov_stationary" ->
+      ((s, d) => AggOps.eventsMarkovStationary(events(s, d))),
     "events_rfm" -> ((s, d) => AggOps.eventsRfm(events(s, d))),
     "agg_bootstrap_ci" -> ((s, d) => AggOps.aggBootstrapCi(orders(s, d))),
     "text_novelty" -> ((s, d) => TextOps.textNovelty(documents(s, d))),
@@ -760,6 +762,40 @@ object SparkEntry {
            g.gmax - last_seen_us AS lag_us,
            CASE WHEN g.gmax - last_seen_us > 1200000000 THEN 1 ELSE 0 END AS stale
          FROM p CROSS JOIN g ORDER BY event_type"""
+  /** Stationary distribution replayed round-for-round: the transition
+    * CTEs (the events_transitions spelling), uniform ppm init, then each
+    * power-iteration round as matvec-in-ppm + renormalization — the
+    * identical integer truncation order the engine's loop executes.
+    */
+  private def markovStationaryOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""r$r AS (SELECT tm.to_type AS t,
+             CAST(sum(p${r - 1}.v * tm.p_ppm) // 1000000 AS BIGINT) AS v
+           FROM p${r - 1} JOIN tm ON p${r - 1}.t = tm.from_type GROUP BY 1),
+         s$r AS (SELECT sum(v) AS sv FROM r$r),
+         p$r AS (SELECT t, CAST((v * 1000000) // sv AS BIGINT) AS v
+                 FROM r$r, s$r)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+           epoch_us(ts) AS tsu FROM events),
+       l AS (SELECT event_type AS from_type,
+           lead(event_type, 1) OVER (PARTITION BY user_id
+             ORDER BY tsu, event_id) AS to_type
+         FROM e),
+       tr AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM l
+              WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       tot AS (SELECT from_type, sum(n)::BIGINT AS tot FROM tr GROUP BY 1),
+       tm AS MATERIALIZED (SELECT tr.from_type, to_type,
+           CAST((n * 1000000) // tot AS BIGINT) AS p_ppm
+         FROM tr JOIN tot USING (from_type)),
+       ty AS (SELECT DISTINCT t FROM
+         (SELECT from_type AS t FROM tm UNION ALL SELECT to_type FROM tm)),
+       nn AS (SELECT count(*)::BIGINT AS c FROM ty),
+       p0 AS (SELECT t, CAST(1000000 // c AS BIGINT) AS v FROM ty, nn),
+       $roundCtes
+       SELECT t AS event_type, v AS pi_ppm FROM p$rounds ORDER BY event_type"""
+  }
+
   /** The DSIR weighing room as CTEs — hashed-unigram bucket histograms
     * (target = lang 'en' vs raw), add-one smoothing over the OBSERVED
     * bucket support, per-token micro-rounded ln ratios summed per doc.
@@ -2877,6 +2913,7 @@ object SparkEntry {
            CAST((n * 1000000) // tot AS BIGINT) AS p_ppm
          FROM tr JOIN tot USING (from_type)
          ORDER BY from_type, to_type""",
+    "events_markov_stationary" -> markovStationaryOracle(8),
     // Poisson bootstrap with the md5 coin through literal inverse-CDF
     // thresholds — same doubles, same comparisons, same replica sums;
     // CI = nearest-rank order statistics of the 32 replica means

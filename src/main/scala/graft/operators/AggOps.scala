@@ -425,6 +425,39 @@ object AggOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** STATIONARY DISTRIBUTION of the event-type Markov chain — power
+    * iteration π ← πP over the ppm transition matrix
+    * [[eventsTransitions]] builds (the long-run share of attention each
+    * event type gets, the number a capacity planner actually wants from
+    * the transition census). All integer micro-units: each round is one
+    * |types|²-join + renormalization in ppm, 8 unrolled rounds on a
+    * ≤|types|-row frame with per-round localCheckpoint (the Lloyd-loop
+    * shape) — after the census's one corpus pass, nothing here scales
+    * with the corpus at all.
+    */
+  def eventsMarkovStationary(events: DataFrame, rounds: Int = 8): DataFrame = {
+    val tm = eventsTransitions(events)
+      .select(col("from_type"), col("to_type"), col("p_ppm"))
+      .localCheckpoint()
+    val types = tm.select(col("from_type").as("t"))
+      .union(tm.select(col("to_type"))).distinct()
+    val n = types.count() // |types| scalar (the nodeEmbed vocab-count pull)
+    var pi = types.select(col("t"), lit(1000000L / n).as("v"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = pi.join(tm, pi("t") === tm("from_type"))
+        .groupBy(col("to_type").as("t2"))
+        .agg(expr("sum(v * p_ppm) DIV 1000000").as("v"))
+        .select(col("t2").as("t"), col("v"))
+      val s = next.agg(sum(col("v")).as("sv"))
+      pi = next.crossJoin(broadcast(s))
+        .select(col("t"), expr("(v * 1000000) DIV sv").as("v"))
+        .localCheckpoint()
+    }
+    pi.select(col("t").as("event_type"), col("v").as("pi_ppm"))
+      .orderBy("event_type")
+  }
+
   /** POISSON BOOTSTRAP confidence interval for the mean order value —
     * the bootstrap that actually works on distributed data (each row
     * draws its replica multiplicity k ~ Poisson(1) independently, so no

@@ -1509,6 +1509,22 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("events_markov_stationary: planted 2-state chain converges to (2/3, 1/3)") {
+    import java.sql.Timestamp
+    // one user walking A A B A A B A: from A the chain stays 50% / moves
+    // 50%, from B it always returns — stationary is exactly (2/3, 1/3);
+    // 8 power rounds from uniform leave < 0.5% residual (eigenvalue −1/2)
+    val seq = Seq("A", "A", "B", "A", "A", "B", "A")
+    val rows = seq.zipWithIndex.map { case (t, i) =>
+      (i.toLong, 1L, t, Timestamp.valueOf(f"2024-01-01 00:0$i:00"))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val pi = AggOps.eventsMarkovStationary(rows).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(pi("A") - 666666L) < 5000, s"pi(A) off: $pi")
+    assert(math.abs(pi("B") - 333333L) < 5000, s"pi(B) off: $pi")
+    assert(math.abs(pi.values.sum - 1000000L) <= 2, "mass must renormalize")
+  }
+
   test("agg_bootstrap_ci: constant column collapses the interval; real data brackets the point") {
     import java.sql.Date
     // constant values: every Poisson-weighted replica mean IS the value,
