@@ -877,4 +877,34 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"),
       s"query terms and scalars must broadcast:\n$p")
   }
+
+  test("pipeline_dsir: the bucket weight table broadcasts onto the token scan") {
+    val p = plan(PipelineOps.pipelineDsir(documents(spark, sf0001)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1024-row weight table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side scoring must never shuffle-join:\n$p")
+    // (the 1-row totals crossJoin legitimately plans as a broadcast
+    // nested loop — it is scalar state, not a relation pairing)
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
+  test("events_funnel: every step joins hash-wise on user_id — no nested loop") {
+    val p = plan(AggOps.eventsFunnel(events(spark, sf0001)))
+    assert(!p.contains("CartesianProduct"), s"cartesian in funnel plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in funnel plan:\n$p")
+  }
+
+  test("text_novelty: the first-occurrence join is hash on the digest key") {
+    val p = plan(operators.TextOps.textNovelty(documents(spark, sf0001)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram join degenerated:\n$p")
+  }
+
+  test("agg_bootstrap_ci: all 32 replicas fold in ONE aggregate over one scan") {
+    val p = plan(AggOps.aggBootstrapCi(orders(spark, sf0001)))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"bootstrap must read orders exactly once, saw $scans:\n$p")
+    assert(!p.contains("Join"), s"bootstrap needs no join at all:\n$p")
+  }
 }
