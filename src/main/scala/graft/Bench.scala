@@ -143,6 +143,7 @@ object Bench {
     "pipeline_wordpiece_train", // likelihood-argmax merge learning (3rd trainer)
     "events_funnel",          // 3-pass sequential first-touch funnel
     "text_novelty",           // first-occurrence gram census (digest join)
+    "stream_funnel",          // stateful first-touch fold over staged quarters
   )
 
   def main(args: Array[String]): Unit = {

@@ -302,6 +302,7 @@ object SparkEntry {
     "stream_seasonal" -> ((s, d) => StreamOps.streamSeasonal(s, d)),
     "stream_cusum" -> ((s, d) => StreamOps.streamCusum(s, d)),
     "stream_holt" -> ((s, d) => StreamOps.streamHolt(s, d)),
+    "stream_funnel" -> ((s, d) => StreamOps.streamFunnel(s, d)),
     "quality_report" -> ((s, d) => QualityOps.qualityReport(
       orders(s, d), customer(s, d), lineitem(s, d), events(s, d))),
     "sim_rp_width_sweep" -> ((s, d) => SimOps.simRpWidthSweep(embeddings(s, d))),
@@ -600,6 +601,8 @@ object SparkEntry {
       ((s, d) => QualityOps.tsSeasonalDecompose(events(s, d))),
     "quality_cusum" -> ((s, d) => QualityOps.qualityCusum(events(s, d))),
     "ts_holt" -> ((s, d) => QualityOps.tsHolt(events(s, d))),
+    "quality_anomaly_grouped" ->
+      ((s, d) => QualityOps.qualityAnomalyGrouped(events(s, d))),
     "events_funnel_summary" ->
       ((s, d) => AggOps.eventsFunnelSummary(events(s, d))),
     "events_funnel_sweep" ->
@@ -762,6 +765,28 @@ object SparkEntry {
            g.gmax - last_seen_us AS lag_us,
            CASE WHEN g.gmax - last_seen_us > 1200000000 THEN 1 ELSE 0 END AS stale
          FROM p CROSS JOIN g ORDER BY event_type"""
+  private val eventsFunnelOracleSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+       s1 AS (SELECT user_id, min(tsu) AS t1_us,
+                min(tsu) + 172800000000 AS dl_us
+              FROM ev WHERE event_type = 'view' GROUP BY user_id),
+       s2 AS (SELECT e.user_id, min(tsu) AS t2_us
+              FROM ev e JOIN s1 USING (user_id)
+              WHERE event_type = 'click' AND tsu > t1_us AND tsu <= dl_us
+              GROUP BY e.user_id),
+       s12 AS (SELECT s1.user_id, t1_us, dl_us, t2_us
+               FROM s1 LEFT JOIN s2 USING (user_id)),
+       s3 AS (SELECT e.user_id, min(tsu) AS t3_us
+              FROM ev e JOIN s12 USING (user_id)
+              WHERE event_type = 'purchase' AND t2_us IS NOT NULL
+                AND tsu > t2_us AND tsu <= dl_us
+              GROUP BY e.user_id)
+       SELECT s12.user_id, t1_us, t2_us, t3_us,
+         CAST(1 + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END AS INTEGER)
+           AS level
+       FROM s12 LEFT JOIN s3 USING (user_id) ORDER BY user_id"""
+
   /** Stationary distribution replayed round-for-round: the transition
     * CTEs (the events_transitions spelling), uniform ppm init, then each
     * power-iteration round as matvec-in-ppm + renormalization — the
@@ -3034,27 +3059,10 @@ object SparkEntry {
          FROM t ORDER BY user_id""",
     // first-touch funnel: every step is a conditional MIN in exact epoch
     // micros, so both engines bind each step to the identical event
-    "events_funnel" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
-         s1 AS (SELECT user_id, min(tsu) AS t1_us,
-                  min(tsu) + 172800000000 AS dl_us
-                FROM ev WHERE event_type = 'view' GROUP BY user_id),
-         s2 AS (SELECT e.user_id, min(tsu) AS t2_us
-                FROM ev e JOIN s1 USING (user_id)
-                WHERE event_type = 'click' AND tsu > t1_us AND tsu <= dl_us
-                GROUP BY e.user_id),
-         s12 AS (SELECT s1.user_id, t1_us, dl_us, t2_us
-                 FROM s1 LEFT JOIN s2 USING (user_id)),
-         s3 AS (SELECT e.user_id, min(tsu) AS t3_us
-                FROM ev e JOIN s12 USING (user_id)
-                WHERE event_type = 'purchase' AND t2_us IS NOT NULL
-                  AND tsu > t2_us AND tsu <= dl_us
-                GROUP BY e.user_id)
-         SELECT s12.user_id, t1_us, t2_us, t3_us,
-           CAST(1 + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
-                  + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END AS INTEGER)
-             AS level
-         FROM s12 LEFT JOIN s3 USING (user_id) ORDER BY user_id""",
+    "events_funnel" -> eventsFunnelOracleSql,
+    // batch equivalence: the stateful stream fold binds the identical
+    // first-touch steps (monotone bindings + event-time arrival order)
+    "stream_funnel" -> eventsFunnelOracleSql,
     // same sequential IEEE fold (seeded 0.0) — doubles match bit-for-bit
     "agg_ewma" ->
       """SELECT user_id, count(*) AS n_events,
@@ -5960,6 +5968,31 @@ object SparkEntry {
     "ts_seasonal_decompose" -> tsSeasonalOracleSql,
     "quality_cusum" -> qualityCusumOracleSql,
     "ts_holt" -> tsHoltOracleSql,
+    // the robust-z kernel per event-type slice: per-group exact
+    // median/MAD, integer-rational z, per-type planted spike
+    "quality_anomaly_grouped" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+         sp AS (SELECT event_type, max(day) + 30 AS day,
+             CAST(max(n) * 8 AS BIGINT) AS n
+           FROM daily GROUP BY event_type),
+         d AS (SELECT * FROM daily UNION ALL SELECT * FROM sp),
+         s1 AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+                FROM d GROUP BY event_type),
+         wm AS (SELECT d.event_type, day, n, med
+                FROM d JOIN s1 USING (event_type)),
+         s2 AS (SELECT event_type, quantile_cont(abs(n - med), 0.5) AS mad
+                FROM wm GROUP BY event_type)
+         SELECT wm.event_type, strftime(day, '%Y-%m-%d') AS day, n, med, mad,
+           CAST(n * 2 - CAST(med * 2 AS BIGINT) AS BIGINT) AS z_num,
+           CAST(mad * 2 AS BIGINT) AS z_den,
+           CASE WHEN CAST(mad * 2 AS BIGINT) = 0 THEN 0
+                WHEN abs(n * 2 - CAST(med * 2 AS BIGINT)) * 6745 >
+                     CAST(mad * 2 AS BIGINT) * 35000 THEN 1 ELSE 0 END
+             AS outlier
+         FROM wm JOIN s2 USING (event_type)
+         ORDER BY event_type, day""",
     // batch-equivalence: the twin drains the same day histogram into the
     // shared holtScore kernel
     "stream_holt" -> tsHoltOracleSql,

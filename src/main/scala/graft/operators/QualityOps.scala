@@ -282,6 +282,42 @@ object QualityOps {
       .orderBy("day")
   }
 
+  /** Per-SLICE robust-z monitoring — [[qualityAnomaly]] grouped by event
+    * type: a burst confined to one event type drowns in the global daily
+    * total (5 types ⇒ an 8× burst in one reads as ~2.4× overall), so the
+    * production monitor runs per slice. Same kernel arithmetic — exact
+    * half-integer median/MAD per type, the z statistic as an integer
+    * rational, the planted 8×-max spike per type on a derived future day
+    * — with the medians/MADs now per-group aggregates joined back
+    * (|types|-row tables, broadcast). State stays |types| × days.
+    */
+  def qualityAnomalyGrouped(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spike = daily.groupBy(col("event_type"))
+      .agg(max(col("n")).as("m"), date_add(max(col("day")), 30).as("day"))
+      .select(col("event_type"), col("day"), (col("m") * 8L).as("n"))
+    val d = daily.unionByName(spike)
+    val med = d.groupBy(col("event_type"))
+      .agg(expr("percentile(n, 0.5)").as("med"))
+    val withMed = d.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy(col("event_type"))
+      .agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
+    val zDen = (col("mad") * 2.0).cast("long")
+    withMed.join(broadcast(mad), "event_type")
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("med"), col("mad"),
+        (col("n") * 2L - (col("med") * 2.0).cast("long")).as("z_num"),
+        zDen.as("z_den"),
+        when(zDen === 0L, lit(0))
+          .otherwise((abs(col("n") * 2L - (col("med") * 2.0).cast("long"))
+            * 6745L > zDen * 35000L).cast("int")).as("outlier"))
+      .orderBy("event_type", "day")
+  }
+
   /** Weekday SEASONAL DECOMPOSITION of the daily event-volume series —
     * the deseasonalizing sibling of [[qualityAnomaly]]: a Monday dip that
     * is NORMAL for Mondays should not page anyone, so the monitor needs

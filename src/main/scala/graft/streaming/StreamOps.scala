@@ -1228,6 +1228,21 @@ object StreamOps {
     */
   private def drainedDailyHistogram(
       spark: SparkSession, sfDir: String, tag: String): DataFrame = {
+    val daily = stagedQuarterStream(spark, sfDir, tag)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    withStateShards(spark, 4) {
+      drain(daily, s"graft_$tag", "complete") }
+  }
+
+  /** The events table staged as FOUR arriving quarter files (split on
+    * event_id ranges — and event time is monotone in event_id, so the
+    * quarters also arrive in event-time order), read back as a
+    * maxFilesPerTrigger=1 file stream: the shared incremental-arrival
+    * harness behind the monitoring twins and the stateful funnel.
+    */
+  private def stagedQuarterStream(
+      spark: SparkSession, sfDir: String, tag: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = spark.read.parquet(s"$sfDir/events.parquet")
     val srcDir = scratch(sfDir, s"${tag}_src")
@@ -1246,14 +1261,70 @@ object StreamOps {
       Files.setLastModifiedTime(staged,
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
     }
-    val schema = src.schema
-    val daily = spark.readStream.schema(schema)
+    spark.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
       .transform(graft.Tables.normalizeTs)
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+  }
+
+  case class FunnelEv(user_id: Long, event_type: String, tsu: Long, event_id: Long)
+  case class FunnelSt(user_id: Long, t1_us: Long, t2_us: Long, t3_us: Long)
+
+  /** STREAMING first-touch funnel — the batch `events_funnel` maintained
+    * as per-user state while events arrive (mapGroupsWithState over the
+    * staged quarters): state is just the (t1, c, p) triple, updated by a
+    * 3-step state machine. Two ordering facts make the incremental fold
+    * EXACT (not approximate): first-touch bindings are monotone (once a
+    * step binds it never re-binds — the earliest qualifying event arrives
+    * before any other qualifying event under event-time order), and
+    * arrival IS event-time order across batches (quarters split on
+    * event_id, ts monotone in event_id — measured, 0 violations at both
+    * SFs) while WITHIN a batch the group iterator is shuffle-ordered, so
+    * the fold re-sorts its per-user-per-batch buffer first. Same oracle
+    * as the batch entry — batch equivalence, not a weaker check.
+    */
+  def streamFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = 48L * 3600L * 1000000L
+    val evs: Dataset[FunnelEv] = stagedQuarterStream(spark, sfDir, "stream_funnel")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .as[FunnelEv]
+    val folded = evs
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[FunnelEv], state: GroupState[FunnelSt]) => {
+          val init = state.getOption.getOrElse(FunnelSt(user, -1L, -1L, -1L))
+          val st = rows.toSeq.sortBy(e => (e.tsu, e.event_id))
+            .foldLeft(init) { (s, e) =>
+              e.event_type match {
+                case "view" if s.t1_us == -1L => s.copy(t1_us = e.tsu)
+                case "click" if s.t1_us != -1L && s.t2_us == -1L &&
+                  e.tsu > s.t1_us && e.tsu <= s.t1_us + w =>
+                  s.copy(t2_us = e.tsu)
+                case "purchase" if s.t2_us != -1L && s.t3_us == -1L &&
+                  e.tsu > s.t2_us && e.tsu <= s.t1_us + w =>
+                  s.copy(t3_us = e.tsu)
+                case _ => s
+              }
+            }
+          state.update(st)
+          st
+        })
     withStateShards(spark, 4) {
-      drain(daily, s"graft_$tag", "complete") }
+      drain(folded.toDF(), "graft_stream_funnel", "update") }
+      .groupBy(col("user_id"))
+      .agg(max(col("t1_us")).as("t1r"), max(col("t2_us")).as("t2r"),
+        max(col("t3_us")).as("t3r")) // steps only ever bind once: max = last
+      .filter(col("t1r") =!= -1L)
+      .select(col("user_id"),
+        col("t1r").as("t1_us"),
+        when(col("t2r") === -1L, lit(null).cast("long"))
+          .otherwise(col("t2r")).as("t2_us"),
+        when(col("t3r") === -1L, lit(null).cast("long"))
+          .otherwise(col("t3r")).as("t3_us"),
+        (lit(1) + (col("t2r") =!= -1L).cast("int")
+          + (col("t3r") =!= -1L).cast("int")).as("level"))
+      .orderBy("user_id")
   }
 
   private def scratch(sfDir: String, tag: String): Path = {

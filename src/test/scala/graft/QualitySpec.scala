@@ -226,4 +226,17 @@ class QualitySpec extends SparkTestBase {
     assert(got("fresh_type") === ((4L * 60L * 1000000L, 0)))
     assert(got("stale_type") === ((59L * 60L * 1000000L, 1)))
   }
+
+  test("quality_anomaly_grouped: every slice's planted spike flags as an outlier") {
+    val got = QualityOps.qualityAnomalyGrouped(
+      graft.Tables.events(spark, sf0001)).collect()
+    assert(got.nonEmpty)
+    val types = got.map(_.getString(0)).distinct
+    assert(types.length >= 2, "grouped monitor must cover multiple slices")
+    types.foreach { t =>
+      val rows = got.filter(_.getString(0) == t)
+      val spike = rows.maxBy(_.getLong(2))
+      assert(spike.getInt(7) === 1, s"type $t: planted 8x spike not flagged: $spike")
+    }
+  }
 }

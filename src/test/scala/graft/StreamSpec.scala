@@ -443,6 +443,22 @@ class StreamSpec extends SparkTestBase {
       "incremental histogram + shared CUSUM kernel must equal the batch entry")
   }
 
+  test("stream_holt output is bit-identical to the batch tracker") {
+    val streamed = StreamOps.streamHolt(spark, sf0001).collect().toSeq
+    val batch = graft.operators.QualityOps.tsHolt(
+      Tables.events(spark, sf0001)).collect().toSeq
+    assert(streamed === batch,
+      "incremental histogram + shared Holt kernel must equal the batch entry")
+  }
+
+  test("stream_funnel: the stateful fold equals the batch funnel row for row") {
+    val streamed = StreamOps.streamFunnel(spark, sf0001).collect().toSeq
+    val batch = graft.operators.AggOps.eventsFunnel(
+      Tables.events(spark, sf0001)).collect().toSeq
+    assert(streamed === batch,
+      "monotone first-touch bindings + event-time arrival must reproduce the batch funnel")
+  }
+
   test("stream_quality: slices partition the corpus; SLA failures surface") {
     val got = StreamOps.streamQuality(spark, sf0001).collect()
     assert(got.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
