@@ -303,6 +303,8 @@ object SparkEntry {
     "stream_cusum" -> ((s, d) => StreamOps.streamCusum(s, d)),
     "stream_holt" -> ((s, d) => StreamOps.streamHolt(s, d)),
     "stream_funnel" -> ((s, d) => StreamOps.streamFunnel(s, d)),
+    "stream_transitions" -> ((s, d) => StreamOps.streamTransitions(s, d)),
+    "ts_holt_forecast" -> ((s, d) => QualityOps.tsHoltForecast(events(s, d))),
     "quality_report" -> ((s, d) => QualityOps.qualityReport(
       orders(s, d), customer(s, d), lineitem(s, d), events(s, d))),
     "sim_rp_width_sweep" -> ((s, d) => SimOps.simRpWidthSweep(embeddings(s, d))),
@@ -765,6 +767,21 @@ object SparkEntry {
            g.gmax - last_seen_us AS lag_us,
            CASE WHEN g.gmax - last_seen_us > 1200000000 THEN 1 ELSE 0 END AS stale
          FROM p CROSS JOIN g ORDER BY event_type"""
+  private val eventsTransitionsOracleSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+           epoch_us(ts) AS tsu FROM events),
+       l AS (SELECT event_type AS from_type,
+           lead(event_type, 1) OVER (PARTITION BY user_id
+             ORDER BY tsu, event_id) AS to_type
+         FROM e),
+       tr AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM l
+              WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       tot AS (SELECT from_type, sum(n)::BIGINT AS tot FROM tr GROUP BY 1)
+       SELECT tr.from_type, to_type, n,
+         CAST((n * 1000000) // tot AS BIGINT) AS p_ppm
+       FROM tr JOIN tot USING (from_type)
+       ORDER BY from_type, to_type"""
+
   private val eventsFunnelOracleSql: String =
     """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
        s1 AS (SELECT user_id, min(tsu) AS t1_us,
@@ -856,8 +873,8 @@ object SparkEntry {
     * doubles match bit-for-bit (the agg_ewma convention). Shared by the
     * batch entry and the streaming twin.
     */
-  private val tsHoltOracleSql: String =
-    """WITH RECURSIVE daily AS (SELECT CAST(ts AS DATE) AS day,
+  private val tsHoltCtes: String =
+    """daily AS (SELECT CAST(ts AS DATE) AS day,
              count(*)::BIGINT AS n FROM events GROUP BY 1),
        d AS (SELECT day, n, row_number() OVER (ORDER BY day) AS i FROM daily),
        h AS (
@@ -866,10 +883,26 @@ object SparkEntry {
          SELECT d.i, d.day, d.n,
            0.5 * d.n + 0.5 * (h.l + h.b),
            0.3 * ((0.5 * d.n + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b
-         FROM h JOIN d ON d.i = h.i + 1)
+         FROM h JOIN d ON d.i = h.i + 1)"""
+
+  private val tsHoltOracleSql: String =
+    s"""WITH RECURSIVE $tsHoltCtes
        SELECT CAST(day AS VARCHAR) AS day, n, round(l, 6) AS level,
          round(b, 6) AS trend
        FROM h ORDER BY day"""
+
+  /** The forecast off the final fitted state: the same recursive chain,
+    * last row picked by max(i), projected k = 1..7 days out on the
+    * ROUNDED published level/trend (matching the engine's composition).
+    */
+  private val tsHoltForecastOracleSql: String =
+    s"""WITH RECURSIVE $tsHoltCtes,
+       f AS (SELECT day, l, b FROM h WHERE i = (SELECT max(i) FROM h))
+       SELECT CAST(k AS INTEGER) AS k,
+         strftime(day + CAST(k AS INTEGER), '%Y-%m-%d') AS day,
+         round(round(l, 6) + k * round(b, 6), 6) AS forecast
+       FROM f CROSS JOIN (SELECT unnest(range(1, 8)) AS k)
+       ORDER BY k"""
 
   private val qualityCusumOracleSql: String =
     """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
@@ -2924,20 +2957,11 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // per-user lead over (ts, event_id) — the same total order both
     // engines; the matrix and ppm probabilities close in integers
-    "events_transitions" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-             epoch_us(ts) AS tsu FROM events),
-         l AS (SELECT event_type AS from_type,
-             lead(event_type, 1) OVER (PARTITION BY user_id
-               ORDER BY tsu, event_id) AS to_type
-           FROM e),
-         tr AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM l
-                WHERE to_type IS NOT NULL GROUP BY 1, 2),
-         tot AS (SELECT from_type, sum(n)::BIGINT AS tot FROM tr GROUP BY 1)
-         SELECT tr.from_type, to_type, n,
-           CAST((n * 1000000) // tot AS BIGINT) AS p_ppm
-         FROM tr JOIN tot USING (from_type)
-         ORDER BY from_type, to_type""",
+    "events_transitions" -> eventsTransitionsOracleSql,
+    // batch equivalence: per-user last-event state emits the identical
+    // pair stream, rolled up by the shared transitionMatrix kernel
+    "stream_transitions" -> eventsTransitionsOracleSql,
+    "ts_holt_forecast" -> tsHoltForecastOracleSql,
     "events_markov_stationary" -> markovStationaryOracle(8),
     // Poisson bootstrap with the md5 coin through literal inverse-CDF
     // thresholds — same doubles, same comparisons, same replica sums;

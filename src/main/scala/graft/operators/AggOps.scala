@@ -525,12 +525,20 @@ object AggOps {
     */
   def eventsTransitions(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
-    val tr = events
+    transitionMatrix(events
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("tsu"))
       .withColumn("to_type", lead(col("event_type"), 1).over(w))
       .filter(col("to_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .select(col("event_type").as("from_type"), col("to_type")))
+  }
+
+  /** The matrix + row-probability rollup over a (from_type, to_type)
+    * pair stream — shared by the batch census and the streaming twin
+    * (which emits the same pairs from per-user state).
+    */
+  private[graft] def transitionMatrix(pairs: DataFrame): DataFrame = {
+    val tr = pairs.groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
     val tot = tr.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
     tr.join(broadcast(tot), "from_type")

@@ -362,6 +362,23 @@ object QualityOps {
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n")))
 
+  /** The FORECAST off the fitted Holt state — l_T + k·b_T for the next
+    * `horizon` days (what the capacity planner reads off the tracker):
+    * one 1-row tail pick of [[tsHolt]]'s output (the yyyy-MM-dd string
+    * orders chronologically) exploded over the horizon. The projection
+    * uses the ROUNDED published level/trend, so forecast and fitted
+    * table can never disagree about the state they share.
+    */
+  def tsHoltForecast(events: DataFrame, horizon: Int = 7): DataFrame =
+    tsHolt(events)
+      .orderBy(desc("day")).limit(1)
+      .select(explode(sequence(lit(1), lit(horizon))).as("k"),
+        col("day"), col("level"), col("trend"))
+      .select(col("k"),
+        date_format(expr("date_add(to_date(day), k)"), "yyyy-MM-dd").as("day"),
+        round(col("level") + col("k") * col("trend"), 6).as("forecast"))
+      .orderBy("k")
+
   /** The Holt recurrence over a (day, n) histogram — shared by the batch
     * entry and the streaming twin, like seasonalScore/cusumScore. The
     * recurrence is a genuine sequential fold (each state needs the full

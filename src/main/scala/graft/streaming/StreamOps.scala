@@ -1268,6 +1268,48 @@ object StreamOps {
 
   case class FunnelEv(user_id: Long, event_type: String, tsu: Long, event_id: Long)
   case class FunnelSt(user_id: Long, t1_us: Long, t2_us: Long, t3_us: Long)
+  case class TransPair(from_type: String, to_type: String)
+
+  /** STREAMING transition census — the batch `events_transitions`
+    * maintained incrementally: per-user state is just the LAST event,
+    * each arriving event emits one (from → to) pair against it
+    * (flatMapGroupsWithState, append mode), and the drained pair stream
+    * rolls up through the SAME `transitionMatrix` kernel as the batch
+    * entry. The funnel's ordering argument carries over verbatim
+    * (cross-batch arrival is event-time order, within-batch the fold
+    * re-sorts); state is ONE row per user regardless of history length.
+    */
+  def streamTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val evs: Dataset[FunnelEv] =
+      stagedQuarterStream(spark, sfDir, "stream_transitions")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsu"), col("event_id"))
+        .as[FunnelEv]
+    val pairs = evs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[FunnelEv], state: GroupState[FunnelEv]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.tsu, e.event_id))
+          val (out, last) = sorted
+            .foldLeft((Vector.empty[TransPair], state.getOption)) {
+              case ((acc, prev), e) =>
+                val acc2 = prev.fold(acc)(p =>
+                  acc :+ TransPair(p.event_type, e.event_type))
+                (acc2, Some(e))
+            }
+          last.foreach(state.update)
+          out.iterator
+        })
+    // localCheckpoint: the matrix kernel self-joins (totals from the
+    // matrix) and the MemorySink view's attributes don't deduplicate —
+    // materializing the drained pair stream gives each side fresh refs
+    graft.operators.AggOps.transitionMatrix(
+      withStateShards(spark, 4) {
+        drain(pairs.toDF(), "graft_stream_transitions", "append")
+      }.localCheckpoint())
+  }
 
   /** STREAMING first-touch funnel — the batch `events_funnel` maintained
     * as per-user state while events arrive (mapGroupsWithState over the

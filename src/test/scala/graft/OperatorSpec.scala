@@ -1509,6 +1509,19 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("ts_holt_forecast: projections step linearly by the published trend off the last day") {
+    val ev = Tables.events(spark, sf0001)
+    val fitted = QualityOps.tsHolt(ev).orderBy(desc(("day"))).limit(1).collect()(0)
+    val fc = QualityOps.tsHoltForecast(ev).collect()
+    assert(fc.length === 7 && fc.map(_.getInt(0)).toSeq === (1 to 7))
+    // each step adds exactly the published trend (within round-6 dust)
+    val diffs = fc.sliding(2).map(p => p(1).getDouble(2) - p(0).getDouble(2)).toSeq
+    diffs.foreach(d => assert(math.abs(d - fitted.getDouble(3)) < 2e-6,
+      s"non-linear forecast step: $d vs trend ${fitted.getDouble(3)}"))
+    // first forecast day is the day after the last fitted day
+    assert(fc(0).getString(1) > fitted.getString(0))
+  }
+
   test("events_markov_stationary: planted 2-state chain converges to (2/3, 1/3)") {
     import java.sql.Timestamp
     // one user walking A A B A A B A: from A the chain stays 50% / moves

@@ -459,6 +459,14 @@ class StreamSpec extends SparkTestBase {
       "monotone first-touch bindings + event-time arrival must reproduce the batch funnel")
   }
 
+  test("stream_transitions: the per-user last-event state emits the batch matrix exactly") {
+    val streamed = StreamOps.streamTransitions(spark, sf0001).collect().toSeq
+    val batch = graft.operators.AggOps.eventsTransitions(
+      Tables.events(spark, sf0001)).collect().toSeq
+    assert(streamed === batch,
+      "state-emitted pairs through the shared kernel must equal the batch census")
+  }
+
   test("stream_quality: slices partition the corpus; SLA failures surface") {
     val got = StreamOps.streamQuality(spark, sf0001).collect()
     assert(got.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
