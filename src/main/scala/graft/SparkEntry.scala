@@ -523,6 +523,8 @@ object SparkEntry {
     "pipeline_pretrain" -> ((s, d) => LlmOps.pipelinePretrain(documents(s, d))),
     "pipeline_pretrain_v2" -> ((s, d) => PipelineOps.pipelinePretrainV2(documents(s, d))),
     "pipeline_pack" -> ((s, d) => PipelineOps.pipelinePack(documents(s, d))),
+    "pipeline_pack_sweep" ->
+      ((s, d) => PipelineOps.pipelinePackSweep(documents(s, d))),
     "pipeline_quality_classifier" ->
       ((s, d) => PipelineOps.pipelineQualityClassifier(documents(s, d))),
     "pipeline_dsir" -> ((s, d) => PipelineOps.pipelineDsir(documents(s, d))),
@@ -2962,6 +2964,26 @@ object SparkEntry {
     // pair stream, rolled up by the shared transitionMatrix kernel
     "stream_transitions" -> eventsTransitionsOracleSql,
     "ts_holt_forecast" -> tsHoltForecastOracleSql,
+    // per-source ceil(T/B) from ONE token aggregate; the dial is integer
+    // arithmetic — (T + B − 1) // B on both engines
+    "pipeline_pack_sweep" ->
+      """WITH s AS (SELECT source, CAST(sum(len(str_split(text, ' ')))
+             AS BIGINT) AS t
+           FROM documents GROUP BY source),
+         a AS (SELECT CAST(sum((t + 63) // 64) AS BIGINT) AS s64,
+             CAST(sum((t + 255) // 256) AS BIGINT) AS s256,
+             CAST(sum((t + 1023) // 1024) AS BIGINT) AS s1024,
+             CAST(sum(t) AS BIGINT) AS tot
+           FROM s)
+         SELECT * FROM (
+           SELECT 64 AS budget, s64 AS n_sequences,
+             s64 * 64 - tot AS waste_toks,
+             (tot * 1000000) // (s64 * 64) AS utilization_ppm FROM a
+           UNION ALL SELECT 256, s256, s256 * 256 - tot,
+             (tot * 1000000) // (s256 * 256) FROM a
+           UNION ALL SELECT 1024, s1024, s1024 * 1024 - tot,
+             (tot * 1000000) // (s1024 * 1024) FROM a)
+         ORDER BY budget""",
     "events_markov_stationary" -> markovStationaryOracle(8),
     // Poisson bootstrap with the md5 coin through literal inverse-CDF
     // thresholds — same doubles, same comparisons, same replica sums;

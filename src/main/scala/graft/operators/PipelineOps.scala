@@ -53,6 +53,36 @@ object PipelineOps {
       .orderBy("source", "doc_id")
   }
 
+  /** Sequence count and padding waste along the PACKING-BUDGET dial —
+    * the tuning curve for [[pipelinePack]]'s one free parameter (a wider
+    * sequence wastes less boundary padding but costs quadratic
+    * attention; this table is the data half of that trade). One-pass
+    * identity: per-source streams pack independently and a stream of
+    * T tokens cuts into ceil(T/B) sequences whatever B is — so ONE
+    * per-source token aggregate serves every budget, the sweep is
+    * integer arithmetic ((T + B − 1) DIV B, exact both engines).
+    */
+  def pipelinePackSweep(
+      documents: DataFrame, budgets: Seq[Int] = Seq(64, 256, 1024)): DataFrame = {
+    val perSource = documents
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("t"))
+    val aggs = budgets.map { b =>
+      sum(expr(s"(t + ${b - 1}) DIV $b")).as(s"s$b")
+    } :+ sum(col("t")).as("tot")
+    val one = perSource.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(budgets.map(b => struct(
+        lit(b).as("budget"), col(s"s$b").as("n_sequences"),
+        (col(s"s$b") * b - col("tot")).as("waste_toks"),
+        expr(s"(tot * 1000000) DIV (s$b * $b)").as("utilization_ppm"))): _*))
+        .as("r"))
+      .select(col("r.budget").as("budget"),
+        col("r.n_sequences").as("n_sequences"),
+        col("r.waste_toks").as("waste_toks"),
+        col("r.utilization_ppm").as("utilization_ppm"))
+      .orderBy("budget")
+  }
+
   /** Domain-mixture SAMPLING — downsample each source to a target rate so
     * the corpus matches a designed mixture (the "data recipe" step every
     * published pretraining pipeline runs; rates here derive from the

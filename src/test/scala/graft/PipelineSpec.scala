@@ -461,6 +461,22 @@ class PipelineSpec extends SparkTestBase {
     assert(ap(0).getLong(1) === 270L && ap(0).getLong(2) === 320L)
   }
 
+  test("pipeline_pack_sweep: the 64-budget row equals the packer's realized count; dial monotone") {
+    val docs = Tables.documents(spark, sf0001)
+    val sweep = PipelineOps.pipelinePackSweep(docs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // ceil(T/B) per source must equal what the actual packer realizes
+    val realized = PipelineOps.pipelinePack(docs)
+      .groupBy(col("source")).agg((max(col("seq_last")) + 1).as("s"))
+      .agg(sum(col("s"))).collect()(0).getLong(0)
+    assert(sweep(64)._1 === realized,
+      s"sweep row disagrees with the packer: ${sweep(64)._1} vs $realized")
+    assert(sweep(64)._1 >= sweep(256)._1 && sweep(256)._1 >= sweep(1024)._1)
+    sweep.values.foreach(v =>
+      assert(v._3 > 0 && v._3 <= 1000000L, s"utilization out of range: $v"))
+  }
+
   test("pipeline_wordpiece_fertility: per-lang averages are piece-per-word exact") {
     val f = PipelineOps.pipelineWordpieceFertility(Tables.documents(spark, sf0001))
       .collect()
