@@ -110,7 +110,12 @@ class CollectGuardSpec extends SparkTestBase {
     // enforces structurally (PipelineOps.unigramLoop) — the per-doc
     // bound rule, one level finer
     "pipeline_unigram_lm", "pipeline_unigram_fertility",
-    "pipeline_unigram_apply"
+    "pipeline_unigram_apply",
+    // r13 Holt tracker: the collected array is the (day, n) HISTOGRAM —
+    // calendar-bounded (days, never events), the same bounded-histogram
+    // exemption the cusum/seasonal windows ride; the recurrence is a
+    // genuine sequential fold, so the series must materialize once
+    "ts_holt", "ts_holt_forecast"
   )
 
   test("guard catches an uncapped collect_list (deliberately-bad fixture)") {
