@@ -240,6 +240,7 @@ object SparkEntry {
     "events_markov_stationary" ->
       ((s, d) => AggOps.eventsMarkovStationary(events(s, d))),
     "events_rfm" -> ((s, d) => AggOps.eventsRfm(events(s, d))),
+    "events_rfm_census" -> ((s, d) => AggOps.eventsRfmCensus(events(s, d))),
     "agg_bootstrap_ci" -> ((s, d) => AggOps.aggBootstrapCi(orders(s, d))),
     "text_novelty" -> ((s, d) => TextOps.textNovelty(documents(s, d))),
     "agg_rolling_distinct" -> ((s, d) => AggOps.aggRollingDistinct(events(s, d))),
@@ -769,6 +770,30 @@ object SparkEntry {
            g.gmax - last_seen_us AS lag_us,
            CASE WHEN g.gmax - last_seen_us > 1200000000 THEN 1 ELSE 0 END AS stale
          FROM p CROSS JOIN g ORDER BY event_type"""
+  private val eventsRfmOracleSql: String =
+    """WITH pur AS (SELECT user_id, epoch_us(ts) AS tsu,
+           CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase'),
+       per AS (SELECT user_id, max(tsu) AS last_us,
+           count(*)::BIGINT AS freq, sum(cents)::BIGINT AS mon_c
+         FROM pur GROUP BY user_id),
+       ref AS (SELECT max(last_us) AS ref_us FROM per),
+       b AS (SELECT user_id, (ref_us - last_us) // 86400000000 AS rec_days,
+           freq, mon_c, mon_c // 1000 AS mon_b FROM per, ref),
+       t AS (SELECT user_id, rec_days, freq, mon_c,
+           ntile(5) OVER (ORDER BY rec_days, user_id) AS rt,
+           ntile(5) OVER (ORDER BY freq, user_id) AS ft,
+           ntile(5) OVER (ORDER BY mon_b, user_id) AS mt
+         FROM b)
+       SELECT user_id, rec_days, freq, mon_c,
+         CAST(6 - rt AS INTEGER) AS r_score, CAST(ft AS INTEGER) AS f_score,
+         CAST(mt AS INTEGER) AS m_score,
+         CASE WHEN 6 - rt >= 4 AND ft >= 4 THEN 'champion'
+              WHEN 6 - rt <= 2 AND ft >= 4 THEN 'at_risk'
+              WHEN 6 - rt >= 4 AND ft <= 2 THEN 'new'
+              ELSE 'regular' END AS segment
+       FROM t ORDER BY user_id"""
+
   private val eventsTransitionsOracleSql: String =
     """WITH e AS (SELECT user_id, event_id, event_type,
            epoch_us(ts) AS tsu FROM events),
@@ -3080,29 +3105,14 @@ object SparkEntry {
          ORDER BY gap_min""",
     // engine ntile = bounded-histogram rank + front-loaded closed form,
     // bit-equal to this plain ntile over (metric, user_id)
-    "events_rfm" ->
-      """WITH pur AS (SELECT user_id, epoch_us(ts) AS tsu,
-             CAST(round(value * 100) AS BIGINT) AS cents
-           FROM events WHERE event_type = 'purchase'),
-         per AS (SELECT user_id, max(tsu) AS last_us,
-             count(*)::BIGINT AS freq, sum(cents)::BIGINT AS mon_c
-           FROM pur GROUP BY user_id),
-         ref AS (SELECT max(last_us) AS ref_us FROM per),
-         b AS (SELECT user_id, (ref_us - last_us) // 86400000000 AS rec_days,
-             freq, mon_c, mon_c // 1000 AS mon_b FROM per, ref),
-         t AS (SELECT user_id, rec_days, freq, mon_c,
-             ntile(5) OVER (ORDER BY rec_days, user_id) AS rt,
-             ntile(5) OVER (ORDER BY freq, user_id) AS ft,
-             ntile(5) OVER (ORDER BY mon_b, user_id) AS mt
-           FROM b)
-         SELECT user_id, rec_days, freq, mon_c,
-           CAST(6 - rt AS INTEGER) AS r_score, CAST(ft AS INTEGER) AS f_score,
-           CAST(mt AS INTEGER) AS m_score,
-           CASE WHEN 6 - rt >= 4 AND ft >= 4 THEN 'champion'
-                WHEN 6 - rt <= 2 AND ft >= 4 THEN 'at_risk'
-                WHEN 6 - rt >= 4 AND ft <= 2 THEN 'new'
-                ELSE 'regular' END AS segment
-         FROM t ORDER BY user_id""",
+    "events_rfm" -> eventsRfmOracleSql,
+    // the same per-user RFM chain rolled up per segment
+    "events_rfm_census" ->
+      s"""WITH f AS ($eventsRfmOracleSql)
+         SELECT segment, count(*)::BIGINT AS n_users,
+           CAST(sum(mon_c) AS BIGINT) AS monetary_c,
+           CAST(sum(mon_c) // count(*) AS BIGINT) AS avg_monetary_c
+         FROM f GROUP BY segment ORDER BY segment""",
     // first-touch funnel: every step is a conditional MIN in exact epoch
     // micros, so both engines bind each step to the identical event
     "events_funnel" -> eventsFunnelOracleSql,

@@ -606,6 +606,18 @@ object AggOps {
       .orderBy("user_id")
   }
 
+  /** Segment-level rollup of [[eventsRfm]] — the 4-row report a revenue
+    * review actually reads (who are the champions and what do they carry)
+    * off the SAME per-user chain, so census and table cannot disagree.
+    */
+  def eventsRfmCensus(events: DataFrame): DataFrame =
+    eventsRfm(events)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"), sum(col("mon_c")).as("monetary_c"))
+      .select(col("segment"), col("n_users"), col("monetary_c"),
+        expr("monetary_c DIV n_users").as("avg_monetary_c"))
+      .orderBy("segment")
+
   /** Ordered event FUNNEL (the windowFunnel of event analytics): for
     * every user who entered at step 1 (first `view`), the first `click`
     * strictly after it, and the first `purchase` strictly after that

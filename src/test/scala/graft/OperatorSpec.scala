@@ -1621,6 +1621,18 @@ class OperatorSpec extends SparkTestBase {
     assert(got(2L)._4 === 2 && got(3L)._4 === 3, "freq quintiles follow counts")
   }
 
+  test("events_rfm_census: segments partition the users; sums reconcile with the table") {
+    val ev = Tables.events(spark, sf0001)
+    val table = AggOps.eventsRfm(ev).collect()
+    val census = AggOps.eventsRfmCensus(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(census.values.map(_._1).sum === table.length.toLong,
+      "census user counts must partition the RFM table")
+    val bySeg = table.groupBy(_.getString(7))
+      .map { case (s, rs) => s -> ((rs.length.toLong, rs.map(_.getLong(3)).sum)) }
+    assert(census === bySeg, s"census disagrees with the table: $census vs $bySeg")
+  }
+
   test("ts_holt: hand-computed level/trend recurrence on a 3-day series") {
     import java.sql.Timestamp
     // counts 10/20/30 with alpha=.5, beta=.3, zero-trend init:
