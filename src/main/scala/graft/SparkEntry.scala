@@ -200,6 +200,18 @@ object SparkEntry {
     "q15_top_supplier" ->
       ((s, d) => AuditQueries.q15TopSupplier(s, lineitem(s, d),
         supplier(s, d))),
+    "q9_product_profit" ->
+      ((s, d) => AuditQueries.q9ProductProfit(s, part(s, d), supplier(s, d),
+        lineitem(s, d), orders(s, d), nation(s, d))),
+    "q11_important_parts" ->
+      ((s, d) => AuditQueries.q11ImportantParts(s, lineitem(s, d),
+        supplier(s, d), nation(s, d), region(s, d))),
+    "q12_shipmode_priority" ->
+      ((s, d) => AuditQueries.q12ShipmodePriority(s, orders(s, d),
+        lineitem(s, d))),
+    "q16_supplier_counts" ->
+      ((s, d) => AuditQueries.q16SupplierCounts(s, part(s, d),
+        lineitem(s, d), supplier(s, d))),
     "q_cte" -> ((s, d) => AuditQueries.qCte(s, orders(s, d), customer(s, d))),
     "q_recursive_cte" -> ((s, d) => AuditQueries.qRecursiveCte(s, orders(s, d))),
     "q_window_sql" -> ((s, d) => AuditQueries.qWindowSql(s, customer(s, d))),
@@ -305,6 +317,8 @@ object SparkEntry {
     "stream_holt" -> ((s, d) => StreamOps.streamHolt(s, d)),
     "stream_funnel" -> ((s, d) => StreamOps.streamFunnel(s, d)),
     "stream_transitions" -> ((s, d) => StreamOps.streamTransitions(s, d)),
+    "stream_funnel_ooo" -> ((s, d) => StreamOps.streamFunnelOoo(s, d)),
+    "stream_transitions_ooo" -> ((s, d) => StreamOps.streamTransitionsOoo(s, d)),
     "ts_holt_forecast" -> ((s, d) => QualityOps.tsHoltForecast(events(s, d))),
     "quality_report" -> ((s, d) => QualityOps.qualityReport(
       orders(s, d), customer(s, d), lineitem(s, d), events(s, d))),
@@ -694,7 +708,8 @@ object SparkEntry {
            (SELECT n, unnest(str_split(trim(seq), ' ')) AS sym FROM s${r - 1}) t
          GROUP BY sym),
          b$r AS MATERIALIZED (SELECT p.a AS a, p.b AS b, cnt,
-                 CAST((cnt * 1000000000000) // (ca.c * cb.c) AS BIGINT)
+                 CAST((CAST(cnt AS HUGEINT) * 1000000000000)
+                     // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT)
                    AS score_u,
                  ' ' || p.a || ' ' || p.b || ' ' AS pat,
                  ' ' || p.a || p.b || ' ' AS rep
@@ -854,11 +869,16 @@ object SparkEntry {
        tr AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM l
               WHERE to_type IS NOT NULL GROUP BY 1, 2),
        tot AS (SELECT from_type, sum(n)::BIGINT AS tot FROM tr GROUP BY 1),
-       tm AS MATERIALIZED (SELECT tr.from_type, to_type,
+       tm0 AS MATERIALIZED (SELECT tr.from_type, to_type,
            CAST((n * 1000000) // tot AS BIGINT) AS p_ppm
          FROM tr JOIN tot USING (from_type)),
        ty AS (SELECT DISTINCT t FROM
-         (SELECT from_type AS t FROM tm UNION ALL SELECT to_type FROM tm)),
+         (SELECT from_type AS t FROM tm0 UNION ALL SELECT to_type FROM tm0)),
+       -- dangling types get the engine's unit self-loop (absorbing-state
+       -- closure) so terminal states hold their mass instead of leaking
+       tm AS MATERIALIZED (SELECT * FROM tm0 UNION ALL
+         SELECT t, t, CAST(1000000 AS BIGINT) FROM ty
+         WHERE t NOT IN (SELECT from_type FROM tm0)),
        nn AS (SELECT count(*)::BIGINT AS c FROM ty),
        p0 AS (SELECT t, CAST(1000000 // c AS BIGINT) AS v FROM ty, nn),
        $roundCtes
@@ -2040,6 +2060,65 @@ object SparkEntry {
          FROM supplier JOIN revenue ON s_suppkey = supplier_no
          WHERE total_c = (SELECT max(total_c) FROM revenue)
          ORDER BY s_suppkey""",
+    // Q9 shape: 5-way profit join, retailprice-for-partsupp stand-in
+    "q9_product_profit" ->
+      """SELECT nation, o_year,
+           round(CAST(sum(amount_c) AS BIGINT) / 100.0, 2) AS sum_profit
+         FROM (SELECT n.n_name AS nation,
+                 CAST(year(CAST(o.o_orderdate AS DATE)) AS INTEGER) AS o_year,
+                 CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                   - 0.5 * p.p_retailprice * l.l_quantity) * 100) AS BIGINT)
+                   AS amount_c
+               FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+                 JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                 JOIN orders o ON o.o_orderkey = l.l_orderkey
+                 JOIN nation n ON s.s_nationkey = n.n_nationkey
+               WHERE p.p_name LIKE '%red%') profit
+         GROUP BY nation, o_year
+         ORDER BY nation, o_year DESC""",
+    // Q11 shape: HAVING over an uncorrelated global-total scalar
+    "q11_important_parts" ->
+      """SELECT l_partkey AS p_partkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_cq
+         FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+         GROUP BY l_partkey
+         HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(l_quantity AS BIGINT)) > (
+           SELECT sum(CAST(round(l2.l_extendedprice * 100) AS BIGINT)
+               * CAST(l2.l_quantity AS BIGINT)) * 0.001
+           FROM lineitem l2
+             JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+             JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+             JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+           WHERE r2.r_name = 'ASIA')
+         ORDER BY value_cq DESC, p_partkey""",
+    // Q12 shape: late-shipment CASE census per line class
+    "q12_shipmode_priority" ->
+      """SELECT l_linestatus AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+           AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+         GROUP BY l_linestatus ORDER BY l_linestatus""",
+    // Q16 shape: NOT IN anti + count-distinct per bucket
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+           AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+           AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                   WHERE s_acctbal < 0.0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
     // Q22 shape: scalar-average gate + NOT EXISTS anti-join
     "q22_global_sales" ->
       """SELECT c_mktsegment AS segment, count(*) AS n_custs,
@@ -2988,6 +3067,10 @@ object SparkEntry {
     // batch equivalence: per-user last-event state emits the identical
     // pair stream, rolled up by the shared transitionMatrix kernel
     "stream_transitions" -> eventsTransitionsOracleSql,
+    // batch equivalence UNDER DISORDERED ARRIVAL: the watermark-buffered
+    // fold consumes each event only once proven complete, so the pair
+    // stream is identical to the ordered one
+    "stream_transitions_ooo" -> eventsTransitionsOracleSql,
     "ts_holt_forecast" -> tsHoltForecastOracleSql,
     // per-source ceil(T/B) from ONE token aggregate; the dial is integer
     // arithmetic — (T + B − 1) // B on both engines
@@ -3029,16 +3112,16 @@ object SparkEntry {
                   WHEN u < 0.9994058151824183 THEN 5
                   ELSE 6 END AS k
            FROM c),
-         m AS (SELECT rep,
-             CASE WHEN sum(k) = 0 THEN 0
-                  ELSE CAST((sum(k * cents) * 100) // sum(k) AS BIGINT)
-             END AS mean_cc
-           FROM kk GROUP BY rep),
-         arr AS (SELECT list_sort(list(mean_cc)) AS ms FROM m),
          t AS (SELECT count(*)::BIGINT AS n,
              CAST((sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 100)
                // count(*) AS BIGINT) AS mean_point_cc
-           FROM orders)
+           FROM orders),
+         m AS (SELECT rep,
+             CASE WHEN sum(k) = 0 THEN (SELECT mean_point_cc FROM t)
+                  ELSE CAST((sum(k * cents) * 100) // sum(k) AS BIGINT)
+             END AS mean_cc
+           FROM kk GROUP BY rep),
+         arr AS (SELECT list_sort(list(mean_cc)) AS ms FROM m)
          SELECT CAST(32 AS INTEGER) AS n_replicas, n, mean_point_cc,
            ms[1] AS boot_p025_cc, ms[32] AS boot_p975_cc
          FROM t CROSS JOIN arr""",
@@ -3060,17 +3143,17 @@ object SparkEntry {
                   WHEN u < 0.9994058151824183 THEN 5
                   ELSE 6 END AS k
            FROM c),
-         m AS (SELECT o_orderpriority, rep,
-             CASE WHEN sum(k) = 0 THEN 0
-                  ELSE CAST((sum(k * cents) * 100) // sum(k) AS BIGINT)
-             END AS mean_cc
-           FROM kk GROUP BY 1, 2),
-         arr AS (SELECT o_orderpriority, list_sort(list(mean_cc)) AS ms
-                 FROM m GROUP BY 1),
          t AS (SELECT o_orderpriority, count(*)::BIGINT AS n,
              CAST((sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 100)
                // count(*) AS BIGINT) AS mean_point_cc
-           FROM orders GROUP BY 1)
+           FROM orders GROUP BY 1),
+         m AS (SELECT kk.o_orderpriority, rep,
+             CASE WHEN sum(k) = 0 THEN max(t.mean_point_cc)
+                  ELSE CAST((sum(k * cents) * 100) // sum(k) AS BIGINT)
+             END AS mean_cc
+           FROM kk JOIN t USING (o_orderpriority) GROUP BY 1, 2),
+         arr AS (SELECT o_orderpriority, list_sort(list(mean_cc)) AS ms
+                 FROM m GROUP BY 1)
          SELECT t.o_orderpriority, CAST(32 AS INTEGER) AS n_replicas, n,
            mean_point_cc, ms[1] AS boot_p025_cc, ms[32] AS boot_p975_cc
          FROM t JOIN arr USING (o_orderpriority)
@@ -3119,6 +3202,10 @@ object SparkEntry {
     // batch equivalence: the stateful stream fold binds the identical
     // first-touch steps (monotone bindings + event-time arrival order)
     "stream_funnel" -> eventsFunnelOracleSql,
+    // batch equivalence UNDER DISORDERED ARRIVAL (quarters interleaved
+    // q1,q0,q3,q2): watermark-proven prefix folds through the shared
+    // funnelStep machine — same bindings as ordered arrival
+    "stream_funnel_ooo" -> eventsFunnelOracleSql,
     // same sequential IEEE fold (seeded 0.0) — doubles match bit-for-bit
     "agg_ewma" ->
       """SELECT user_id, count(*) AS n_events,

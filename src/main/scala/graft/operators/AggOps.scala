@@ -433,15 +433,34 @@ object AggOps {
     * |types|²-join + renormalization in ppm, 8 unrolled rounds on a
     * ≤|types|-row frame with per-round localCheckpoint (the Lloyd-loop
     * shape) — after the census's one corpus pass, nothing here scales
-    * with the corpus at all.
+    * with the corpus at all. Types with no observed outgoing transition
+    * (terminal states) are closed with a unit self-loop so their mass
+    * is held, not leaked and renormalized away.
     */
   def eventsMarkovStationary(events: DataFrame, rounds: Int = 8): DataFrame = {
-    val tm = eventsTransitions(events)
+    val tmRaw = eventsTransitions(events)
       .select(col("from_type"), col("to_type"), col("p_ppm"))
       .localCheckpoint()
-    val types = tm.select(col("from_type").as("t"))
-      .union(tm.select(col("to_type"))).distinct()
+    val types = tmRaw.select(col("from_type").as("t"))
+      .union(tmRaw.select(col("to_type"))).distinct()
+    // DANGLING types (appear as to_type, never as from_type — terminal
+    // states of the observed chain) get a unit self-loop: without it the
+    // pi-join drops their mass every round and the renormalization
+    // redistributes it, so the fixpoint would not be the stationary
+    // distribution of the actual chain (r13 ADVICE). The self-loop is
+    // the standard absorbing-state closure; |types|-bounded, so free.
+    val dangling = types
+      .join(tmRaw.select(col("from_type").as("t")).distinct(),
+        Seq("t"), "left_anti")
+    val tm = tmRaw.unionByName(
+        dangling.select(col("t").as("from_type"), col("t").as("to_type"),
+          lit(1000000L).as("p_ppm")))
+      .localCheckpoint()
     val n = types.count() // |types| scalar (the nodeEmbed vocab-count pull)
+    // empty events → empty stationary distribution (1000000/n would
+    // divide by zero on the driver), same schema
+    if (n == 0L)
+      return types.select(col("t").as("event_type"), lit(0L).as("pi_ppm"))
     var pi = types.select(col("t"), lit(1000000L / n).as("v"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
@@ -505,8 +524,13 @@ object AggOps {
       case Some(g) => orders.groupBy(col(g)).agg(aggs.head, aggs.tail: _*)
       case None => orders.agg(aggs.head, aggs.tail: _*)
     }
+    // kn=0 (an all-zero-weight replica) maps to the POINT estimate, not
+    // 0: a zero would be a spurious lower bound breaking lo<=point<=hi
+    // for tiny groups (r13 ADVICE) — the point mean is the natural
+    // degenerate-resample value and keeps the order statistics sane
     val ms = sort_array(array((0 until b).map(i =>
-      expr(s"CASE WHEN kn$i = 0 THEN 0 ELSE (kc$i * 100) DIV kn$i END")): _*))
+      expr(s"CASE WHEN kn$i = 0 THEN (tot_c * 100) DIV n" +
+        s" ELSE (kc$i * 100) DIV kn$i END")): _*))
     val out = base.select(group.map(col).toSeq ++ Seq(
       lit(b).as("n_replicas"), col("n"),
       expr("(tot_c * 100) DIV n").as("mean_point_cc"),

@@ -1108,6 +1108,122 @@ object AuditQueries {
          ORDER BY s_suppkey""")
   }
 
+  /** TPC-H Q9 shape — product-type profit: the 5-way join where profit
+    * = revenue − supply cost, grouped by the SUPPLIER's nation and the
+    * order year. The fixture has no partsupp, so supply cost stands in
+    * as half the part's retail price per unit (the q2
+    * lineitem-for-partsupp convention). Profit accumulates in integer
+    * cents (round-before-sum, the cross-engine float law); the p_name
+    * LIKE filter must reach the part scan (PlanSpec pins pushdown).
+    */
+  def q9ProductProfit(spark: SparkSession, part: DataFrame,
+      supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
+      nation: DataFrame): DataFrame = {
+    part.createOrReplaceTempView("part_q9")
+    supplier.createOrReplaceTempView("supplier_q9")
+    lineitem.createOrReplaceTempView("lineitem_q9")
+    orders.createOrReplaceTempView("orders_q9")
+    nation.createOrReplaceTempView("nation_q9")
+    spark.sql(
+      """SELECT nation, o_year,
+           round(CAST(sum(amount_c) AS BIGINT) / 100.0D, 2) AS sum_profit
+         FROM (SELECT n.n_name AS nation,
+                 CAST(year(CAST(o.o_orderdate AS DATE)) AS INTEGER) AS o_year,
+                 CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                   - 0.5 * p.p_retailprice * l.l_quantity) * 100) AS BIGINT)
+                   AS amount_c
+               FROM part_q9 p JOIN lineitem_q9 l ON p.p_partkey = l.l_partkey
+                 JOIN supplier_q9 s ON s.s_suppkey = l.l_suppkey
+                 JOIN orders_q9 o ON o.o_orderkey = l.l_orderkey
+                 JOIN nation_q9 n ON s.s_nationkey = n.n_nationkey
+               WHERE p.p_name LIKE '%red%') profit
+         GROUP BY nation, o_year
+         ORDER BY nation, o_year DESC""")
+  }
+
+  /** TPC-H Q11 shape — important parts: the HAVING gated by an
+    * UNCORRELATED SCALAR over the same joined aggregate (the one
+    * decorrelation shape q2/q20/q22 didn't cover — a global-total
+    * threshold, not a per-row correlation). Part value stands in as
+    * exact cents × quantity off lineitem (no partsupp in the fixture);
+    * the region filter applies identically to both the per-part
+    * aggregate and the global total, so the fraction is scale-free.
+    */
+  def q11ImportantParts(spark: SparkSession, lineitem: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("lineitem_q11")
+    supplier.createOrReplaceTempView("supplier_q11")
+    nation.createOrReplaceTempView("nation_q11")
+    region.createOrReplaceTempView("region_q11")
+    spark.sql(
+      """SELECT l_partkey AS p_partkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_cq
+         FROM lineitem_q11 l JOIN supplier_q11 s ON s.s_suppkey = l.l_suppkey
+           JOIN nation_q11 n ON s.s_nationkey = n.n_nationkey
+           JOIN region_q11 r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+         GROUP BY l_partkey
+         HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(l_quantity AS BIGINT)) > (
+           SELECT sum(CAST(round(l2.l_extendedprice * 100) AS BIGINT)
+               * CAST(l2.l_quantity AS BIGINT)) * 0.001
+           FROM lineitem_q11 l2
+             JOIN supplier_q11 s2 ON s2.s_suppkey = l2.l_suppkey
+             JOIN nation_q11 n2 ON s2.s_nationkey = n2.n_nationkey
+             JOIN region_q11 r2 ON n2.n_regionkey = r2.r_regionkey
+           WHERE r2.r_name = 'ASIA')
+         ORDER BY value_cq DESC, p_partkey""")
+  }
+
+  /** TPC-H Q12 shape — shipmode priority census: the join + CASE
+    * conditional-count aggregate (high- vs low-priority lines per
+    * shipping class). The fixture has no l_shipmode, so l_linestatus
+    * stands in as the class; "late" = shipped more than 60 days after
+    * ordering (the q4 convention — no commit/receipt dates).
+    */
+  def q12ShipmodePriority(spark: SparkSession, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_q12")
+    lineitem.createOrReplaceTempView("lineitem_q12")
+    spark.sql(
+      """SELECT l_linestatus AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM orders_q12 o JOIN lineitem_q12 l ON o.o_orderkey = l.l_orderkey
+         WHERE CAST(l.l_shipdate AS DATE) >
+               date_add(CAST(o.o_orderdate AS DATE), 60)
+           AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+         GROUP BY l_linestatus ORDER BY l_linestatus""")
+  }
+
+  /** TPC-H Q16 shape — supplier part counts: DISTINCT-count per
+    * (brand, type, size) bucket gated by a NOT IN subquery (the
+    * null-aware-anti shape q2/q20/q22 didn't pin; the subquery side is
+    * non-null by schema so Catalyst must plan a plain anti join, not a
+    * per-row subplan). "Complaint" suppliers stand in as negative
+    * account balances (no s_comment in the fixture).
+    */
+  def q16SupplierCounts(spark: SparkSession, part: DataFrame,
+      lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    part.createOrReplaceTempView("part_q16")
+    lineitem.createOrReplaceTempView("lineitem_q16")
+    supplier.createOrReplaceTempView("supplier_q16")
+    spark.sql(
+      """SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem_q16 l JOIN part_q16 p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+           AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+           AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier_q16
+                                   WHERE s_acctbal < 0.0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+  }
+
   def qSqlScripting(spark: SparkSession, orders: DataFrame): DataFrame = {
     orders.createOrReplaceTempView("orders_script_v")
     spark.conf.set("spark.sql.scripting.enabled", "true")

@@ -807,10 +807,10 @@ object PipelineOps {
     * score(a,b) = count(ab) / (count(a)·count(b)) instead of raw pair
     * frequency — a merge of two already-common symbols must pay for
     * itself, so WordPiece prefers cohesive units over frequent ones.
-    * The score is the integer quotient (cnt·10¹²) DIV (cₐ·c_b) — exact
-    * and identical under Spark DIV and DuckDB // (valid while
-    * cnt < ~9·10⁶, i.e. far past these fixtures; a 100 TB train would
-    * hold the same expression in DECIMAL(38), which both engines carry).
+    * The score is the integer quotient (cnt·10¹²) DIV (cₐ·c_b),
+    * computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so it stays
+    * exact and engine-identical at any corpus size — no silent Long
+    * wraparound past cnt ≈ 9·10⁶ (r13 ADVICE).
     *
     * Scale shape: the corpus-sized stage is still ONE word count; per
     * round the pair table AND the symbol-count table are vocab-sized
@@ -839,8 +839,16 @@ object PipelineOps {
       val best = pairs
         .join(syms.select(col("s").as("a"), col("c").as("ca")), "a")
         .join(syms.select(col("s").as("b"), col("c").as("cb")), "b")
+        // DECIMAL(38,0) intermediates: cnt·10¹² overflows a Long past
+        // cnt ≈ 9.2·10⁶ (and cₐ·c_b independently) — Spark would wrap
+        // silently while DuckDB promotes, diverging exactly at the
+        // corpus sizes this is designed for (r13 ADVICE). Both engines
+        // carry the 38-digit integer exactly; the quotient ≤ 10¹² is
+        // cast back to BIGINT so the published schema is unchanged.
         .withColumn("score_u",
-          expr("(cnt * 1000000000000) DIV (ca * cb)"))
+          expr("CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000000000) DIV " +
+            "(CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))) " +
+            "AS BIGINT)"))
         .orderBy(desc("score_u"), asc("a"), asc("b")).limit(1)
         .localCheckpoint()
       merges = {

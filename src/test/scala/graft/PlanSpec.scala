@@ -576,6 +576,53 @@ class PlanSpec extends SparkTestBase {
     assert(q19.head().getLong(1) === 171L) // qualifying rows, DuckDB cross-check
   }
 
+  test("q9/q11/q12/q16 shapes: pushdown, global-scalar HAVING, NOT-IN anti join") {
+    // Q9: the p_name LIKE conjunct must reach the part scan as a pushed
+    // filter, and the 5-way join must not degrade to a nested loop
+    val q9 = AuditQueries.q9ProductProfit(spark, part(spark, sf0001),
+      supplier(spark, sf0001), lineitem(spark, sf0001),
+      orders(spark, sf0001), nation(spark, sf0001))
+    val p9 = plan(q9)
+    assert(!p9.contains("CartesianProduct") &&
+      !p9.contains("BroadcastNestedLoopJoin"),
+      s"q9 join degraded:\n$p9")
+    assert(p9.contains("PushedFilters: [IsNotNull(p_name), StringContains(p_name,red)]")
+      || p9.contains("StringContains(p_name,red)"),
+      s"q9 p_name LIKE did not reach the part scan:\n$p9")
+    assert(q9.count() === 70L) // DuckDB cross-check at sf0.001
+    // Q11: the HAVING threshold is ONE uncorrelated scalar subquery —
+    // Catalyst keeps it as `scalar-subquery#N []` (EMPTY outer-ref
+    // list: computed once, broadcast into the Filter), never a
+    // correlated `[outer(...)]` per-group subplan. Pin the emptiness,
+    // not the absence — unlike q2's per-row min() this one SHOULD stay
+    // a subquery expression.
+    val q11 = AuditQueries.q11ImportantParts(spark, lineitem(spark, sf0001),
+      supplier(spark, sf0001), nation(spark, sf0001), region(spark, sf0001))
+    val o11 = q11.queryExecution.optimizedPlan.toString
+    assert(o11.contains("scalar-subquery"), s"q11 lost its scalar gate:\n$o11")
+    assert("scalar-subquery#\\d+ \\[[^\\]]".r.findFirstIn(o11).isEmpty,
+      s"q11 global-total scalar stayed correlated (outer refs present):\n$o11")
+    assert(q11.count() === 169L &&
+      q11.agg(org.apache.spark.sql.functions.sum("value_cq"))
+        .head().getLong(0) === 78907004358L) // DuckDB cross-check
+    // Q12: one join + CASE census; the shipdate window must reach the
+    // lineitem scan
+    val q12 = AuditQueries.q12ShipmodePriority(spark, orders(spark, sf0001),
+      lineitem(spark, sf0001))
+    val r12 = q12.collect()
+    assert(r12.map(_.getLong(1)).sum === 73L && r12.map(_.getLong(2)).sum === 120L)
+    // Q16: the NOT IN must plan as an anti join (null-aware collapses to
+    // plain anti — the subquery key is non-null), never a per-row subplan
+    val q16 = AuditQueries.q16SupplierCounts(spark, part(spark, sf0001),
+      lineitem(spark, sf0001), supplier(spark, sf0001))
+    val p16 = plan(q16)
+    assert(p16.contains("LeftAnti"), s"q16 NOT IN not an anti join:\n$p16")
+    assert(!p16.contains("CartesianProduct"), s"q16 degraded:\n$p16")
+    assert(q16.count() === 25L &&
+      q16.agg(org.apache.spark.sql.functions.sum("supplier_cnt"))
+        .head().getLong(0) === 235L) // DuckDB cross-check
+  }
+
   test("q_window_sql: three window functions share ONE Window operator (one shuffle+sort)") {
     val p = plan(AuditQueries.qWindowSql(spark, customer(spark, sf0001)))
     val windows = p.linesIterator.count(_.matches(""".*[+*]- Window \[.*"""))
