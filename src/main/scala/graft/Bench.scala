@@ -257,6 +257,24 @@ object Bench {
     // the full headline, sink_graph_adjacency may not have built the
     // layout first, so an ad-hoc stored-twin timing would publish
     // "stored > full, build_est 0" artifacts into the A/B record.
+    // Shared split-timing protocol: untimed warmup, min of 2 timed reps
+    // — and BOTH reps recorded per split label so the detail artifact
+    // (not just stderr) carries the spread the next drift arbiter needs
+    // (r13 verdict item 3).
+    val splitReps = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    def minOf2(label: String)(body: => Unit): Double = {
+      body // warmup
+      val reps = Vector.fill(2) {
+        System.gc()
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e9
+      }
+      System.err.println(
+        f"[bench] $label reps: ${reps.map(r => f"$r%.3f").mkString(", ")} s")
+      splitReps(label) = reps
+      reps.min
+    }
     val familySplits = if (only.nonEmpty) Seq.empty[String] else Seq(
       "graph_label_prop", "graph_kcore", "graph_hits", "graph_modularity")
       .flatMap { fam =>
@@ -299,27 +317,12 @@ object Bench {
     // Subset runs skip (the familySplits precedent).
     val knnSplits: Seq[String] = if (only.nonEmpty) Seq.empty[String] else {
       val resMap = results.toMap
-      def minOf2(body: => Unit): Double = {
-        body // warmup
-        val reps = Vector.fill(2) {
-          System.gc()
-          val t0 = System.nanoTime()
-          body
-          (System.nanoTime() - t0) / 1e9
-        }
-        // both reps to stderr: the r12 drift adjudication had only the
-        // min, which hid whether a hot reading was one outlier rep or a
-        // consistent shift — record the spread for the next arbiter
-        System.err.println(
-          f"[bench] split reps: ${reps.map(r => f"$r%.3f").mkString(", ")} s")
-        reps.min
-      }
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val inc = resMap.get("sink_knn_graph_incremental").map(_.min)
         .filter(_ >= 0).flatMap { full =>
           try {
             val idx = operators.SimOps.buildKnnIncIndex(spark, emb, sfDir)
-            val ingest = minOf2 {
+            val ingest = minOf2("sink_knn_graph_incremental.ingest_only") {
               val (_, _, updated) =
                 operators.SimOps.knnGraphIngestDelta(spark, emb, idx)
               operators.SimOps.knnIncrementalCensus(updated, idx.cutoff).count()
@@ -338,7 +341,7 @@ object Bench {
           try {
             val (staleDir, freshDir) =
               operators.SimOps.buildRefreshLayouts(spark, emb, sfDir)
-            val audit = minOf2 {
+            val audit = minOf2("sink_knn_graph_refresh.audit_only") {
               operators.SimOps.knnRefreshAudit(spark, staleDir, freshDir).count()
               ()
             }
@@ -359,31 +362,16 @@ object Bench {
     // untimed warmup, min of 2; subset runs skip).
     val nodeEmbedSplits: Seq[String] = if (only.nonEmpty) Seq.empty[String] else {
       val resMap = results.toMap
-      def minOf2(body: => Unit): Double = {
-        body // warmup
-        val reps = Vector.fill(2) {
-          System.gc()
-          val t0 = System.nanoTime()
-          body
-          (System.nanoTime() - t0) / 1e9
-        }
-        // both reps to stderr: the r12 drift adjudication had only the
-        // min, which hid whether a hot reading was one outlier rep or a
-        // consistent shift — record the spread for the next arbiter
-        System.err.println(
-          f"[bench] split reps: ${reps.map(r => f"$r%.3f").mkString(", ")} s")
-        reps.min
-      }
       val ords = Tables.orders(spark, sfDir)
       val li = Tables.lineitem(spark, sfDir)
       val train = resMap.get("pipeline_node_embed").map(_.min)
         .filter(_ >= 0).flatMap { full =>
           try {
-            val r1 = minOf2 {
+            val r1 = minOf2("pipeline_node_embed.train_r1") {
               operators.PipelineOps.nodeEmbedWithLoss(
                 ords, li, 4, 2, 4, 1, 0.5, lossTrace = false)._1.count(); ()
             }
-            val r2 = minOf2 {
+            val r2 = minOf2("pipeline_node_embed.train_r2") {
               operators.PipelineOps.nodeEmbedWithLoss(
                 ords, li, 4, 2, 4, 2, 0.5, lossTrace = false)._1.count(); ()
             }
@@ -399,7 +387,7 @@ object Bench {
         .filter(_ >= 0).flatMap { full =>
           try {
             val dir = operators.PipelineOps.nodeEmbedIndexBuild(spark, sfDir)
-            val serve = minOf2 {
+            val serve = minOf2("pipeline_node_embed_served.serve_only") {
               operators.PipelineOps.nodeEmbedIndexServe(spark, dir).count(); ()
             }
             System.err.println(f"[bench] pipeline_node_embed_served split: " +
@@ -427,7 +415,10 @@ object Bench {
     val qsFull = results.map { case (k, r) =>
       "\"" + k + "\":" + (if (r.exists(_ < 0)) -1.0 else r.min)
     }.mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"reps":$repsJson,"errors":$errJson,"breakdowns":$breakdownAll,"sf":"$sfDir","cpus":$cpus,"heap_mb":$heapMb}"""
+    val splitRepsJson = splitReps.map { case (k, r) =>
+      "\"" + k + "\":" + r.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"reps":$repsJson,"split_reps":$splitRepsJson,"errors":$errJson,"breakdowns":$breakdownAll,"sf":"$sfDir","cpus":$cpus,"heap_mb":$heapMb}"""
     val detailPath = if (args.length > 1) args(1) else "/tmp/graft_bench.json"
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
@@ -435,7 +426,21 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write FAILED: ${e.getMessage}")
     }
-    val compact = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"heap_mb":$heapMb,"detail":"$detailPath"}"""
+    // One-rep outliers SELF-IDENTIFY in the artifact of record (r13
+    // verdict item 3): the two adjudicated-bogus r13 readings
+    // (stream_merge 9.90 s vs fresh 2.41 s, quality_classifier 5.94 vs
+    // 0.63 s) could only be diagnosed by re-running, because the rep
+    // spread lived in stderr and the driver records just this stdout
+    // line. Queries whose two reps disagree > 1.5× (and aren't noise,
+    // min > 0.2 s) publish both reps here — a per-query reading whose
+    // name appears in rep_outliers is a one-rep artifact, not a
+    // regression, and the min (not the outlier) is its honest number.
+    val repOutliers = results.collect {
+      case (k, r) if r.forall(_ > 0.2) && r.max / r.min > 1.5 =>
+        "\"" + k + "\":[" + r.map(v => math.rint(v * 1000) / 1000)
+          .mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"rep_outliers":$repOutliers,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"heap_mb":$heapMb,"detail":"$detailPath"}"""
     // hard guard on the 2000-char stdout capture window: when the full
     // headline no longer fits (r10: 84 entries ≈ 2.1 KB of map alone),
     // keep the line parseable AND still informative by emitting the
@@ -450,7 +455,7 @@ object Bench {
           // errors (-1) first so truncation can never silently drop a
           // FAILED query from the compact line, then slowest-first
           .sortBy { case (_, v) => if (v < 0) Double.NegativeInfinity else -v }
-        val frame = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":{},"queries_omitted":${sorted.size},"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"heap_mb":$heapMb,"detail":"$detailPath"}"""
+        val frame = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":{},"queries_omitted":${sorted.size},"rep_outliers":$repOutliers,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"heap_mb":$heapMb,"detail":"$detailPath"}"""
         val budget = 1900 - frame.length
         val kept = scala.collection.mutable.ArrayBuffer.empty[String]
         var used = 0
@@ -459,7 +464,7 @@ object Bench {
           if (used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
         }
         val qsTop = kept.mkString("{", ",", "}")
-        s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qsTop,"queries_omitted":${sorted.size - kept.size},"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"heap_mb":$heapMb,"detail":"$detailPath"}"""
+        s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qsTop,"queries_omitted":${sorted.size - kept.size},"rep_outliers":$repOutliers,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"heap_mb":$heapMb,"detail":"$detailPath"}"""
       })
     spark.stop()
   }
