@@ -217,6 +217,12 @@ object StreamOps {
   }
 
   case class BandDoc(bkey: String, doc_id: Long, mh: Seq[String])
+  // the TTL'd bucket fold's input carries the INGEST timestamp (the
+  // staging stamps one per arrival file — documents have no event time
+  // of their own, so bucket idleness runs on the arrival axis, which a
+  // real ingest pipeline records anyway)
+  case class BandDocT(bkey: String, doc_id: Long, mh: Seq[String],
+      ats: java.sql.Timestamp)
   case class BucketMember(doc_id: Long, mh: Seq[String])
   case class BucketState(members: Seq[BucketMember])
   case class NearPair(doc_a: Long, doc_b: Long, n_match: Int)
@@ -246,6 +252,52 @@ object StreamOps {
     * ≤ cap members × 8 bands per distinct signature bucket, each member
     * 32 hashes — no shingle sets, no text, no unbounded growth.
     */
+  /** The LSH-bucket membership fold behind [[streamDedupNear]],
+    * TTL-bounded (drop-idle): a bucket that sees no arrival for `ttlMs`
+    * on the INGEST-TIME axis (the staged files' arrival timestamps,
+    * watermarked upstream) evicts its member signatures. A later
+    * document landing in that bucket starts it fresh — near-dup pairs
+    * are only guaranteed within the retention horizon, which is exactly
+    * the dedup-window contract a 100 TB ingest runs under (state is
+    * O(buckets active in the window), not O(corpus)).
+    */
+  private[graft] def nearPairsOf(banded: Dataset[BandDocT], cap: Int,
+      ttlMs: Long): Dataset[NearPair] = {
+    import banded.sparkSession.implicits._
+    banded
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(
+        (_: String, rows: Iterator[BandDocT], state: GroupState[BucketState]) => {
+          if (state.hasTimedOut) {
+            state.remove() // drop-idle: the bucket forgets its members
+            Iterator.empty
+          } else {
+            var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+            val out = Seq.newBuilder[NearPair]
+            var lastMs = Long.MinValue
+            // sort within the micro-batch: combined with id-ordered file
+            // arrival this makes processing order globally id-ascending
+            rows.toSeq.sortBy(_.doc_id).foreach { r =>
+              lastMs = math.max(lastMs, r.ats.getTime)
+              if (members.size < cap && !members.exists(_.doc_id == r.doc_id)) {
+                members.foreach { m =>
+                  val n = m.mh.zip(r.mh).count { case (x, y) => x == y }
+                  if (n >= 20)
+                    out += NearPair(math.min(m.doc_id, r.doc_id),
+                      math.max(m.doc_id, r.doc_id), n)
+                }
+                members = members :+ BucketMember(r.doc_id, r.mh)
+              }
+            }
+            state.update(BucketState(members))
+            armTtl(state, lastMs, ttlMs)
+            out.result().iterator
+          }
+        })
+  }
+
   def streamDedupNear(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -268,6 +320,10 @@ object StreamOps {
       val tmp = scratch(sfDir, s"stream_dedup_near_stage$i")
       docs.filter(col("doc_id") >= lo + span * i / 4
           && col("doc_id") < lo + span * (i + 1) / 4)
+        // per-file INGEST timestamp (an hour apart per quarter): the
+        // axis the bucket TTL's watermark runs on — a real pipeline's
+        // ingest time, staged explicitly here
+        .withColumn("arrival_ts", timestamp_seconds(lit(1577836800L + i * 3600L)))
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
@@ -283,43 +339,23 @@ object StreamOps {
       Files.setLastModifiedTime(staged,
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
     }
-    val schema = docs.schema
+    val schema = org.apache.spark.sql.types.StructType(
+      docs.schema :+ org.apache.spark.sql.types.StructField(
+        "arrival_ts", org.apache.spark.sql.types.TimestampType))
     val banded = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .withWatermark("arrival_ts", "1 minute")
       .withColumn("mh",
         graft.plans.MinHashSig.minhashSig(
           graft.plans.TextKernels.shingleSet(col("text"))))
       .select(col("doc_id"),
         graft.operators.LlmOps.lshBands(col("mh")).as("bs"),
-        col("mh"))
+        col("mh"), col("arrival_ts"))
       .select(
         concat(col("bs.band").cast("string"), lit("|"), col("bs.sig")).as("bkey"),
-        col("doc_id"), col("mh"))
-      .as[BandDoc]
-    val pairs = banded
-      .groupByKey(_.bkey)
-      .flatMapGroupsWithState(
-        org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout)(
-        (_: String, rows: Iterator[BandDoc], state: GroupState[BucketState]) => {
-          var members = state.getOption.map(_.members).getOrElse(Seq.empty)
-          val out = Seq.newBuilder[NearPair]
-          // sort within the micro-batch: combined with id-ordered file
-          // arrival this makes processing order globally id-ascending
-          rows.toSeq.sortBy(_.doc_id).foreach { r =>
-            if (members.size < cap && !members.exists(_.doc_id == r.doc_id)) {
-              members.foreach { m =>
-                val n = m.mh.zip(r.mh).count { case (x, y) => x == y }
-                if (n >= 20)
-                  out += NearPair(math.min(m.doc_id, r.doc_id),
-                    math.max(m.doc_id, r.doc_id), n)
-              }
-              members = members :+ BucketMember(r.doc_id, r.mh)
-            }
-          }
-          state.update(BucketState(members))
-          out.result().iterator
-        })
+        col("doc_id"), col("mh"), col("arrival_ts").as("ats"))
+      .as[BandDocT]
+    val pairs = nearPairsOf(banded, cap, stateTtlMs(spark))
     val perShard = spark.conf.getOption("spark.graft.stream.keysPerShard")
       .map(_.toLong).getOrElse(250000L)
     withStateShards(spark, stateShardsFor(nDocs * 8, perShard)) {
@@ -376,28 +412,87 @@ object StreamOps {
   case class Ev(user_id: Long, value: Double)
   case class UserAgg(user_id: Long, n_events: Long, max_value: Double, min_value: Double)
 
+  /** State-retention dial for the per-key stateful entries (r13 verdict
+    * item 2): a key whose last event is older than this — measured on
+    * the EVENT-TIME axis, i.e. the watermark has passed last-event-time
+    * + TTL — is evicted via an event-time timeout, so long-running
+    * state is O(keys active in the retention window), not O(all keys
+    * ever seen). Event time (not wall clock) is deliberate twice over:
+    * a replay of the same data evicts identically (the engine's
+    * batch-equivalence contract extends to eviction), and a
+    * ProcessingTimeTimeout cannot even drain here — under it the
+    * engine's shouldRunAnotherBatch is permanently true, so both the
+    * interval-0 trigger and AvailableNow loop no-data batches forever
+    * (measured: 1166 epochs before the harness killed it). The default
+    * (90 days) exceeds every fixture's time span, so the drained
+    * entries stay bit-identical to their batch oracles; a production
+    * job dials it to its retention SLA. Eviction semantics per entry:
+    * aggregates and the funnel EMIT their final snapshot on expiry
+    * (emit-on-expire — the record is published, then the key forgets);
+    * transition chains and dedup buckets just drop (drop-idle — a
+    * later event starts a fresh chain/bucket, the documented horizon
+    * tradeoff).
+    */
+  private[graft] def stateTtlMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.stream.stateTtlMs")
+      .map(_.toLong).getOrElse(90L * 24 * 3600 * 1000)
+
+  /** Arm the eviction timer: fire once the watermark passes the key's
+    * last event time + TTL. The max() guard keeps the target legal when
+    * the key's last event is already older than watermark − TTL (the
+    * engine requires a timeout strictly above the current watermark).
+    */
+  private def armTtl(state: GroupState[_], lastEventMs: Long,
+      ttlMs: Long): Unit =
+    state.setTimeoutTimestamp(
+      math.max(lastEventMs + ttlMs, state.getCurrentWatermarkMs() + 1L))
+
   /** Custom per-key running state via mapGroupsWithState (the rate-limit /
     * counter shape, README.md:12, 32): fold events into one small record
     * per user. Order-independent aggregates (count/max/min) keep the
     * result batch-equivalent and oracle-checkable.
     */
+  // watermark-carrying fold input (the event-time-timeout checker needs
+  // the watermark column in the stateful operator's child output)
+  case class EvTs(user_id: Long, value: Double, ts: java.sql.Timestamp)
+
+  /** The per-user fold behind [[streamStateful]], TTL-bounded on the
+    * event-time axis: a user whose last event the watermark has passed
+    * by `ttlMs` expires, emitting their final aggregate once more
+    * (emit-on-expire) and clearing their state.
+    */
+  private[graft] def statefulFoldOf(
+      evs: Dataset[EvTs], ttlMs: Long): Dataset[UserAgg] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[EvTs], state: GroupState[UserAgg]) => {
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove() // emit-on-expire: publish, then forget
+            last
+          } else {
+            val init = state.getOption.getOrElse(
+              UserAgg(user, 0L, Double.MinValue, Double.MaxValue))
+            var lastMs = Long.MinValue
+            val agg = rows.foldLeft(init) { (a, e) =>
+              lastMs = math.max(lastMs, e.ts.getTime)
+              UserAgg(user, a.n_events + 1,
+                math.max(a.max_value, e.value), math.min(a.min_value, e.value))
+            }
+            state.update(agg)
+            armTtl(state, lastMs, ttlMs)
+            agg
+          }
+        })
+  }
+
   def streamStateful(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val evs: Dataset[Ev] = eventsStream(spark, sfDir)
-      .select(col("user_id"), col("value")).as[Ev]
-    val folded = evs
-      .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
-        (user: Long, rows: Iterator[Ev], state: GroupState[UserAgg]) => {
-          val init = state.getOption.getOrElse(
-            UserAgg(user, 0L, Double.MinValue, Double.MaxValue))
-          val agg = rows.foldLeft(init) { (a, e) =>
-            UserAgg(user, a.n_events + 1,
-              math.max(a.max_value, e.value), math.min(a.min_value, e.value))
-          }
-          state.update(agg)
-          agg
-        })
+    val evs: Dataset[EvTs] = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 minute")
+      .select(col("user_id"), col("value"), col("ts")).as[EvTs]
+    val folded = statefulFoldOf(evs, stateTtlMs(spark))
     withStateShardsFor(spark, sfDir) {
       drain(folded.toDF(), "graft_stream_stateful", "update") }
       .groupBy(col("user_id"))
@@ -418,6 +513,17 @@ object StreamOps {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var state: ValueState[UserAgg] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // TTLConfig.NONE is DELIBERATE, not an omission: the handle's
+      // native TTL is wall-clock-based and requires
+      // TimeMode.ProcessingTime, under which the engine's
+      // shouldRunAnotherBatch is permanently true — the drain loops
+      // no-data batches forever (measured: 1296 epochs before the
+      // harness killed it; same pathology as ProcessingTimeTimeout in
+      // the v1 folds). State retention for this fold's semantics is
+      // carried by the v1 entry's event-time eviction
+      // ([[statefulFoldOf]] + [[stateTtlMs]]); a production
+      // transformWithState job that wants native TTL runs a continuous
+      // trigger where the wall-clock axis is meaningful.
       state = getHandle.getValueState[UserAgg](
         "agg", org.apache.spark.sql.Encoders.product[UserAgg], TTLConfig.NONE)
     override def handleInputRows(
@@ -1304,29 +1410,51 @@ object StreamOps {
     * (cross-batch arrival is event-time order, within-batch the fold
     * re-sorts); state is ONE row per user regardless of history length.
     */
+  /** The per-user last-event fold behind [[streamTransitions]],
+    * TTL-bounded (drop-idle): a user whose last event the watermark
+    * has passed by `ttlMs` forgets it, so a later event starts a fresh
+    * chain (no pair across the idle gap) instead of holding one row of
+    * state per user forever.
+    */
+  private[graft] def transitionPairsOf(
+      evs: Dataset[FunnelEvW], ttlMs: Long): Dataset[TransPair] = {
+    import evs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[FunnelEvW], state: GroupState[FunnelEv]) => {
+          if (state.hasTimedOut) {
+            state.remove() // drop-idle: the chain ends at the gap
+            Iterator.empty
+          } else {
+            val sorted = rows.map(_.ev).toSeq.sortBy(e => (e.tsu, e.event_id))
+            val (out, last) = sorted
+              .foldLeft((Vector.empty[TransPair], state.getOption)) {
+                case ((acc, prev), e) =>
+                  val acc2 = prev.fold(acc)(p =>
+                    acc :+ TransPair(p.event_type, e.event_type))
+                  (acc2, Some(e))
+              }
+            last.foreach(state.update)
+            state.getOption.foreach(l => armTtl(state, l.tsu / 1000L, ttlMs))
+            out.iterator
+          }
+        })
+  }
+
   def streamTransitions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
-    val evs: Dataset[FunnelEv] =
+    val evs: Dataset[FunnelEvW] =
       stagedQuarterStream(spark, sfDir, "stream_transitions")
-        .select(col("user_id"), col("event_type"),
+        // watermark feeds the TTL timers only; arrival is event-time
+        // ordered (asserted by the staging), so nothing can be late
+        .withWatermark("ts", "1 minute")
+        .select(col("user_id"), col("event_type"), col("ts"),
           unix_micros(col("ts")).as("tsu"), col("event_id"))
-        .as[FunnelEv]
-    val pairs = evs
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (user: Long, rows: Iterator[FunnelEv], state: GroupState[FunnelEv]) => {
-          val sorted = rows.toSeq.sortBy(e => (e.tsu, e.event_id))
-          val (out, last) = sorted
-            .foldLeft((Vector.empty[TransPair], state.getOption)) {
-              case ((acc, prev), e) =>
-                val acc2 = prev.fold(acc)(p =>
-                  acc :+ TransPair(p.event_type, e.event_type))
-                (acc2, Some(e))
-            }
-          last.foreach(state.update)
-          out.iterator
-        })
+        .as[FunnelEvW]
+    val pairs = transitionPairsOf(evs, stateTtlMs(spark))
     // localCheckpoint: the matrix kernel self-joins (totals from the
     // matrix) and the MemorySink view's attributes don't deduplicate —
     // materializing the drained pair stream gives each side fresh refs
@@ -1351,23 +1479,44 @@ object StreamOps {
     * the fold re-sorts its per-user-per-batch buffer first. Same oracle
     * as the batch entry — batch equivalence, not a weaker check.
     */
+  /** The per-user funnel fold behind [[streamFunnel]], TTL-bounded: a
+    * user whose last event the watermark has passed by `ttlMs` emits
+    * their final bound triple once more (emit-on-expire — the funnel
+    * record is published) and clears state; a later event starts a
+    * fresh funnel.
+    */
+  private[graft] def funnelFoldOf(evs: Dataset[FunnelEvW], w: Long,
+      ttlMs: Long): Dataset[FunnelSt] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[FunnelEvW], state: GroupState[FunnelSt]) => {
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove() // emit-on-expire, then forget the user
+            last
+          } else {
+            val evsSorted = rows.map(_.ev).toSeq.sortBy(e => (e.tsu, e.event_id))
+            val init = state.getOption.getOrElse(FunnelSt(user, -1L, -1L, -1L))
+            val st = evsSorted.foldLeft(init)(funnelStep(w))
+            state.update(st)
+            armTtl(state, evsSorted.last.tsu / 1000L, ttlMs)
+            st
+          }
+        })
+  }
+
   def streamFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val w = 48L * 3600L * 1000000L
-    val evs: Dataset[FunnelEv] = stagedQuarterStream(spark, sfDir, "stream_funnel")
-      .select(col("user_id"), col("event_type"),
+    val evs: Dataset[FunnelEvW] = stagedQuarterStream(spark, sfDir, "stream_funnel")
+      // watermark feeds the TTL timers only; arrival is event-time
+      // ordered (asserted by the staging), so nothing can be late
+      .withWatermark("ts", "1 minute")
+      .select(col("user_id"), col("event_type"), col("ts"),
         unix_micros(col("ts")).as("tsu"), col("event_id"))
-      .as[FunnelEv]
-    val folded = evs
-      .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
-        (user: Long, rows: Iterator[FunnelEv], state: GroupState[FunnelSt]) => {
-          val init = state.getOption.getOrElse(FunnelSt(user, -1L, -1L, -1L))
-          val st = rows.toSeq.sortBy(e => (e.tsu, e.event_id))
-            .foldLeft(init)(funnelStep(w))
-          state.update(st)
-          st
-        })
+      .as[FunnelEvW]
+    val folded = funnelFoldOf(evs, w, stateTtlMs(spark))
     withStateShards(spark, 4) {
       drain(folded.toDF(), "graft_stream_funnel", "update") }
       .groupBy(col("user_id"))

@@ -516,6 +516,108 @@ class StreamSpec extends SparkTestBase {
       "staged arrival order must violate event-time order somewhere")
   }
 
+  // ---- event-time TTL eviction (r13 verdict item 2) ----------------
+  // The TTL runs on the EVENT-TIME axis: a key evicts when the
+  // watermark passes its last event + TTL. These specs drive the
+  // watermark explicitly (the timerSessions pattern) — deterministic,
+  // no wall-clock sleeps. (A ProcessingTimeTimeout variant cannot even
+  // drain: shouldRunAnotherBatch is permanently true under it and both
+  // the interval-0 trigger and AvailableNow loop no-data batches
+  // forever — measured at 1166 epochs before the harness killed it.)
+
+  private def drainTtl(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String)(phases: (() => Unit)*): Unit = {
+    spark.catalog.dropTempView(name)
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    phases.foreach { p => p(); q.processAllAvailable() }
+    q.stop()
+  }
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("stateful TTL: a user idle past the event-time TTL evicts (emit-on-expire) and refolds from scratch") {
+    import graft.streaming.StreamOps
+    val input = MemoryStream[(Long, Double, java.sql.Timestamp)](spark, 1)
+    val evs = input.toDF().toDF("user_id", "value", "ts")
+      .withWatermark("ts", "5 seconds").as[StreamOps.EvTs]
+    drainTtl(StreamOps.statefulFoldOf(evs, ttlMs = 10000L).toDF(),
+      "graft_ttl_stateful_test", "update")(
+      () => input.addData((1L, 5.0, ts(10)), (1L, 7.0, ts(15))), // n=2, timer 25 s
+      () => input.addData((2L, 1.0, ts(100))), // watermark → 95 s: timer fires
+      () => input.addData((1L, 9.0, ts(97)))) // user 1 returns AFTER eviction
+    val u1 = spark.table("graft_ttl_stateful_test")
+      .filter(col("user_id") === 1L)
+      .select(col("n_events"), col("max_value"))
+      .as[(Long, Double)].collect().toSeq.sorted
+    // batch-1 fold (n=2), the expiry snapshot (n=2 again), then a
+    // RESTARTED fold (n=1, max 9) — an n=3 row would mean state survived
+    assert(u1 === Seq((1L, 9.0), (2L, 7.0), (2L, 7.0)),
+      s"expected emit-on-expire then a fresh fold, got $u1")
+  }
+
+  test("transitions TTL: idle last-event state drops, no pair across the idle gap") {
+    import graft.streaming.StreamOps
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Long)](spark, 1)
+    val evs = input.toDF().toDF("user_id", "event_type", "ts", "event_id")
+      .withWatermark("ts", "5 seconds")
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .as[StreamOps.FunnelEvW]
+    drainTtl(StreamOps.transitionPairsOf(evs, ttlMs = 10000L).toDF(),
+      "graft_ttl_trans_test", "append")(
+      () => input.addData((1L, "view", ts(10), 1L), (1L, "click", ts(15), 2L)),
+      () => input.addData((2L, "view", ts(100), 3L)), // watermark: user 1 drops
+      () => input.addData((1L, "purchase", ts(97), 4L))) // after the gap
+    val pairs = spark.table("graft_ttl_trans_test")
+      .as[(String, String)].collect().toSeq
+    // WITHOUT eviction there would also be (click → purchase)
+    assert(pairs === Seq(("view", "click")),
+      s"chain must end at the idle gap, got $pairs")
+  }
+
+  test("funnel TTL: an evicted user restarts the funnel from scratch") {
+    import graft.streaming.StreamOps
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Long)](spark, 1)
+    val evs = input.toDF().toDF("user_id", "event_type", "ts", "event_id")
+      .withWatermark("ts", "5 seconds")
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .as[StreamOps.FunnelEvW]
+    drainTtl(
+      StreamOps.funnelFoldOf(evs, w = 48L * 3600L * 1000000L,
+        ttlMs = 10000L).toDF(),
+      "graft_ttl_funnel_test", "update")(
+      () => input.addData((1L, "view", ts(10), 1L)), // binds t1 = 10 s
+      () => input.addData((2L, "view", ts(100), 2L)), // watermark: user 1 expires
+      () => input.addData((1L, "view", ts(97), 3L))) // fresh funnel, t1 = 97 s
+    val t1s = spark.table("graft_ttl_funnel_test")
+      .filter(col("user_id") === 1L).select(col("t1_us"))
+      .as[Long].collect().toSeq.sorted
+    // batch-1 binding, the expiry snapshot, then the REBOUND t1 — a
+    // surviving state would keep t1 = 10 s (first touch never rebinds)
+    assert(t1s === Seq(10000000L, 10000000L, 97000000L),
+      s"expected emit-on-expire then a rebound first touch, got $t1s")
+  }
+
+  test("dedup-near TTL: an idle LSH bucket forgets its members") {
+    import graft.streaming.StreamOps
+    val sig = (0 until 32).map(i => s"s$i")
+    val input = MemoryStream[(String, Long, Seq[String], java.sql.Timestamp)](spark, 1)
+    val docs = input.toDF().toDF("bkey", "doc_id", "mh", "ats")
+      .withWatermark("ats", "5 seconds").as[StreamOps.BandDocT]
+    drainTtl(StreamOps.nearPairsOf(docs, cap = 16, ttlMs = 10000L).toDF(),
+      "graft_ttl_near_test", "append")(
+      () => input.addData(("K", 1L, sig, ts(10)), ("K", 2L, sig, ts(15))),
+      () => input.addData(("L", 9L, sig, ts(100))), // watermark: K evicts
+      () => input.addData(("K", 3L, sig, ts(97)))) // same signature, later
+    val pairs = spark.table("graft_ttl_near_test")
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSeq
+    // a surviving bucket would also emit (1,3) and (2,3)
+    assert(pairs === Seq((1L, 2L)),
+      s"bucket must forget members past the TTL, got $pairs")
+  }
+
   test("stream_quality: slices partition the corpus; SLA failures surface") {
     val got = StreamOps.streamQuality(spark, sf0001).collect()
     assert(got.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
