@@ -510,6 +510,7 @@ object SparkEntry {
     "q_sql_hints" -> ((s, d) => AuditQueries.qSqlHints(s, orders(s, d), customer(s, d))),
     // [EXT] dedup & similarity variants
     "dedup_simhash" -> ((s, d) => SimOps.dedupSimhash(documents(s, d))),
+    "dedup_image_phash" -> ((s, d) => LlmOps.dedupImagePhash(documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => SimOps.dedupNgramJaccard(documents(s, d))),
     "dedup_embedding" -> ((s, d) => SimOps.dedupEmbedding(SimOps.plantNearDups(embeddings(s, d)))),
     "sim_ivf" -> ((s, d) => SimOps.simIvf(embeddings(s, d))),
@@ -5048,6 +5049,51 @@ object SparkEntry {
              AS n_toks_kept
          FROM d CROSS JOIN thr GROUP BY source, thr_logp ORDER BY source""",
     // [EXT] dedup & similarity variants
+    // image near-dup (perceptual hash): full bit-level replay of the
+    // engine's 8×8 nearest-neighbor aHash over the closed-form BMP byte
+    // rule (byte j = (base·31 + 7j) mod 256, variants = base id−1 with
+    // +1 noise every 97th byte), banded 16-bit sigs with the
+    // first-64-by-id cap, Hamming ≤ 6 on candidates — the oracle never
+    // packs a 64-bit word, so no sign-bit hazard on either engine
+    "dedup_image_phash" ->
+      """WITH v AS (SELECT doc_id,
+           CASE WHEN doc_id % 19 = 7 AND doc_id >= 1
+                THEN doc_id - 1 ELSE doc_id END AS base,
+           CASE WHEN doc_id % 19 = 7 AND doc_id >= 1 THEN 1 ELSE 0 END AS var
+         FROM documents),
+         dims AS (SELECT doc_id, base, var,
+           base % 8 + 16 AS w, base % 6 + 16 AS h FROM v),
+         grid AS (SELECT doc_id, base, var, kk.k AS k,
+             (h - 1 - ((kk.k // 8) * h) // 8) * (w * 3)
+               + 3 * (((kk.k % 8) * w) // 8) AS j0
+           FROM dims, (SELECT unnest(range(64)) AS k) kk),
+         gray AS (SELECT doc_id, k,
+             (('0x' || substring(md5(base || '_' || (j0+0)), 1, 2))::INT + CASE WHEN var = 1 AND (j0+0) % 97 = 0 THEN 1 ELSE 0 END) % 256
+           + (('0x' || substring(md5(base || '_' || (j0+1)), 1, 2))::INT + CASE WHEN var = 1 AND (j0+1) % 97 = 0 THEN 1 ELSE 0 END) % 256
+           + (('0x' || substring(md5(base || '_' || (j0+2)), 1, 2))::INT + CASE WHEN var = 1 AND (j0+2) % 97 = 0 THEN 1 ELSE 0 END) % 256 AS g
+           FROM grid),
+         bits AS (SELECT doc_id, k,
+             CASE WHEN 64 * g > sum(g) OVER (PARTITION BY doc_id)
+                  THEN 1 ELSE 0 END AS bit
+           FROM gray),
+         bands AS (SELECT doc_id, k // 16 AS band,
+             CAST(sum(bit * (1 << (k % 16))) AS BIGINT) AS sig
+           FROM bits GROUP BY 1, 2),
+         capped AS (SELECT doc_id, band, sig,
+             row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rk
+           FROM bands),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM capped x JOIN capped y
+             ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+           WHERE x.rk <= 64 AND y.rk <= 64),
+         ham AS (SELECT doc_a, doc_b,
+             CAST(sum(abs(bx.bit - by.bit)) AS INTEGER) AS hamming
+           FROM cand
+             JOIN bits bx ON bx.doc_id = cand.doc_a
+             JOIN bits by ON by.doc_id = cand.doc_b AND by.k = bx.k
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, hamming FROM ham
+         WHERE hamming <= 6 ORDER BY doc_a, doc_b""",
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
          sh0 AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')

@@ -640,6 +640,139 @@ object LlmOps {
         max(col("doc_id")).as("max_doc"))
       .orderBy("lang")
 
+  // ---- image near-dup dedup (perceptual hash) -----------------------
+
+  /** The image payload for a document — [[encodeBmp]] with the
+    * PLANTED RE-ENCODE population: every doc_id ≡ 7 (mod 19) carries a
+    * noisy re-encode of the PREVIOUS doc's image (same dimensions,
+    * every 97th pixel byte bumped +1 mod 256 — the generation-loss
+    * residue a real re-encode leaves), so (id−1, id) is a ground-truth
+    * near-duplicate pair while every other pair is unrelated
+    * pseudo-random content. Noise lands on pixel bytes only; the
+    * header is untouched.
+    *
+    * Dimensions are 16–23 × 16–21 (not the decode fixture's 2–9 ×
+    * 2–7): an 8×8 hash over images SMALLER than the grid duplicates
+    * samples, collapsing the effective bit count — measured on the tiny
+    * dims, 646 unrelated pairs collided at Hamming 0; at these dims all
+    * 64 samples are distinct pixels. The pixel rule is the first md5
+    * byte of "base_j" — cryptographic mixing, identical on both engines
+    * (the dedup_simhash oracle precedent). Cheaper arithmetic rules
+    * measured here leave cross-doc structure an aHash sees straight
+    * through: the decode fixture's linear rule makes same-dims images
+    * additive shifts of one another (274 unrelated pairs inside
+    * Hamming ≤ 6), and even a quadratic mod-256 rule collides whole
+    * residue families (270 unrelated pairs at Hamming 0). With md5
+    * bytes, unrelated pairs sit at the 32-bit random-hamming center
+    * and planted re-encodes at 0–2.
+    */
+  private[graft] def imagePayload(id: Long): Array[Byte] = {
+    val variant = id % 19 == 7 && id >= 1
+    val base = if (variant) id - 1 else id
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b = encodeBmpWith((base % 8 + 16).toInt, (base % 6 + 16).toInt)(
+      j => {
+        md.reset()
+        md.digest(s"${base}_$j".getBytes("US-ASCII"))(0) & 0xff
+      })
+    if (!variant) b
+    else {
+      val (_, w, h, off) = bmpWalk(b)
+      val rowBytes = w * 3
+      val pad = (4 - rowBytes % 4) % 4
+      val c = b.clone()
+      var j = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < rowBytes) {
+          if (j % 97 == 0) {
+            val i = off + y * (rowBytes + pad) + x
+            c(i) = (((c(i) & 0xff) + 1) % 256).toByte
+          }
+          j += 1; x += 1
+        }
+        y += 1
+      }
+      c
+    }
+  }
+
+  /** 64-bit average hash over the DECODED image: nearest-neighbor
+    * 8×8 sample of the 3-channel sums (top-down logical grid over the
+    * bottom-up stored rows, padding skipped — the same structure
+    * awareness the decode entries pin), thresholded at the strict
+    * integer mean (64·g > Σg — exact in both engines, no float mean).
+    * Nearest-neighbor (not block average) is deliberate: 64 closed-form
+    * samples keep the oracle replayable in SQL while the hash stays a
+    * genuine perceptual hash (small pixel noise moves few samples by
+    * ±1, so near-dups land within a few bits).
+    */
+  private[graft] def imagePhash(b: Array[Byte]): Long = {
+    val (st, w, h, off) = bmpWalk(b)
+    require(st == "ok", s"phash expects a valid payload, got $st")
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val g = new Array[Int](64)
+    var k = 0
+    while (k < 64) {
+      val sx = (k % 8) * w / 8
+      val sy = (k / 8) * h / 8
+      val rowStart = off + (h - 1 - sy) * (rowBytes + pad)
+      g(k) = (b(rowStart + 3 * sx) & 0xff) + (b(rowStart + 3 * sx + 1) & 0xff) +
+        (b(rowStart + 3 * sx + 2) & 0xff)
+      k += 1
+    }
+    val sum = g.sum
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (64L * g(k) > sum) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** IMAGE near-dup dedup — the multimodal instance of the dedup
+    * mandate: per-doc perceptual hash (map-side imperative decode, the
+    * multimodal convention), then banded LSH on the hash — 4 × 16-bit
+    * bands, candidates only from shared (band, sig) buckets, NEVER
+    * all-pairs — with the stream_dedup_near first-64-by-id bucket cap
+    * bounding any degenerate bucket (uniform images at corpus scale),
+    * and a Hamming ≤ 6 verify on the candidates via one codegen'd
+    * `bit_count(xor)`. At 100 TB: hashes are 8 bytes/doc on the wire,
+    * buckets are capped, and the only shuffle keys are (band, sig).
+    * Oracle replays the whole pipeline closed-form (the encodeBmp
+    * byte rule) at the bit level, so the imperative decoder and the
+    * SQL arithmetic must agree exactly.
+    */
+  def dedupImagePhash(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val hashes = documents
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, imagePhash(imagePayload(id)))))
+      .toDF("doc_id", "phash")
+    val bands = hashes
+      .select(col("doc_id"), col("phash"), explode(
+        array((0 until 4).map(lit): _*)).as("band"))
+      // arithmetic >> then mask: sign-extension bits from bit 63 are
+      // stripped by the & 65535, identically in both engines
+      .withColumn("sig", expr("shiftright(phash, band * 16) & 65535"))
+    val rk = Window.partitionBy("band", "sig").orderBy("doc_id")
+    val capped = bands.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= 64)
+      .select(col("doc_id"), col("phash"), col("band"), col("sig"))
+    capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .distinct() // a pair can collide in several bands
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
   final case class BmpDecoded(
       doc_id: Long, status: String, width: Int, height: Int,
       n_pixels: Int, pixel_sum: Long, blue_sum: Long, topleft_sum: Int)
@@ -654,9 +787,11 @@ object LlmOps {
     * 256 — so the oracle can replay the decode closed-form without
     * parsing binary in SQL.
     */
-  private[graft] def encodeBmp(docId: Long): Array[Byte] = {
-    val w = (docId % 8 + 2).toInt
-    val h = (docId % 6 + 2).toInt
+  private[graft] def encodeBmp(docId: Long): Array[Byte] =
+    encodeBmpWith((docId % 8 + 2).toInt, (docId % 6 + 2).toInt)(
+      j => ((docId * 31 + 7 * j) % 256).toInt)
+
+  private def encodeBmpWith(w: Int, h: Int)(byteAt: Long => Int): Array[Byte] = {
     val rowBytes = w * 3
     val pad = (4 - rowBytes % 4) % 4
     val dataSize = (rowBytes + pad) * h
@@ -671,7 +806,7 @@ object LlmOps {
     while (y < h) {
       var x = 0
       while (x < rowBytes) {
-        buf.put(((docId * 31 + 7 * j) % 256).toByte)
+        buf.put(byteAt(j).toByte)
         j += 1; x += 1
       }
       var p = 0

@@ -686,6 +686,32 @@ class LlmSpec extends SparkTestBase {
     assert(kept > dropped, s"refresh dropped more edges than it kept ($kept vs $dropped)")
   }
 
+  test("dedup_image_phash: every planted re-encode found, no unrelated pair passes") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = LlmOps.dedupImagePhash(docs)
+    // plan: candidates come from the banded bucket join, never all-pairs
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"phash dedup degraded to all-pairs:\n$plan")
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val planted = (1L to maxId).filter(_ % 19 == 7).map(id => (id - 1, id)).toSet
+    // the ground-truth re-encodes ALL surface...
+    assert(planted.subsetOf(pairs),
+      s"missing planted pairs: ${planted -- pairs}")
+    // ...and nothing else does on this fixture (md5 pixels: unrelated
+    // hashes sit ~32 bits apart, far outside the ≤ 6 gate)
+    assert(pairs === planted, s"unrelated pairs leaked: ${pairs -- planted}")
+    // the hash itself: a re-encode is within 2 bits of its source, an
+    // unrelated pair is tens of bits away
+    val h6 = LlmOps.imagePhash(LlmOps.imagePayload(6L))
+    val h7 = LlmOps.imagePhash(LlmOps.imagePayload(7L))
+    val h8 = LlmOps.imagePhash(LlmOps.imagePayload(8L))
+    assert(java.lang.Long.bitCount(h6 ^ h7) <= 2)
+    assert(java.lang.Long.bitCount(h6 ^ h8) > 6)
+  }
+
   test("multimodal_decode: payloads are real BMPs (ImageIO-readable); corrupt ones quarantine") {
     // independent decoder: the JDK's own ImageIO must parse the bytes —
     // proof the payload is a genuine BMP, not a private format our own
