@@ -144,6 +144,10 @@ object Bench {
     "events_funnel",          // 3-pass sequential first-touch funnel
     "text_novelty",           // first-occurrence gram census (digest join)
     "stream_funnel",          // stateful first-touch fold over staged quarters
+    // r14: the new heavy families get recurring numbers
+    "stream_funnel_ooo",      // watermark-buffered fold under disordered arrival
+    "dedup_image_phash",      // per-doc decode+hash, banded bucket join
+    "events_retention",       // two user-keyed passes + |weeks|² census
   )
 
   def main(args: Array[String]): Unit = {

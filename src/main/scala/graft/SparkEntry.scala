@@ -248,6 +248,7 @@ object SparkEntry {
     "agg_sketch_rollup" -> ((s, d) => AggOps.aggSketchRollup(events(s, d))),
     "agg_retention" -> ((s, d) => AggOps.aggRetention(events(s, d))),
     "events_funnel" -> ((s, d) => AggOps.eventsFunnel(events(s, d))),
+    "events_retention" -> ((s, d) => AggOps.eventsRetention(events(s, d))),
     "events_transitions" -> ((s, d) => AggOps.eventsTransitions(events(s, d))),
     "events_markov_stationary" ->
       ((s, d) => AggOps.eventsMarkovStationary(events(s, d))),
@@ -3200,6 +3201,21 @@ object SparkEntry {
     // first-touch funnel: every step is a conditional MIN in exact epoch
     // micros, so both engines bind each step to the identical event
     "events_funnel" -> eventsFunnelOracleSql,
+    // cohort retention: epoch-week indices via integer micros DIV on
+    // both engines — no calendar-week-boundary semantics to diverge
+    "events_retention" ->
+      """WITH wk AS (SELECT user_id,
+             epoch_us(ts) // 604800000000 AS wk FROM events),
+         fs AS (SELECT user_id, min(wk) AS cohort_wk FROM wk GROUP BY 1),
+         cs AS (SELECT cohort_wk, count(*)::BIGINT AS cohort_n
+                FROM fs GROUP BY 1),
+         act AS (SELECT DISTINCT user_id, wk FROM wk),
+         cell AS (SELECT cohort_wk, wk - cohort_wk AS k,
+             count(*)::BIGINT AS n_active
+           FROM act JOIN fs USING (user_id) GROUP BY 1, 2)
+         SELECT cohort_wk, k, n_active, cohort_n,
+           CAST((n_active * 1000000) // cohort_n AS BIGINT) AS retention_ppm
+         FROM cell JOIN cs USING (cohort_wk) ORDER BY cohort_wk, k""",
     // batch equivalence: the stateful stream fold binds the identical
     // first-touch steps (monotone bindings + event-time arrival order)
     "stream_funnel" -> eventsFunnelOracleSql,

@@ -1376,4 +1376,35 @@ object AggOps {
           round(abs(col("est") - col("exact")) / col("exact"), 6).as("rel_err"))
     }.reduce(_ unionByName _).orderBy("q")
   }
+
+  /** WEEKLY COHORT RETENTION — the growth-analytics census behind every
+    * "week-4 retention" chart: users cohorted by their FIRST-SEEN week
+    * (epoch-week index, integer micros DIV — no calendar-week-boundary
+    * semantics to diverge between engines), each cell (cohort, k) =
+    * distinct users from the cohort active k weeks after joining, with
+    * the rate in exact ppm of the cohort size.
+    *
+    * Scale shape: first-seen is ONE user-keyed aggregate; activity is
+    * ONE distinct over (user, week) — both shuffle on user_id, the
+    * stream's natural key — and the cells themselves are a
+    * |weeks|²-bounded matrix joined to a |weeks|-row broadcast of
+    * cohort sizes. Nothing after the two user-keyed passes scales with
+    * the corpus.
+    */
+  def eventsRetention(events: DataFrame): DataFrame = {
+    val wk = events.select(col("user_id"),
+      expr("unix_micros(ts) DIV 604800000000").as("wk"))
+    val firstSeen = wk.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    val cohortSize = firstSeen.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_n"))
+    val active = wk.distinct()
+    active.join(firstSeen, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("k"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohortSize), "cohort_wk")
+      .select(col("cohort_wk"), col("k"), col("n_active"), col("cohort_n"),
+        expr("(n_active * 1000000) DIV cohort_n").as("retention_ppm"))
+      .orderBy("cohort_wk", "k")
+  }
 }

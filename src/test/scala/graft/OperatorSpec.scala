@@ -1598,6 +1598,30 @@ class OperatorSpec extends SparkTestBase {
     assert(got(("click", "view")) === ((1L, 1000000L)))
   }
 
+  test("events_retention: week-0 is always total, a returning user fills exactly their cells") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // users 1,2 join week A; user 1 returns 2 weeks later; user 3 joins
+    // the next week and never returns
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-15 10:00:00")),
+      (3L, ts("2024-01-09 10:00:00"))
+    ).toDF("user_id", "ts")
+    val got = graft.operators.AggOps.eventsRetention(ev).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // every cohort's k=0 cell is the full cohort at 1000000 ppm
+    val k0 = got.collect { case ((_, 0L), cell) => cell }
+    assert(k0.nonEmpty && k0.forall { case (a, n, ppm) => a == n && ppm == 1000000L },
+      s"week-0 must be total retention: $got")
+    // user 1's return lands in its cohort's k=2 cell: 1 of 2 users
+    val k2 = got.collect { case ((_, 2L), cell) => cell }
+    assert(k2.toSeq === Seq((1L, 2L, 500000L)), s"got $got")
+    // no other off-zero cells exist
+    assert(got.size === 3, s"got $got")
+  }
+
   test("events_rfm: five distinct users land one per quintile with the right segments") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
