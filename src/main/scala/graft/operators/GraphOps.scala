@@ -803,15 +803,16 @@ object GraphOps {
       adj: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
     for (r <- 1 to rounds) {
-      // bidirectional edges ⇒ every node has in-neighbors ⇒ inner join
-      // back covers all of them (the componentsLoop invariant)
-      labels = labels.select("id").join(lpaVote(adj, labels), "id")
-      // per-ROUND checkpoint: `labels` has TWO consumers per round (the
-      // vote join above and the alignment join back), so a lazy round
-      // re-pays the whole two-aggregation vote chain per consumer — the
-      // same multi-consumer pathology measured for HITS (17.6 s lazy vs
-      // 8.3 s per-round) and kcore; the every-second-hop cadence here
-      // measured 17.1 s vs ~4.3 s per-round at sf0.1 (BASELINE.md r9)
+      // bidirectional edges ⇒ every node has in-neighbors ⇒ the vote
+      // output covers exactly the node set, so the r13 alignment join
+      // back (labels.select("id") ⋈ vote) was an identity — dropped in
+      // r14 (one exchange + join per round saved; same frame)
+      labels = lpaVote(adj, labels)
+      // per-ROUND checkpoint: `labels` feeds the next vote round AND the
+      // caller's census — a lazy round re-pays the whole two-aggregation
+      // vote chain per consumer (the multi-consumer pathology measured
+      // for HITS, 17.6 s lazy vs 8.3 s; the every-second-hop cadence
+      // here measured 17.1 s vs ~4.3 s per-round at sf0.1, BASELINE r9)
       labels = labels.localCheckpoint()
     }
     labels
@@ -867,13 +868,16 @@ object GraphOps {
       maxRounds: Int = 10): DataFrame = {
     val (adj, nodes, _) = buildGraph(orders, lineitem)
     var lPrev = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
-    var lCur = lPrev.select("id").join(lpaVote(adj, lPrev), "id").localCheckpoint()
+    // the vote output covers exactly the node set (bidirectional edges),
+    // so the r13 alignment joins back were identities — dropped in r14
+    // (the lpaLabels reasoning)
+    var lCur = lpaVote(adj, lPrev).localCheckpoint()
     var exitRound = 0
     var r = 1
     while (exitRound == 0 && r < maxRounds) {
       r += 1
       val obs = org.apache.spark.sql.Observation(s"lpa_orbit_$r")
-      val next = lCur.select("id").join(lpaVote(adj, lCur), "id")
+      val next = lpaVote(adj, lCur)
         .join(lPrev.select(col("id"), col("label").as("old2")), "id")
         .select(col("id"), col("label"),
           (col("label") =!= col("old2")).as("chg"))
@@ -1098,7 +1102,13 @@ object GraphOps {
       // per-ROUND checkpoint: `a` nominally has one consumer, but the
       // scalar-normalizer broadcast makes every lazy hop re-pay araw,
       // and chains compound ~2× per skipped barrier — the lazy cadence
-      // measured 17.6 s vs 8.3 s at sf0.1 and was reverted
+      // measured 17.6 s vs 8.3 s at sf0.1 and was reverted. r14 probe:
+      // splitting the normalizer out of this job (raw-matvec checkpoint
+      // + scalar head() pull, or an observe() metric) benched 9.8/9.0 s
+      // vs 5.5 s for this form — the broadcast subtree shares the
+      // matvec's Exchange via ReusedExchange, so the "double compute"
+      // this split would save doesn't exist, while the extra per-round
+      // actions it adds are pure fixed cost (~0.16 s each, MicroProbe).
       a = araw.crossJoin(broadcast(asum))
         .select(col("nid").as("id"), round(col("s") / col("t"), 9).as("score"))
         .localCheckpoint()
@@ -1241,6 +1251,16 @@ object GraphOps {
   /** The thresholded BIDIRECTIONAL co-purchase edge frame — shared by
     * the in-query k-core and the stored layout writer.
     */
+  /** (r14 probe, reverted: generating the co-purchase pairs MAP-SIDE
+    * from each customer's sorted supplier array — groupBy(cust) +
+    * collect_list + nested transform/slice explode, exactly C(deg, 2)
+    * rows instead of the self-join's deg² — benched SLOWER everywhere
+    * it was tried (triangles 3.5 → 4.7 s, jaccard 3.2 → 5.8 s): the
+    * per-element HOF lambda + struct allocation costs more than the
+    * whole-stage-codegen'd join fanout it saves, the §4 "prefer
+    * codegen" rule winning over the §2.3 row-count ledger. The deg²
+    * self-join stays.)
+    */
   private[graft] def coPurchaseEdges(orders: DataFrame, lineitem: DataFrame,
       maxCustDeg: Int = 256, pct: Double = 0.90): DataFrame = {
     val pairs = orders
@@ -1363,6 +1383,18 @@ object GraphOps {
   /** The draw-and-hop loop shared by the in-query and stored walk
     * forms: per step, one join against the degree table to compute the
     * md5 pick, one (node, rank) equi-join to hop.
+    *
+    * r14 probe, kept as a negative result: caching the ranked edge list
+    * partitioned+sorted on the full (src, rn) hop key — so each hop
+    * exchanges only the frontier — benched SLOWER at sf0.1 (walk_pairs
+    * 4.4 → 5.9-6.7 s) because the hop joins are O(walkers)-tiny here
+    * and AQE coalesces both checkpoint-side exchanges to a handful of
+    * tasks, while the pinned cache forces 32-partition stages per hop
+    * (task-dispatch cost > the ~26 MB shuffle it saves; contrast
+    * biasedWalkLoop, whose per-step frames are ~75× larger and DO pay
+    * for pinned edge-role caches). At a scale where the edge re-shuffle
+    * dominates, the pinned-cache form is the right one — see
+    * biasedEdgeRoles for the shape.
     */
   private def walkLoop(ranked: DataFrame, steps: Int): DataFrame = {
     val deg = ranked.groupBy(col("src"))
@@ -1425,12 +1457,8 @@ object GraphOps {
       .select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
       .unionByName(pairs
         .select((col("supp") * 2 + 1).as("src"), (col("cust") * 2).as("dst")))
-      .localCheckpoint() // fanout AND membership side of every step
-    val ranked = edges
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("src").orderBy("dst")))
-      .localCheckpoint()
-    biasedWalkLoop(edges, ranked, steps, retP, outQ)
+    // fanout AND membership roles cached per-key inside biasedWalkLoop
+    biasedWalkLoop(edges, steps, retP, outQ)
   }
 
   /** Biased walks SERVED from the stored bucketed adjacency — the walk
@@ -1451,21 +1479,48 @@ object GraphOps {
     val name = ensureAdjacencyTable(spark, orders, lineitem, sfDir)
     val edges = spark.table(name)
       .select(col("src"), explode(col("dsts")).as("dst"))
-      .localCheckpoint()
-    val ranked = edges
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("src").orderBy("dst")))
-      .localCheckpoint()
-    biasedWalkLoop(edges, ranked, steps, retP, outQ)
+    biasedWalkLoop(edges, steps, retP, outQ)
   }
 
   /** The second-order draw loop shared by the in-query and stored
     * biased-walk forms (the `walkLoop` precedent — one kernel, two
     * edge-list providers, so the forms cannot drift).
+    *
+    * The edge list plays TWO static roles per step — fanout side (join
+    * key src) and triangle-membership side (join key (src, dst)) — and
+    * the r13 form localCheckpoint'ed it, so BOTH roles re-shuffled and
+    * re-sorted the O(E) frame every step (checkpoint scans report
+    * unknown partitioning). r14: one cached copy per role, partitioned
+    * and sorted on that role's join key (the walkLoop fix, twice); per
+    * step only the O(walkers) frontier and its fanout move. The ranked
+    * step-1 edge list is derived from the fanout copy (same rows, one
+    * exchange-free window), so callers now hand in just the lazy edge
+    * frame.
     */
-  private def biasedWalkLoop(edges: DataFrame, ranked: DataFrame,
+  /** The biased walk's two cached static roles — fanout (clustered on
+    * src) and triangle membership (clustered on (src, dst)) — exposed
+    * for the PlanSpec pin.
+    */
+  private[graft] def biasedEdgeRoles(
+      edgesIn: DataFrame): (DataFrame, DataFrame) = (
+    edgesIn
+      .repartition(col("src"))
+      .sortWithinPartitions("src", "dst")
+      .persist(),
+    edgesIn
+      .repartition(col("src"), col("dst"))
+      .sortWithinPartitions("src", "dst")
+      .persist())
+
+  private def biasedWalkLoop(edgesIn: DataFrame,
       steps: Int, retP: Double, outQ: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val (edges, edgesM) = biasedEdgeRoles(edgesIn)
+    // window over the src-partitioned cache: exchange-free; single-use
+    // (the step-1 uniform hop), so it stays lazy
+    val ranked = edges
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("src").orderBy("dst")))
     val deg = ranked.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg")).localCheckpoint()
     // step 1: first-order uniform (no prev yet) — the graphRandomWalk pick
@@ -1494,7 +1549,7 @@ object GraphOps {
     for (t <- 2 to steps) {
       val cand = state
         .join(edges.select(col("src").as("cur"), col("dst").as("c")), "cur")
-        .join(edges.select(col("src").as("mp"), col("dst").as("mc"),
+        .join(edgesM.select(col("src").as("mp"), col("dst").as("mc"),
           lit(1).as("tri")),
           col("prev") === col("mp") && col("c") === col("mc"), "left")
         .select(col("start"), col("prev"), col("cur"), col("c"),
@@ -1515,6 +1570,8 @@ object GraphOps {
         .localCheckpoint()
       slices += state.select(col("start"), lit(t).as("step"), col("cur").as("node"))
     }
+    edges.unpersist()
+    edgesM.unpersist()
     slices.reduce(_ unionByName _)
       .select(col("start").as("start_id"), col("step"), col("node"))
       .orderBy("start_id", "step")

@@ -1616,16 +1616,9 @@ object SimOps {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val store = graft.sources.EtlOps.freshDir(sfDir, "ann_ingest_store").toString
     val srcDir = graft.sources.EtlOps.freshDir(sfDir, "ann_ingest_src")
-    def stage(half: Int): Unit = {
-      val tmp = graft.sources.EtlOps.freshDir(sfDir, s"ann_ingest_stage$half")
-      all.filter(pmod(col("vec_id"), lit(2)) === half)
-        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      Files.copy(part, srcDir.resolve(s"load-$half.parquet"))
-    }
-    stage(0); stage(1)
+    graft.streaming.StreamOps.stageSlices(
+      all, pmod(col("vec_id"), lit(2)).cast("int"), 2,
+      sfDir, "ann_ingest", srcDir, prefix = "load")
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
@@ -1698,16 +1691,10 @@ object SimOps {
     val index = spark.read.parquet(store)
     // the query backlog: vec_ids 0..7, staged as two parity files
     val srcDir = graft.sources.EtlOps.freshDir(sfDir, "ann_search_src")
-    def stage(half: Int): Unit = {
-      val tmp = graft.sources.EtlOps.freshDir(sfDir, s"ann_search_stage$half")
-      all.filter(col("vec_id") < 8 && pmod(col("vec_id"), lit(2)) === half)
-        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      Files.copy(part, srcDir.resolve(s"queries-$half.parquet"))
-    }
-    stage(0); stage(1)
+    graft.streaming.StreamOps.stageSlices(
+      all.filter(col("vec_id") < 8),
+      pmod(col("vec_id"), lit(2)).cast("int"), 2,
+      sfDir, "ann_search", srcDir, prefix = "queries")
     val results = graft.sources.EtlOps.freshDir(sfDir, "ann_search_out").toString
     val run = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
@@ -2322,6 +2309,11 @@ object SimOps {
     val eq = embeddings
       .select(col("vec_id"), quantize1000(toVec(col("embedding"))).as("xq"))
       .localCheckpoint()
+    // (r14 probe, reverted: generating only the upper scatter triangle
+    // via nested transform/slice/struct lambdas halved the exploded
+    // rows but benched SLOWER — per-element HOF lambda + struct
+    // allocation beats the tight codegen'd long-array explode it
+    // replaced. The full-matrix posexplode stays.)
     val s2 = eq.select(posexplode(flatten(transform(col("xq"), xi =>
         transform(col("xq"), xj => xi * xj)))).as(Seq("pos", "p")))
       .groupBy(col("pos")).agg(sum(col("p")).as("s2"))
@@ -2343,6 +2335,12 @@ object SimOps {
         (when(col("bigm") < 0, -1L).otherwise(1L) *
           expr("abs(bigm) DIV d")).as("m"))
       .localCheckpoint()
+    // (r14 probe, reverted: both a fully-lazy 8-round chain — which
+    // ballooned analysis memory, each lazy round tripling the logical
+    // tree — and an every-2-rounds checkpoint cadence benched SLOWER
+    // than this per-round form, 9.2-10.1 s vs 6.7 s for sim_pca_train2;
+    // the lazy segments re-execute the matvec under each of its
+    // references instead of reusing it. Per-round checkpoints stay.)
     var v = spark.range(64).select(col("id").cast("int").as("i"),
       (lit(1000000L) - col("id") * 1000L).as("v")).localCheckpoint()
     for (_ <- 1 to rounds) {

@@ -71,6 +71,44 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Stage `df` as ONE arriving file per slice value (0 until n of
+    * `sliceCol`) under `srcDir`, in a SINGLE write job — r14: the
+    * per-slice `filter → coalesce(1) → write` loop this replaces paid
+    * one full source scan + write job per slice (4 driver actions for a
+    * quarter split; the r13 verdict's staging watch item). One
+    * partitionBy write produces exactly one file per slice (each task
+    * opens one file per partition value it holds, and the slice column
+    * is dropped from the data files, so the staged schema is unchanged).
+    * Row order WITHIN a slice file becomes shuffle-arrival order — every
+    * consumer is order-independent within a batch (stateful folds
+    * re-sort their per-key buffer; aggregates/latest-wins are
+    * order-free), while ACROSS files the strictly increasing mtimes pin
+    * the FileStreamSource ingest order as before. Empty slices (not hit
+    * at any tested SF) fall back to the old empty-file write so the
+    * arrival count stays n.
+    */
+  private[graft] def stageSlices(df: DataFrame,
+      sliceCol: org.apache.spark.sql.Column, n: Int,
+      sfDir: String, tag: String, srcDir: Path,
+      prefix: String = "quarter"): Unit = {
+    val tmp = scratch(sfDir, s"${tag}_stageall")
+    df.withColumn("__q", sliceCol)
+      .repartition(col("__q"))
+      .write.partitionBy("__q").mode(SaveMode.Overwrite).parquet(tmp.toString)
+    for (i <- 0 until n) {
+      val dir = tmp.resolve(s"__q=$i")
+      if (!Files.isDirectory(dir)) // degenerate empty slice: old path
+        df.filter(sliceCol === i).coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(dir.toString)
+      val part = Files.list(dir).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val staged = srcDir.resolve(s"$prefix-$i.parquet")
+      Files.copy(part, staged)
+      Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+    }
+  }
+
   /** Run `body` with the stateful-shard count pinned to `n` — the
     * stream_outer_join lesson generalized: every micro-batch commits one
     * state-store delta file PER shard, so stateful-query shard count
@@ -316,29 +354,23 @@ object StreamOps {
     val mm = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
       .head()
     val (lo, span) = (mm.getLong(0), mm.getLong(1) - mm.getLong(0) + 1)
-    for (i <- 0 until 4) {
-      val tmp = scratch(sfDir, s"stream_dedup_near_stage$i")
-      docs.filter(col("doc_id") >= lo + span * i / 4
-          && col("doc_id") < lo + span * (i + 1) / 4)
-        // per-file INGEST timestamp (an hour apart per quarter): the
-        // axis the bucket TTL's watermark runs on — a real pipeline's
-        // ingest time, staged explicitly here
-        .withColumn("arrival_ts", timestamp_seconds(lit(1577836800L + i * 3600L)))
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      val staged = srcDir.resolve(s"quarter-$i.parquet")
-      Files.copy(part, staged)
-      // FileStreamSource orders pending files by modification time with
-      // ties in undefined listing order; quick successive copies land on
-      // the same millisecond, which would let a later quarter ingest
-      // first and break the arrival-order-=-id-order contract the cap
-      // semantics (and the oracle's rank-by-id replay) depend on. Stamp
-      // strictly increasing mtimes so the order is pinned, not lucky.
-      Files.setLastModifiedTime(staged,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
-    }
+    // quarter slice off the id range — the EXACT r13 boundaries
+    // (lo + span·i/4 in Long floor division), spelled as a closed-form
+    // column so all four slices stage in stageSlices' single write; the
+    // per-file INGEST timestamp (an hour apart per quarter) is the axis
+    // the bucket TTL's watermark runs on. mtimes are stamped strictly
+    // increasing inside stageSlices (FileStreamSource orders pending
+    // files by mtime with ties in undefined listing order), pinning the
+    // arrival-order-=-id-order contract the cap semantics (and the
+    // oracle's rank-by-id replay) depend on.
+    val qtr = when(col("doc_id") < lo + span * 1 / 4, 0)
+      .when(col("doc_id") < lo + span * 2 / 4, 1)
+      .when(col("doc_id") < lo + span * 3 / 4, 2)
+      .otherwise(3)
+    stageSlices(
+      docs.withColumn("arrival_ts",
+        timestamp_seconds(lit(1577836800L) + qtr.cast("long") * 3600L)),
+      qtr, 4, sfDir, "stream_dedup_near", srcDir)
     val schema = org.apache.spark.sql.types.StructType(
       docs.schema :+ org.apache.spark.sql.types.StructField(
         "arrival_ts", org.apache.spark.sql.types.TimestampType))
@@ -994,15 +1026,8 @@ object StreamOps {
     val curDir = store.resolve("cur")
     val events = spark.read.parquet(src)
     val schema = events.schema
-    def stage(half: Int): Unit = {
-      val tmp = scratch(sfDir, s"events_upsert_stage$half")
-      events.filter(pmod(col("event_id"), lit(2)) === half)
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      Files.copy(part, srcDir.resolve(s"load-$half.parquet"))
-    }
-    stage(0); stage(1)
+    stageSlices(events, pmod(col("event_id"), lit(2)).cast("int"), 2,
+      sfDir, "events_upsert", srcDir, prefix = "load")
     val latest = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
@@ -1075,15 +1100,8 @@ object StreamOps {
     val srcDir = scratch(sfDir, "events_merge_src")
     val events = spark.read.parquet(src)
     val schema = events.schema
-    def stage(half: Int): Unit = {
-      val tmp = scratch(sfDir, s"events_merge_stage$half")
-      events.filter(pmod(col("event_id"), lit(2)) === half)
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      Files.copy(part, srcDir.resolve(s"load-$half.parquet"))
-    }
-    stage(0); stage(1)
+    stageSlices(events, pmod(col("event_id"), lit(2)).cast("int"), 2,
+      sfDir, "events_merge", srcDir, prefix = "load")
     val latest = Window.partitionBy("user_id")
       .orderBy(desc("ts_us"), desc("event_id"))
     val q = spark.readStream.schema(schema)
@@ -1206,15 +1224,8 @@ object StreamOps {
     val schema = events.schema
     val srcDir = scratch(sfDir, "state_inspect_src")
     val ckpt = scratch(sfDir, "state_inspect_ckpt").toString
-    def arrive(half: Int): Unit = {
-      val tmp = scratch(sfDir, s"state_inspect_stage$half")
-      events.filter(pmod(col("event_id"), lit(2)) === half)
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      Files.copy(part, srcDir.resolve(s"load-$half.parquet"))
-    }
-    arrive(0); arrive(1)
+    stageSlices(events, pmod(col("event_id"), lit(2)).cast("int"), 2,
+      sfDir, "state_inspect", srcDir, prefix = "load")
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
       .groupBy(col("event_type"))
@@ -1258,17 +1269,7 @@ object StreamOps {
     // one shared closed-form slice rule for staging, streaming agg and
     // oracle — integer arithmetic so all three agree exactly
     val qtrExpr = expr(s"CAST(((event_id - ${lo}L) * 4) DIV ${span}L AS INT)")
-    for (i <- 0 until 4) {
-      val tmp = scratch(sfDir, s"stream_quality_stage$i")
-      src.filter(qtrExpr === i)
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      val staged = srcDir.resolve(s"quarter-$i.parquet")
-      Files.copy(part, staged)
-      Files.setLastModifiedTime(staged,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
-    }
+    stageSlices(src, qtrExpr, 4, sfDir, "stream_quality", srcDir)
     val schema = src.schema
     val counters = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
@@ -1381,17 +1382,7 @@ object StreamOps {
             "event time is not monotone in event_id; the ordered-arrival " +
             "contract behind the stateful streaming folds is broken")
     }
-    for (i <- 0 until 4) {
-      val tmp = scratch(sfDir, s"${tag}_stage$i")
-      src.filter(qtrExpr === i)
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      val staged = srcDir.resolve(s"quarter-$i.parquet")
-      Files.copy(part, staged)
-      Files.setLastModifiedTime(staged,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
-    }
+    stageSlices(src, qtrExpr, 4, sfDir, tag, srcDir)
     spark.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
       .transform(graft.Tables.normalizeTs)
@@ -1636,17 +1627,13 @@ object StreamOps {
       if (k == 0) 0L else math.max(0L, seenHi - b(s"lo$q"))
     }.max
     val delayMs = disorderUs / 1000L + 60000L
-    for ((q, k) <- arrival.zipWithIndex) {
-      val tmp = scratch(sfDir, s"${tag}_stage$q")
-      norm.filter(qtrExpr === q)
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      val staged = srcDir.resolve(s"arrival-$k-quarter-$q.parquet")
-      Files.copy(part, staged)
-      Files.setLastModifiedTime(staged,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 1000L))
-    }
+    // slice key = ARRIVAL index (quarters interleaved 1,0,3,2): the
+    // single stageSlices write stamps mtimes in arrival order, so the
+    // deliberate disorder is pinned exactly as the per-quarter loop did
+    val arrivalIdx = arrival.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (q, k)) =>
+        when(qtrExpr === q, lit(k)).otherwise(acc) }
+    stageSlices(norm, arrivalIdx, 4, sfDir, tag, srcDir, prefix = "arrival")
     // watermark-flush sentinel: max-ts row pushed past max + 2×delay
     val tmpS = scratch(sfDir, s"${tag}_sentinel")
     norm.orderBy(col("ts").desc).limit(1)

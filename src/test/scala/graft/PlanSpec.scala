@@ -954,4 +954,45 @@ class PlanSpec extends SparkTestBase {
     assert(scans == 1, s"bootstrap must read orders exactly once, saw $scans:\n$p")
     assert(!p.contains("Join"), s"bootstrap needs no join at all:\n$p")
   }
+
+  test("biased walk: both cached edge roles join exchange-free per step (r14)") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = orders(spark, sf0001)
+        .join(lineitem(spark, sf0001), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct().localCheckpoint()
+      val edgesIn = pairs
+        .select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
+        .unionByName(pairs
+          .select((col("supp") * 2 + 1).as("src"), (col("cust") * 2).as("dst")))
+      val (edges, edgesM) = GraphOps.biasedEdgeRoles(edgesIn)
+      edges.count(); edgesM.count()
+      val state = edges.select(col("src").as("start"), col("src").as("prev"),
+        col("dst").as("cur")).distinct().localCheckpoint()
+      val cand = state
+        .join(edges.select(col("src").as("cur"), col("dst").as("c")), "cur")
+        .join(edgesM.select(col("src").as("mp"), col("dst").as("mc"),
+          lit(1).as("tri")),
+          col("prev") === col("mp") && col("c") === col("mc"), "left")
+      val root = cand.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      val p = root.toString
+      val exchanges = root.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      // two exchanges total: the frontier aligning to the fanout role,
+      // and the fanout OUTPUT aligning to the membership role — the two
+      // cached O(E) roles themselves never move
+      assert(exchanges.length == 2,
+        s"step should shuffle only the walker-side frames (2 exchanges), " +
+          s"saw ${exchanges.length}:\n$p")
+      edges.unpersist(); edgesM.unpersist()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -500,8 +500,13 @@ class StreamSpec extends SparkTestBase {
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_stream",
       sf0001.replaceAll("[^a-zA-Z0-9]", "_"), "spec_ooo_probe_src").toFile
+    // the staged quarters are the non-sentinel arrivals (stageSlices
+    // names them arrival-<k>.parquet since r14; the watermark-flush
+    // sentinel is the only other file)
     val files = dir.listFiles().sortBy(_.lastModified)
-    val bounds = files.filter(_.getName.contains("quarter")).map { f =>
+      .filterNot(_.getName.contains("sentinel"))
+    assert(files.length == 4, s"expected 4 staged quarters, saw ${files.length}")
+    val bounds = files.map { f =>
       val df = spark.read.parquet(f.getAbsolutePath)
       val mm = df.agg(
         org.apache.spark.sql.functions.min(unix_micros(col("ts").cast("timestamp"))),
