@@ -676,11 +676,17 @@ object GraphOps {
       .agg(count(lit(1)).as("cdeg"))
       .filter(col("cdeg") <= maxCustDeg)
       .select("cust")
-    // localCheckpoint: the degree-filtered pair table feeds both sides
-    // of the deg² self-join below; left lazy, the orders⋈lineitem
-    // distinct (the operator's widest shuffle) runs twice. One row per
-    // (cust, supp) — compact at any scale.
-    val kept = pairs.join(smallCust, "cust").localCheckpoint()
+    // cached PARTITIONED+SORTED on the self-join key (r14, the
+    // biasedEdgeRoles treatment): the degree-filtered pair table feeds
+    // both sides of the deg² self-join below — a plain localCheckpoint
+    // reports unknown partitioning, so the join re-exchanged and
+    // re-sorted the frame per side; the clustered cache makes the
+    // self-join exchange-free AND sort-free. Left lazy instead, the
+    // orders⋈lineitem distinct (the operator's widest shuffle) runs
+    // twice. One row per (cust, supp) — compact at any scale.
+    val kept = pairs.join(smallCust, "cust")
+      .repartition(col("cust")).sortWithinPartitions("cust", "supp")
+      .persist()
     // localCheckpoint: the co-purchase aggregate feeds TWO consumers
     // (the percentile threshold and the edge filter); without
     // materialization the deg²-cost projection runs twice — measured
@@ -737,8 +743,12 @@ object GraphOps {
       .agg(count(lit(1)).as("cdeg"))
       .filter(col("cdeg") <= maxCustDeg)
       .select("cust")
-    // feeds the self-join AND the degree table — materialized once
-    val kept = pairs.join(smallCust, "cust").localCheckpoint()
+    // feeds the self-join AND the degree table — materialized once,
+    // partitioned+sorted on the self-join key so the deg² self-join is
+    // exchange-free and sort-free (r14, the graphTriangles treatment)
+    val kept = pairs.join(smallCust, "cust")
+      .repartition(col("cust")).sortWithinPartitions("cust", "supp")
+      .persist()
     val deg = kept.groupBy(col("supp")).agg(count(lit(1)).as("deg"))
     val co = kept.select(col("cust"), col("supp").as("s1"))
       .join(kept.select(col("cust"), col("supp").as("s2")), Seq("cust"))
@@ -1073,7 +1083,7 @@ object GraphOps {
       val hsum = hraw.agg(sum(col("s")).as("t"))
       h = hraw.crossJoin(broadcast(hsum))
         .select(col("src").as("id"), round(col("s") / col("t"), 9).as("score"))
-        .localCheckpoint()
+        .localCheckpoint() // per-round, like hitsLoop (lazy-h probe reverted)
     }
     adjAll.unpersist()
     require(exitRound > 0,
@@ -1119,6 +1129,13 @@ object GraphOps {
       val hsum = hraw.agg(sum(col("s")).as("t"))
       h = hraw.crossJoin(broadcast(hsum))
         .select(col("src").as("id"), round(col("s") / col("t"), 9).as("score"))
+      // (r14 probe #2, reverted: leaving `h` LAZY between rounds — the hub
+      // matvec riding the next authority checkpoint, one action per round
+      // instead of two — benched 9.4-10.2 s vs 5.9 s baseline, +70% on all
+      // three hits entries. A lazy score vector defeats the join-side size
+      // estimate, so the araw join loses its broadcast, and the normalizer
+      // subtree re-executes under the BroadcastExchange instead of sharing
+      // via ReusedExchange. Both matvecs keep their own checkpoint.)
       h = h.localCheckpoint() // same barrier economics as `a`
     }
     adjAll.unpersist()
@@ -1271,8 +1288,12 @@ object GraphOps {
       .agg(count(lit(1)).as("cdeg"))
       .filter(col("cdeg") <= maxCustDeg)
       .select("cust")
-    // feeds both sides of the deg² self-join — materialized once
-    val kept = pairs.join(smallCust, "cust").localCheckpoint()
+    // feeds both sides of the deg² self-join — materialized once,
+    // partitioned+sorted on the self-join key so the self-join is
+    // exchange-free and sort-free (r14, the graphTriangles treatment)
+    val kept = pairs.join(smallCust, "cust")
+      .repartition(col("cust")).sortWithinPartitions("cust", "supp")
+      .persist()
     val co = kept.select(col("cust"), col("supp").as("s1"))
       .join(kept.select(col("cust"), col("supp").as("s2")), Seq("cust"))
       .filter(col("s1") < col("s2"))
@@ -1589,6 +1610,17 @@ object GraphOps {
     * negative-sampling trainer consumes as its positive distribution.
     */
   def graphWalkPairs(orders: DataFrame, lineitem: DataFrame,
+      steps: Int = 4, window: Int = 2): DataFrame =
+    walkPairsRaw(orders, lineitem, steps, window)
+      .orderBy("center", "context")
+
+  /** The UNSORTED pair census — the frame [[graphWalkPairs]] presents
+    * sorted and the SGNS trainer consumes as-is: the trainer re-keys and
+    * re-aggregates the census immediately, so paying the global range
+    * sort before its checkpoint was pure waste (r14, §2.4 "an orderBy
+    * used only to make output deterministic").
+    */
+  private[graft] def walkPairsRaw(orders: DataFrame, lineitem: DataFrame,
       steps: Int = 4, window: Int = 2): DataFrame = {
     val walks = graphRandomWalk(orders, lineitem, steps).localCheckpoint()
     val a = walks.select(col("start_id"), col("step").as("i"), col("node").as("center"))
@@ -1598,7 +1630,6 @@ object GraphOps {
         && abs(col("i") - col("j")) <= window)
       .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("n_pairs"))
-      .orderBy("center", "context")
   }
 
   /** Degree ASSORTATIVITY — Pearson correlation of endpoint degrees over

@@ -1085,8 +1085,11 @@ object PipelineOps {
     * passes through a single task.
     */
   private[graft] def denseRankById(ids: DataFrame, idCol: String = "node",
-      buckets: Int = 1024): DataFrame = {
-    val maxId = ids.agg(max(col(idCol)).cast("long")).head().getLong(0)
+      buckets: Int = 1024, maxIdKnown: Option[Long] = None): DataFrame = {
+    // callers that already hold the max id (e.g. from a fused scalar
+    // aggregate) pass it in, saving the extra 1-row action (r14, §1.2)
+    val maxId = maxIdKnown.getOrElse(
+      ids.agg(max(col(idCol)).cast("long")).head().getLong(0))
     val width = maxId / buckets + 1 // ids are non-negative compact longs
     val bucketed = ids.withColumn("bkt",
       floor(col(idCol) / width).cast("long"))
@@ -1109,11 +1112,17 @@ object PipelineOps {
   private[graft] def nodeEmbedWithLoss(orders: DataFrame, lineitem: DataFrame,
       steps: Int, window: Int, dim: Int, rounds: Int, lr: Double,
       lossTrace: Boolean): (DataFrame, Seq[Double]) = {
-    val pairsW = GraphOps.graphWalkPairs(orders, lineitem, steps, window)
+    // the UNSORTED census: the trainer re-keys it immediately, so the
+    // declared entry's global sort would be checkpointed for nothing (r14)
+    val pairsW = GraphOps.walkPairsRaw(orders, lineitem, steps, window)
       .localCheckpoint()
     val nodes = pairsW.select(col("center").as("node")).distinct()
-    val v = nodes.count() // scalar vocabulary size (1-row aggregate pull)
-    val ranked = denseRankById(nodes).localCheckpoint()
+    // vocabulary size + max id in ONE 1-row aggregate pull (r14: was two
+    // separate scalar actions — nodes.count() here, max(id) in denseRankById)
+    val vRow = nodes.agg(count(lit(1)), max(col("node")).cast("long")).head()
+    val v = vRow.getLong(0)
+    val ranked = denseRankById(nodes, maxIdKnown = Some(vRow.getLong(1)))
+      .localCheckpoint()
     val negRank = conv(substring(
         md5(concat_ws("|", col("center"), col("context"))), 1, 8), 16, 10)
       .cast("long") % lit(v) + 1
@@ -1128,9 +1137,11 @@ object PipelineOps {
     // stored ×1e6 — an exact long
     def initCol(i: Int): Column =
       ((col("node") * 37 + lit(i * 101)) % 2001 - 1000) * 1000
+    // init embeddings stay LAZY: a trivial projection over the `ranked`
+    // checkpoint — round 1 evaluates it once per join side, cheaper than
+    // the checkpoint action it replaces (r14, the MicroProbe constant)
     var emb = ranked.select(
       col("node") +: (1 to dim).map(i => initCol(i).as(s"e$i")): _*)
-      .localCheckpoint()
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 1 to rounds) {
       val u = emb.select(

@@ -798,13 +798,24 @@ object SimOps {
     val asnDir = freshDir(sfDir, "knn_inc_asn").toString
     val probesDir = freshDir(sfDir, "knn_inc_probes").toString
     val centsDir = freshDir(sfDir, "knn_inc_cents").toString
-    knnGraphWithCodebook(corpusEmb, cents, k, nprobe)
-      .write.mode(SaveMode.Overwrite).parquet(graphDir)
-    assignCells(eqC, cents).select(col("vec_id"), col("cell"))
-      .write.mode(SaveMode.Overwrite).parquet(asnDir)
-    probeCells(eqC, cents, nprobe)
-      .write.mode(SaveMode.Overwrite).parquet(probesDir)
-    cents.write.mode(SaveMode.Overwrite).parquet(centsDir)
+    // the four artifacts are INDEPENDENT writes off the same frozen
+    // codebook — overlap them (guide §2.6: actions are only sequential
+    // because the driver calls them sequentially): the three small
+    // writes back-fill executor slots the dominant graph build leaves
+    // idle in its stage tails. Each write goes to its own directory;
+    // contents are deterministic, so overlap changes wall-clock only.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Seq(
+      Future { knnGraphWithCodebook(corpusEmb, cents, k, nprobe)
+        .write.mode(SaveMode.Overwrite).parquet(graphDir) },
+      Future { assignCells(eqC, cents).select(col("vec_id"), col("cell"))
+        .write.mode(SaveMode.Overwrite).parquet(asnDir) },
+      Future { probeCells(eqC, cents, nprobe)
+        .write.mode(SaveMode.Overwrite).parquet(probesDir) },
+      Future { cents.write.mode(SaveMode.Overwrite).parquet(centsDir) })
+    writes.foreach(Await.result(_, Duration.Inf))
     KnnIncIndex(graphDir, asnDir, probesDir, centsDir, cutoff)
   }
 
@@ -956,18 +967,31 @@ object SimOps {
     val cutoff = (vAll * 9L) / 10L
     val eqAll = embeddings
       .select(col("vec_id"), quantize1000(toVec(col("embedding"))).as("xq"))
-    // stale index: the frozen corpus-trained codebook applied to
-    // corpus + delta — exactly what incremental maintenance converges to
-    val centsFrozen = kmeansCentroids(
-      eqAll.filter(col("vec_id") < cutoff), adaptiveCells(cutoff), 2)
     val staleDir = freshDir(sfDir, "knn_refresh_stale").toString
-    knnGraphWithCodebook(embeddings, centsFrozen, k, nprobe)
-      .write.mode(SaveMode.Overwrite).parquet(staleDir)
-    // the refresh: retrain on everything, rebuild, write the new layout
-    val centsFresh = kmeansCentroids(eqAll, adaptiveCells(vAll), 2)
     val freshDirP = freshDir(sfDir, "knn_refresh_fresh").toString
-    knnGraphWithCodebook(embeddings, centsFresh, k, nprobe)
-      .write.mode(SaveMode.Overwrite).parquet(freshDirP)
+    // the stale rebuild (frozen corpus-trained codebook over corpus +
+    // delta — exactly what incremental maintenance converges to) and the
+    // fresh retrain are INDEPENDENT train+build+write chains over the
+    // same read-only inputs — overlap them on two driver threads (guide
+    // §2.6): each chain's stage tails back-fill the other's idle slots.
+    // Outputs land in separate directories; both chains are
+    // deterministic, so overlap changes wall-clock only.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val staleF = Future {
+      val centsFrozen = kmeansCentroids(
+        eqAll.filter(col("vec_id") < cutoff), adaptiveCells(cutoff), 2)
+      knnGraphWithCodebook(embeddings, centsFrozen, k, nprobe)
+        .write.mode(SaveMode.Overwrite).parquet(staleDir)
+    }
+    val freshF = Future {
+      val centsFresh = kmeansCentroids(eqAll, adaptiveCells(vAll), 2)
+      knnGraphWithCodebook(embeddings, centsFresh, k, nprobe)
+        .write.mode(SaveMode.Overwrite).parquet(freshDirP)
+    }
+    Await.result(staleF, Duration.Inf)
+    Await.result(freshF, Duration.Inf)
     (staleDir, freshDirP)
   }
 
@@ -2374,6 +2398,12 @@ object SimOps {
   private[graft] def pcaSecondComponent(m: DataFrame, vf: DataFrame,
       rounds: Int = 8): DataFrame = {
     val spark = m.sparkSession
+    // (r14 probe, reverted: leaving v1/denk/the init ranges LAZY — each
+    // is tiny and consumed only under explicit broadcast()s — benched
+    // 4.8-5.7 s vs ~4.5 s for this form in the same subset context: the
+    // per-round broadcast builds re-evaluate the lead-selection take()
+    // subtree, costing more than the few one-off actions saved. All four
+    // micro-checkpoints stay.)
     val v1 = vf.select(col("i"), col("v").as("v1")).localCheckpoint()
     val denk = v1.agg(sum(col("v1") * col("v1")).as("den"))
       .select((expr("den DIV 1000000") + lit(1L)).as("denk"))

@@ -995,4 +995,49 @@ class PlanSpec extends SparkTestBase {
       edges.unpersist(); edgesM.unpersist()
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("co-purchase build: the deg² self-join consumes the clustered cache exchange-free (r14)") {
+    import org.apache.spark.sql.functions._
+    // broadcast disabled: at bench scale the cached side broadcasts (also
+    // exchange-free); this pin proves the SMJ path a >10 MB corpus takes
+    // rides the cache's (cust) partitioning and (cust, supp) ordering —
+    // zero exchanges, zero sorts above the two InMemoryTableScans
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = orders(spark, sf0001)
+        .join(lineitem(spark, sf0001), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      val smallCust = pairs.groupBy(col("cust"))
+        .agg(count(lit(1)).as("cdeg"))
+        .filter(col("cdeg") <= 256).select("cust")
+      val kept = pairs.join(smallCust, "cust")
+        .repartition(col("cust")).sortWithinPartitions("cust", "supp")
+        .persist()
+      kept.count()
+      val co = kept.select(col("cust"), col("supp").as("s1"))
+        .join(kept.select(col("cust"), col("supp").as("s2")), Seq("cust"))
+        .filter(col("s1") < col("s2"))
+      val root = co.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      val p = root.toString
+      val exchanges = root.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      val sorts = root.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(exchanges.isEmpty,
+        s"self-join should reuse the cache's cust partitioning, saw " +
+          s"${exchanges.length} exchange(s):\n$p")
+      assert(sorts.isEmpty,
+        s"self-join should reuse the cache's (cust, supp) ordering, saw " +
+          s"${sorts.length} sort(s):\n$p")
+      kept.unpersist()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
